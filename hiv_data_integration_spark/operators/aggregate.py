@@ -1,0 +1,175 @@
+"""Aggregation operators: grouped sums, pivots, calendar buckets, windows.
+
+Maps SURVEY.md §2.5 (A1-A7), §2.6/§2.13 (time windows — engine extensions)
+onto Catalyst hash aggregation. All aggregations here are partial+final
+(map-side combine) by construction; pivots take explicit value lists so the
+plan is deterministic and never collects distinct pivot keys from 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "grouped_sum",
+    "pivot_agg",
+    "semester_bounds",
+    "calendar_bucket_agg",
+    "has_any_null",
+    "tumbling_window_agg",
+    "sessionize",
+]
+
+
+def grouped_sum(
+    df: DataFrame,
+    keys: list[str],
+    value_cols: list[str] | None = None,
+    sort: bool = False,
+) -> DataFrame:
+    """Grouped null-preserving sum over value columns (A1/A2).
+
+    The reference hand-builds ``when(is_not_null().any()).then(sum)``
+    per column (update_pnls_report/extract_ist_data.py:143-154) because it
+    wants SQL NULL semantics: ignore NULLs, but an all-NULL group yields
+    NULL, not 0. Spark's ``F.sum`` already has exactly those semantics, so
+    this compiles to a plain partial+final hash aggregate.
+    """
+    value_cols = value_cols or [c for c in df.columns if c not in keys]
+    out = df.groupBy(*keys).agg(*[F.sum(c).alias(c) for c in value_cols])
+    return out.orderBy(*keys) if sort else out
+
+
+def pivot_agg(
+    df: DataFrame,
+    keys: list[str],
+    pivot_col: str,
+    value_col: str,
+    values: list[str] | None = None,
+    agg: str = "sum",
+) -> DataFrame:
+    """Long→wide pivot (A3/A4).
+
+    The reference pivots without an aggregate, relying on one value per
+    cell (update_pnls_report/extract_ist_data.py:95-100); we use ``min`` for
+    that case (equal to "first" under the uniqueness contract, but
+    deterministic) and ``sum`` for the aggregating pivots
+    (extract_consultant_data.py:74-79).
+
+    Scale note: pass ``values`` explicitly (the reference's declared column
+    contracts make this possible) — otherwise Spark runs an extra distinct
+    job over the fact table and the output schema becomes data-dependent.
+    """
+    agg_col = {"sum": F.sum, "min": F.min, "max": F.max, "first": F.min}[agg](value_col)
+    gp = df.groupBy(*keys)
+    pv = gp.pivot(pivot_col, values) if values is not None else gp.pivot(pivot_col)
+    return pv.agg(agg_col)
+
+
+def semester_bounds(quarter_end: str, year: int) -> tuple[str, str]:
+    """Quarter-end month → (start, end) ``YYYYMM`` semester window.
+
+    Reference month-range map {"03": (Y-1·10, Y·03), "06": (Y·01, Y·06),
+    "09": (Y·04, Y·09), "12": (Y·07, Y·12)}
+    (update_pnls_report/extract_pec_data.py:193-198).
+    """
+    table = {
+        "03": (f"{year - 1}10", f"{year}03"),
+        "06": (f"{year}01", f"{year}06"),
+        "09": (f"{year}04", f"{year}09"),
+        "12": (f"{year}07", f"{year}12"),
+    }
+    return table[quarter_end]
+
+
+def calendar_bucket_agg(
+    df: DataFrame,
+    date_col: Column,
+    keys: list[str],
+    value_cols: list[str],
+    bucket: str = "semester",
+) -> DataFrame:
+    """Re-aggregate facts into calendar buckets (A6 generalized).
+
+    The reference relabels months into explicit semester windows then
+    re-sums (update_pnls_report/extract_pec_data.py:184-291); here the
+    bucket label is computed natively from the date (no join needed) and
+    fed through the same hash aggregate. ``bucket`` ∈ {month, quarter,
+    semester, year}.
+    """
+    y = F.year(date_col)
+    exprs: dict[str, Column] = {
+        "month": F.date_format(date_col, "yyyyMM"),
+        "quarter": F.concat_ws("Q", y.cast("string"), F.quarter(date_col).cast("string")),
+        "semester": F.concat_ws(
+            "S",
+            y.cast("string"),
+            F.when(F.month(date_col) <= 6, F.lit("1")).otherwise(F.lit("2")),
+        ),
+        "year": y.cast("string"),
+    }
+    out = df.withColumn("bucket", exprs[bucket])
+    return grouped_sum(out, [*keys, "bucket"], value_cols)
+
+
+def has_any_null(df: DataFrame, col: str) -> bool:
+    """Existence test: does any row have a NULL in ``col``? (A7,
+    update_pnls_report/extract_chu_data.py:310). ``limit(1)`` keeps it an
+    early-out scan, not a full count."""
+    return df.filter(F.col(col).isNull()).limit(1).count() > 0
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """Tumbling event-time window aggregation (engine extension, §2.13).
+
+    Batch counterpart of the Structured Streaming windowed aggregation in
+    ``hiv_data_integration_spark.streaming``; the same expression works
+    under ``readStream`` with a watermark.
+    """
+    w = F.window(F.col(ts_col), duration)
+    return (
+        df.groupBy(*keys, w.alias("window"))
+        .agg(*aggs)
+        .withColumn("window_start", F.col("window.start"))
+        .withColumn("window_end", F.col("window.end"))
+        .drop("window")
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Assign gap-based session ids per user (engine extension).
+
+    Classic lag + cumulative-sum formulation: a new session starts when the
+    gap from the previous event exceeds ``gap_minutes``. Two shuffles on
+    ``user_col`` (window + window) that AQE plans as one exchange reused.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_s = gap_minutes * 60
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    new_session = (
+        F.when(prev_ts.isNull(), F.lit(1))
+        .when(
+            F.col(ts_col).cast("long") - prev_ts.cast("long") > gap_s, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+    )
+    return df.withColumn(
+        "session_seq", F.sum(new_session).over(w)
+    ).withColumn(
+        "session_id",
+        F.concat_ws("#", F.col(user_col).cast("string"), F.col("session_seq").cast("string")),
+    )

@@ -1,0 +1,180 @@
+"""Relational operators: projections, filters, joins, set ops, sorts.
+
+Maps SURVEY.md §2.3 (P1-P7), §2.4 (J1-J7), §2.8 (U1-U3), §2.7 (O1) onto
+Catalyst-native DataFrame operations. Scale notes inline: dimension joins
+are broadcast, unions are plan-level (no data movement until the consumer
+shuffles), and nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "select_prefixed",
+    "numeric_columns",
+    "broadcast_join",
+    "semi_join",
+    "anti_join",
+    "cross_join_replicate",
+    "union_relaxed",
+    "topk",
+    "skip_rows",
+]
+
+
+def select_prefixed(
+    df: DataFrame, key_cols: list[str], prefixes: tuple[str, ...]
+) -> DataFrame:
+    """Key columns + every column starting with one of ``prefixes``.
+
+    Reference: prefix-driven projection ``col.startswith((...))`` at
+    update_pnls_report/pipeline.py:258-322. Column selection is plan-time
+    metadata — no data is touched.
+    """
+    picked = [c for c in df.columns if c.startswith(prefixes) and c not in key_cols]
+    return df.select(*key_cols, *picked)
+
+
+def numeric_columns(df: DataFrame, exclude: list[str] | None = None) -> list[str]:
+    """Names of numeric columns (reference ``pl.selectors.numeric()``,
+    update_pnls_report/extract_chu_data.py:206,449)."""
+    exclude = set(exclude or [])
+    return [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.NumericType) and f.name not in exclude
+    ]
+
+
+def broadcast_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str] | Column,
+    how: str = "left",
+) -> DataFrame:
+    """Fact→dimension equi-join with an explicit broadcast hint (J1-J3, J7).
+
+    The reference's dimension tables (COC names, org units, data-element
+    maps — update_pnls_report/extract_ist_data.py:66-79) are tiny relative
+    to the fact stream; at 100 TB the only sane physical plan is a broadcast
+    hash join, so we hint it rather than rely on the size estimator.
+    """
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def semi_join(df: DataFrame, keys: DataFrame, on: list[str]) -> DataFrame:
+    """Keep rows whose key appears in ``keys`` (J5).
+
+    The reference emulates this with an inner join against a distinct
+    key-only frame (update_pnls_report/utils.py:181-185,203-207);
+    ``left_semi`` is the idiomatic Spark mapping — no duplicate blow-up, no
+    extra columns, and the right side only ships its keys.
+    """
+    return df.join(keys.select(*on), on, "left_semi")
+
+
+def anti_join(df: DataFrame, keys: DataFrame, on: list[str]) -> DataFrame:
+    """Complement of :func:`semi_join` (engine extension)."""
+    return df.join(keys.select(*on), on, "left_anti")
+
+
+def cross_join_replicate(df: DataFrame, values: DataFrame) -> DataFrame:
+    """Replicate every row of ``df`` across the (small) ``values`` frame (J6).
+
+    Reference: the lazy cross-join island replicating yearly NAOMI rows over
+    quarter suffixes (update_pnls_report/pipeline.py:240-256). ``values``
+    must be small — Spark broadcasts it (BroadcastNestedLoopJoin), so the
+    big side never shuffles.
+    """
+    return df.crossJoin(F.broadcast(values))
+
+
+def _common_supertype(a: T.DataType, b: T.DataType) -> T.DataType:
+    """Least common supertype for union relaxation (mirrors polars'
+    ``diagonal_relaxed`` promotion, narrowed to the types the engine uses)."""
+    if a == b:
+        return a
+    numeric_rank: list[type] = [
+        T.ByteType,
+        T.ShortType,
+        T.IntegerType,
+        T.LongType,
+        T.FloatType,
+        T.DoubleType,
+    ]
+    if isinstance(a, T.NumericType) and isinstance(b, T.NumericType):
+        if isinstance(a, T.DecimalType) or isinstance(b, T.DecimalType):
+            return T.DoubleType()
+        ra = numeric_rank.index(type(a)) if type(a) in numeric_rank else len(numeric_rank)
+        rb = numeric_rank.index(type(b)) if type(b) in numeric_rank else len(numeric_rank)
+        return (a if ra >= rb else b) if max(ra, rb) < len(numeric_rank) else T.DoubleType()
+    if isinstance(a, T.TimestampType) or isinstance(b, T.TimestampType):
+        if isinstance(a, (T.DateType, T.TimestampType)) and isinstance(
+            b, (T.DateType, T.TimestampType)
+        ):
+            return T.TimestampType()
+    if isinstance(a, T.NullType):
+        return b
+    if isinstance(b, T.NullType):
+        return a
+    # Anything irreconcilable degrades to string, like polars' relaxed mode.
+    return T.StringType()
+
+
+def union_relaxed(dfs: list[DataFrame]) -> DataFrame:
+    """Union by column name with missing-column padding AND dtype relaxation.
+
+    Re-expresses polars ``pl.concat(how="diagonal_relaxed")``
+    (update_pnls_report/pipeline.py:326-336, utils.py:229-248).
+    ``unionByName(allowMissingColumns=True)`` handles name alignment but
+    Spark refuses conflicting dtypes, so shared columns are first cast to
+    their least common supertype. Pure plan rewrite — zero data movement.
+    """
+    dfs = [df for df in dfs if df is not None]
+    if not dfs:
+        raise ValueError("union_relaxed needs at least one DataFrame")
+    if len(dfs) == 1:
+        return dfs[0]
+
+    target: dict[str, T.DataType] = {}
+    for df in dfs:
+        for f in df.schema.fields:
+            target[f.name] = (
+                f.dataType
+                if f.name not in target
+                else _common_supertype(target[f.name], f.dataType)
+            )
+
+    def conform(df: DataFrame) -> DataFrame:
+        cols = [
+            F.col(f.name).cast(target[f.name]).alias(f.name)
+            if f.dataType != target[f.name]
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+        return df.select(*cols)
+
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True),
+        (conform(df) for df in dfs),
+    )
+
+
+def topk(df: DataFrame, order_by: list[Column], k: int) -> DataFrame:
+    """Global top-k: ``orderBy().limit(k)`` — Spark plans TakeOrderedAndProject
+    (per-partition heap + driver merge of k·partitions rows), safe at any
+    input scale. Engine extension (SURVEY.md §2.7: absent in reference)."""
+    return df.orderBy(*order_by).limit(k)
+
+
+def skip_rows(df: DataFrame, n: int) -> DataFrame:
+    """Drop the first ``n`` rows (P7 — Excel header-row skipping,
+    update_pnls_report/extract_chu_data.py:252). Only meaningful for small
+    driver-ingested frames where input order is defined; uses ``offset``
+    which Spark pushes into the scan."""
+    return df.offset(n)

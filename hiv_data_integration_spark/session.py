@@ -1,0 +1,59 @@
+"""SparkSession factory.
+
+The reference delegates all execution to eager single-node Polars
+(`update_pnls_report/pipeline.py`); our engine delegates to Catalyst +
+Tungsten and therefore only needs to pick good session defaults:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting,
+  dynamic join-strategy switch) — at 100 TB these replace any hand-tuning.
+- Arrow on for the few pandas_udf islands (fuzzy match, uuid5, NFD fold).
+- Session timezone pinned to UTC so timestamp semantics are deterministic
+  and match the DuckDB oracle (naive parquet timestamps).
+- ``local[$SPARK_GRAFT_CPUS]`` by default for tests/bench; on a real
+  cluster the caller passes its own master / lets spark-submit decide.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Shuffle parallelism default: matched to local core count for tests; a real
+# cluster deployment overrides this (or relies on AQE coalescing from a
+# higher initial value).
+_DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "hiv-data-integration-spark",
+    master: str | None = None,
+    shuffle_partitions: int | str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession with scale-ready defaults."""
+    master = master or os.environ.get(
+        "SPARK_GRAFT_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or _DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # parquet scans: keep filter pushdown + schema pruning observable
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # driver-side niceties for a test/bench session
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
