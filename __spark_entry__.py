@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from hiv_data_integration_spark.battery import ORACLE, QUERIES, q_flagship
+from hiv_data_integration_spark.battery_ext import EXT_ORACLE, EXT_QUERIES
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -32,10 +33,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2 (+ §2.14
+    extensions: dedup / similarity / text analysis / multimodal)."""
+    return {**QUERIES, **EXT_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL mirror for each query (same column names)."""
-    return dict(ORACLE)
+    """DuckDB-runnable ANSI SQL mirror for each query (same column names).
+
+    Keys intentionally absent (mapInPandas decode/frame stubs) get the
+    driver's weaker rows-only check.
+    """
+    return {**ORACLE, **EXT_ORACLE}

@@ -1,0 +1,441 @@
+"""Extension query battery: dedup / similarity / text analysis / multimodal
+(SURVEY.md §2.14 + BASELINE.json north star) with DuckDB oracle mirrors.
+
+The oracles replicate the FULL pipelines (shingling, seeded md5 minhashing,
+banding, bucket joins, hyperplane buckets) in SQL — every hash in the
+engine is md5-derived precisely so an external engine can reproduce it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hiv_data_integration_spark.battery import QueryFn, tbl
+from hiv_data_integration_spark.operators import dedup as dd
+from hiv_data_integration_spark.operators import multimodal as mm
+from hiv_data_integration_spark.operators import similarity as sim
+from hiv_data_integration_spark.operators import textops as tx
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments
+# ---------------------------------------------------------------------------
+
+_TOKS = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '')"
+_PUNCT_SQL = """[!"#$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]"""
+_CJK_SQL = "[一-鿿]"
+
+# corpus with synthetic near-duplicates: every 10th doc re-appears with its
+# last word dropped (id offset +100000) — gives the dedup operators real
+# work on an otherwise fully-distinct corpus.
+_DUP_CORPUS_SQL = """
+corpus AS (
+    SELECT doc_id, text, lang FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id,
+           array_to_string(w[1:len(w)-1], ' ') AS text, lang
+    FROM (SELECT doc_id, lang,
+                 list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS w
+          FROM documents WHERE doc_id % 10 = 0)
+)
+"""
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    words = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
+    mutated = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.array_join(F.slice(words, 1, F.size(words) - 1), " ").alias("text"),
+            "lang",
+        )
+    )
+    return docs.unionByName(mutated)
+
+
+def _sw_count_sql(words: list[str]) -> str:
+    quoted = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({_TOKS}, x -> x IN ({quoted})))"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("ws_tokens"),
+        tx.regex_token_count(F.col("text")).alias("re_tokens"),
+    )
+
+
+SQL_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')) AS ws_tokens,
+       len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS re_tokens
+FROM documents
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.quality_features(docs).drop("text")
+
+
+SQL_QUALITY_SCORES = f"""
+WITH feat AS (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len({_TOKS.replace("lower(text)", "text")}) AS n_words,
+           length(text) - length(regexp_replace(text, '{_PUNCT_SQL}', '', 'g')) AS n_punct,
+           {_sw_count_sql(tx.STOPWORDS["en"])} AS n_stop
+    FROM documents
+)
+SELECT doc_id, n_chars, n_words,
+       CASE WHEN n_words > 0 THEN CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE) END AS avg_word_len,
+       CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+       CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) END AS stopword_ratio
+FROM feat
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("predicted", tx.lang_id(F.col("text")))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+SQL_LANG_ID = f"""
+WITH scores AS (
+    SELECT lang,
+           {_sw_count_sql(tx.STOPWORDS["en"])} AS s_en,
+           {_sw_count_sql(tx.STOPWORDS["fr"])} AS s_fr,
+           {_sw_count_sql(tx.STOPWORDS["es"])} AS s_es,
+           {_sw_count_sql(tx.STOPWORDS["de"])} AS s_de,
+           length(text) - length(regexp_replace(text, '{_CJK_SQL}', '', 'g')) AS s_zh
+    FROM documents
+)
+SELECT lang,
+       CASE WHEN s_zh > 0 THEN 'zh'
+            WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+            WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+            WHEN s_es >= s_de THEN 'es'
+            ELSE 'de' END AS predicted,
+       count(*) AS n_docs
+FROM scores GROUP BY 1, 2
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.fingerprint(F.col("text")).alias("fp"))
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir)
+    return dd.exact_dedup(corpus, tx.fingerprint(F.col("text")), "doc_id")
+
+
+SQL_DEDUP_EXACT = f"""
+WITH {_DUP_CORPUS_SQL}
+SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS dedup_key,
+       min(doc_id) AS canonical_id, count(*) AS n_copies
+FROM corpus GROUP BY 1
+"""
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir)
+    return dd.minhash_candidate_pairs(
+        corpus, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4,
+        jaccard_threshold=0.6,
+    )
+
+
+_MD5L = "CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+SQL_MINHASH_PAIRS = f"""
+WITH {_DUP_CORPUS_SQL},
+sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1),
+                                   i -> array_to_string(w[i:i+2], ' '))
+               ELSE [] END) AS shingles
+    FROM (SELECT doc_id, {_TOKS} AS w FROM corpus)
+),
+docs AS (SELECT * FROM sh WHERE len(shingles) > 0),
+sig AS (
+    SELECT doc_id, shingles,
+           list_transform(range(0, 16),
+               s -> list_min(list_transform(shingles,
+                   x -> {_MD5L.format(expr="CAST(s AS VARCHAR) || '|' || x")}))) AS sig
+    FROM docs
+),
+bands AS (
+    SELECT doc_id, shingles, b,
+           {_MD5L.format(expr=("'band|' || array_to_string(list_transform("
+                               "sig[b*4+1:b*4+4], x -> CAST(x AS VARCHAR)), '|')"))} AS band_hash
+    FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.shingles AS sh_a, b.shingles AS sh_b
+    FROM bands a JOIN bands b
+      ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, jaccard FROM (
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE) AS jaccard
+    FROM cand)
+WHERE jaccard >= 0.6
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir)
+    return dd.ngram_jaccard_pairs(
+        corpus, "doc_id", "text", shingle_n=3, jaccard_threshold=0.5,
+        block_cols=["lang"],
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH {_DUP_CORPUS_SQL},
+sh AS (
+    SELECT doc_id, lang,
+           list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1),
+                                   i -> array_to_string(w[i:i+2], ' '))
+               ELSE [] END) AS shingles
+    FROM (SELECT doc_id, lang, {_TOKS} AS w FROM corpus)
+),
+docs AS (SELECT * FROM sh WHERE len(shingles) > 0),
+posting AS (
+    SELECT doc_id, lang, len(shingles) AS n_sh, unnest(shingles) AS shingle
+    FROM docs
+),
+common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+           count(*) AS n_common
+    FROM posting a JOIN posting b
+      ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, jaccard FROM (
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) AS jaccard
+    FROM common)
+WHERE jaccard >= 0.5
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    return dd.simhash(docs, "doc_id", "text", bits=32)
+
+
+_SIMHASH_BALANCES = ",\n           ".join(
+    f"SUM(((h >> {b}) & 1) * 2 - 1) AS b{b}" for b in range(32)
+)
+_SIMHASH_PACK = " + ".join(
+    f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(32)
+)
+
+SQL_SIMHASH = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+h AS (SELECT doc_id, {_MD5L.format(expr="tok")} AS h FROM toks),
+bal AS (
+    SELECT doc_id,
+           {_SIMHASH_BALANCES}
+    FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIMHASH_PACK} AS BIGINT) AS simhash FROM bal
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COS_SQL = (
+    "list_dot_product(qv, v) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))"
+)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return sim.cosine_topk(queries, emb, k=5)
+
+
+SQL_COSINE_TOPK = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+scored AS (
+    SELECT query_id, e.vec_id AS neighbor_id, {_COS_SQL} AS cos
+    FROM e CROSS JOIN q WHERE e.vec_id != query_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos
+FROM r WHERE rank <= 5
+"""
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return sim.bucketed_topk(queries, emb, bucket_col="label", k=3)
+
+
+SQL_IVF_TOPK = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, label, v AS qv FROM e WHERE vec_id % 50 = 0),
+scored AS (
+    SELECT query_id, e.vec_id AS neighbor_id, {_COS_SQL} AS cos
+    FROM e JOIN q USING (label) WHERE e.vec_id != query_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos
+FROM r WHERE rank <= 3
+"""
+
+_PLANES = sim.deterministic_planes(dim=64, n_planes=8, seed="lsh")
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return sim.lsh_topk(queries, emb, _PLANES, k=3)
+
+
+def _plane_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN list_dot_product({{v}}, CAST({_plane_literal(p)} AS DOUBLE[])) >= 0 "
+    f"THEN {1 << b} ELSE 0 END)"
+    for b, p in enumerate(_PLANES)
+)
+
+SQL_LSH_TOPK = f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           CAST({_BUCKET_SQL.format(v="CAST(embedding AS DOUBLE[])")} AS BIGINT) AS bucket
+    FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, bucket, v AS qv FROM e WHERE vec_id % 50 = 0),
+scored AS (
+    SELECT query_id, e.vec_id AS neighbor_id, {_COS_SQL} AS cos
+    FROM e JOIN q USING (bucket) WHERE e.vec_id != query_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos
+FROM r WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+def q_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    with_payload = mm.attach_payload(docs)
+    return mm.payload_meta(with_payload).select(
+        "doc_id", "media_type", "n_bytes", "digest"
+    )
+
+
+SQL_PAYLOAD_META = """
+SELECT doc_id, 'image' AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS digest
+FROM documents
+"""
+
+
+def q_decode_media_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (no SQL oracle): Arrow-batched mapInPandas decode
+    stub — schema/partitioning/batching are the real thing, the byte
+    decoder is a deterministic fake (no media libs in this container)."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    decoded = mm.decode_media(mm.attach_payload(docs))
+    return decoded.select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
+def q_sample_frames_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: one-row→many-rows frame sampling via mapInPandas."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    return mm.sample_frames(mm.attach_payload(docs, media_type="video"))
+
+
+EXT_QUERIES: dict[str, QueryFn] = {
+    "text_token_counts": q_token_counts,
+    "text_quality_scores": q_quality_scores,
+    "text_lang_id": q_lang_id,
+    "doc_fingerprint": q_fingerprint,
+    "dedup_exact_docs": q_dedup_exact,
+    "dedup_minhash_lsh_pairs": q_minhash_pairs,
+    "dedup_ngram_jaccard_pairs": q_ngram_jaccard,
+    "dedup_simhash_fingerprints": q_simhash,
+    "embed_cosine_topk": q_cosine_topk,
+    "embed_ivf_topk_label": q_ivf_topk,
+    "embed_lsh_ann_topk": q_lsh_topk,
+    "multimodal_payload_meta": q_payload_meta,
+    "multimodal_decode_stub": q_decode_media_stub,
+    "multimodal_frame_sample_stub": q_sample_frames_stub,
+}
+
+EXT_ORACLE: dict[str, str] = {
+    "text_token_counts": SQL_TOKEN_COUNTS,
+    "text_quality_scores": SQL_QUALITY_SCORES,
+    "text_lang_id": SQL_LANG_ID,
+    "doc_fingerprint": SQL_FINGERPRINT,
+    "dedup_exact_docs": SQL_DEDUP_EXACT,
+    "dedup_minhash_lsh_pairs": SQL_MINHASH_PAIRS,
+    "dedup_ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
+    "dedup_simhash_fingerprints": SQL_SIMHASH,
+    "embed_cosine_topk": SQL_COSINE_TOPK,
+    "embed_ivf_topk_label": SQL_IVF_TOPK,
+    "embed_lsh_ann_topk": SQL_LSH_TOPK,
+    "multimodal_payload_meta": SQL_PAYLOAD_META,
+    # multimodal_decode_stub / multimodal_frame_sample_stub: mapInPandas
+    # stages — intentionally no SQL oracle (driver records rows-only).
+}

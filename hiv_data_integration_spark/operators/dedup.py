@@ -1,0 +1,313 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Engine extensions for LLM training-data pipelines (BASELINE.json north
+star). Scale design:
+
+- **exact**: one hash-aggregate shuffle on the fingerprint — the cheapest
+  possible plan at any scale.
+- **MinHash+LSH**: signatures are per-row projections (no shuffle); the
+  only shuffles are the band-bucket exchange and the candidate-pair join —
+  O(rows·bands) shuffled keys instead of O(rows²) comparisons.
+- **SimHash**: explode-tokens → one hash-aggregate per doc; fingerprints
+  then self-join on sub-band blocks.
+- **n-gram Jaccard**: exact pairwise, bounded by blocking keys — the
+  verification primitive for the approximate methods.
+
+All hashing is md5-derived (``conv(substr(md5(x),1,15),16,10)``) so results
+are engine-portable and seed-stable — no dependence on Spark's internal
+murmur3, which an external oracle cannot reproduce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "md5_long",
+    "word_shingles",
+    "exact_dedup",
+    "minhash_signature",
+    "minhash_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_near_pairs",
+]
+
+
+def md5_long(col: Column, seed: int | str | None = None) -> Column:
+    """Portable 60-bit integer hash: first 15 hex digits of md5.
+
+    Seeded variants prefix ``"<seed>|"`` — this is how k independent
+    MinHash permutations are derived.
+    """
+    s = col.cast("string")
+    if seed is not None:
+        s = F.concat(F.lit(f"{seed}|"), s)
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles → array<string>.
+
+    Documents shorter than ``n`` words yield an empty array (callers filter
+    them out of near-dup analysis).
+    """
+    words = F.filter(F.split(F.lower(F.trim(col)), r"\s+"), lambda x: x != "")
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - n + 1),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def exact_dedup(
+    df: DataFrame, key: Column, id_col: str, keep: str = "min"
+) -> DataFrame:
+    """Exact dedup: one canonical row id per duplicate group.
+
+    Returns ``(dedup_key, canonical_id, n_copies)`` — a single
+    partial+final hash aggregate (map-side combine makes the shuffle carry
+    one row per distinct key per partition, not per input row).
+    """
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    return df.groupBy(key.alias("dedup_key")).agg(
+        agg.alias("canonical_id"), F.count("*").alias("n_copies")
+    )
+
+
+def minhash_signature(shingles_col: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: array of per-seed minima over the shingle set.
+
+    Per-row projection — embarrassingly parallel, no shuffle. Empty shingle
+    sets yield NULL minima; callers filter ``size(shingles) > 0`` first.
+    """
+    def seeded(i: int):
+        # NB: a closure factory, NOT `lambda s, i=i: ...` — PySpark treats a
+        # two-parameter lambda as (element, index) and would pass the array
+        # index in place of the seed.
+        return lambda s: md5_long(s, i)
+
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles_col, seeded(i)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs, verified by exact Jaccard.
+
+    Pipeline: shingle → k-min signature → split into ``bands`` bands →
+    band-hash bucket join (only docs agreeing on a full band meet) →
+    exact Jaccard verification on the shingle sets → pairs with
+    ``jaccard >= threshold``, ``id_a < id_b``.
+
+    At 100 TB the bucket join is the only O(candidate) shuffle; banding
+    keeps candidates ~linear for any corpus with bounded duplication.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+
+    docs = (
+        df.select(
+            F.col(id_col).alias("doc_id_"),
+            word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+        .withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    )
+
+    band_entries = docs.select(
+        "doc_id_",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        md5_long(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                                "|",
+                            ),
+                            "band",
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc_id_", "shingles", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
+
+    left = band_entries.select(
+        F.col("band"),
+        F.col("band_hash"),
+        F.col("doc_id_").alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    right = band_entries.select(
+        F.col("band"),
+        F.col("band_hash"),
+        F.col("doc_id_").alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    candidates = (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        candidates.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard duplicate pairs via explode + shingle join.
+
+    Pairs only materialize for docs sharing at least one shingle (and the
+    optional blocking keys), so the shuffle is O(postings), not O(rows²).
+    This is the exact method; MinHash+LSH is its sublinear approximation.
+    """
+    block_cols = block_cols or []
+    docs = df.select(
+        F.col(id_col).alias("doc_id_"),
+        *[F.col(c) for c in block_cols],
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    sizes = docs.select(
+        "doc_id_", *block_cols, F.size("shingles").alias("n_sh"), "shingles"
+    )
+    posting = sizes.select(
+        "doc_id_", *block_cols, "n_sh", F.explode("shingles").alias("shingle")
+    )
+    a = posting.select(
+        *[F.col(c) for c in block_cols],
+        F.col("shingle"),
+        F.col("doc_id_").alias("id_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    b = posting.select(
+        *[F.col(c) for c in block_cols],
+        F.col("shingle"),
+        F.col("doc_id_").alias("id_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    common = (
+        a.join(b, [*block_cols, "shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
+    return (
+        common.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+) -> DataFrame:
+    """SimHash fingerprints: ``(id, simhash)`` with a ``bits``-bit int.
+
+    Explode tokens → one hash-aggregate per doc computing the per-bit
+    balance (+1/-1 per token bit) → sign vector packed into an integer.
+    One shuffle on the doc id; everything else is codegen expressions.
+    """
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != "")
+    exploded = df.select(
+        F.col(id_col).alias("doc_id_"), F.explode(toks).alias("tok")
+    ).withColumn("h", md5_long(F.col("tok")))
+    balance_aggs = [
+        F.sum(
+            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    balances = exploded.groupBy("doc_id_").agg(*balance_aggs)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return balances.select(F.col("doc_id_").alias(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    bits: int = 32,
+    blocks: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance with block LSH.
+
+    Split each fingerprint into ``blocks`` contiguous bit-blocks; any pair
+    within Hamming distance ``max_hamming < blocks`` must agree exactly on
+    at least one block (pigeonhole), so the self-join keys on
+    (block_idx, block_value) — no quadratic comparison.
+    """
+    block_bits = bits // blocks
+    mask = (1 << block_bits) - 1
+    entries = fingerprints.select(
+        F.col(id_col).alias("id_"),
+        F.col(hash_col).alias("fp"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col(hash_col), i * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("blk_val"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("e"),
+    ).select("id_", "fp", F.col("e.blk").alias("blk"), F.col("e.blk_val").alias("blk_val"))
+    left = entries.select("blk", "blk_val", F.col("id_").alias("id_a"), F.col("fp").alias("fp_a"))
+    right = entries.select("blk", "blk_val", F.col("id_").alias("id_b"), F.col("fp").alias("fp_b"))
+    pairs = (
+        left.join(right, ["blk", "blk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("id_a", "id_b", "hamming")

@@ -136,6 +136,8 @@ class _Parser:
         return self.tokens[self.i] if self.i < len(self.tokens) else None
 
     def _next(self) -> tuple[str, str]:
+        if self.i >= len(self.tokens):
+            raise ValueError("unexpected end of formula")
         tok = self.tokens[self.i]
         self.i += 1
         return tok

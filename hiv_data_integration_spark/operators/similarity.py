@@ -1,0 +1,171 @@
+"""Vector similarity search over embedding columns.
+
+Engine extensions for LLM-data pipelines: brute-force cosine top-k as the
+exact baseline, a bucketed IVF-style variant as the scale path, and a
+random-hyperplane LSH bucketer with deterministic (seed-derived) planes.
+
+Scale design: the query set is broadcast (top-k search is almost always
+few-queries × huge-corpus); the corpus never shuffles for brute force —
+each partition scores its vectors and the per-partition top-k heaps merge
+at the driver via ``TakeOrderedAndProject`` semantics (window + filter
+keeps it distributed when queries are many). IVF/LSH prune the corpus by
+bucket equality before scoring, turning the scan into a hash join.
+
+All arithmetic folds arrays left-to-right in doubles, which is
+bit-reproducible across engines (verified against DuckDB's
+``list_dot_product``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "dot",
+    "l2_norm",
+    "cosine",
+    "cosine_topk",
+    "bucketed_topk",
+    "deterministic_planes",
+    "hyperplane_lsh_bucket",
+    "lsh_topk",
+]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic double accumulation)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def _as_double(vec: Column) -> Column:
+    return vec.cast("array<double>")
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact brute-force cosine top-k per query vector.
+
+    Output: ``(query_id, neighbor_id, rank, cos)``; self-matches excluded;
+    ties broken by neighbor id. ``queries`` is broadcast — the corpus is
+    scanned once, never shuffled in full.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cos")
+    )
+
+
+def bucketed_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    bucket_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style top-k: search only the query's coarse bucket.
+
+    ``bucket_col`` is the coarse quantization (a cluster/centroid id — the
+    testdata's ``label`` column, or an LSH bucket from
+    :func:`hyperplane_lsh_bucket`). The cross join collapses to a hash join
+    on the bucket — at 1000 buckets this is ~1000× less scoring than brute
+    force, the classic IVF recall/cost trade.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(bucket_col).alias("bucket"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(bucket_col).alias("bucket"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cos")
+    )
+
+
+def deterministic_planes(dim: int, n_planes: int, seed: str = "lsh") -> list[list[float]]:
+    """Pseudo-random hyperplanes derived from md5 — deterministic across
+    runs/engines, no RNG state. Components are in [-1, 1)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}|{p}|{d}".encode()).hexdigest()
+            v = int(h[:8], 16) / float(1 << 31) - 1.0
+            row.append(v)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: bit b = sign(vec · plane_b)."""
+    v = _as_double(vec)
+    bucket: Column = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(v, plane_col) >= 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """ANN top-k restricted to the query's hyperplane-LSH bucket."""
+    bq = queries.withColumn("lsh_bucket", hyperplane_lsh_bucket(F.col(vec_col), planes))
+    bc = corpus.withColumn("lsh_bucket", hyperplane_lsh_bucket(F.col(vec_col), planes))
+    return bucketed_topk(bq, bc, "lsh_bucket", id_col=id_col, vec_col=vec_col, k=k)

@@ -1,0 +1,128 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Engine extensions mandated by the north star (BASELINE.json): language ID,
+quality scoring, token counting, document fingerprinting — all as native
+Column expressions (JVM-side, codegen-friendly; no Python in the loop), so
+they scale to 100 TB document corpora exactly like any other projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "whitespace_tokens",
+    "token_count",
+    "regex_token_count",
+    "normalize_text_basic",
+    "fingerprint",
+    "stopword_count",
+    "quality_features",
+    "lang_id",
+    "STOPWORDS",
+]
+
+# Tiny discriminative stopword lists per language (public common words).
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "it", "that", "this"],
+    "fr": ["le", "la", "les", "des", "et", "une", "du", "est"],
+    "es": ["el", "los", "las", "que", "por", "con", "para", "una"],
+    "de": ["der", "die", "und", "das", "nicht", "mit", "ein", "zu"],
+}
+
+# ASCII punctuation (Java \p{Punct} == POSIX [[:punct:]]) spelled as an
+# explicit class so Spark (Java regex) and any oracle (RE2) agree.
+_PUNCT_CLASS = r"""[!"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]"""
+# CJK unified ideographs, written as literal characters so the same pattern
+# is valid in both Java regex and RE2.
+_CJK_CLASS = "[一-鿿]"
+
+
+def whitespace_tokens(col: Column) -> Column:
+    """Whitespace tokenization → array<string> (empty tokens dropped)."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda x: x != "")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(whitespace_tokens(col)).cast("long")
+
+
+def regex_token_count(col: Column, pattern: str = r"\w+|[^\w\s]") -> Column:
+    """BPE-ish token count: word runs plus individual punctuation/symbol
+    characters (the classic pre-tokenizer regex shape)."""
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), 0)).cast("long")
+
+
+def normalize_text_basic(col: Column) -> Column:
+    """Lowercase + collapse whitespace + trim (native part of the
+    reference's normalize_text, update_pnls_report/utils.py:543-558; the
+    NFD accent folding lives in operators.fuzzy as a pandas_udf)."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_text_basic(col))
+
+
+def stopword_count(col: Column, words: list[str]) -> Column:
+    """Count of tokens (lowercased) that are in ``words``."""
+    toks = whitespace_tokens(F.lower(col))
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda x: F.array_contains(arr, x))).cast("long")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add standard document-quality features.
+
+    ``n_chars``, ``n_words``, ``avg_word_len``, ``punct_ratio``,
+    ``stopword_ratio`` (English list) — the usual heuristics used to filter
+    LLM training corpora. All native expressions; ratios are double
+    divisions of exact integer counts (bit-deterministic).
+    """
+    c = F.col(text_col)
+    n_chars = F.length(c).cast("long")
+    n_words = token_count(c)
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, _PUNCT_CLASS, ""))
+    n_stop = stopword_count(c, STOPWORDS["en"])
+    return (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("n_words", n_words)
+        .withColumn(
+            "avg_word_len",
+            F.when(n_words > 0, n_chars.cast("double") / n_words.cast("double")),
+        )
+        .withColumn("punct_ratio", n_punct.cast("double") / n_chars.cast("double"))
+        .withColumn(
+            "stopword_ratio",
+            F.when(n_words > 0, n_stop.cast("double") / n_words.cast("double")),
+        )
+    )
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID over {en, fr, es, de, zh}.
+
+    CJK characters short-circuit to ``zh``; otherwise the language with the
+    highest stopword hit count wins, ties resolved in fixed order
+    en → fr → es → de (fully deterministic chain).
+    """
+    scores = {lang: stopword_count(col, words) for lang, words in STOPWORDS.items()}
+    n_cjk = F.length(col) - F.length(F.regexp_replace(col, _CJK_CLASS, ""))
+    return (
+        F.when(n_cjk > 0, F.lit("zh"))
+        .when(
+            (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["de"]),
+            F.lit("en"),
+        )
+        .when(
+            (scores["fr"] >= scores["es"]) & (scores["fr"] >= scores["de"]),
+            F.lit("fr"),
+        )
+        .when(scores["es"] >= scores["de"], F.lit("es"))
+        .otherwise(F.lit("de"))
+    )

@@ -35,6 +35,16 @@ def get_spark(
     master = master or os.environ.get(
         "SPARK_GRAFT_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     )
+    # Python workers must be able to import this package: cloudpickle
+    # serializes module-level helpers referenced from mapInPandas /
+    # pandas_udf closures BY REFERENCE, so the worker interpreter needs the
+    # repo root on ITS path even when only the driver did sys.path surgery.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}{os.pathsep}{existing}" if existing else repo_root
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

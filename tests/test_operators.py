@@ -1,0 +1,135 @@
+"""Unit tests for library operators without SQL oracles: relaxed union
+supertyping, reshape stacking, simhash near-pairs, LSH ANN plumbing,
+multimodal mapInPandas stages, sessionization."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import types as T
+
+from hiv_data_integration_spark.operators import multimodal as mm
+from hiv_data_integration_spark.operators import similarity as sim
+from hiv_data_integration_spark.operators.dedup import (
+    simhash,
+    simhash_near_pairs,
+    word_shingles,
+)
+from hiv_data_integration_spark.operators.relational import union_relaxed
+from hiv_data_integration_spark.operators.reshape import (
+    pad_to_contract,
+    stack_by_prefix,
+)
+
+
+def test_union_relaxed_supertypes(spark):
+    a = spark.createDataFrame([(1, 1.5)], "k int, v double")
+    b = spark.createDataFrame([(2, 7)], "k bigint, v int")
+    c = spark.createDataFrame([("x",)], "extra string")
+    u = union_relaxed([a, b, c])
+    schema = {f.name: f.dataType for f in u.schema.fields}
+    assert schema["k"] == T.LongType()
+    assert schema["v"] == T.DoubleType()
+    assert schema["extra"] == T.StringType()
+    rows = sorted(
+        [tuple(r) for r in u.collect()], key=lambda t: (t[0] is None, t)
+    )
+    assert len(rows) == 3
+    # missing columns padded with NULL
+    assert any(r[0] is None and r[2] == "x" for r in u.collect())
+
+
+def test_union_relaxed_string_degrade(spark):
+    a = spark.createDataFrame([(1,)], "v int")
+    b = spark.createDataFrame([("x",)], "v string")
+    u = union_relaxed([a, b])
+    assert dict((f.name, f.dataType) for f in u.schema.fields)["v"] == T.StringType()
+    assert {r["v"] for r in u.collect()} == {"1", "x"}
+
+
+def test_stack_by_prefix_merges_colliding_names(spark):
+    df = spark.createDataFrame(
+        [("ou1", 1, 2, 10)],
+        "ou string, ind_9_a long, ind_9_b long, ind_10_a long",
+    )
+    out = stack_by_prefix(
+        df,
+        ["ou"],
+        {"ind_9": 9, "ind_10": 10},
+        name_standardizer=lambda c: "val",  # both ind_9 cols collide
+    )
+    rows = {r["indicateur"]: r["val"] for r in out.collect()}
+    assert rows[9] == 3  # 1 + 2 merged deterministically
+    assert rows[10] == 10
+
+
+def test_pad_to_contract_types_and_order(spark):
+    df = spark.createDataFrame([(1, "x")], "a int, b string")
+    out = pad_to_contract(
+        df,
+        [("b", T.StringType()), ("missing", T.DoubleType()), ("a", T.LongType())],
+    )
+    assert out.columns == ["b", "missing", "a"]
+    assert [f.dataType for f in out.schema.fields] == [
+        T.StringType(),
+        T.DoubleType(),
+        T.LongType(),
+    ]
+    assert out.collect()[0]["missing"] is None
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([("one two",), ("a b c d",)], "text string")
+    rows = df.select(word_shingles(F.col("text"), 3).alias("sh")).collect()
+    assert rows[0]["sh"] == []
+    assert rows[1]["sh"] == ["a b c", "b c d"]
+
+
+def test_simhash_near_pairs_finds_planted_dup(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base + " extra"
+    far = "completely different words nothing shared here at all ok yes"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    fps = simhash(df, "doc_id", "text", bits=32)
+    pairs = simhash_near_pairs(fps, bits=32, blocks=4, max_hamming=6).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_lsh_bucket_deterministic(spark):
+    planes = sim.deterministic_planes(dim=4, n_planes=3, seed="t")
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [1.0, 0.1, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    b1 = df.select(sim.hyperplane_lsh_bucket(F.col("embedding"), planes).alias("b")).collect()
+    b2 = df.select(sim.hyperplane_lsh_bucket(F.col("embedding"), planes).alias("b")).collect()
+    assert [r["b"] for r in b1] == [r["b"] for r in b2]
+    assert all(0 <= r["b"] < 8 for r in b1)
+
+
+def test_decode_media_stub_schema_and_determinism(spark):
+    df = spark.createDataFrame([(1, "hello"), (2, "a longer text payload")],
+                               "doc_id long, text string")
+    decoded = mm.decode_media(mm.attach_payload(df))
+    assert "meta" in decoded.columns and "payload" not in decoded.columns
+    rows = {r["doc_id"]: r["meta"] for r in decoded.collect()}
+    assert rows[1]["n_bytes"] == 5
+    assert rows[1]["decoder"] == "stub"
+    again = {
+        r["doc_id"]: r["meta"]
+        for r in mm.decode_media(mm.attach_payload(df)).collect()
+    }
+    assert rows == again
+
+
+def test_sample_frames_one_to_many(spark):
+    df = spark.createDataFrame([(7, "0123456789abcdef")], "doc_id long, text string")
+    frames = mm.sample_frames(mm.attach_payload(df, media_type="video")).collect()
+    assert len(frames) == 4
+    assert [f["frame_idx"] for f in frames] == [0, 1, 2, 3]
+    assert all(f["media_id"] == 7 for f in frames)
+    assert all(f["frame_bytes"] == 4 for f in frames)
