@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from hiv_data_integration_spark.battery import QueryFn, tbl
 from hiv_data_integration_spark.operators import dedup as dd
+from hiv_data_integration_spark.operators import fuzzy as fz
 from hiv_data_integration_spark.operators import multimodal as mm
 from hiv_data_integration_spark.operators import similarity as sim
 from hiv_data_integration_spark.operators import textops as tx
@@ -366,6 +367,71 @@ FROM r WHERE rank <= 3
 
 
 # ---------------------------------------------------------------------------
+# Fuzzy entity resolution (reference D6-D10, update_pnls_report/utils.py:420-558)
+# ---------------------------------------------------------------------------
+
+
+def q_normalize_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accent-fold + punctuation-strip + noise-word normalization over
+    adversarially mangled customer names (uppercase, accent injection,
+    punctuation) — the canonical-key step of entity resolution."""
+    cust = tbl(spark, sf_dir, "customer")
+    mangled = F.concat(
+        F.translate(F.upper(F.col("c_name")), "UOE", "ÜÔÉ"), F.lit("!!")
+    )
+    return cust.select(
+        "c_custkey",
+        mangled.alias("mangled"),
+        fz.normalize_text_col(mangled).alias("normalized"),
+    )
+
+
+SQL_NORMALIZE_FOLD = f"""
+WITH m AS (
+    SELECT c_custkey,
+           translate(upper(c_name), 'UOE', 'ÜÔÉ') || '!!' AS mangled
+    FROM customer
+)
+SELECT c_custkey, mangled,
+       trim(regexp_replace(
+           regexp_replace(
+               regexp_replace(lower(strip_accents(mangled)),
+                              '{_PUNCT_SQL}', ' ', 'g'),
+               '\\bpublic\\b', ' ', 'g'),
+           '\\s+', ' ', 'g')) AS normalized
+FROM m
+"""
+
+
+def q_fuzzy_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: token-set fuzzy resolution of truncated supplier
+    names against the supplier dim (pandas_udf over captured candidates —
+    difflib scoring is not SQL-expressible; exact-path parity is covered
+    by ext_normalize_fold + pytest property tests vs the Python twin)."""
+    sup = tbl(spark, sf_dir, "supplier")
+    dirty = sup.select(
+        F.col("s_suppkey").alias("dirty_key"),
+        F.expr("substring(s_name, 1, length(s_name) - 2)").alias("dirty_name"),
+    )
+    resolved = fz.resolve_entities(
+        dirty, "dirty_name", sup, "s_name", "s_name", threshold=80.0
+    )
+    return resolved.filter(F.col("matched").isNotNull()).select(
+        "dirty_key", "dirty_name", "matched", "match_score"
+    )
+
+
+def q_uuid5_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: deterministic uuid5 org-id synthesis (pandas_udf;
+    SHA-1-based uuid5 has no DuckDB mirror — pytest checks byte parity vs
+    Python's uuid module)."""
+    nation = tbl(spark, sf_dir, "nation")
+    return nation.select(
+        "n_nationkey", fz.uuid5_id(F.col("n_name")).alias("org_uid")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------
 
@@ -421,6 +487,9 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "multimodal_payload_meta": q_payload_meta,
     "multimodal_decode_stub": q_decode_media_stub,
     "multimodal_frame_sample_stub": q_sample_frames_stub,
+    "fuzzy_normalize_fold": q_normalize_fold,
+    "fuzzy_resolve_suppliers": q_fuzzy_resolve,
+    "org_uuid5_ids": q_uuid5_ids,
 }
 
 EXT_ORACLE: dict[str, str] = {
@@ -436,6 +505,9 @@ EXT_ORACLE: dict[str, str] = {
     "embed_ivf_topk_label": SQL_IVF_TOPK,
     "embed_lsh_ann_topk": SQL_LSH_TOPK,
     "multimodal_payload_meta": SQL_PAYLOAD_META,
+    "fuzzy_normalize_fold": SQL_NORMALIZE_FOLD,
     # multimodal_decode_stub / multimodal_frame_sample_stub: mapInPandas
     # stages — intentionally no SQL oracle (driver records rows-only).
+    # fuzzy_resolve_suppliers / org_uuid5_ids: difflib token_set scoring and
+    # SHA-1 uuid5 have no DuckDB mirror — rows-only + pytest vs Python twin.
 }

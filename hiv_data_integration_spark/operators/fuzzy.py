@@ -1,0 +1,282 @@
+"""Fuzzy entity resolution: text normalization, token-set scoring, best-match
+against broadcast candidate lists, deterministic uuid5 ids, registry upsert.
+
+Reference semantics (cited for parity, re-expressed Spark-first):
+
+- ``normalize_text`` — NFD accent folding, punctuation stripping, noise-word
+  removal, lowercasing (``update_pnls_report/utils.py:543-558``).
+- ``find_best_match`` — exact lookup first, else token-set fuzzy score with
+  a >= 95 acceptance threshold (``update_pnls_report/utils.py:434-459``).
+- ``match_org_unit`` — normalized fuzzy match >= 90 returning the matched
+  candidate's payload (``update_pnls_report/utils.py:462-514``, applied at
+  ``update_pnls_report/extract_chu_data.py:299-336``).
+- ``uuid5_id`` — ``uuid5(NAMESPACE_DNS, name)`` with hyphens stripped
+  (``update_pnls_report/utils.py:420-431``).
+- ``upsert_parquet_state`` — read-modify-write registry/history parquet
+  (``update_pnls_report/extract_chu_data.py:288,378-381,492-502``).
+
+Scale design:
+
+- Normalization is native Catalyst expressions except the NFD fold (no
+  built-in) — that one step is an Arrow-vectorized pandas_udf.
+- Candidate lists are **broadcast** to executors (dims are small: org
+  registries are thousands of rows); scoring runs inside a pandas_udf so
+  the fact side streams through in Arrow batches — no shuffle, no
+  crossJoin. O(rows x candidates) Python work is bounded by optional
+  blocking keys (the reference blocks by district the same way).
+- The scorer is a pure-Python token_set_ratio (difflib SequenceMatcher
+  core) because no fuzzy library ships in this container; the algorithm
+  is the public fuzzywuzzy/rapidfuzz token_set construction.
+- ``upsert_parquet_state`` stages to a temp dir then atomically swaps —
+  Spark cannot overwrite a path that feeds the very plan being executed.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import unicodedata
+import uuid
+from difflib import SequenceMatcher
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+__all__ = [
+    "strip_accents",
+    "nfd_fold",
+    "normalize_text_col",
+    "token_set_ratio",
+    "best_match_udf",
+    "resolve_entities",
+    "uuid5_id",
+    "upsert_parquet_state",
+]
+
+_PUNCT_RE = r"""[!"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]"""
+_NOISE_WORDS = ("public",)
+
+
+def strip_accents(s: str) -> str:
+    """NFD-decompose then drop combining marks (driver/worker-side)."""
+    return "".join(
+        ch for ch in unicodedata.normalize("NFD", s) if not unicodedata.combining(ch)
+    )
+
+
+def _nfd_fold_udf():
+    """Factory: Arrow-vectorized accent folding — the only normalization
+    step with no Catalyst built-in. Built as a nested function so
+    cloudpickle ships it by value (workers need not import this package —
+    see session.py PYTHONPATH note)."""
+
+    @pandas_udf(T.StringType())
+    def fold_udf(s: pd.Series) -> pd.Series:
+        import unicodedata as _ud
+
+        def fold(x):
+            if x is None:
+                return None
+            return "".join(
+                ch
+                for ch in _ud.normalize("NFD", x)
+                if not _ud.combining(ch)
+            )
+
+        return s.map(fold)
+
+    return fold_udf
+
+
+def nfd_fold(col: Column) -> Column:
+    """Accent-fold a column (fresh by-value pandas_udf per call site)."""
+    return _nfd_fold_udf()(col)
+
+
+def normalize_text_col(col: Column, fold_accents: bool = True) -> Column:
+    """Canonical text key: accent-fold -> strip punctuation -> drop noise
+    words -> collapse whitespace -> lower.
+
+    Everything except the NFD fold is native (whole-stage codegen);
+    ``fold_accents=False`` keeps the expression 100% JVM-side for inputs
+    known to be ASCII.
+    """
+    c = nfd_fold(col) if fold_accents else col
+    c = F.lower(c)
+    c = F.regexp_replace(c, _PUNCT_RE, " ")
+    for w in _NOISE_WORDS:
+        c = F.regexp_replace(c, rf"\b{w}\b", " ")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return c
+
+
+def _ratio(a: str, b: str) -> float:
+    """difflib similarity scaled to 0-100 (fuzzywuzzy's pure-python core)."""
+    if not a and not b:
+        return 100.0
+    return 100.0 * SequenceMatcher(None, a, b).ratio()
+
+
+def token_set_ratio(a: str, b: str) -> float:
+    """Public token_set_ratio construction: compare sorted intersection
+    against each side's intersection+remainder, take the max pairwise
+    similarity. Order- and duplicate-insensitive."""
+    ta, tb = set(a.split()), set(b.split())
+    inter = " ".join(sorted(ta & tb))
+    sa = (inter + " " + " ".join(sorted(ta - tb))).strip()
+    sb = (inter + " " + " ".join(sorted(tb - ta))).strip()
+    return max(_ratio(inter, sa), _ratio(inter, sb), _ratio(sa, sb))
+
+
+def best_match_udf(
+    candidates: list[tuple[str, str]], threshold: float = 90.0
+):
+    """Build a pandas_udf scoring each input against a broadcast-style
+    captured candidate list ``[(normalized_name, payload), ...]``.
+
+    Returns struct(matched:payload, score:double). Exact hits short-circuit
+    via a dict (the reference's "exact index first" fast path); fuzzy
+    scoring only runs for misses.
+    """
+    exact = {name: payload for name, payload in candidates}
+
+    schema = T.StructType(
+        [
+            T.StructField("matched", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    @pandas_udf(schema)
+    def match(s: pd.Series) -> pd.DataFrame:
+        from difflib import SequenceMatcher as SM
+
+        def ratio(a, b):
+            if not a and not b:
+                return 100.0
+            return 100.0 * SM(None, a, b).ratio()
+
+        def tsr(a, b):
+            ta, tb = set(a.split()), set(b.split())
+            inter = " ".join(sorted(ta & tb))
+            sa = (inter + " " + " ".join(sorted(ta - tb))).strip()
+            sb = (inter + " " + " ".join(sorted(tb - ta))).strip()
+            return max(ratio(inter, sa), ratio(inter, sb), ratio(sa, sb))
+
+        matched, scores = [], []
+        for q in s:
+            if q is None:
+                matched.append(None)
+                scores.append(None)
+                continue
+            hit = exact.get(q)
+            if hit is not None:
+                matched.append(hit)
+                scores.append(100.0)
+                continue
+            best_p, best_s = None, -1.0
+            for name, payload in candidates:
+                sc = tsr(q, name)
+                if sc > best_s:
+                    best_p, best_s = payload, sc
+            if best_s >= threshold:
+                matched.append(best_p)
+                scores.append(best_s)
+            else:
+                matched.append(None)
+                scores.append(best_s if best_s >= 0 else None)
+        return pd.DataFrame({"matched": matched, "score": scores})
+
+    return match
+
+
+def resolve_entities(
+    df: DataFrame,
+    name_col: str,
+    candidates_df: DataFrame,
+    cand_name_col: str,
+    cand_payload_col: str,
+    threshold: float = 90.0,
+    fold_accents: bool = True,
+) -> DataFrame:
+    """Resolve each row's entity name against a small candidate dim.
+
+    The candidate dim is collected once on the driver (it is a broadcast-
+    scale dimension — the reference's registries are < 10^4 rows) and
+    captured inside the scoring pandas_udf, so the fact side never
+    shuffles. Output adds ``matched`` (candidate payload or null) and
+    ``match_score``.
+    """
+    cands = [
+        (r[0], r[1])
+        for r in candidates_df.select(
+            normalize_text_col(F.col(cand_name_col), fold_accents),
+            F.col(cand_payload_col),
+        ).collect()
+        if r[0] is not None
+    ]
+    udf = best_match_udf(cands, threshold)
+    normalized = normalize_text_col(F.col(name_col), fold_accents)
+    out = df.withColumn("_m", udf(normalized))
+    return out.select(
+        "*", F.col("_m.matched").alias("matched"), F.col("_m.score").alias("match_score")
+    ).drop("_m")
+
+
+def uuid5_id(col: Column) -> Column:
+    """Deterministic namespaced id: uuid5(NAMESPACE_DNS, name), hyphens
+    stripped — byte-identical to the reference's synthesized org ids.
+    By-value pandas_udf (see _nfd_fold_udf note)."""
+
+    @pandas_udf(T.StringType())
+    def u5(s: pd.Series) -> pd.Series:
+        import uuid as _uuid
+
+        return s.map(
+            lambda x: None
+            if x is None
+            else str(_uuid.uuid5(_uuid.NAMESPACE_DNS, x)).replace("-", "")
+        )
+
+    return u5(col)
+
+
+def uuid5_py(name: str) -> str:
+    """Driver-side oracle twin of :func:`uuid5_id` (for tests)."""
+    return str(uuid.uuid5(uuid.NAMESPACE_DNS, name)).replace("-", "")
+
+
+def upsert_parquet_state(
+    spark: SparkSession,
+    path: str,
+    new_rows: DataFrame,
+    dedupe_keys: list[str],
+) -> DataFrame:
+    """Read-modify-write a mutable parquet dataset (registry / history).
+
+    Spark cannot overwrite a path its own lazy plan is still reading, so:
+    read -> unionByName(new, allowMissingColumns) -> dropDuplicates(keys)
+    -> write to ``<path>.__staging__`` -> atomic directory swap. Returns
+    the post-upsert DataFrame (re-read from the final path).
+    """
+    if os.path.exists(path):
+        current = spark.read.parquet(path)
+        merged = current.unionByName(new_rows, allowMissingColumns=True)
+    else:
+        merged = new_rows
+    merged = merged.dropDuplicates(dedupe_keys)
+
+    staging = path.rstrip("/") + ".__staging__"
+    backup = path.rstrip("/") + ".__old__"
+    merged.write.mode("overwrite").parquet(staging)
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    if os.path.exists(path):
+        os.replace(path, backup)
+    os.replace(staging, path)
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    return spark.read.parquet(path)
