@@ -367,6 +367,103 @@ FROM r WHERE rank <= 3
 
 
 # ---------------------------------------------------------------------------
+# REST fan-out sources (S4-S6) with deterministic fake fetchers — the fetch
+# harness (grid partitioning, mapInPandas, retry plumbing) and the JVM-side
+# JSON flatten are the operators under test; the oracle reproduces the same
+# deterministic payloads in pure SQL.
+# ---------------------------------------------------------------------------
+
+
+def q_rest_fanout_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hiv_data_integration_spark.io import rest
+
+    def fetch(param: dict) -> list[dict]:
+        de, pe = param["data_element"], param["period"]
+        return [
+            {
+                "data_element_id": de,
+                "category_option_combo_id": f"coc{1 + ou % 2}",
+                "organisation_unit_id": f"ou{ou}",
+                "period": pe,
+                "value": str(int(de[2:]) * 1000 + int(pe[-2:]) * 10 + ou),
+            }
+            for ou in range(1, 6)
+        ]
+
+    return rest.dhis2_analytics_source(
+        spark,
+        fetch,
+        data_elements=["de1", "de2", "de3"],
+        periods=["202401", "202402", "202403"],
+        retry_sleep=0.0,
+    )
+
+
+SQL_REST_FANOUT = """
+SELECT 'de' || d AS data_element_id,
+       'coc' || CAST(1 + ou % 2 AS VARCHAR) AS category_option_combo_id,
+       'ou' || CAST(ou AS VARCHAR) AS organisation_unit_id,
+       '20240' || CAST(p AS VARCHAR) AS period,
+       CAST(d * 1000 + p * 10 + ou AS VARCHAR) AS value
+FROM range(1, 4) t1(d), range(1, 4) t2(p), range(1, 6) t3(ou)
+"""
+
+
+def q_rest_naomi_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    from hiv_data_integration_spark.io import rest
+
+    def fetch(param: dict) -> list[dict]:
+        ind, sex, age = param["indicator"], param["sex"], param["age_code"]
+        base = float(int(age[1:4])) + (0.5 if sex == "male" else 0.25)
+        payload = [
+            {
+                "subareas": [
+                    {
+                        "subareas": [
+                            {"code": "CIV_2_101", "name": "abobo", "mean": base},
+                            {"code": "CIV_2_102", "name": "cocody", "mean": base * 2},
+                        ]
+                    }
+                ]
+            }
+        ]
+        return [
+            {
+                "indicator": ind,
+                "coc_name": f"{age}, {sex}",
+                "payload_json": _json.dumps(payload),
+            }
+        ]
+
+    return rest.naomi_source(spark, fetch, retry_sleep=0.0)
+
+
+SQL_NAOMI_FLATTEN = """
+WITH grid AS (
+    SELECT ind, sex, age
+    FROM (SELECT unnest(['aware_plhiv_num', 'plhiv']) AS ind),
+         (SELECT unnest(['male', 'female']) AS sex),
+         (SELECT unnest(['Y000_004', 'Y005_009', 'Y010_014', 'Y015_019',
+                         'Y020_024', 'Y025_049', 'Y050_999']) AS age)
+),
+base AS (
+    SELECT ind, sex, age,
+           CAST(CAST(substr(age, 2, 3) AS INTEGER) AS DOUBLE)
+           + CASE WHEN sex = 'male' THEN 0.5 ELSE 0.25 END AS b
+    FROM grid
+)
+SELECT code, name, mean, indicator, coc_name FROM (
+    SELECT 'CIV_2_101' AS code, 'abobo' AS name, b AS mean,
+           ind AS indicator, age || ', ' || sex AS coc_name FROM base
+    UNION ALL
+    SELECT 'CIV_2_102', 'cocody', b * 2, ind, age || ', ' || sex FROM base
+)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Fuzzy entity resolution (reference D6-D10, update_pnls_report/utils.py:420-558)
 # ---------------------------------------------------------------------------
 
@@ -490,6 +587,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "fuzzy_normalize_fold": q_normalize_fold,
     "fuzzy_resolve_suppliers": q_fuzzy_resolve,
     "org_uuid5_ids": q_uuid5_ids,
+    "rest_fanout_analytics": q_rest_fanout_analytics,
+    "rest_naomi_json_flatten": q_rest_naomi_flatten,
 }
 
 EXT_ORACLE: dict[str, str] = {
@@ -506,6 +605,8 @@ EXT_ORACLE: dict[str, str] = {
     "embed_lsh_ann_topk": SQL_LSH_TOPK,
     "multimodal_payload_meta": SQL_PAYLOAD_META,
     "fuzzy_normalize_fold": SQL_NORMALIZE_FOLD,
+    "rest_fanout_analytics": SQL_REST_FANOUT,
+    "rest_naomi_json_flatten": SQL_NAOMI_FLATTEN,
     # multimodal_decode_stub / multimodal_frame_sample_stub: mapInPandas
     # stages — intentionally no SQL oracle (driver records rows-only).
     # fuzzy_resolve_suppliers / org_uuid5_ids: difflib token_set scoring and

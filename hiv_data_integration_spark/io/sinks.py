@@ -1,0 +1,109 @@
+"""Sinks: per-period CSV export, parquet state writes, Excel review sheet.
+
+Reference semantics (K1-K3):
+
+- K1 per-period CSV export (``update_pnls_report/utils.py:395-418``): one
+  ``<period>.csv`` file per distinct month.
+- K2 parquet state write (``update_pnls_report/extract_chu_data.py:381,
+  502``) — see ``operators.fuzzy.upsert_parquet_state`` for the atomic
+  read-modify-write variant.
+- K3 Excel template writer (``update_pnls_report/utils.py:186-194``):
+  flagged review rows into a pre-styled workbook — driver-side, gated on
+  openpyxl.
+
+Scale notes: ``export_csv_partitioned`` is the 100 TB path (one shuffle-free
+``partitionBy`` write, files named by Spark); ``export_csv_per_period``
+reproduces the reference's exact one-file-per-period naming with a
+driver-side loop over the (bounded, ≤ dozens) period set — each iteration
+is a pushed-down filter + single-file write of one month's slice.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hiv_data_integration_spark.io.excel import HAVE_OPENPYXL
+
+__all__ = [
+    "export_csv_partitioned",
+    "export_csv_per_period",
+    "write_parquet_state",
+    "write_excel_review",
+]
+
+
+def export_csv_partitioned(df: DataFrame, period_col: str, out_dir: str) -> None:
+    """Scale path: hive-style ``period=<p>/part-*.csv`` layout, written in
+    one distributed job (dynamic partition overwrite semantics)."""
+    (
+        df.write.mode("overwrite")
+        .partitionBy(period_col)
+        .option("header", True)
+        .csv(out_dir)
+    )
+
+
+def export_csv_per_period(
+    df: DataFrame, period_col: str, out_dir: str, fmt: str = "%s.csv"
+) -> list[str]:
+    """Reference-exact naming: one ``<period>.csv`` per distinct period.
+
+    The distinct-period list is collected (bounded: monthly periods), then
+    each month writes via ``coalesce(1)`` into a staging dir whose single
+    part file is renamed into place. Returns the written paths sorted.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    periods = [
+        r[0]
+        for r in df.select(F.col(period_col).cast("string")).distinct().collect()
+        if r[0] is not None
+    ]
+    written: list[str] = []
+    for p in sorted(periods):
+        staging = os.path.join(out_dir, f".__{p}_staging__")
+        (
+            df.filter(F.col(period_col).cast("string") == p)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("header", True)
+            .csv(staging)
+        )
+        part = glob.glob(os.path.join(staging, "part-*.csv"))[0]
+        final = os.path.join(out_dir, fmt % p)
+        shutil.move(part, final)
+        shutil.rmtree(staging)
+        written.append(final)
+    return written
+
+
+def write_parquet_state(df: DataFrame, path: str) -> None:
+    """Plain overwrite parquet state write (K2). For read-modify-write of
+    the same path use ``operators.fuzzy.upsert_parquet_state``."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def write_excel_review(
+    df: DataFrame, template_path: str, sheet: str, start_row: int = 6
+) -> None:  # pragma: no cover - openpyxl absent in this container
+    """Write flagged review rows into a pre-styled workbook sheet starting
+    at ``start_row`` (row 4 for PTME sheets in the reference). Driver-side
+    ``toPandas`` is correct here: review extracts are human-scale."""
+    if not HAVE_OPENPYXL:
+        raise NotImplementedError(
+            "Excel review export needs openpyxl (not shipped in this "
+            "container); the flagged-rows DataFrame itself is produced by "
+            "operators.rules and is fully tested."
+        )
+    import openpyxl
+
+    wb = openpyxl.load_workbook(template_path)
+    ws = wb[sheet]
+    for r_off, row in enumerate(df.toPandas().itertuples(index=False)):
+        for c_off, val in enumerate(row):
+            ws.cell(row=start_row + r_off, column=1 + c_off, value=val)
+    wb.save(template_path)
