@@ -1,0 +1,295 @@
+"""Golden-pipeline tests: reference-shaped fixtures (FIXTURES.md §A) run
+through entry points A/B/C; assertions on the final long-format golden
+schema (SURVEY.md §1.4), rule routing, null-preserving sums, fuzzy org
+resolution with registry upsert, and semester history aggregation."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from hiv_data_integration_spark.pipeline import (
+    run_pipeline_a,
+    run_pipeline_b,
+    run_pipeline_c,
+)
+from hiv_data_integration_spark.pipeline.pnls import PathologySpec, naomi_to_wide
+
+ROOT = "ZD44Asc0bAk"
+REPORT_VALUE_COLS = ["F_0-4 ans", "M_0-4 ans", "nosex_<15 ans"]
+
+
+@pytest.fixture()
+def org_units(spark):
+    rows = [
+        (ROOT, "Cote d'Ivoire", 1, f"/{ROOT}", None),
+        ("r1", "Region Lagunes", 2, f"/{ROOT}/r1", None),
+        ("d1", "DS Cocody", 3, f"/{ROOT}/r1/d1", None),
+        ("f1", "CHU de Cocody", 4, f"/{ROOT}/r1/d1/f1", None),
+        ("f2", "CSU Abobo Nord", 4, f"/{ROOT}/r1/d1/f2", None),
+        ("f3", "Hôpital Général de Bassam", 4, f"/{ROOT}/r1/d1/f3", None),
+    ]
+    return spark.createDataFrame(
+        rows, "id string, name string, level long, path string, geometry string"
+    )
+
+
+@pytest.fixture()
+def coc(spark):
+    return spark.createDataFrame(
+        [
+            ("c_f", "0-4 ans, Féminin"),
+            ("c_m", "0-4 ans, Masculin"),
+            ("c_u", "< 15 ans"),
+            ("HllvX50cXC0", "default"),
+        ],
+        "id string, name string",
+    )
+
+
+@pytest.fixture()
+def ist_spec(spark):
+    analytics = spark.createDataFrame(
+        [
+            # f1 202401: F=5, M=3, <15=8  -> rule E>F (5>3) fires -> flagged
+            ("de1", "c_f", "f1", "202401", "5"),
+            ("de1", "c_m", "f1", "202401", "3"),
+            ("de2", "c_u", "f1", "202401", "8"),
+            # f2 202401: F=2, M=4, <15=6 -> consistent (2>4 no; 6 == 2+4)
+            ("de1", "c_f", "f2", "202401", "2"),
+            ("de1", "c_m", "f2", "202401", "4"),
+            ("de2", "c_u", "f2", "202401", "6"),
+            # f1 202402: only F=0 -> M, <15 stay NULL (null-preserving sum)
+            ("de1", "c_f", "f1", "202402", "0"),
+            # unmapped data element: dropped by the map join filter
+            ("deX", "c_f", "f2", "202401", "999"),
+        ],
+        "data_element_id string, category_option_combo_id string, "
+        "organisation_unit_id string, period string, value string",
+    )
+    de_map = spark.createDataFrame(
+        [
+            ("de1", "indicateur_1", "data_element"),
+            ("de2", "indicateur_2", "data_element"),
+            ("dei", "indicateur_9", "indicator"),  # filtered out
+        ],
+        "id string, column string, type string",
+    )
+    contract = [
+        "indicateur_1_age_0_4_ans_F",
+        "indicateur_1_age_0_4_ans_M",
+        "indicateur_2_inf_15_ans",
+    ]
+    # letters: ou=C, period=D, then E, F, G (offset 3 like the review sheet)
+    rules = {
+        "R1": ("E>F", "FF0000", 2),
+        "R2": ("G!=E+F", "FFA500", 1),
+    }
+    return PathologySpec(
+        name="IST",
+        analytics=analytics,
+        de_map=de_map,
+        contract_value_cols=contract,
+        prefix_to_indicator={"indicateur_1_": 1, "indicateur_2_": 2},
+        rules=rules,
+    )
+
+
+def test_pipeline_a_golden(spark, org_units, coc, ist_spec):
+    report, flagged = run_pipeline_a(
+        spark, [ist_spec], coc, org_units, REPORT_VALUE_COLS
+    )
+    # golden schema: keys + declared values + the four always-padded cols
+    assert report.columns == [
+        "idsite",
+        "periode",
+        "Indicateur",
+        *REPORT_VALUE_COLS,
+        "M_<15 ans",
+        "M_>15 ans",
+        "F_<15 ans",
+        "F_>15 ans",
+    ]
+    rows = {(r.idsite, str(r.periode), r.Indicateur): r for r in report.collect()}
+    # 2 consistent wide rows x 2 indicators
+    assert len(rows) == 4
+    # f1/202401 was flagged out; f2/202401 survived with exact sums
+    r_f2_i1 = rows[("_r1_d1_f2", "2024-01-01", 1)]
+    assert (r_f2_i1["F_0-4 ans"], r_f2_i1["M_0-4 ans"]) == (2, 4)
+    r_f2_i2 = rows[("_r1_d1_f2", "2024-01-01", 2)]
+    assert r_f2_i2["nosex_<15 ans"] == 6
+    # null-preserving: f1/202402 indicator 2 has no data -> NULL, not 0
+    r_f1_i2 = rows[("_r1_d1_f1", "2024-02-01", 2)]
+    assert r_f1_i2["nosex_<15 ans"] is None
+    # flagged frame: exactly the f1/202401 row, with the firing color
+    fl = flagged["IST"].collect()
+    assert len(fl) == 1
+    assert fl[0].organisation_unit_id == "f1" and fl[0].period == "202401"
+    assert fl[0]["indicateur_1_age_0_4_ans_F__color"] == "FF0000"
+
+
+def test_pipeline_a_with_naomi_leg(spark, org_units, coc, ist_spec):
+    naomi = spark.createDataFrame(
+        [
+            ("CIV_1", "cocody", 100.0, "plhiv", "Y000_004, female"),
+            ("CIV_1", "cocody", 50.0, "plhiv", "Y000_004, male"),
+            ("CIV_X", "unknown", 7.0, "plhiv", "Y000_004, male"),  # unmapped
+        ],
+        "code string, name string, mean double, indicator string, coc_name string",
+    )
+    mapping = spark.createDataFrame(
+        [("CIV_1", "f1")], "code string, organisation_unit_id string"
+    )
+    wide = naomi_to_wide(
+        naomi,
+        mapping,
+        coc_to_suffix={
+            "Y000_004, female": "age_0_4_ans_F",
+            "Y000_004, male": "age_0_4_ans_M",
+        },
+        indicator_to_column={"plhiv": "indicateur_3"},
+        year=2024,
+        quarter_suffixes=["03", "06"],
+    )
+    ist_no_rules = PathologySpec(
+        name="IST",
+        analytics=ist_spec.analytics,
+        de_map=ist_spec.de_map,
+        contract_value_cols=ist_spec.contract_value_cols,
+        prefix_to_indicator=ist_spec.prefix_to_indicator,
+    )
+    report, _ = run_pipeline_a(
+        spark,
+        [ist_no_rules],
+        coc,
+        org_units,
+        REPORT_VALUE_COLS,
+        naomi_wide=(wide, {"indicateur_3_": 3}),
+    )
+    naomi_rows = {
+        (str(r.periode)): r
+        for r in report.filter(F.col("Indicateur") == 3).collect()
+    }
+    # yearly row replicated to both quarter-end periods, unmapped code dropped
+    assert set(naomi_rows) == {"2024-03-01", "2024-06-01"}
+    assert naomi_rows["2024-03-01"]["F_0-4 ans"] == 100
+    assert naomi_rows["2024-03-01"]["M_0-4 ans"] == 50
+    assert naomi_rows["2024-03-01"].idsite == "_r1_d1_f1"
+
+
+def test_pipeline_b_spectrum(spark, org_units):
+    spectrum = spark.createDataFrame(
+        [
+            ("CIV_1", "f1", "202412", 10.0, 20.0),
+            ("CIV_2", "f2", "202412", 1.0, 2.0),
+        ],
+        "code string, organisation_unit_id string, period string, "
+        "`indicateur_9_age_0_4_ans_M` double, `indicateur_9_age_0_4_ans_F` double",
+    )
+    report, flagged = run_pipeline_b(
+        spark,
+        spectrum,
+        org_units,
+        prefix_to_indicator={"indicateur_9_": 9},
+        report_value_columns=REPORT_VALUE_COLS,
+    )
+    assert flagged == {}
+    rows = {r.idsite: r for r in report.collect()}
+    assert rows["_r1_d1_f1"]["M_0-4 ans"] == 10
+    assert rows["_r1_d1_f1"]["F_0-4 ans"] == 20
+    assert rows["_r1_d1_f1"].Indicateur == 9
+    assert rows["_r1_d1_f1"].periode == datetime.date(2024, 12, 1)
+
+
+def test_pipeline_c_chu_golden(spark, org_units, tmp_path):
+    registry_path = str(tmp_path / "org_unit_chu.parquet")
+    history_path = str(tmp_path / "historique_pec.parquet")
+    sheet = spark.createDataFrame(
+        [
+            # exact org-unit name, quoted numeric (lenient parse)
+            ("CHU de Cocody", "202401", '"5"', "3"),
+            # fuzzy: accents dropped + punctuation
+            ("Hopital General de Bassam!", "202401", "7", ""),
+            # unknown facility -> synthesized uuid5 id
+            ("Clinique Inconnue", "202401", "1", "2"),
+            # second month for the semester window
+            ("CHU de Cocody", "202406", "10", "20"),
+        ],
+        "Etablissements string, Mois string, "
+        "`indicateur_11_age_0_4_ans_F` string, `indicateur_11_age_0_4_ans_M` string",
+    )
+    report, registry = run_pipeline_c(
+        spark,
+        sheets={"PEC": (sheet, {"indicateur_11_": 11})},
+        facility_col="Etablissements",
+        period_col="Mois",
+        registry_path=registry_path,
+        org_units=org_units,
+        report_value_columns=REPORT_VALUE_COLS,
+        history_path=history_path,
+        history_sheet="PEC",
+        history_prefix_map={"indicateur_11_": 13},
+        quarter_end="06",
+        year=2024,
+    )
+    # registry grew all three facilities (upsert created the parquet)
+    reg = {r.formations_sanitaires: r.organisation_unit_id for r in registry.collect()}
+    assert set(reg) == {
+        "CHU de Cocody",
+        "Hopital General de Bassam!",
+        "Clinique Inconnue",
+    }
+    assert reg["CHU de Cocody"] == f"/{ROOT}/r1/d1/f1"
+    assert reg["Hopital General de Bassam!"] == f"/{ROOT}/r1/d1/f3"
+    assert reg["Clinique Inconnue"].startswith("synth/")
+
+    rows = report.collect()
+    by_key = {(r.idsite, str(r.periode), r.Indicateur): r for r in rows}
+    # monthly rows under indicator 11: lenient parse handled quotes/blank
+    m = by_key[("_r1_d1_f1", "2024-01-01", 11)]
+    assert (m["F_0-4 ans"], m["M_0-4 ans"]) == (5, 3)
+    bassam = by_key[("_r1_d1_f3", "2024-01-01", 11)]
+    assert (bassam["F_0-4 ans"], bassam["M_0-4 ans"]) == (7, 0)
+    # semester rollup (S1 2024: Jan..Jun) under indicator 13
+    sem = by_key[("_r1_d1_f1", "2024-06-01", 13)]
+    assert (sem["F_0-4 ans"], sem["M_0-4 ans"]) == (15, 23)
+    # history parquet persisted for the next run
+    assert spark.read.parquet(history_path).count() == 4
+
+
+def test_pipeline_c_second_run_reuses_registry(spark, org_units, tmp_path):
+    """Second ingest: the registry resolves previously-synthesized
+    facilities without re-matching (stateful read-modify-write)."""
+    registry_path = str(tmp_path / "org_unit_chu.parquet")
+    sheet1 = spark.createDataFrame(
+        [("Clinique Inconnue", "202401", "1", "2")],
+        "Etablissements string, Mois string, "
+        "`indicateur_11_age_0_4_ans_F` string, `indicateur_11_age_0_4_ans_M` string",
+    )
+    _, reg1 = run_pipeline_c(
+        spark,
+        sheets={"PEC": (sheet1, {"indicateur_11_": 11})},
+        facility_col="Etablissements",
+        period_col="Mois",
+        registry_path=registry_path,
+        org_units=org_units,
+        report_value_columns=REPORT_VALUE_COLS,
+    )
+    synth_id = reg1.collect()[0].organisation_unit_id
+    sheet2 = spark.createDataFrame(
+        [("Clinique Inconnue", "202402", "9", "9")],
+        sheet1.schema,
+    )
+    report2, reg2 = run_pipeline_c(
+        spark,
+        sheets={"PEC": (sheet2, {"indicateur_11_": 11})},
+        facility_col="Etablissements",
+        period_col="Mois",
+        registry_path=registry_path,
+        org_units=org_units,
+        report_value_columns=REPORT_VALUE_COLS,
+    )
+    assert reg2.count() == 1  # deduped, not duplicated
+    assert reg2.collect()[0].organisation_unit_id == synth_id
