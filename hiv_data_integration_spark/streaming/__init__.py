@@ -1,0 +1,220 @@
+"""Structured Streaming operators.
+
+The reference is batch-only (SURVEY.md §2.13 — no watermarks, no windows,
+no stateful processing), so this module is pure engine extension: the
+streaming twins of the batch time-window operators plus a custom stateful
+operator, built on the public Structured Streaming surface:
+
+- file-source ``readStream`` over the events schema
+- watermarked tumbling / sliding window aggregation (late-data handling)
+- session windows (``F.session_window`` — native state, no Python)
+- a custom per-key stateful operator via ``applyInPandasWithState``
+  (running per-user counters with timeout-based expiry)
+- ``availableNow`` runner: process-everything-then-stop, used by tests to
+  prove stream results equal their batch twins.
+
+Scale notes: all aggregations here are incremental state-store operators —
+the shuffle is on the grouping key once, state lives in the store, and
+watermarks bound state size (without one, 100 TB of history accumulates).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+__all__ = [
+    "EVENTS_SCHEMA",
+    "read_events_stream",
+    "windowed_agg",
+    "session_window_agg",
+    "running_user_totals",
+    "run_available_now",
+]
+
+# Driver testdata events shape (TESTDATA.md; ts stored as timestamp).
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = EVENTS_SCHEMA,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over an events directory.
+
+    File sources replay deterministically (exactly-once within a
+    checkpoint), which is what makes the batch-parity tests meaningful.
+    """
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def windowed_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked tumbling (or sliding, when ``slide`` given) window agg.
+
+    Emits ``(window_start, window_end, [extra keys], n_events, total_value)``.
+    The watermark bounds state: windows older than max(event time) −
+    watermark are finalized and dropped from the store.
+    """
+    keys = extra_keys or []
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"), *keys)
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_window_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key: str = "user_id",
+) -> DataFrame:
+    """Native session windows: per-key activity sessions separated by
+    ``gap`` of silence — incremental state-store op, no Python."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("s"), F.col(key))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col(key),
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_RUNNING_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+_RUNNING_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user (count, value-total).
+
+    ``applyInPandasWithState`` demonstrator — arbitrary per-key state the
+    built-in aggregations can't express (e.g. decayed counters, dedup
+    caches, ML feature state). Emits one row per user per micro-batch with
+    the running totals. State is a 2-field struct; update mode.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        # self-contained closure (shipped by value to workers)
+        n, total = (state.get if state.exists else (0, 0.0))
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_RUNNING_OUT,
+        stateStructType=_RUNNING_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    query_name: str = "snapshot",
+    output_mode: str = "append",
+) -> DataFrame:
+    """Process everything currently available, then stop; return the
+    results from an in-memory sink table.
+
+    The batch-parity harness: stream → availableNow → memory table vs the
+    same transformation applied in batch.
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
+
+
+def run_available_now_to_parquet(
+    stream_df: DataFrame, checkpoint_dir: str, out_dir: str
+) -> DataFrame:
+    """availableNow → parquet sink (append mode).
+
+    Unlike the memory sink this supports **checkpoint recovery**, so
+    successive runs against a growing source directory resume from the
+    persisted offsets + watermark — the incremental-production shape.
+    Returns the accumulated sink contents.
+    """
+    q = (
+        stream_df.writeStream.format("parquet")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .option("path", out_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.read.schema(stream_df.schema).parquet(out_dir)

@@ -1,0 +1,160 @@
+"""Structured Streaming tests: stream results must equal their batch twins
+on the same files (availableNow → memory sink), late-data watermarking,
+and the custom applyInPandasWithState operator."""
+
+from __future__ import annotations
+
+import datetime
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from hiv_data_integration_spark import streaming as stx
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    """A small deterministic events directory written as TWO files so the
+    stream sees multiple input splits."""
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ev(i, minutes, user, value):
+        return (
+            i,
+            base + datetime.timedelta(minutes=minutes),
+            user,
+            "click",
+            float(value),
+            "{}",
+        )
+
+    rows1 = [ev(1, 0, 1, 10.0), ev(2, 10, 1, 5.0), ev(3, 65, 2, 1.0)]
+    rows2 = [ev(4, 70, 2, 2.0), ev(5, 130, 1, 7.0), ev(6, 135, 2, 0.5)]
+    path = str(tmp_path / "events")
+    sdf1 = spark.createDataFrame(rows1, stx.EVENTS_SCHEMA)
+    sdf2 = spark.createDataFrame(rows2, stx.EVENTS_SCHEMA)
+    sdf1.coalesce(1).write.mode("append").parquet(path)
+    sdf2.coalesce(1).write.mode("append").parquet(path)
+    return path
+
+
+def test_windowed_agg_stream_equals_batch(spark, tmp_path, events_dir):
+    stream = stx.read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    result = stx.run_available_now(
+        stx.windowed_agg(stream, window="1 hour", watermark="10 minutes"),
+        str(tmp_path / "ckpt_win"),
+        query_name="win_snapshot",
+    )
+    got = {
+        (str(r.window_start), r.n_events, r.total_value) for r in result.collect()
+    }
+    batch = stx.windowed_agg(
+        spark.read.schema(stx.EVENTS_SCHEMA).parquet(events_dir),
+        window="1 hour",
+        watermark="10 minutes",
+    )
+    exp = {
+        (str(r.window_start), r.n_events, r.total_value) for r in batch.collect()
+    }
+    # append-mode stream only emits windows sealed by the watermark; every
+    # emitted window must match its batch twin exactly
+    assert got <= exp
+    assert (str(datetime.datetime(2024, 1, 1, 10, 0)), 2, 15.0) in got
+
+
+def test_session_window_stream_equals_batch(spark, tmp_path, events_dir):
+    stream = stx.read_events_stream(spark, events_dir)
+    result = stx.run_available_now(
+        stx.session_window_agg(stream, gap="30 minutes", watermark="1 minute"),
+        str(tmp_path / "ckpt_sess"),
+        query_name="sess_snapshot",
+    )
+    got = {
+        (r.user_id, str(r.session_start), r.n_events) for r in result.collect()
+    }
+    # user 1: events at 10:00+10:10 fuse into one session; 12:10 is its own
+    assert (1, "2024-01-01 10:00:00", 2) in got
+    batch = stx.session_window_agg(
+        spark.read.schema(stx.EVENTS_SCHEMA).parquet(events_dir),
+        gap="30 minutes",
+        watermark="1 minute",
+    )
+    exp = {
+        (r.user_id, str(r.session_start), r.n_events) for r in batch.collect()
+    }
+    assert got <= exp
+
+
+def test_running_user_totals_stateful(spark, tmp_path, events_dir):
+    stream = stx.read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    result = stx.run_available_now(
+        stx.running_user_totals(stream),
+        str(tmp_path / "ckpt_state"),
+        query_name="state_snapshot",
+        output_mode="update",
+    )
+    rows = result.collect()
+    # update mode: one row per user per micro-batch; the LAST row per user
+    # carries the final running totals
+    final: dict[int, tuple[int, float]] = {}
+    for r in rows:
+        final[r.user_id] = (r.n_events, r.total_value)
+    assert final[1] == (3, 22.0)
+    assert final[2] == (3, 3.5)
+    # state accumulated across micro-batches (2 files -> user 1 appears twice)
+    assert len([r for r in rows if r.user_id == 1]) >= 2
+
+
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    """An event older than the watermark bound arriving in a later
+    micro-batch must not resurrect a sealed window."""
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    path = str(tmp_path / "late_events")
+
+    def ev(i, minutes, value):
+        return (
+            i,
+            base + datetime.timedelta(minutes=minutes),
+            1,
+            "click",
+            float(value),
+            "{}",
+        )
+
+    ckpt = str(tmp_path / "ckpt_late")
+
+    # run 1: events up to 13:00 -> watermark persisted at 12:50 in the
+    # checkpoint; the sealed 10:00 window is emitted with value 1.0
+    f1 = [ev(1, 5, 1.0), ev(2, 180, 1.0)]
+    spark.createDataFrame(f1, stx.EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    out_dir = str(tmp_path / "late_out")
+    stream = stx.read_events_stream(spark, path)
+    r1 = stx.run_available_now_to_parquet(
+        stx.windowed_agg(stream, window="1 hour", watermark="10 minutes"),
+        ckpt,
+        out_dir,
+    )
+    by_window = {str(r.window_start): r for r in r1.collect()}
+    assert by_window[str(datetime.datetime(2024, 1, 1, 10, 0))].total_value == 1.0
+
+    # run 2 (same checkpoint -> watermark recovered): a very late event for
+    # the already-sealed 10:00 window must be discarded, not re-emitted
+    time.sleep(1.1)
+    f2 = [ev(3, 6, 100.0)]
+    spark.createDataFrame(f2, stx.EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    stream2 = stx.read_events_stream(spark, path)
+    r2 = stx.run_available_now_to_parquet(
+        stx.windowed_agg(stream2, window="1 hour", watermark="10 minutes"),
+        ckpt,
+        out_dir,
+    )
+    # the sink accumulated nothing new: the late row was dropped by the
+    # recovered watermark, the sealed 10:00 window still reads 1.0
+    by_window2 = {str(r.window_start): r.total_value for r in r2.collect()}
+    assert by_window2[str(datetime.datetime(2024, 1, 1, 10, 0))] == 1.0
+    assert r2.count() == r1.count()
