@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from hiv_data_integration_spark.battery import ORACLE, QUERIES, q_flagship
 from hiv_data_integration_spark.battery_ext import EXT_ORACLE, EXT_QUERIES
+from hiv_data_integration_spark.battery_sql import SQL2_ORACLE, SQL2_QUERIES
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -35,7 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ §2.14
     extensions: dedup / similarity / text analysis / multimodal)."""
-    return {**QUERIES, **EXT_QUERIES}
+    return {**QUERIES, **EXT_QUERIES, **SQL2_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -44,4 +45,4 @@ def oracle_sql() -> dict[str, str]:
     Keys intentionally absent (mapInPandas decode/frame stubs) get the
     driver's weaker rows-only check.
     """
-    return {**ORACLE, **EXT_ORACLE}
+    return {**ORACLE, **EXT_ORACLE, **SQL2_ORACLE}

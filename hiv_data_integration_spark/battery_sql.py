@@ -1,0 +1,307 @@
+"""SQL-analytics battery: the operators Spark gives "for free" once the
+engine is declarative (SURVEY.md §2.5 note — count-distinct, grouping
+sets/cube/rollup, quantiles — plus range/as-of joins, set ops, string
+aggregation, correlated subqueries, vector array math).
+
+Same contract as battery.py: every query has a DuckDB oracle with matching
+column aliases; float aggregates accumulate as DECIMAL where engine
+accumulation order could differ; quantile interpolation uses values exactly
+representable in binary so linear interpolation is bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hiv_data_integration_spark.battery import QueryFn, dsum, tbl
+
+# ---------------------------------------------------------------------------
+# Multi-dimensional aggregation
+# ---------------------------------------------------------------------------
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            dsum("l_quantity").alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"), F.count("*").alias("n_orders")
+    )
+
+
+SQL_CUBE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       count(*) AS n_orders
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""
+
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey", "l_partkey").alias("n_supp_part"),
+    )
+
+
+SQL_COUNT_DISTINCT = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+        F.median("l_quantity").alias("q50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("q75"),
+    )
+
+
+SQL_QUANTILES = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS q25,
+       median(l_quantity) AS q50,
+       quantile_cont(l_quantity, 0.75) AS q75
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Row-set operations
+# ---------------------------------------------------------------------------
+
+
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tbl(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = tbl(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.intersect(supp)
+
+
+SQL_INTERSECT = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+"""
+
+
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers' account-balance buckets absent from suppliers' (EXCEPT)."""
+    cust = tbl(spark, sf_dir, "customer").select(
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket")
+    )
+    supp = tbl(spark, sf_dir, "supplier").select(
+        F.floor(F.col("s_acctbal") / 1000).cast("long").alias("bal_bucket")
+    )
+    return cust.exceptAll(supp).groupBy("bal_bucket").agg(
+        F.count("*").alias("n")
+    )
+
+
+SQL_EXCEPT = """
+SELECT bal_bucket, count(*) AS n FROM (
+    SELECT CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket FROM customer
+    EXCEPT ALL
+    SELECT CAST(floor(s_acctbal / 1000) AS BIGINT) FROM supplier
+) GROUP BY bal_bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins
+# ---------------------------------------------------------------------------
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-user event pairs within a 60 s follow window (equi+range join:
+    the user_id equi key bounds the range explosion — the shape that
+    scales; a pure theta join would not)."""
+    ev = tbl(spark, sf_dir, "events")
+    a = ev.select(
+        F.col("user_id"), F.col("event_id").alias("id_a"), F.col("ts").alias("ts_a")
+    )
+    b = ev.select(
+        F.col("user_id"), F.col("event_id").alias("id_b"), F.col("ts").alias("ts_b")
+    )
+    pairs = a.join(b, "user_id").filter(
+        (F.col("ts_b") > F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 60 SECONDS"))
+    )
+    return pairs.groupBy("user_id").agg(F.count("*").alias("n_follow_pairs"))
+
+
+SQL_RANGE_JOIN = """
+SELECT a.user_id, count(*) AS n_follow_pairs
+FROM events a JOIN events b ON a.user_id = b.user_id
+WHERE b.ts > a.ts AND b.ts <= a.ts + INTERVAL 60 SECOND
+GROUP BY a.user_id
+"""
+
+
+def q_asof_last_event_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of snapshot: each user's latest event value as of each day's end
+    (dedup by (ts, event_id) descending — deterministic under ties)."""
+    from pyspark.sql.window import Window
+
+    ev = tbl(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    w = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", F.col("value").alias("last_value"))
+    )
+
+
+SQL_ASOF = """
+SELECT user_id, day, value AS last_value FROM (
+    SELECT user_id, CAST(ts AS DATE) AS day, value,
+           row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# String aggregation / subqueries / vector math
+# ---------------------------------------------------------------------------
+
+
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = tbl(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+SQL_STRING_AGG = """
+SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation GROUP BY n_regionkey
+"""
+
+
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers above their nation's average balance — a correlated scalar
+    subquery decorrelated by Catalyst into a join."""
+    tbl(spark, sf_dir, "customer").createOrReplaceTempView("customer_cs")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey
+        FROM customer_cs o
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_cs i
+                           WHERE i.c_nationkey = o.c_nationkey)
+        """
+    )
+
+
+SQL_CORRELATED = """
+SELECT c_custkey, c_nationkey
+FROM customer o
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer i
+                   WHERE i.c_nationkey = o.c_nationkey)
+"""
+
+
+def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array math over embeddings: L2 norm + elementwise self dot via
+    F.aggregate/F.zip_with (JVM-side higher-order functions, no UDF)."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(v, v, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.sqrt(dot).alias("l2_norm"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+SQL_VECTOR_NORMS = """
+SELECT vec_id,
+       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[]))) AS l2_norm,
+       len(embedding) AS dim
+FROM embeddings
+"""
+
+
+SQL2_QUERIES: dict[str, QueryFn] = {
+    "rollup_lineitem": q_rollup,
+    "cube_orders": q_cube,
+    "grouping_sets_orders": q_grouping_sets,
+    "count_distinct_parts": q_count_distinct,
+    "grouped_quantiles": q_quantiles,
+    "intersect_nations": q_intersect,
+    "except_balance_buckets": q_except,
+    "range_join_events": q_range_join,
+    "asof_last_event_per_day": q_asof_last_event_per_day,
+    "string_agg_nations": q_string_agg,
+    "correlated_subquery_balance": q_correlated_subquery,
+    "embed_vector_norms": q_vector_norms,
+}
+
+SQL2_ORACLE: dict[str, str] = {
+    "rollup_lineitem": SQL_ROLLUP,
+    "cube_orders": SQL_CUBE,
+    "grouping_sets_orders": SQL_GROUPING_SETS,
+    "count_distinct_parts": SQL_COUNT_DISTINCT,
+    "grouped_quantiles": SQL_QUANTILES,
+    "intersect_nations": SQL_INTERSECT,
+    "except_balance_buckets": SQL_EXCEPT,
+    "range_join_events": SQL_RANGE_JOIN,
+    "asof_last_event_per_day": SQL_ASOF,
+    "string_agg_nations": SQL_STRING_AGG,
+    "correlated_subquery_balance": SQL_CORRELATED,
+    "embed_vector_norms": SQL_VECTOR_NORMS,
+}
