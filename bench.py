@@ -19,7 +19,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from hiv_data_integration_spark.battery import QUERIES  # noqa: E402
+from hiv_data_integration_spark.battery_ext import EXT_QUERIES  # noqa: E402
+from hiv_data_integration_spark.battery_sql import SQL2_QUERIES  # noqa: E402
 from hiv_data_integration_spark.session import get_spark  # noqa: E402
+
+ALL_QUERIES = {**QUERIES, **EXT_QUERIES, **SQL2_QUERIES}
 
 
 def main() -> None:
@@ -28,10 +32,10 @@ def main() -> None:
     spark = get_spark(app_name="hiv-engine-bench")
 
     # warmup: JVM + parquet footer caches
-    QUERIES["pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    ALL_QUERIES["pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
-    for name, fn in QUERIES.items():
+    for name, fn in ALL_QUERIES.items():
         start = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)

@@ -168,11 +168,15 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _dup_corpus(spark, sf_dir)
     return dd.minhash_candidate_pairs(
         corpus, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4,
-        jaccard_threshold=0.6,
+        jaccard_threshold=0.6, partitions=32,
     )
 
 
 _MD5L = "CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+# affine-permutation minhash mirror (operators.dedup.minhash_coeffs)
+_MH_A = "[" + ", ".join(str(a) for a, _ in dd.minhash_coeffs(16)) + "]"
+_MH_B = "[" + ", ".join(str(b) for _, b in dd.minhash_coeffs(16)) + "]"
 
 SQL_MINHASH_PAIRS = f"""
 WITH {_DUP_CORPUS_SQL},
@@ -185,12 +189,18 @@ sh AS (
     FROM (SELECT doc_id, {_TOKS} AS w FROM corpus)
 ),
 docs AS (SELECT * FROM sh WHERE len(shingles) > 0),
+hs AS (
+    SELECT doc_id, shingles,
+           list_transform(shingles,
+               x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)) AS hvals
+    FROM docs
+),
 sig AS (
     SELECT doc_id, shingles,
-           list_transform(range(0, 16),
-               s -> list_min(list_transform(shingles,
-                   x -> {_MD5L.format(expr="CAST(s AS VARCHAR) || '|' || x")}))) AS sig
-    FROM docs
+           list_transform(range(1, 17),
+               i -> list_min(list_transform(hvals,
+                   h -> (h * {_MH_A}[i] + {_MH_B}[i]) % {dd.MINHASH_PRIME}))) AS sig
+    FROM hs
 ),
 bands AS (
     SELECT doc_id, shingles, b,
@@ -217,7 +227,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _dup_corpus(spark, sf_dir)
     return dd.ngram_jaccard_pairs(
         corpus, "doc_id", "text", shingle_n=3, jaccard_threshold=0.5,
-        block_cols=["lang"],
+        block_cols=["lang"], partitions=32,
     )
 
 
@@ -253,7 +263,7 @@ WHERE jaccard >= 0.5
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents")
-    return dd.simhash(docs, "doc_id", "text", bits=32)
+    return dd.simhash(docs, "doc_id", "text", bits=32, partitions=32)
 
 
 _SIMHASH_BALANCES = ",\n           ".join(
@@ -511,7 +521,8 @@ def q_fuzzy_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substring(s_name, 1, length(s_name) - 2)").alias("dirty_name"),
     )
     resolved = fz.resolve_entities(
-        dirty, "dirty_name", sup, "s_name", "s_name", threshold=80.0
+        dirty, "dirty_name", sup, "s_name", "s_name", threshold=80.0,
+        partitions=32,
     )
     return resolved.filter(F.col("matched").isNotNull()).select(
         "dirty_key", "dirty_name", "matched", "match_score"

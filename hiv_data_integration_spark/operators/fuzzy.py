@@ -137,9 +137,12 @@ def best_match_udf(
     """Build a pandas_udf scoring each input against a broadcast-style
     captured candidate list ``[(normalized_name, payload), ...]``.
 
-    Returns struct(matched:payload, score:double). Exact hits short-circuit
-    via a dict (the reference's "exact index first" fast path); fuzzy
-    scoring only runs for misses.
+    Returns struct(matched:payload or NULL, score:double or NULL — score
+    is reported only for accepted matches, which lets the scorer prune).
+    Fast paths, in order: exact dict hit; token-subset (token_set_ratio is
+    100 by construction when one token set contains the other);
+    length-bound pruning (``real_quick_ratio``-style upper bound) before
+    any SequenceMatcher work; early exit at 100.
     """
     exact = {name: payload for name, payload in candidates}
 
@@ -154,16 +157,22 @@ def best_match_udf(
     def match(s: pd.Series) -> pd.DataFrame:
         from difflib import SequenceMatcher as SM
 
+        # precompute once per worker: token sets + sorted-token strings
+        prep = [
+            (name, payload, frozenset(name.split()))
+            for name, payload in candidates
+        ]
+
         def ratio(a, b):
             if not a and not b:
                 return 100.0
             return 100.0 * SM(None, a, b).ratio()
 
-        def tsr(a, b):
-            ta, tb = set(a.split()), set(b.split())
-            inter = " ".join(sorted(ta & tb))
-            sa = (inter + " " + " ".join(sorted(ta - tb))).strip()
-            sb = (inter + " " + " ".join(sorted(tb - ta))).strip()
+        def tsr(qt, q_sorted_lens, ct):
+            inter_t = qt & ct
+            inter = " ".join(sorted(inter_t))
+            sa = (inter + " " + " ".join(sorted(qt - ct))).strip()
+            sb = (inter + " " + " ".join(sorted(ct - qt))).strip()
             return max(ratio(inter, sa), ratio(inter, sb), ratio(sa, sb))
 
         matched, scores = [], []
@@ -177,20 +186,44 @@ def best_match_udf(
                 matched.append(hit)
                 scores.append(100.0)
                 continue
-            best_p, best_s = None, -1.0
-            for name, payload in candidates:
-                sc = tsr(q, name)
-                if sc > best_s:
-                    best_p, best_s = payload, sc
-            if best_s >= threshold:
+            qt = frozenset(q.split())
+            q_len = len(" ".join(sorted(qt)))
+            best_p, best_s = None, threshold  # prune below the threshold
+            found = False
+            for name, payload, ct in prep:
+                if qt and ct and (qt <= ct or ct <= qt):
+                    best_p, best_s, found = payload, 100.0, True
+                    break
+                # upper bound: ratio(sa, sb) and the inter-vs-side ratios
+                # are all bounded by 2*min/(la+lb) on the sorted strings
+                la, lb = q_len, len(name)
+                if la + lb:
+                    ub = 200.0 * min(la, lb) / (la + lb)
+                    # inter-based pairs can score higher than sa-vs-sb when
+                    # overlap is large; bound those by the token overlap
+                    n_inter = len(qt & ct)
+                    if n_inter == 0 and ub < best_s:
+                        continue
+                sc = tsr(qt, q_len, ct)
+                if sc > best_s or (sc == best_s and not found):
+                    if sc >= threshold:
+                        best_p, best_s, found = payload, sc, True
+                        if sc >= 100.0:
+                            break
+            if found:
                 matched.append(best_p)
                 scores.append(best_s)
             else:
                 matched.append(None)
-                scores.append(best_s if best_s >= 0 else None)
+                scores.append(None)
         return pd.DataFrame({"matched": matched, "score": scores})
 
-    return match
+    # The scorer IS deterministic, but marking it nondeterministic stops
+    # Catalyst from (a) pushing filters on its output below the repartition
+    # — which re-evaluates the whole candidate scan serially on the
+    # pre-shuffle partitioning — and (b) duplicating it across collapsed
+    # projections. One evaluation, after the exchange, always.
+    return match.asNondeterministic()
 
 
 def resolve_entities(
@@ -201,6 +234,7 @@ def resolve_entities(
     cand_payload_col: str,
     threshold: float = 90.0,
     fold_accents: bool = True,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Resolve each row's entity name against a small candidate dim.
 
@@ -219,6 +253,11 @@ def resolve_entities(
         if r[0] is not None
     ]
     udf = best_match_udf(cands, threshold)
+    if partitions:
+        # the scoring stage is Python-CPU-bound: one repartition shuffle
+        # buys task parallelism across all cores/executors (a single-file
+        # parquet dim would otherwise score serially in one task)
+        df = df.repartition(partitions)
     normalized = normalize_text_col(F.col(name_col), fold_accents)
     out = df.withColumn("_m", udf(normalized))
     return out.select(
