@@ -10,11 +10,12 @@ cluster-scale execution:
 - ``functions``  — scalar expression library (native Column expressions
                    replacing the reference's row-wise ``map_elements`` UDFs)
 - ``operators``  — relational / aggregate / reshape / rules / fuzzy /
-                   dedup / similarity / text / multimodal operators
-- ``sources``    — file + REST ingestion adapters
-- ``sinks``      — partitioned CSV, parquet state upsert, Excel review sink
-- ``plans``      — pipeline DAGs reproducing the reference entry points
+                   dedup / similarity / textops / multimodal operators
+- ``io``         — REST fan-out sources, Excel ingest, CSV/parquet sinks
+- ``pipeline``   — DAGs reproducing the reference entry points A/B/C
 - ``streaming``  — Structured Streaming counterparts for the events table
+- ``battery``/``battery_ext``/``battery_sql`` — the DuckDB-oracle-checked
+                   query battery exposed through ``__spark_entry__.py``
 """
 
 __version__ = "0.1.0"

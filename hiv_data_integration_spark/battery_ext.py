@@ -287,6 +287,58 @@ SELECT doc_id, CAST({_SIMHASH_PACK} AS BIGINT) AS simhash FROM bal
 """
 
 
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", tx.rolling_fingerprint(F.col("text")).alias("rfp")
+    )
+
+
+SQL_ROLLING_FINGERPRINT = f"""
+SELECT doc_id,
+       list_reduce(
+           list_concat([CAST(0 AS BIGINT)],
+               list_transform({_TOKS},
+                   t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT))),
+           (acc, h) -> (acc * {tx.ROLLING_BASE} + h) % {tx.ROLLING_PRIME}) AS rfp
+FROM documents
+"""
+
+
+def q_embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over a corpus with planted scaled
+    duplicates (x1.5 scaling keeps cosine == 1 mathematically; 1.5 is a
+    power-of-two fraction so the scaling is FP-exact on both engines)."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x * 1.5
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
+    ).unionByName(planted)
+    return dd.embedding_cosine_pairs(
+        corpus, "vec_id", "embedding", block_col="label", threshold=0.999
+    )
+
+
+SQL_EMBED_COSINE_DEDUP = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+p AS (SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x * 1.5) AS v, label
+      FROM e WHERE vec_id % 20 = 0),
+allv AS (SELECT * FROM e UNION ALL SELECT * FROM p)
+SELECT id_a, id_b, cos FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+    FROM allv a JOIN allv b ON a.label = b.label AND a.vec_id < b.vec_id
+) WHERE cos >= 0.999
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -589,6 +641,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "dedup_minhash_lsh_pairs": q_minhash_pairs,
     "dedup_ngram_jaccard_pairs": q_ngram_jaccard,
     "dedup_simhash_fingerprints": q_simhash,
+    "dedup_embedding_cosine_pairs": q_embedding_cosine_dedup,
+    "text_rolling_fingerprint": q_rolling_fingerprint,
     "embed_cosine_topk": q_cosine_topk,
     "embed_ivf_topk_label": q_ivf_topk,
     "embed_lsh_ann_topk": q_lsh_topk,
@@ -611,6 +665,8 @@ EXT_ORACLE: dict[str, str] = {
     "dedup_minhash_lsh_pairs": SQL_MINHASH_PAIRS,
     "dedup_ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "dedup_simhash_fingerprints": SQL_SIMHASH,
+    "dedup_embedding_cosine_pairs": SQL_EMBED_COSINE_DEDUP,
+    "text_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
     "embed_cosine_topk": SQL_COSINE_TOPK,
     "embed_ivf_topk_label": SQL_IVF_TOPK,
     "embed_lsh_ann_topk": SQL_LSH_TOPK,

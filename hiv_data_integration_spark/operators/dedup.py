@@ -32,6 +32,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_near_pairs",
+    "embedding_cosine_pairs",
 ]
 
 
@@ -355,3 +356,39 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs.select("id_a", "id_b", "hamming")
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    threshold: float = 0.999,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    Pairs within the same block (IVF-style pruning: a coarse cluster id /
+    LSH bucket) whose cosine similarity >= ``threshold``. The block equi
+    key keeps the self-join linear-ish; pass ``block_col=None`` only for
+    small corpora (full O(n^2) cross join). Output ``(id_a, id_b, cos)``.
+    """
+    from hiv_data_integration_spark.operators.similarity import cosine
+
+    keys = [block_col] if block_col else []
+    a = df.select(
+        *keys,
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+    )
+    b = df.select(
+        *keys,
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    )
+    pairs = (
+        (a.join(b, keys) if keys else a.crossJoin(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+    )
+    return pairs.select("id_a", "id_b", "cos")

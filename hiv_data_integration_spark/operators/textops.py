@@ -17,6 +17,7 @@ __all__ = [
     "regex_token_count",
     "normalize_text_basic",
     "fingerprint",
+    "rolling_fingerprint",
     "stopword_count",
     "quality_features",
     "lang_id",
@@ -125,4 +126,30 @@ def lang_id(col: Column) -> Column:
         )
         .when(scores["es"] >= scores["de"], F.lit("es"))
         .otherwise(F.lit("de"))
+    )
+
+
+ROLLING_BASE = 1_000_003
+ROLLING_PRIME = (1 << 31) - 1
+
+
+def rolling_fingerprint(col: Column) -> Column:
+    """Order-sensitive polynomial rolling-hash fingerprint over tokens.
+
+    ``fp = fold(tokens, (acc, t) -> (acc * B + h32(t)) mod P)`` with a
+    32-bit md5-derived token hash — unlike :func:`fingerprint` (md5 of the
+    normalized text) this is incremental/streamable and the building block
+    for winnowing-style shingle selection. ``acc < P < 2^31`` and
+    ``B ≈ 2^20`` keep every intermediate < 2^63, so the arithmetic is
+    exact BIGINT on any engine (the DuckDB oracle folds the same way via
+    ``list_reduce``). Empty documents hash to 0.
+    """
+    toks = whitespace_tokens(F.lower(col))
+    hs = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
+    return F.aggregate(
+        hs,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * F.lit(ROLLING_BASE) + h) % F.lit(ROLLING_PRIME),
     )
