@@ -1,0 +1,52 @@
+"""File-format scans: suffix-dispatched Spectrum reader + JSON dict scan.
+
+Reference semantics:
+
+- S2/S1 Spectrum file scan with suffix dispatch (parquet / csv / xlsx) —
+  ``update_pnls_report_with_spectrum_path/utils.py:27-65``.
+- S8 JSON dict scan → two-column mapping DataFrame —
+  ``update_pnls_report/extract_naomi_data.py:134-143``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hiv_data_integration_spark.io.excel import excel_sheet_to_spark, read_excel_sheet
+
+__all__ = ["read_spectrum", "json_dict_source"]
+
+
+def read_spectrum(spark: SparkSession, path: str) -> DataFrame:
+    """Suffix-dispatched scan: ``.parquet`` / ``.csv`` / ``.xlsx``.
+
+    CSV reads with header + schema inference (the reference relies on
+    polars inference the same way); xlsx goes through the gated
+    driver-side Excel path.
+    """
+    suffix = os.path.splitext(path)[1].lower()
+    if suffix in (".parquet", ".pq"):
+        return spark.read.parquet(path)
+    if suffix == ".csv":
+        return spark.read.csv(path, header=True, inferSchema=True)
+    if suffix in (".xlsx", ".xls"):
+        return excel_sheet_to_spark(spark, read_excel_sheet(path))
+    raise ValueError(f"unsupported spectrum file format: {suffix!r}")
+
+
+def json_dict_source(
+    spark: SparkSession,
+    path: str,
+    key_col: str = "code",
+    value_col: str = "organisation_unit_id",
+) -> DataFrame:
+    """``{"key": "value", ...}`` JSON file → two-column mapping DataFrame
+    (broadcast-scale dim; the NAOMI district↔DHIS2 mapping shape)."""
+    with open(path) as fh:
+        mapping = json.load(fh)
+    return spark.createDataFrame(
+        list(mapping.items()), f"{key_col} string, {value_col} string"
+    )

@@ -202,3 +202,35 @@ def test_export_csv_partitioned(spark, tmp_path):
         "202401",
         "202402",
     }
+
+
+def test_read_spectrum_dispatch(spark, tmp_path):
+    from hiv_data_integration_spark.io import files
+
+    df = spark.createDataFrame(
+        [("CIV_1", "f1", "202412", 10)],
+        "code string, organisation_unit_id string, period string, v int",
+    )
+    pq = str(tmp_path / "spectrum.parquet")
+    cv = str(tmp_path / "spectrum.csv")
+    df.write.parquet(pq)
+    df.coalesce(1).write.option("header", True).csv(cv)
+    assert files.read_spectrum(spark, pq).count() == 1
+    back = files.read_spectrum(spark, cv)
+    assert back.count() == 1 and back.collect()[0].code == "CIV_1"
+    with pytest.raises(ValueError, match="unsupported"):
+        files.read_spectrum(spark, "/x/spectrum.feather")
+
+
+def test_json_dict_source(spark, tmp_path):
+    from hiv_data_integration_spark.io import files
+
+    p = str(tmp_path / "mapping.json")
+    with open(p, "w") as fh:
+        json.dump({"CIV_2_101": "ouA", "CIV_2_102": "ouB"}, fh)
+    df = files.json_dict_source(spark, p)
+    assert df.columns == ["code", "organisation_unit_id"]
+    assert {(r.code, r.organisation_unit_id) for r in df.collect()} == {
+        ("CIV_2_101", "ouA"),
+        ("CIV_2_102", "ouB"),
+    }
