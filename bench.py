@@ -33,6 +33,22 @@ def main() -> None:
 
     # warmup: JVM + parquet footer caches
     ALL_QUERIES["pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # warmup: Python worker pool — the first wide pandas_udf stage otherwise
+    # pays one pandas import per spawned worker (~10 s across 32 cores),
+    # which is daemon startup cost, not query cost
+    import pandas as _pd
+
+    def _noop(it):
+        for pdf in it:
+            yield pdf
+
+    (
+        spark.range(0, 64, 1, 64)
+        .mapInPandas(_noop, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name, fn in ALL_QUERIES.items():

@@ -372,23 +372,25 @@ def embedding_cosine_pairs(
     key keeps the self-join linear-ish; pass ``block_col=None`` only for
     small corpora (full O(n^2) cross join). Output ``(id_a, id_b, cos)``.
     """
-    from hiv_data_integration_spark.operators.similarity import cosine
+    from hiv_data_integration_spark.operators.similarity import dot, l2_norm
 
     keys = [block_col] if block_col else []
+    # per-row norms precomputed before the self-join (identical folded
+    # values => oracle parity preserved; 3x less per-pair array work)
     a = df.select(
         *keys,
         F.col(id_col).alias("id_a"),
         F.col(vec_col).cast("array<double>").alias("va"),
-    )
+    ).withColumn("na", l2_norm(F.col("va")))
     b = df.select(
         *keys,
         F.col(id_col).alias("id_b"),
         F.col(vec_col).cast("array<double>").alias("vb"),
-    )
+    ).withColumn("nb", l2_norm(F.col("vb")))
     pairs = (
         (a.join(b, keys) if keys else a.crossJoin(b))
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .withColumn("cos", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= threshold)
     )
     return pairs.select("id_a", "id_b", "cos")

@@ -68,16 +68,19 @@ def cosine_topk(
     ties broken by neighbor id. ``queries`` is broadcast — the corpus is
     scanned once, never shuffled in full.
     """
+    # norms are computed ONCE per row pre-join (same folded value the
+    # per-pair formula would produce, so oracle parity is unaffected) —
+    # per-pair norm recomputation triples the array-fold work
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", l2_norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", l2_norm(F.col("cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -109,16 +112,16 @@ def bucketed_topk(
         F.col(id_col).alias("query_id"),
         F.col(bucket_col).alias("bucket"),
         _as_double(F.col(vec_col)).alias("qv"),
-    )
+    ).withColumn("qn", l2_norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(bucket_col).alias("bucket"),
         _as_double(F.col(vec_col)).alias("cv"),
-    )
+    ).withColumn("cn", l2_norm(F.col("cv")))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
