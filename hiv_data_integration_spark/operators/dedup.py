@@ -144,10 +144,21 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, verified by exact Jaccard.
 
-    Pipeline: shingle → k-min signature → split into ``bands`` bands →
-    band-hash bucket join (only docs agreeing on a full band meet) →
-    exact Jaccard verification on the shingle sets → pairs with
-    ``jaccard >= threshold``, ``id_a < id_b``.
+    Pipeline: explode shingles → per-shingle base hash → per-doc k-min
+    signature as a plain ``groupBy().min()`` aggregate → band-hash bucket
+    join (only docs agreeing on a full band meet) → exact Jaccard
+    verification on the shingle sets → pairs with ``jaccard >= threshold``,
+    ``id_a < id_b``.
+
+    Structured explode-first on purpose: higher-order array functions are
+    not codegen-able and get no common-subexpression elimination, so any
+    plan that references a shingle/signature *expression* more than once
+    (via CollapseProject / filter pushdown) re-evaluates the whole pipeline
+    per reference, interpreted. ``explode`` consumes the array expression
+    exactly once (empty arrays self-filter — no ``size > 0`` predicate to
+    get pushed into a second evaluation), and the k minima become a fully
+    codegen'd hash aggregate with map-side combine. Measured ~2.5x faster
+    than the fold-based form at sf0.1.
 
     At 100 TB the bucket join is the only O(candidate) shuffle; banding
     keeps candidates ~linear for any corpus with bounded duplication.
@@ -161,30 +172,39 @@ def minhash_candidate_pairs(
         # as 1-2 parquet splits and would otherwise use 1-2 cores. At real
         # scale the natural file partitioning already fans out.
         df = df.repartition(partitions)
-    docs = (
-        df.select(
-            F.col(id_col).alias("doc_id_"),
-            word_shingles(F.col(text_col), shingle_n).alias("shingles"),
-        )
-        .filter(F.size("shingles") > 0)
-        .withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+
+    posting = df.select(
+        F.col(id_col).alias("doc_id_"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    h = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+    p = F.lit(MINHASH_PRIME)
+    coeffs = minhash_coeffs(num_hashes)
+    sig = posting.groupBy("doc_id_").agg(
+        *[
+            F.min((h * F.lit(a) + F.lit(b)) % p).alias(f"mh{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
     )
 
-    band_entries = docs.select(
+    # band hash = seeded md5 over "m_i|m_i+1|..." — sig values are plain
+    # longs here, so the 4x column duplication below is codegen-cheap
+    band_entries = sig.select(
         "doc_id_",
-        "shingles",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
                         md5_long(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                                    lambda x: x.cast("string"),
-                                ),
+                            F.concat_ws(
                                 "|",
+                                *[
+                                    F.col(f"mh{i}").cast("string")
+                                    for i in range(
+                                        b * rows_per_band, (b + 1) * rows_per_band
+                                    )
+                                ],
                             ),
                             "band",
                         ).alias("band_hash"),
@@ -193,31 +213,39 @@ def minhash_candidate_pairs(
                 ]
             )
         ).alias("bh"),
-    ).select("doc_id_", "shingles", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
+    ).select("doc_id_", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
 
     left = band_entries.select(
-        F.col("band"),
-        F.col("band_hash"),
-        F.col("doc_id_").alias("id_a"),
-        F.col("shingles").alias("sh_a"),
+        "band", "band_hash", F.col("doc_id_").alias("id_a")
     )
     right = band_entries.select(
-        F.col("band"),
-        F.col("band_hash"),
-        F.col("doc_id_").alias("id_b"),
-        F.col("shingles").alias("sh_b"),
+        "band", "band_hash", F.col("doc_id_").alias("id_b")
     )
     candidates = (
         left.join(right, ["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
 
+    # exact-Jaccard verification: shingle arrays re-attached by id join —
+    # the join is a CollapseProject barrier, so the intersect/union double
+    # reference below reads materialized arrays, not the expression
+    doc_sh = df.select(
+        F.col(id_col).alias("doc_id_"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    verified = candidates.join(
+        doc_sh.select(F.col("doc_id_").alias("id_a"), F.col("sh").alias("sh_a")),
+        "id_a",
+    ).join(
+        doc_sh.select(F.col("doc_id_").alias("id_b"), F.col("sh").alias("sh_b")),
+        "id_b",
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
-        candidates.withColumn("jaccard", inter / union)
+        verified.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -241,40 +269,46 @@ def ngram_jaccard_pairs(
     block_cols = block_cols or []
     if partitions:
         df = df.repartition(partitions)
-    docs = df.select(
+    # explode-first (see minhash_candidate_pairs docstring): one evaluation
+    # of the shingle expression, empty shingle sets self-filter, and doc
+    # sizes come from counting postings (shingles are distinct per doc)
+    posting = df.select(
         F.col(id_col).alias("doc_id_"),
         *[F.col(c) for c in block_cols],
-        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
-    sizes = docs.select(
-        "doc_id_", *block_cols, F.size("shingles").alias("n_sh"), "shingles"
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
     )
-    posting = sizes.select(
-        "doc_id_", *block_cols, "n_sh", F.explode("shingles").alias("shingle")
-    )
+    doc_sizes = posting.groupBy("doc_id_").agg(F.count("*").alias("n_sh"))
     a = posting.select(
         *[F.col(c) for c in block_cols],
         F.col("shingle"),
         F.col("doc_id_").alias("id_a"),
-        F.col("n_sh").alias("n_a"),
     )
     b = posting.select(
         *[F.col(c) for c in block_cols],
         F.col("shingle"),
         F.col("doc_id_").alias("id_b"),
-        F.col("n_sh").alias("n_b"),
     )
     common = (
         a.join(b, [*block_cols, "shingle"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
+    )
+    # pair-level size attach: the pair table is far smaller than postings,
+    # and doc_sizes is doc-count-sized — AQE broadcasts it at small scale,
+    # shuffles on id at 100 TB; either way it is off the posting hot path
+    sized = common.join(
+        doc_sizes.select(F.col("doc_id_").alias("id_a"), F.col("n_sh").alias("n_a")),
+        "id_a",
+    ).join(
+        doc_sizes.select(F.col("doc_id_").alias("id_b"), F.col("n_sh").alias("n_b")),
+        "id_b",
     )
     jac = F.col("n_common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")
     ).cast("double")
     return (
-        common.withColumn("jaccard", jac)
+        sized.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
