@@ -157,9 +157,15 @@ def best_match_udf(
     def match(s: pd.Series) -> pd.DataFrame:
         from difflib import SequenceMatcher as SM
 
-        # precompute once per worker: token sets + sorted-token strings
+        # precompute once per worker: token sets + sorted-token lengths
+        # (len(" ".join(tokens)) is order-independent: sum(len) + n - 1)
         prep = [
-            (name, payload, frozenset(name.split()))
+            (
+                name,
+                payload,
+                frozenset(name.split()),
+                len(" ".join(sorted(set(name.split())))),
+            )
             for name, payload in candidates
         ]
 
@@ -168,54 +174,70 @@ def best_match_udf(
                 return 100.0
             return 100.0 * SM(None, a, b).ratio()
 
-        def tsr(qt, q_sorted_lens, ct):
-            inter_t = qt & ct
-            inter = " ".join(sorted(inter_t))
+        def tsr(qt, ct):
+            inter = " ".join(sorted(qt & ct))
             sa = (inter + " " + " ".join(sorted(qt - ct))).strip()
             sb = (inter + " " + " ".join(sorted(ct - qt))).strip()
             return max(ratio(inter, sa), ratio(inter, sb), ratio(sa, sb))
 
+        def best_for(q):
+            hit = exact.get(q)
+            if hit is not None:
+                return hit, 100.0
+            qt = frozenset(q.split())
+            la = len(" ".join(sorted(qt)))
+            best_p, best_s = None, threshold  # prune below the threshold
+            found = False
+            for name, payload, ct, lb in prep:
+                if qt and ct and (qt <= ct or ct <= qt):
+                    return payload, 100.0
+                # Exact upper bound on all three token_set ratios before any
+                # SequenceMatcher work. ratio(x, y) = 200*M/(len x + len y)
+                # with matches M <= len(shorter); inter is a prefix of both
+                # sa and sb with len(sa) = la, len(sb) = lb (same character
+                # multiset as the sorted token strings), so:
+                #   ratio(inter, sa) <= 200*li/(li+la)
+                #   ratio(inter, sb) <= 200*li/(li+lb)
+                #   ratio(sa,   sb) <= 200*min(la,lb)/(la+lb)
+                inter_t = qt & ct
+                li = (
+                    sum(len(t) for t in inter_t) + len(inter_t) - 1
+                    if inter_t
+                    else 0
+                )
+                denom_a, denom_b, denom_ab = li + la, li + lb, la + lb
+                ub = 0.0
+                if denom_a:
+                    ub = 200.0 * li / denom_a
+                if denom_b:
+                    ub = max(ub, 200.0 * li / denom_b)
+                if denom_ab:
+                    ub = max(ub, 200.0 * min(la, lb) / denom_ab)
+                # strict (with float-safety margin): an equal-score later
+                # candidate never displaces an already-found best
+                if ub < best_s - 1e-9 or (found and ub <= best_s):
+                    continue
+                sc = tsr(qt, ct)
+                if sc > best_s or (sc == best_s and not found):
+                    if sc >= threshold:
+                        best_p, best_s, found = payload, sc, True
+                        if sc >= 100.0:
+                            break
+            return (best_p, best_s) if found else (None, None)
+
+        memo: dict[str, tuple] = {}
         matched, scores = [], []
         for q in s:
             if q is None:
                 matched.append(None)
                 scores.append(None)
                 continue
-            hit = exact.get(q)
-            if hit is not None:
-                matched.append(hit)
-                scores.append(100.0)
-                continue
-            qt = frozenset(q.split())
-            q_len = len(" ".join(sorted(qt)))
-            best_p, best_s = None, threshold  # prune below the threshold
-            found = False
-            for name, payload, ct in prep:
-                if qt and ct and (qt <= ct or ct <= qt):
-                    best_p, best_s, found = payload, 100.0, True
-                    break
-                # upper bound: ratio(sa, sb) and the inter-vs-side ratios
-                # are all bounded by 2*min/(la+lb) on the sorted strings
-                la, lb = q_len, len(name)
-                if la + lb:
-                    ub = 200.0 * min(la, lb) / (la + lb)
-                    # inter-based pairs can score higher than sa-vs-sb when
-                    # overlap is large; bound those by the token overlap
-                    n_inter = len(qt & ct)
-                    if n_inter == 0 and ub < best_s:
-                        continue
-                sc = tsr(qt, q_len, ct)
-                if sc > best_s or (sc == best_s and not found):
-                    if sc >= threshold:
-                        best_p, best_s, found = payload, sc, True
-                        if sc >= 100.0:
-                            break
-            if found:
-                matched.append(best_p)
-                scores.append(best_s)
-            else:
-                matched.append(None)
-                scores.append(None)
+            r = memo.get(q)
+            if r is None:
+                r = best_for(q)
+                memo[q] = r
+            matched.append(r[0])
+            scores.append(r[1])
         return pd.DataFrame({"matched": matched, "score": scores})
 
     # The scorer IS deterministic, but marking it nondeterministic stops
