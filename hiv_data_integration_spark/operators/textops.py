@@ -46,8 +46,15 @@ def whitespace_tokens(col: Column) -> Column:
 
 
 def token_count(col: Column) -> Column:
-    """Whitespace token count."""
-    return F.size(whitespace_tokens(col)).cast("long")
+    """Whitespace token count.
+
+    ``regexp_count(c, '\\S+')`` — one codegen'd regex pass. Equivalent to
+    ``size(whitespace_tokens(c))`` but HOF-free: higher-order functions are
+    interpreted and re-evaluated at every reference site CollapseProject
+    inlines them into (see operators.dedup docstring), which made the
+    quality/lang queries ~5x slower than this form.
+    """
+    return F.regexp_count(col, F.lit(r"\S+")).cast("long")
 
 
 def regex_token_count(col: Column, pattern: str = r"\w+|[^\w\s]") -> Column:
@@ -69,10 +76,18 @@ def fingerprint(col: Column) -> Column:
 
 
 def stopword_count(col: Column, words: list[str]) -> Column:
-    """Count of tokens (lowercased) that are in ``words``."""
-    toks = whitespace_tokens(F.lower(col))
-    arr = F.array(*[F.lit(w) for w in words])
-    return F.size(F.filter(toks, lambda x: F.array_contains(arr, x))).cast("long")
+    """Count of tokens (lowercased) that are in ``words``.
+
+    A whitespace-delimited token equals a stopword iff the stopword occurs
+    with start-of-string/whitespace on both flanks, so one codegen'd
+    ``regexp_count`` with zero-width guards replaces the tokenize→filter
+    HOF pipeline (Java regex supports lookaround; the DuckDB oracles keep
+    the list-filter formulation — same counts, engine-appropriate idioms).
+    Stopwords must be whitespace-free literals (ours are).
+    """
+    alts = "|".join(words)
+    pat = rf"(?:^|(?<=\s))(?:{alts})(?=\s|$)"
+    return F.regexp_count(F.lower(col), F.lit(pat)).cast("long")
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
