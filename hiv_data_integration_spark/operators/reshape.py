@@ -17,7 +17,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from hiv_data_integration_spark.functions import standardize_column_name
-from hiv_data_integration_spark.operators.relational import union_relaxed
+from hiv_data_integration_spark.operators.relational import (
+    _common_supertype,
+    union_relaxed,
+)
 
 __all__ = [
     "stack_by_prefix",
@@ -45,8 +48,18 @@ def stack_by_prefix(
     When two source columns standardize to the same canonical name within
     one prefix group they are summed (the reference relies on polars rename
     uniqueness; we make the merge explicit and deterministic).
+
+    Planned as ONE pass: per input row, an ``explode`` over an array of
+    per-indicator structs. The per-prefix select + union formulation reads
+    identically but plans the entire upstream (scan → joins → pivot → agg)
+    once per prefix — Spark does not reuse the duplicated subtrees, which
+    tripled the flagship pipeline's execution. Missing columns pad with
+    typed NULLs and shared columns are cast to their least common supertype,
+    exactly like ``union_relaxed``; output column order is first-seen order
+    across prefix groups (= unionByName order).
     """
-    pieces: list[DataFrame] = []
+    # per-prefix expression dicts: output name -> unaliased Column
+    groups: list[dict[str, F.Column]] = []
     for prefix, indicator in prefix_to_indicator.items():
         value_cols = [c for c in df.columns if c.startswith(prefix)]
         if not value_cols:
@@ -54,23 +67,56 @@ def stack_by_prefix(
         canonical: dict[str, list[str]] = {}
         for c in value_cols:
             canonical.setdefault(name_standardizer(c), []).append(c)
-        exprs = [F.col(k) for k in key_cols]
-        exprs.append(F.lit(indicator).alias(indicator_col))
+        cols: dict[str, F.Column] = {indicator_col: F.lit(indicator)}
         for new_name, sources in canonical.items():
             if len(sources) == 1:
-                exprs.append(F.col(sources[0]).alias(new_name))
+                cols[new_name] = F.col(sources[0])
             else:
-                merged = sources[0]
-                summed = F.col(merged)
+                summed = F.col(sources[0])
                 for s in sources[1:]:
                     summed = (
                         F.coalesce(summed, F.lit(0)) + F.coalesce(F.col(s), F.lit(0))
                     )
-                exprs.append(summed.alias(new_name))
-        pieces.append(df.select(*exprs))
-    if not pieces:
+                cols[new_name] = summed
+        groups.append(cols)
+    if not groups:
         raise ValueError("no prefix matched any column")
-    return union_relaxed(pieces)
+
+    # unified field set: first-seen order, least-common-supertype per name
+    # (schema analysis only — no execution)
+    field_order: list[str] = []
+    field_type: dict[str, T.DataType] = {}
+    for g in groups:
+        schema = df.select(*[c.alias(n) for n, c in g.items()]).schema
+        for f in schema.fields:
+            if f.name not in field_type:
+                field_order.append(f.name)
+                field_type[f.name] = f.dataType
+            else:
+                field_type[f.name] = _common_supertype(
+                    field_type[f.name], f.dataType
+                )
+
+    structs = [
+        F.struct(
+            *[
+                (
+                    g[n].cast(field_type[n])
+                    if n in g
+                    else F.lit(None).cast(field_type[n])
+                ).alias(n)
+                for n in field_order
+            ]
+        )
+        for g in groups
+    ]
+    exploded = df.select(
+        *[F.col(k) for k in key_cols],
+        F.explode(F.array(*structs)).alias("_stk"),
+    )
+    return exploded.select(
+        *key_cols, *[F.col(f"_stk.{n}").alias(n) for n in field_order]
+    )
 
 
 def pad_to_contract(
