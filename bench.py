@@ -50,11 +50,19 @@ def main() -> None:
         .save()
     )
 
+    # two passes per query, report the min: pass 1 pays one-off costs
+    # (codegen compilation, parquet footers, Python worker ramp) that are
+    # amortized away in any long-running deployment; min-of-2 is the
+    # steady-state per-query cost and is far more stable run-to-run
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name, fn in ALL_QUERIES.items():
-        start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(runs):
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -66,6 +74,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_queries": len(timings),
+                "runs_per_query": runs,
             }
         )
     )

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from hiv_data_integration_spark.battery import QueryFn, tbl
 from hiv_data_integration_spark.operators import dedup as dd
@@ -632,6 +633,97 @@ def q_sample_frames_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.sample_frames(mm.attach_payload(docs, media_type="video"))
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join (engine extension): lineitem ⋈ orders on
+    the salted key, then a priority rollup. Output is identical to the
+    unsalted join — the oracle runs the plain SQL — while the physical plan
+    spreads each hot orderkey across ``salt`` shuffle partitions."""
+    from hiv_data_integration_spark.operators.relational import salted_join
+
+    li = tbl(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_quantity"
+    )
+    orders = tbl(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, on=["okey"], salt=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+SQL_SALTED_JOIN = """
+SELECT o_orderpriority, count(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming, oracle-checked: file-source readStream over the
+    events parquet → event-time tumbling window aggregation → availableNow
+    trigger into a memory sink (complete mode, so every window is emitted
+    regardless of the final watermark) → returned as a batch DataFrame.
+    Decimal accumulation keeps the double sum bit-deterministic across
+    micro-batch merge order. Matches the batch tumbling_window_events
+    result, so the same SQL oracles both."""
+    import tempfile
+    import uuid as _uuid
+
+    # events parquet stores ns timestamps → read as long, truncate to µs
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        # glob, not the literal file path: for non-glob paths the file
+        # stream source forces basePath to the path itself, which must be
+        # a directory ("Option 'basePath' must be a directory")
+        .load(f"{sf_dir}/events*.parquet")
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"stream_tumbling_{_uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "text_token_counts": q_token_counts,
     "text_quality_scores": q_quality_scores,
@@ -654,6 +746,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "org_uuid5_ids": q_uuid5_ids,
     "rest_fanout_analytics": q_rest_fanout_analytics,
     "rest_naomi_json_flatten": q_rest_naomi_flatten,
+    "salted_skew_join": q_salted_join,
+    "streaming_tumbling_counts": q_streaming_tumbling,
 }
 
 EXT_ORACLE: dict[str, str] = {
@@ -674,6 +768,14 @@ EXT_ORACLE: dict[str, str] = {
     "fuzzy_normalize_fold": SQL_NORMALIZE_FOLD,
     "rest_fanout_analytics": SQL_REST_FANOUT,
     "rest_naomi_json_flatten": SQL_NAOMI_FLATTEN,
+    "salted_skew_join": SQL_SALTED_JOIN,
+    # streaming result == batch tumbling aggregation over the same file
+    "streaming_tumbling_counts": """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""",
     # multimodal_decode_stub / multimodal_frame_sample_stub: mapInPandas
     # stages — intentionally no SQL oracle (driver records rows-only).
     # fuzzy_resolve_suppliers / org_uuid5_ids: difflib token_set scoring and

@@ -23,6 +23,7 @@ __all__ = [
     "cross_join_replicate",
     "union_relaxed",
     "topk",
+    "salted_join",
     "skip_rows",
 ]
 
@@ -178,3 +179,45 @@ def skip_rows(df: DataFrame, n: int) -> DataFrame:
     driver-ingested frames where input order is defined; uses ``offset``
     which Spark pushes into the scan."""
     return df.offset(n)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Skew-resistant equi join: salt the left (skewed) side, replicate the
+    right side ``salt`` ways, join on ``keys + _salt``.
+
+    A hot key that would land on one reducer is spread across ``salt``
+    shuffle partitions; the right side pays a ``salt``x replication, so use
+    this when the right side is too big to broadcast but much smaller than
+    the skewed fact (the classic mid-size dimension). Join OUTPUT is
+    row-for-row identical to a plain join — salting only changes the
+    physical key distribution — so the operator is oracle-checkable against
+    the unsalted SQL. AQE's skew-join split handles post-shuffle skew
+    automatically; explicit salting additionally spreads the map-side hash
+    aggregation and survives single-key pathologies AQE cannot split
+    (engine extension; no skew handling exists in the reference).
+
+    The salt is derived from a hash of the left row's non-key columns —
+    deterministic, and independent of the join keys so hot keys actually
+    spread. Only ``inner`` and ``left`` joins are supported (right/outer
+    would multiply unmatched right rows).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins only")
+    non_key = [c for c in left.columns if c not in on] or on
+    salt_expr = F.pmod(
+        F.crc32(
+            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in non_key])
+        ),
+        F.lit(salt),
+    ).cast("int")
+    l_salted = left.withColumn("_salt", salt_expr)
+    r_salted = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i).cast("int") for i in range(salt)]))
+    )
+    return l_salted.join(r_salted, [*on, "_salt"], how).drop("_salt")
