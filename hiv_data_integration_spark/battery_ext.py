@@ -663,6 +663,49 @@ GROUP BY o_orderpriority
 """
 
 
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join (engine extension): both sides written
+    pre-hash-partitioned on the join key, so the join itself plans with no
+    Exchange — the 100 TB pattern for fact tables re-joined on the same key
+    pipeline after pipeline. Oracle = the plain SQL join (layout changes
+    the plan, never the result)."""
+    import tempfile
+    import uuid as _uuid
+
+    from hiv_data_integration_spark.io.bucketing import (
+        colocated_join,
+        write_bucketed,
+    )
+
+    suffix = _uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix="bucketed_")
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = (
+        tbl(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    )
+    write_bucketed(li, f"li_{suffix}", 8, ["l_orderkey"], f"{base}/li", ["l_orderkey"])
+    write_bucketed(
+        orders, f"ord_{suffix}", 8, ["l_orderkey"], f"{base}/ord", ["l_orderkey"]
+    )
+    joined = colocated_join(spark, f"li_{suffix}", f"ord_{suffix}", ["l_orderkey"])
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+SQL_BUCKETED_JOIN = """
+SELECT o_orderpriority, count(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming, oracle-checked: file-source readStream over the
     events parquet → event-time tumbling window aggregation → availableNow
@@ -747,6 +790,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "rest_fanout_analytics": q_rest_fanout_analytics,
     "rest_naomi_json_flatten": q_rest_naomi_flatten,
     "salted_skew_join": q_salted_join,
+    "bucketed_colocated_join": q_bucketed_join,
     "streaming_tumbling_counts": q_streaming_tumbling,
 }
 
@@ -769,6 +813,7 @@ EXT_ORACLE: dict[str, str] = {
     "rest_fanout_analytics": SQL_REST_FANOUT,
     "rest_naomi_json_flatten": SQL_NAOMI_FLATTEN,
     "salted_skew_join": SQL_SALTED_JOIN,
+    "bucketed_colocated_join": SQL_BUCKETED_JOIN,
     # streaming result == batch tumbling aggregation over the same file
     "streaming_tumbling_counts": """
 SELECT event_type, date_trunc('hour', ts) AS window_start,
