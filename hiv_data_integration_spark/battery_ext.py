@@ -663,6 +663,76 @@ GROUP BY o_orderpriority
 """
 
 
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LLM training-corpus prep chain (§2.14 composed): corpus
+    with planted duplicates → exact dedup (md5 fingerprint, keep lowest id)
+    → quality filtering (min length, punctuation cap) → language ID →
+    per-(lang, predicted) corpus stats. Near-dup (MinHash/SimHash/Jaccard)
+    removal slots between dedup and quality and is oracle-checked
+    standalone (dedup_* queries). Everything here is codegen'd JVM
+    expressions — the chain is a projection+aggregate pipeline that scales
+    like a scan."""
+    corpus = _dup_corpus(spark, sf_dir)
+    canon = dd.exact_dedup(corpus, tx.fingerprint(F.col("text")), "doc_id")
+    kept = corpus.join(
+        canon.select(F.col("canonical_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    feat = tx.quality_features(kept)
+    good = feat.filter((F.col("n_words") >= 5) & (F.col("punct_ratio") <= 0.2))
+    tagged = good.withColumn("predicted", tx.lang_id(F.col("text")))
+    return tagged.groupBy("lang", "predicted").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("total_tokens"),
+        F.sum(F.col("avg_word_len").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sum_awl"),
+    )
+
+
+SQL_CORPUS_PREP = f"""
+WITH {_DUP_CORPUS_SQL},
+canon AS (
+    SELECT min(doc_id) AS doc_id
+    FROM corpus
+    GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+),
+kept AS (SELECT corpus.* FROM corpus SEMI JOIN canon USING (doc_id)),
+feat AS (
+    SELECT lang, text,
+           length(text) AS n_chars,
+           len({_TOKS.replace("lower(text)", "text")}) AS n_words,
+           length(text) - length(regexp_replace(text, '{_PUNCT_SQL}', '', 'g')) AS n_punct
+    FROM kept
+),
+good AS (
+    SELECT lang, text, n_words,
+           CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS avg_word_len
+    FROM feat
+    WHERE n_words >= 5
+      AND CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) <= 0.2
+),
+scored AS (
+    SELECT lang, n_words, avg_word_len,
+           {_sw_count_sql(tx.STOPWORDS["en"])} AS s_en,
+           {_sw_count_sql(tx.STOPWORDS["fr"])} AS s_fr,
+           {_sw_count_sql(tx.STOPWORDS["es"])} AS s_es,
+           {_sw_count_sql(tx.STOPWORDS["de"])} AS s_de,
+           length(text) - length(regexp_replace(text, '{_CJK_SQL}', '', 'g')) AS s_zh
+    FROM good
+)
+SELECT lang,
+       CASE WHEN s_zh > 0 THEN 'zh'
+            WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+            WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+            WHEN s_es >= s_de THEN 'es'
+            ELSE 'de' END AS predicted,
+       count(*) AS n_docs,
+       SUM(n_words) AS total_tokens,
+       CAST(SUM(CAST(avg_word_len AS DECIMAL(28,6))) AS DOUBLE) AS sum_awl
+FROM scored GROUP BY 1, 2
+"""
+
+
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed co-located join (engine extension): both sides written
     pre-hash-partitioned on the join key, so the join itself plans with no
@@ -791,6 +861,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "rest_naomi_json_flatten": q_rest_naomi_flatten,
     "salted_skew_join": q_salted_join,
     "bucketed_colocated_join": q_bucketed_join,
+    "llm_corpus_prep": q_corpus_prep,
     "streaming_tumbling_counts": q_streaming_tumbling,
 }
 
@@ -814,6 +885,7 @@ EXT_ORACLE: dict[str, str] = {
     "rest_naomi_json_flatten": SQL_NAOMI_FLATTEN,
     "salted_skew_join": SQL_SALTED_JOIN,
     "bucketed_colocated_join": SQL_BUCKETED_JOIN,
+    "llm_corpus_prep": SQL_CORPUS_PREP,
     # streaming result == batch tumbling aggregation over the same file
     "streaming_tumbling_counts": """
 SELECT event_type, date_trunc('hour', ts) AS window_start,
