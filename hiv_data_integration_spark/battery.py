@@ -55,7 +55,15 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     vectorized reader rejects; we read them as longs
     (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microsecond
     timestamps with integer division (same truncation DuckDB applies).
+
+    The session timezone is pinned to UTC here, not only in our session
+    factory: the driver compares these queries against a DuckDB oracle
+    whose timestamps are naive, and day-level bucketing of TimestampType
+    (as-of joins, date_format) follows the session timezone — a driver
+    session configured for any other zone would shift day boundaries and
+    fail the hash compare even though both engines are right.
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
