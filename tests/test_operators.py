@@ -133,3 +133,91 @@ def test_sample_frames_one_to_many(spark):
     assert [f["frame_idx"] for f in frames] == [0, 1, 2, 3]
     assert all(f["media_id"] == 7 for f in frames)
     assert all(f["frame_bytes"] == 4 for f in frames)
+
+
+def _stack_reference_union(df, key_cols, prefix_to_indicator, std):
+    """The semantic reference for stack_by_prefix: per-prefix select +
+    union_relaxed (the formulation the single-pass explode form replaced —
+    kept here as the oracle for equivalence testing)."""
+    pieces = []
+    for prefix, indicator in prefix_to_indicator.items():
+        value_cols = [c for c in df.columns if c.startswith(prefix)]
+        if not value_cols:
+            continue
+        canonical = {}
+        for c in value_cols:
+            canonical.setdefault(std(c), []).append(c)
+        exprs = [F.col(k) for k in key_cols]
+        exprs.append(F.lit(indicator).alias("indicateur"))
+        for new_name, sources in canonical.items():
+            if len(sources) == 1:
+                exprs.append(F.col(sources[0]).alias(new_name))
+            else:
+                summed = F.col(sources[0])
+                for s in sources[1:]:
+                    summed = F.coalesce(summed, F.lit(0)) + F.coalesce(
+                        F.col(s), F.lit(0)
+                    )
+                exprs.append(summed.alias(new_name))
+        pieces.append(df.select(*exprs))
+    return union_relaxed(pieces)
+
+
+def test_stack_by_prefix_equals_union_reference(spark):
+    """Randomized equivalence: explode-of-structs form == per-prefix
+    union form on frames with missing columns, type mixes (int/double),
+    nulls, and name collisions."""
+    import random
+
+    rnd = random.Random(42)
+    for trial in range(5):
+        n_rows = rnd.randint(1, 8)
+        rows = []
+        for i in range(n_rows):
+            rows.append(
+                (
+                    f"k{i % 3}",
+                    rnd.choice([None, rnd.randint(0, 99)]),
+                    rnd.choice([None, rnd.random() * 10]),
+                    rnd.choice([None, rnd.randint(0, 9)]),
+                    rnd.choice([None, rnd.randint(0, 9)]),
+                )
+            )
+        df = spark.createDataFrame(
+            rows, "key string, a_x int, a_y double, b_x int, b_collide int"
+        )
+        # b_x and b_collide both standardize to "x" under this standardizer
+        std = lambda c: "x" if "collide" in c else c.split("_", 1)[1]
+        mapping = {"a_": 1, "b_": 2, "zz_": 3}  # zz_ matches nothing
+        got = stack_by_prefix(df, ["key"], mapping, std)
+        want = _stack_reference_union(df, ["key"], mapping, std)
+        assert got.columns == want.columns, (got.columns, want.columns)
+        gs = {f.name: f.dataType for f in got.schema.fields}
+        ws = {f.name: f.dataType for f in want.schema.fields}
+        assert gs == ws, (gs, ws)
+        key = lambda r: tuple((v is None, v) for v in r)
+        assert sorted([tuple(r) for r in got.collect()], key=key) == sorted(
+            [tuple(r) for r in want.collect()], key=key
+        ), f"trial {trial}"
+
+
+def test_salted_join_left_matches_plain(spark):
+    from hiv_data_integration_spark.operators.relational import salted_join
+
+    left = spark.createDataFrame(
+        [("k1", 1), ("k1", 2), ("k2", 3), ("k3", 4)], "k string, v int"
+    )
+    right = spark.createDataFrame(
+        [("k1", "a"), ("k2", "b"), ("kX", "c")], "k string, payload string"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            [tuple(r) for r in salted_join(left, right, ["k"], how, salt=4).collect()],
+            key=str,
+        )
+        want = sorted(
+            [tuple(r) for r in left.join(right, ["k"], how).collect()], key=str
+        )
+        assert got == want, how
+    with pytest.raises(ValueError):
+        salted_join(left, right, ["k"], "full")
