@@ -54,7 +54,7 @@ def main() -> None:
     # (codegen compilation, parquet footers, Python worker ramp) that are
     # amortized away in any long-running deployment; min-of-2 is the
     # steady-state per-query cost and is far more stable run-to-run
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     for name, fn in ALL_QUERIES.items():
         best = float("inf")

@@ -739,6 +739,7 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exchange — the 100 TB pattern for fact tables re-joined on the same key
     pipeline after pipeline. Oracle = the plain SQL join (layout changes
     the plan, never the result)."""
+    import shutil
     import tempfile
     import uuid as _uuid
 
@@ -755,25 +756,36 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderpriority")
         .withColumnRenamed("o_orderkey", "l_orderkey")
     )
-    write_bucketed(li, f"li_{suffix}", 8, ["l_orderkey"], f"{base}/li", ["l_orderkey"])
-    write_bucketed(
-        orders, f"ord_{suffix}", 8, ["l_orderkey"], f"{base}/ord", ["l_orderkey"]
-    )
-    joined = colocated_join(spark, f"li_{suffix}", f"ord_{suffix}", ["l_orderkey"])
-    return joined.groupBy("o_orderpriority").agg(
-        F.count("*").alias("n_items"),
-        F.sum(F.col("l_quantity").cast("decimal(28,6)"))
-        .cast("double")
-        .alias("sum_qty"),
-    )
+    try:
+        write_bucketed(
+            li, f"li_{suffix}", 8, ["l_orderkey"], f"{base}/li", ["l_orderkey"]
+        )
+        write_bucketed(
+            orders, f"ord_{suffix}", 8, ["l_orderkey"], f"{base}/ord", ["l_orderkey"]
+        )
+        joined = colocated_join(
+            spark, f"li_{suffix}", f"ord_{suffix}", ["l_orderkey"]
+        )
+        result = joined.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        # materialize the (5-row) rollup so the bucketed tables and their
+        # temp dir can be dropped — every invocation would otherwise leak a
+        # full bucketed copy of lineitem+orders on disk and in the catalog
+        rows, schema = result.collect(), result.schema
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS li_{suffix}")
+        spark.sql(f"DROP TABLE IF EXISTS ord_{suffix}")
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
-SQL_BUCKETED_JOIN = """
-SELECT o_orderpriority, count(*) AS n_items,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-GROUP BY o_orderpriority
-"""
+# same logical join as the salted variant — only the physical layout
+# differs, which is exactly the invariant the oracle checks
+SQL_BUCKETED_JOIN = SQL_SALTED_JOIN
 
 
 def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -784,10 +796,15 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     Decimal accumulation keeps the double sum bit-deterministic across
     micro-batch merge order. Matches the batch tumbling_window_events
     result, so the same SQL oracles both."""
+    import shutil
     import tempfile
     import uuid as _uuid
 
-    # events parquet stores ns timestamps → read as long, truncate to µs
+    # events parquet stores ns timestamps → read as long, truncate to µs.
+    # This query bypasses tbl(), so it must pin the determinism confs
+    # itself (UTC: window timestamps render in session tz; the oracle's
+    # timestamps are naive).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = T.StructType(
         [
@@ -825,16 +842,24 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"stream_tumbling_{_uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    # materialize the (small) aggregate so the memory-sink table and the
+    # checkpoint can be reclaimed — repeated bench/driver invocations must
+    # not accumulate driver memory or /tmp state
+    result = spark.table(name)
+    rows, schema = result.collect(), result.schema
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 EXT_QUERIES: dict[str, QueryFn] = {

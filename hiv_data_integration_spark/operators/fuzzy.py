@@ -206,12 +206,15 @@ def best_match_udf(
                     else 0
                 )
                 denom_a, denom_b, denom_ab = li + la, li + lb, la + lb
-                ub = 0.0
-                if denom_a:
-                    ub = 200.0 * li / denom_a
-                if denom_b:
-                    ub = max(ub, 200.0 * li / denom_b)
-                if denom_ab:
+                if denom_ab == 0:
+                    # both token sets empty: ratio("","") is defined as 100
+                    ub = 100.0
+                else:
+                    ub = 0.0
+                    if denom_a:
+                        ub = 200.0 * li / denom_a
+                    if denom_b:
+                        ub = max(ub, 200.0 * li / denom_b)
                     ub = max(ub, 200.0 * min(la, lb) / denom_ab)
                 # strict (with float-safety margin): an equal-score later
                 # candidate never displaces an already-found best

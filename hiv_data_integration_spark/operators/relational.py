@@ -209,6 +209,11 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins only")
+    # collision-proof internal key: a user column named "_salt" must survive
+    salt_col = "_salt"
+    taken = set(left.columns) | set(right.columns)
+    while salt_col in taken:
+        salt_col += "_"
     non_key = [c for c in left.columns if c not in on] or on
     salt_expr = F.pmod(
         F.crc32(
@@ -216,8 +221,8 @@ def salted_join(
         ),
         F.lit(salt),
     ).cast("int")
-    l_salted = left.withColumn("_salt", salt_expr)
+    l_salted = left.withColumn(salt_col, salt_expr)
     r_salted = right.withColumn(
-        "_salt", F.explode(F.array(*[F.lit(i).cast("int") for i in range(salt)]))
+        salt_col, F.explode(F.array(*[F.lit(i).cast("int") for i in range(salt)]))
     )
-    return l_salted.join(r_salted, [*on, "_salt"], how).drop("_salt")
+    return l_salted.join(r_salted, [*on, salt_col], how).drop(salt_col)

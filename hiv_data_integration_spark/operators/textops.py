@@ -83,9 +83,12 @@ def stopword_count(col: Column, words: list[str]) -> Column:
     ``regexp_count`` with zero-width guards replaces the tokenize→filter
     HOF pipeline (Java regex supports lookaround; the DuckDB oracles keep
     the list-filter formulation — same counts, engine-appropriate idioms).
-    Stopwords must be whitespace-free literals (ours are).
+    Stopwords must be whitespace-free literals (ours are); they are
+    regex-escaped, so metacharacters ("c++", "u.s.") stay literal.
     """
-    alts = "|".join(words)
+    import re as _re
+
+    alts = "|".join(_re.escape(w) for w in words)
     pat = rf"(?:^|(?<=\s))(?:{alts})(?=\s|$)"
     return F.regexp_count(F.lower(col), F.lit(pat)).cast("long")
 
