@@ -663,6 +663,46 @@ GROUP BY o_orderpriority
 """
 
 
+def q_spectrum_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 Spectrum scan, oracle-checked: round-trip the nation dim through
+    a CSV file and read it back via the suffix-dispatched reader
+    (header + schema inference, the reference's polars-inference shape:
+    update_pnls_report_with_spectrum_path/utils.py:51-52). The oracle reads
+    the original parquet — the CSV hop must be lossless for this schema."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from hiv_data_integration_spark.io.files import read_spectrum
+
+    nation = tbl(spark, sf_dir, "nation")
+    base = tempfile.mkdtemp(prefix="spectrum_")
+    try:
+        nation.coalesce(1).write.mode("overwrite").option("header", True).csv(
+            f"{base}/out"
+        )
+        part = _glob.glob(f"{base}/out/part-*.csv")[0]
+        csv_path = f"{base}/spectrum.csv"
+        shutil.move(part, csv_path)
+        df = read_spectrum(spark, csv_path)
+        out = df.select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"),
+        )
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+SQL_SPECTRUM_CSV = """
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+       CAST(n_regionkey AS BIGINT) AS n_regionkey
+FROM nation
+"""
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end LLM training-corpus prep chain (§2.14 composed): corpus
     with planted duplicates → exact dedup (md5 fingerprint, keep lowest id)
@@ -887,6 +927,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "salted_skew_join": q_salted_join,
     "bucketed_colocated_join": q_bucketed_join,
     "llm_corpus_prep": q_corpus_prep,
+    "spectrum_csv_scan": q_spectrum_csv,
     "streaming_tumbling_counts": q_streaming_tumbling,
 }
 
@@ -911,6 +952,7 @@ EXT_ORACLE: dict[str, str] = {
     "salted_skew_join": SQL_SALTED_JOIN,
     "bucketed_colocated_join": SQL_BUCKETED_JOIN,
     "llm_corpus_prep": SQL_CORPUS_PREP,
+    "spectrum_csv_scan": SQL_SPECTRUM_CSV,
     # streaming result == batch tumbling aggregation over the same file
     "streaming_tumbling_counts": """
 SELECT event_type, date_trunc('hour', ts) AS window_start,
