@@ -276,6 +276,40 @@ FROM embeddings
 """
 
 
+def q_skyline(spark, sf_dir):
+    """Skyline (Pareto frontier) of suppliers on (account balance, shipped
+    line count), both maximized — left-anti dominance self-join
+    (operators.relational.skyline; cf. EDBT 2023 skyline-in-Spark-SQL).
+    SQL oracle: NOT EXISTS over the same dominance predicate."""
+    from hiv_data_integration_spark.operators.relational import skyline
+
+    sup = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    li = tbl(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_suppkey").alias("s_suppkey")
+    ).agg(F.count("*").alias("n_lines"))
+    pts = sup.join(li, "s_suppkey", "inner").select(
+        "s_suppkey", F.col("s_acctbal").cast("double").alias("bal"), "n_lines"
+    )
+    return skyline(pts, ["bal", "n_lines"]).select("s_suppkey", "bal", "n_lines")
+
+
+SQL_SKYLINE = """
+WITH pts AS (
+    SELECT s_suppkey, CAST(s_acctbal AS DOUBLE) AS bal, n_lines
+    FROM supplier
+    JOIN (SELECT l_suppkey AS s_suppkey, count(*) AS n_lines
+          FROM lineitem GROUP BY 1) USING (s_suppkey)
+)
+SELECT s_suppkey, bal, n_lines
+FROM pts p
+WHERE NOT EXISTS (
+    SELECT 1 FROM pts q
+    WHERE q.bal >= p.bal AND q.n_lines >= p.n_lines
+      AND (q.bal > p.bal OR q.n_lines > p.n_lines)
+)
+"""
+
+
 SQL2_QUERIES: dict[str, QueryFn] = {
     "rollup_lineitem": q_rollup,
     "cube_orders": q_cube,
@@ -289,6 +323,7 @@ SQL2_QUERIES: dict[str, QueryFn] = {
     "string_agg_nations": q_string_agg,
     "correlated_subquery_balance": q_correlated_subquery,
     "embed_vector_norms": q_vector_norms,
+    "skyline_suppliers": q_skyline,
 }
 
 SQL2_ORACLE: dict[str, str] = {
@@ -304,4 +339,5 @@ SQL2_ORACLE: dict[str, str] = {
     "string_agg_nations": SQL_STRING_AGG,
     "correlated_subquery_balance": SQL_CORRELATED,
     "embed_vector_norms": SQL_VECTOR_NORMS,
+    "skyline_suppliers": SQL_SKYLINE,
 }

@@ -24,6 +24,7 @@ __all__ = [
     "union_relaxed",
     "topk",
     "salted_join",
+    "skyline",
     "skip_rows",
 ]
 
@@ -226,3 +227,30 @@ def salted_join(
         salt_col, F.explode(F.array(*[F.lit(i).cast("int") for i in range(salt)]))
     )
     return l_salted.join(r_salted, [*on, salt_col], how).drop(salt_col)
+
+
+def skyline(df: DataFrame, maximize: list[str]) -> DataFrame:
+    """Skyline (Pareto-optimal set) over ``maximize`` metric columns: keep
+    rows no other row dominates (>= in every metric, > in at least one).
+
+    Engine extension (cf. "Integration of Skyline Queries into Spark SQL",
+    EDBT 2023; nothing comparable in the reference). Planned as a
+    broadcast-nested-loop LEFT ANTI self-join on the dominance predicate —
+    equivalent to SQL ``NOT EXISTS``, so it is directly oracle-checkable.
+
+    Scale path: dominance testing is only quadratic in the CANDIDATE set.
+    Run this after aggregation (skylines over raw 100 TB facts are not
+    meaningful), and for large candidate sets pre-prune with the two-phase
+    trick — per-partition local skyline (this same operator over
+    ``mapPartitions``-sized chunks), then the global skyline of the union —
+    which preserves the result exactly: any globally dominated point is
+    dominated within some partition containing its dominator or survives
+    to the (small) final pass.
+    """
+    p = df.alias("p")
+    q = df.alias("q")
+    ge = [F.col(f"q.{c}") >= F.col(f"p.{c}") for c in maximize]
+    gt = [F.col(f"q.{c}") > F.col(f"p.{c}") for c in maximize]
+    all_ge = reduce(lambda a, b: a & b, ge)
+    any_gt = reduce(lambda a, b: a | b, gt)
+    return p.join(F.broadcast(q), all_ge & any_gt, "left_anti")
