@@ -703,6 +703,42 @@ FROM nation
 """
 
 
+def q_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition pruning: write events
+    partitioned by event_type, then aggregate one partition. The filter
+    becomes a PartitionFilter — Spark lists only the matching directory, so
+    at 100 TB the scan touches 1/N of the data before a single row is read.
+    Oracle = the same aggregate over the unpartitioned table."""
+    import shutil
+    import tempfile
+
+    ev = tbl(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    base = tempfile.mkdtemp(prefix="part_events_")
+    try:
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(base)
+        part = spark.read.parquet(base).filter(F.col("event_type") == "click")
+        result = part.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        rows, schema = result.collect(), result.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+SQL_PARTITION_PRUNING = """
+SELECT event_type, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM events WHERE event_type = 'click'
+GROUP BY event_type
+"""
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end LLM training-corpus prep chain (§2.14 composed): corpus
     with planted duplicates → exact dedup (md5 fingerprint, keep lowest id)
@@ -928,6 +964,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "bucketed_colocated_join": q_bucketed_join,
     "llm_corpus_prep": q_corpus_prep,
     "spectrum_csv_scan": q_spectrum_csv,
+    "partitioned_parquet_pruning": q_partition_pruning,
     "streaming_tumbling_counts": q_streaming_tumbling,
 }
 
@@ -953,6 +990,7 @@ EXT_ORACLE: dict[str, str] = {
     "bucketed_colocated_join": SQL_BUCKETED_JOIN,
     "llm_corpus_prep": SQL_CORPUS_PREP,
     "spectrum_csv_scan": SQL_SPECTRUM_CSV,
+    "partitioned_parquet_pruning": SQL_PARTITION_PRUNING,
     # streaming result == batch tumbling aggregation over the same file
     "streaming_tumbling_counts": """
 SELECT event_type, date_trunc('hour', ts) AS window_start,
