@@ -573,9 +573,12 @@ def q_fuzzy_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey").alias("dirty_key"),
         F.expr("substring(s_name, 1, length(s_name) - 2)").alias("dirty_name"),
     )
+    # 16 scoring tasks, not 32: each task runs a Python worker at full
+    # CPU, and 32 workers + 32 JVM threads oversubscribe the box — measured
+    # 1.4 s stable at 16 vs 2.8-5.4 s (noisy) at 32
     resolved = fz.resolve_entities(
         dirty, "dirty_name", sup, "s_name", "s_name", threshold=80.0,
-        partitions=32,
+        partitions=16,
     )
     return resolved.filter(F.col("matched").isNotNull()).select(
         "dirty_key", "dirty_name", "matched", "match_score"
