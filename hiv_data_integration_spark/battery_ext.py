@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from hiv_data_integration_spark.battery import QueryFn, tbl
+from hiv_data_integration_spark.battery import QueryFn, dsum, tbl
 from hiv_data_integration_spark.operators import dedup as dd
 from hiv_data_integration_spark.operators import fuzzy as fz
 from hiv_data_integration_spark.operators import multimodal as mm
@@ -41,6 +41,20 @@ corpus AS (
           FROM documents WHERE doc_id % 10 = 0)
 )
 """
+
+
+
+def _local_result(df: DataFrame) -> DataFrame:
+    """Materialize a small result as a local-rows DataFrame.
+
+    Queries that build temp state (bucketed tables, streaming checkpoints,
+    partitioned layouts) must not return a lazy plan over that state —
+    callers evaluate the DataFrame after we have reclaimed it. Collect the
+    (small) result first, then hand back local rows; the cleanup in the
+    caller's ``finally`` is then safe.
+    """
+    rows, schema = df.collect(), df.schema
+    return df.sparkSession.createDataFrame(rows, schema)
 
 
 def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -652,9 +666,7 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(li, orders, on=["okey"], salt=8)
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_items"),
-        F.sum(F.col("l_quantity").cast("decimal(28,6)"))
-        .cast("double")
-        .alias("sum_qty"),
+        dsum("l_quantity", scale=6, prec=28).alias("sum_qty"),
     )
 
 
@@ -688,15 +700,16 @@ def q_spectrum_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         csv_path = f"{base}/spectrum.csv"
         shutil.move(part, csv_path)
         df = read_spectrum(spark, csv_path)
-        out = df.select(
-            F.col("n_nationkey").cast("long").alias("n_nationkey"),
-            "n_name",
-            F.col("n_regionkey").cast("long").alias("n_regionkey"),
+        out = _local_result(
+            df.select(
+                F.col("n_nationkey").cast("long").alias("n_nationkey"),
+                "n_name",
+                F.col("n_regionkey").cast("long").alias("n_regionkey"),
+            )
         )
-        rows, schema = out.collect(), out.schema
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return out
 
 
 SQL_SPECTRUM_CSV = """
@@ -723,14 +736,12 @@ def q_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         result = part.groupBy("event_type").agg(
             F.count("*").alias("n_events"),
             F.count_distinct("user_id").alias("n_users"),
-            F.sum(F.col("value").cast("decimal(28,6)"))
-            .cast("double")
-            .alias("sum_value"),
+            dsum("value", scale=6, prec=28).alias("sum_value"),
         )
-        rows, schema = result.collect(), result.schema
+        out = _local_result(result)
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return out
 
 
 SQL_PARTITION_PRUNING = """
@@ -762,9 +773,7 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.groupBy("lang", "predicted").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_words").alias("total_tokens"),
-        F.sum(F.col("avg_word_len").cast("decimal(28,6)"))
-        .cast("double")
-        .alias("sum_awl"),
+        dsum("avg_word_len", scale=6, prec=28).alias("sum_awl"),
     )
 
 
@@ -847,19 +856,17 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         result = joined.groupBy("o_orderpriority").agg(
             F.count("*").alias("n_items"),
-            F.sum(F.col("l_quantity").cast("decimal(28,6)"))
-            .cast("double")
-            .alias("sum_qty"),
+            dsum("l_quantity", scale=6, prec=28).alias("sum_qty"),
         )
         # materialize the (5-row) rollup so the bucketed tables and their
         # temp dir can be dropped — every invocation would otherwise leak a
         # full bucketed copy of lineitem+orders on disk and in the catalog
-        rows, schema = result.collect(), result.schema
+        out = _local_result(result)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS li_{suffix}")
         spark.sql(f"DROP TABLE IF EXISTS ord_{suffix}")
         shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return out
 
 
 # same logical join as the salted variant — only the physical layout
@@ -909,9 +916,7 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(28,6)"))
-            .cast("double")
-            .alias("sum_value"),
+            dsum("value", scale=6, prec=28).alias("sum_value"),
         )
         .select(
             "event_type",
@@ -934,11 +939,10 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the (small) aggregate so the memory-sink table and the
     # checkpoint can be reclaimed — repeated bench/driver invocations must
     # not accumulate driver memory or /tmp state
-    result = spark.table(name)
-    rows, schema = result.collect(), result.schema
+    out = _local_result(spark.table(name))
     spark.catalog.dropTempView(name)
     shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return out
 
 
 EXT_QUERIES: dict[str, QueryFn] = {

@@ -229,7 +229,9 @@ def salted_join(
     return l_salted.join(r_salted, [*on, salt_col], how).drop(salt_col)
 
 
-def skyline(df: DataFrame, maximize: list[str]) -> DataFrame:
+def skyline(
+    df: DataFrame, maximize: list[str], broadcast_hint: bool = True
+) -> DataFrame:
     """Skyline (Pareto-optimal set) over ``maximize`` metric columns: keep
     rows no other row dominates (>= in every metric, > in at least one).
 
@@ -238,19 +240,29 @@ def skyline(df: DataFrame, maximize: list[str]) -> DataFrame:
     broadcast-nested-loop LEFT ANTI self-join on the dominance predicate —
     equivalent to SQL ``NOT EXISTS``, so it is directly oracle-checkable.
 
+    NULL semantics: a row with NULL in any metric is never dominated (every
+    comparison involving the NULL is NULL, so no dominator qualifies) and
+    appears in the skyline unconditionally — filter nullable metrics first
+    if that is not wanted. This matches the SQL ``NOT EXISTS`` oracle.
+
     Scale path: dominance testing is only quadratic in the CANDIDATE set.
     Run this after aggregation (skylines over raw 100 TB facts are not
-    meaningful), and for large candidate sets pre-prune with the two-phase
-    trick — per-partition local skyline (this same operator over
-    ``mapPartitions``-sized chunks), then the global skyline of the union —
-    which preserves the result exactly: any globally dominated point is
-    dominated within some partition containing its dominator or survives
-    to the (small) final pass.
+    meaningful). For candidate sets too big to broadcast, pass
+    ``broadcast_hint=False`` (lets Catalyst plan the nested-loop join
+    without shipping the whole set to every task) and pre-prune two-phase:
+    per-partition local skyline first — e.g.
+    ``skyline(chunk, cols)`` per partition slice, or any cheap dominance
+    filter — then this operator over the union of survivors; the result is
+    exact because a dominated point is dominated within any subset that
+    contains its dominator.
     """
+    if not maximize:
+        raise ValueError("skyline needs at least one metric column")
     p = df.alias("p")
     q = df.alias("q")
     ge = [F.col(f"q.{c}") >= F.col(f"p.{c}") for c in maximize]
     gt = [F.col(f"q.{c}") > F.col(f"p.{c}") for c in maximize]
     all_ge = reduce(lambda a, b: a & b, ge)
     any_gt = reduce(lambda a, b: a | b, gt)
-    return p.join(F.broadcast(q), all_ge & any_gt, "left_anti")
+    right = F.broadcast(q) if broadcast_hint else q
+    return p.join(right, all_ge & any_gt, "left_anti")

@@ -234,3 +234,24 @@ def test_json_dict_source(spark, tmp_path):
         ("CIV_2_101", "ouA"),
         ("CIV_2_102", "ouB"),
     }
+
+
+def test_partitioned_layout_prunes_partitions(spark, tmp_path):
+    """The partitionBy layout must turn an event_type filter into a
+    PartitionFilter (directory pruning), not a post-scan predicate — the
+    property COVERAGE.md claims for battery:partitioned_parquet_pruning."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "pev")
+    ev = spark.createDataFrame(
+        [("click", 1, 1.0), ("view", 2, 2.0), ("click", 3, 3.0)],
+        "event_type string, user_id long, value double",
+    )
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(base)
+    scan = spark.read.parquet(base).filter(F.col("event_type") == "click")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*event_type[^\]]*\]", plan)
+    assert m, plan
+    assert scan.count() == 2
