@@ -753,6 +753,21 @@ GROUP BY event_type
 """
 
 
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: the 100 TB scale path for distinct counting and
+    quantiles — HyperLogLog++ (``approx_count_distinct``, fixed-size sketch
+    per group, single pass) and ``approx_percentile`` (GK sketch) next to
+    their exact twins. Sketch outputs are implementation-defined, so no
+    cross-engine oracle; the exact columns are oracle-covered elsewhere
+    (count_distinct_parts, grouped_quantiles)."""
+    ev = tbl(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.expr("approx_percentile(value, 0.5)").alias("approx_median_value"),
+    )
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end LLM training-corpus prep chain (§2.14 composed): corpus
     with planted duplicates → exact dedup (md5 fingerprint, keep lowest id)
@@ -972,6 +987,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "llm_corpus_prep": q_corpus_prep,
     "spectrum_csv_scan": q_spectrum_csv,
     "partitioned_parquet_pruning": q_partition_pruning,
+    "approx_sketches_events": q_approx_sketches,
     "streaming_tumbling_counts": q_streaming_tumbling,
 }
 
