@@ -322,16 +322,30 @@ def upsert_parquet_state(
     """Read-modify-write a mutable parquet dataset (registry / history).
 
     Spark cannot overwrite a path its own lazy plan is still reading, so:
-    read -> unionByName(new, allowMissingColumns) -> dropDuplicates(keys)
+    read -> unionByName(new, allowMissingColumns) -> keep one row per key
     -> write to ``<path>.__staging__`` -> atomic directory swap. Returns
     the post-upsert DataFrame (re-read from the final path).
+
+    On a key collision the NEW row wins, deterministically: a re-submitted
+    quarter must replace the stale history row, and ``dropDuplicates``
+    keeps an arbitrary winner (whichever partial aggregate lands first) —
+    upsert semantics demand new-over-current precedence.
     """
+    from pyspark.sql.window import Window
+
+    prio = "_upsert_prio"
+    tagged_new = new_rows.withColumn(prio, F.lit(0))
     if os.path.exists(path):
-        current = spark.read.parquet(path)
-        merged = current.unionByName(new_rows, allowMissingColumns=True)
+        current = spark.read.parquet(path).withColumn(prio, F.lit(1))
+        merged = tagged_new.unionByName(current, allowMissingColumns=True)
     else:
-        merged = new_rows
-    merged = merged.dropDuplicates(dedupe_keys)
+        merged = tagged_new
+    w = Window.partitionBy(*dedupe_keys).orderBy(prio)
+    merged = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop(prio, "_rn")
+    )
 
     staging = path.rstrip("/") + ".__staging__"
     backup = path.rstrip("/") + ".__old__"

@@ -28,7 +28,7 @@ from hiv_data_integration_spark.functions import (
     canonicalize_coc_name,
     compound_key,
 )
-from hiv_data_integration_spark.operators.aggregate import grouped_sum, pivot_agg
+from hiv_data_integration_spark.operators.aggregate import pivot_agg
 from hiv_data_integration_spark.operators.reshape import pad_to_contract
 
 __all__ = ["pathology_extract"]
@@ -112,8 +112,11 @@ def pathology_extract(
         agg=pivot_agg_fn,
     )
 
-    summed = grouped_sum(wide, [ou, pe], contract_value_cols)
+    # no re-aggregation here: pivot_agg already grouped by (ou, pe), so
+    # its output is unique per key — the reference's post-pivot re-sum
+    # (A1) exists to collapse its concat of per-indicator frames, which
+    # this single-pivot formulation never produces
     contract = [(ou, T.StringType()), (pe, T.StringType())] + [
         (c, T.DoubleType()) for c in contract_value_cols
     ]
-    return pad_to_contract(summed, contract)
+    return pad_to_contract(wide, contract)

@@ -15,7 +15,7 @@ from collections.abc import Mapping
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hiv_data_integration_spark.functions import lenient_double, period_to_date
+from hiv_data_integration_spark.functions import lenient_double
 from hiv_data_integration_spark.operators.aggregate import (
     grouped_sum,
     pivot_agg,
@@ -26,7 +26,10 @@ from hiv_data_integration_spark.operators.fuzzy import (
     upsert_parquet_state,
     uuid5_id,
 )
-from hiv_data_integration_spark.operators.relational import numeric_columns
+from hiv_data_integration_spark.operators.relational import (
+    numeric_columns,
+    select_prefixed,
+)
 from hiv_data_integration_spark.operators.rules import Rule, split_by_consistency
 from hiv_data_integration_spark.pipeline.extract import pathology_extract
 from hiv_data_integration_spark.pipeline.report import (
@@ -128,11 +131,19 @@ def naomi_to_wide(
         *[F.lit(x) for kv in indicator_to_column.items() for x in kv]
     )[F.col("indicator")]
 
-    yearly = mapped.select(
-        "organisation_unit_id",
-        F.lit(f"{year}12").alias("period"),
-        F.concat_ws("_", ind_expr, coc_expr).alias("column_name"),
-        F.col("mean").cast("double").alias("value"),
+    # rows with an unmapped indicator or coc are DROPPED: concat_ws skips
+    # NULLs, so an unmapped indicator would silently collapse into a bare
+    # coc-suffix column and merge with other unmapped indicators
+    yearly = (
+        mapped.withColumn("_ind", ind_expr)
+        .withColumn("_coc", coc_expr)
+        .filter(F.col("_ind").isNotNull() & F.col("_coc").isNotNull())
+        .select(
+            "organisation_unit_id",
+            F.lit(f"{year}12").alias("period"),
+            F.concat_ws("_", F.col("_ind"), F.col("_coc")).alias("column_name"),
+            F.col("mean").cast("double").alias("value"),
+        )
     )
 
     suffixes = yearly.sparkSession.createDataFrame(
@@ -168,9 +179,8 @@ def run_pipeline_b(
     is the R2 inversion (``include_inconsistent_data``,
     R2/utils.py:821-830)."""
     keys = ["organisation_unit_id", "period"]
-    spectrum_keyed = spectrum_wide.select(
-        *keys,
-        *[c for c in spectrum_wide.columns if c.startswith(tuple(prefix_to_indicator))],
+    spectrum_keyed = select_prefixed(
+        spectrum_wide, keys, tuple(prefix_to_indicator)
     )
     wides: list[tuple[DataFrame, Mapping[str, int]]] = [
         (spectrum_keyed, prefix_to_indicator)
@@ -267,7 +277,8 @@ def run_pipeline_c(
             F.col("dhis_path"),
             F.concat_ws("/", F.lit("synth"), uuid5_id(F.col("facility"))),
         ).alias("organisation_unit_id"),
-    )
+    ).cache()  # facility-count-sized; re-scoring it per sheet join would
+    # repeat the O(names x candidates) Python passes N+1 times
 
     registry_after = upsert_parquet_state(
         spark,
@@ -315,9 +326,16 @@ def run_pipeline_c(
             "period", F.lit(end)
         )
         sem = grouped_sum(sem, ["organisation_unit_id", "period"], val_cols)
-        # semester aggregates report under their own indicator numbers
-        # (extract_chu_data.py:504-540 routes them to 13/14)
-        wides.append((sem, history_prefix_map or sheets[history_sheet][1]))
+        # semester aggregates report under their OWN indicator numbers
+        # (extract_chu_data.py:504-540 routes them to 13/14); reusing the
+        # quarterly sheet's map would emit two contradictory rows per
+        # (idsite, periode, indicateur) at quarter-end months
+        if history_prefix_map is None:
+            raise ValueError(
+                "history_prefix_map is required when the history leg is on: "
+                "semester aggregates need their own indicator numbers"
+            )
+        wides.append((sem, history_prefix_map))
 
     long_df = stack_pathologies(wides, ["organisation_unit_id", "period"])
 
@@ -336,8 +354,13 @@ def run_pipeline_c(
 
 
 def _try_read(spark: SparkSession, path: str) -> DataFrame | None:
-    import os
-
-    if not os.path.exists(path):
+    """Read-or-None without a driver-local filesystem check —
+    ``os.path.exists`` is always False for s3://, hdfs://, etc. (the
+    atomic-swap in upsert_parquet_state stays local-FS by design and is
+    documented as such; reading must not be)."""
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force resolution now
+        return df
+    except Exception:
         return None
-    return spark.read.parquet(path)

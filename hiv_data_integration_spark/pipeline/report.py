@@ -17,7 +17,11 @@ from hiv_data_integration_spark.constants import (
     ALWAYS_PADDED_REPORT_COLUMNS,
     DEFAULT_ROOT_ORG_UNIT,
 )
-from hiv_data_integration_spark.functions import idsite_from_path, period_to_date
+from hiv_data_integration_spark.functions import (
+    idsite_from_path,
+    period_to_date,
+    round_to_long,
+)
 from hiv_data_integration_spark.operators.relational import union_relaxed
 from hiv_data_integration_spark.operators.reshape import pad_to_contract, stack_by_prefix
 
@@ -72,7 +76,7 @@ def finalize_report(
         idsite_from_path(F.col("_path"), root_uid).alias("idsite"),
         period_to_date(F.col(period_col)).alias("periode"),
         F.col("Indicateur").cast("long").alias("Indicateur"),
-        *[F.round(F.col(c), 0).cast("long").alias(c) for c in present],
+        *[round_to_long(F.col(c)).alias(c) for c in present],
     )
     return pad_to_contract(normalized, contract).orderBy(
         "idsite", "periode", "Indicateur"

@@ -117,3 +117,17 @@ def test_upsert_relaxes_schema(spark, tmp_path):
     assert set(out.columns) == {"key", "v", "extra"}
     by_key = {r.key: r for r in out.collect()}
     assert by_key["a"].extra is None and by_key["d"].extra == "new-col"
+
+
+def test_upsert_new_rows_win_on_key_collision(spark, tmp_path):
+    """A re-submitted key must replace the stored row deterministically —
+    dropDuplicates kept an arbitrary winner."""
+    from hiv_data_integration_spark.operators.fuzzy import upsert_parquet_state
+
+    path = str(tmp_path / "state.parquet")
+    first = spark.createDataFrame([("k1", 10), ("k2", 20)], "k string, v int")
+    upsert_parquet_state(spark, path, first, ["k"])
+    corrected = spark.createDataFrame([("k1", 99)], "k string, v int")
+    after = upsert_parquet_state(spark, path, corrected, ["k"])
+    got = {r["k"]: r["v"] for r in after.collect()}
+    assert got == {"k1": 99, "k2": 20}
