@@ -31,6 +31,7 @@ __all__ = [
     "lenient_double",
     "round_to_long",
     "compound_key",
+    "rename_fn",
 ]
 
 

@@ -32,8 +32,12 @@ def read_spectrum(spark: SparkSession, path: str) -> DataFrame:
         return spark.read.parquet(path)
     if suffix == ".csv":
         return spark.read.csv(path, header=True, inferSchema=True)
-    if suffix in (".xlsx", ".xls"):
+    if suffix == ".xlsx":
         return excel_sheet_to_spark(spark, read_excel_sheet(path))
+    if suffix == ".xls":
+        # openpyxl cannot parse legacy .xls (needs xlrd, not shipped) —
+        # fail with the real reason instead of a misleading openpyxl gate
+        raise ValueError("legacy .xls is not supported (requires xlrd); convert to .xlsx")
     raise ValueError(f"unsupported spectrum file format: {suffix!r}")
 
 
@@ -47,6 +51,9 @@ def json_dict_source(
     (broadcast-scale dim; the NAOMI district↔DHIS2 mapping shape)."""
     with open(path) as fh:
         mapping = json.load(fh)
-    return spark.createDataFrame(
-        list(mapping.items()), f"{key_col} string, {value_col} string"
-    )
+    # mapping files in the wild mix string and numeric ids — stringify both
+    # sides instead of crashing type verification on the declared schema
+    rows = [
+        (str(k), None if v is None else str(v)) for k, v in mapping.items()
+    ]
+    return spark.createDataFrame(rows, f"{key_col} string, {value_col} string")

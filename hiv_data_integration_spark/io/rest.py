@@ -30,7 +30,6 @@ comprehension, as Catalyst operators.
 
 from __future__ import annotations
 
-import time
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -214,7 +213,6 @@ def flatten_naomi_json(raw: DataFrame) -> DataFrame:
 def naomi_source(
     spark: SparkSession,
     fetch_fn: Callable[[dict], list[dict]],
-    coc_name_map: Callable[[str, str], str] | None = None,
     **fetch_kw,
 ) -> DataFrame:
     """NAOMI estimates source: 28-request fan-out → JVM-side JSON flatten.

@@ -58,6 +58,10 @@ def export_csv_per_period(
     part file is renamed into place. Returns the written paths sorted.
     """
     os.makedirs(out_dir, exist_ok=True)
+    # persist: the distinct-period scan plus one filtered write per period
+    # would otherwise re-execute the full upstream plan N+1 times (and on
+    # a changing source could produce mutually inconsistent files)
+    df = df.persist()
     periods = [
         r[0]
         for r in df.select(F.col(period_col).cast("string")).distinct().collect()
@@ -88,10 +92,17 @@ def write_parquet_state(df: DataFrame, path: str) -> None:
 
 
 def write_excel_review(
-    df: DataFrame, template_path: str, sheet: str, start_row: int = 6
+    df: DataFrame,
+    template_path: str,
+    sheet: str,
+    output_path: str,
+    start_row: int = 6,
 ) -> None:  # pragma: no cover - openpyxl absent in this container
     """Write flagged review rows into a pre-styled workbook sheet starting
-    at ``start_row`` (row 4 for PTME sheets in the reference). Driver-side
+    at ``start_row`` (row 4 for PTME sheets in the reference), saving to
+    ``output_path`` — never back over the template, which must stay
+    pristine across runs (a re-run with fewer flagged rows would otherwise
+    leave the previous run's stale rows in the sheet). Driver-side
     ``toPandas`` is correct here: review extracts are human-scale."""
     if not HAVE_OPENPYXL:
         raise NotImplementedError(
@@ -106,4 +117,4 @@ def write_excel_review(
     for r_off, row in enumerate(df.toPandas().itertuples(index=False)):
         for c_off, val in enumerate(row):
             ws.cell(row=start_row + r_off, column=1 + c_off, value=val)
-    wb.save(template_path)
+    wb.save(output_path)

@@ -273,6 +273,7 @@ def split_by_consistency(
     key_cols: list[str],
     offset: int = 3,
     exclude_inconsistent: bool = True,
+    cache: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Route rows into (consistent, flagged) frames.
 
@@ -282,8 +283,17 @@ def split_by_consistency(
     R2/utils.py:821-830).
     The returned "consistent" frame has the original columns; the flagged
     frame keeps the per-cell color annotations for the review sink.
+
+    ``cache=True`` persists the annotated frame so the two returned
+    branches evaluate the rule expressions once, not twice; the cache lives
+    until the session ends (both children are lazy, so there is no safe
+    point to unpersist inside this function). Long-lived sessions
+    processing many large frames can pass ``cache=False`` to trade
+    recompute for executor memory.
     """
-    annotated = apply_rules(df, rules, key_cols, offset).cache()
+    annotated = apply_rules(df, rules, key_cols, offset)
+    if cache:
+        annotated = annotated.cache()
     flagged = annotated.filter(~F.col("is_consistent")).drop("is_consistent")
     clean_cols = list(df.columns)
     consistent = (

@@ -36,6 +36,7 @@ __all__ = [
     "session_window_agg",
     "running_user_totals",
     "run_available_now",
+    "run_available_now_to_parquet",
 ]
 
 # Driver testdata events shape (TESTDATA.md; ts stored as timestamp).
@@ -141,14 +142,26 @@ _RUNNING_STATE = T.StructType(
 )
 
 
-def running_user_totals(events: DataFrame) -> DataFrame:
+def running_user_totals(
+    events: DataFrame, state_ttl_minutes: int | None = None
+) -> DataFrame:
     """Custom stateful operator: running per-user (count, value-total).
 
     ``applyInPandasWithState`` demonstrator — arbitrary per-key state the
     built-in aggregations can't express (e.g. decayed counters, dedup
     caches, ML feature state). Emits one row per user per micro-batch with
     the running totals. State is a 2-field struct; update mode.
+
+    ``state_ttl_minutes`` bounds the state store: users idle longer than
+    the TTL have their state dropped (processing-time timeout). Leave None
+    only for bounded key populations / finite replays — unbounded user
+    streams otherwise grow state forever.
     """
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_minutes
+        else GroupStateTimeout.NoTimeout
+    )
 
     def update(
         key: tuple[Any, ...],
@@ -156,11 +169,16 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         # self-contained closure (shipped by value to workers)
+        if state.hasTimedOut:
+            state.remove()
+            return
         n, total = (state.get if state.exists else (0, 0.0))
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].fillna(0.0).sum())
         state.update((n, total))
+        if state_ttl_minutes:
+            state.setTimeoutDuration(state_ttl_minutes * 60 * 1000)
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
         )
@@ -170,7 +188,7 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputStructType=_RUNNING_OUT,
         stateStructType=_RUNNING_STATE,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout_conf,
     )
 
 
@@ -185,6 +203,12 @@ def run_available_now(
 
     The batch-parity harness: stream → availableNow → memory table vs the
     same transformation applied in batch.
+
+    ``checkpoint_dir`` must be FRESH per invocation: the memory table only
+    holds THIS run's output, so resuming from an old checkpoint (source
+    offsets already committed) yields a table silently missing previously
+    processed data. For incremental processing pair a reused checkpoint
+    with a durable sink (:func:`run_available_now_to_parquet`).
     """
     q = (
         stream_df.writeStream.format("memory")
