@@ -775,6 +775,69 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(approx, "event_type")
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once ingest, oracle-checked: the events file is
+    delivered TWICE (at-least-once re-delivery), the stream dedups on
+    event_id (`dropDuplicates` keyed state), and the downstream aggregate
+    must equal the batch aggregate over a single copy — the ingestion
+    pattern every streaming training-data feed needs. availableNow +
+    complete mode + decimal sums keep it deterministic."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = tempfile.mkdtemp(prefix="dup_feed_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/delivery1.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/delivery2.parquet")
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    agg = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .load(src)
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", scale=6, prec=28).alias("sum_value"),
+        )
+    )
+    name = f"stream_dedup_{_uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = _local_result(spark.table(name))
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(src, ignore_errors=True)
+    return out
+
+
+SQL_STREAMING_DEDUP = """
+SELECT event_type, count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end LLM training-corpus prep chain (§2.14 composed): corpus
     with planted duplicates → exact dedup (md5 fingerprint, keep lowest id)
@@ -996,6 +1059,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "partitioned_parquet_pruning": q_partition_pruning,
     "approx_sketches_events": q_approx_sketches,
     "streaming_tumbling_counts": q_streaming_tumbling,
+    "streaming_exactly_once_dedup": q_streaming_dedup,
 }
 
 EXT_ORACLE: dict[str, str] = {
@@ -1017,6 +1081,7 @@ EXT_ORACLE: dict[str, str] = {
     "rest_fanout_analytics": SQL_REST_FANOUT,
     "rest_naomi_json_flatten": SQL_NAOMI_FLATTEN,
     "salted_skew_join": SQL_SALTED_JOIN,
+    "streaming_exactly_once_dedup": SQL_STREAMING_DEDUP,
     "bucketed_colocated_join": SQL_BUCKETED_JOIN,
     "llm_corpus_prep": SQL_CORPUS_PREP,
     "spectrum_csv_scan": SQL_SPECTRUM_CSV,
