@@ -698,7 +698,7 @@ def q_string_path_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_STRING_PATH_OPS = """
 SELECT n_name,
-       replace(replace('/ROOT/' || r_name || '/' || n_name, '/', '_'), '_ROOT_', '_') AS idsite,
+       replace(replace('/ROOT/' || r_name || '/' || n_name, '/', '_'), '_ROOT_', '') AS idsite,
        string_split('/ROOT/' || r_name || '/' || n_name, '/')[3] AS region_segment
 FROM nation JOIN region ON n_regionkey = r_regionkey
 """

@@ -567,12 +567,9 @@ WITH m AS (
     FROM customer
 )
 SELECT c_custkey, mangled,
-       trim(regexp_replace(
-           regexp_replace(
-               regexp_replace(lower(strip_accents(mangled)),
-                              '{_PUNCT_SQL}', ' ', 'g'),
-               '\\bpublic\\b', ' ', 'g'),
-           '\\s+', ' ', 'g')) AS normalized
+       lower(replace(replace(
+           trim(regexp_replace(strip_accents(mangled), '[^\\w\\s-]', '', 'g')),
+           'public', ''), '-', ' ')) AS normalized
 FROM m
 """
 

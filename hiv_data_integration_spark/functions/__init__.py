@@ -175,11 +175,13 @@ def path_segment(col: Column, segment: int) -> Column:
 def idsite_from_path(col: Column, root_uid: str) -> Column:
     """Org path → ``idsite``: ``"/"``→``"_"`` then strip the root uid.
 
-    Reference: update_pnls_report/pipeline.py:346-354 (replace_all + literal
-    strip of ``_<root>_``).
+    Reference: update_pnls_report/pipeline.py:346-354 — ``replace_all("/","_")``
+    then ``replace_all("_<root>_", "", literal=True)``: the ``_<root>_`` prefix
+    is removed ENTIRELY (empty replacement), so idsite has no leading
+    underscore (``"r1_d1_f1"``, not ``"_r1_d1_f1"``).
     """
     return F.replace(
-        F.replace(col, F.lit("/"), F.lit("_")), F.lit(f"_{root_uid}_"), F.lit("_")
+        F.replace(col, F.lit("/"), F.lit("_")), F.lit(f"_{root_uid}_"), F.lit("")
     )
 
 

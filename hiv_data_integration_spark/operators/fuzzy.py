@@ -33,8 +33,6 @@ Scale design:
 
 from __future__ import annotations
 
-import os
-import shutil
 import unicodedata
 import uuid
 from difflib import SequenceMatcher
@@ -51,13 +49,18 @@ __all__ = [
     "normalize_text_col",
     "token_set_ratio",
     "best_match_udf",
+    "collect_candidates",
     "resolve_entities",
     "uuid5_id",
     "upsert_parquet_state",
 ]
 
-_PUNCT_RE = r"""[!"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]"""
-_NOISE_WORDS = ("public",)
+# reference CLEAN_PATTERN (update_pnls_report/utils.py:541): delete anything
+# that is not a word char, whitespace, or hyphen. Java/RE2 '\w' is ASCII-only
+# (Python re is unicode) — identical here because accent folding runs first;
+# only non-decomposable letters (œ, ø...) diverge, and both engines (Spark +
+# DuckDB oracle) agree with each other.
+_CLEAN_RE = r"[^\w\s-]"
 
 
 def strip_accents(s: str) -> str:
@@ -97,20 +100,28 @@ def nfd_fold(col: Column) -> Column:
 
 
 def normalize_text_col(col: Column, fold_accents: bool = True) -> Column:
-    """Canonical text key: accent-fold -> strip punctuation -> drop noise
-    words -> collapse whitespace -> lower.
+    """Canonical text key mirroring the reference's ``normalize_text``
+    (update_pnls_report/utils.py:543-558) operation ORDER exactly:
 
-    Everything except the NFD fold is native (whole-stage codegen);
-    ``fold_accents=False`` keeps the expression 100% JVM-side for inputs
-    known to be ASCII.
+    1. NFD accent fold;
+    2. DELETE punctuation (no replacement space) except hyphen;
+    3. trim;
+    4. remove the case-sensitive substring ``"public"`` (pre-lowercase, so
+       ``"Public"`` survives — reference behavior);
+    5. hyphen -> space;
+    6. lowercase.
+
+    So ``"St.Jean"`` -> ``"stjean"`` (not ``"st jean"``) and internal
+    whitespace is NOT collapsed. Everything except the NFD fold is native
+    (whole-stage codegen); ``fold_accents=False`` keeps the expression 100%
+    JVM-side for inputs known to be ASCII.
     """
     c = nfd_fold(col) if fold_accents else col
-    c = F.lower(c)
-    c = F.regexp_replace(c, _PUNCT_RE, " ")
-    for w in _NOISE_WORDS:
-        c = F.regexp_replace(c, rf"\b{w}\b", " ")
-    c = F.trim(F.regexp_replace(c, r"\s+", " "))
-    return c
+    c = F.regexp_replace(c, _CLEAN_RE, "")
+    c = F.trim(c)
+    c = F.replace(c, F.lit("public"), F.lit(""))
+    c = F.replace(c, F.lit("-"), F.lit(" "))
+    return F.lower(c)
 
 
 def _ratio(a: str, b: str) -> float:
@@ -132,10 +143,20 @@ def token_set_ratio(a: str, b: str) -> float:
 
 
 def best_match_udf(
-    candidates: list[tuple[str, str]], threshold: float = 90.0
+    candidates: list[tuple[str, str]] | dict[str, list[tuple[str, str]]],
+    threshold: float = 90.0,
 ):
     """Build a pandas_udf scoring each input against a broadcast-style
     captured candidate list ``[(normalized_name, payload), ...]``.
+
+    Two shapes:
+
+    - ``list`` → unblocked: ``udf(name_col)`` scores against ALL candidates.
+    - ``dict[block_key, list]`` → **blocked** (the reference's
+      district-blocking, update_pnls_report/extract_chu_data.py:337-360):
+      ``udf(block_col, name_col)`` scores each row against only its block's
+      candidates — O(rows × block size) instead of O(rows × all candidates),
+      the 100-TB-safe shape when the candidate dim is large.
 
     Returns struct(matched:payload or NULL, score:double or NULL — score
     is reported only for accepted matches, which lets the scorer prune).
@@ -144,7 +165,13 @@ def best_match_udf(
     length-bound pruning (``real_quick_ratio``-style upper bound) before
     any SequenceMatcher work; early exit at 100.
     """
-    exact = {name: payload for name, payload in candidates}
+    blocked = isinstance(candidates, dict)
+    # normalize to {block_key or None: [(name, payload), ...]}
+    cand_map: dict = (
+        {k: list(v) for k, v in candidates.items()}
+        if blocked
+        else {None: list(candidates)}
+    )
 
     schema = T.StructType(
         [
@@ -153,21 +180,31 @@ def best_match_udf(
         ]
     )
 
-    @pandas_udf(schema)
-    def match(s: pd.Series) -> pd.DataFrame:
+    def _match_series(cols):
         from difflib import SequenceMatcher as SM
 
-        # precompute once per worker: token sets + sorted-token lengths
-        # (len(" ".join(tokens)) is order-independent: sum(len) + n - 1)
-        prep = [
-            (
-                name,
-                payload,
-                frozenset(name.split()),
-                len(" ".join(sorted(set(name.split())))),
-            )
-            for name, payload in candidates
-        ]
+        # per-worker lazy prep: block -> (exact_dict, prepped candidates)
+        # (token sets + sorted-token lengths; len(" ".join(tokens)) is
+        # order-independent: sum(len) + n - 1)
+        prep_cache: dict = {}
+
+        def get_block(block):
+            ent = prep_cache.get(block)
+            if ent is None:
+                cl = cand_map.get(block, ())
+                exact = {name: payload for name, payload in cl}
+                prep = [
+                    (
+                        name,
+                        payload,
+                        frozenset(name.split()),
+                        len(" ".join(sorted(set(name.split())))),
+                    )
+                    for name, payload in cl
+                ]
+                ent = (exact, prep)
+                prep_cache[block] = ent
+            return ent
 
         def ratio(a, b):
             if not a and not b:
@@ -180,7 +217,7 @@ def best_match_udf(
             sb = (inter + " " + " ".join(sorted(ct - qt))).strip()
             return max(ratio(inter, sa), ratio(inter, sb), ratio(sa, sb))
 
-        def best_for(q):
+        def best_for(q, exact, prep):
             hit = exact.get(q)
             if hit is not None:
                 return hit, 100.0
@@ -228,20 +265,39 @@ def best_match_udf(
                             break
             return (best_p, best_s) if found else (None, None)
 
-        memo: dict[str, tuple] = {}
+        if len(cols) == 2:
+            blocks_s, names_s = cols
+        else:
+            (names_s,) = cols
+            blocks_s = None
+        memo: dict = {}
         matched, scores = [], []
-        for q in s:
+        for i, q in enumerate(names_s):
             if q is None:
                 matched.append(None)
                 scores.append(None)
                 continue
-            r = memo.get(q)
+            b = blocks_s.iloc[i] if blocks_s is not None else None
+            r = memo.get((b, q))
             if r is None:
-                r = best_for(q)
-                memo[q] = r
+                exact, prep = get_block(b)
+                r = best_for(q, exact, prep)
+                memo[(b, q)] = r
             matched.append(r[0])
             scores.append(r[1])
         return pd.DataFrame({"matched": matched, "score": scores})
+
+    if blocked:
+
+        @pandas_udf(schema)
+        def match(block_s: pd.Series, s: pd.Series) -> pd.DataFrame:
+            return _match_series((block_s, s))
+
+    else:
+
+        @pandas_udf(schema)
+        def match(s: pd.Series) -> pd.DataFrame:
+            return _match_series((s,))
 
     # The scorer IS deterministic, but marking it nondeterministic stops
     # Catalyst from (a) pushing filters on its output below the repartition
@@ -249,6 +305,50 @@ def best_match_udf(
     # pre-shuffle partitioning — and (b) duplicating it across collapsed
     # projections. One evaluation, after the exchange, always.
     return match.asNondeterministic()
+
+
+_BLOCK_SEP = "\x1f"
+
+
+def collect_candidates(
+    candidates_df: DataFrame,
+    cand_name_col: str,
+    cand_payload_col: str,
+    fold_accents: bool = True,
+    block_cols: list[str] | None = None,
+) -> list[tuple[str, str]] | dict[str, list[tuple[str, str]]]:
+    """Collect + normalize the candidate dim on the driver.
+
+    Without ``block_cols``: ``[(normalized_name, payload), ...]``.
+    With ``block_cols``: ``{block_key: [(normalized_name, payload), ...]}``
+    where the block key is the normalized block values joined with a
+    non-printing separator — candidates are partitioned so the scorer only
+    ever sees its own block (reference district-blocking,
+    update_pnls_report/extract_chu_data.py:337-360).
+    """
+    if not block_cols:
+        return [
+            (r[0], r[1])
+            for r in candidates_df.select(
+                normalize_text_col(F.col(cand_name_col), fold_accents),
+                F.col(cand_payload_col),
+            ).collect()
+            if r[0] is not None
+        ]
+    block_key = F.concat_ws(
+        _BLOCK_SEP,
+        *[normalize_text_col(F.col(b), fold_accents) for b in block_cols],
+    )
+    out: dict[str, list[tuple[str, str]]] = {}
+    for r in candidates_df.select(
+        block_key,
+        normalize_text_col(F.col(cand_name_col), fold_accents),
+        F.col(cand_payload_col),
+    ).collect():
+        if r[1] is None:
+            continue
+        out.setdefault(r[0], []).append((r[1], r[2]))
+    return out
 
 
 def resolve_entities(
@@ -260,6 +360,8 @@ def resolve_entities(
     threshold: float = 90.0,
     fold_accents: bool = True,
     partitions: int | None = None,
+    block_cols: list[str] | None = None,
+    cand_block_cols: list[str] | None = None,
 ) -> DataFrame:
     """Resolve each row's entity name against a small candidate dim.
 
@@ -268,15 +370,21 @@ def resolve_entities(
     captured inside the scoring pandas_udf, so the fact side never
     shuffles. Output adds ``matched`` (candidate payload or null) and
     ``match_score``.
+
+    ``block_cols`` (fact side) / ``cand_block_cols`` (candidate side,
+    defaults to ``block_cols``) bound the scoring: each row is scored only
+    against candidates whose normalized block key equals the row's — the
+    reference's district-blocking (extract_chu_data.py:337-360). This drops
+    per-row cost from O(all candidates) to O(block size) and is the scale
+    path when the candidate dim grows beyond broadcast-comfortable size.
     """
-    cands = [
-        (r[0], r[1])
-        for r in candidates_df.select(
-            normalize_text_col(F.col(cand_name_col), fold_accents),
-            F.col(cand_payload_col),
-        ).collect()
-        if r[0] is not None
-    ]
+    cands = collect_candidates(
+        candidates_df,
+        cand_name_col,
+        cand_payload_col,
+        fold_accents,
+        cand_block_cols if cand_block_cols is not None else block_cols,
+    )
     udf = best_match_udf(cands, threshold)
     if partitions:
         # the scoring stage is Python-CPU-bound: one repartition shuffle
@@ -284,7 +392,14 @@ def resolve_entities(
         # parquet dim would otherwise score serially in one task)
         df = df.repartition(partitions)
     normalized = normalize_text_col(F.col(name_col), fold_accents)
-    out = df.withColumn("_m", udf(normalized))
+    if block_cols:
+        block_key = F.concat_ws(
+            _BLOCK_SEP,
+            *[normalize_text_col(F.col(b), fold_accents) for b in block_cols],
+        )
+        out = df.withColumn("_m", udf(block_key, normalized))
+    else:
+        out = df.withColumn("_m", udf(normalized))
     return out.select(
         "*", F.col("_m.matched").alias("matched"), F.col("_m.score").alias("match_score")
     ).drop("_m")
@@ -313,6 +428,51 @@ def uuid5_py(name: str) -> str:
     return str(uuid.uuid5(uuid.NAMESPACE_DNS, name)).replace("-", "")
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path-class, Path) for ``path`` via the JVM gateway —
+    storage-agnostic: local, HDFS, or any object store whose Hadoop
+    connector is on the classpath. Raises a clear error when the scheme
+    has no configured filesystem (e.g. ``s3a://`` without hadoop-aws)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath_cls = jvm.org.apache.hadoop.fs.Path
+    jpath = hpath_cls(path)
+    try:
+        fs = jpath.getFileSystem(hconf)
+    except Exception as e:  # Py4JJavaError for unknown schemes
+        raise RuntimeError(
+            f"upsert_parquet_state: no Hadoop filesystem is configured for "
+            f"{path!r} — the scheme's connector (e.g. hadoop-aws for s3a://) "
+            f"must be on the Spark classpath"
+        ) from e
+    return fs, hpath_cls, jpath
+
+
+def _swap_state_dirs(fs, hpath_cls, path: str, staging: str, backup: str) -> None:
+    """Commit ``staging`` over ``path`` via FileSystem renames, with
+    rollback: if promoting staging fails after the current dir was moved
+    aside, the backup is restored before re-raising. Rename is atomic on
+    HDFS/local; on object stores it is copy+delete (not atomic, but the
+    backup still guarantees no data loss)."""
+    jpath, jstag, jback = hpath_cls(path), hpath_cls(staging), hpath_cls(backup)
+    if fs.exists(jback):
+        fs.delete(jback, True)
+    moved_aside = False
+    if fs.exists(jpath):
+        if not fs.rename(jpath, jback):
+            raise IOError(f"state swap: rename {path} -> {backup} failed")
+        moved_aside = True
+    try:
+        if not fs.rename(jstag, jpath):
+            raise IOError(f"state swap: rename {staging} -> {path} failed")
+    except Exception:
+        if moved_aside:
+            fs.rename(jback, jpath)  # rollback: restore the previous state
+        raise
+    if fs.exists(jback):
+        fs.delete(jback, True)
+
+
 def upsert_parquet_state(
     spark: SparkSession,
     path: str,
@@ -323,8 +483,10 @@ def upsert_parquet_state(
 
     Spark cannot overwrite a path its own lazy plan is still reading, so:
     read -> unionByName(new, allowMissingColumns) -> keep one row per key
-    -> write to ``<path>.__staging__`` -> atomic directory swap. Returns
-    the post-upsert DataFrame (re-read from the final path).
+    -> write to ``<path>.__staging__`` -> FileSystem-rename swap (storage-
+    agnostic via the Hadoop FileSystem API; atomic on HDFS/local, backed-up
+    copy+delete on object stores). Returns the post-upsert DataFrame
+    (re-read from the final path).
 
     On a key collision the NEW row wins, deterministically: a re-submitted
     quarter must replace the stale history row, and ``dropDuplicates``
@@ -333,9 +495,11 @@ def upsert_parquet_state(
     """
     from pyspark.sql.window import Window
 
+    fs, hpath_cls, jpath = _hadoop_fs(spark, path)
+
     prio = "_upsert_prio"
     tagged_new = new_rows.withColumn(prio, F.lit(0))
-    if os.path.exists(path):
+    if fs.exists(jpath):
         current = spark.read.parquet(path).withColumn(prio, F.lit(1))
         merged = tagged_new.unionByName(current, allowMissingColumns=True)
     else:
@@ -350,11 +514,5 @@ def upsert_parquet_state(
     staging = path.rstrip("/") + ".__staging__"
     backup = path.rstrip("/") + ".__old__"
     merged.write.mode("overwrite").parquet(staging)
-    if os.path.exists(backup):
-        shutil.rmtree(backup)
-    if os.path.exists(path):
-        os.replace(path, backup)
-    os.replace(staging, path)
-    if os.path.exists(backup):
-        shutil.rmtree(backup)
+    _swap_state_dirs(fs, hpath_cls, path, staging, backup)
     return spark.read.parquet(path)

@@ -106,11 +106,27 @@ def decode_media(
             metas = []
             for payload in pdf[payload_col]:
                 data = bytes(payload) if payload is not None else b""
+                n = len(data)
                 if have_pil:  # pragma: no cover - real decoder path
-                    raise NotImplementedError(
-                        "real PIL decode not wired in this container"
-                    )
-                n = len(data)  # deterministic fake decode (see _fake_decode)
+                    try:
+                        import io
+
+                        from PIL import Image as _Img
+
+                        with _Img.open(io.BytesIO(data)) as im:
+                            metas.append(
+                                {
+                                    "width": int(im.size[0]),
+                                    "height": int(im.size[1]),
+                                    "channels": len(im.getbands()),
+                                    "n_bytes": n,
+                                    "decoder": "pil",
+                                }
+                            )
+                        continue
+                    except Exception:
+                        pass  # not an image PIL understands -> stub below
+                # deterministic fake decode (see _fake_decode)
                 w, h, c = 16 + (n % 64), 16 + ((n // 64) % 64), 3
                 metas.append(
                     {

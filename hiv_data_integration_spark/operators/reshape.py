@@ -72,12 +72,15 @@ def stack_by_prefix(
             if len(sources) == 1:
                 cols[new_name] = F.col(sources[0])
             else:
-                summed = F.col(sources[0])
+                # null-preserving merge: nulls count as 0 only if at least
+                # one source is non-null; an all-NULL set stays NULL (same
+                # invariant as grouped_sum / SQL SUM)
+                summed = F.coalesce(F.col(sources[0]), F.lit(0))
+                any_set = F.col(sources[0]).isNotNull()
                 for s in sources[1:]:
-                    summed = (
-                        F.coalesce(summed, F.lit(0)) + F.coalesce(F.col(s), F.lit(0))
-                    )
-                cols[new_name] = summed
+                    summed = summed + F.coalesce(F.col(s), F.lit(0))
+                    any_set = any_set | F.col(s).isNotNull()
+                cols[new_name] = F.when(any_set, summed)
         groups.append(cols)
     if not groups:
         raise ValueError("no prefix matched any column")

@@ -227,6 +227,8 @@ def run_pipeline_c(
     quarter_end: str | None = None,
     year: int | None = None,
     match_threshold: float = 90.0,
+    registry_threshold: float = 95.0,
+    district_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Entry point C: CHU workbook frames → fuzzy org resolution with
     registry upsert → lenient numeric parse + group sums → optional PEC
@@ -234,15 +236,29 @@ def run_pipeline_c(
 
     ``sheets`` maps sheet name → (flattened wide frame, prefix→indicator).
     Returns ``(report, registry_after)``.
+
+    Resolution mirrors extract_chu_data.py:255-410 exactly: (1) registry
+    fuzzy pass at threshold **95**; (2) unresolved → DHIS2 level-4 facility
+    fuzzy pass at ``match_threshold``; (3) still unresolved → the district
+    name (``district_col``, else the facility name), uppercased with
+    "PUBLIC"/"CHU"/" DE " removed, fuzzy-matched against level-**3** units —
+    on a hit the id is synthesized as ``<district_path>/<uuid5(facility)>``;
+    (4) facilities matching nothing are **dropped** (reference filters the
+    registry to non-null ids and inner-joins, extract_chu_data.py:378-410) —
+    never upserted, never reported.
     """
-    # -- 1. resolve facility names: registry first, then DHIS2 org units,
-    #    else synthesize a deterministic id (extract_chu_data.py:255-410)
+    # -- 1. resolve facility names (extract_chu_data.py:255-410)
+    name_cols = ["facility"] + (["district"] if district_col else [])
     names = None
     for df, _ in sheets.values():
-        sel = df.select(F.col(facility_col).alias("facility"))
+        sel = df.select(
+            F.col(facility_col).alias("facility"),
+            *([F.col(district_col).alias("district")] if district_col else []),
+        )
         names = sel if names is None else names.unionByName(sel)
     names = names.filter(F.col("facility").isNotNull()).distinct()
 
+    # pass 1: existing registry, threshold 95 (extract_chu_data.py:299-308)
     registry_exists = _try_read(spark, registry_path)
     if registry_exists is not None:
         reg_resolved = resolve_entities(
@@ -251,33 +267,60 @@ def run_pipeline_c(
             registry_exists,
             "formations_sanitaires",
             "organisation_unit_id",
-            threshold=match_threshold,
-        ).select("facility", F.col("matched").alias("registry_id"))
+            threshold=registry_threshold,
+        ).select(*name_cols, F.col("matched").alias("ou_id"))
     else:
-        reg_resolved = names.withColumn("registry_id", F.lit(None).cast("string"))
+        reg_resolved = names.withColumn("ou_id", F.lit(None).cast("string"))
+    matched_reg = reg_resolved.filter(F.col("ou_id").isNotNull())
+    unresolved1 = reg_resolved.filter(F.col("ou_id").isNull()).drop("ou_id")
 
-    l4 = org_units.filter(F.col("level").isin([3, 4]))
+    # pass 2: DHIS2 level-4 facilities (extract_chu_data.py:322-336)
+    l4 = org_units.filter(F.col("level") == 4)
     dhis_resolved = resolve_entities(
-        reg_resolved,
-        "facility",
-        l4,
+        unresolved1, "facility", l4, "name", "path", threshold=match_threshold
+    ).select(*name_cols, F.col("matched").alias("ou_id"))
+    matched_l4 = dhis_resolved.filter(F.col("ou_id").isNotNull())
+    unresolved2 = dhis_resolved.filter(F.col("ou_id").isNull()).drop("ou_id")
+
+    # pass 3: district-gated synthesis (extract_chu_data.py:342-376) — the
+    # district name (facility name if no district column) is uppercased,
+    # noise substrings removed, and matched against LEVEL-3 units; only a
+    # district hit earns a synthesized "<district_path>/<uuid5>" id
+    district_src = F.col("district") if district_col else F.col("facility")
+    cleaned = F.trim(
+        F.replace(
+            F.replace(
+                F.replace(F.upper(district_src), F.lit("PUBLIC"), F.lit("")),
+                F.lit("CHU"),
+                F.lit(""),
+            ),
+            F.lit(" DE "),
+            F.lit(""),
+        )
+    )
+    l3 = org_units.filter(F.col("level") == 3)
+    district_resolved = resolve_entities(
+        unresolved2.withColumn("_district_clean", cleaned),
+        "_district_clean",
+        l3,
         "name",
         "path",
         threshold=match_threshold,
-    ).select(
-        "facility",
-        "registry_id",
-        F.col("matched").alias("dhis_path"),
     )
+    matched_synth = district_resolved.filter(F.col("matched").isNotNull()).select(
+        *name_cols,
+        F.concat_ws("/", F.col("matched"), uuid5_id(F.col("facility"))).alias(
+            "ou_id"
+        ),
+    )
+    # facilities with no registry, facility, or district match are DROPPED
 
-    resolved = dhis_resolved.select(
-        "facility",
-        F.coalesce(
-            F.col("registry_id"),
-            F.col("dhis_path"),
-            F.concat_ws("/", F.lit("synth"), uuid5_id(F.col("facility"))),
-        ).alias("organisation_unit_id"),
-    ).cache()  # facility-count-sized; re-scoring it per sheet join would
+    resolved = (
+        matched_reg.unionByName(matched_l4)
+        .unionByName(matched_synth)
+        .select(*name_cols, F.col("ou_id").alias("organisation_unit_id"))
+        .cache()
+    )  # facility-count-sized; re-scoring it per sheet join would
     # repeat the O(names x candidates) Python passes N+1 times
 
     registry_after = upsert_parquet_state(
@@ -286,6 +329,11 @@ def run_pipeline_c(
         resolved.select(
             F.col("organisation_unit_id"),
             F.col("facility").alias("formations_sanitaires"),
+            *(
+                [F.col("district").alias("districts_sanitaires")]
+                if district_col
+                else []
+            ),
         ),
         dedupe_keys=["formations_sanitaires"],
     )
@@ -297,12 +345,13 @@ def run_pipeline_c(
         value_cols = [
             c for c in df.columns if c.startswith(tuple(prefix_map))
         ]
-        merged = (
-            df.join(
-                F.broadcast(resolved),
-                df[facility_col] == resolved["facility"],
-                "inner",
+        join_cond = df[facility_col] == resolved["facility"]
+        if district_col:
+            join_cond = join_cond & (
+                df[district_col].eqNullSafe(resolved["district"])
             )
+        merged = (
+            df.join(F.broadcast(resolved), join_cond, "inner")
             .select(
                 "organisation_unit_id",
                 F.col(period_col).alias("period"),

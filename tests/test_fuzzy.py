@@ -16,18 +16,31 @@ from hiv_data_integration_spark.operators import fuzzy as fz
 
 
 def test_normalize_text_col_accents_punct_noise(spark):
+    """Mirrors the reference normalize_text operation order
+    (update_pnls_report/utils.py:543-558): punctuation DELETED (no space),
+    case-sensitive 'public' substring removal BEFORE lowercasing, hyphen →
+    space, no whitespace collapsing."""
     rows = [
         ("Hôpital-Public (CHU) de Cocody!",),
         ("  CSU   Abobo—Nord ",),
         ("Clinique Sainte Thérèse",),
+        ("Hopital public de Dabou",),
+        ("St.Jean",),
         (None,),
     ]
     df = spark.createDataFrame(rows, "s string")
     got = [r.n for r in df.select(fz.normalize_text_col(F.col("s")).alias("n")).collect()]
-    assert got[0] == "hopital chu de cocody"  # 'public' is a noise word
-    assert got[1] == "csu abobo—nord"  # em-dash is not ASCII punctuation
+    # 'Public' (capital P) survives: the reference removes the lowercase
+    # substring BEFORE lowering; hyphen becomes a space
+    assert got[0] == "hopital public chu de cocody"
+    # em-dash deleted (not \w, \s, or '-'); inner whitespace preserved
+    assert got[1] == "csu   abobonord"
     assert got[2] == "clinique sainte therese"
-    assert got[3] is None
+    # lowercase 'public' IS removed (substring, not word-bounded)
+    assert got[3] == "hopital  de dabou"
+    # punctuation deleted without a space: tokens merge like the reference
+    assert got[4] == "stjean"
+    assert got[5] is None
 
 
 def test_token_set_ratio_properties():
@@ -75,6 +88,81 @@ def test_resolve_entities_exact_fuzzy_and_miss(spark):
     assert out["fuzzy-subset"][0] == "/path/cocody"
     assert out["fuzzy-accent-dropped"][0] == "/path/bassam"
     assert out["no-match"][0] is None
+
+
+def test_resolve_entities_blocked_by_district(spark):
+    """Reference district-blocking (extract_chu_data.py:337-360): a row is
+    scored only against candidates in its own block."""
+    cands = spark.createDataFrame(
+        [
+            ("Cocody", "CSU Centre", "/cocody/centre"),
+            ("Abobo", "CSU Centre", "/abobo/centre"),
+            ("Abobo", "CSU Nord", "/abobo/nord"),
+        ],
+        "district string, name string, path string",
+    )
+    q = spark.createDataFrame(
+        [
+            ("Abobo", "CSU Centre!", "in-block"),
+            ("Cocody", "CSU Nord", "wrong-block"),
+            (None, "CSU Centre", "null-block"),
+        ],
+        "district string, q string, case string",
+    )
+    out = {
+        r.case: r.matched
+        for r in fz.resolve_entities(
+            q, "q", cands, "name", "path", threshold=90.0,
+            block_cols=["district"],
+        ).collect()
+    }
+    # ambiguous name resolves to the SAME-district payload
+    assert out["in-block"] == "/abobo/centre"
+    # CSU Nord exists only in Abobo; blocking prevents cross-district match
+    assert out["wrong-block"] is None
+    # a null block key matches no candidate block
+    assert out["null-block"] is None
+
+
+def test_blocking_shrinks_candidate_sets(spark):
+    cands = spark.createDataFrame(
+        [(f"d{i % 4}", f"facility {i}", f"/p/{i}") for i in range(40)],
+        "district string, name string, path string",
+    )
+    full = fz.collect_candidates(cands, "name", "path")
+    blocked = fz.collect_candidates(cands, "name", "path", block_cols=["district"])
+    assert len(full) == 40
+    # partition: same total, every per-block set strictly smaller
+    assert sum(len(v) for v in blocked.values()) == 40
+    assert all(len(v) == 10 for v in blocked.values())
+
+
+def test_blocked_agrees_with_unblocked_when_names_unique(spark):
+    """With globally-unique names, blocking only prunes — results match."""
+    cands = spark.createDataFrame(
+        [
+            ("d1", "CHU de Cocody", "/p/1"),
+            ("d1", "CSU Abobo Nord", "/p/2"),
+            ("d2", "Hôpital Général de Bassam", "/p/3"),
+        ],
+        "district string, name string, path string",
+    )
+    q = spark.createDataFrame(
+        [("d1", "CHU Cocody"), ("d2", "Hopital General de Bassam!")],
+        "district string, q string",
+    )
+    unblocked = {
+        r.q: r.matched
+        for r in fz.resolve_entities(q, "q", cands, "name", "path").collect()
+    }
+    blocked = {
+        r.q: r.matched
+        for r in fz.resolve_entities(
+            q, "q", cands, "name", "path", block_cols=["district"]
+        ).collect()
+    }
+    assert unblocked == blocked
+    assert blocked["CHU Cocody"] == "/p/1"
 
 
 def test_uuid5_byte_parity(spark):
@@ -131,3 +219,54 @@ def test_upsert_new_rows_win_on_key_collision(spark, tmp_path):
     after = upsert_parquet_state(spark, path, corrected, ["k"])
     got = {r["k"]: r["v"] for r in after.collect()}
     assert got == {"k1": 99, "k2": 20}
+
+
+class _FakeFS:
+    """Duck-typed Hadoop FileSystem for exercising the swap protocol."""
+
+    def __init__(self, dirs, fail_rename_to=None):
+        self.dirs = set(dirs)
+        self.fail_rename_to = fail_rename_to
+        self.calls = []
+
+    def exists(self, p):
+        return p in self.dirs
+
+    def rename(self, a, b):
+        self.calls.append(("rename", a, b))
+        if b == self.fail_rename_to:
+            self.fail_rename_to = None  # fail once; rollback rename succeeds
+            return False
+        if a not in self.dirs:
+            return False
+        self.dirs.remove(a)
+        self.dirs.add(b)
+        return True
+
+    def delete(self, p, recursive):
+        self.calls.append(("delete", p))
+        self.dirs.discard(p)
+        return True
+
+
+def test_swap_rollback_on_failed_promote():
+    """If promoting staging fails after the live dir was moved aside, the
+    backup must be restored (no data loss) and the error re-raised."""
+    fs = _FakeFS({"path", "staging"}, fail_rename_to="path")
+    with pytest.raises(IOError, match="staging"):
+        fz._swap_state_dirs(fs, str, "path", "staging", "backup")
+    # rollback restored the original; staging left for inspection
+    assert "path" in fs.dirs and "staging" in fs.dirs
+    assert ("rename", "backup", "path") in fs.calls
+
+
+def test_swap_happy_path_cleans_backup():
+    fs = _FakeFS({"path", "staging"})
+    fz._swap_state_dirs(fs, str, "path", "staging", "backup")
+    assert fs.dirs == {"path"}
+
+
+def test_upsert_clear_error_on_unconfigured_scheme(spark):
+    df = spark.createDataFrame([Row(key="a", v=1)])
+    with pytest.raises(RuntimeError, match="no Hadoop filesystem"):
+        fz.upsert_parquet_state(spark, "s3a://bucket/state.parquet", df, ["key"])

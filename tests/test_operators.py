@@ -153,12 +153,14 @@ def _stack_reference_union(df, key_cols, prefix_to_indicator, std):
             if len(sources) == 1:
                 exprs.append(F.col(sources[0]).alias(new_name))
             else:
-                summed = F.col(sources[0])
+                # null-preserving: all-NULL merge stays NULL (grouped_sum
+                # invariant), else nulls count as 0
+                summed = F.coalesce(F.col(sources[0]), F.lit(0))
+                any_set = F.col(sources[0]).isNotNull()
                 for s in sources[1:]:
-                    summed = F.coalesce(summed, F.lit(0)) + F.coalesce(
-                        F.col(s), F.lit(0)
-                    )
-                exprs.append(summed.alias(new_name))
+                    summed = summed + F.coalesce(F.col(s), F.lit(0))
+                    any_set = any_set | F.col(s).isNotNull()
+                exprs.append(F.when(any_set, summed).alias(new_name))
         pieces.append(df.select(*exprs))
     return union_relaxed(pieces)
 

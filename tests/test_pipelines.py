@@ -15,6 +15,7 @@ from hiv_data_integration_spark.pipeline import (
     run_pipeline_b,
     run_pipeline_c,
 )
+from hiv_data_integration_spark.operators.fuzzy import uuid5_py
 from hiv_data_integration_spark.pipeline.pnls import PathologySpec, naomi_to_wide
 
 ROOT = "ZD44Asc0bAk"
@@ -116,12 +117,12 @@ def test_pipeline_a_golden(spark, org_units, coc, ist_spec):
     # 2 consistent wide rows x 2 indicators
     assert len(rows) == 4
     # f1/202401 was flagged out; f2/202401 survived with exact sums
-    r_f2_i1 = rows[("_r1_d1_f2", "2024-01-01", 1)]
+    r_f2_i1 = rows[("r1_d1_f2", "2024-01-01", 1)]
     assert (r_f2_i1["F_0-4 ans"], r_f2_i1["M_0-4 ans"]) == (2, 4)
-    r_f2_i2 = rows[("_r1_d1_f2", "2024-01-01", 2)]
+    r_f2_i2 = rows[("r1_d1_f2", "2024-01-01", 2)]
     assert r_f2_i2["nosex_<15 ans"] == 6
     # null-preserving: f1/202402 indicator 2 has no data -> NULL, not 0
-    r_f1_i2 = rows[("_r1_d1_f1", "2024-02-01", 2)]
+    r_f1_i2 = rows[("r1_d1_f1", "2024-02-01", 2)]
     assert r_f1_i2["nosex_<15 ans"] is None
     # flagged frame: exactly the f1/202401 row, with the firing color
     fl = flagged["IST"].collect()
@@ -176,7 +177,7 @@ def test_pipeline_a_with_naomi_leg(spark, org_units, coc, ist_spec):
     assert set(naomi_rows) == {"2024-03-01", "2024-06-01"}
     assert naomi_rows["2024-03-01"]["F_0-4 ans"] == 100
     assert naomi_rows["2024-03-01"]["M_0-4 ans"] == 50
-    assert naomi_rows["2024-03-01"].idsite == "_r1_d1_f1"
+    assert naomi_rows["2024-03-01"].idsite == "r1_d1_f1"
 
 
 def test_pipeline_b_spectrum(spark, org_units):
@@ -197,10 +198,10 @@ def test_pipeline_b_spectrum(spark, org_units):
     )
     assert flagged == {}
     rows = {r.idsite: r for r in report.collect()}
-    assert rows["_r1_d1_f1"]["M_0-4 ans"] == 10
-    assert rows["_r1_d1_f1"]["F_0-4 ans"] == 20
-    assert rows["_r1_d1_f1"].Indicateur == 9
-    assert rows["_r1_d1_f1"].periode == datetime.date(2024, 12, 1)
+    assert rows["r1_d1_f1"]["M_0-4 ans"] == 10
+    assert rows["r1_d1_f1"]["F_0-4 ans"] == 20
+    assert rows["r1_d1_f1"].Indicateur == 9
+    assert rows["r1_d1_f1"].periode == datetime.date(2024, 12, 1)
 
 
 def test_pipeline_c_chu_golden(spark, org_units, tmp_path):
@@ -209,15 +210,18 @@ def test_pipeline_c_chu_golden(spark, org_units, tmp_path):
     sheet = spark.createDataFrame(
         [
             # exact org-unit name, quoted numeric (lenient parse)
-            ("CHU de Cocody", "202401", '"5"', "3"),
+            ("CHU de Cocody", "DS Cocody", "202401", '"5"', "3"),
             # fuzzy: accents dropped + punctuation
-            ("Hopital General de Bassam!", "202401", "7", ""),
-            # unknown facility -> synthesized uuid5 id
-            ("Clinique Inconnue", "202401", "1", "2"),
+            ("Hopital General de Bassam!", "DS Cocody", "202401", "7", ""),
+            # unknown facility, district fuzzy-matches level-3 -> synthesized
+            # <district_path>/<uuid5> id (extract_chu_data.py:342-376)
+            ("Clinique Inconnue", "Cocody", "202401", "1", "2"),
+            # unknown facility AND unknown district -> dropped entirely
+            ("Clinique Perdue", "Zanzan", "202401", "9", "9"),
             # second month for the semester window
-            ("CHU de Cocody", "202406", "10", "20"),
+            ("CHU de Cocody", "DS Cocody", "202406", "10", "20"),
         ],
-        "Etablissements string, Mois string, "
+        "Etablissements string, Districts string, Mois string, "
         "`indicateur_11_age_0_4_ans_F` string, `indicateur_11_age_0_4_ans_M` string",
     )
     report, registry = run_pipeline_c(
@@ -233,8 +237,11 @@ def test_pipeline_c_chu_golden(spark, org_units, tmp_path):
         history_prefix_map={"indicateur_11_": 13},
         quarter_end="06",
         year=2024,
+        district_col="Districts",
     )
-    # registry grew all three facilities (upsert created the parquet)
+    # registry holds only RESOLVED facilities; the never-matched one is
+    # dropped, not synthesized (reference filters to non-null ids,
+    # extract_chu_data.py:378-381)
     reg = {r.formations_sanitaires: r.organisation_unit_id for r in registry.collect()}
     assert set(reg) == {
         "CHU de Cocody",
@@ -243,19 +250,26 @@ def test_pipeline_c_chu_golden(spark, org_units, tmp_path):
     }
     assert reg["CHU de Cocody"] == f"/{ROOT}/r1/d1/f1"
     assert reg["Hopital General de Bassam!"] == f"/{ROOT}/r1/d1/f3"
-    assert reg["Clinique Inconnue"].startswith("synth/")
+    synth_uuid = uuid5_py("Clinique Inconnue")
+    assert reg["Clinique Inconnue"] == f"/{ROOT}/r1/d1/{synth_uuid}"
 
     rows = report.collect()
     by_key = {(r.idsite, str(r.periode), r.Indicateur): r for r in rows}
     # monthly rows under indicator 11: lenient parse handled quotes/blank
-    m = by_key[("_r1_d1_f1", "2024-01-01", 11)]
+    m = by_key[("r1_d1_f1", "2024-01-01", 11)]
     assert (m["F_0-4 ans"], m["M_0-4 ans"]) == (5, 3)
-    bassam = by_key[("_r1_d1_f3", "2024-01-01", 11)]
+    bassam = by_key[("r1_d1_f3", "2024-01-01", 11)]
     assert (bassam["F_0-4 ans"], bassam["M_0-4 ans"]) == (7, 0)
+    # synthesized facility reports under its district-prefixed idsite
+    synth = by_key[(f"r1_d1_{synth_uuid}", "2024-01-01", 11)]
+    assert (synth["F_0-4 ans"], synth["M_0-4 ans"]) == (1, 2)
+    # the dropped facility appears nowhere in the report
+    assert not any("Perdue" in (k[0] or "") for k in by_key)
+    assert len({k[0] for k in by_key}) == 3
     # semester rollup (S1 2024: Jan..Jun) under indicator 13
-    sem = by_key[("_r1_d1_f1", "2024-06-01", 13)]
+    sem = by_key[("r1_d1_f1", "2024-06-01", 13)]
     assert (sem["F_0-4 ans"], sem["M_0-4 ans"]) == (15, 23)
-    # history parquet persisted for the next run
+    # history parquet persisted for the next run (dropped facility excluded)
     assert spark.read.parquet(history_path).count() == 4
 
 
@@ -264,8 +278,8 @@ def test_pipeline_c_second_run_reuses_registry(spark, org_units, tmp_path):
     facilities without re-matching (stateful read-modify-write)."""
     registry_path = str(tmp_path / "org_unit_chu.parquet")
     sheet1 = spark.createDataFrame(
-        [("Clinique Inconnue", "202401", "1", "2")],
-        "Etablissements string, Mois string, "
+        [("Clinique Inconnue", "Cocody", "202401", "1", "2")],
+        "Etablissements string, Districts string, Mois string, "
         "`indicateur_11_age_0_4_ans_F` string, `indicateur_11_age_0_4_ans_M` string",
     )
     _, reg1 = run_pipeline_c(
@@ -276,10 +290,12 @@ def test_pipeline_c_second_run_reuses_registry(spark, org_units, tmp_path):
         registry_path=registry_path,
         org_units=org_units,
         report_value_columns=REPORT_VALUE_COLS,
+        district_col="Districts",
     )
     synth_id = reg1.collect()[0].organisation_unit_id
+    assert synth_id.startswith(f"/{ROOT}/r1/d1/")  # district-gated synth
     sheet2 = spark.createDataFrame(
-        [("Clinique Inconnue", "202402", "9", "9")],
+        [("Clinique Inconnue", "Cocody", "202402", "9", "9")],
         sheet1.schema,
     )
     report2, reg2 = run_pipeline_c(
@@ -290,6 +306,7 @@ def test_pipeline_c_second_run_reuses_registry(spark, org_units, tmp_path):
         registry_path=registry_path,
         org_units=org_units,
         report_value_columns=REPORT_VALUE_COLS,
+        district_col="Districts",
     )
     assert reg2.count() == 1  # deduped, not duplicated
     assert reg2.collect()[0].organisation_unit_id == synth_id
