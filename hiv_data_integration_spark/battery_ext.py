@@ -596,14 +596,81 @@ def q_fuzzy_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_resolve_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy resolution, HASH-checked: mangled supplier names
+    (uppercased + trailing punctuation) resolve inside their s_nationkey
+    block only (reference district-blocking, extract_chu_data.py:337-360).
+    The mangle normalizes back to an exact candidate key, so the expected
+    output is deterministic and the oracle is plain SQL — the blocked
+    pandas_udf machinery (per-block candidate dicts, block-key
+    normalization, exact-hit path) is what's under test."""
+    sup = tbl(spark, sf_dir, "supplier")
+    dirty = sup.select(
+        F.col("s_suppkey").alias("dirty_key"),
+        F.concat(F.upper(F.col("s_name")), F.lit("!!")).alias("dirty_name"),
+        F.col("s_nationkey").alias("block"),
+    )
+    resolved = fz.resolve_entities(
+        dirty,
+        "dirty_name",
+        sup,
+        "s_name",
+        "s_name",
+        threshold=90.0,
+        partitions=16,
+        block_cols=["block"],
+        cand_block_cols=["s_nationkey"],
+    )
+    return resolved.select("dirty_key", "dirty_name", "matched", "match_score")
+
+
+SQL_FUZZY_RESOLVE_BLOCKED = """
+SELECT s_suppkey AS dirty_key,
+       upper(s_name) || '!!' AS dirty_name,
+       s_name AS matched,
+       100.0 AS match_score
+FROM supplier
+"""
+
+
 def q_uuid5_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check: deterministic uuid5 org-id synthesis (pandas_udf;
-    SHA-1-based uuid5 has no DuckDB mirror — pytest checks byte parity vs
-    Python's uuid module)."""
+    """Deterministic uuid5 org-id synthesis (pandas_udf). Oracle: DuckDB has
+    no sha1, so the SQL joins a golden dictionary over the nation dim's
+    fixed 25-name domain, derived below from RFC 4122 first principles
+    (hashlib SHA-1 + version/variant nibble surgery — an implementation
+    independent of the stdlib ``uuid`` module the operator uses)."""
     nation = tbl(spark, sf_dir, "nation")
     return nation.select(
         "n_nationkey", fz.uuid5_id(F.col("n_name")).alias("org_uid")
     )
+
+
+def _uuid5_hex(name: str) -> str:
+    """RFC 4122 §4.3 uuid5 from first principles: SHA-1(namespace || name),
+    first 16 bytes, version nibble -> 5, variant bits -> 10x. Deliberately
+    NOT the stdlib ``uuid`` module (that is what the operator under test
+    uses) — this is the independent oracle derivation."""
+    import hashlib as _hl
+
+    ns = bytes.fromhex("6ba7b8109dad11d180b400c04fd430c8")  # NAMESPACE_DNS
+    h = bytearray(_hl.sha1(ns + name.encode("utf-8")).digest()[:16])
+    h[6] = (h[6] & 0x0F) | 0x50
+    h[8] = (h[8] & 0x3F) | 0x80
+    return h.hex()
+
+
+# The testdata nation dim is the fixed domain NATION_0..NATION_24 (TESTDATA.md)
+# — uuid5 is a pure function of the name, so a precomputed dictionary joined
+# on n_name is a complete oracle: any Spark-side deviation on any name drops
+# the row (inner join) or flips the value hash.
+SQL_UUID5_IDS = (
+    "SELECT n.n_nationkey, u.org_uid\n"
+    "FROM nation n JOIN (VALUES "
+    + ", ".join(
+        f"('NATION_{i}', '{_uuid5_hex(f'NATION_{i}')}')" for i in range(25)
+    )
+    + ") AS u(n_name, org_uid) ON n.n_name = u.n_name"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -628,9 +695,10 @@ FROM documents
 
 
 def q_decode_media_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (no SQL oracle): Arrow-batched mapInPandas decode
-    stub — schema/partitioning/batching are the real thing, the byte
-    decoder is a deterministic fake (no media libs in this container)."""
+    """Arrow-batched mapInPandas decode stub — schema/partitioning/batching
+    are the real thing; the byte decoder is a deterministic fake (no media
+    libs in this container), which makes it fully SQL-oracle-able: the fake
+    dims are pure arithmetic over the payload byte length."""
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
     decoded = mm.decode_media(mm.attach_payload(docs))
     return decoded.select(
@@ -641,10 +709,46 @@ def q_decode_media_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the fake decoder (operators/multimodal.py _fake_decode): payload = UTF-8
+# bytes of text; width = 16 + n%64, height = 16 + (n//64)%64
+SQL_DECODE_STUB = """
+SELECT doc_id,
+       16 + (n % 64) AS width,
+       16 + ((n // 64) % 64) AS height,
+       n AS n_bytes
+FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+"""
+
+
 def q_sample_frames_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check: one-row→many-rows frame sampling via mapInPandas."""
+    """One-row→many-rows frame sampling via mapInPandas. The stub "frames"
+    are even byte slices of the payload, so chunk lengths and sha256 digests
+    mirror exactly in SQL (documents.text is ASCII: byte slicing == char
+    slicing, verified by the octet_length guard in the oracle)."""
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
     return mm.sample_frames(mm.attach_payload(docs, media_type="video"))
+
+
+# step = max(1, n // 4); chunk i = bytes[i*step : (i+1)*step]; digest =
+# sha256(chunk). substring clamps past-the-end to '' exactly like a Python
+# slice; the WHERE guard fails loudly (row-count mismatch) if a non-ASCII
+# document ever makes byte-slicing != char-slicing.
+SQL_FRAME_SAMPLE = """
+WITH d AS (
+    SELECT doc_id, text,
+           octet_length(encode(text)) AS n,
+           greatest(1, octet_length(encode(text)) // 4) AS step
+    FROM documents
+    WHERE octet_length(encode(text)) = length(text)
+)
+SELECT d.doc_id AS media_id,
+       f.i AS frame_idx,
+       length(coalesce(substring(d.text, f.i * d.step + 1, d.step), ''))
+           AS frame_bytes,
+       sha256(coalesce(substring(d.text, f.i * d.step + 1, d.step), ''))
+           AS frame_digest
+FROM d CROSS JOIN generate_series(0, 3) AS f(i)
+"""
 
 
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1046,6 +1150,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "multimodal_frame_sample_stub": q_sample_frames_stub,
     "fuzzy_normalize_fold": q_normalize_fold,
     "fuzzy_resolve_suppliers": q_fuzzy_resolve,
+    "fuzzy_resolve_blocked": q_fuzzy_resolve_blocked,
     "org_uuid5_ids": q_uuid5_ids,
     "rest_fanout_analytics": q_rest_fanout_analytics,
     "rest_naomi_json_flatten": q_rest_naomi_flatten,
@@ -1075,6 +1180,7 @@ EXT_ORACLE: dict[str, str] = {
     "embed_lsh_ann_topk": SQL_LSH_TOPK,
     "multimodal_payload_meta": SQL_PAYLOAD_META,
     "fuzzy_normalize_fold": SQL_NORMALIZE_FOLD,
+    "fuzzy_resolve_blocked": SQL_FUZZY_RESOLVE_BLOCKED,
     "rest_fanout_analytics": SQL_REST_FANOUT,
     "rest_naomi_json_flatten": SQL_NAOMI_FLATTEN,
     "salted_skew_join": SQL_SALTED_JOIN,
@@ -1090,8 +1196,9 @@ SELECT event_type, date_trunc('hour', ts) AS window_start,
        CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """,
-    # multimodal_decode_stub / multimodal_frame_sample_stub: mapInPandas
-    # stages — intentionally no SQL oracle (driver records rows-only).
-    # fuzzy_resolve_suppliers / org_uuid5_ids: difflib token_set scoring and
-    # SHA-1 uuid5 have no DuckDB mirror — rows-only + pytest vs Python twin.
+    "multimodal_decode_stub": SQL_DECODE_STUB,
+    "multimodal_frame_sample_stub": SQL_FRAME_SAMPLE,
+    "org_uuid5_ids": SQL_UUID5_IDS,
+    # fuzzy_resolve_suppliers: difflib token_set scoring has no DuckDB
+    # mirror — rows-only + pytest property tests vs the Python twin.
 }

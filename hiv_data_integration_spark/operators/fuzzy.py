@@ -337,7 +337,10 @@ def collect_candidates(
         ]
     block_key = F.concat_ws(
         _BLOCK_SEP,
-        *[normalize_text_col(F.col(b), fold_accents) for b in block_cols],
+        *[
+            normalize_text_col(F.col(b).cast("string"), fold_accents)
+            for b in block_cols
+        ],
     )
     out: dict[str, list[tuple[str, str]]] = {}
     for r in candidates_df.select(
@@ -393,9 +396,14 @@ def resolve_entities(
         df = df.repartition(partitions)
     normalized = normalize_text_col(F.col(name_col), fold_accents)
     if block_cols:
+        # cast first: block keys may be numeric (e.g. a nation/district key)
+        # and the NFD fold udf expects strings
         block_key = F.concat_ws(
             _BLOCK_SEP,
-            *[normalize_text_col(F.col(b), fold_accents) for b in block_cols],
+            *[
+                normalize_text_col(F.col(b).cast("string"), fold_accents)
+                for b in block_cols
+            ],
         )
         out = df.withColumn("_m", udf(block_key, normalized))
     else:
