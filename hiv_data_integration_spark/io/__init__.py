@@ -6,4 +6,10 @@ fan-out ingestion (``rest``), Excel ingest with nested-header surgery
 (``excel``), and the reference's sink shapes (``sinks``).
 """
 
-from hiv_data_integration_spark.io import excel, files, rest, sinks  # noqa: F401
+from hiv_data_integration_spark.io import (  # noqa: F401
+    excel,
+    files,
+    headers,
+    rest,
+    sinks,
+)

@@ -39,6 +39,7 @@ from hiv_data_integration_spark.pipeline.report import (
 
 __all__ = [
     "PathologySpec",
+    "reference_pathology_spec",
     "naomi_to_wide",
     "run_pipeline_a",
     "run_pipeline_b",
@@ -59,6 +60,39 @@ class PathologySpec:
     compound_coc_keys: bool = False
     pivot_agg_fn: str = "min"
     extra: dict = field(default_factory=dict)
+
+
+def reference_pathology_spec(
+    name: str,
+    analytics: DataFrame,
+    de_map: DataFrame,
+    with_rules: bool = True,
+    **overrides,
+) -> PathologySpec:
+    """A :class:`PathologySpec` pre-loaded with the reference's SHIPPED
+    configuration (:mod:`hiv_data_integration_spark.ref_constants`): the
+    declared wide contract (``DICO_EXPECTED_COLUMNS`` — IST 154 / PEC 236 /
+    PTME 33 columns), the pathology's full consistency-rule set (86 IST /
+    175 PEC / 18 PTME formulas), the report prefix→indicator map from the
+    reference's transform call sites, and the PTME compound-COC-key join
+    variant (extract_ptme_data.py:68-90). Running the real PNLS workload
+    needs no re-keying — pass the analytics fact and data-element map and
+    go; any field can still be overridden."""
+    from hiv_data_integration_spark import ref_constants as rc
+
+    base: dict = {
+        "name": name,
+        "analytics": analytics,
+        "de_map": de_map,
+        "contract_value_cols": rc.expected_value_columns(name),
+        "prefix_to_indicator": dict(rc.REPORT_INDICATOR_MAPS.get(name, {})),
+        "rules": dict(rc.rules_for(name))
+        if with_rules and name in rc.DICO_RULES
+        else None,
+        "compound_coc_keys": name == "PTME",
+    }
+    base.update(overrides)
+    return PathologySpec(**base)
 
 
 def run_pipeline_a(
