@@ -405,6 +405,18 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos
 FROM r WHERE rank <= 3
 """
 
+def q_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: REAL IVF — deterministic Lloyd's k-means coarse
+    quantizer (no RNG, init = lowest-id vectors) + nprobe=2 multi-probe
+    search. The iterative trainer is not SQL-expressible; recall vs the
+    exact baseline is asserted in tests/test_similarity_recall.py and
+    hash-measured for the LSH twin in embed_ann_recall below."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    cents = sim.kmeans_centroids(emb, n_clusters=8, iters=3)
+    return sim.kmeans_ivf_topk(queries, emb, cents, k=3, nprobe=2)
+
+
 _PLANES = sim.deterministic_planes(dim=64, n_planes=8, seed="lsh")
 
 
@@ -440,6 +452,67 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id
       FROM scored)
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos
 FROM r WHERE rank <= 3
+"""
+
+# wider-bucket plane set for the recall measurement (4 planes -> 16 buckets)
+_PLANES4 = sim.deterministic_planes(dim=64, n_planes=4, seed="lsh")
+
+_BUCKET4_SQL = " + ".join(
+    f"(CASE WHEN list_dot_product({{v}}, CAST({_plane_literal(p)} AS DOUBLE[])) >= 0 "
+    f"THEN {1 << b} ELSE 0 END)"
+    for b, p in enumerate(_PLANES4)
+)
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-checked ANN recall measurement: per-query recall@5 of the
+    4-plane hyperplane-LSH search against the exact cosine baseline — both
+    sides SQL-expressible, so the driver verifies the recall NUMBERS, not
+    just that the query runs. (The k-means IVF twin's recall is asserted
+    in pytest; its trainer is iterative and has no SQL mirror.)"""
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = sim.cosine_topk(queries, emb, k=5)
+    approx = sim.lsh_topk(queries, emb, _PLANES4, k=5)
+    return sim.recall_at_k(approx, exact)
+
+
+SQL_ANN_RECALL = f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           CAST({_BUCKET4_SQL.format(v="CAST(embedding AS DOUBLE[])")} AS BIGINT) AS bucket
+    FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, bucket, v AS qv FROM e WHERE vec_id % 50 = 0),
+exact_scored AS (
+    SELECT query_id, e.vec_id AS neighbor_id, {_COS_SQL} AS cos
+    FROM e CROSS JOIN q WHERE e.vec_id != query_id
+),
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rank
+        FROM exact_scored) WHERE rank <= 5
+),
+approx_scored AS (
+    SELECT query_id, e.vec_id AS neighbor_id, {_COS_SQL} AS cos
+    FROM e JOIN q USING (bucket) WHERE e.vec_id != query_id
+),
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rank
+        FROM approx_scored) WHERE rank <= 5
+),
+j AS (
+    SELECT exact.query_id,
+           CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+    FROM exact LEFT JOIN approx a
+      ON exact.query_id = a.query_id AND exact.neighbor_id = a.neighbor_id
+)
+SELECT query_id, count(*) AS n_exact, sum(hit) AS n_hit,
+       sum(hit) / count(*) AS recall
+FROM j GROUP BY query_id
 """
 
 
@@ -1145,6 +1218,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "embed_cosine_topk": q_cosine_topk,
     "embed_ivf_topk_label": q_ivf_topk,
     "embed_lsh_ann_topk": q_lsh_topk,
+    "embed_ivf_kmeans_topk": q_kmeans_ivf_topk,
+    "embed_ann_recall": q_ann_recall,
     "multimodal_payload_meta": q_payload_meta,
     "multimodal_decode_stub": q_decode_media_stub,
     "multimodal_frame_sample_stub": q_sample_frames_stub,
@@ -1178,6 +1253,7 @@ EXT_ORACLE: dict[str, str] = {
     "embed_cosine_topk": SQL_COSINE_TOPK,
     "embed_ivf_topk_label": SQL_IVF_TOPK,
     "embed_lsh_ann_topk": SQL_LSH_TOPK,
+    "embed_ann_recall": SQL_ANN_RECALL,
     "multimodal_payload_meta": SQL_PAYLOAD_META,
     "fuzzy_normalize_fold": SQL_NORMALIZE_FOLD,
     "fuzzy_resolve_blocked": SQL_FUZZY_RESOLVE_BLOCKED,

@@ -33,6 +33,11 @@ __all__ = [
     "deterministic_planes",
     "hyperplane_lsh_bucket",
     "lsh_topk",
+    "kmeans_centroids",
+    "nearest_centroid",
+    "nearest_centroids",
+    "kmeans_ivf_topk",
+    "recall_at_k",
 ]
 
 
@@ -172,3 +177,144 @@ def lsh_topk(
     bq = queries.withColumn("lsh_bucket", hyperplane_lsh_bucket(F.col(vec_col), planes))
     bc = corpus.withColumn("lsh_bucket", hyperplane_lsh_bucket(F.col(vec_col), planes))
     return bucketed_topk(bq, bc, "lsh_bucket", id_col=id_col, vec_col=vec_col, k=k)
+
+
+# ---------------------------------------------------------------------------
+# Real IVF: deterministic Lloyd's k-means coarse quantizer + nprobe search
+# ---------------------------------------------------------------------------
+
+
+def _sq_dist(v: Column, centroid: list[float]) -> Column:
+    """||v - c||² = v·v - 2 v·c + c·c (the v·v term is shared across
+    centroids, but argmin is invariant to it — kept for exactness)."""
+    c_col = F.array(*[F.lit(float(x)) for x in centroid])
+    cc = float(sum(x * x for x in centroid))
+    return dot(v, v) - 2.0 * dot(v, c_col) + F.lit(cc)
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 8,
+    iters: int = 4,
+    sample_fraction: float | None = None,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means over an embedding column.
+
+    Init is the vectors of the ``n_clusters`` smallest ids (no RNG —
+    bit-reproducible across runs and engines). Each iteration is one
+    distributed assignment pass (centroids enter the plan as literals, so
+    the corpus only projects — no join, no shuffle beyond the per-dimension
+    mean aggregate, which is k·dim rows). Empty clusters keep their
+    previous centroid.
+
+    Scale: centroids are k·dim doubles of driver state — trivially small.
+    At 100 TB you train the quantizer on a sample (``sample_fraction``)
+    and assign the full corpus once; this mirrors every production IVF
+    build (train-on-sample, assign-all).
+    """
+    train = corpus
+    if sample_fraction is not None:
+        # deterministic sample: hash-mod on the id, not rand()
+        buckets = max(1, int(round(1.0 / sample_fraction)))
+        train = corpus.filter(F.crc32(F.col(id_col).cast("string")) % buckets == 0)
+    v = _as_double(F.col(vec_col))
+    init_rows = (
+        train.select(F.col(id_col).alias("_id"), v.alias("_v"))
+        .orderBy("_id")
+        .limit(n_clusters)
+        .collect()
+    )
+    centroids = [list(r["_v"]) for r in init_rows]
+    if len(centroids) < n_clusters:
+        raise ValueError(
+            f"need >= {n_clusters} training vectors, got {len(centroids)}"
+        )
+
+    vecs = train.select(v.alias("_v"))
+    for _ in range(iters):
+        assigned = vecs.withColumn(
+            "_bucket", nearest_centroid(F.col("_v"), centroids)
+        )
+        # per-dimension mean: posexplode -> (bucket, pos) avg — k·dim rows
+        means = (
+            assigned.select("_bucket", F.posexplode("_v").alias("_pos", "_x"))
+            .groupBy("_bucket", "_pos")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]  # empty cluster -> keep
+        by_bucket: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_bucket.setdefault(r["_bucket"], {})[r["_pos"]] = r["_m"]
+        for b, dims in by_bucket.items():
+            new_centroids[b] = [dims[i] for i in range(len(dims))]
+        centroids = new_centroids
+    return centroids
+
+
+def nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the closest centroid (squared L2; ties → lowest index).
+    ``array_min`` over (distance, index) structs — struct ordering is
+    field-by-field, no UDF."""
+    v = _as_double(vec)
+    structs = [
+        F.struct(_sq_dist(v, c).alias("d"), F.lit(i).alias("i"))
+        for i, c in enumerate(centroids)
+    ]
+    return F.array_min(F.array(*structs)).getField("i")
+
+
+def nearest_centroids(
+    vec: Column, centroids: list[list[float]], nprobe: int
+) -> Column:
+    """The ``nprobe`` closest centroid indices (IVF multi-probe): sort the
+    (distance, index) structs, slice, project the indices."""
+    v = _as_double(vec)
+    structs = [
+        F.struct(_sq_dist(v, c).alias("d"), F.lit(i).alias("i"))
+        for i, c in enumerate(centroids)
+    ]
+    probed = F.slice(F.array_sort(F.array(*structs)), 1, nprobe)
+    return F.transform(probed, lambda s: s.getField("i"))
+
+
+def kmeans_ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF top-k with a k-means coarse quantizer: corpus vectors live in
+    their nearest-centroid bucket; each query probes its ``nprobe``
+    closest buckets. The scoring join is a hash join on the bucket id —
+    the classic IVF cost/recall trade, with recall measured by
+    :func:`recall_at_k` in CI."""
+    bq = queries.withColumn(
+        "_probe", nearest_centroids(F.col(vec_col), centroids, nprobe)
+    ).withColumn("ivf_bucket", F.explode("_probe")).drop("_probe")
+    bc = corpus.withColumn(
+        "ivf_bucket", nearest_centroid(F.col(vec_col), centroids)
+    )
+    return bucketed_topk(bq, bc, "ivf_bucket", id_col=id_col, vec_col=vec_col, k=k)
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Per-query recall of an ANN result against the exact baseline: both
+    inputs are ``(query_id, neighbor_id, rank, ...)`` top-k frames; output
+    is ``(query_id, n_exact, n_hit, recall)``. A left join from the exact
+    side, so queries the ANN missed entirely still report recall 0."""
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id").withColumn("_hit", F.lit(1))
+    joined = e.join(a, ["query_id", "neighbor_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.count("*").alias("n_exact"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+        (
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count("*")
+        ).alias("recall"),
+    )

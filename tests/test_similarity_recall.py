@@ -1,0 +1,105 @@
+"""ANN approximation quality, quantified: recall@k of the k-means-IVF and
+hyperplane-LSH paths against the exact cosine baseline.
+
+Two regimes, because they answer different questions:
+
+- **Planted near-duplicates** (a perturbed copy of a corpus vector): the
+  true nearest neighbor is unambiguous, and a working ANN index MUST find
+  it — recall@1 is asserted at 1.0. This is the dedup/near-dup use case.
+- **Raw testdata embeddings**: the vectors are isotropic random (label-IVF
+  recall ~0.1, top-1 cosine ≈ 0.37 vs median 0.01), so ANY partition-based
+  ANN has near-chance recall@5 — a data property, not an implementation
+  bug. Here we assert the structural guarantees instead: the k-means
+  quantizer beats the meaningless label bucketing, and multi-probe
+  monotonically improves recall.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hiv_data_integration_spark.operators import similarity as sim
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def centroids(spark, emb):
+    return sim.kmeans_centroids(emb, n_clusters=8, iters=3)
+
+
+def _planted_queries(emb):
+    """Perturbed copies of every 50th corpus vector: the source vector is
+    the unambiguous true nearest neighbor."""
+    return emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001 + 0.0005).alias("embedding"),
+        "label",
+    )
+
+
+def _avg_recall(approx, exact):
+    row = sim.recall_at_k(approx, exact).agg(
+        F.avg("recall").alias("avg"), F.min("recall").alias("min")
+    ).collect()[0]
+    return row["avg"], row["min"]
+
+
+def test_planted_neighbor_recall_at_1_is_perfect(spark, emb, centroids):
+    queries = _planted_queries(emb)
+    exact = sim.cosine_topk(queries, emb, k=1).cache()
+    ivf = sim.kmeans_ivf_topk(queries, emb, centroids, k=1, nprobe=1)
+    avg, mn = _avg_recall(ivf, exact)
+    assert avg == 1.0 and mn == 1.0, f"kmeans-IVF planted recall@1 {avg}"
+    planes = sim.deterministic_planes(64, 4)
+    lsh = sim.lsh_topk(queries, emb, planes, k=1)
+    avg, mn = _avg_recall(lsh, exact)
+    assert avg == 1.0 and mn == 1.0, f"LSH planted recall@1 {avg}"
+
+
+def test_kmeans_quantizer_beats_label_bucketing(spark, emb, centroids):
+    """On the raw corpus the learned quantizer must out-recall the
+    testdata's arbitrary label column (the round-1 IVF stand-in)."""
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = sim.cosine_topk(queries, emb, k=5).cache()
+    ivf_avg, _ = _avg_recall(
+        sim.kmeans_ivf_topk(queries, emb, centroids, k=5, nprobe=2), exact
+    )
+    label_avg, _ = _avg_recall(
+        sim.bucketed_topk(queries, emb, "label", k=5), exact
+    )
+    assert ivf_avg > label_avg, (ivf_avg, label_avg)
+    # measured ~0.44 on the isotropic testdata; a real clustered corpus
+    # scores far higher — floor guards regressions in the quantizer
+    assert ivf_avg >= 0.3, ivf_avg
+
+
+def test_multiprobe_monotonically_improves_recall(spark, emb, centroids):
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = sim.cosine_topk(queries, emb, k=5).cache()
+    recalls = [
+        _avg_recall(
+            sim.kmeans_ivf_topk(queries, emb, centroids, k=5, nprobe=np_), exact
+        )[0]
+        for np_ in (1, 2, 4)
+    ]
+    assert recalls[0] <= recalls[1] <= recalls[2], recalls
+    # probing every bucket == exhaustive search == exact
+    full = _avg_recall(
+        sim.kmeans_ivf_topk(queries, emb, centroids, k=5, nprobe=8), exact
+    )[0]
+    assert full == 1.0, full
+
+
+def test_kmeans_is_deterministic(spark, emb):
+    a = sim.kmeans_centroids(emb, n_clusters=4, iters=2)
+    b = sim.kmeans_centroids(emb, n_clusters=4, iters=2)
+    assert a == b
