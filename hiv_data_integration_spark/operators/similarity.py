@@ -184,12 +184,14 @@ def lsh_topk(
 # ---------------------------------------------------------------------------
 
 
-def _sq_dist(v: Column, centroid: list[float]) -> Column:
-    """||v - c||² = v·v - 2 v·c + c·c (the v·v term is shared across
-    centroids, but argmin is invariant to it — kept for exactness)."""
+def _rel_sq_dist(v: Column, centroid: list[float]) -> Column:
+    """||v - c||² MINUS the per-row constant v·v: c·c - 2 v·c. Argmin over
+    centroids is invariant to the dropped term, and higher-order array
+    folds get no common-subexpression elimination — keeping v·v would
+    re-evaluate the same fold once per centroid."""
     c_col = F.array(*[F.lit(float(x)) for x in centroid])
     cc = float(sum(x * x for x in centroid))
-    return dot(v, v) - 2.0 * dot(v, c_col) + F.lit(cc)
+    return F.lit(cc) - 2.0 * dot(v, c_col)
 
 
 def kmeans_centroids(
@@ -232,25 +234,30 @@ def kmeans_centroids(
             f"need >= {n_clusters} training vectors, got {len(centroids)}"
         )
 
-    vecs = train.select(v.alias("_v"))
-    for _ in range(iters):
-        assigned = vecs.withColumn(
-            "_bucket", nearest_centroid(F.col("_v"), centroids)
-        )
-        # per-dimension mean: posexplode -> (bucket, pos) avg — k·dim rows
-        means = (
-            assigned.select("_bucket", F.posexplode("_v").alias("_pos", "_x"))
-            .groupBy("_bucket", "_pos")
-            .agg(F.avg("_x").alias("_m"))
-            .collect()
-        )
-        new_centroids = [list(c) for c in centroids]  # empty cluster -> keep
-        by_bucket: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_bucket.setdefault(r["_bucket"], {})[r["_pos"]] = r["_m"]
-        for b, dims in by_bucket.items():
-            new_centroids[b] = [dims[i] for i in range(len(dims))]
-        centroids = new_centroids
+    # cache the cast training vectors: every iteration re-reads them, and
+    # without the cache each Lloyd pass re-scans the source + re-casts
+    vecs = train.select(v.alias("_v")).cache()
+    try:
+        for _ in range(iters):
+            assigned = vecs.withColumn(
+                "_bucket", nearest_centroid(F.col("_v"), centroids)
+            )
+            # per-dimension mean: posexplode -> (bucket, pos) avg — k·dim rows
+            means = (
+                assigned.select("_bucket", F.posexplode("_v").alias("_pos", "_x"))
+                .groupBy("_bucket", "_pos")
+                .agg(F.avg("_x").alias("_m"))
+                .collect()
+            )
+            new_centroids = [list(c) for c in centroids]  # empty cluster -> keep
+            by_bucket: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_bucket.setdefault(r["_bucket"], {})[r["_pos"]] = r["_m"]
+            for b, dims in by_bucket.items():
+                new_centroids[b] = [dims[i] for i in range(len(dims))]
+            centroids = new_centroids
+    finally:
+        vecs.unpersist()
     return centroids
 
 
@@ -260,7 +267,7 @@ def nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     field-by-field, no UDF."""
     v = _as_double(vec)
     structs = [
-        F.struct(_sq_dist(v, c).alias("d"), F.lit(i).alias("i"))
+        F.struct(_rel_sq_dist(v, c).alias("d"), F.lit(i).alias("i"))
         for i, c in enumerate(centroids)
     ]
     return F.array_min(F.array(*structs)).getField("i")
@@ -273,7 +280,7 @@ def nearest_centroids(
     (distance, index) structs, slice, project the indices."""
     v = _as_double(vec)
     structs = [
-        F.struct(_sq_dist(v, c).alias("d"), F.lit(i).alias("i"))
+        F.struct(_rel_sq_dist(v, c).alias("d"), F.lit(i).alias("i"))
         for i, c in enumerate(centroids)
     ]
     probed = F.slice(F.array_sort(F.array(*structs)), 1, nprobe)
