@@ -34,6 +34,7 @@ __all__ = [
     "export_csv_per_period",
     "write_parquet_state",
     "write_excel_review",
+    "run_notebook_hook",
 ]
 
 
@@ -118,3 +119,48 @@ def write_excel_review(
         for c_off, val in enumerate(row):
             ws.cell(row=start_row + r_off, column=1 + c_off, value=val)
     wb.save(output_path)
+
+
+def run_notebook_hook(
+    input_path: str,
+    output_path: str,
+    parameters: dict | None = None,
+    use_subprocess: bool = False,
+) -> None:
+    """K4 notebook-execution sink: the reference's post-export papermill
+    refresh (``update_pnls_report/pipeline.py:410-453``). Pure
+    ORCHESTRATION, deliberately outside the engine (SURVEY.md §2.2): it
+    runs after all DataFrames are written and touches no Spark state.
+
+    In-process ``papermill.execute_notebook`` when importable; with
+    ``use_subprocess`` the module CLI (``python -m papermill``) runs
+    isolated from the driver's Python (kernel crashes can't take down the
+    Spark driver). Gated with a clear error when papermill isn't shipped.
+    """
+    os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
+    if use_subprocess:
+        import subprocess
+        import sys
+
+        cmd = [sys.executable, "-m", "papermill", input_path, output_path]
+        for k, v in (parameters or {}).items():
+            cmd += ["-p", str(k), str(v)]
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"papermill subprocess failed ({proc.returncode}): "
+                f"{proc.stderr.strip()[-500:]}"
+            )
+        return
+    try:
+        import papermill as pm  # noqa: PLC0415
+    except ImportError as e:  # pragma: no cover - papermill absent here
+        raise NotImplementedError(
+            "notebook execution needs papermill (not shipped in this "
+            "container); install it or call with use_subprocess=True on a "
+            "host that has it"
+        ) from e
+    pm.execute_notebook(  # pragma: no cover
+        input_path=input_path, output_path=output_path,
+        parameters=parameters or {},
+    )

@@ -255,3 +255,21 @@ def test_partitioned_layout_prunes_partitions(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[[^\]]*event_type[^\]]*\]", plan)
     assert m, plan
     assert scan.count() == 2
+
+
+def test_notebook_hook_gated_message(tmp_path):
+    """K4 orchestration hook: clear gating when papermill is absent."""
+    with pytest.raises(NotImplementedError, match="papermill"):
+        sinks.run_notebook_hook(
+            str(tmp_path / "in.ipynb"), str(tmp_path / "out" / "o.ipynb")
+        )
+    # the subprocess variant surfaces the module's own failure, not a crash
+    with pytest.raises(RuntimeError, match="papermill subprocess failed"):
+        sinks.run_notebook_hook(
+            str(tmp_path / "in.ipynb"),
+            str(tmp_path / "out" / "o.ipynb"),
+            parameters={"year": 2024},
+            use_subprocess=True,
+        )
+    # output dir was prepared either way (reference mkdir parents semantics)
+    assert (tmp_path / "out").is_dir()

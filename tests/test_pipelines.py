@@ -310,3 +310,62 @@ def test_pipeline_c_second_run_reuses_registry(spark, org_units, tmp_path):
     )
     assert reg2.count() == 1  # deduped, not duplicated
     assert reg2.collect()[0].organisation_unit_id == synth_id
+
+
+def test_pipeline_a_with_real_ist_spec(spark, org_units):
+    """End-to-end pipeline A on the SHIPPED reference configuration: the
+    real 154-column IST contract, the real 86-rule set, and the real
+    report prefix map — rule_1 ('AS<BC' = indicateur_7 < indicateur_8 for
+    10-14 M) routes the bad facility to the review frame and out of the
+    report."""
+    from hiv_data_integration_spark import ref_constants as rc
+    from hiv_data_integration_spark.pipeline.pnls import reference_pathology_spec
+
+    coc = spark.createDataFrame(
+        [("c_m1014", "10-14 ans, Masculin")], "id string, name string"
+    )
+    analytics = spark.createDataFrame(
+        [
+            # f1: indicateur_7 (1) < indicateur_8 (5) for 10-14 M -> rule_1
+            ("de7", "c_m1014", "f1", "202401", "1"),
+            ("de8", "c_m1014", "f1", "202401", "5"),
+            ("de11", "c_m1014", "f1", "202401", "3"),
+            # f2: 7 >= 5 and indicateur_10 >= indicateur_11 (rule_35
+            # 'CA<CO') -> fully consistent, verified against the per-row
+            # oracle over all 86 rules
+            ("de7", "c_m1014", "f2", "202401", "7"),
+            ("de8", "c_m1014", "f2", "202401", "5"),
+            ("de10", "c_m1014", "f2", "202401", "9"),
+            ("de11", "c_m1014", "f2", "202401", "9"),
+        ],
+        "data_element_id string, category_option_combo_id string, "
+        "organisation_unit_id string, period string, value string",
+    )
+    de_map = spark.createDataFrame(
+        [
+            ("de7", "indicateur_7", "data_element"),
+            ("de8", "indicateur_8", "data_element"),
+            ("de10", "indicateur_10", "data_element"),
+            ("de11", "indicateur_11", "data_element"),
+        ],
+        "id string, column string, type string",
+    )
+    spec = reference_pathology_spec("IST", analytics, de_map)
+    report, flagged = run_pipeline_a(
+        spark, [spec], coc, org_units, report_value_columns=["M_10-14 ans"]
+    )
+
+    # the report prefix map keeps only indicateur_11/12 (as indicators 1/2);
+    # the flagged facility is gone, and the empty indicateur_12 leg emits
+    # its row with NULL values (stack semantics, same as the reference's
+    # diagonal concat)
+    rows = {(r.idsite, r.Indicateur): r for r in report.collect()}
+    assert set(rows) == {("r1_d1_f2", 1), ("r1_d1_f2", 2)}
+    assert rows[("r1_d1_f2", 1)]["M_10-14 ans"] == 9
+    assert rows[("r1_d1_f2", 2)]["M_10-14 ans"] is None
+
+    fl = flagged["IST"].collect()
+    assert len(fl) == 1 and fl[0].organisation_unit_id == "f1"
+    rule_1 = rc.rules_for("IST")["rule_1"]
+    assert fl[0]["indicateur_7_age_10_14_ans_M__color"] == rule_1.color
+    assert fl[0]["indicateur_8_age_10_14_ans_M__color"] == rule_1.color
