@@ -1204,6 +1204,120 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM context-prep chunking: overlapping 32-token windows (step 24)
+    over the documents corpus — pure per-row projection, no shuffle."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.chunk_documents(docs, chunk_size=32, overlap=8)
+
+
+# slice end = start + chunk_size (DuckDB slices are 1-based inclusive);
+# chunk_idx = start // step
+SQL_TEXT_CHUNKING = """
+WITH d AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')
+               AS toks
+    FROM documents
+),
+s AS (
+    SELECT doc_id, toks,
+           unnest(generate_series(0, greatest(len(toks) - 1, 0), 24)) AS start
+    FROM d
+)
+SELECT doc_id AS id,
+       CAST(start // 24 AS BIGINT) AS chunk_idx,
+       CAST(len(toks[start + 1 : start + 32]) AS BIGINT) AS n_tokens,
+       array_to_string(toks[start + 1 : start + 32], ' ') AS chunk
+FROM s
+"""
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: deterministic synthetic PII (email/IP/phone derived from
+    doc_id) injected into each document, then redacted + counted with the
+    shared Java-regex/RE2 pattern set — the whole pass is native
+    regexp_replace/regexp_count projections."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com tel +225 01020304"),
+            (F.col("doc_id") % 90 + 10).cast("string"),
+            F.lit(" host 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    out = tx.redact_pii(injected)
+    return out.select("doc_id", "n_email", "n_ipv4", "n_phone", "redacted")
+
+
+_PII_EMAIL = tx.PII_PATTERNS["email"]
+_PII_IPV4 = tx.PII_PATTERNS["ipv4"]
+_PII_PHONE = tx.PII_PATTERNS["phone"]
+
+SQL_PII_REDACTION = f"""
+WITH injected AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com tel +225 01020304'
+                || CAST(doc_id % 90 + 10 AS VARCHAR)
+                || ' host 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS text
+    FROM documents
+),
+s1 AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+           regexp_replace(text, '{_PII_EMAIL}', '[REDACTED-email]', 'g') AS t
+    FROM injected
+),
+s2 AS (
+    SELECT doc_id, n_email,
+           CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+           regexp_replace(t, '{_PII_IPV4}', '[REDACTED-ipv4]', 'g') AS t
+    FROM s1
+)
+SELECT doc_id, n_email, n_ipv4,
+       CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+       regexp_replace(t, '{_PII_PHONE}', '[REDACTED-phone]', 'g') AS redacted
+FROM s2
+"""
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → duplicate GROUPS: min-label propagation over the
+    MinHash pair graph (a≈b, b≈c collapse to one cluster without an a≈c
+    edge). The Spark side iterates to the fixpoint; the oracle computes
+    the same fixpoint as a recursive-CTE reachability closure — both
+    sides derive the pair graph identically (hash-green standalone as
+    dedup_minhash_lsh_pairs)."""
+    corpus = _dup_corpus(spark, sf_dir)
+    pairs = dd.minhash_candidate_pairs(
+        corpus, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4,
+        jaccard_threshold=0.6, partitions=32,
+    )
+    return dd.connected_components(pairs)
+
+
+SQL_CONNECTED_COMPONENTS = f"""
+WITH RECURSIVE pairs AS ({{minhash_sql}}),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS id, min(dst) AS component FROM reach GROUP BY src
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "text_token_counts": q_token_counts,
     "text_quality_scores": q_quality_scores,
@@ -1214,7 +1328,10 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "dedup_ngram_jaccard_pairs": q_ngram_jaccard,
     "dedup_simhash_fingerprints": q_simhash,
     "dedup_embedding_cosine_pairs": q_embedding_cosine_dedup,
+    "dedup_connected_components": q_connected_components,
     "text_rolling_fingerprint": q_rolling_fingerprint,
+    "text_chunking": q_text_chunking,
+    "text_pii_redaction": q_pii_redaction,
     "embed_cosine_topk": q_cosine_topk,
     "embed_ivf_topk_label": q_ivf_topk,
     "embed_lsh_ann_topk": q_lsh_topk,
@@ -1249,7 +1366,12 @@ EXT_ORACLE: dict[str, str] = {
     "dedup_ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "dedup_simhash_fingerprints": SQL_SIMHASH,
     "dedup_embedding_cosine_pairs": SQL_EMBED_COSINE_DEDUP,
+    "dedup_connected_components": SQL_CONNECTED_COMPONENTS.format(
+        minhash_sql=SQL_MINHASH_PAIRS
+    ),
     "text_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
+    "text_chunking": SQL_TEXT_CHUNKING,
+    "text_pii_redaction": SQL_PII_REDACTION,
     "embed_cosine_topk": SQL_COSINE_TOPK,
     "embed_ivf_topk_label": SQL_IVF_TOPK,
     "embed_lsh_ann_topk": SQL_LSH_TOPK,

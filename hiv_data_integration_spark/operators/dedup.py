@@ -33,6 +33,8 @@ __all__ = [
     "simhash",
     "simhash_near_pairs",
     "embedding_cosine_pairs",
+    "connected_components",
+    "drop_non_canonical",
 ]
 
 
@@ -428,3 +430,82 @@ def embedding_cosine_pairs(
         .filter(F.col("cos") >= threshold)
     )
     return pairs.select("id_a", "id_b", "cos")
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Duplicate-pair edges → cluster assignment: ``(id, component)`` where
+    ``component`` is the minimum id reachable through the pair graph.
+
+    This is the missing step between pairwise near-dup detection (MinHash/
+    SimHash/Jaccard emit PAIRS) and corpus dedup (which needs GROUPS —
+    a≈b and b≈c must collapse to ONE cluster even though a≈c was never
+    emitted). Min-label propagation: every node starts as its own label;
+    each round takes the min over its neighborhood; converged when no
+    label changes. Deterministic — the result is the unique fixpoint.
+
+    Scale: one shuffle join + hash-aggregate per round; rounds =
+    O(component diameter), and near-dup components are shallow (dup
+    clusters, not social graphs). This is the standard Spark CC shape;
+    at extreme skew the large-star/small-star variant halves rounds, and
+    the pair count is already O(corpus) because upstream LSH is bucketed.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    ).cache()
+    try:
+        for _ in range(max_iters):
+            neighbor = edges.join(
+                labels.withColumnRenamed("id", "dst"), "dst"
+            ).select(F.col("src").alias("id"), "component")
+            new_labels = (
+                labels.unionByName(neighbor)
+                .groupBy("id")
+                .agg(F.min("component").alias("component"))
+                .cache()
+            )
+            changed = (
+                new_labels.join(
+                    labels.withColumnRenamed("component", "_old"), "id"
+                )
+                .filter(F.col("component") != F.col("_old"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} rounds"
+            )
+    finally:
+        edges.unpersist()
+    return labels
+
+
+def drop_non_canonical(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus dedup from a component assignment: keep singletons untouched
+    and, inside every duplicate cluster, keep only the canonical (minimum
+    id) member — a left-anti join against the non-canonical node set."""
+    losers = components.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -21,6 +21,9 @@ __all__ = [
     "stopword_count",
     "quality_features",
     "lang_id",
+    "chunk_documents",
+    "redact_pii",
+    "PII_PATTERNS",
     "STOPWORDS",
 ]
 
@@ -171,3 +174,81 @@ def rolling_fingerprint(col: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, h: (acc * F.lit(ROLLING_BASE) + h) % F.lit(ROLLING_PRIME),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the standard LLM
+    context-preparation step (one row per chunk).
+
+    Whitespace tokens; window starts advance by ``chunk_size - overlap``;
+    the final (possibly short) window is kept. Output:
+    ``(id, chunk_idx, n_tokens, chunk)``.
+
+    All native: one ``split`` + a ``sequence`` of starts + ``posexplode``
+    — a pure per-row projection (embarrassingly parallel, no shuffle), so
+    chunking 100 TB is exactly a distributed map. The tokens array is
+    referenced only through the exploded starts, keeping the higher-order
+    expressions single-evaluation (the no-CSE cliff documented in
+    BASELINE.md).
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    step = chunk_size - overlap
+    toks = whitespace_tokens(F.col(text_col))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(step)
+    )
+    out = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("_toks"),
+        F.posexplode(starts).alias("chunk_idx", "_start"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_size)
+    return out.select(
+        "id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk"),
+    )
+
+
+# Shared Java-regex / RE2 subset (no lookarounds, no backrefs) so the same
+# literal pattern runs in Spark and any RE2-based oracle. Applied in dict
+# order — counts are taken on the text as it stands at that step.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+?\d[\d().\- ]{7,}\d",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    token: str = "[REDACTED-{kind}]",
+) -> DataFrame:
+    """Scrub PII-shaped spans (emails, IPv4s, phone-like digit runs) and
+    count what was removed — the compliance pass every training-data
+    pipeline runs before tokenization.
+
+    Pure native ``regexp_replace``/``regexp_count`` projections (JVM-side,
+    zero Python). Patterns apply in dict order and each kind's count is
+    measured on the text AFTER the previous kinds were redacted, making
+    the output deterministic under overlapping matches (an email never
+    double-counts as a phone). Adds ``redacted`` plus one
+    ``n_<kind>`` column per pattern.
+    """
+    patterns = patterns or PII_PATTERNS
+    cur = F.col(text_col)
+    counts: list[Column] = []
+    for kind, pat in patterns.items():
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{kind}"))
+        cur = F.regexp_replace(cur, pat, token.format(kind=kind))
+    return df.select("*", *counts, cur.alias("redacted"))

@@ -223,3 +223,69 @@ def test_salted_join_left_matches_plain(spark):
         assert got == want, how
     with pytest.raises(ValueError):
         salted_join(left, right, ["k"], "full")
+
+
+def test_connected_components_chains_and_canonical(spark):
+    """a-b and b-c merge into one cluster without an a-c edge; canonical
+    filter keeps the minimum member and all singletons."""
+    from hiv_data_integration_spark.operators.dedup import (
+        connected_components,
+        drop_non_canonical,
+    )
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (7, 8), (5, 5)], "id_a long, id_b long"
+    )
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 5: 5}
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 4, 7, 8)], "doc_id long, text string"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in drop_non_canonical(docs, connected_components(pairs)).collect()
+    )
+    # 2,3 collapse into 1; 8 into 7; 4 untouched (not in any pair)
+    assert kept == [1, 4, 7]
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    from hiv_data_integration_spark.operators.textops import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x"), (3, "  ")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_size=4, overlap=2)
+    rows = {(r.id, r.chunk_idx): (r.n_tokens, r.chunk) for r in out.collect()}
+    # doc 1: starts 0,2,4,6 -> windows of 4 with step 2, short tail kept
+    assert rows[(1, 0)] == (4, "a b c d")
+    assert rows[(1, 1)] == (4, "c d e f")
+    assert rows[(1, 2)] == (3, "e f g")
+    assert rows[(1, 3)] == (1, "g")
+    # single-token and whitespace-only docs still emit one row
+    assert rows[(2, 0)] == (1, "x")
+    assert rows[(3, 0)] == (0, "")
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_size=4, overlap=4)
+
+
+def test_redact_pii_counts_and_order(spark):
+    from hiv_data_integration_spark.operators.textops import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.io and c.d+x@e.org ip 10.0.0.1 tel +33 1 42 68 53 00"),
+            (2, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    r1 = out[1]
+    assert (r1.n_email, r1.n_ipv4, r1.n_phone) == (2, 1, 1)
+    assert "a@b.io" not in r1.redacted and "10.0.0.1" not in r1.redacted
+    assert "[REDACTED-email]" in r1.redacted and "[REDACTED-phone]" in r1.redacted
+    r2 = out[2]
+    assert (r2.n_email, r2.n_ipv4, r2.n_phone) == (0, 0, 0)
+    assert r2.redacted == r2.text
