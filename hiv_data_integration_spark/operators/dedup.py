@@ -454,7 +454,12 @@ def connected_components(
     at extreme skew the large-star/small-star variant halves rounds, and
     the pair count is already O(corpus) because upstream LSH is bucketed.
     """
-    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # materialize the pair edges ONCE before symmetrizing: the undirected
+    # union references the (potentially expensive — e.g. a full MinHash
+    # pipeline) pair plan twice, and without this barrier both branches
+    # re-execute it
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).persist()
+    fwd.count()
     edges = (
         fwd.unionByName(
             fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -494,6 +499,7 @@ def connected_components(
             )
     finally:
         edges.unpersist()
+        fwd.unpersist()
     return labels
 
 
