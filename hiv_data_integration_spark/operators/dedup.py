@@ -494,6 +494,10 @@ def connected_components(
             if changed == 0:
                 break
         else:
+            # error path: release the cached fixpoint candidate too — the
+            # caller gets an exception, not a DataFrame, so nothing else
+            # can unpersist it
+            labels.unpersist()
             raise RuntimeError(
                 f"connected_components did not converge in {max_iters} rounds"
             )

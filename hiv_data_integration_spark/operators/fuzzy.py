@@ -310,6 +310,21 @@ def best_match_udf(
 _BLOCK_SEP = "\x1f"
 
 
+def _block_key_col(block_cols: list[str], fold_accents: bool) -> Column:
+    """The one blocked-matching key expression, shared by the candidate
+    collection and the fact side — the two MUST stay identical or blocked
+    matching silently returns zero matches. Cast first: block keys may be
+    numeric (e.g. a nation/district key) and the NFD fold udf expects
+    strings."""
+    return F.concat_ws(
+        _BLOCK_SEP,
+        *[
+            normalize_text_col(F.col(b).cast("string"), fold_accents)
+            for b in block_cols
+        ],
+    )
+
+
 def collect_candidates(
     candidates_df: DataFrame,
     cand_name_col: str,
@@ -335,13 +350,7 @@ def collect_candidates(
             ).collect()
             if r[0] is not None
         ]
-    block_key = F.concat_ws(
-        _BLOCK_SEP,
-        *[
-            normalize_text_col(F.col(b).cast("string"), fold_accents)
-            for b in block_cols
-        ],
-    )
+    block_key = _block_key_col(block_cols, fold_accents)
     out: dict[str, list[tuple[str, str]]] = {}
     for r in candidates_df.select(
         block_key,
@@ -381,6 +390,17 @@ def resolve_entities(
     per-row cost from O(all candidates) to O(block size) and is the scale
     path when the candidate dim grows beyond broadcast-comfortable size.
     """
+    # blocked-ness is ONE decision for both sides: a dict of candidates
+    # with an unblocked fact side (or vice versa) would call the pandas_udf
+    # with the wrong arity — fail fast instead
+    if bool(block_cols) != bool(
+        cand_block_cols if cand_block_cols is not None else block_cols
+    ):
+        raise ValueError(
+            "blocked resolution needs BOTH sides: pass block_cols (fact "
+            "side) and optionally cand_block_cols (candidate side); "
+            "cand_block_cols alone is not valid"
+        )
     cands = collect_candidates(
         candidates_df,
         cand_name_col,
@@ -396,16 +416,9 @@ def resolve_entities(
         df = df.repartition(partitions)
     normalized = normalize_text_col(F.col(name_col), fold_accents)
     if block_cols:
-        # cast first: block keys may be numeric (e.g. a nation/district key)
-        # and the NFD fold udf expects strings
-        block_key = F.concat_ws(
-            _BLOCK_SEP,
-            *[
-                normalize_text_col(F.col(b).cast("string"), fold_accents)
-                for b in block_cols
-            ],
+        out = df.withColumn(
+            "_m", udf(_block_key_col(block_cols, fold_accents), normalized)
         )
-        out = df.withColumn("_m", udf(block_key, normalized))
     else:
         out = df.withColumn("_m", udf(normalized))
     return out.select(

@@ -108,24 +108,28 @@ def decode_media(
                 data = bytes(payload) if payload is not None else b""
                 n = len(data)
                 if have_pil:  # pragma: no cover - real decoder path
+                    meta = None
                     try:
                         import io
 
                         from PIL import Image as _Img
 
                         with _Img.open(io.BytesIO(data)) as im:
-                            metas.append(
-                                {
-                                    "width": int(im.size[0]),
-                                    "height": int(im.size[1]),
-                                    "channels": len(im.getbands()),
-                                    "n_bytes": n,
-                                    "decoder": "pil",
-                                }
-                            )
-                        continue
+                            meta = {
+                                "width": int(im.size[0]),
+                                "height": int(im.size[1]),
+                                "channels": len(im.getbands()),
+                                "n_bytes": n,
+                                "decoder": "pil",
+                            }
                     except Exception:
-                        pass  # not an image PIL understands -> stub below
+                        meta = None  # not an image PIL parses -> stub below
+                    # append OUTSIDE the try: a failure during context exit
+                    # must not leave a half-recorded row and then also run
+                    # the stub (double-append desyncs metas from the batch)
+                    if meta is not None:
+                        metas.append(meta)
+                        continue
                 # deterministic fake decode (see _fake_decode)
                 w, h, c = 16 + (n % 64), 16 + ((n // 64) % 64), 3
                 metas.append(

@@ -292,9 +292,19 @@ def run_pipeline_c(
         names = sel if names is None else names.unionByName(sel)
     names = names.filter(F.col("facility").isNotNull()).distinct()
 
-    # pass 1: existing registry, threshold 95 (extract_chu_data.py:299-308)
+    # pass 1: existing registry, threshold 95 (extract_chu_data.py:299-308).
+    # With a district column the lookup is district-BLOCKED (the reference
+    # joins the registry on district + facility, extract_chu_data.py:401-406)
+    # — otherwise same-named facilities in different districts would all
+    # resolve to whichever single registry row survived.
     registry_exists = _try_read(spark, registry_path)
     if registry_exists is not None:
+        reg_blocking: dict = {}
+        if district_col and "districts_sanitaires" in registry_exists.columns:
+            reg_blocking = {
+                "block_cols": ["district"],
+                "cand_block_cols": ["districts_sanitaires"],
+            }
         reg_resolved = resolve_entities(
             names,
             "facility",
@@ -302,6 +312,7 @@ def run_pipeline_c(
             "formations_sanitaires",
             "organisation_unit_id",
             threshold=registry_threshold,
+            **reg_blocking,
         ).select(*name_cols, F.col("matched").alias("ou_id"))
     else:
         reg_resolved = names.withColumn("ou_id", F.lit(None).cast("string"))
@@ -369,7 +380,10 @@ def run_pipeline_c(
                 else []
             ),
         ),
-        dedupe_keys=["formations_sanitaires"],
+        # district participates in the registry identity when present —
+        # same facility name in two districts is two registry rows
+        dedupe_keys=["formations_sanitaires"]
+        + (["districts_sanitaires"] if district_col else []),
     )
 
     # -- 2. per sheet: attach resolved id, lenient-parse, group-sum

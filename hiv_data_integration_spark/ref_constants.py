@@ -25,7 +25,6 @@ and rules as the reference — nothing needs re-keying.
 from __future__ import annotations
 
 import json
-from functools import lru_cache
 from importlib import resources
 from types import MappingProxyType
 
@@ -44,8 +43,9 @@ __all__ = [
 ]
 
 
-@lru_cache(maxsize=1)
 def _raw() -> dict:
+    # plain call, no cache: the raw dict is consumed once at import to
+    # build the frozen module attributes below and then garbage-collected
     with (
         resources.files("hiv_data_integration_spark")
         .joinpath("ref_data/pnls_constants.json")
@@ -82,6 +82,8 @@ DICO_RULES: MappingProxyType = MappingProxyType(
         for pathology in ("IST", "PEC", "PTME")
     }
 )
+
+del _data  # raw parsed JSON: everything above holds frozen copies
 
 
 def expected_value_columns(pathology: str) -> list[str]:

@@ -369,3 +369,57 @@ def test_pipeline_a_with_real_ist_spec(spark, org_units):
     rule_1 = rc.rules_for("IST")["rule_1"]
     assert fl[0]["indicateur_7_age_10_14_ans_M__color"] == rule_1.color
     assert fl[0]["indicateur_8_age_10_14_ans_M__color"] == rule_1.color
+
+
+def test_pipeline_c_same_name_two_districts(spark, tmp_path):
+    """Same facility name in two districts stays TWO registry identities
+    (district-blocked registry lookup + district in the dedupe key); each
+    district's data reports under its own synthesized org unit."""
+    registry_path = str(tmp_path / "org_unit_chu.parquet")
+    org_units = spark.createDataFrame(
+        [
+            ("d1", "DS Cocody", 3, f"/{ROOT}/r1/d1", None),
+            ("d2", "DS Abobo", 3, f"/{ROOT}/r1/d2", None),
+        ],
+        "id string, name string, level long, path string, geometry string",
+    )
+    sheet = spark.createDataFrame(
+        [
+            ("Hopital General", "Cocody", "202401", "1", "2"),
+            ("Hopital General", "Abobo", "202401", "3", "4"),
+        ],
+        "Etablissements string, Districts string, Mois string, "
+        "`indicateur_11_age_0_4_ans_F` string, `indicateur_11_age_0_4_ans_M` string",
+    )
+
+    def run():
+        return run_pipeline_c(
+            spark,
+            sheets={"PEC": (sheet, {"indicateur_11_": 11})},
+            facility_col="Etablissements",
+            period_col="Mois",
+            registry_path=registry_path,
+            org_units=org_units,
+            report_value_columns=REPORT_VALUE_COLS,
+            district_col="Districts",
+        )
+
+    report1, reg1 = run()
+    ids = {
+        (r.districts_sanitaires, r.organisation_unit_id) for r in reg1.collect()
+    }
+    assert len(ids) == 2  # one synth id per district, not one shared row
+    by_district = dict(ids)
+    assert by_district["Cocody"].startswith(f"/{ROOT}/r1/d1/")
+    assert by_district["Abobo"].startswith(f"/{ROOT}/r1/d2/")
+    rows1 = {r.idsite: (r["F_0-4 ans"], r["M_0-4 ans"]) for r in report1.collect()}
+    assert len(rows1) == 2
+
+    # second run: the blocked registry pass must return the SAME per-district
+    # ids (no cross-district bleed), and the registry must not grow
+    report2, reg2 = run()
+    assert {
+        (r.districts_sanitaires, r.organisation_unit_id) for r in reg2.collect()
+    } == ids
+    rows2 = {r.idsite: (r["F_0-4 ans"], r["M_0-4 ans"]) for r in report2.collect()}
+    assert rows2 == rows1
