@@ -1287,6 +1287,69 @@ FROM s2
 """
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-k: explode → map-side-combined count → global
+    deterministic top-50 (count desc, token asc)."""
+    docs = tbl(spark, sf_dir, "documents").select("text")
+    return tx.vocab_topk(docs, k=50)
+
+
+SQL_VOCAB_TOPK = """
+WITH toks AS (
+    SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                  x -> x != '')) AS token
+    FROM documents
+),
+c AS (SELECT token, count(*) AS n_occurrences FROM toks GROUP BY token),
+r AS (SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, token) AS rank
+      FROM c)
+SELECT CAST(rank AS BIGINT) AS rank, token, n_occurrences
+FROM r WHERE rank <= 50
+"""
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS-shape) fingerprint selection: 5-gram rolling hashes,
+    window-4 minimum selection, distinct (hash, pos) pairs — per-row
+    projection, no shuffle; the oracle mirrors the gram hashing, struct-min
+    window selection, and tie rule verbatim."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.winnow_fingerprints(docs, k=5, window=4)
+
+
+# toks[i : i+4] is the 5-token gram (DuckDB slices are 1-based inclusive);
+# list_sort(...)[1] == Spark array_min struct ordering (h, then p)
+SQL_WINNOW_FINGERPRINTS = """
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                       x -> x != '') AS toks
+    FROM documents
+),
+g AS (
+    SELECT doc_id,
+           list_transform(generate_series(1, len(toks) - 4),
+               i -> {'h': CAST('0x' || substr(
+                               md5(array_to_string(toks[i : i + 4], ' ')),
+                               1, 8) AS BIGINT),
+                     'p': CAST(i AS BIGINT)}) AS grams
+    FROM t WHERE len(toks) >= 5
+),
+s AS (
+    SELECT doc_id,
+           list_transform(
+               generate_series(1, greatest(len(grams) - 3, least(len(grams), 1))),
+               j -> list_sort(grams[j : j + 3])[1]) AS sel
+    FROM g WHERE len(grams) > 0
+)
+-- per-doc distinct selections: row-level DISTINCT after unnest is the same
+-- set as Spark's array_distinct-before-explode (DuckDB list_distinct does
+-- not support struct elements)
+SELECT DISTINCT doc_id AS id, f.h AS fp_hash, f.p AS fp_pos
+FROM s, unnest(s.sel) AS u(f)
+"""
+
+
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS → duplicate GROUPS: min-label propagation over the
     MinHash pair graph (a≈b, b≈c collapse to one cluster without an a≈c
@@ -1332,6 +1395,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "text_rolling_fingerprint": q_rolling_fingerprint,
     "text_chunking": q_text_chunking,
     "text_pii_redaction": q_pii_redaction,
+    "text_vocab_topk": q_vocab_topk,
+    "text_winnow_fingerprints": q_winnow_fingerprints,
     "embed_cosine_topk": q_cosine_topk,
     "embed_ivf_topk_label": q_ivf_topk,
     "embed_lsh_ann_topk": q_lsh_topk,
@@ -1372,6 +1437,8 @@ EXT_ORACLE: dict[str, str] = {
     "text_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
     "text_chunking": SQL_TEXT_CHUNKING,
     "text_pii_redaction": SQL_PII_REDACTION,
+    "text_vocab_topk": SQL_VOCAB_TOPK,
+    "text_winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "embed_cosine_topk": SQL_COSINE_TOPK,
     "embed_ivf_topk_label": SQL_IVF_TOPK,
     "embed_lsh_ann_topk": SQL_LSH_TOPK,

@@ -23,6 +23,8 @@ __all__ = [
     "lang_id",
     "chunk_documents",
     "redact_pii",
+    "vocab_topk",
+    "winnow_fingerprints",
     "PII_PATTERNS",
     "STOPWORDS",
 ]
@@ -252,3 +254,101 @@ def redact_pii(
         counts.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{kind}"))
         cur = F.regexp_replace(cur, pat, token.format(kind=kind))
     return df.select("*", *counts, cur.alias("redacted"))
+
+
+def vocab_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary statistics: the ``k`` most frequent (lowercased,
+    whitespace-delimited) tokens with deterministic ranking (count desc,
+    then token asc). Output: ``(rank, token, n_occurrences)``.
+
+    explode → hash-aggregate (map-side combine carries one row per distinct
+    token per partition) → global top-k. The only full shuffle is on the
+    token key; the top-k itself is the TakeOrdered pattern. This is the
+    tokenizer-vocabulary / stopword-discovery pass of corpus preparation.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("n_occurrences"))
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "token", "n_occurrences")
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the public MOSS algorithm shape):
+    k-gram rolling hashes → per-window minimum selection → distinct
+    selected (hash, position) pairs, one row each.
+
+    Guarantee: any shared substring of at least ``window + k - 1`` tokens
+    between two documents yields at least one shared fingerprint — the
+    basis of scalable overlap/plagiarism detection. Ties inside a window
+    break toward the earliest position (deterministic; mirrored by the
+    struct ordering in both engines).
+
+    Staged as materialized columns (tokens → grams → selections) so each
+    higher-order expression consumes a bound attribute — referencing the
+    token-array EXPRESSION inside a lambda would re-tokenize per gram
+    (no CSE inside HOFs, see BASELINE.md). Pure per-row projection +
+    final explode; no shuffle.
+    """
+    toks_df = df.select(
+        F.col(id_col).alias("id"),
+        whitespace_tokens(F.lower(F.col(text_col))).alias("_toks"),
+    )
+    # guard: Spark sequence(1, 0) is DESCENDING [1, 0], not empty — docs
+    # shorter than k tokens must yield no grams explicitly
+    starts = F.when(
+        F.size("_toks") >= k,
+        F.sequence(F.lit(1), F.size("_toks") - k + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    grams_df = toks_df.select(
+        "id",
+        F.transform(
+            starts,
+            lambda i: F.struct(
+                F.conv(
+                    F.substring(
+                        F.md5(F.array_join(F.slice(F.col("_toks"), i, k), " ")),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("h"),
+                i.cast("long").alias("p"),
+            ),
+        ).alias("_grams"),
+    )
+    n_win = F.greatest(F.size("_grams") - window + 1, F.least(F.size("_grams"), F.lit(1)))
+    selected = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda j: F.array_min(F.slice(F.col("_grams"), j, window)),
+        )
+    )
+    out = grams_df.select(
+        "id", F.explode(F.when(F.size("_grams") > 0, selected)).alias("_fp")
+    )
+    return out.select(
+        "id",
+        F.col("_fp.h").alias("fp_hash"),
+        F.col("_fp.p").alias("fp_pos"),
+    )

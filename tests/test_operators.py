@@ -289,3 +289,46 @@ def test_redact_pii_counts_and_order(spark):
     r2 = out[2]
     assert (r2.n_email, r2.n_ipv4, r2.n_phone) == (0, 0, 0)
     assert r2.redacted == r2.text
+
+
+def test_winnow_shared_substring_shares_fingerprint(spark):
+    """Winnowing guarantee: a shared run of >= window + k - 1 tokens
+    yields at least one shared fingerprint HASH between the documents."""
+    from hiv_data_integration_spark.operators.textops import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens >= 4+5-1
+    df = spark.createDataFrame(
+        [
+            (1, "prefix one two " + shared + " suffix words here"),
+            (2, shared + " completely different ending tokens now"),
+            (3, "nothing in common with the others at all whatsoever"),
+            (4, "tiny doc"),  # < k tokens -> no fingerprints
+        ],
+        "doc_id long, text string",
+    )
+    out = winnow_fingerprints(df, k=5, window=4)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.id, set()).add(r.fp_hash)
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert 4 not in by_doc
+    # determinism
+    again = {}
+    for r in winnow_fingerprints(df, k=5, window=4).collect():
+        again.setdefault(r.id, set()).add((r.fp_hash, r.fp_pos))
+    full = {}
+    for r in out.collect():
+        full.setdefault(r.id, set()).add((r.fp_hash, r.fp_pos))
+    assert again == full
+
+
+def test_vocab_topk_deterministic_ranking(spark):
+    from hiv_data_integration_spark.operators.textops import vocab_topk
+
+    df = spark.createDataFrame(
+        [("b b b a a c",), ("a c d",)], "text string"
+    )
+    rows = [(r.rank, r.token, r.n_occurrences) for r in vocab_topk(df, k=3).collect()]
+    # a and b tie at 3 -> token asc breaks the tie
+    assert rows == [(1, "a", 3), (2, "b", 3), (3, "c", 2)]
