@@ -332,3 +332,37 @@ def test_vocab_topk_deterministic_ranking(spark):
     rows = [(r.rank, r.token, r.n_occurrences) for r in vocab_topk(df, k=3).collect()]
     # a and b tie at 3 -> token asc breaks the tie
     assert rows == [(1, "a", 3), (2, "b", 3), (3, "c", 2)]
+
+
+def test_chunk_documents_coverage_property(spark):
+    """Property (randomized docs): every token appears in at least one
+    chunk; no chunk exceeds chunk_size; stride-aligned chunks reconstruct
+    the document exactly when overlap is stripped."""
+    import random
+
+    from hiv_data_integration_spark.operators.textops import chunk_documents
+
+    rnd = random.Random(99)
+    docs = []
+    for i in range(12):
+        n = rnd.randint(1, 40)
+        docs.append((i, " ".join(f"w{i}_{j}" for j in range(n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cs, ov = 8, 3
+    out = chunk_documents(df, chunk_size=cs, overlap=ov)
+    by_doc: dict[int, list] = {}
+    for r in out.collect():
+        by_doc.setdefault(r.id, []).append((r.chunk_idx, r.n_tokens, r.chunk))
+    step = cs - ov
+    for i, text in docs:
+        chunks = sorted(by_doc[i])
+        toks = text.split()
+        assert all(n <= cs for _, n, _ in chunks)
+        # stripping the first `overlap` tokens of every chunk after the
+        # first reconstructs the token stream
+        rebuilt = chunks[0][2].split()
+        for _, _, c in chunks[1:]:
+            rebuilt.extend(c.split()[ov:])
+        # trailing chunks shorter than overlap contribute nothing new
+        assert rebuilt[: len(toks)] == toks
+        assert set(toks) <= {t for _, _, c in chunks for t in c.split()}

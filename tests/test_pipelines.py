@@ -423,3 +423,28 @@ def test_pipeline_c_same_name_two_districts(spark, tmp_path):
     } == ids
     rows2 = {r.idsite: (r["F_0-4 ans"], r["M_0-4 ans"]) for r in report2.collect()}
     assert rows2 == rows1
+
+
+def test_pipeline_b_with_shipped_naomi_map(spark, org_units):
+    """Pipeline B (Spectrum variant) driven by the SHIPPED NAOMI report
+    map ({indicateur_9: 9, indicateur_10: 10}, the reference's transform
+    call at pipeline.py:236-239)."""
+    from hiv_data_integration_spark import ref_constants as rc
+
+    prefix_map = dict(rc.REPORT_INDICATOR_MAPS["NAOMI"])
+    spectrum = spark.createDataFrame(
+        [("f1", "202412", 10.0, 20.0)],
+        "organisation_unit_id string, period string, "
+        "`indicateur_9_age_0_4_ans_M` double, `indicateur_10_age_0_4_ans_F` double",
+    )
+    report, flagged = run_pipeline_b(
+        spark,
+        spectrum,
+        org_units,
+        prefix_to_indicator=prefix_map,
+        report_value_columns=REPORT_VALUE_COLS,
+    )
+    assert flagged == {}
+    rows = {(r.idsite, r.Indicateur): r for r in report.collect()}
+    assert rows[("r1_d1_f1", 9)]["M_0-4 ans"] == 10
+    assert rows[("r1_d1_f1", 10)]["F_0-4 ans"] == 20
