@@ -1350,6 +1350,62 @@ FROM s, unnest(s.sel) AS u(f)
 """
 
 
+def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed overlap detection (the winnowing end game): fingerprint
+    the corpus, posting-join on the fingerprint HASH, count distinct
+    shared hashes per document pair, keep pairs sharing >= 3. The join is
+    bucketed by hash — O(postings), never O(docs²); hot hashes (boilerplate
+    grams) are the skew to watch at scale, bounded here by the distinct-set
+    semantics."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    fps = tx.winnow_fingerprints(docs, k=5, window=4).select(
+        "id", "fp_hash"
+    ).distinct()
+    a = fps.select(F.col("id").alias("id_a"), "fp_hash")
+    b = fps.select(F.col("id").alias("id_b"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+
+
+SQL_WINNOW_OVERLAP = """
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                       x -> x != '') AS toks
+    FROM documents
+),
+g AS (
+    SELECT doc_id,
+           list_transform(generate_series(1, len(toks) - 4),
+               i -> {'h': CAST('0x' || substr(
+                               md5(array_to_string(toks[i : i + 4], ' ')),
+                               1, 8) AS BIGINT),
+                     'p': CAST(i AS BIGINT)}) AS grams
+    FROM t WHERE len(toks) >= 5
+),
+s AS (
+    SELECT doc_id,
+           list_transform(
+               generate_series(1, greatest(len(grams) - 3, least(len(grams), 1))),
+               j -> list_sort(grams[j : j + 3])[1]) AS sel
+    FROM g WHERE len(grams) > 0
+),
+fps AS (
+    SELECT DISTINCT doc_id AS id, f.h AS fp_hash
+    FROM s, unnest(s.sel) AS u(f)
+)
+SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+FROM fps a JOIN fps b ON a.fp_hash = b.fp_hash AND a.id < b.id
+GROUP BY 1, 2
+HAVING count(*) >= 3
+"""
+
+
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS → duplicate GROUPS: min-label propagation over the
     MinHash pair graph (a≈b, b≈c collapse to one cluster without an a≈c
@@ -1397,6 +1453,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "text_pii_redaction": q_pii_redaction,
     "text_vocab_topk": q_vocab_topk,
     "text_winnow_fingerprints": q_winnow_fingerprints,
+    "text_winnow_overlap_pairs": q_winnow_overlap_pairs,
     "embed_cosine_topk": q_cosine_topk,
     "embed_ivf_topk_label": q_ivf_topk,
     "embed_lsh_ann_topk": q_lsh_topk,
@@ -1439,6 +1496,7 @@ EXT_ORACLE: dict[str, str] = {
     "text_pii_redaction": SQL_PII_REDACTION,
     "text_vocab_topk": SQL_VOCAB_TOPK,
     "text_winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
+    "text_winnow_overlap_pairs": SQL_WINNOW_OVERLAP,
     "embed_cosine_topk": SQL_COSINE_TOPK,
     "embed_ivf_topk_label": SQL_IVF_TOPK,
     "embed_lsh_ann_topk": SQL_LSH_TOPK,
