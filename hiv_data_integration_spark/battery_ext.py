@@ -1317,10 +1317,10 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.winnow_fingerprints(docs, k=5, window=4)
 
 
-# toks[i : i+4] is the 5-token gram (DuckDB slices are 1-based inclusive);
-# list_sort(...)[1] == Spark array_min struct ordering (h, then p)
-SQL_WINNOW_FINGERPRINTS = """
-WITH t AS (
+# Shared winnowing CTE chain (tokens -> gram hashes -> window-min
+# selections) — ONE definition composed into both the fingerprint query and
+# the overlap query so the two oracles can never drift apart.
+_WINNOW_CTE = """WITH t AS (
     SELECT doc_id,
            list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                        x -> x != '') AS toks
@@ -1338,10 +1338,15 @@ g AS (
 s AS (
     SELECT doc_id,
            list_transform(
-               generate_series(1, greatest(len(grams) - 3, least(len(grams), 1))),
+               generate_series(1, greatest(len(grams) - 3, 1)),
                j -> list_sort(grams[j : j + 3])[1]) AS sel
     FROM g WHERE len(grams) > 0
-)
+)"""
+
+# toks[i : i+4] is the 5-token gram (DuckDB slices are 1-based inclusive);
+# list_sort(...)[1] == Spark array_min struct ordering (h, then p)
+SQL_WINNOW_FINGERPRINTS = f"""
+{_WINNOW_CTE}
 -- per-doc distinct selections: row-level DISTINCT after unnest is the same
 -- set as Spark's array_distinct-before-explode (DuckDB list_distinct does
 -- not support struct elements)
@@ -1372,29 +1377,8 @@ def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_WINNOW_OVERLAP = """
-WITH t AS (
-    SELECT doc_id,
-           list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-                       x -> x != '') AS toks
-    FROM documents
-),
-g AS (
-    SELECT doc_id,
-           list_transform(generate_series(1, len(toks) - 4),
-               i -> {'h': CAST('0x' || substr(
-                               md5(array_to_string(toks[i : i + 4], ' ')),
-                               1, 8) AS BIGINT),
-                     'p': CAST(i AS BIGINT)}) AS grams
-    FROM t WHERE len(toks) >= 5
-),
-s AS (
-    SELECT doc_id,
-           list_transform(
-               generate_series(1, greatest(len(grams) - 3, least(len(grams), 1))),
-               j -> list_sort(grams[j : j + 3])[1]) AS sel
-    FROM g WHERE len(grams) > 0
-),
+SQL_WINNOW_OVERLAP = f"""
+{_WINNOW_CTE},
 fps AS (
     SELECT DISTINCT doc_id AS id, f.h AS fp_hash
     FROM s, unnest(s.sel) AS u(f)

@@ -337,7 +337,10 @@ def winnow_fingerprints(
             ),
         ).alias("_grams"),
     )
-    n_win = F.greatest(F.size("_grams") - window + 1, F.least(F.size("_grams"), F.lit(1)))
+    # live rows always have size >= 1 (the explode guard below), so the
+    # floor is simply 1 — sub-window docs get exactly one window; this also
+    # keeps sequence() ascending (sequence(1, 0) would be DESCENDING)
+    n_win = F.greatest(F.size("_grams") - window + 1, F.lit(1))
     selected = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), n_win),
