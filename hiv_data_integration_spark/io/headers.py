@@ -28,9 +28,11 @@ from hiv_data_integration_spark.operators.fuzzy import (
 
 __all__ = [
     "find_best_match_index",
+    "resolve_sheet_name",
     "rename_or_drop_if_found",
     "apply_sheet_renames",
     "standardize_chu_columns",
+    "clean_chu_cells",
 ]
 
 
@@ -53,6 +55,20 @@ def find_best_match_index(
         if s > best_s or (s == best_s and best_i is None):
             best_i, best_s = i, s
     return best_i
+
+
+def resolve_sheet_name(
+    sheet_name: str, sheetnames: list[str], threshold: float = 95.0
+) -> str:
+    """Fuzzy sheet discovery (extract_chu_data.py:175-182): the requested
+    sheet resolves to the workbook's closest actual sheet name, raising
+    with the available names when nothing clears the bar."""
+    idx = find_best_match_index(sheet_name, sheetnames, threshold)
+    if idx is None:
+        raise ValueError(
+            f"sheet {sheet_name!r} not found; available: {sheetnames}"
+        )
+    return sheetnames[idx]
 
 
 def rename_or_drop_if_found(
@@ -117,3 +133,41 @@ def standardize_chu_columns(
     if sheet_name and sheet_name in sheet_renames:
         df = apply_sheet_renames(df, sheet_renames[sheet_name])
     return df, district_here
+
+
+def clean_chu_cells(
+    df: DataFrame,
+    replacements: Mapping[str, str] | None = None,
+    org_cols: tuple[str, ...] = ("districts_sanitaires", "formations_sanitaires"),
+    skip_cols: tuple[str, ...] = ("periode",),
+) -> DataFrame:
+    """The CHU sheet's cell cleanup (extract_chu_data.py:203-211): org-unit
+    columns get trimmed; every other string column runs the age-label
+    ``multi_replace`` canonicalization (the same ordered literal
+    replacements used for COC names). Numeric columns pass through.
+
+    Native ``replace``/``trim`` projections — the reference's per-cell
+    ``map_elements`` loop becomes one codegen'd select.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from hiv_data_integration_spark.functions import multi_replace
+
+    if replacements is None:
+        from hiv_data_integration_spark.ref_constants import (
+            COLUMN_NAME_GROUP_AGE,
+        )
+
+        replacements = COLUMN_NAME_GROUP_AGE
+    cols = []
+    for f in df.schema.fields:
+        if f.name in org_cols and isinstance(f.dataType, T.StringType):
+            cols.append(F.trim(F.col(f.name)).alias(f.name))
+        elif (
+            isinstance(f.dataType, T.StringType) and f.name not in skip_cols
+        ):
+            cols.append(multi_replace(F.col(f.name), replacements).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)

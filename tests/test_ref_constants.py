@@ -159,3 +159,26 @@ def test_reference_pathology_spec_factory(spark):
     assert spec.compound_coc_keys is False
     ptme = reference_pathology_spec("PTME", analytics, de_map)
     assert ptme.compound_coc_keys is True and len(ptme.rules) == 18
+
+
+def test_resolve_sheet_name_and_cell_cleanup(spark):
+    from hiv_data_integration_spark.io.headers import (
+        clean_chu_cells,
+        resolve_sheet_name,
+    )
+
+    # fuzzy sheet discovery: near-miss resolves, unknown raises with names
+    assert resolve_sheet_name("PEC", ["CD", "PEC ", "PTME"]) == "PEC "
+    with pytest.raises(ValueError, match="available"):
+        resolve_sheet_name("Inconnu", ["CD", "PEC"])
+
+    df = spark.createDataFrame(
+        [("  CHU de Cocody ", "202401", "0-4 ans positif", 5)],
+        "formations_sanitaires string, periode string, "
+        "label string, n long",
+    )
+    out = clean_chu_cells(df).collect()[0]
+    assert out.formations_sanitaires == "CHU de Cocody"  # trimmed only
+    assert out.periode == "202401"  # skipped
+    assert out.label == "age_0_4_ans positif"  # age label canonicalized
+    assert out.n == 5  # non-string untouched
