@@ -46,6 +46,11 @@ HEADLINE = [
     "embed_ann_recall",
     "fuzzy_resolve_blocked",
     "text_quality_scores",
+    "text_chunking",
+    "text_winnow_fingerprints",
+    "text_winnow_overlap_pairs",
+    "text_vocab_topk",
+    "text_pii_redaction",
     "salted_skew_join",
     "rollup_lineitem",
     "range_join_events",
