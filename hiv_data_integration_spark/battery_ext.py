@@ -1421,6 +1421,49 @@ SELECT src AS id, min(dst) AS component FROM reach GROUP BY src
 """
 
 
+def q_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup END GAME, fully hash-checked: near-dup pairs → connected
+    components → drop every non-canonical cluster member → per-language
+    corpus stats of what survives. Each stage is oracle-green standalone
+    (dedup_minhash_lsh_pairs, dedup_connected_components); this entry
+    verifies their composition."""
+    corpus = _dup_corpus(spark, sf_dir)
+    pairs = dd.minhash_candidate_pairs(
+        corpus, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4,
+        jaccard_threshold=0.6, partitions=32,
+    )
+    comps = dd.connected_components(pairs)
+    kept = dd.drop_non_canonical(corpus, comps, id_col="doc_id")
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+# the inner subquery carries its own WITH-scoped corpus; the outer corpus
+# CTE (same fragment) feeds the final stats — identical definitions by
+# construction, both composed from the same module constants
+SQL_CANONICAL_CORPUS = """
+WITH RECURSIVE pairs AS ({minhash_sql}),
+{dup_corpus_sql},
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comps AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src),
+losers AS (SELECT id FROM comps WHERE id != component)
+SELECT lang, count(*) AS n_docs, sum(length(text)) AS total_chars
+FROM corpus ANTI JOIN losers ON corpus.doc_id = losers.id
+GROUP BY lang
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "text_token_counts": q_token_counts,
     "text_quality_scores": q_quality_scores,
@@ -1432,6 +1475,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "dedup_simhash_fingerprints": q_simhash,
     "dedup_embedding_cosine_pairs": q_embedding_cosine_dedup,
     "dedup_connected_components": q_connected_components,
+    "dedup_canonical_corpus": q_canonical_corpus,
     "text_rolling_fingerprint": q_rolling_fingerprint,
     "text_chunking": q_text_chunking,
     "text_pii_redaction": q_pii_redaction,
@@ -1474,6 +1518,9 @@ EXT_ORACLE: dict[str, str] = {
     "dedup_embedding_cosine_pairs": SQL_EMBED_COSINE_DEDUP,
     "dedup_connected_components": SQL_CONNECTED_COMPONENTS.format(
         minhash_sql=SQL_MINHASH_PAIRS
+    ),
+    "dedup_canonical_corpus": SQL_CANONICAL_CORPUS.format(
+        minhash_sql=SQL_MINHASH_PAIRS, dup_corpus_sql=_DUP_CORPUS_SQL
     ),
     "text_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
     "text_chunking": SQL_TEXT_CHUNKING,

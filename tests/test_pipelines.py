@@ -448,3 +448,37 @@ def test_pipeline_b_with_shipped_naomi_map(spark, org_units):
     rows = {(r.idsite, r.Indicateur): r for r in report.collect()}
     assert rows[("r1_d1_f1", 9)]["M_0-4 ans"] == 10
     assert rows[("r1_d1_f1", 10)]["F_0-4 ans"] == 20
+
+
+def test_pipeline_c_from_raw_sheet(spark, org_units, tmp_path):
+    """Raw CHU workbook shape → report, end to end: messy French headers
+    (fuzzy surgery), the shipped PEC SHEET_RENAMES label, dirty cells
+    (quotes/whitespace), then the full resolution + report chain."""
+    from hiv_data_integration_spark.io.headers import (
+        clean_chu_cells,
+        standardize_chu_columns,
+    )
+
+    pec_label = "Nombre de Patients VIH positif sous ARV (file active)"
+    raw = spark.createDataFrame(
+        [("R1", "Cocody", "CHU de Cocody ", "Médecine", "202401", '"12"')],
+        f"`Région` string, `Districts` string, `Etablissements ` string, "
+        f"`Service` string, `Mois` string, `{pec_label}` string",
+    )
+    sheet, district_here = standardize_chu_columns(raw, sheet_name="PEC")
+    assert district_here
+    sheet = clean_chu_cells(sheet)
+    # the renamed indicator column feeds the prefix map directly
+    report, registry = run_pipeline_c(
+        spark,
+        sheets={"PEC": (sheet, {"indicateur_11": 11})},
+        facility_col="formations_sanitaires",
+        period_col="periode",
+        registry_path=str(tmp_path / "reg.parquet"),
+        org_units=org_units,
+        report_value_columns=["nosex_noage"],
+        district_col="districts_sanitaires",
+    )
+    rows = {(r.idsite, r.Indicateur): r for r in report.collect()}
+    # facility trimmed then exact-matched to f1; quoted value parsed
+    assert rows[("r1_d1_f1", 11)]["nosex_noage"] == 12
