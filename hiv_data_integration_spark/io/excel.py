@@ -31,6 +31,9 @@ __all__ = [
     "flatten_two_row_header",
     "read_excel_sheet",
     "excel_sheet_to_spark",
+    "read_xlsx_stdlib",
+    "xlsx_sheet_names",
+    "write_xlsx_cells",
 ]
 
 try:  # pragma: no cover - openpyxl absent in this container
@@ -87,18 +90,18 @@ def flatten_two_row_header(pdf: pd.DataFrame) -> pd.DataFrame:
 def read_excel_sheet(path: str, sheet_name: str | int = 0) -> pd.DataFrame:
     """Read one worksheet into pandas (driver-side).
 
-    Gated on openpyxl: this container ships no Excel library, so the byte
-    parsing raises a clear NotImplementedError here; every downstream
-    operator (header flatten, fuzzy org matching, lenient numeric parse)
-    is exercised through pandas/Spark fixtures instead.
+    openpyxl (via ``pd.read_excel``) when available; otherwise the
+    stdlib zip/XML codec below handles ``.xlsx`` natively — only legacy
+    binary ``.xls`` remains gated (its BIFF format genuinely needs xlrd).
     """
-    if not HAVE_OPENPYXL:  # pragma: no cover - exercised via message test
+    if HAVE_OPENPYXL:  # pragma: no cover - openpyxl absent here
+        return pd.read_excel(path, sheet_name=sheet_name)
+    if str(path).lower().endswith(".xls"):
         raise NotImplementedError(
-            "Excel byte parsing needs openpyxl (not shipped in this "
-            "container); construct a pandas DataFrame fixture and use "
-            "flatten_two_row_header / excel_sheet_to_spark directly."
+            "legacy .xls (BIFF) needs xlrd/openpyxl; re-save as .xlsx or "
+            "install an Excel library"
         )
-    return pd.read_excel(path, sheet_name=sheet_name)  # pragma: no cover
+    return read_xlsx_stdlib(path, sheet_name)
 
 
 def excel_sheet_to_spark(
@@ -116,3 +119,208 @@ def excel_sheet_to_spark(
         if pdf[c].dtype == object:
             pdf[c] = pdf[c].map(lambda x: None if pd.isna(x) else str(x))
     return spark.createDataFrame(pdf)
+
+
+# ---------------------------------------------------------------------------
+# Stdlib XLSX codec: an .xlsx file is a zip of XML parts, so basic reading
+# (and template-preserving cell writes) need no external library. This
+# ungates S3/K3 in environments without openpyxl; when openpyxl IS present
+# it stays the preferred reader (fuller format support).
+# ---------------------------------------------------------------------------
+
+_SSML = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_RELNS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+
+
+def _col_index(cell_ref: str) -> int:
+    """'BC12' -> 0-based column index of 'BC'."""
+    n = 0
+    for ch in cell_ref:
+        if not ch.isalpha():
+            break
+        n = n * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return n - 1
+
+
+def _xlsx_parts(path: str):
+    """(zipfile, {sheet_name: part_path}, shared_strings) for a workbook."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    zf = zipfile.ZipFile(path)
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+    rid_to_target = {
+        r.get("Id"): r.get("Target")
+        for r in rels
+        if r.get("Target", "").startswith(("worksheets/", "/xl/worksheets/"))
+    }
+    sheet_parts: dict[str, str] = {}
+    for sh in wb.find(f"{_SSML}sheets"):
+        target = rid_to_target.get(sh.get(f"{_RELNS}id"), "")
+        if target:
+            sheet_parts[sh.get("name")] = (
+                target.lstrip("/") if target.startswith("/") else f"xl/{target}"
+            )
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in zf.namelist():
+        sst = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+        for si in sst:
+            shared.append("".join(t.text or "" for t in si.iter(f"{_SSML}t")))
+    return zf, sheet_parts, shared
+
+
+def xlsx_sheet_names(path: str) -> list[str]:
+    """Workbook sheet names via the stdlib codec (pd.ExcelFile twin)."""
+    zf, sheet_parts, _ = _xlsx_parts(path)
+    zf.close()
+    return list(sheet_parts)
+
+
+def read_xlsx_stdlib(path: str, sheet_name: str | int = 0) -> pd.DataFrame:
+    """Read one worksheet into pandas using only the stdlib zip/XML codec.
+
+    Mirrors ``pd.read_excel`` defaults for the shapes the pipelines use:
+    row 1 becomes the header (missing header cells get ``Unnamed: <i>``
+    placeholders — the marker the nested-header flattener keys on), cells
+    hold shared/inline strings or floats, gaps are None.
+    """
+    import xml.etree.ElementTree as ET
+
+    zf, sheet_parts, shared = _xlsx_parts(path)
+    try:
+        if isinstance(sheet_name, int):
+            part = list(sheet_parts.values())[sheet_name]
+        else:
+            if sheet_name not in sheet_parts:
+                raise ValueError(
+                    f"sheet {sheet_name!r} not found; available: "
+                    f"{list(sheet_parts)}"
+                )
+            part = sheet_parts[sheet_name]
+        root = ET.fromstring(zf.read(part))
+    finally:
+        zf.close()
+
+    rows: dict[int, dict[int, object]] = {}
+    max_col = -1
+    for row in root.iter(f"{_SSML}row"):
+        r_idx = int(row.get("r")) - 1
+        for cell in row:
+            ref = cell.get("r") or ""
+            c_idx = _col_index(ref)
+            t = cell.get("t", "n")
+            if t == "inlineStr":
+                is_el = cell.find(f"{_SSML}is")
+                val: object = (
+                    "".join(x.text or "" for x in is_el.iter(f"{_SSML}t"))
+                    if is_el is not None
+                    else None
+                )
+            else:
+                v = cell.find(f"{_SSML}v")
+                if v is None or v.text is None:
+                    val = None
+                elif t == "s":
+                    val = shared[int(v.text)]
+                elif t == "str":
+                    val = v.text
+                elif t == "b":
+                    val = bool(int(v.text))
+                else:
+                    val = float(v.text)
+            if val is not None:
+                rows.setdefault(r_idx, {})[c_idx] = val
+                max_col = max(max_col, c_idx)
+
+    if not rows:
+        return pd.DataFrame()
+    n_rows = max(rows) + 1
+    grid = [
+        [rows.get(r, {}).get(c) for c in range(max_col + 1)]
+        for r in range(n_rows)
+    ]
+    header = [
+        str(h) if h is not None else f"Unnamed: {i}"
+        for i, h in enumerate(grid[0])
+    ]
+    return pd.DataFrame(grid[1:], columns=header)
+
+
+def write_xlsx_cells(
+    template_path: str,
+    sheet: str,
+    output_path: str,
+    rows: list[list[object]],
+    start_row: int = 6,
+    start_col: int = 1,
+) -> None:
+    """Write a block of values into a sheet of an existing workbook,
+    template-preserving: every zip part except the target sheet's XML is
+    copied byte-identical (styles, merged cells, other sheets untouched) —
+    the K3 review-sheet shape (update_pnls_report/utils.py:186-194) without
+    openpyxl. Strings become inline strings; numbers plain ``<v>`` cells.
+    """
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    ET.register_namespace("", _SSML.strip("{}"))
+    zf, sheet_parts, _ = _xlsx_parts(template_path)
+    try:
+        if sheet not in sheet_parts:
+            raise ValueError(
+                f"sheet {sheet!r} not found; available: {list(sheet_parts)}"
+            )
+        part = sheet_parts[sheet]
+        root = ET.fromstring(zf.read(part))
+        sheet_data = root.find(f"{_SSML}sheetData")
+        if sheet_data is None:
+            raise ValueError(f"{part} has no sheetData element")
+
+        def col_letter(n0: int) -> str:
+            n, out = n0 + 1, ""
+            while n > 0:
+                n, rem = divmod(n - 1, 26)
+                out = chr(ord("A") + rem) + out
+            return out
+
+        new_rows: dict[int, ET.Element] = {}
+        for r_off, values in enumerate(rows):
+            r = start_row + r_off
+            row_el = ET.Element(f"{_SSML}row", {"r": str(r)})
+            for c_off, val in enumerate(values):
+                ref = f"{col_letter(start_col - 1 + c_off)}{r}"
+                if val is None:
+                    continue
+                if isinstance(val, (int, float)) and not isinstance(val, bool):
+                    c = ET.SubElement(row_el, f"{_SSML}c", {"r": ref})
+                    v = ET.SubElement(c, f"{_SSML}v")
+                    v.text = repr(val) if isinstance(val, float) else str(val)
+                else:
+                    c = ET.SubElement(
+                        row_el, f"{_SSML}c", {"r": ref, "t": "inlineStr"}
+                    )
+                    is_el = ET.SubElement(c, f"{_SSML}is")
+                    t = ET.SubElement(is_el, f"{_SSML}t")
+                    t.text = str(val)
+            new_rows[r] = row_el
+
+        kept = [
+            el
+            for el in list(sheet_data)
+            if int(el.get("r", 0)) not in new_rows
+        ]
+        for el in list(sheet_data):
+            sheet_data.remove(el)
+        for el in sorted(
+            kept + list(new_rows.values()), key=lambda e: int(e.get("r", 0))
+        ):
+            sheet_data.append(el)
+        new_xml = ET.tostring(root, xml_declaration=True, encoding="UTF-8")
+
+        with zipfile.ZipFile(output_path, "w", zipfile.ZIP_DEFLATED) as out:
+            for item in zf.infolist():
+                data = new_xml if item.filename == part else zf.read(item)
+                out.writestr(item, data)
+    finally:
+        zf.close()

@@ -98,27 +98,34 @@ def write_excel_review(
     sheet: str,
     output_path: str,
     start_row: int = 6,
-) -> None:  # pragma: no cover - openpyxl absent in this container
+) -> None:
     """Write flagged review rows into a pre-styled workbook sheet starting
     at ``start_row`` (row 4 for PTME sheets in the reference), saving to
     ``output_path`` — never back over the template, which must stay
     pristine across runs (a re-run with fewer flagged rows would otherwise
     leave the previous run's stale rows in the sheet). Driver-side
-    ``toPandas`` is correct here: review extracts are human-scale."""
-    if not HAVE_OPENPYXL:
-        raise NotImplementedError(
-            "Excel review export needs openpyxl (not shipped in this "
-            "container); the flagged-rows DataFrame itself is produced by "
-            "operators.rules and is fully tested."
-        )
-    import openpyxl
+    ``toPandas`` is correct here: review extracts are human-scale.
 
-    wb = openpyxl.load_workbook(template_path)
-    ws = wb[sheet]
-    for r_off, row in enumerate(df.toPandas().itertuples(index=False)):
+    openpyxl when present; otherwise the stdlib template-preserving cell
+    writer (``io.excel.write_xlsx_cells``) — every untouched workbook part
+    is copied byte-identical, so the template's styling survives."""
+    if not HAVE_OPENPYXL:
+        from hiv_data_integration_spark.io.excel import write_xlsx_cells
+
+        pdf = df.toPandas()
+        rows = [list(t) for t in pdf.itertuples(index=False)]
+        write_xlsx_cells(template_path, sheet, output_path, rows, start_row)
+        return
+    import openpyxl  # pragma: no cover - openpyxl absent here
+
+    wb = openpyxl.load_workbook(template_path)  # pragma: no cover
+    ws = wb[sheet]  # pragma: no cover
+    for r_off, row in enumerate(  # pragma: no cover
+        df.toPandas().itertuples(index=False)
+    ):
         for c_off, val in enumerate(row):
             ws.cell(row=start_row + r_off, column=1 + c_off, value=val)
-    wb.save(output_path)
+    wb.save(output_path)  # pragma: no cover
 
 
 def run_notebook_hook(

@@ -162,10 +162,15 @@ def test_excel_sheet_to_spark_roundtrip(spark):
     assert "indicateur_1_<15 ans_M" in sdf.columns
 
 
-def test_read_excel_sheet_gated_message():
+def test_read_excel_sheet_gating():
+    """.xlsx reads work openpyxl-free (stdlib codec); only legacy binary
+    .xls stays gated with a clear message."""
     if excel.HAVE_OPENPYXL:
         pytest.skip("openpyxl present")
-    with pytest.raises(NotImplementedError, match="openpyxl"):
+    with pytest.raises(NotImplementedError, match="xls"):
+        excel.read_excel_sheet("/nonexistent.xls")
+    # .xlsx goes to the stdlib codec (missing file -> normal file error)
+    with pytest.raises(FileNotFoundError):
         excel.read_excel_sheet("/nonexistent.xlsx")
 
 
@@ -273,3 +278,203 @@ def test_notebook_hook_gated_message(tmp_path):
         )
     # output dir was prepared either way (reference mkdir parents semantics)
     assert (tmp_path / "out").is_dir()
+
+
+def _make_xlsx(path, sheets):
+    """Minimal hand-rolled .xlsx builder (zip of XML parts) for tests:
+    strings go through sharedStrings (cell t='s'), numbers are plain
+    <v> cells, None leaves a gap. Independent of the reader under test."""
+    import zipfile
+
+    shared: list[str] = []
+
+    def sref(s):
+        if s not in shared:
+            shared.append(s)
+        return shared.index(s)
+
+    def col_letter(n0):
+        n, out = n0 + 1, ""
+        while n > 0:
+            n, rem = divmod(n - 1, 26)
+            out = chr(ord("A") + rem) + out
+        return out
+
+    sheet_xmls = []
+    for grid in sheets.values():
+        rows_xml = []
+        for r, row in enumerate(grid, start=1):
+            cells = []
+            for c, val in enumerate(row):
+                if val is None:
+                    continue
+                ref = f"{col_letter(c)}{r}"
+                if isinstance(val, str):
+                    cells.append(f'<c r="{ref}" t="s"><v>{sref(val)}</v></c>')
+                else:
+                    cells.append(f'<c r="{ref}"><v>{val}</v></c>')
+            rows_xml.append(f'<row r="{r}">{"".join(cells)}</row>')
+        sheet_xmls.append(
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<worksheet xmlns="http://schemas.openxmlformats.org/'
+            'spreadsheetml/2006/main"><sheetData>'
+            + "".join(rows_xml)
+            + "</sheetData></worksheet>"
+        )
+
+    ns_main = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    ns_rel = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    sheets_el = "".join(
+        f'<sheet name="{name}" sheetId="{i+1}" r:id="rId{i+1}"/>'
+        for i, name in enumerate(sheets)
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<workbook xmlns="{ns_main}" xmlns:r="{ns_rel}">'
+        f"<sheets>{sheets_el}</sheets></workbook>"
+    )
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+        '2006/relationships">'
+        + "".join(
+            f'<Relationship Id="rId{i+1}" Type="{ns_rel}/worksheet" '
+            f'Target="worksheets/sheet{i+1}.xml"/>'
+            for i in range(len(sheets))
+        )
+        + f'<Relationship Id="rId{len(sheets)+1}" Type="{ns_rel}/sharedStrings" '
+        'Target="sharedStrings.xml"/></Relationships>'
+    )
+    sst = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<sst xmlns="{ns_main}" count="{len(shared)}" uniqueCount="{len(shared)}">'
+        + "".join(f"<si><t>{s}</t></si>" for s in shared)
+        + "</sst>"
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/sharedStrings.xml", sst)
+        for i, xml in enumerate(sheet_xmls):
+            zf.writestr(f"xl/worksheets/sheet{i+1}.xml", xml)
+
+
+def test_stdlib_xlsx_read_roundtrip(tmp_path):
+    """S3 ungated: a real .xlsx (built independently) read through
+    read_excel_sheet without openpyxl — headers, Unnamed placeholders,
+    shared strings, numbers, gaps."""
+    path = str(tmp_path / "chu.xlsx")
+    _make_xlsx(
+        path,
+        {
+            "PEC": [
+                ["Etablissements", "indicateur_11", None, "Mois"],
+                ["CHU de Cocody", 5.0, "x", "202401"],
+                ["CSU Abobo", None, "y", "202402"],
+            ],
+            "CD": [["a"], [1.0]],
+        },
+    )
+    from hiv_data_integration_spark.io import excel
+
+    assert excel.xlsx_sheet_names(path) == ["PEC", "CD"]
+    pdf = excel.read_excel_sheet(path, "PEC")
+    assert list(pdf.columns) == [
+        "Etablissements", "indicateur_11", "Unnamed: 2", "Mois",
+    ]
+    assert pdf.iloc[0].tolist() == ["CHU de Cocody", 5.0, "x", "202401"]
+    assert pd.isna(pdf.iloc[1]["indicateur_11"])  # gap -> NaN (pandas float col)
+    # by-index selection + clear error on a missing sheet
+    assert excel.read_excel_sheet(path, 1).columns.tolist() == ["a"]
+    with pytest.raises(ValueError, match="available"):
+        excel.read_excel_sheet(path, "Inconnu")
+
+
+def test_stdlib_xlsx_review_write_preserves_template(spark, tmp_path):
+    """K3 ungated: flagged rows written into a template workbook through
+    the stdlib writer; untouched parts (other sheets, shared strings) stay
+    byte-identical and existing rows outside the block survive."""
+    import zipfile
+
+    template = str(tmp_path / "template.xlsx")
+    out = str(tmp_path / "review.xlsx")
+    _make_xlsx(
+        template,
+        {
+            "IST": [
+                ["Region", "District", "Facility", "Valeur"],
+                ["header2", None, None, None],
+            ],
+            "Autres": [["keep"], ["me"]],
+        },
+    )
+    flagged = spark.createDataFrame(
+        [("R1", "D1", "F1", 7.0), ("R1", "D2", "F2", 9.5)],
+        "region string, district string, facility string, v double",
+    )
+    sinks.write_excel_review(flagged, template, "IST", out, start_row=6)
+
+    from hiv_data_integration_spark.io import excel
+
+    pdf = excel.read_excel_sheet(out, "IST")
+    # rows 6-7 landed (pandas-side: header row consumed, so data index 4/5)
+    assert pdf.iloc[4].tolist() == ["R1", "D1", "F1", 7.0]
+    assert pdf.iloc[5].tolist() == ["R1", "D2", "F2", 9.5]
+    # pre-existing row survived
+    assert pdf.iloc[0]["Region"] == "header2"
+    # untouched zip parts are byte-identical
+    with zipfile.ZipFile(template) as a, zipfile.ZipFile(out) as b:
+        for name in a.namelist():
+            if name != "xl/worksheets/sheet1.xml":
+                assert a.read(name) == b.read(name), name
+
+
+def test_pipeline_c_from_xlsx_file(spark, tmp_path):
+    """Entry point C from REAL workbook bytes, no Excel library: a two-row
+    nested-header CHU sheet (merged-cell Unnamed placeholders) read via the
+    stdlib codec, flattened, surgered, and run through the full pipeline."""
+    from hiv_data_integration_spark.io.headers import standardize_chu_columns
+    from hiv_data_integration_spark.pipeline import run_pipeline_c
+
+    ROOT = "ZD44Asc0bAk"
+    path = str(tmp_path / "chu.xlsx")
+    # top header row: indicator label spans two columns (second is a gap ->
+    # Unnamed placeholder); data rows 1-2 carry the age/sex sub-labels
+    _make_xlsx(
+        path,
+        {
+            "PEC": [
+                ["Etablissements", "Mois", "indicateur_11", None],
+                [None, None, "age_0_4_ans", "age_0_4_ans"],
+                [None, None, "F", "M"],
+                ["CHU de Cocody", "202401", 4.0, 6.0],
+            ],
+        },
+    )
+    from hiv_data_integration_spark.io import excel
+
+    pdf = excel.read_excel_sheet(path, "PEC")
+    sdf = excel.excel_sheet_to_spark(spark, pdf, flatten_nested_header=True)
+    sheet, _ = standardize_chu_columns(sdf, sheet_name="PEC")
+    assert "indicateur_11_age_0_4_ans_F" in sheet.columns
+    assert "indicateur_11_age_0_4_ans_M" in sheet.columns
+
+    org_units = spark.createDataFrame(
+        [
+            ("d1", "DS Cocody", 3, f"/{ROOT}/r1/d1", None),
+            ("f1", "CHU de Cocody", 4, f"/{ROOT}/r1/d1/f1", None),
+        ],
+        "id string, name string, level long, path string, geometry string",
+    )
+    report, _ = run_pipeline_c(
+        spark,
+        sheets={"PEC": (sheet, {"indicateur_11_": 11})},
+        facility_col="formations_sanitaires",
+        period_col="periode",
+        registry_path=str(tmp_path / "reg.parquet"),
+        org_units=org_units,
+        report_value_columns=["F_0-4 ans", "M_0-4 ans"],
+    )
+    rows = {(r.idsite, r.Indicateur): r for r in report.collect()}
+    r = rows[("r1_d1_f1", 11)]
+    assert (r["F_0-4 ans"], r["M_0-4 ans"]) == (4, 6)
