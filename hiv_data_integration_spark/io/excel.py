@@ -143,31 +143,57 @@ def _col_index(cell_ref: str) -> int:
 
 
 def _xlsx_parts(path: str):
-    """(zipfile, {sheet_name: part_path}, shared_strings) for a workbook."""
+    """(zipfile, {sheet_name: part_path}, shared_strings) for a workbook.
+    The zip handle is closed on ANY parse failure — callers only own it
+    after a successful return."""
     import xml.etree.ElementTree as ET
     import zipfile
 
     zf = zipfile.ZipFile(path)
-    wb = ET.fromstring(zf.read("xl/workbook.xml"))
-    rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
-    rid_to_target = {
-        r.get("Id"): r.get("Target")
-        for r in rels
-        if r.get("Target", "").startswith(("worksheets/", "/xl/worksheets/"))
-    }
-    sheet_parts: dict[str, str] = {}
-    for sh in wb.find(f"{_SSML}sheets"):
-        target = rid_to_target.get(sh.get(f"{_RELNS}id"), "")
-        if target:
-            sheet_parts[sh.get("name")] = (
-                target.lstrip("/") if target.startswith("/") else f"xl/{target}"
-            )
-    shared: list[str] = []
-    if "xl/sharedStrings.xml" in zf.namelist():
-        sst = ET.fromstring(zf.read("xl/sharedStrings.xml"))
-        for si in sst:
-            shared.append("".join(t.text or "" for t in si.iter(f"{_SSML}t")))
+    try:
+        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+        rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+        rid_to_target = {
+            r.get("Id"): r.get("Target")
+            for r in rels
+            if r.get("Target", "").startswith(("worksheets/", "/xl/worksheets/"))
+        }
+        sheet_parts: dict[str, str] = {}
+        for sh in wb.find(f"{_SSML}sheets"):
+            target = rid_to_target.get(sh.get(f"{_RELNS}id"), "")
+            if target:
+                sheet_parts[sh.get("name")] = (
+                    target.lstrip("/") if target.startswith("/") else f"xl/{target}"
+                )
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in zf.namelist():
+            sst = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+            for si in sst:
+                shared.append(
+                    "".join(t.text or "" for t in si.iter(f"{_SSML}t"))
+                )
+    except Exception:
+        zf.close()
+        raise
     return zf, sheet_parts, shared
+
+
+def _resolve_sheet_part(sheet_parts: dict, sheet_name: str | int) -> str:
+    """Sheet selector → part path, with the available names in every error
+    (index and name selectors get the same diagnostics)."""
+    if isinstance(sheet_name, int):
+        parts = list(sheet_parts.values())
+        if not 0 <= sheet_name < len(parts):
+            raise ValueError(
+                f"sheet index {sheet_name} out of range; available: "
+                f"{list(sheet_parts)}"
+            )
+        return parts[sheet_name]
+    if sheet_name not in sheet_parts:
+        raise ValueError(
+            f"sheet {sheet_name!r} not found; available: {list(sheet_parts)}"
+        )
+    return sheet_parts[sheet_name]
 
 
 def xlsx_sheet_names(path: str) -> list[str]:
@@ -189,26 +215,25 @@ def read_xlsx_stdlib(path: str, sheet_name: str | int = 0) -> pd.DataFrame:
 
     zf, sheet_parts, shared = _xlsx_parts(path)
     try:
-        if isinstance(sheet_name, int):
-            part = list(sheet_parts.values())[sheet_name]
-        else:
-            if sheet_name not in sheet_parts:
-                raise ValueError(
-                    f"sheet {sheet_name!r} not found; available: "
-                    f"{list(sheet_parts)}"
-                )
-            part = sheet_parts[sheet_name]
+        part = _resolve_sheet_part(sheet_parts, sheet_name)
         root = ET.fromstring(zf.read(part))
     finally:
         zf.close()
 
     rows: dict[int, dict[int, object]] = {}
     max_col = -1
+    prev_row = -1
     for row in root.iter(f"{_SSML}row"):
-        r_idx = int(row.get("r")) - 1
+        # the r attributes are OPTIONAL per ECMA-376: streaming writers
+        # position rows/cells sequentially — fall back to running counters
+        r_attr = row.get("r")
+        r_idx = int(r_attr) - 1 if r_attr else prev_row + 1
+        prev_row = r_idx
+        prev_col = -1
         for cell in row:
-            ref = cell.get("r") or ""
-            c_idx = _col_index(ref)
+            ref = cell.get("r")
+            c_idx = _col_index(ref) if ref else prev_col + 1
+            prev_col = c_idx
             t = cell.get("t", "n")
             if t == "inlineStr":
                 is_el = cell.find(f"{_SSML}is")
@@ -223,12 +248,18 @@ def read_xlsx_stdlib(path: str, sheet_name: str | int = 0) -> pd.DataFrame:
                     val = None
                 elif t == "s":
                     val = shared[int(v.text)]
-                elif t == "str":
+                elif t in ("str", "e", "d"):
+                    # cached formula strings, formula ERRORS ("#DIV/0!"),
+                    # and ISO dates all surface as their literal text —
+                    # crashing the whole ingest on one bad cell is worse
                     val = v.text
                 elif t == "b":
                     val = bool(int(v.text))
                 else:
-                    val = float(v.text)
+                    try:
+                        val = float(v.text)
+                    except ValueError:
+                        val = v.text  # malformed numeric cell -> literal
             if val is not None:
                 rows.setdefault(r_idx, {})[c_idx] = val
                 max_col = max(max_col, c_idx)
@@ -257,14 +288,20 @@ def write_xlsx_cells(
 ) -> None:
     """Write a block of values into a sheet of an existing workbook,
     template-preserving: every zip part except the target sheet's XML is
-    copied byte-identical (styles, merged cells, other sheets untouched) —
-    the K3 review-sheet shape (update_pnls_report/utils.py:186-194) without
-    openpyxl. Strings become inline strings; numbers plain ``<v>`` cells.
+    copied byte-identical (styles, merged cells, other sheets untouched),
+    and inside the target sheet only the ADDRESSED cells change — existing
+    rows keep their attributes and any cells outside the written block
+    (formulas, styled cells), matching the openpyxl cell-by-cell behavior
+    — the K3 review-sheet shape (update_pnls_report/utils.py:186-194)
+    without openpyxl. Strings become inline strings; real numbers (incl.
+    numpy scalars) plain ``<v>`` cells; None/NaN/inf write nothing.
     """
+    import math
+    import numbers
+    import re as _re
     import xml.etree.ElementTree as ET
     import zipfile
 
-    ET.register_namespace("", _SSML.strip("{}"))
     zf, sheet_parts, _ = _xlsx_parts(template_path)
     try:
         if sheet not in sheet_parts:
@@ -272,7 +309,17 @@ def write_xlsx_cells(
                 f"sheet {sheet!r} not found; available: {list(sheet_parts)}"
             )
         part = sheet_parts[sheet]
-        root = ET.fromstring(zf.read(part))
+        raw = zf.read(part)
+        # preserve the document's own namespace prefixes (x14ac, xr, ...):
+        # ET would otherwise rebind them (ns1:...) while mc:Ignorable still
+        # names the old prefixes — strict consumers reject that. (ET
+        # namespace registration is process-global by design.)
+        head = raw[:4096].decode("utf-8", "replace")
+        for prefix, uri in _re.findall(r'xmlns:(\w+)="([^"]+)"', head):
+            if prefix != "xml":
+                ET.register_namespace(prefix, uri)
+        ET.register_namespace("", _SSML.strip("{}"))
+        root = ET.fromstring(raw)
         sheet_data = root.find(f"{_SSML}sheetData")
         if sheet_data is None:
             raise ValueError(f"{part} has no sheetData element")
@@ -284,38 +331,64 @@ def write_xlsx_cells(
                 out = chr(ord("A") + rem) + out
             return out
 
-        new_rows: dict[int, ET.Element] = {}
+        def make_cell(ref: str, val) -> ET.Element | None:
+            if val is None:
+                return None
+            if isinstance(val, numbers.Number) and not isinstance(val, bool):
+                fv = float(val)
+                if math.isnan(fv) or math.isinf(fv):
+                    return None  # no valid xlsx numeric form — leave blank
+                c = ET.Element(f"{_SSML}c", {"r": ref})
+                v = ET.SubElement(c, f"{_SSML}v")
+                v.text = (
+                    str(int(val))
+                    if isinstance(val, numbers.Integral)
+                    else repr(fv)
+                )
+                return c
+            c = ET.Element(f"{_SSML}c", {"r": ref, "t": "inlineStr"})
+            is_el = ET.SubElement(c, f"{_SSML}is")
+            t = ET.SubElement(is_el, f"{_SSML}t")
+            t.text = str(val)
+            return c
+
+        # target cells keyed (row, ref)
+        new_cells: dict[int, dict[str, ET.Element]] = {}
         for r_off, values in enumerate(rows):
             r = start_row + r_off
-            row_el = ET.Element(f"{_SSML}row", {"r": str(r)})
+            new_cells[r] = {}
             for c_off, val in enumerate(values):
                 ref = f"{col_letter(start_col - 1 + c_off)}{r}"
-                if val is None:
-                    continue
-                if isinstance(val, (int, float)) and not isinstance(val, bool):
-                    c = ET.SubElement(row_el, f"{_SSML}c", {"r": ref})
-                    v = ET.SubElement(c, f"{_SSML}v")
-                    v.text = repr(val) if isinstance(val, float) else str(val)
-                else:
-                    c = ET.SubElement(
-                        row_el, f"{_SSML}c", {"r": ref, "t": "inlineStr"}
-                    )
-                    is_el = ET.SubElement(c, f"{_SSML}is")
-                    t = ET.SubElement(is_el, f"{_SSML}t")
-                    t.text = str(val)
-            new_rows[r] = row_el
+                cell = make_cell(ref, val)
+                if cell is not None:
+                    new_cells[r][ref] = cell
 
-        kept = [
-            el
-            for el in list(sheet_data)
-            if int(el.get("r", 0)) not in new_rows
-        ]
-        for el in list(sheet_data):
-            sheet_data.remove(el)
-        for el in sorted(
-            kept + list(new_rows.values()), key=lambda e: int(e.get("r", 0))
-        ):
-            sheet_data.append(el)
+        existing = {
+            int(el.get("r", 0)): el for el in list(sheet_data) if el.get("r")
+        }
+        for r, cells in new_cells.items():
+            if r in existing:
+                # CELL-level merge: keep attributes and any cells outside
+                # the written refs (formulas / styled cells survive)
+                row_el = existing[r]
+                for c_el in list(row_el):
+                    if c_el.get("r") in cells:
+                        row_el.remove(c_el)
+                for c_el in cells.values():
+                    row_el.append(c_el)
+                row_el[:] = sorted(
+                    row_el, key=lambda c: _col_index(c.get("r") or "A")
+                )
+            else:
+                row_el = ET.Element(f"{_SSML}row", {"r": str(r)})
+                for c_el in sorted(
+                    cells.values(), key=lambda c: _col_index(c.get("r"))
+                ):
+                    row_el.append(c_el)
+                sheet_data.append(row_el)
+        sheet_data[:] = sorted(
+            sheet_data, key=lambda e: int(e.get("r", 0))
+        )
         new_xml = ET.tostring(root, xml_declaration=True, encoding="UTF-8")
 
         with zipfile.ZipFile(output_path, "w", zipfile.ZIP_DEFLATED) as out:

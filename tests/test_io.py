@@ -478,3 +478,79 @@ def test_pipeline_c_from_xlsx_file(spark, tmp_path):
     rows = {(r.idsite, r.Indicateur): r for r in report.collect()}
     r = rows[("r1_d1_f1", 11)]
     assert (r["F_0-4 ans"], r["M_0-4 ans"]) == (4, 6)
+
+
+def test_stdlib_writer_numeric_types_and_cell_merge(spark, tmp_path):
+    """Codec hardening: numpy scalars write as NUMBERS (not text), NaN
+    writes nothing, and writing into an existing row keeps that row's
+    cells outside the written block."""
+    import zipfile
+
+    import numpy as np
+
+    template = str(tmp_path / "t.xlsx")
+    out = str(tmp_path / "o.xlsx")
+    # row 6 pre-exists with a cell in column E (outside the written A-C)
+    _make_xlsx(
+        template,
+        {"S": [["h1", "h2", "h3", None, "keep-col"],
+               *[[None] * 5 for _ in range(4)],
+               [None, None, None, None, "survivor"]]},
+    )
+    from hiv_data_integration_spark.io import excel
+
+    excel.write_xlsx_cells(
+        template, "S", out,
+        rows=[[np.int64(7), np.float64(2.5), float("nan")]],
+        start_row=6,
+    )
+    # numbers came back as floats (numeric cells), NaN left a gap
+    pdf = excel.read_xlsx_stdlib(out, "S")
+    row = pdf.iloc[4]
+    assert row["h1"] == 7.0 and row["h2"] == 2.5
+    assert pd.isna(row["h3"])
+    # the pre-existing cell in the same row survived the write
+    assert row["keep-col"] == "survivor"
+    # raw XML: the numpy int is a plain numeric cell, not inlineStr
+    with zipfile.ZipFile(out) as z:
+        xml = z.read("xl/worksheets/sheet1.xml").decode()
+    assert '<c r="A6"><v>7</v></c>' in xml.replace("\n", "")
+
+
+def test_stdlib_reader_error_and_sequential_cells(tmp_path):
+    """Formula-error cells surface as literal text instead of crashing,
+    and rows/cells without r attributes position sequentially."""
+    import zipfile
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    nsr = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    sheet_xml = (
+        '<?xml version="1.0"?>'
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        '<row><c t="str"><v>head1</v></c><c t="str"><v>head2</v></c></row>'
+        '<row><c t="e"><v>#DIV/0!</v></c><c><v>3.5</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    path = str(tmp_path / "seq.xlsx")
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr(
+            "xl/workbook.xml",
+            f'<workbook xmlns="{ns}" xmlns:r="{nsr}"><sheets>'
+            '<sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>',
+        )
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<Relationships xmlns="http://schemas.openxmlformats.org/'
+            'package/2006/relationships">'
+            f'<Relationship Id="rId1" Type="{nsr}/worksheet" '
+            'Target="worksheets/sheet1.xml"/></Relationships>',
+        )
+        zf.writestr("xl/worksheets/sheet1.xml", sheet_xml)
+    from hiv_data_integration_spark.io import excel
+
+    pdf = excel.read_xlsx_stdlib(path, "S")
+    assert list(pdf.columns) == ["head1", "head2"]
+    assert pdf.iloc[0].tolist() == ["#DIV/0!", 3.5]
+    # helpful error for an out-of-range index too
+    with pytest.raises(ValueError, match="available"):
+        excel.read_xlsx_stdlib(path, 5)
