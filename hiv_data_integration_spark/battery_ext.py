@@ -1287,6 +1287,86 @@ FROM s2
 """
 
 
+def q_streaming_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus chunking, oracle-checked: documents arrive as a
+    file stream, the chunker (a stateless projection — sequence +
+    posexplode) runs per micro-batch, and per-language chunk statistics
+    must equal the batch result. This is the streaming ingestion shape of
+    LLM context prep: chunk on arrival, no state, exactly the batch
+    semantics."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = tempfile.mkdtemp(prefix="doc_feed_")
+    shutil.copy(f"{sf_dir}/documents.parquet", f"{src}/docs.parquet")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet").schema(schema).load(src)
+        .select("doc_id", "text", "lang")
+    )
+    chunked = tx.chunk_documents(stream, chunk_size=32, overlap=8)
+    # re-attach lang via the chunk id (stateless join against a static dim
+    # would also work; deriving from the stream keeps it single-source)
+    stats = (
+        chunked.join(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                F.col("doc_id").alias("id"), "lang"
+            ),
+            "id",
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+    name = f"stream_chunks_{_uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        stats.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = _local_result(spark.table(name))
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(src, ignore_errors=True)
+    return out
+
+
+SQL_STREAMING_CHUNKING = """
+WITH d AS (
+    SELECT doc_id, lang,
+           list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')
+               AS toks
+    FROM documents
+),
+s AS (
+    SELECT doc_id, lang, toks,
+           unnest(generate_series(0, greatest(len(toks) - 1, 0), 24)) AS start
+    FROM d
+)
+SELECT lang, count(*) AS n_chunks,
+       SUM(len(toks[start + 1 : start + 32])) AS total_tokens
+FROM s GROUP BY lang
+"""
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary top-k: explode → map-side-combined count → global
     deterministic top-50 (count desc, token asc)."""
@@ -1504,6 +1584,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "approx_sketches_events": q_approx_sketches,
     "streaming_tumbling_counts": q_streaming_tumbling,
     "streaming_exactly_once_dedup": q_streaming_dedup,
+    "streaming_corpus_chunking": q_streaming_chunking,
 }
 
 EXT_ORACLE: dict[str, str] = {
@@ -1539,6 +1620,7 @@ EXT_ORACLE: dict[str, str] = {
     "rest_naomi_json_flatten": SQL_NAOMI_FLATTEN,
     "salted_skew_join": SQL_SALTED_JOIN,
     "streaming_exactly_once_dedup": SQL_STREAMING_DEDUP,
+    "streaming_corpus_chunking": SQL_STREAMING_CHUNKING,
     "bucketed_colocated_join": SQL_BUCKETED_JOIN,
     "llm_corpus_prep": SQL_CORPUS_PREP,
     "spectrum_csv_scan": SQL_SPECTRUM_CSV,

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import types as T
 
 from hiv_data_integration_spark.operators import multimodal as mm
@@ -366,3 +368,43 @@ def test_chunk_documents_coverage_property(spark):
         # trailing chunks shorter than overlap contribute nothing new
         assert rebuilt[: len(toks)] == toks
         assert set(toks) <= {t for _, _, c in chunks for t in c.split()}
+
+
+def _winnow_python(text, k=5, window=4):
+    """Independent pure-Python winnowing oracle (hashlib, no Spark)."""
+    import hashlib
+
+    toks = [t for t in text.lower().split() if t]
+    grams = [
+        (
+            int(hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[:8], 16),
+            i + 1,
+        )
+        for i in range(len(toks) - k + 1)
+    ]
+    if not grams:
+        return set()
+    n_win = max(len(grams) - window + 1, 1)
+    return {min(grams[j : j + window]) for j in range(n_win)}
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=3), min_size=0, max_size=30
+    )
+)
+def test_winnow_matches_python_oracle(spark, tokens):
+    """Hypothesis: the distributed winnowing selection equals an
+    independent per-document Python implementation on random token
+    streams (hash ties included — 1-3 char tokens over a 5-letter
+    alphabet collide often)."""
+    from hiv_data_integration_spark.operators.textops import winnow_fingerprints
+
+    text = " ".join(tokens)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        (r.fp_hash, r.fp_pos)
+        for r in winnow_fingerprints(df, k=5, window=4).collect()
+    }
+    assert got == _winnow_python(text)
