@@ -16,6 +16,7 @@ from hiv_data_integration_spark.battery import QueryFn, dsum, tbl
 from hiv_data_integration_spark.operators import dedup as dd
 from hiv_data_integration_spark.operators import fuzzy as fz
 from hiv_data_integration_spark.operators import multimodal as mm
+from hiv_data_integration_spark.operators import sampling as sp
 from hiv_data_integration_spark.operators import similarity as sim
 from hiv_data_integration_spark.operators import textops as tx
 
@@ -1544,6 +1545,158 @@ GROUP BY lang
 """
 
 
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter: per-doc top-2-gram and
+    duplicated-3-gram character fractions + keep verdict. Pure explode +
+    hash-aggregate chain keyed by doc id — word-count shape, 100 TB-safe."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.ngram_repetition_features(
+        docs, top_n=2, dup_n=3, max_top_frac=0.15, max_dup_frac=0.05
+    )
+
+
+SQL_REPETITION_FILTER = f"""
+WITH base AS (
+    SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS n_chars,
+           {_TOKS} AS toks
+    FROM documents
+),
+top2 AS (
+    SELECT id, max(cnt * length(gram)) AS top_chars
+    FROM (SELECT id, gram, count(*) AS cnt
+          FROM (SELECT id,
+                       unnest(list_transform(generate_series(1, len(toks) - 1),
+                              i -> array_to_string(toks[i : i + 1], ' '))) AS gram
+                FROM base WHERE len(toks) >= 2)
+          GROUP BY id, gram)
+    GROUP BY id
+),
+dup3 AS (
+    SELECT id, sum(cnt * length(gram)) AS dup_chars
+    FROM (SELECT id, gram, count(*) AS cnt
+          FROM (SELECT id,
+                       unnest(list_transform(generate_series(1, len(toks) - 2),
+                              i -> array_to_string(toks[i : i + 2], ' '))) AS gram
+                FROM base WHERE len(toks) >= 3)
+          GROUP BY id, gram)
+    WHERE cnt > 1
+    GROUP BY id
+)
+SELECT base.id, base.n_chars,
+       CAST(coalesce(top_chars, 0) AS DOUBLE) / CAST(n_chars AS DOUBLE)
+           AS top_ngram_char_frac,
+       least(CAST(coalesce(dup_chars, 0) AS DOUBLE) / CAST(n_chars AS DOUBLE),
+             1.0) AS dup_ngram_char_frac,
+       (CAST(coalesce(top_chars, 0) AS DOUBLE) / CAST(n_chars AS DOUBLE)
+            <= 0.15
+        AND least(CAST(coalesce(dup_chars, 0) AS DOUBLE)
+                  / CAST(n_chars AS DOUBLE), 1.0) <= 0.05) AS keep
+FROM base
+LEFT JOIN top2 ON base.id = top2.id
+LEFT JOIN dup3 ON base.id = dup3.id
+"""
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination: distinct 4-gram overlap counts per train
+    doc against a deterministic eval slice (doc_id % 20 == 0). The eval
+    gram set broadcasts; the train corpus never re-shuffles."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_df = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return tx.contamination_check(train, eval_df, n=4)
+
+
+SQL_CONTAMINATION = f"""
+WITH g AS (
+    SELECT doc_id AS id,
+           unnest(list_transform(generate_series(1, len(toks) - 3),
+                  i -> array_to_string(toks[i : i + 3], ' '))) AS gram
+    FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    WHERE len(toks) >= 4
+),
+ev AS (SELECT DISTINCT gram FROM g WHERE id % 20 = 0),
+tr AS (SELECT DISTINCT id, gram FROM g WHERE id % 20 != 0)
+SELECT tr.id AS id, count(*) AS n_shared_grams
+FROM tr JOIN ev USING (gram)
+GROUP BY tr.id
+"""
+
+
+def q_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (md5-bucket thresholds) +
+    per-language temperature down-sampling (exact integer-fraction rates:
+    en 1/2, fr 3/4, others kept), aggregated to per-(lang, split) counts.
+    Pure per-row projection before the final aggregate — no shuffle until
+    the 15-row rollup, stable under any partitioning or append order."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = sp.hash_split(docs, "doc_id", train=0.8, val=0.1)
+    out = sp.stratified_sample_flag(
+        out, "doc_id", "lang", rates={"en": (1, 2), "fr": (3, 4)}
+    )
+    return out.groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("sampled").cast("long")).alias("n_sampled"),
+    )
+
+
+# thresholds: round(0.8 * 65536) = 52429, round(0.9 * 65536) = 58982 —
+# the exact integers hash_split derives; rates compared by exact
+# cross-multiplication, mirroring operators/sampling.py
+SQL_SPLIT_SAMPLE = """
+WITH b AS (
+    SELECT lang,
+           CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                AS BIGINT) AS sb,
+           CAST('0x' || substr(md5('sample:' || lang || '/'
+                                   || CAST(doc_id AS VARCHAR)), 1, 4)
+                AS BIGINT) AS pb
+    FROM documents
+),
+a AS (
+    SELECT lang,
+           CASE WHEN sb < 52429 THEN 'train'
+                WHEN sb < 58982 THEN 'val'
+                ELSE 'test' END AS split,
+           CASE WHEN lang = 'en' THEN pb * 2 < 65536
+                WHEN lang = 'fr' THEN pb * 4 < 3 * 65536
+                ELSE pb < 65536 END AS sampled
+    FROM b
+)
+SELECT lang, split, count(*) AS n_docs,
+       sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS n_sampled
+FROM a GROUP BY 1, 2
+"""
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by raw-ratio tf-idf
+    (log-free: only IEEE-exact double ops, so ranking is bit-reproducible
+    across engines)."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.tfidf_topk(docs, k=3)
+
+
+SQL_TFIDF_TOPK = f"""
+WITH terms AS (
+    SELECT doc_id AS id, unnest({_TOKS}) AS term FROM documents
+),
+tc AS (SELECT id, term, count(*) AS tf FROM terms GROUP BY id, term),
+dfreq AS (SELECT term, count(*) AS df_t FROM tc GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tc.id, tc.term, tc.tf,
+           CAST(tc.tf AS DOUBLE) * CAST(n.n_docs + 1 AS DOUBLE)
+               / CAST(dfreq.df_t + 1 AS DOUBLE) AS score
+    FROM tc JOIN dfreq USING (term) CROSS JOIN n
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY id
+                                   ORDER BY score DESC, term) AS rk
+      FROM scored)
+SELECT id, term, tf, score FROM r WHERE rk <= 3
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "text_token_counts": q_token_counts,
     "text_quality_scores": q_quality_scores,
@@ -1562,6 +1715,10 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "text_vocab_topk": q_vocab_topk,
     "text_winnow_fingerprints": q_winnow_fingerprints,
     "text_winnow_overlap_pairs": q_winnow_overlap_pairs,
+    "text_repetition_filter": q_repetition_filter,
+    "text_contamination_check": q_contamination_check,
+    "text_tfidf_topk": q_tfidf_topk,
+    "data_split_sample": q_split_sample,
     "embed_cosine_topk": q_cosine_topk,
     "embed_ivf_topk_label": q_ivf_topk,
     "embed_lsh_ann_topk": q_lsh_topk,
@@ -1609,6 +1766,10 @@ EXT_ORACLE: dict[str, str] = {
     "text_vocab_topk": SQL_VOCAB_TOPK,
     "text_winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "text_winnow_overlap_pairs": SQL_WINNOW_OVERLAP,
+    "text_repetition_filter": SQL_REPETITION_FILTER,
+    "text_contamination_check": SQL_CONTAMINATION,
+    "text_tfidf_topk": SQL_TFIDF_TOPK,
+    "data_split_sample": SQL_SPLIT_SAMPLE,
     "embed_cosine_topk": SQL_COSINE_TOPK,
     "embed_ivf_topk_label": SQL_IVF_TOPK,
     "embed_lsh_ann_topk": SQL_LSH_TOPK,

@@ -1,0 +1,94 @@
+"""Deterministic dataset splitting and stratified sampling.
+
+Training-data pipelines need reproducible train/val/test assignment and
+per-stratum (language / source / domain) down-sampling that gives the SAME
+answer on every engine, every run, every cluster size. Random number
+generators cannot do that across engines; a cryptographic hash of the row
+key can: ``md5`` is bit-identical everywhere, so a bucket derived from its
+hex prefix is a portable, uniform, deterministic [0, 65536) value.
+
+All expressions are native (codegen'd md5 + string ops + integer
+compares) — a pure per-row projection with no shuffle, so split
+assignment over 100 TB is exactly a distributed map. Sampling *rates* are
+exact integer fractions compared via cross-multiplication (``bucket * den
+< num * 65536``) — no floating point anywhere, so engines can never
+disagree on a boundary row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hash_bucket", "hash_split", "stratified_sample_flag"]
+
+#: Bucket space: 4 hex digits of the md5 → uniform integers in [0, 65536).
+BUCKETS = 1 << 16
+
+
+def hash_bucket(col: Column, salt: str = "") -> Column:
+    """Uniform deterministic bucket in ``[0, 65536)`` from md5 of the
+    (salted) stringified key. Distinct salts give independent buckets, so
+    split assignment and sampling decisions do not correlate."""
+    key = F.concat(F.lit(salt), col.cast("string"))
+    return F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("long")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    train: float = 0.8,
+    val: float = 0.1,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row to ``train`` / ``val`` / ``test`` by hash bucket.
+
+    Fractions are snapped to 1/65536 granularity (exact integer
+    thresholds), so the assignment is a pure function of the id — stable
+    under re-partitioning, re-ordering, appends, and engine choice. The
+    remainder after train+val is the test share.
+    """
+    if not 0.0 < train + val <= 1.0:
+        raise ValueError("train + val must be in (0, 1]")
+    t1 = round(train * BUCKETS)
+    t2 = round((train + val) * BUCKETS)
+    b = hash_bucket(F.col(id_col), salt="split:")
+    return df.withColumn(
+        out_col,
+        F.when(b < t1, F.lit("train"))
+        .when(b < t2, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def stratified_sample_flag(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, tuple[int, int]],
+    default_rate: tuple[int, int] = (1, 1),
+    out_col: str = "sampled",
+) -> DataFrame:
+    """Flag rows kept by per-stratum down-sampling (dataset mixture
+    weighting — e.g. temperature-flattening language shares).
+
+    ``rates`` maps stratum value → ``(num, den)``: a row survives iff
+    ``bucket * den < num * 65536`` where the bucket hashes BOTH the
+    stratum and the id (salted independently of :func:`hash_split`, so
+    sampling is unbiased within every split). Exact integer
+    cross-multiplication — no doubles, no engine drift. Unknown strata
+    fall back to ``default_rate``.
+    """
+    b = hash_bucket(
+        F.concat(F.col(strata_col).cast("string"), F.lit("/"), F.col(id_col).cast("string")),
+        salt="sample:",
+    )
+    expr = None
+    for stratum, (num, den) in sorted(rates.items()):
+        cond = F.col(strata_col).cast("string") == stratum
+        keep = b * F.lit(den) < F.lit(num * BUCKETS)
+        expr = F.when(cond, keep) if expr is None else expr.when(cond, keep)
+    dnum, dden = default_rate
+    default_keep = b * F.lit(dden) < F.lit(dnum * BUCKETS)
+    out = default_keep if expr is None else expr.otherwise(default_keep)
+    return df.withColumn(out_col, out)

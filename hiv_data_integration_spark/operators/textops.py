@@ -25,6 +25,10 @@ __all__ = [
     "redact_pii",
     "vocab_topk",
     "winnow_fingerprints",
+    "ngrams",
+    "ngram_repetition_features",
+    "contamination_check",
+    "tfidf_topk",
     "PII_PATTERNS",
     "STOPWORDS",
 ]
@@ -281,6 +285,171 @@ def vocab_topk(
         counts.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("rank", "token", "n_occurrences")
+    )
+
+
+def ngrams(toks: Column, n: int) -> Column:
+    """Space-joined token n-grams from a BOUND token-array column.
+
+    Pass a materialized column (not the tokenizing expression) — HOF
+    lambdas re-evaluate their input per element (no CSE, see BASELINE.md).
+    Docs shorter than ``n`` tokens yield an empty array explicitly
+    (``sequence(1, 0)`` is DESCENDING in Spark, not empty).
+    """
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+
+def ngram_repetition_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 2,
+    dup_n: int = 3,
+    max_top_frac: float = 0.15,
+    max_dup_frac: float = 0.05,
+) -> DataFrame:
+    """Gopher-style repetition quality filter (Rae et al. 2021, table A1):
+    per-document fraction of characters covered by (a) the most frequent
+    ``top_n``-gram and (b) all duplicated ``dup_n``-grams, plus the ``keep``
+    verdict against the thresholds.
+
+    Output: ``(id, n_chars, top_ngram_char_frac, dup_ngram_char_frac,
+    keep)``. The dup fraction counts every occurrence of every gram seen
+    more than once (overlaps can exceed the text length, so it is clamped
+    to 1.0 — the standard approximation of the character-coverage measure).
+
+    Plan shape: explode → two hash-aggregates per feature, every shuffle
+    keyed by the document id (or id+gram), so the work distributes exactly
+    like a word count — no windows, no driver state, 100 TB-safe. Ratios
+    are IEEE double divisions of exact integers (bit-deterministic).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        whitespace_tokens(F.lower(F.col(text_col))).alias("_toks"),
+    )
+    top = (
+        base.select("id", F.explode(ngrams(F.col("_toks"), top_n)).alias("gram"))
+        .groupBy("id", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("id")
+        .agg(F.max(F.col("cnt") * F.length("gram")).alias("_top_chars"))
+    )
+    dup = (
+        base.select("id", F.explode(ngrams(F.col("_toks"), dup_n)).alias("gram"))
+        .groupBy("id", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .groupBy("id")
+        .agg(F.sum(F.col("cnt") * F.length("gram")).alias("_dup_chars"))
+    )
+    top_frac = F.coalesce(F.col("_top_chars"), F.lit(0)).cast("double") / F.col(
+        "n_chars"
+    ).cast("double")
+    dup_frac = F.least(
+        F.coalesce(F.col("_dup_chars"), F.lit(0)).cast("double")
+        / F.col("n_chars").cast("double"),
+        F.lit(1.0),
+    )
+    return (
+        base.select("id", "n_chars")
+        .join(top, "id", "left")
+        .join(dup, "id", "left")
+        .select(
+            "id",
+            "n_chars",
+            top_frac.alias("top_ngram_char_frac"),
+            dup_frac.alias("dup_ngram_char_frac"),
+            (
+                (top_frac <= F.lit(max_top_frac)) & (dup_frac <= F.lit(max_dup_frac))
+            ).alias("keep"),
+        )
+    )
+
+
+def contamination_check(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+) -> DataFrame:
+    """Train/eval contamination detection: count, per training document,
+    the distinct token ``n``-grams it shares with ANY evaluation document
+    (the benchmark-decontamination pass of every LLM data pipeline; the
+    n-gram-overlap criterion of GPT-3 appendix C / PaLM sec. 8).
+
+    Output: ``(id, n_shared_grams)`` — training docs with at least one
+    shared gram. Both sides reduce to DISTINCT gram sets first, the eval
+    side collapses to grams only and is broadcast (eval suites are small
+    by construction); the train side never re-shuffles the corpus — cost
+    is O(train grams), embarrassingly parallel.
+    """
+
+    def gram_rows(d: DataFrame) -> DataFrame:
+        toks = d.select(
+            F.col(id_col).alias("id"),
+            whitespace_tokens(F.lower(F.col(text_col))).alias("_toks"),
+        )
+        return toks.select("id", F.explode(ngrams(F.col("_toks"), n)).alias("gram"))
+
+    train_grams = gram_rows(train).distinct()
+    eval_grams = gram_rows(eval_df).select("gram").distinct()
+    return (
+        train_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf-idf, raw-ratio
+    variant: ``score = tf * (N + 1) / (df + 1)`` (no logarithm — products
+    and divisions are correctly-rounded IEEE doubles on every engine,
+    whereas ``ln`` is not, so the ranking is bit-reproducible).
+
+    Output: ``(id, term, tf, score)``, ranked ``score desc, term asc``
+    (terms are unique within a document, so the order is total).
+
+    Plan: explode → (id, term) hash-aggregate for tf → term-keyed
+    re-aggregate for document frequency → join df back onto tf on the term
+    key (vocabulary-sized: left to AQE, which broadcasts it when it is
+    small — forcing broadcast would break at web-corpus vocabulary sizes)
+    → broadcast the 1-row corpus count. Per-doc top-k is a window over
+    the id partition.
+    """
+    from pyspark.sql.window import Window
+
+    terms = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (F.col("n_docs") + 1).cast("double")
+            / (F.col("df_t") + 1).cast("double"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("id", "term", "tf", "score")
     )
 
 

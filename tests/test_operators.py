@@ -408,3 +408,113 @@ def test_winnow_matches_python_oracle(spark, tokens):
         for r in winnow_fingerprints(df, k=5, window=4).collect()
     }
     assert got == _winnow_python(text)
+
+
+def test_repetition_features_handcrafted(spark):
+    from hiv_data_integration_spark.operators.textops import (
+        ngram_repetition_features,
+    )
+
+    # doc 1 "a a a a" (7 chars): top 2-gram "a a" x3 -> 9/7 (unclamped);
+    # dup 3-gram "a a a" x2 -> 10/7 clamped to 1.0.
+    # doc 2 "a b c d" (7 chars): all grams unique -> top 3/7, dup 0.
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d")], "doc_id long, text string"
+    )
+    out = {
+        r.id: r
+        for r in ngram_repetition_features(
+            df, max_top_frac=0.5, max_dup_frac=0.0
+        ).collect()
+    }
+    assert out[1].top_ngram_char_frac == pytest.approx(9 / 7)
+    assert out[1].dup_ngram_char_frac == 1.0
+    assert out[1].keep is False
+    assert out[2].top_ngram_char_frac == pytest.approx(3 / 7)
+    assert out[2].dup_ngram_char_frac == 0.0
+    assert out[2].keep is True
+
+
+def test_contamination_check_tiny(spark):
+    from hiv_data_integration_spark.operators.textops import contamination_check
+
+    train = spark.createDataFrame(
+        [(1, "w x y z a b"), (2, "p q r s")], "doc_id long, text string"
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "x y z a end")], "doc_id long, text string"
+    )
+    got = {
+        r.id: r.n_shared_grams
+        for r in contamination_check(train, eval_df, n=4).collect()
+    }
+    # only doc 1 shares a 4-gram ("x y z a"); doc 2 is clean and absent
+    assert got == {1: 1}
+
+
+def test_hash_split_deterministic_and_proportioned(spark):
+    from hiv_data_integration_spark.operators.sampling import hash_split
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in hash_split(df, "doc_id").collect()}
+    # identical assignment regardless of partitioning / row order
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(
+            df.repartition(7).orderBy(F.col("doc_id").desc()), "doc_id"
+        ).collect()
+    }
+    assert a == b
+    from collections import Counter
+
+    shares = Counter(a.values())
+    assert abs(shares["train"] / 1000 - 0.8) < 0.05
+    assert abs(shares["val"] / 1000 - 0.1) < 0.03
+    assert abs(shares["test"] / 1000 - 0.1) < 0.03
+    with pytest.raises(ValueError, match="train"):
+        hash_split(df, "doc_id", train=0.9, val=0.2)
+
+
+def test_stratified_sample_rates(spark):
+    from hiv_data_integration_spark.operators.sampling import (
+        stratified_sample_flag,
+    )
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("xx").alias("lang"),
+    )
+    out = stratified_sample_flag(
+        df, "doc_id", "lang", rates={"en": (1, 2), "zz": (0, 1)}
+    )
+    kept = out.groupBy("lang").agg(
+        F.sum(F.col("sampled").cast("long")).alias("k"),
+        F.count("*").alias("n"),
+    )
+    rows = {r.lang: (r.k, r.n) for r in kept.collect()}
+    # en halved (within tolerance), unknown stratum kept whole by default
+    assert abs(rows["en"][0] / rows["en"][1] - 0.5) < 0.05
+    assert rows["xx"][0] == rows["xx"][1]
+    # zero-rate stratum drops everything
+    zero = stratified_sample_flag(
+        df.withColumn("lang", F.lit("zz")), "doc_id", "lang", rates={"zz": (0, 1)}
+    )
+    assert zero.filter("sampled").count() == 0
+
+
+def test_tfidf_topk_ranking_and_ties(spark):
+    from hiv_data_integration_spark.operators.textops import tfidf_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ],
+        "doc_id long, text string",
+    )
+    top1 = {r.id: r.term for r in tfidf_topk(df, k=1).collect()}
+    # doc 1: apple tf=2, df=1 -> 2*4/2 = 4.0 beats banana 1*4/3
+    # doc 2: banana and cherry tie at 1*4/3 -> term asc picks banana
+    # doc 3: cherry 3*4/3 = 4.0 beats durian 1*4/2 = 2.0
+    assert top1 == {1: "apple", 2: "banana", 3: "cherry"}
