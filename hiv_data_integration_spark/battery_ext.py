@@ -1697,6 +1697,212 @@ SELECT id, term, tf, score FROM r WHERE rk <= 3
 """
 
 
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization of the embeddings table:
+    scale, quantized-code checksum, max dequantization error — all
+    IEEE-exact arithmetic (floor-spelled half-up rounding), pure per-row
+    projection."""
+    vecs = tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return sim.quantize_int8(vecs)
+
+
+SQL_EMBED_QUANTIZE = """
+WITH b AS (
+    SELECT vec_id AS id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+s AS (
+    SELECT id, v,
+           list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+    FROM b
+),
+qv AS (
+    SELECT id, v, scale,
+           CASE WHEN scale = 0
+                THEN list_transform(v, x -> 0.0)
+                ELSE list_transform(v, x -> floor(x / scale + 0.5)) END AS q
+    FROM s
+)
+SELECT id, scale,
+       CAST(list_sum(q) AS DOUBLE) AS q_checksum,
+       CASE WHEN scale = 0 THEN 0.0
+            ELSE list_max(list_transform(generate_series(1, len(q)),
+                          i -> abs(q[i] * scale - v[i]))) END AS max_abs_err
+FROM qv
+"""
+
+
+def q_streaming_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PII scrub, oracle-checked: documents arrive as a file
+    stream, deterministic synthetic PII is injected per row, the redaction
+    pass (stateless native regexp projections) runs per micro-batch, and
+    per-language totals must equal the batch result — the
+    compliance-on-ingest shape of a training-data feed."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = tempfile.mkdtemp(prefix="pii_feed_")
+    shutil.copy(f"{sf_dir}/documents.parquet", f"{src}/docs.parquet")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet").schema(schema).load(src)
+        .select("doc_id", "text", "lang")
+    )
+    injected = stream.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com host 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    red = tx.redact_pii(injected)
+    stats = red.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_email").alias("total_email"),
+        F.sum("n_ipv4").alias("total_ipv4"),
+        F.sum(F.length("redacted").cast("long")).alias("total_redacted_chars"),
+    )
+    name = f"stream_pii_{_uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        stats.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = _local_result(spark.table(name))
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(src, ignore_errors=True)
+    return out
+
+
+SQL_STREAMING_PII = """
+WITH injected AS (
+    SELECT doc_id, lang,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com host 10.0.0.'
+                || CAST(doc_id % 256 AS VARCHAR) AS text
+    FROM documents
+),
+s1 AS (
+    SELECT doc_id, lang,
+           CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_email,
+           regexp_replace(text, '{email}', '[REDACTED-email]', 'g') AS t
+    FROM injected
+),
+s2 AS (
+    SELECT doc_id, lang, n_email,
+           CAST(len(regexp_extract_all(t, '{ipv4}')) AS BIGINT) AS n_ipv4,
+           regexp_replace(t, '{ipv4}', '[REDACTED-ipv4]', 'g') AS t
+    FROM s1
+),
+s3 AS (
+    SELECT doc_id, lang, n_email, n_ipv4,
+           regexp_replace(t, '{phone}', '[REDACTED-phone]', 'g') AS t
+    FROM s2
+)
+SELECT lang, count(*) AS n_docs,
+       sum(n_email) AS total_email,
+       sum(n_ipv4) AS total_ipv4,
+       sum(length(t)) AS total_redacted_chars
+FROM s3 GROUP BY lang
+"""
+
+
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card rollup every corpus release ships: per (lang,
+    split) — document counts, sampling survivors, repetition-quality
+    survivors, exact-dedup canonical counts, and total tokens. Composes
+    hash_split + stratified sampling + the Gopher repetition filter +
+    fingerprint dedup; each ingredient is oracle-green standalone, this
+    entry verifies the composition."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    out = sp.hash_split(docs, "doc_id", train=0.8, val=0.1)
+    out = sp.stratified_sample_flag(
+        out, "doc_id", "lang", rates={"en": (1, 2), "fr": (3, 4)}
+    )
+    rep = tx.ngram_repetition_features(
+        docs, top_n=2, dup_n=3, max_top_frac=0.15, max_dup_frac=0.05
+    ).select(F.col("id").alias("doc_id"), "keep")
+    canon = (
+        docs.select("doc_id", tx.fingerprint(F.col("text")).alias("_fp"))
+        .groupBy("_fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .withColumn("_canonical", F.lit(True))
+        .select("doc_id", "_canonical")
+    )
+    joined = (
+        out.join(rep, "doc_id")
+        .join(canon, "doc_id", "left")
+        .withColumn("_tokens", tx.token_count(F.col("text")))
+    )
+    return joined.groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("sampled").cast("long")).alias("n_sampled"),
+        F.sum(F.col("keep").cast("long")).alias("n_quality_keep"),
+        F.sum(F.coalesce(F.col("_canonical"), F.lit(False)).cast("long")).alias(
+            "n_canonical"
+        ),
+        F.sum("_tokens").alias("total_tokens"),
+    )
+
+
+SQL_DATASET_CARD = """
+WITH base AS (
+    SELECT doc_id, text, lang,
+           CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                AS BIGINT) AS sb,
+           CAST('0x' || substr(md5('sample:' || lang || '/'
+                                   || CAST(doc_id AS VARCHAR)), 1, 4)
+                AS BIGINT) AS pb,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+           CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+a AS (
+    SELECT doc_id, text, lang, fp, n_tokens,
+           CASE WHEN sb < 52429 THEN 'train'
+                WHEN sb < 58982 THEN 'val'
+                ELSE 'test' END AS split,
+           CASE WHEN lang = 'en' THEN pb * 2 < 65536
+                WHEN lang = 'fr' THEN pb * 4 < 3 * 65536
+                ELSE pb < 65536 END AS sampled
+    FROM base
+),
+canon AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY fp),
+rep AS ({repetition_sql})
+SELECT a.lang, a.split, count(*) AS n_docs,
+       sum(CASE WHEN a.sampled THEN 1 ELSE 0 END) AS n_sampled,
+       sum(CASE WHEN rep.keep THEN 1 ELSE 0 END) AS n_quality_keep,
+       sum(CASE WHEN canon.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           AS n_canonical,
+       sum(a.n_tokens) AS total_tokens
+FROM a
+JOIN rep ON a.doc_id = rep.id
+LEFT JOIN canon ON a.doc_id = canon.doc_id
+GROUP BY a.lang, a.split
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "text_token_counts": q_token_counts,
     "text_quality_scores": q_quality_scores,
@@ -1719,6 +1925,9 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "text_contamination_check": q_contamination_check,
     "text_tfidf_topk": q_tfidf_topk,
     "data_split_sample": q_split_sample,
+    "embed_quantize_int8": q_embed_quantize,
+    "streaming_pii_redaction": q_streaming_pii,
+    "corpus_dataset_card": q_dataset_card,
     "embed_cosine_topk": q_cosine_topk,
     "embed_ivf_topk_label": q_ivf_topk,
     "embed_lsh_ann_topk": q_lsh_topk,
@@ -1770,6 +1979,15 @@ EXT_ORACLE: dict[str, str] = {
     "text_contamination_check": SQL_CONTAMINATION,
     "text_tfidf_topk": SQL_TFIDF_TOPK,
     "data_split_sample": SQL_SPLIT_SAMPLE,
+    "embed_quantize_int8": SQL_EMBED_QUANTIZE,
+    "streaming_pii_redaction": SQL_STREAMING_PII.format(
+        email=tx.PII_PATTERNS["email"],
+        ipv4=tx.PII_PATTERNS["ipv4"],
+        phone=tx.PII_PATTERNS["phone"],
+    ),
+    "corpus_dataset_card": SQL_DATASET_CARD.format(
+        repetition_sql=SQL_REPETITION_FILTER
+    ),
     "embed_cosine_topk": SQL_COSINE_TOPK,
     "embed_ivf_topk_label": SQL_IVF_TOPK,
     "embed_lsh_ann_topk": SQL_LSH_TOPK,

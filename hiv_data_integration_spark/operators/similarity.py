@@ -38,6 +38,7 @@ __all__ = [
     "nearest_centroids",
     "kmeans_ivf_topk",
     "recall_at_k",
+    "quantize_int8",
 ]
 
 
@@ -324,4 +325,54 @@ def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
         (
             F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count("*")
         ).alias("recall"),
+    )
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/bandwidth
+    compression step of embedding indexes (FAISS SQ8 shape): ``scale =
+    max|x| / 127``; ``q_i = floor(x_i / scale + 0.5)`` (half-up spelled as
+    floor so only IEEE-exact ops appear — engine ``round()`` semantics
+    differ, ``floor``/``/``/``+`` never do). Zero vectors quantize to all
+    zeros with scale 0.
+
+    Output: ``(id, scale, q_checksum, max_abs_err)`` — the checksum sums
+    the quantized codes (small exact integers in doubles: order-free), and
+    ``max_abs_err`` is the max absolute dequantization error, bounded by
+    ``scale / 2``. A pure per-row projection: no shuffle, no Python —
+    quantizing 100 TB of vectors is a distributed map.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    maxabs = F.array_max(F.transform(F.col("_v"), lambda x: F.abs(x)))
+    b2 = base.withColumn("_scale", maxabs / F.lit(127.0))
+    q = F.when(
+        F.col("_scale") == 0.0,
+        F.transform(F.col("_v"), lambda x: F.lit(0.0)),
+    ).otherwise(
+        F.transform(
+            F.col("_v"),
+            lambda x: F.floor(x / F.col("_scale") + F.lit(0.5)).cast("double"),
+        )
+    )
+    b3 = b2.withColumn("_q", q)
+    err = F.when(F.col("_scale") == 0.0, F.lit(0.0)).otherwise(
+        F.array_max(
+            F.zip_with(
+                F.col("_q"),
+                F.col("_v"),
+                lambda qq, x: F.abs(qq * F.col("_scale") - x),
+            )
+        )
+    )
+    checksum = F.aggregate(F.col("_q"), F.lit(0.0), lambda acc, x: acc + x)
+    return b3.select(
+        "id",
+        F.col("_scale").alias("scale"),
+        checksum.alias("q_checksum"),
+        err.alias("max_abs_err"),
     )

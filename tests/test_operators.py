@@ -518,3 +518,22 @@ def test_tfidf_topk_ranking_and_ties(spark):
     # doc 2: banana and cherry tie at 1*4/3 -> term asc picks banana
     # doc 3: cherry 3*4/3 = 4.0 beats durian 1*4/2 = 2.0
     assert top1 == {1: "apple", 2: "banana", 3: "cherry"}
+
+
+def test_quantize_int8_codes_and_error_bound(spark):
+    from hiv_data_integration_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.0]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.id: r for r in quantize_int8(df).collect()}
+    # scale = 1/127; codes 127, floor(-63.5+0.5) = -63, 0 -> checksum 64
+    assert out[1].scale == pytest.approx(1 / 127)
+    assert out[1].q_checksum == 64.0
+    # dequant error bounded by scale/2 (half-up rounding)
+    assert out[1].max_abs_err <= out[1].scale / 2 + 1e-15
+    # zero vector: scale 0, all-zero codes, zero error (no div-by-zero)
+    assert out[2].scale == 0.0
+    assert out[2].q_checksum == 0.0
+    assert out[2].max_abs_err == 0.0
