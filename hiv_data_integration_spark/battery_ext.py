@@ -1903,6 +1903,49 @@ GROUP BY a.lang, a.split
 """
 
 
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus round-trip: export the documents table as sharded
+    newline-delimited JSON (the LLM-data interchange format) via the
+    deterministic-shard sink, read it back with an explicit schema (no
+    inference job), and aggregate — the totals must equal the parquet
+    source, proving the JSON hop is lossless and the shard routing loses
+    and duplicates nothing."""
+    import shutil
+    import tempfile
+
+    from hiv_data_integration_spark.io.files import read_jsonl_corpus
+    from hiv_data_integration_spark.io.sinks import export_training_shards
+
+    docs = tbl(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="jsonl_")
+    try:
+        export_training_shards(docs, "doc_id", base, n_shards=8, fmt="json")
+        back = read_jsonl_corpus(
+            spark,
+            base,
+            schema="doc_id long, text string, lang string, source string, n_chars long",
+        )
+        out = _local_result(
+            back.groupBy("lang").agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+                F.sum(tx.token_count(F.col("text"))).alias("total_tokens"),
+                F.count_distinct("doc_id").alias("n_distinct_ids"),
+            )
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+SQL_JSONL_ROUNDTRIP = r"""
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+       sum(len(regexp_extract_all(text, '\S+'))) AS total_tokens,
+       count(DISTINCT doc_id) AS n_distinct_ids
+FROM documents GROUP BY lang
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "text_token_counts": q_token_counts,
     "text_quality_scores": q_quality_scores,
@@ -1925,6 +1968,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "text_contamination_check": q_contamination_check,
     "text_tfidf_topk": q_tfidf_topk,
     "data_split_sample": q_split_sample,
+    "jsonl_corpus_roundtrip": q_jsonl_roundtrip,
     "embed_quantize_int8": q_embed_quantize,
     "streaming_pii_redaction": q_streaming_pii,
     "corpus_dataset_card": q_dataset_card,
@@ -1979,6 +2023,7 @@ EXT_ORACLE: dict[str, str] = {
     "text_contamination_check": SQL_CONTAMINATION,
     "text_tfidf_topk": SQL_TFIDF_TOPK,
     "data_split_sample": SQL_SPLIT_SAMPLE,
+    "jsonl_corpus_roundtrip": SQL_JSONL_ROUNDTRIP,
     "embed_quantize_int8": SQL_EMBED_QUANTIZE,
     "streaming_pii_redaction": SQL_STREAMING_PII.format(
         email=tx.PII_PATTERNS["email"],

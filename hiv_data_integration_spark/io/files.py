@@ -17,7 +17,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from hiv_data_integration_spark.io.excel import excel_sheet_to_spark, read_excel_sheet
 
-__all__ = ["read_spectrum", "json_dict_source"]
+__all__ = [
+    "read_spectrum",
+    "json_dict_source",
+    "read_jsonl_corpus",
+    "write_jsonl_corpus",
+]
 
 
 def read_spectrum(spark: SparkSession, path: str) -> DataFrame:
@@ -57,3 +62,29 @@ def json_dict_source(
         (str(k), None if v is None else str(v)) for k, v in mapping.items()
     ]
     return spark.createDataFrame(rows, f"{key_col} string, {value_col} string")
+
+
+def read_jsonl_corpus(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """Newline-delimited JSON corpus scan — the interchange format of LLM
+    training data (one document object per line).
+
+    With ``schema`` given (DDL string) the read is a single distributed
+    pass with no inference job; without it Spark samples to infer (fine
+    interactively, avoid on 100 TB). JSONL splits by line, so a directory
+    of .jsonl files parallelizes like any text source; corrupt lines land
+    in ``_corrupt_record`` instead of failing the scan (PERMISSIVE mode).
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl_corpus(df: DataFrame, path: str, shards: int | None = None) -> None:
+    """Write a corpus as newline-delimited JSON, optionally coalesced to a
+    fixed shard count (small exports); large exports keep the natural
+    partitioning — one file per task, no driver bottleneck."""
+    out = df.coalesce(shards) if shards else df
+    out.write.mode("overwrite").json(path)

@@ -35,6 +35,7 @@ __all__ = [
     "write_parquet_state",
     "write_excel_review",
     "run_notebook_hook",
+    "export_training_shards",
 ]
 
 
@@ -170,4 +171,38 @@ def run_notebook_hook(
     pm.execute_notebook(  # pragma: no cover
         input_path=input_path, output_path=output_path,
         parameters=parameters or {},
+    )
+
+
+def export_training_shards(
+    df: DataFrame,
+    id_col: str,
+    out_dir: str,
+    n_shards: int = 16,
+    fmt: str = "parquet",
+) -> None:
+    """Export a corpus as ``n_shards`` deterministic shards for training
+    ingestion: shard = ``floor(hash_bucket(id) * n / 65536)`` — a pure
+    function of the row id (operators.sampling math), so re-runs, appends,
+    and different cluster sizes always route a document to the same shard
+    (resumable exports, reproducible data order across epochs).
+
+    One shuffle-free ``partitionBy`` write: each task appends to the shard
+    directories it sees — no repartition, no sampled range boundaries
+    (``repartitionByRange`` samples, which would make shard contents
+    run-dependent). ``fmt`` is ``parquet`` or ``json`` (JSONL).
+    """
+    from hiv_data_integration_spark.operators.sampling import BUCKETS, hash_bucket
+
+    if not 1 <= n_shards <= BUCKETS:
+        raise ValueError(f"n_shards must be in [1, {BUCKETS}]")
+    shard = F.floor(
+        hash_bucket(F.col(id_col), salt="shard:") * n_shards / BUCKETS
+    ).cast("int")
+    (
+        df.withColumn("shard", shard)
+        .write.partitionBy("shard")
+        .format(fmt)
+        .mode("overwrite")
+        .save(out_dir)
     )

@@ -554,3 +554,34 @@ def test_stdlib_reader_error_and_sequential_cells(tmp_path):
     # helpful error for an out-of-range index too
     with pytest.raises(ValueError, match="available"):
         excel.read_xlsx_stdlib(path, 5)
+
+
+def test_export_training_shards_deterministic_routing(spark, tmp_path):
+    from hiv_data_integration_spark.io.files import read_jsonl_corpus
+    from hiv_data_integration_spark.io.sinks import export_training_shards
+
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    out1 = str(tmp_path / "a")
+    out2 = str(tmp_path / "b")
+    export_training_shards(df, "doc_id", out1, n_shards=4, fmt="json")
+    # different partitioning, same routing
+    export_training_shards(df.repartition(13), "doc_id", out2, n_shards=4, fmt="json")
+
+    def routing(path):
+        back = read_jsonl_corpus(spark, path, schema="doc_id long")
+        import pyspark.sql.functions as F  # noqa: N812
+
+        back = back.withColumn(
+            "shard",
+            F.regexp_extract(F.input_file_name(), r"shard=(\d+)", 1).cast("int"),
+        )
+        return {r.doc_id: r.shard for r in back.collect()}
+
+    r1, r2 = routing(out1), routing(out2)
+    assert r1 == r2
+    assert len(r1) == 200
+    assert set(r1.values()) == {0, 1, 2, 3}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="n_shards"):
+        export_training_shards(df, "doc_id", str(tmp_path / "c"), n_shards=0)
