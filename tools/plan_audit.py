@@ -56,6 +56,12 @@ HEADLINE = [
     "range_join_events",
     "skyline_suppliers",
     "llm_corpus_prep",
+    "text_repetition_filter",
+    "text_contamination_check",
+    "text_tfidf_topk",
+    "data_split_sample",
+    "embed_quantize_int8",
+    "corpus_dataset_card",
 ]
 
 
