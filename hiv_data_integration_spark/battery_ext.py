@@ -1946,6 +1946,71 @@ FROM documents GROUP BY lang
 """
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension-history merge: the customer dim loads at batch 1,
+    then a batch-2 snapshot arrives with deterministic drift — every 7th
+    key's balance moves (changed), every 11th≡3 key disappears (deleted),
+    every 13th≡0 key reappears shifted by 1e6 (new). The merge closes,
+    versions, and inserts in ONE full-outer join + explode pass; the
+    oracle reproduces the same history as a UNION of CASE branches."""
+    from hiv_data_integration_spark.operators.history import (
+        scd2_initial,
+        scd2_merge,
+    )
+
+    cust = tbl(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("bal")
+    )
+    hist = scd2_initial(cust, batch_id=1)
+    upd = (
+        cust.filter(F.col("k") % 11 != 3)
+        .select(
+            "k",
+            F.when(F.col("k") % 7 == 0, F.col("bal") + 100)
+            .otherwise(F.col("bal"))
+            .alias("bal"),
+        )
+        .unionByName(
+            cust.filter(F.col("k") % 13 == 0).select(
+                (F.col("k") + 1000000).alias("k"),
+                (F.col("k") % 1000).cast("double").alias("bal"),
+            )
+        )
+    )
+    return scd2_merge(
+        hist, upd, key_cols=["k"], tracked_cols=["bal"], batch_id=2
+    )
+
+
+SQL_SCD2_HISTORY = """
+WITH cur AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+upd AS (
+    SELECT k, CASE WHEN k % 7 = 0 THEN bal + 100 ELSE bal END AS bal
+    FROM cur WHERE k % 11 != 3
+    UNION ALL
+    SELECT k + 1000000 AS k, CAST(k % 1000 AS DOUBLE) AS bal
+    FROM cur WHERE k % 13 = 0
+),
+j AS (
+    SELECT cur.k AS ck, cur.bal AS cbal, upd.k AS uk, upd.bal AS ubal
+    FROM cur FULL OUTER JOIN upd ON cur.k = upd.k
+)
+SELECT ck AS k, cbal AS bal, CAST(1 AS BIGINT) AS valid_from,
+       CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+FROM j WHERE ck IS NOT NULL AND uk IS NOT NULL AND cbal = ubal
+UNION ALL
+SELECT ck, cbal, 1, 2, FALSE
+FROM j WHERE ck IS NOT NULL AND uk IS NOT NULL AND cbal != ubal
+UNION ALL
+SELECT uk, ubal, 2, NULL, TRUE
+FROM j WHERE ck IS NOT NULL AND uk IS NOT NULL AND cbal != ubal
+UNION ALL
+SELECT ck, cbal, 1, 2, FALSE FROM j WHERE uk IS NULL
+UNION ALL
+SELECT uk, ubal, 2, NULL, TRUE FROM j WHERE ck IS NULL
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "text_token_counts": q_token_counts,
     "text_quality_scores": q_quality_scores,
@@ -1969,6 +2034,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "text_tfidf_topk": q_tfidf_topk,
     "data_split_sample": q_split_sample,
     "jsonl_corpus_roundtrip": q_jsonl_roundtrip,
+    "scd2_customer_history": q_scd2_history,
     "embed_quantize_int8": q_embed_quantize,
     "streaming_pii_redaction": q_streaming_pii,
     "corpus_dataset_card": q_dataset_card,
@@ -2024,6 +2090,7 @@ EXT_ORACLE: dict[str, str] = {
     "text_tfidf_topk": SQL_TFIDF_TOPK,
     "data_split_sample": SQL_SPLIT_SAMPLE,
     "jsonl_corpus_roundtrip": SQL_JSONL_ROUNDTRIP,
+    "scd2_customer_history": SQL_SCD2_HISTORY,
     "embed_quantize_int8": SQL_EMBED_QUANTIZE,
     "streaming_pii_redaction": SQL_STREAMING_PII.format(
         email=tx.PII_PATTERNS["email"],

@@ -537,3 +537,37 @@ def test_quantize_int8_codes_and_error_bound(spark):
     assert out[2].scale == 0.0
     assert out[2].q_checksum == 0.0
     assert out[2].max_abs_err == 0.0
+
+
+def test_scd2_merge_versions_close_and_insert(spark):
+    from hiv_data_integration_spark.operators.history import (
+        scd2_initial,
+        scd2_merge,
+    )
+
+    snap1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    hist = scd2_initial(snap1, batch_id=1)
+    # batch 2: k=1 unchanged, k=2 changed, k=3 deleted, k=4 new
+    snap2 = spark.createDataFrame([(1, "a"), (2, "B"), (4, "d")], "k long, v string")
+    out = scd2_merge(hist, snap2, ["k"], ["v"], batch_id=2)
+    rows = {(r.k, r.v): (r.valid_from, r.valid_to, r.is_current) for r in out.collect()}
+    assert rows == {
+        (1, "a"): (1, None, True),
+        (2, "b"): (1, 2, False),
+        (2, "B"): (2, None, True),
+        (3, "c"): (1, 2, False),
+        (4, "d"): (2, None, True),
+    }
+    # a third batch stacks versions: closed history passes through untouched
+    snap3 = spark.createDataFrame([(2, "bb")], "k long, v string")
+    out2 = scd2_merge(out, snap3, ["k"], ["v"], batch_id=3, close_missing=False)
+    r2 = {(r.k, r.v): (r.valid_from, r.valid_to, r.is_current) for r in out2.collect()}
+    assert r2[(2, "B")] == (2, 3, False)
+    assert r2[(2, "bb")] == (3, None, True)
+    # close_missing=False leaves absent keys open
+    assert r2[(1, "a")] == (1, None, True)
+    assert r2[(4, "d")] == (2, None, True)
+    assert r2[(2, "b")] == (1, 2, False)
+    assert r2[(3, "c")] == (1, 2, False)
