@@ -1733,6 +1733,58 @@ FROM qv
 """
 
 
+def q_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage SQ8 ANN: quantized-code candidate scoring (k*3 survivors)
+    + exact cosine rerank — the FAISS refine pattern, hash-checked end to
+    end (both stages mirrored in SQL, including the floor-spelled
+    quantizer)."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return sim.quantized_rerank_topk(queries, emb, k=5, rerank=3)
+
+
+SQL_QUANTIZED_RERANK = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qz AS (
+    SELECT vec_id,
+           CASE WHEN s = 0 THEN list_transform(v, x -> 0.0)
+                ELSE list_transform(v, x -> floor(x / s + 0.5)) END AS cv
+    FROM (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+          FROM e)
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+approx AS (
+    SELECT query_id, qz.vec_id AS neighbor_id,
+           list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(cv, cv))) AS acos_
+    FROM qz CROSS JOIN q WHERE qz.vec_id != query_id
+),
+cand AS (
+    SELECT query_id, neighbor_id
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY acos_ DESC, neighbor_id) AS ar
+          FROM approx)
+    WHERE ar <= 15
+),
+exact AS (
+    SELECT c.query_id, c.neighbor_id,
+           list_dot_product(q.qv, e.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(e.v, e.v))) AS cos
+    FROM cand c
+    JOIN e ON c.neighbor_id = e.vec_id
+    JOIN q ON c.query_id = q.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM exact)
+WHERE rank <= 5
+"""
+
+
 def q_streaming_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming PII scrub, oracle-checked: documents arrive as a file
     stream, deterministic synthetic PII is injected per row, the redaction
@@ -2036,6 +2088,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "jsonl_corpus_roundtrip": q_jsonl_roundtrip,
     "scd2_customer_history": q_scd2_history,
     "embed_quantize_int8": q_embed_quantize,
+    "embed_quantized_rerank_topk": q_quantized_rerank,
     "streaming_pii_redaction": q_streaming_pii,
     "corpus_dataset_card": q_dataset_card,
     "embed_cosine_topk": q_cosine_topk,
@@ -2092,6 +2145,7 @@ EXT_ORACLE: dict[str, str] = {
     "jsonl_corpus_roundtrip": SQL_JSONL_ROUNDTRIP,
     "scd2_customer_history": SQL_SCD2_HISTORY,
     "embed_quantize_int8": SQL_EMBED_QUANTIZE,
+    "embed_quantized_rerank_topk": SQL_QUANTIZED_RERANK,
     "streaming_pii_redaction": SQL_STREAMING_PII.format(
         email=tx.PII_PATTERNS["email"],
         ipv4=tx.PII_PATTERNS["ipv4"],

@@ -103,3 +103,20 @@ def test_kmeans_is_deterministic(spark, emb):
     a = sim.kmeans_centroids(emb, n_clusters=4, iters=2)
     b = sim.kmeans_centroids(emb, n_clusters=4, iters=2)
     assert a == b
+
+
+def test_quantized_rerank_high_recall_and_exact_scores(spark, emb):
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = sim.cosine_topk(queries, emb, k=5).cache()
+    approx = sim.quantized_rerank_topk(queries, emb, k=5, rerank=3)
+    avg, _ = _avg_recall(approx, exact)
+    # int8 codes barely perturb 64-dim cosines; with 3x rerank headroom the
+    # candidate boundary almost never loses a true top-5 neighbor
+    assert avg >= 0.95, avg
+    # reranked cosines are EXACT: every (query, neighbor) the two results
+    # share must carry an identical score
+    j = approx.select("query_id", "neighbor_id", F.col("cos").alias("a")).join(
+        exact.select("query_id", "neighbor_id", F.col("cos").alias("e")),
+        ["query_id", "neighbor_id"],
+    )
+    assert j.filter(F.col("a") != F.col("e")).count() == 0
