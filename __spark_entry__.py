@@ -33,10 +33,83 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_flagship(spark, SMOKE_SF_DIR)
 
 
+# The driver hash-verifies only the FIRST 50 ``queries()`` entries per
+# round, so ordering is the verification budget. Tiers (lowest emitted
+# first): queries with no driver row in ANY round, brand-new queries
+# (absent from the tier lists), rows red in round 2, round-1-only rows,
+# and finally the 45 already green in round 2 — the cross-round union of
+# green rows is what converges to full coverage.
+_NEVER_DRIVER_CHECKED = [
+    "data_split_sample", "jsonl_corpus_roundtrip", "scd2_customer_history",
+    "embed_quantize_int8", "embed_quantized_rerank_topk",
+    "streaming_pii_redaction", "corpus_dataset_card", "embed_ivf_kmeans_topk",
+    "embed_ann_recall", "fuzzy_resolve_blocked", "rest_naomi_json_flatten",
+    "salted_skew_join", "bucketed_colocated_join", "llm_corpus_prep",
+    "spectrum_csv_scan", "partitioned_parquet_pruning",
+    "approx_sketches_events", "streaming_tumbling_counts",
+    "streaming_exactly_once_dedup", "streaming_corpus_chunking",
+    "rollup_lineitem", "cube_orders", "grouping_sets_orders",
+    "count_distinct_parts", "grouped_quantiles", "intersect_nations",
+    "except_balance_buckets", "range_join_events", "asof_last_event_per_day",
+    "string_agg_nations", "correlated_subquery_balance", "embed_vector_norms",
+    "skyline_suppliers",
+]
+_R2_RED = [
+    "null_preserving_sum", "window_lag_events", "tumbling_window_events",
+    "sessionize_events", "dedup_canonical_corpus",
+]
+_R1_ONLY = [
+    "org_uuid5_ids", "multimodal_decode_stub", "multimodal_frame_sample_stub",
+    "fuzzy_resolve_suppliers", "embed_cosine_topk", "embed_ivf_topk_label",
+    "embed_lsh_ann_topk", "multimodal_payload_meta", "fuzzy_normalize_fold",
+    "rest_fanout_analytics",
+]
+
+
+_R2_GREEN = [
+    "flagship_pnls_chain", "pricing_summary", "filter_membership",
+    "date_range_filter", "conditional_bucket", "join_fact_dim",
+    "multi_hop_join", "semi_join_orders", "anti_join_customers",
+    "cross_join_replicate", "union_relaxed", "distinct_pairs",
+    "pivot_sum_returnflag", "pivot_min_status", "semester_rollup",
+    "topk_customers", "window_rank_customers", "rules_engine_lineitem",
+    "rules_consistent_only", "stack_wide_to_long", "pad_to_contract",
+    "string_path_ops", "period_roundtrip", "lenient_numeric_parse",
+    "dict_lookup_priority", "fuzzy_levenshtein_match", "text_token_counts",
+    "text_quality_scores", "text_lang_id", "doc_fingerprint",
+    "dedup_exact_docs", "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard_pairs",
+    "dedup_simhash_fingerprints", "dedup_embedding_cosine_pairs",
+    "dedup_connected_components", "text_rolling_fingerprint", "text_chunking",
+    "text_pii_redaction", "text_vocab_topk", "text_winnow_fingerprints",
+    "text_winnow_overlap_pairs", "text_repetition_filter",
+    "text_contamination_check", "text_tfidf_topk",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ §2.14
-    extensions: dedup / similarity / text analysis / multimodal)."""
-    return {**QUERIES, **EXT_QUERIES, **SQL2_QUERIES}
+    extensions: dedup / similarity / text analysis / multimodal),
+    ordered so the driver's 50-query verification window lands on the
+    entries with the least cross-round driver signal."""
+    merged = {**QUERIES, **EXT_QUERIES, **SQL2_QUERIES}
+    tiered = (
+        set(_NEVER_DRIVER_CHECKED) | set(_R2_RED) | set(_R1_ONLY) | set(_R2_GREEN)
+    )
+    new_this_round = [k for k in merged if k not in tiered]
+    ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for tier in (
+        _NEVER_DRIVER_CHECKED,
+        new_this_round,
+        _R2_RED,
+        _R1_ONLY,
+        _R2_GREEN,
+    ):
+        for k in tier:
+            if k in merged and k not in ordered:
+                ordered[k] = merged[k]
+    for k, fn in merged.items():  # safety net: nothing may be dropped
+        ordered.setdefault(k, fn)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

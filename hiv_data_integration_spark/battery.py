@@ -17,6 +17,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from hiv_data_integration_spark.functions import (
@@ -49,26 +50,61 @@ TABLES = [
 
 
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load a testdata table.
+    """Load a testdata table, dispatching ``events.ts`` on its ACTUAL type.
 
-    The ``events`` table stores nanosecond parquet timestamps, which Spark's
-    vectorized reader rejects; we read them as longs
-    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microsecond
-    timestamps with integer division (same truncation DuckDB applies).
-
-    The session timezone is pinned to UTC here, not only in our session
-    factory: the driver compares these queries against a DuckDB oracle
-    whose timestamps are naive, and day-level bucketing of TimestampType
-    (as-of joins, date_format) follows the session timezone — a driver
-    session configured for any other zone would shift day boundaries and
-    fail the hash compare even though both engines are right.
+    The testdata generator has shipped ``events.ts`` with two different
+    parquet physical types across rounds: int64 nanoseconds (only readable
+    via ``spark.sql.legacy.parquet.nanosAsLong``, then truncated to µs with
+    integer division — the same truncation DuckDB applies) and plain
+    ``timestamp[us]`` (reads natively as TIMESTAMP_NTZ, no conversion
+    needed). We inspect the schema Spark infers and convert ONLY when the
+    column actually reads as a long. No session conf is mutated here:
+    timezone determinism is the session factory's contract
+    (``session.get_spark`` pins UTC), and TIMESTAMP_NTZ bucketing is
+    timezone-independent anyway, so a hostile driver session cannot shift
+    day boundaries on the events queries.
     """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name == "events":
+    path = f"{sf_dir}/{name}.parquet"
+    if name != "events":
+        return spark.read.parquet(path)
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        # Legacy int64-nanos physical type: schema inference rejects it
+        # ("Illegal Parquet type") unless the legacy conf is on. Only this
+        # fallback branch touches session conf, and only for data that is
+        # unreadable without it.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = spark.read.parquet(path)
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def read_events_stream(spark: SparkSession, load_path: str, probe_path: str) -> DataFrame:
+    """``readStream`` over events parquet with ``ts`` normalized to a
+    timestamp, whatever the file's physical type.
+
+    File stream sources require an explicit schema; instead of hard-coding
+    one (which breaks when the testdata generator changes the physical type
+    of ``ts`` — see ``tbl``), we probe the actual footer schema with a batch
+    read of ``probe_path`` and convert int64-nanos to µs timestamps only
+    when that is what the file really stores.
+    """
+    try:
+        raw_schema = spark.read.parquet(probe_path).schema
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw_schema = spark.read.parquet(probe_path).schema
+    stream = spark.readStream.format("parquet").schema(raw_schema).load(load_path)
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(raw_schema["ts"].dataType, T.TimestampNTZType):
+        # Watermarks require TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+        # on NTZ); the cast preserves wall-clock under the session factory's
+        # UTC contract, so window starts match the batch/oracle values.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def dsum(col, scale: int = 2, prec: int = 18):

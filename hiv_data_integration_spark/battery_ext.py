@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from hiv_data_integration_spark.battery import QueryFn, dsum, tbl
+from hiv_data_integration_spark.battery import QueryFn, dsum, read_events_stream, tbl
 from hiv_data_integration_spark.operators import dedup as dd
 from hiv_data_integration_spark.operators import fuzzy as fz
 from hiv_data_integration_spark.operators import multimodal as mm
@@ -407,15 +407,92 @@ FROM r WHERE rank <= 3
 """
 
 def q_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check: REAL IVF — deterministic Lloyd's k-means coarse
-    quantizer (no RNG, init = lowest-id vectors) + nprobe=2 multi-probe
-    search. The iterative trainer is not SQL-expressible; recall vs the
-    exact baseline is asserted in tests/test_similarity_recall.py and
-    hash-measured for the LSH twin in embed_ann_recall below."""
+    """HASH-checked end-to-end REAL IVF: deterministic Lloyd's k-means
+    coarse quantizer (no RNG, init = lowest-id vectors, id-ordered-fold
+    means — bit-identical across engines) + nprobe=2 multi-probe search.
+    The oracle unrolls all three Lloyd iterations as SQL CTEs
+    (assignment → ordered-fold per-dimension mean → empty-cluster
+    coalesce), so the driver verifies the TRAINER numerics, not just the
+    search. Recall vs the exact baseline is additionally asserted in
+    tests/test_similarity_recall.py."""
     emb = tbl(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     cents = sim.kmeans_centroids(emb, n_clusters=8, iters=3)
     return sim.kmeans_ivf_topk(queries, emb, cents, k=3, nprobe=2)
+
+
+def _kmeans_ivf_sql(k_clusters: int = 8, iters: int = 3, nprobe: int = 2,
+                    topk: int = 3) -> str:
+    """Unrolled-Lloyd's SQL mirror of q_kmeans_ivf_topk.
+
+    Every float op mirrors the Spark side bit-for-bit: distances are
+    ``c·c - 2·v·c`` (the per-row ``v·v`` constant is dropped on both
+    sides), dot products are left-to-right double folds
+    (``list_dot_product`` == ``F.aggregate`` fold — the invariant all
+    embed_* oracles already rely on), per-dimension means fold in vec_id
+    order with a 0.0 seed, and argmin ties break on the lower centroid
+    index exactly like ``array_min`` over (distance, index) structs."""
+    assign_rn = (
+        "row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+        "list_dot_product(c.v, c.v) - 2 * list_dot_product(e.v, c.v), c.c_id)"
+    )
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
+        f"""cents0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_id, v
+    FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k_clusters})
+),""",
+    ]
+    for i in range(iters):
+        parts.append(f"""assign{i} AS (
+    SELECT vec_id, v, c_id FROM (
+        SELECT e.vec_id, e.v, c.c_id, {assign_rn} AS rn
+        FROM e CROSS JOIN cents{i} c
+    ) WHERE rn = 1
+),
+mean{i} AS (
+    SELECT c_id, pos,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE), list(x ORDER BY vec_id)),
+                       (acc, x) -> acc + x) / count(*) AS m
+    FROM (SELECT c_id, vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+          FROM assign{i})
+    GROUP BY c_id, pos
+),
+cents{i + 1} AS (
+    SELECT p.c_id, COALESCE(n.v, p.v) AS v
+    FROM cents{i} p LEFT JOIN (
+        SELECT c_id, list(m ORDER BY pos) AS v FROM mean{i} GROUP BY c_id
+    ) n USING (c_id)
+),""")
+    parts.append(f"""probe AS (
+    SELECT vec_id AS query_id, v AS qv, c_id AS bucket FROM (
+        SELECT e.vec_id, e.v, c.c_id, {assign_rn} AS rn
+        FROM e CROSS JOIN cents{iters} c
+        WHERE e.vec_id % 50 = 0
+    ) WHERE rn <= {nprobe}
+),
+corpus AS (
+    SELECT vec_id AS neighbor_id, v AS cv, c_id AS bucket FROM (
+        SELECT e.vec_id, e.v, c.c_id, {assign_rn} AS rn
+        FROM e CROSS JOIN cents{iters} c
+    ) WHERE rn = 1
+),
+scored AS (
+    SELECT query_id, neighbor_id,
+           list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+    FROM corpus JOIN probe USING (bucket)
+    WHERE neighbor_id != query_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos
+FROM r WHERE rank <= {topk}""")
+    return "\n".join(parts)
+
+
+SQL_KMEANS_IVF_TOPK = _kmeans_ivf_sql()
 
 
 _PLANES = sim.deterministic_planes(dim=64, n_planes=8, seed="lsh")
@@ -929,12 +1006,15 @@ GROUP BY event_type
 
 
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check: the 100 TB scale path for distinct counting and
-    quantiles — HyperLogLog++ (``approx_count_distinct``, fixed-size sketch
-    per group, single pass) and ``approx_percentile`` (GK sketch) next to
-    their exact twins. Sketch outputs are implementation-defined, so no
-    cross-engine oracle; the exact columns are oracle-covered elsewhere
-    (count_distinct_parts, grouped_quantiles)."""
+    """HASH-checked sketch-accuracy contract: HyperLogLog++
+    (``approx_count_distinct``, fixed-size sketch per group, single pass)
+    and ``approx_percentile`` (GK sketch) — the 100 TB scale path for
+    distinct counting and quantiles — validated against their exact twins
+    IN the query. Raw sketch outputs are implementation-defined, so the
+    query emits error-bound BOOLEANS (HLL within 5·rsd of the exact
+    distinct; GK median between the exact 45th and 55th percentiles) and
+    the oracle asserts them TRUE — a sketch drifting out of its documented
+    error envelope turns the driver row red."""
     ev = tbl(spark, sf_dir, "events")
     # the exact distinct runs as its OWN aggregation: mixing a DISTINCT
     # aggregate with typed-imperative sketch aggregates forces the whole
@@ -944,10 +1024,33 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("exact_users")
     )
     approx = ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.expr("approx_percentile(value, 0.5)").alias("approx_median_value"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx_users"),
+        F.expr("approx_percentile(value, 0.5)").alias("_approx_median"),
+        F.expr("percentile(value, 0.45)").alias("_p45"),
+        F.expr("percentile(value, 0.55)").alias("_p55"),
     )
-    return exact.join(approx, "event_type")
+    return (
+        exact.join(approx, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx_users") - F.col("exact_users"))
+                <= 0.1 * F.col("exact_users")
+            ).alias("hll_within_bound"),
+            (
+                (F.col("_approx_median") >= F.col("_p45"))
+                & (F.col("_approx_median") <= F.col("_p55"))
+            ).alias("median_within_bound"),
+        )
+    )
+
+
+SQL_APPROX_SKETCHES = """
+SELECT event_type, count(DISTINCT user_id) AS exact_users,
+       TRUE AS hll_within_bound, TRUE AS median_within_bound
+FROM events GROUP BY event_type
+"""
 
 
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -961,26 +1064,12 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid as _uuid
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = tempfile.mkdtemp(prefix="dup_feed_")
     shutil.copy(f"{sf_dir}/events.parquet", f"{src}/delivery1.parquet")
     shutil.copy(f"{sf_dir}/events.parquet", f"{src}/delivery2.parquet")
 
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
     agg = (
-        spark.readStream.format("parquet")
-        .schema(schema)
-        .load(src)
+        read_events_stream(spark, src, f"{sf_dir}/events.parquet")
         .dropDuplicates(["event_id"])
         .groupBy("event_type")
         .agg(
@@ -1146,30 +1235,12 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid as _uuid
 
-    # events parquet stores ns timestamps → read as long, truncate to µs.
-    # This query bypasses tbl(), so it must pin the determinism confs
-    # itself (UTC: window timestamps render in session tz; the oracle's
-    # timestamps are naive).
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    stream = (
-        spark.readStream.format("parquet")
-        .schema(schema)
-        # glob, not the literal file path: for non-glob paths the file
-        # stream source forces basePath to the path itself, which must be
-        # a directory ("Option 'basePath' must be a directory")
-        .load(f"{sf_dir}/events*.parquet")
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # glob, not the literal file path: for non-glob paths the file stream
+    # source forces basePath to the path itself, which must be a directory
+    # ("Option 'basePath' must be a directory"). ts physical-type dispatch
+    # lives in read_events_stream.
+    stream = read_events_stream(
+        spark, f"{sf_dir}/events*.parquet", f"{sf_dir}/events.parquet"
     )
     agg = (
         stream.withWatermark("ts", "2 hours")
@@ -1299,7 +1370,6 @@ def q_streaming_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid as _uuid
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     src = tempfile.mkdtemp(prefix="doc_feed_")
     shutil.copy(f"{sf_dir}/documents.parquet", f"{src}/docs.parquet")
 
@@ -1795,7 +1865,6 @@ def q_streaming_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid as _uuid
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     src = tempfile.mkdtemp(prefix="pii_feed_")
     shutil.copy(f"{sf_dir}/documents.parquet", f"{src}/docs.parquet")
     schema = T.StructType(
@@ -2156,7 +2225,9 @@ EXT_ORACLE: dict[str, str] = {
     ),
     "embed_cosine_topk": SQL_COSINE_TOPK,
     "embed_ivf_topk_label": SQL_IVF_TOPK,
+    "embed_ivf_kmeans_topk": SQL_KMEANS_IVF_TOPK,
     "embed_lsh_ann_topk": SQL_LSH_TOPK,
+    "approx_sketches_events": SQL_APPROX_SKETCHES,
     "embed_ann_recall": SQL_ANN_RECALL,
     "multimodal_payload_meta": SQL_PAYLOAD_META,
     "fuzzy_normalize_fold": SQL_NORMALIZE_FOLD,

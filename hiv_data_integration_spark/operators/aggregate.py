@@ -159,12 +159,15 @@ def sessionize(
 
     w = Window.partitionBy(user_col).orderBy(ts_col)
     gap_s = gap_minutes * 60
-    prev_ts = F.lag(F.col(ts_col)).over(w)
+    # TIMESTAMP_NTZ cannot cast straight to long; hop via TIMESTAMP (a
+    # no-op for LTZ inputs). The session-tz interpretation the hop applies
+    # cancels in the subtraction, so the gap test is timezone-independent
+    # for both physical timestamp types.
+    epoch_s = F.col(ts_col).cast("timestamp").cast("long")
+    prev_ts = F.lag(epoch_s).over(w)
     new_session = (
         F.when(prev_ts.isNull(), F.lit(1))
-        .when(
-            F.col(ts_col).cast("long") - prev_ts.cast("long") > gap_s, F.lit(1)
-        )
+        .when(epoch_s - prev_ts > gap_s, F.lit(1))
         .otherwise(F.lit(0))
     )
     return df.withColumn(

@@ -213,6 +213,15 @@ def kmeans_centroids(
     mean aggregate, which is k·dim rows). Empty clusters keep their
     previous centroid.
 
+    The per-dimension mean is BIT-deterministic: values are folded in id
+    order (``array_sort(collect_list(struct(id, x)))`` then a left fold),
+    not ``avg()`` — double addition is order-sensitive, and the fixed
+    order makes the trained centroids identical across engines, which is
+    what lets the battery hash-check the whole trainer against an unrolled
+    SQL mirror. The ordered fold gathers each (cluster, dim) group into one
+    in-memory list — n/k doubles per group, fine for a trainer that runs
+    on a bounded sample; at 100 TB pass ``sample_fraction``.
+
     Scale: centroids are k·dim doubles of driver state — trivially small.
     At 100 TB you train the quantizer on a sample (``sample_fraction``)
     and assign the full corpus once; this mirrors every production IVF
@@ -238,23 +247,37 @@ def kmeans_centroids(
 
     # cache the cast training vectors: every iteration re-reads them, and
     # without the cache each Lloyd pass re-scans the source + re-casts
-    vecs = train.select(v.alias("_v")).cache()
+    vecs = train.select(F.col(id_col).alias("_id"), v.alias("_v")).cache()
     try:
         for _ in range(iters):
             assigned = vecs.withColumn(
                 "_bucket", nearest_centroid(F.col("_v"), centroids)
             )
-            # per-dimension mean: posexplode -> (bucket, pos) avg — k·dim rows
+            # per-dimension mean via id-ordered fold: k·dim groups
             means = (
-                assigned.select("_bucket", F.posexplode("_v").alias("_pos", "_x"))
+                assigned.select(
+                    "_id", "_bucket", F.posexplode("_v").alias("_pos", "_x")
+                )
                 .groupBy("_bucket", "_pos")
-                .agg(F.avg("_x").alias("_m"))
+                .agg(
+                    F.aggregate(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct(F.col("_id"), F.col("_x")))
+                            ),
+                            lambda s: s["_x"],
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("_s"),
+                    F.count("*").alias("_n"),
+                )
                 .collect()
             )
             new_centroids = [list(c) for c in centroids]  # empty cluster -> keep
             by_bucket: dict[int, dict[int, float]] = {}
             for r in means:
-                by_bucket.setdefault(r["_bucket"], {})[r["_pos"]] = r["_m"]
+                by_bucket.setdefault(r["_bucket"], {})[r["_pos"]] = r["_s"] / r["_n"]
             for b, dims in by_bucket.items():
                 new_centroids[b] = [dims[i] for i in range(len(dims))]
             centroids = new_centroids
