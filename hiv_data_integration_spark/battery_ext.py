@@ -13,6 +13,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from hiv_data_integration_spark.battery import QueryFn, dsum, read_events_stream, tbl
+from hiv_data_integration_spark.operators.aggregate import (
+    cohort_retention as agg_cohort,
+    funnel_conversion as agg_funnel,
+)
 from hiv_data_integration_spark.operators import dedup as dd
 from hiv_data_integration_spark.operators import fuzzy as fz
 from hiv_data_integration_spark.operators import multimodal as mm
@@ -2132,7 +2136,158 @@ SELECT uk, ubal, 2, NULL, TRUE FROM j WHERE ck IS NULL
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-3 training-pipeline + event-analytics operators
+# ---------------------------------------------------------------------------
+
+# whitespace-run token count, shared by the packing/decile oracles
+_NTOK_SQL = "len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x != ''))"
+
+
+def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents → fixed token-budget training shards in
+    deterministic id order (see operators.textops.pack_token_budget)."""
+    docs = tbl(spark, sf_dir, "documents")
+    return tx.pack_token_budget(docs, budget=256)
+
+
+SQL_TOKEN_PACKING = f"""
+WITH d AS (
+    SELECT doc_id, lang, {_NTOK_SQL} AS n_tokens FROM documents
+),
+c AS (
+    SELECT doc_id, lang, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+    FROM d
+)
+SELECT doc_id AS id, lang AS part, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(before // 256 AS BIGINT) AS shard_idx,
+       CAST(before % 256 AS BIGINT) AS shard_offset
+FROM c
+"""
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (perplexity-filter stand-in). The battery
+    projects the integer-exact columns — total corpus frequency and
+    rare-token count carry the filter signal; the ``ln``-based float score
+    is libm-dependent and verified by a same-engine pytest instead."""
+    docs = tbl(spark, sf_dir, "documents")
+    return tx.unigram_logprob(docs).select("id", "n_tokens", "sum_freq", "n_rare")
+
+
+SQL_UNIGRAM_LOGPROB = """
+WITH d AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '') AS l
+    FROM documents
+),
+toks AS (
+    SELECT doc_id AS id, unnest(l) AS token FROM d
+),
+freq AS (SELECT token, count(*) AS n_tok FROM toks GROUP BY token)
+SELECT id, count(*) AS n_tokens,
+       SUM(n_tok) AS sum_freq,
+       SUM(CASE WHEN n_tok <= 2 THEN 1 ELSE 0 END) AS n_rare
+FROM toks JOIN freq USING (token)
+GROUP BY id
+"""
+
+
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile quality banding: per-language ntile(10) histogram over a
+    deterministic (token-count, id) order — the keep-the-top-bands step of
+    percentile quality filtering."""
+    docs = tbl(spark, sf_dir, "documents")
+    return tx.quality_decile_stats(docs)
+
+
+SQL_QUALITY_DECILES = f"""
+WITH d AS (
+    SELECT doc_id, lang AS part, {_NTOK_SQL} AS n_tokens FROM documents
+),
+b AS (
+    SELECT part, n_tokens,
+           CAST(ntile(10) OVER (PARTITION BY part
+                                ORDER BY n_tokens, doc_id) AS BIGINT) AS decile
+    FROM d
+)
+SELECT part, decile, count(*) AS n_docs,
+       CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens
+FROM b GROUP BY part, decile
+"""
+
+
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota (over-represented-domain cap): keep the
+    first 50 docs of each source in deterministic id order."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "source")
+    return sp.quota_per_stratum(docs, "source", "doc_id", 50)
+
+
+SQL_SOURCE_QUOTA = """
+SELECT doc_id, source, quota_rank FROM (
+    SELECT doc_id, source,
+           CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                AS BIGINT) AS quota_rank
+    FROM documents
+) WHERE quota_rank <= 50
+"""
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over the events stream: users reaching
+    view → click → purchase, each stage strictly after the previous
+    stage's first entry."""
+    ev = tbl(spark, sf_dir, "events")
+    return agg_funnel(ev, ["view", "click", "purchase"])
+
+
+SQL_FUNNEL = """
+WITH s0 AS (SELECT user_id AS u, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s1 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+       JOIN s0 ON e.user_id = s0.u AND e.ts > s0.t
+       WHERE e.event_type = 'click' GROUP BY e.user_id),
+s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+       JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t
+       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage, count(*) AS n_users FROM s0
+UNION ALL
+SELECT CAST(1 AS BIGINT), 'click', count(*) FROM s1
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'purchase', count(*) FROM s2
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort/retention matrix: first-activity-day cohorts × whole-week
+    offsets, distinct active users per cell."""
+    ev = tbl(spark, sf_dir, "events")
+    return agg_cohort(ev)
+
+
+SQL_COHORT_RETENTION = """
+WITH f AS (SELECT user_id AS u, min(CAST(ts AS DATE)) AS cohort_day
+           FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events)
+SELECT cohort_day,
+       CAST(floor(datediff('day', cohort_day, d) / 7) AS BIGINT) AS week_offset,
+       count(DISTINCT u) AS n_users
+FROM a JOIN f USING (u)
+GROUP BY cohort_day, week_offset
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
+    "corpus_token_packing": q_token_packing,
+    "corpus_unigram_logprob": q_unigram_logprob,
+    "quality_decile_stats": q_quality_deciles,
+    "source_quota_cap": q_source_quota,
+    "funnel_events": q_funnel,
+    "cohort_retention_events": q_cohort_retention,
     "text_token_counts": q_token_counts,
     "text_quality_scores": q_quality_scores,
     "text_lang_id": q_lang_id,
@@ -2186,6 +2341,12 @@ EXT_QUERIES: dict[str, QueryFn] = {
 }
 
 EXT_ORACLE: dict[str, str] = {
+    "corpus_token_packing": SQL_TOKEN_PACKING,
+    "corpus_unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "quality_decile_stats": SQL_QUALITY_DECILES,
+    "source_quota_cap": SQL_SOURCE_QUOTA,
+    "funnel_events": SQL_FUNNEL,
+    "cohort_retention_events": SQL_COHORT_RETENTION,
     "text_token_counts": SQL_TOKEN_COUNTS,
     "text_quality_scores": SQL_QUALITY_SCORES,
     "text_lang_id": SQL_LANG_ID,

@@ -19,6 +19,8 @@ __all__ = [
     "has_any_null",
     "tumbling_window_agg",
     "sessionize",
+    "funnel_conversion",
+    "cohort_retention",
 ]
 
 
@@ -175,4 +177,75 @@ def sessionize(
     ).withColumn(
         "session_id",
         F.concat_ws("#", F.col(user_col).cast("string"), F.col("session_seq").cast("string")),
+    )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users reach each stage IN ORDER
+    (stage n+1 counts only events strictly after the user's stage-n entry).
+
+    Classic event analytics that the per-event window trick cannot express
+    directly; here it is a chain of conditional min-aggregates — one
+    hash-aggregate per stage on the user key, each joined back broadcast
+    (the per-user stage table shrinks monotonically). Output one row per
+    stage: ``(stage_idx, stage, n_users)``.
+    """
+    if not stages:
+        raise ValueError("need at least one funnel stage")
+    reached = None  # (user, t_entry) of the previous stage
+    counts = []
+    for idx, stage in enumerate(stages):
+        ev = events.filter(F.col(type_col) == stage).select(
+            F.col(user_col).alias("_u"), F.col(ts_col).alias("_t")
+        )
+        if reached is not None:
+            ev = ev.join(reached, "_u").filter(F.col("_t") > F.col("_prev"))
+        reached = ev.groupBy("_u").agg(F.min("_t").alias("_prev"))
+        counts.append(
+            reached.agg(
+                F.lit(idx).cast("long").alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                F.count("*").alias("n_users"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort/retention matrix: users grouped by first-activity day, with
+    distinct active users counted per whole-week offset from the cohort
+    day — the standard product-analytics rollup.
+
+    Two shuffles (first-day per user, then the cohort×offset count); the
+    distinct-day projection keeps the join input at one row per
+    (user, day). Output: ``(cohort_day, week_offset, n_users)``.
+    """
+    first = events.groupBy(F.col(user_col).alias("_u")).agg(
+        F.min(F.to_date(ts_col)).alias("cohort_day")
+    )
+    active = events.select(
+        F.col(user_col).alias("_u"), F.to_date(ts_col).alias("_d")
+    ).distinct()
+    return (
+        active.join(first, "_u")
+        .groupBy(
+            "cohort_day",
+            F.floor(F.datediff("_d", "cohort_day") / 7).cast("long").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.count_distinct("_u").alias("n_users"))
     )

@@ -432,11 +432,106 @@ def embedding_cosine_pairs(
     return pairs.select("id_a", "id_b", "cos")
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): every node connects its strictly-larger
+    neighbors to the minimum of its neighborhood (incl. itself)."""
+    nbrs = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    m = (
+        nbrs.groupBy("src")
+        .agg(F.min("dst").alias("m"))
+        .withColumn("m", F.least(F.col("m"), F.col("src")))
+    )
+    return (
+        nbrs.filter(F.col("dst") > F.col("src"))
+        .join(m, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient edges large→small, then every node
+    connects its smaller-or-equal neighbors (and itself) to the minimum
+    neighbor."""
+    e = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).distinct()
+    m = e.groupBy("src").agg(F.min("dst").alias("m"))
+    relink = e.join(m, "src").select(
+        F.col("dst").alias("src"), F.col("m").alias("dst")
+    )
+    selfedge = m.select(F.col("src"), F.col("m").alias("dst"))
+    return (
+        relink.unionByName(selfedge)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _cc_star(edges: DataFrame, max_iters: int) -> DataFrame:
+    """Alternating large-star/small-star fixpoint: converges in
+    O(log diameter) rounds (vs O(diameter) for plain min-label
+    propagation), and the per-round shuffles key on each node's
+    neighborhood min, which spreads hot components instead of funnelling
+    them through one reducer — the skew-hardened choice for deep or
+    heavy-tailed duplicate graphs.
+
+    Convergence test: the oriented edge set is a fixpoint (checksum +
+    count equality), at which point every node points directly at its
+    component minimum.
+
+    Each round ``localCheckpoint``s its edge set: one star round references
+    its input several times (symmetrize + min + relink), so without lineage
+    truncation the logical plan doubles per round and Catalyst analysis
+    cost explodes long before the data does. Checkpointed blocks live in
+    executor storage and are dropped by the storage manager when the
+    DataFrames are garbage collected.
+    """
+    cur = edges.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+
+    def _sig(e: DataFrame):
+        # bit_xor, not sum: order-independent like sum but cannot overflow
+        # under ANSI arithmetic (edges are distinct, so xor-cancellation
+        # of duplicates is not a concern)
+        row = e.select(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    cur_sig = None
+    for _ in range(max_iters):
+        nxt = _small_star(_large_star(cur)).localCheckpoint()
+        nxt_sig = _sig(nxt)
+        if nxt_sig == cur_sig:
+            cur = nxt
+            break
+        cur, cur_sig = nxt, nxt_sig
+    else:
+        raise RuntimeError(
+            f"connected_components(star) did not converge in {max_iters} rounds"
+        )
+    # fixpoint: (node -> component min) stars; minima appear only as dst
+    return (
+        cur.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+        .unionByName(
+            cur.select(F.col("dst").alias("id"), F.col("dst").alias("component"))
+        )
+        .groupBy("id")
+        .agg(F.min("component").alias("component"))
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 25,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Duplicate-pair edges → cluster assignment: ``(id, component)`` where
     ``component`` is the minimum id reachable through the pair graph.
@@ -450,16 +545,25 @@ def connected_components(
 
     Scale: one shuffle join + hash-aggregate per round; rounds =
     O(component diameter), and near-dup components are shallow (dup
-    clusters, not social graphs). This is the standard Spark CC shape;
-    at extreme skew the large-star/small-star variant halves rounds, and
-    the pair count is already O(corpus) because upstream LSH is bucketed.
+    clusters, not social graphs). This is the standard Spark CC shape.
+    For deep or heavily skewed duplicate graphs pass
+    ``algorithm="star"`` — the alternating large-star/small-star variant
+    (O(log diameter) rounds, neighborhood-min keyed shuffles) with the
+    identical ``(id, component)`` fixpoint.
     """
+    if algorithm not in ("propagation", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     # materialize the pair edges ONCE before symmetrizing: the undirected
     # union references the (potentially expensive — e.g. a full MinHash
     # pipeline) pair plan twice, and without this barrier both branches
     # re-execute it
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).persist()
     fwd.count()
+    if algorithm == "star":
+        try:
+            return _cc_star(fwd, max_iters)
+        finally:
+            fwd.unpersist()
     edges = (
         fwd.unionByName(
             fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -467,9 +571,15 @@ def connected_components(
         .distinct()
         .cache()
     )
+    # localCheckpoint, not cache: each round's plan references the previous
+    # round's TWICE (the union + the changed-probe join), so without
+    # lineage truncation the logical plan doubles per round and the driver
+    # OOMs on plan handling long before data size matters (found by the
+    # deep-chain property test — a diameter-60 graph runs the full round
+    # budget)
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "component", F.col("id")
-    ).cache()
+    ).localCheckpoint()
     try:
         for _ in range(max_iters):
             neighbor = edges.join(
@@ -479,7 +589,7 @@ def connected_components(
                 labels.unionByName(neighbor)
                 .groupBy("id")
                 .agg(F.min("component").alias("component"))
-                .cache()
+                .localCheckpoint()
             )
             changed = (
                 new_labels.join(
@@ -489,15 +599,10 @@ def connected_components(
                 .limit(1)
                 .count()
             )
-            labels.unpersist()
             labels = new_labels
             if changed == 0:
                 break
         else:
-            # error path: release the cached fixpoint candidate too — the
-            # caller gets an exception, not a DataFrame, so nothing else
-            # can unpersist it
-            labels.unpersist()
             raise RuntimeError(
                 f"connected_components did not converge in {max_iters} rounds"
             )

@@ -6,12 +6,13 @@ metadata struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` stages so payloads stream through Python in
 columnar batches (never row-at-a-time, never collected to the driver).
 
-The container ships no image/audio libraries, so the actual byte decoding
-is STUBBED: ``decode_media`` uses real libraries when importable (PIL) and
-otherwise a clearly-marked deterministic fake derived from the payload
-bytes. The Spark-side plumbing — schema, partitioning, UDF signature,
-batch shapes — is real and tested; swapping in a real decoder changes one
-inner function.
+Decoding tiers: PIL when importable (not in this container), then a REAL
+stdlib PNG decoder (signature + IHDR dimensions + zlib-inflated IDAT —
+the format is public, no library needed), then a clearly-marked
+deterministic fake derived from the payload bytes for media types the
+container cannot parse (JPEG/audio/video). The Spark-side plumbing —
+schema, partitioning, UDF signature, batch shapes — is real and tested
+end-to-end with hand-built PNG byte streams.
 """
 
 from __future__ import annotations
@@ -130,6 +131,43 @@ def decode_media(
                     if meta is not None:
                         metas.append(meta)
                         continue
+                # REAL stdlib PNG decode (no PIL needed): the PNG format is
+                # public — 8-byte signature, then an IHDR chunk whose first
+                # 8 data bytes are big-endian width/height, then bit depth
+                # and color type. The IDAT payload must inflate with zlib,
+                # so a truncated/corrupt stream falls through to the stub
+                # instead of reporting bogus dimensions.
+                if n > 33 and data[:8] == b"\x89PNG\r\n\x1a\n" and data[12:16] == b"IHDR":
+                    try:
+                        import struct as _struct
+                        import zlib as _zlib
+
+                        w, h = _struct.unpack(">II", data[16:24])
+                        color_type = data[25]
+                        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+                        # walk chunks, inflate the concatenated IDAT stream
+                        idat, off = b"", 8
+                        while off + 8 <= n:
+                            (length,) = _struct.unpack(">I", data[off : off + 4])
+                            ctype = data[off + 4 : off + 8]
+                            if ctype == b"IDAT":
+                                idat += data[off + 8 : off + 8 + length]
+                            if ctype == b"IEND":
+                                break
+                            off += 12 + length  # len + type + data + crc
+                        _zlib.decompress(idat)  # raises on corrupt stream
+                        metas.append(
+                            {
+                                "width": int(w),
+                                "height": int(h),
+                                "channels": channels,
+                                "n_bytes": n,
+                                "decoder": "png",
+                            }
+                        )
+                        continue
+                    except Exception:
+                        pass  # malformed PNG -> stub below
                 # deterministic fake decode (see _fake_decode)
                 w, h, c = 16 + (n % 64), 16 + ((n // 64) % 64), 3
                 metas.append(

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "hash_split", "stratified_sample_flag"]
+__all__ = ["hash_bucket", "hash_split", "stratified_sample_flag", "quota_per_stratum"]
 
 #: Bucket space: 4 hex digits of the md5 → uniform integers in [0, 65536).
 BUCKETS = 1 << 16
@@ -92,3 +92,27 @@ def stratified_sample_flag(
     default_keep = b * F.lit(dden) < F.lit(dnum * BUCKETS)
     out = default_keep if expr is None else expr.otherwise(default_keep)
     return df.withColumn(out_col, out)
+
+
+def quota_per_stratum(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    quota: int,
+) -> DataFrame:
+    """Cap rows per stratum (per-domain / per-source document quotas — the
+    over-represented-source guard of corpus mixing): keep the first
+    ``quota`` rows of each stratum in deterministic ``id_col`` order.
+
+    One window shuffle on the stratum key. The rank is emitted so
+    downstream stages can tighten the cap without recomputing. Skewed hot
+    strata are bounded by construction: the window never retains more than
+    ``quota`` rows per key past the filter.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(strata_col).orderBy(id_col)
+    return (
+        df.withColumn("quota_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("quota_rank") <= quota)
+    )

@@ -29,6 +29,9 @@ __all__ = [
     "ngram_repetition_features",
     "contamination_check",
     "tfidf_topk",
+    "pack_token_budget",
+    "unigram_logprob",
+    "quality_decile_stats",
     "PII_PATTERNS",
     "STOPWORDS",
 ]
@@ -523,4 +526,143 @@ def winnow_fingerprints(
         "id",
         F.col("_fp.h").alias("fp_hash"),
         F.col("_fp.p").alias("fp_pos"),
+    )
+
+
+def pack_token_budget(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    part_col: str = "lang",
+    budget: int = 2048,
+) -> DataFrame:
+    """Sequence packing for LLM training: assign documents to fixed
+    token-budget shards (context windows) in deterministic id order.
+
+    ``shard_idx = floor(tokens_before / budget)`` where ``tokens_before``
+    is the running token total of preceding docs within the partition
+    column — the standard streaming-concatenation packing (documents may
+    straddle a boundary; the trainer's sequence builder splits them).
+    Pure window arithmetic over integers: one shuffle on ``part_col``,
+    no Python, no floats — deterministic on any engine at any scale.
+
+    Output: ``(id, part, n_tokens, shard_idx, shard_offset)``.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n = token_count(F.col(text_col))
+    before = F.coalesce(F.sum(n).over(w), F.lit(0)).cast("long")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(part_col).alias("part"),
+        n.alias("n_tokens"),
+        F.floor(before / budget).cast("long").alias("shard_idx"),
+        (before % budget).cast("long").alias("shard_offset"),
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unigram language-model quality score — the classic cheap stand-in
+    for perplexity filtering: two passes over the corpus, (1) global
+    unigram frequencies, (2) per-document mean token log-probability
+    ``avg(ln(count(tok) / total_tokens))``.
+
+    Everything is JVM expressions; the only shuffles are the frequency
+    hash-aggregate and the token→frequency join (broadcast when the
+    vocabulary is small). The per-document mean folds token log-probs in
+    position order (``array_sort`` + left fold) so the double sum is
+    reproducible ACROSS RUNS of this engine. Docs with zero tokens are
+    absent from the output (no tokens, no score).
+
+    Output: ``(id, n_tokens, sum_freq, n_rare, avg_logprob)`` — the
+    integer columns (total corpus frequency of the doc's tokens; tokens
+    occurring ≤2 times corpus-wide) carry the same rare-token signal
+    exactly, which is what the battery hash-checks cross-engine:
+    ``ln`` itself is libm-dependent and not bit-portable, so the float
+    score is verified by a same-engine pytest oracle instead.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(whitespace_tokens(F.lower(F.col(text_col)))).alias(
+            "pos", "token"
+        ),
+    )
+    freq = toks.groupBy("token").agg(F.count("*").alias("n_tok"))
+    total = freq.select(F.sum("n_tok").alias("n_total"))
+    scored = (
+        toks.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "id",
+            "pos",
+            "n_tok",
+            (
+                F.log(F.col("n_tok").cast("double"))
+                - F.log(F.col("n_total").cast("double"))
+            ).alias("logp"),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("n_tok").cast("long").alias("sum_freq"),
+            F.sum(F.when(F.col("n_tok") <= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_rare"),
+            (
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("pos"), F.col("logp")))
+                        ),
+                        lambda s: s["logp"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.count("*")
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def quality_decile_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    part_col: str = "lang",
+    n_tiles: int = 10,
+) -> DataFrame:
+    """Per-stratum quality-percentile banding (the decide-what-to-keep
+    step of percentile quality filtering): ``ntile`` over a deterministic
+    (score, id) order within each stratum, then per-band stats. A trainer
+    keeps the top bands; emitting every band keeps the full histogram
+    checkable. Output: ``(part, decile, n_docs, min_tokens, max_tokens)``.
+    """
+    from pyspark.sql.window import Window
+
+    n = token_count(F.col(text_col))
+    w = Window.partitionBy(part_col).orderBy(n, F.col(id_col))
+    banded = df.select(
+        F.col(part_col).alias("part"),
+        n.alias("n_tokens"),
+        F.ntile(n_tiles).over(w).cast("long").alias("decile"),
+    )
+    return (
+        banded.groupBy("part", "decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
     )

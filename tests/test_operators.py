@@ -128,6 +128,56 @@ def test_decode_media_stub_schema_and_determinism(spark):
     assert rows == again
 
 
+def _build_png(width: int, height: int, color_type: int = 2) -> bytes:
+    """Hand-build a minimal valid PNG with stdlib only (public format:
+    signature + IHDR + zlib IDAT + IEND, CRCs included)."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    # each scanline: filter byte 0 + raw pixels
+    raw = b"".join(
+        b"\x00" + bytes((x * 7 + y * 13 + c) % 256 for x in range(width)
+                        for c in range(channels))
+        for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_media_real_png(spark):
+    """The real-decoder branch: a genuine PNG byte stream decodes to its
+    true dimensions/channels with decoder='png'; a corrupted IDAT falls
+    back to the stub instead of reporting bogus dimensions."""
+    png_rgb = _build_png(5, 3, color_type=2)
+    png_rgba = _build_png(2, 7, color_type=6)
+    corrupt = png_rgb[:40] + b"\x00\x00\x00\x00" + png_rgb[44:]  # break IDAT
+    df = spark.createDataFrame(
+        [(1, bytearray(png_rgb)), (2, bytearray(png_rgba)), (3, bytearray(corrupt))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r["meta"] for r in mm.decode_media(df).collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == (5, 3, 3)
+    assert rows[1]["decoder"] == "png"
+    assert (rows[2]["width"], rows[2]["height"], rows[2]["channels"]) == (2, 7, 4)
+    assert rows[2]["decoder"] == "png"
+    assert rows[3]["decoder"] == "stub"
+    assert rows[1]["n_bytes"] == len(png_rgb)
+
+
 def test_sample_frames_one_to_many(spark):
     df = spark.createDataFrame([(7, "0123456789abcdef")], "doc_id long, text string")
     frames = mm.sample_frames(mm.attach_payload(df, media_type="video")).collect()
@@ -250,6 +300,47 @@ def test_connected_components_chains_and_canonical(spark):
     )
     # 2,3 collapse into 1; 8 into 7; 4 untouched (not in any pair)
     assert kept == [1, 4, 7]
+
+
+def test_connected_components_star_deep_chain(spark):
+    """Skew/depth hardening: a chain of diameter 60 — beyond plain
+    propagation's reach at max_iters=10 — converges under the
+    large-star/small-star variant in O(log diameter) rounds, and the
+    fixpoint matches the propagation answer."""
+    import pytest
+
+    from hiv_data_integration_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=10)
+    comp = {
+        r.id: r.component
+        for r in connected_components(chain, max_iters=10, algorithm="star").collect()
+    }
+    assert comp == {i: 0 for i in range(61)}
+
+
+def test_connected_components_star_matches_propagation(spark):
+    """Algorithm equivalence on a deterministic pseudo-random multi-component
+    graph: both variants must land on the identical (id, component) fixpoint."""
+    from hiv_data_integration_spark.operators.dedup import connected_components
+
+    edges = [((i * 37) % 83 + (i % 5) * 100, (i * 59) % 83 + (i % 5) * 100)
+             for i in range(120)]
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "id_a long, id_b long"
+    )
+    prop = {r.id: r.component for r in connected_components(pairs).collect()}
+    star = {
+        r.id: r.component
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    assert prop == star
+    with pytest.raises(ValueError):
+        connected_components(pairs, algorithm="bogus")
 
 
 def test_chunk_documents_windows_and_tail(spark):
@@ -571,3 +662,46 @@ def test_scd2_merge_versions_close_and_insert(spark):
     assert r2[(4, "d")] == (2, None, True)
     assert r2[(2, "b")] == (1, 2, False)
     assert r2[(3, "c")] == (1, 2, False)
+
+
+def test_unigram_logprob_float_score_matches_python(spark):
+    """The ln-based score is excluded from the cross-engine battery hash
+    (libm portability); verify it against a pure-Python recomputation on
+    the same engine instead."""
+    import math
+
+    from hiv_data_integration_spark.operators.textops import unigram_logprob
+
+    docs = [(1, "a b a c"), (2, "a a"), (3, "b c d")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.id: r for r in unigram_logprob(df).collect()}
+
+    toks = {i: t.lower().split() for i, t in docs}
+    freq: dict[str, int] = {}
+    for ts in toks.values():
+        for t in ts:
+            freq[t] = freq.get(t, 0) + 1
+    total = sum(freq.values())
+    for i, ts in toks.items():
+        s = 0.0
+        for t in ts:  # position order, same fold order as the operator
+            s += math.log(float(freq[t])) - math.log(float(total))
+        assert got[i].n_tokens == len(ts)
+        assert got[i].sum_freq == sum(freq[t] for t in ts)
+        assert got[i].n_rare == sum(1 for t in ts if freq[t] <= 2)
+        assert got[i].avg_logprob == s / len(ts), i
+
+
+def test_pack_token_budget_boundaries(spark):
+    from hiv_data_integration_spark.operators.textops import pack_token_budget
+
+    df = spark.createDataFrame(
+        [(1, "en", "a b c"), (2, "en", "d e"), (3, "en", "f g h i"), (4, "fr", "x")],
+        "doc_id long, lang string, text string",
+    )
+    rows = {r.id: r for r in pack_token_budget(df, budget=4).collect()}
+    # en: tokens 3,2,4 -> before 0,3,5 -> shards 0,0,1; offsets 0,3,1
+    assert (rows[1].shard_idx, rows[1].shard_offset) == (0, 0)
+    assert (rows[2].shard_idx, rows[2].shard_offset) == (0, 3)
+    assert (rows[3].shard_idx, rows[3].shard_offset) == (1, 1)
+    assert (rows[4].part, rows[4].shard_idx) == ("fr", 0)
