@@ -596,7 +596,15 @@ def unigram_logprob(
             "pos", "token"
         ),
     )
-    freq = toks.groupBy("token").agg(F.count("*").alias("n_tok"))
+    # localCheckpoint the vocabulary-sized frequency table: it is consumed
+    # TWICE (broadcast join + total), and without materialization each
+    # consumer re-runs the corpus scan + token aggregate — 3 full corpus
+    # scans instead of the minimal 2 (one to count, one to score)
+    freq = (
+        toks.groupBy("token").agg(F.count("*").alias("n_tok")).localCheckpoint()
+    )
+    # total from the frequency table — sum of per-token counts == total
+    # token count, no extra corpus scan
     total = freq.select(F.sum("n_tok").alias("n_total"))
     scored = (
         toks.join(F.broadcast(freq), "token")

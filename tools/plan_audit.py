@@ -62,6 +62,12 @@ HEADLINE = [
     "data_split_sample",
     "embed_quantize_int8",
     "corpus_dataset_card",
+    "corpus_token_packing",
+    "corpus_unigram_logprob",
+    "quality_decile_stats",
+    "source_quota_cap",
+    "funnel_events",
+    "cohort_retention_events",
 ]
 
 
