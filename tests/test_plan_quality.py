@@ -1,0 +1,59 @@
+"""Physical-plan quality gates: pin the scale-critical plan properties of
+headline queries so a regression (broadcast falling back to sort-merge, a
+filter no longer reaching the parquet scan, Python leaking into a JVM
+pipeline) fails CI instead of silently costing 10x at scale."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hiv_data_integration_spark.battery import QUERIES
+from hiv_data_integration_spark.battery_ext import EXT_QUERIES
+from tools.plan_audit import audit, final_plan_string
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _audit(spark, name):
+    fn = {**QUERIES, **EXT_QUERIES}[name]
+    return audit(final_plan_string(spark, fn(spark, SF_DIR)))
+
+
+def test_flagship_all_joins_broadcast_no_python(spark):
+    a = _audit(spark, "flagship_pnls_chain")
+    assert a["smj"] == 0, "flagship dim joins must broadcast, not sort-merge"
+    assert a["bhj"] >= 3
+    assert a["python"] == 0
+    assert a["pushed_filters"] >= 1, "date predicate must reach the scan"
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    a = _audit(spark, "pricing_summary")
+    assert a["pushed_filters"] == a["scans"] == 1
+    # projection pruning: Q1 touches 6 of lineitem's 16 columns
+    assert a["read_cols"] == "6"
+    assert a["python"] == 0
+
+
+def test_join_fact_dim_broadcasts(spark):
+    a = _audit(spark, "join_fact_dim")
+    assert a["bhj"] == 1 and a["smj"] == 0
+
+
+def test_funnel_pushes_stage_filters(spark):
+    a = _audit(spark, "funnel_events")
+    # one scan per stage reference, each with its event_type filter pushed
+    assert a["pushed_filters"] == a["scans"]
+    assert a["smj"] == 0
+    assert a["python"] == 0
+
+
+def test_minhash_pairs_stays_jvm_side(spark):
+    a = _audit(spark, "dedup_minhash_lsh_pairs")
+    assert a["python"] == 0, "dedup hot path must not leave the JVM"
+    assert a["smj"] == 0
