@@ -705,3 +705,39 @@ def test_pack_token_budget_boundaries(spark):
     assert (rows[2].shard_idx, rows[2].shard_offset) == (0, 3)
     assert (rows[3].shard_idx, rows[3].shard_offset) == (1, 1)
     assert (rows[4].part, rows[4].shard_idx) == ("fr", 0)
+
+
+def test_tbl_dispatches_both_events_ts_physical_types(spark, tmp_path):
+    """The testdata generator has shipped events.ts as int64-nanos (r1) and
+    timestamp[us] (r2+). tbl() must read BOTH: native pass-through for µs,
+    nanosAsLong + div-1000 truncation for legacy nanos."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hiv_data_integration_spark.battery import tbl
+
+    ts = [datetime.datetime(2024, 1, 1, 12, 0, 0, 123456),
+          datetime.datetime(2024, 1, 2, 13, 30, 0, 654321)]
+    cols = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 20], pa.int64()),
+        "event_type": pa.array(["view", "click"]),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+        "props": pa.array(["{}", "{}"]),
+    }
+    for unit in ("us", "ns"):
+        d = tmp_path / f"sf_{unit}"
+        d.mkdir()
+        table = pa.table({"event_id": cols["event_id"],
+                          "ts": pa.array(ts, pa.timestamp(unit)),
+                          **{k: v for k, v in cols.items() if k != "event_id"}})
+        pq.write_table(table, str(d / "events.parquet"),
+                       coerce_timestamps=None, store_schema=False)
+        df = tbl(spark, str(d), "events")
+        got = sorted(
+            r["ts"].replace(tzinfo=None) if r["ts"].tzinfo else r["ts"]
+            for r in df.select("ts").collect()
+        )
+        assert got == ts, (unit, got)
