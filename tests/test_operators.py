@@ -741,3 +741,54 @@ def test_tbl_dispatches_both_events_ts_physical_types(spark, tmp_path):
             for r in df.select("ts").collect()
         )
         assert got == ts, (unit, got)
+
+
+def test_new_pipeline_operator_invariants(spark):
+    """Structural invariants of the round-3 operators on one deterministic
+    corpus: packing offsets stay inside the budget and shards are
+    contiguous per stratum; quotas truly cap every stratum; funnel stage
+    counts are non-increasing; deciles partition each stratum."""
+    from hiv_data_integration_spark.operators.aggregate import funnel_conversion
+    from hiv_data_integration_spark.operators.sampling import quota_per_stratum
+    from hiv_data_integration_spark.operators.textops import (
+        pack_token_budget,
+        quality_decile_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, ["en", "fr", "de"][i % 3], "w " * (1 + (i * 7) % 23)) for i in range(90)],
+        "doc_id long, lang string, text string",
+    )
+    packed = pack_token_budget(docs, budget=32).collect()
+    by_part: dict[str, list] = {}
+    for r in packed:
+        assert 0 <= r.shard_offset < 32
+        assert r.shard_idx >= 0
+        by_part.setdefault(r.part, []).append(r)
+    for part, rows in by_part.items():
+        rows.sort(key=lambda r: r.id)
+        shard_seq = [r.shard_idx for r in rows]
+        assert shard_seq == sorted(shard_seq), part  # monotone in id order
+
+    capped = quota_per_stratum(docs, "lang", "doc_id", 7).collect()
+    per = {}
+    for r in capped:
+        per[r.lang] = per.get(r.lang, 0) + 1
+        assert 1 <= r.quota_rank <= 7
+    assert all(v <= 7 for v in per.values()) and len(per) == 3
+
+    ev = spark.createDataFrame(
+        [(i, 1 + i % 10, ["view", "click", "purchase"][i % 3],
+          float(i)) for i in range(60)],
+        "event_id long, user_id long, event_type string, ts double",
+    )
+    funnel = {r.stage: r.n_users for r in
+              funnel_conversion(ev, ["view", "click", "purchase"]).collect()}
+    assert funnel["view"] >= funnel["click"] >= funnel["purchase"]
+
+    deciles = quality_decile_stats(docs).collect()
+    totals: dict[str, int] = {}
+    for r in deciles:
+        assert 1 <= r.decile <= 10
+        totals[r.part] = totals.get(r.part, 0) + r.n_docs
+    assert totals == {"en": 30, "fr": 30, "de": 30}
