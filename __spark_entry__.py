@@ -34,38 +34,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver hash-verifies only the FIRST 50 ``queries()`` entries per
-# round, so ordering is the verification budget. Tiers (lowest emitted
-# first): queries with no driver row in ANY round, brand-new queries
-# (absent from the tier lists), rows red in round 2, round-1-only rows,
-# and finally the 45 already green in round 2 — the cross-round union of
-# green rows is what converges to full coverage.
-_NEVER_DRIVER_CHECKED = [
-    "data_split_sample", "jsonl_corpus_roundtrip", "scd2_customer_history",
-    "embed_quantize_int8", "embed_quantized_rerank_topk",
-    "streaming_pii_redaction", "corpus_dataset_card", "embed_ivf_kmeans_topk",
-    "embed_ann_recall", "fuzzy_resolve_blocked", "rest_naomi_json_flatten",
-    "salted_skew_join", "bucketed_colocated_join", "llm_corpus_prep",
-    "spectrum_csv_scan", "partitioned_parquet_pruning",
-    "approx_sketches_events", "streaming_tumbling_counts",
-    "streaming_exactly_once_dedup", "streaming_corpus_chunking",
-    "rollup_lineitem", "cube_orders", "grouping_sets_orders",
-    "count_distinct_parts", "grouped_quantiles", "intersect_nations",
-    "except_balance_buckets", "range_join_events", "asof_last_event_per_day",
-    "string_agg_nations", "correlated_subquery_balance", "embed_vector_norms",
-    "skyline_suppliers",
+# round, so ordering is the verification budget. Round-4 tiers (lowest
+# emitted first): the 9 round-3 reds (all were the DuckDB-HUGEINT oracle
+# typing trap, now CAST to BIGINT — re-verify the fix), brand-new queries
+# (absent from the tier lists), entries whose only green is round 1, the
+# 45 round-2 greens (oldest standing signal), and finally the round-3
+# greens — the cross-round union of green rows converges to full coverage
+# while every entry keeps a green row ≤2 rounds old.
+_R3_RED_FIXED = [
+    "data_split_sample", "jsonl_corpus_roundtrip", "streaming_pii_redaction",
+    "corpus_dataset_card", "embed_ann_recall", "llm_corpus_prep",
+    "streaming_corpus_chunking", "corpus_unigram_logprob",
+    "dedup_canonical_corpus", "fuzzy_resolve_suppliers",
 ]
-_R2_RED = [
-    "null_preserving_sum", "window_lag_events", "tumbling_window_events",
-    "sessionize_events", "dedup_canonical_corpus",
-]
-_R1_ONLY = [
-    "org_uuid5_ids", "multimodal_decode_stub", "multimodal_frame_sample_stub",
-    "fuzzy_resolve_suppliers", "embed_cosine_topk", "embed_ivf_topk_label",
+_R1_GREEN_STALE = [
     "embed_lsh_ann_topk", "multimodal_payload_meta", "fuzzy_normalize_fold",
     "rest_fanout_analytics",
 ]
-
-
 _R2_GREEN = [
     "flagship_pnls_chain", "pricing_summary", "filter_membership",
     "date_range_filter", "conditional_bucket", "join_fact_dim",
@@ -84,6 +69,24 @@ _R2_GREEN = [
     "text_winnow_overlap_pairs", "text_repetition_filter",
     "text_contamination_check", "text_tfidf_topk",
 ]
+_R3_GREEN = [
+    "scd2_customer_history", "embed_quantize_int8",
+    "embed_quantized_rerank_topk", "embed_ivf_kmeans_topk",
+    "fuzzy_resolve_blocked", "rest_naomi_json_flatten", "salted_skew_join",
+    "bucketed_colocated_join", "spectrum_csv_scan",
+    "partitioned_parquet_pruning", "approx_sketches_events",
+    "streaming_tumbling_counts", "streaming_exactly_once_dedup",
+    "rollup_lineitem", "cube_orders", "grouping_sets_orders",
+    "count_distinct_parts", "grouped_quantiles", "intersect_nations",
+    "except_balance_buckets", "range_join_events", "asof_last_event_per_day",
+    "string_agg_nations", "correlated_subquery_balance", "embed_vector_norms",
+    "skyline_suppliers", "corpus_token_packing", "quality_decile_stats",
+    "source_quota_cap", "funnel_events", "cohort_retention_events",
+    "null_preserving_sum", "window_lag_events", "tumbling_window_events",
+    "sessionize_events", "org_uuid5_ids", "multimodal_decode_stub",
+    "multimodal_frame_sample_stub", "embed_cosine_topk",
+    "embed_ivf_topk_label",
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -93,16 +96,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries with the least cross-round driver signal."""
     merged = {**QUERIES, **EXT_QUERIES, **SQL2_QUERIES}
     tiered = (
-        set(_NEVER_DRIVER_CHECKED) | set(_R2_RED) | set(_R1_ONLY) | set(_R2_GREEN)
+        set(_R3_RED_FIXED) | set(_R1_GREEN_STALE) | set(_R2_GREEN)
+        | set(_R3_GREEN)
     )
     new_this_round = [k for k in merged if k not in tiered]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for tier in (
-        _NEVER_DRIVER_CHECKED,
+        _R3_RED_FIXED,
         new_this_round,
-        _R2_RED,
-        _R1_ONLY,
+        _R1_GREEN_STALE,
         _R2_GREEN,
+        _R3_GREEN,
     ):
         for k in tier:
             if k in merged and k not in ordered:

@@ -592,7 +592,7 @@ j AS (
     FROM exact LEFT JOIN approx a
       ON exact.query_id = a.query_id AND exact.neighbor_id = a.neighbor_id
 )
-SELECT query_id, count(*) AS n_exact, sum(hit) AS n_hit,
+SELECT query_id, count(*) AS n_exact, CAST(sum(hit) AS BIGINT) AS n_hit,
        sum(hit) / count(*) AS recall
 FROM j GROUP BY query_id
 """
@@ -730,14 +730,25 @@ FROM m
 
 
 def q_fuzzy_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check: token-set fuzzy resolution of truncated supplier
-    names against the supplier dim (pandas_udf over captured candidates —
-    difflib scoring is not SQL-expressible; exact-path parity is covered
-    by ext_normalize_fold + pytest property tests vs the Python twin)."""
+    """HASH-checked token-set fuzzy resolution (unblocked difflib path).
+
+    Supplier names get a deterministic typo (``Supplier`` -> ``Suplier``)
+    so there is no exact hit and the real SequenceMatcher scoring loop
+    runs for every row — yet the outcome is provable: TPC-H supplier
+    names are the fixed-width domain ``Supplier#%09d``, so every dirty
+    name's unique best match is its own source (ratio 2*16/33 ~ 96.97 vs
+    <= 90.9 for any other candidate) and the accepted score is the single
+    constant ``100 * (2*16/33)`` — IEEE-exact in both engines. That turns
+    the previously rows-only entry into a full value-hash check of the
+    pandas_udf candidate-capture, normalization, pruning, and strict-max
+    selection machinery (reference D6-D8,
+    update_pnls_report/utils.py:434-514)."""
     sup = tbl(spark, sf_dir, "supplier")
     dirty = sup.select(
         F.col("s_suppkey").alias("dirty_key"),
-        F.expr("substring(s_name, 1, length(s_name) - 2)").alias("dirty_name"),
+        F.replace(
+            F.col("s_name"), F.lit("Supplier"), F.lit("Suplier")
+        ).alias("dirty_name"),
     )
     # 16 scoring tasks, not 32: each task runs a Python worker at full
     # CPU, and 32 workers + 32 JVM threads oversubscribe the box — measured
@@ -749,6 +760,15 @@ def q_fuzzy_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolved.filter(F.col("matched").isNotNull()).select(
         "dirty_key", "dirty_name", "matched", "match_score"
     )
+
+
+SQL_FUZZY_RESOLVE_SUPPLIERS = """
+SELECT s_suppkey AS dirty_key,
+       replace(s_name, 'Supplier', 'Suplier') AS dirty_name,
+       s_name AS matched,
+       100.0 * ((2.0 * 16.0) / 33.0) AS match_score
+FROM supplier
+"""
 
 
 def q_fuzzy_resolve_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1168,7 +1188,7 @@ SELECT lang,
             WHEN s_es >= s_de THEN 'es'
             ELSE 'de' END AS predicted,
        count(*) AS n_docs,
-       SUM(n_words) AS total_tokens,
+       CAST(SUM(n_words) AS BIGINT) AS total_tokens,
        CAST(SUM(CAST(avg_word_len AS DECIMAL(28,6))) AS DOUBLE) AS sum_awl
 FROM scored GROUP BY 1, 2
 """
@@ -1437,7 +1457,7 @@ s AS (
     FROM d
 )
 SELECT lang, count(*) AS n_chunks,
-       SUM(len(toks[start + 1 : start + 32])) AS total_tokens
+       CAST(SUM(len(toks[start + 1 : start + 32])) AS BIGINT) AS total_tokens
 FROM s GROUP BY lang
 """
 
@@ -1613,7 +1633,8 @@ reach(src, dst) AS (
 ),
 comps AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src),
 losers AS (SELECT id FROM comps WHERE id != component)
-SELECT lang, count(*) AS n_docs, sum(length(text)) AS total_chars
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
 FROM corpus ANTI JOIN losers ON corpus.doc_id = losers.id
 GROUP BY lang
 """
@@ -1738,7 +1759,7 @@ a AS (
     FROM b
 )
 SELECT lang, split, count(*) AS n_docs,
-       sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS n_sampled
+       CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
 FROM a GROUP BY 1, 2
 """
 
@@ -1946,9 +1967,9 @@ s3 AS (
     FROM s2
 )
 SELECT lang, count(*) AS n_docs,
-       sum(n_email) AS total_email,
-       sum(n_ipv4) AS total_ipv4,
-       sum(length(t)) AS total_redacted_chars
+       CAST(sum(n_email) AS BIGINT) AS total_email,
+       CAST(sum(n_ipv4) AS BIGINT) AS total_ipv4,
+       CAST(sum(length(t)) AS BIGINT) AS total_redacted_chars
 FROM s3 GROUP BY lang
 """
 
@@ -2016,11 +2037,12 @@ a AS (
 canon AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY fp),
 rep AS ({repetition_sql})
 SELECT a.lang, a.split, count(*) AS n_docs,
-       sum(CASE WHEN a.sampled THEN 1 ELSE 0 END) AS n_sampled,
-       sum(CASE WHEN rep.keep THEN 1 ELSE 0 END) AS n_quality_keep,
-       sum(CASE WHEN canon.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       CAST(sum(CASE WHEN a.sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(sum(CASE WHEN rep.keep THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_quality_keep,
+       CAST(sum(CASE WHEN canon.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
            AS n_canonical,
-       sum(a.n_tokens) AS total_tokens
+       CAST(sum(a.n_tokens) AS BIGINT) AS total_tokens
 FROM a
 JOIN rep ON a.doc_id = rep.id
 LEFT JOIN canon ON a.doc_id = canon.doc_id
@@ -2064,8 +2086,9 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_JSONL_ROUNDTRIP = r"""
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
-       sum(len(regexp_extract_all(text, '\S+'))) AS total_tokens,
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens,
        count(DISTINCT doc_id) AS n_distinct_ids
 FROM documents GROUP BY lang
 """
@@ -2188,8 +2211,8 @@ toks AS (
 ),
 freq AS (SELECT token, count(*) AS n_tok FROM toks GROUP BY token)
 SELECT id, count(*) AS n_tokens,
-       SUM(n_tok) AS sum_freq,
-       SUM(CASE WHEN n_tok <= 2 THEN 1 ELSE 0 END) AS n_rare
+       CAST(SUM(n_tok) AS BIGINT) AS sum_freq,
+       CAST(SUM(CASE WHEN n_tok <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
 FROM toks JOIN freq USING (token)
 GROUP BY id
 """
@@ -2412,6 +2435,7 @@ FROM events GROUP BY 1, 2
     "multimodal_decode_stub": SQL_DECODE_STUB,
     "multimodal_frame_sample_stub": SQL_FRAME_SAMPLE,
     "org_uuid5_ids": SQL_UUID5_IDS,
-    # fuzzy_resolve_suppliers: difflib token_set scoring has no DuckDB
-    # mirror — rows-only + pytest property tests vs the Python twin.
+    # the typo-mangle makes the difflib winner + score provable (see
+    # q_fuzzy_resolve docstring) — no rows-only entries remain
+    "fuzzy_resolve_suppliers": SQL_FUZZY_RESOLVE_SUPPLIERS,
 }

@@ -1,34 +1,55 @@
-"""Driver-contract invariants: the verification-window ordering in
-__spark_entry__ is the driver's hash-check budget — regressions here
-silently unverify queries."""
+"""Driver-contract invariants.
+
+Two things break the driver's correctness gate silently:
+
+1. the verification-window ordering in __spark_entry__ (only the first 50
+   ``queries()`` entries are hash-checked per round), and
+2. oracle SQL output typing — DuckDB renders HUGEINT (its int128 result
+   type for ``sum()`` over integers) differently from Spark's BIGINT in
+   the driver's value hash even when the values are identical (root cause
+   of all 9 round-3 hash fails). Every integer aggregate in oracle SQL
+   must be CAST to BIGINT; this suite DESCRIBEs every oracle to enforce
+   it, and greps for bare ``ln(``/``log(`` (libm-dependent, not
+   bit-portable across engines — keep them out of hashed projections).
+"""
 
 from __future__ import annotations
 
+import os
+import re
 import sys
+
+import duckdb
+import pytest
 
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as contract
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def test_registry_complete_and_oracled():
     q = contract.queries()
     o = contract.oracle_sql()
     assert len(q) >= 99
+    # every registered query now carries a DuckDB oracle — the last
+    # rows-only entry (fuzzy_resolve_suppliers) got a provable typo-mangle
+    # construction in round 4
     missing = [k for k in q if k not in o]
-    # difflib fuzzy scoring is the single documented rows-only entry
-    assert missing == ["fuzzy_resolve_suppliers"]
+    assert missing == []
     assert set(o) <= set(q)
 
 
 def test_window_prioritizes_unverified_entries():
     names = list(contract.queries())
     window = names[:50]
-    # every never-driver-checked entry must be inside the 50-entry window
-    for k in contract._NEVER_DRIVER_CHECKED:
+    # the 9 round-3 hash-reds (HUGEINT oracle typing, now cast) plus the
+    # previously rows-only fuzzy entry must be re-verified this round
+    for k in contract._R3_RED_FIXED:
         assert k in window, k
-    # round-2 red rows must be re-verified this round
-    for k in contract._R2_RED:
+    # entries whose only green row is round 1 rotate in next
+    for k in contract._R1_GREEN_STALE:
         assert k in window, k
     # nothing is dropped or duplicated by the ordering
     assert len(names) == len(set(names))
@@ -36,3 +57,49 @@ def test_window_prioritizes_unverified_entries():
         contract.SQL2_QUERIES
     )
     assert set(names) == merged
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    from hiv_data_integration_spark.battery import TABLES
+
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+# types whose driver-hash rendering differs from the Spark schema the
+# paired query produces: HUGEINT is DuckDB's int128 sum() result (no Spark
+# twin); UTINYINT..UBIGINT can sneak in via positional arithmetic
+_FORBIDDEN_DUCK_TYPES = re.compile(r"HUGEINT|UTINYINT|USMALLINT|UINTEGER|UBIGINT")
+
+
+@pytest.mark.parametrize("name", sorted(contract.oracle_sql()))
+def test_oracle_output_types_are_hash_portable(name, duck):
+    sql = contract.oracle_sql()[name]
+    cols = duck.execute(f"DESCRIBE {sql}").fetchall()
+    bad = [
+        (c[0], c[1]) for c in cols if _FORBIDDEN_DUCK_TYPES.search(c[1] or "")
+    ]
+    assert not bad, (
+        f"{name}: oracle output columns {bad} have driver-hash-unportable "
+        f"DuckDB types — CAST integer aggregates to BIGINT"
+    )
+
+
+def test_no_libm_functions_in_oracles():
+    # ln/log results are libm-dependent and differ across engines at the
+    # last ulp — hashed projections must stay integer/IEEE-exact (the
+    # float-score twins are verified by same-engine pytests instead)
+    bare_log = re.compile(r"(?<![\w.])(ln|log|log2|log10|exp)\s*\(", re.I)
+    offenders = {
+        name: bare_log.findall(sql)
+        for name, sql in contract.oracle_sql().items()
+        if bare_log.search(sql)
+    }
+    assert not offenders, f"libm-dependent fns in hashed oracles: {offenders}"
