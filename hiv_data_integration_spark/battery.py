@@ -77,32 +77,61 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
     if isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # nanos -> µs -> TIMESTAMP_NTZ via interval arithmetic on the NTZ
+        # epoch literal: session-timezone-INDEPENDENT, unlike
+        # timestamp_micros (which lands on LTZ and would render through
+        # whatever timezone a hostile driver session carries). Both
+        # physical types therefore converge on the same NTZ wall-clock
+        # the DuckDB oracle sees.
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000, "
+                "TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+            ),
+        )
     return df
 
 
 def read_events_stream(spark: SparkSession, load_path: str, probe_path: str) -> DataFrame:
     """``readStream`` over events parquet with ``ts`` normalized to a
-    timestamp, whatever the file's physical type.
+    timestamp, whatever the file's physical type — in an ISOLATED
+    UTC-pinned session.
 
     File stream sources require an explicit schema; instead of hard-coding
     one (which breaks when the testdata generator changes the physical type
     of ``ts`` — see ``tbl``), we probe the actual footer schema with a batch
     read of ``probe_path`` and convert int64-nanos to µs timestamps only
     when that is what the file really stores.
+
+    Timezone-proofing: watermarks require TIMESTAMP (LTZ) —
+    ``EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE`` on NTZ — and every NTZ→LTZ
+    cast, window bucket boundary, and collect-time rendering of an LTZ
+    value goes through the session timezone. Under a hostile driver
+    session (e.g. a fractional offset like +05:30) 1-hour window
+    boundaries and rendered window starts would shift vs the naive
+    oracle. So the stream is built on ``spark.newSession()`` — same
+    SparkContext, INDEPENDENT SQLConf — pinned to UTC. The shared driver
+    session is never mutated (the round-2 invariant), and the returned
+    DataFrame belongs to the UTC session, so downstream sinks and
+    collects render the naive-UTC wall-clock the oracle computes.
+    Callers must route memory-sink lookups through
+    ``df.sparkSession``, not the session they were handed.
     """
+    s = spark.newSession()
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     try:
-        raw_schema = spark.read.parquet(probe_path).schema
+        raw_schema = s.read.parquet(probe_path).schema
     except Exception:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw_schema = spark.read.parquet(probe_path).schema
-    stream = spark.readStream.format("parquet").schema(raw_schema).load(load_path)
+        # legacy int64-nanos footer: conf lands on the isolated session only
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw_schema = s.read.parquet(probe_path).schema
+    stream = s.readStream.format("parquet").schema(raw_schema).load(load_path)
     if isinstance(raw_schema["ts"].dataType, T.LongType):
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     elif isinstance(raw_schema["ts"].dataType, T.TimestampNTZType):
-        # Watermarks require TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
-        # on NTZ); the cast preserves wall-clock under the session factory's
-        # UTC contract, so window starts match the batch/oracle values.
+        # NTZ -> LTZ under the pinned-UTC session: epoch == wall-clock, so
+        # window starts equal the oracle's date_trunc on the naive value.
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 

@@ -1112,8 +1112,11 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    out = _local_result(spark.table(name))
-    spark.catalog.dropTempView(name)
+    # the memory sink registers in the stream's (isolated UTC) session,
+    # not the driver session we were handed
+    ssession = agg.sparkSession
+    out = _local_result(ssession.table(name))
+    ssession.catalog.dropTempView(name)
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(src, ignore_errors=True)
     return out
@@ -1293,9 +1296,13 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     # materialize the (small) aggregate so the memory-sink table and the
     # checkpoint can be reclaimed — repeated bench/driver invocations must
-    # not accumulate driver memory or /tmp state
-    out = _local_result(spark.table(name))
-    spark.catalog.dropTempView(name)
+    # not accumulate driver memory or /tmp state. The memory sink lives in
+    # the stream's isolated UTC session (see read_events_stream), so the
+    # collected window_start renders as the naive-UTC wall the oracle
+    # computes even under a hostile driver session timezone.
+    ssession = agg.sparkSession
+    out = _local_result(ssession.table(name))
+    ssession.catalog.dropTempView(name)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
 
@@ -2304,7 +2311,226 @@ GROUP BY cohort_day, week_offset
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 sink/source round-trips: the previously pytest-only oracle-able
+# operators (VERDICT r3 gap #1), each via the spectrum_csv_scan pattern —
+# write through the operator under test, read back, aggregate, and let the
+# oracle compute the same result from the pristine parquet source.
+# ---------------------------------------------------------------------------
+
+
+def q_xlsx_report_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+K3 round-trip, HASH-checked: the nation dim written into a NEW
+    workbook by the from-scratch stdlib XLSX writer (io/excel.py
+    write_xlsx_workbook; reference reads workbooks at
+    update_pnls_report/extract_chu_data.py:36,182 and writes review sheets
+    at utils.py:186-194), then read back through the stdlib sheet codec →
+    Spark. The XML cell conventions (inline strings, plain numeric <v>)
+    must survive the zip/XML hop losslessly for the hash to match the
+    pristine parquet."""
+    import os
+    import shutil
+    import tempfile
+
+    from hiv_data_integration_spark.io.excel import (
+        excel_sheet_to_spark,
+        read_excel_sheet,
+        write_xlsx_workbook,
+    )
+
+    nation = tbl(spark, sf_dir, "nation")
+    # driver-side grid: the nation dim is the reference's registry scale
+    grid = [["n_nationkey", "n_name", "n_regionkey"]] + [
+        [int(r.n_nationkey), r.n_name, int(r.n_regionkey)]
+        for r in nation.orderBy("n_nationkey").collect()
+    ]
+    base = tempfile.mkdtemp(prefix="xlsx_rt_")
+    try:
+        path = os.path.join(base, "report.xlsx")
+        write_xlsx_workbook(path, {"NATIONS": grid})
+        df = excel_sheet_to_spark(spark, read_excel_sheet(path, "NATIONS"))
+        out = _local_result(
+            df.select(
+                F.col("n_nationkey").cast("long").alias("n_nationkey"),
+                "n_name",
+                F.col("n_regionkey").cast("long").alias("n_regionkey"),
+            )
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+SQL_XLSX_ROUNDTRIP = """
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+       CAST(n_regionkey AS BIGINT) AS n_regionkey
+FROM nation
+"""
+
+
+def q_csv_per_period_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 round-trip, HASH-checked: reference-exact one-<period>.csv-per-
+    month export (io/sinks.py export_csv_per_period; reference
+    update_pnls_report/utils.py:395-418) of a quarter of orders, read back
+    with an explicit schema and re-aggregated — file naming, header
+    emission, and the text round-trip of doubles (shortest-round-trip
+    formatting) are all under test."""
+    import shutil
+    import tempfile
+
+    from hiv_data_integration_spark.io.sinks import export_csv_per_period
+
+    orders = tbl(spark, sf_dir, "orders")
+    q1 = orders.filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-04-01")
+    ).select(
+        F.date_format("o_orderdate", "yyyyMM").alias("periode"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    base = tempfile.mkdtemp(prefix="percsv_")
+    try:
+        written = export_csv_per_period(q1, "periode", base)
+        assert written, "per-period export produced no files"
+        back = spark.read.csv(
+            f"{base}/*.csv",
+            header=True,
+            schema="periode string, o_orderkey long, o_totalprice double",
+        )
+        out = _local_result(
+            back.groupBy("periode").agg(
+                F.count("*").alias("n_orders"),
+                F.count_distinct("o_orderkey").alias("n_distinct_orders"),
+                dsum("o_totalprice", scale=2, prec=18).alias("sum_price"),
+            )
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+SQL_CSV_PER_PERIOD = """
+SELECT strftime(o_orderdate, '%Y%m') AS periode,
+       count(*) AS n_orders,
+       count(DISTINCT o_orderkey) AS n_distinct_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'
+GROUP BY 1
+"""
+
+
+def q_json_dict_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 round-trip, HASH-checked: a ``{code: org_unit_id}`` mapping file
+    (the NAOMI district↔DHIS2 shape, reference
+    update_pnls_report/extract_naomi_data.py:134-143) written to JSON,
+    scanned back via json_dict_source, and broadcast-joined to the nation
+    dim (J7). The mapping is a pure function of the dim, so the oracle
+    derives it in SQL."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from hiv_data_integration_spark.io.files import json_dict_source
+
+    nation = tbl(spark, sf_dir, "nation")
+    mapping = {
+        str(r.n_nationkey): f"OU_{r.n_name}" for r in nation.collect()
+    }
+    base = tempfile.mkdtemp(prefix="jsondict_")
+    try:
+        path = os.path.join(base, "mapping.json")
+        with open(path, "w") as fh:
+            json.dump(mapping, fh)
+        m = json_dict_source(spark, path)
+        joined = nation.join(
+            F.broadcast(m),
+            nation["n_nationkey"].cast("string") == m["code"],
+        ).select(
+            "code",
+            "organisation_unit_id",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"),
+        )
+        out = _local_result(joined)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+SQL_JSON_DICT_SCAN = """
+SELECT CAST(n_nationkey AS VARCHAR) AS code,
+       'OU_' || n_name AS organisation_unit_id,
+       CAST(n_regionkey AS BIGINT) AS n_regionkey
+FROM nation
+"""
+
+
+def q_registry_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 round-trip, HASH-checked: the mutable-registry read-modify-write
+    (operators/fuzzy.py upsert_parquet_state; reference
+    update_pnls_report/extract_chu_data.py:288,378-381,492-502). Batch 1
+    seeds the registry from the supplier dim; batch 2 re-submits every 3rd
+    key with changed payload and adds brand-new keys — the atomic
+    staging-swap upsert must apply new-over-current precedence on
+    collisions, keep everything else, and append the new keys. The merge
+    outcome is a pure function of the dim, so the oracle reproduces it as
+    a UNION of CASE branches."""
+    import shutil
+    import tempfile
+
+    from hiv_data_integration_spark.operators.fuzzy import upsert_parquet_state
+
+    sup = tbl(spark, sf_dir, "supplier")
+    base = tempfile.mkdtemp(prefix="registry_")
+    path = f"{base}/registry.parquet"
+    try:
+        current = sup.select(
+            F.col("s_suppkey").alias("k"),
+            F.col("s_name").alias("name"),
+            F.lit(1).cast("long").alias("ver"),
+        )
+        current.write.mode("overwrite").parquet(path)
+        new_rows = (
+            sup.filter(F.col("s_suppkey") % 3 == 0)
+            .select(
+                F.col("s_suppkey").alias("k"),
+                F.concat(F.col("s_name"), F.lit("+r2")).alias("name"),
+                F.lit(2).cast("long").alias("ver"),
+            )
+            .unionByName(
+                sup.filter(F.col("s_suppkey") % 10 == 0).select(
+                    (F.col("s_suppkey") + 100000).alias("k"),
+                    F.concat(F.lit("NEW_"), F.col("s_name")).alias("name"),
+                    F.lit(2).cast("long").alias("ver"),
+                )
+            )
+        )
+        merged = upsert_parquet_state(spark, path, new_rows, dedupe_keys=["k"])
+        out = _local_result(merged.select("k", "name", "ver"))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+SQL_REGISTRY_UPSERT = """
+SELECT s_suppkey AS k,
+       CASE WHEN s_suppkey % 3 = 0 THEN s_name || '+r2' ELSE s_name END AS name,
+       CAST(CASE WHEN s_suppkey % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ver
+FROM supplier
+UNION ALL
+SELECT s_suppkey + 100000 AS k, 'NEW_' || s_name AS name,
+       CAST(2 AS BIGINT) AS ver
+FROM supplier WHERE s_suppkey % 10 = 0
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
+    "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
+    "csv_per_period_export": q_csv_per_period_export,
+    "json_dict_scan": q_json_dict_scan,
+    "registry_upsert_state": q_registry_upsert_state,
     "corpus_token_packing": q_token_packing,
     "corpus_unigram_logprob": q_unigram_logprob,
     "quality_decile_stats": q_quality_deciles,
@@ -2364,6 +2590,10 @@ EXT_QUERIES: dict[str, QueryFn] = {
 }
 
 EXT_ORACLE: dict[str, str] = {
+    "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
+    "csv_per_period_export": SQL_CSV_PER_PERIOD,
+    "json_dict_scan": SQL_JSON_DICT_SCAN,
+    "registry_upsert_state": SQL_REGISTRY_UPSERT,
     "corpus_token_packing": SQL_TOKEN_PACKING,
     "corpus_unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "quality_decile_stats": SQL_QUALITY_DECILES,

@@ -34,6 +34,7 @@ __all__ = [
     "read_xlsx_stdlib",
     "xlsx_sheet_names",
     "write_xlsx_cells",
+    "write_xlsx_workbook",
 ]
 
 try:  # pragma: no cover - openpyxl absent in this container
@@ -397,3 +398,119 @@ def write_xlsx_cells(
                 out.writestr(item, data)
     finally:
         zf.close()
+
+
+def write_xlsx_workbook(
+    path: str, sheets: dict[str, list[list[object]]]
+) -> None:
+    """Create a NEW .xlsx workbook from scratch (stdlib zip/XML, no
+    openpyxl): ``sheets`` maps sheet name -> row grid. Strings become
+    inline strings, real numbers plain ``<v>`` cells, booleans ``t="b"``,
+    None leaves a gap — the same cell conventions ``write_xlsx_cells``
+    emits, so a workbook written here reads back through
+    ``read_xlsx_stdlib`` AND through openpyxl/Excel (full part set:
+    [Content_Types], package rels, workbook rels).
+
+    This completes K3 (reference ``update_pnls_report/utils.py:186-194``
+    writes into a pre-styled template; pipelines also need to CREATE the
+    report file on first run) without any Excel library. Driver-side by
+    design — review workbooks are human-scale.
+    """
+    import math
+    import numbers
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    ns_main = _SSML.strip("{}")
+    ns_rel = _RELNS.strip("{}")
+    ns_pkg = "http://schemas.openxmlformats.org/package/2006/relationships"
+
+    def col_letter(n0: int) -> str:
+        n, out = n0 + 1, ""
+        while n > 0:
+            n, rem = divmod(n - 1, 26)
+            out = chr(ord("A") + rem) + out
+        return out
+
+    def cell_xml(ref: str, val: object) -> str:
+        if val is None:
+            return ""
+        if isinstance(val, bool):
+            return f'<c r="{ref}" t="b"><v>{int(val)}</v></c>'
+        if isinstance(val, numbers.Number):
+            fv = float(val)
+            if math.isnan(fv) or math.isinf(fv):
+                return ""
+            v = repr(int(val)) if float(val).is_integer() and not isinstance(
+                val, float
+            ) else repr(fv)
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        return (
+            f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
+            f"{escape(str(val))}</t></is></c>"
+        )
+
+    sheet_xmls = []
+    for grid in sheets.values():
+        rows_xml = []
+        for r, row in enumerate(grid, start=1):
+            cells = "".join(
+                cell_xml(f"{col_letter(c)}{r}", v) for c, v in enumerate(row)
+            )
+            rows_xml.append(f'<row r="{r}">{cells}</row>')
+        sheet_xmls.append(
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<worksheet xmlns="{ns_main}"><sheetData>'
+            + "".join(rows_xml)
+            + "</sheetData></worksheet>"
+        )
+
+    sheets_el = "".join(
+        f'<sheet name="{escape(name)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        for i, name in enumerate(sheets)
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<workbook xmlns="{ns_main}" xmlns:r="{ns_rel}">'
+        f"<sheets>{sheets_el}</sheets></workbook>"
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{ns_pkg}">'
+        + "".join(
+            f'<Relationship Id="rId{i + 1}" Type="{ns_rel}/worksheet" '
+            f'Target="worksheets/sheet{i + 1}.xml"/>'
+            for i in range(len(sheets))
+        )
+        + "</Relationships>"
+    )
+    pkg_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{ns_pkg}">'
+        f'<Relationship Id="rId1" Type="{ns_rel}/officeDocument" '
+        'Target="xl/workbook.xml"/></Relationships>'
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.'
+        'openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/'
+        'vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        + "".join(
+            f'<Override PartName="/xl/worksheets/sheet{i + 1}.xml" '
+            'ContentType="application/vnd.openxmlformats-officedocument.'
+            'spreadsheetml.worksheet+xml"/>'
+            for i in range(len(sheets))
+        )
+        + "</Types>"
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", content_types)
+        zf.writestr("_rels/.rels", pkg_rels)
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        for i, xml in enumerate(sheet_xmls):
+            zf.writestr(f"xl/worksheets/sheet{i + 1}.xml", xml)

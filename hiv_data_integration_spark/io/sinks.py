@@ -64,27 +64,32 @@ def export_csv_per_period(
     # would otherwise re-execute the full upstream plan N+1 times (and on
     # a changing source could produce mutually inconsistent files)
     df = df.persist()
-    periods = [
-        r[0]
-        for r in df.select(F.col(period_col).cast("string")).distinct().collect()
-        if r[0] is not None
-    ]
-    written: list[str] = []
-    for p in sorted(periods):
-        staging = os.path.join(out_dir, f".__{p}_staging__")
-        (
-            df.filter(F.col(period_col).cast("string") == p)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .option("header", True)
-            .csv(staging)
-        )
-        part = glob.glob(os.path.join(staging, "part-*.csv"))[0]
-        final = os.path.join(out_dir, fmt % p)
-        shutil.move(part, final)
-        shutil.rmtree(staging)
-        written.append(final)
-    return written
+    try:
+        periods = [
+            r[0]
+            for r in df.select(
+                F.col(period_col).cast("string")
+            ).distinct().collect()
+            if r[0] is not None
+        ]
+        written: list[str] = []
+        for p in sorted(periods):
+            staging = os.path.join(out_dir, f".__{p}_staging__")
+            (
+                df.filter(F.col(period_col).cast("string") == p)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .option("header", True)
+                .csv(staging)
+            )
+            part = glob.glob(os.path.join(staging, "part-*.csv"))[0]
+            final = os.path.join(out_dir, fmt % p)
+            shutil.move(part, final)
+            shutil.rmtree(staging)
+            written.append(final)
+        return written
+    finally:
+        df.unpersist()
 
 
 def write_parquet_state(df: DataFrame, path: str) -> None:

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = [
     "grouped_sum",
@@ -161,11 +162,24 @@ def sessionize(
 
     w = Window.partitionBy(user_col).orderBy(ts_col)
     gap_s = gap_minutes * 60
-    # TIMESTAMP_NTZ cannot cast straight to long; hop via TIMESTAMP (a
-    # no-op for LTZ inputs). The session-tz interpretation the hop applies
-    # cancels in the subtraction, so the gap test is timezone-independent
-    # for both physical timestamp types.
-    epoch_s = F.col(ts_col).cast("timestamp").cast("long")
+    # Epoch-seconds extraction must not route through the session
+    # timezone: the NTZ->TIMESTAMP->long hop only cancels in the
+    # subtraction for CONSTANT offsets — in a DST-observing session a gap
+    # straddling a transition shifts by the DST delta. Dispatch on the
+    # actual type instead: NTZ gets pure field arithmetic on the local
+    # value (no timezone involved at all); LTZ is already an epoch, and
+    # a direct cast to long is timezone-independent by definition.
+    ts_type = df.schema[ts_col].dataType
+    if isinstance(ts_type, T.TimestampNTZType):
+        c = F.col(ts_col)
+        epoch_s = (
+            F.unix_date(c.cast("date")).cast("long") * 86400
+            + F.hour(c) * 3600
+            + F.minute(c) * 60
+            + F.second(c)
+        )
+    else:
+        epoch_s = F.col(ts_col).cast("timestamp").cast("long")
     prev_ts = F.lag(epoch_s).over(w)
     new_session = (
         F.when(prev_ts.isNull(), F.lit(1))

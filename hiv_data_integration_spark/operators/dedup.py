@@ -561,7 +561,23 @@ def connected_components(
     fwd.count()
     if algorithm == "star":
         try:
-            return _cc_star(fwd, max_iters)
+            # _cc_star drops self-edges up front, so a node whose ONLY pair
+            # is a self-pair would vanish; union the full endpoint set back
+            # with component=id defaults (groupBy min dedups) to keep the
+            # star fixpoint identical to propagation on every input.
+            nodes = (
+                fwd.select(F.col("src").alias("id"))
+                .unionByName(fwd.select(F.col("dst").alias("id")))
+                .distinct()
+                .withColumn("component", F.col("id"))
+            )
+            return (
+                _cc_star(fwd, max_iters)
+                .unionByName(nodes)
+                .groupBy("id")
+                .agg(F.min("component").alias("component"))
+                .localCheckpoint()  # materialize before fwd unpersists
+            )
         finally:
             fwd.unpersist()
     edges = (

@@ -331,6 +331,7 @@ def collect_candidates(
     cand_payload_col: str,
     fold_accents: bool = True,
     block_cols: list[str] | None = None,
+    max_candidates: int = 500_000,
 ) -> list[tuple[str, str]] | dict[str, list[tuple[str, str]]]:
     """Collect + normalize the candidate dim on the driver.
 
@@ -340,7 +341,24 @@ def collect_candidates(
     non-printing separator — candidates are partitioned so the scorer only
     ever sees its own block (reference district-blocking,
     update_pnls_report/extract_chu_data.py:337-360).
+
+    ``max_candidates`` is the driver-memory scale guard: the candidate dim
+    is collected and shipped inside the scoring udf, which is only sane
+    for dimension-sized inputs (the reference registries are < 10^4
+    rows). A fact-sized frame passed by mistake would OOM the driver
+    during collect — fail loudly first. The probe is a limit+count, so it
+    never scans past the cap.
     """
+    probe = candidates_df.limit(max_candidates + 1).count()
+    if probe > max_candidates:
+        raise ValueError(
+            f"collect_candidates: candidate frame exceeds {max_candidates} "
+            f"rows — this operator broadcasts candidates to every scoring "
+            f"task and is meant for dimension-sized registries. Block the "
+            f"candidates (block_cols) to bound per-row work, pre-aggregate "
+            f"them, or raise max_candidates explicitly if the memory is "
+            f"truly available"
+        )
     if not block_cols:
         return [
             (r[0], r[1])
@@ -374,6 +392,7 @@ def resolve_entities(
     partitions: int | None = None,
     block_cols: list[str] | None = None,
     cand_block_cols: list[str] | None = None,
+    max_candidates: int = 500_000,
 ) -> DataFrame:
     """Resolve each row's entity name against a small candidate dim.
 
@@ -407,6 +426,7 @@ def resolve_entities(
         cand_payload_col,
         fold_accents,
         cand_block_cols if cand_block_cols is not None else block_cols,
+        max_candidates=max_candidates,
     )
     udf = best_match_udf(cands, threshold)
     if partitions:

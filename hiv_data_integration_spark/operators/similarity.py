@@ -203,6 +203,7 @@ def kmeans_centroids(
     n_clusters: int = 8,
     iters: int = 4,
     sample_fraction: float | None = None,
+    max_train_rows: int = 2_000_000,
 ) -> list[list[float]]:
     """Deterministic Lloyd's k-means over an embedding column.
 
@@ -232,6 +233,20 @@ def kmeans_centroids(
         # deterministic sample: hash-mod on the id, not rand()
         buckets = max(1, int(round(1.0 / sample_fraction)))
         train = corpus.filter(F.crc32(F.col(id_col).cast("string")) % buckets == 0)
+    else:
+        # scale guard: the per-(cluster, dim) id-ordered fold gathers n/k
+        # doubles per group — unbounded input without a sample_fraction is
+        # a silent driver/executor OOM at corpus scale, so fail loudly.
+        # limit+count short-circuits: the probe never scans past the cap.
+        probe = train.select(id_col).limit(max_train_rows + 1).count()
+        if probe > max_train_rows:
+            raise ValueError(
+                f"kmeans_centroids: training corpus exceeds {max_train_rows} "
+                f"rows with no sample_fraction — pass sample_fraction to "
+                f"train on a bounded deterministic sample (train-on-sample, "
+                f"assign-all is the IVF production shape), or raise "
+                f"max_train_rows explicitly"
+            )
     v = _as_double(F.col(vec_col))
     init_rows = (
         train.select(F.col(id_col).alias("_id"), v.alias("_v"))

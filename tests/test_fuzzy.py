@@ -270,3 +270,19 @@ def test_upsert_clear_error_on_unconfigured_scheme(spark):
     df = spark.createDataFrame([Row(key="a", v=1)])
     with pytest.raises(RuntimeError, match="no Hadoop filesystem"):
         fz.upsert_parquet_state(spark, "s3a://bucket/state.parquet", df, ["key"])
+
+
+def test_collect_candidates_scale_guard(spark):
+    """A fact-sized candidate frame must fail loudly BEFORE the driver
+    collect, with blocking advice — not OOM mid-collect."""
+    import pytest
+
+    from hiv_data_integration_spark.operators.fuzzy import collect_candidates
+
+    big = spark.range(50).selectExpr(
+        "cast(id as string) AS name", "cast(id as string) AS payload"
+    )
+    with pytest.raises(ValueError, match="block"):
+        collect_candidates(big, "name", "payload", max_candidates=10)
+    # at or under the cap: collects normally
+    assert len(collect_candidates(big, "name", "payload", max_candidates=50)) == 50

@@ -330,8 +330,11 @@ def test_connected_components_star_matches_propagation(spark):
 
     edges = [((i * 37) % 83 + (i % 5) * 100, (i * 59) % 83 + (i % 5) * 100)
              for i in range(120)]
+    # keep self-pairs, and add a node (9999) whose ONLY pair is a self-pair
+    # — exact-dedup output contains these, and both variants must keep the
+    # node as its own singleton component
     pairs = spark.createDataFrame(
-        [(a, b) for a, b in edges if a != b], "id_a long, id_b long"
+        edges + [(9999, 9999)], "id_a long, id_b long"
     )
     prop = {r.id: r.component for r in connected_components(pairs).collect()}
     star = {
@@ -339,6 +342,7 @@ def test_connected_components_star_matches_propagation(spark):
         for r in connected_components(pairs, algorithm="star").collect()
     }
     assert prop == star
+    assert star[9999] == 9999
     with pytest.raises(ValueError):
         connected_components(pairs, algorithm="bogus")
 
@@ -792,3 +796,32 @@ def test_new_pipeline_operator_invariants(spark):
         assert 1 <= r.decile <= 10
         totals[r.part] = totals.get(r.part, 0) + r.n_docs
     assert totals == {"en": 30, "fr": 30, "de": 30}
+
+
+def test_sessionize_wall_clock_gaps_survive_dst_sessions(spark):
+    """The gap test is wall-clock (NTZ field) arithmetic, not session-tz
+    epoch arithmetic: under a DST-observing session timezone, naive events
+    at 01:55 and 03:05 on the US spring-forward date are only 10 epoch
+    minutes apart (02:00-03:00 local does not exist), but 70 wall minutes
+    — and 70 > the 30-minute gap means TWO sessions. The old
+    NTZ->TIMESTAMP->long hop returned one."""
+    import datetime as dt
+
+    from hiv_data_integration_spark.operators.aggregate import sessionize
+
+    s = spark.newSession()
+    s.conf.set("spark.sql.session.timeZone", "America/New_York")
+    rows = [
+        (1, dt.datetime(2024, 3, 10, 1, 55, 0)),
+        (1, dt.datetime(2024, 3, 10, 3, 5, 0)),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+        ]
+    )
+    df = s.createDataFrame(rows, schema)
+    out = sessionize(df, "user_id", "ts", gap_minutes=30)
+    seqs = sorted(r.session_seq for r in out.collect())
+    assert seqs == [1, 2]

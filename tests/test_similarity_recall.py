@@ -120,3 +120,20 @@ def test_quantized_rerank_high_recall_and_exact_scores(spark, emb):
         ["query_id", "neighbor_id"],
     )
     assert j.filter(F.col("a") != F.col("e")).count() == 0
+
+
+def test_kmeans_unbounded_train_guard(spark):
+    """Training on a corpus past max_train_rows without sample_fraction
+    must raise (train-on-sample is the production IVF shape); passing
+    sample_fraction or raising the cap proceeds."""
+    import pytest
+
+    from hiv_data_integration_spark.operators.similarity import kmeans_centroids
+
+    corpus = spark.range(40).selectExpr(
+        "id AS vec_id", "array(cast(id as float), cast(id+1 as float)) AS embedding"
+    )
+    with pytest.raises(ValueError, match="sample_fraction"):
+        kmeans_centroids(corpus, n_clusters=2, iters=1, max_train_rows=10)
+    out = kmeans_centroids(corpus, n_clusters=2, iters=1, max_train_rows=100)
+    assert len(out) == 2
