@@ -55,8 +55,14 @@ def main() -> None:
     # amortized away in any long-running deployment; min-of-2 is the
     # steady-state per-query cost and is far more stable run-to-run
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # optional focus list for local profiling: comma-separated query names
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    queries = ALL_QUERIES
+    if only:
+        wanted = [q.strip() for q in only.split(",") if q.strip()]
+        queries = {q: ALL_QUERIES[q] for q in wanted}
     timings: dict[str, float] = {}
-    for name, fn in ALL_QUERIES.items():
+    for name, fn in queries.items():
         best = float("inf")
         for _ in range(runs):
             start = time.perf_counter()

@@ -181,11 +181,14 @@ def best_match_udf(
     )
 
     def _match_series(cols):
+        from collections import Counter
         from difflib import SequenceMatcher as SM
 
         # per-worker lazy prep: block -> (exact_dict, prepped candidates)
-        # (token sets + sorted-token lengths; len(" ".join(tokens)) is
-        # order-independent: sum(len) + n - 1)
+        # (token sets, sorted-token string length, and its char multiset;
+        # len(" ".join(tokens)) is order-independent: sum(len) + n - 1, and
+        # the char multiset of sb = inter + (ct - qt) equals the multiset of
+        # " ".join(sorted(ct)) for ANY query — so it is precomputable)
         prep_cache: dict = {}
 
         def get_block(block):
@@ -193,15 +196,13 @@ def best_match_udf(
             if ent is None:
                 cl = cand_map.get(block, ())
                 exact = {name: payload for name, payload in cl}
-                prep = [
-                    (
-                        name,
-                        payload,
-                        frozenset(name.split()),
-                        len(" ".join(sorted(set(name.split())))),
+                prep = []
+                for name, payload in cl:
+                    ct = frozenset(name.split())
+                    sorted_b = " ".join(sorted(ct))
+                    prep.append(
+                        (name, payload, ct, len(sorted_b), Counter(sorted_b))
                     )
-                    for name, payload in cl
-                ]
                 ent = (exact, prep)
                 prep_cache[block] = ent
             return ent
@@ -215,27 +216,46 @@ def best_match_udf(
             inter = " ".join(sorted(qt & ct))
             sa = (inter + " " + " ".join(sorted(qt - ct))).strip()
             sb = (inter + " " + " ".join(sorted(ct - qt))).strip()
+            if not inter:
+                # ratio("", x) is 0 for non-empty x and 100 for empty x, so
+                # the three-way max collapses: either side empty -> 100,
+                # else just ratio(sa, sb). Skips 2 of 3 SequenceMatcher
+                # constructions on disjoint token sets (the common case).
+                if not sa or not sb:
+                    return 100.0
+                return ratio(sa, sb)
             return max(ratio(inter, sa), ratio(inter, sb), ratio(sa, sb))
 
         def best_for(q, exact, prep):
+            """Winner = lowest-index candidate among argmax(token_set_ratio)
+            with score >= threshold — identical to a full list-order scan
+            with strict displacement, but evaluated in descending order of
+            an EXACT per-candidate upper bound so the SequenceMatcher loop
+            terminates as soon as the bound drops below the best found
+            score. The bound never under-estimates, so no candidate that
+            could win (or tie at a lower index) is skipped.
+
+            Exact upper bound on all three token_set ratios: with
+            ratio(x, y) = 200*M/(len x + len y) and M = total matched
+            chars, M <= |char-multiset intersection|; inter is a prefix of
+            both sa and sb with len(sa) = la, len(sb) = lb, and sb's char
+            multiset equals that of " ".join(sorted(ct)) independent of
+            the query, so per candidate:
+              ratio(inter, sa) <= 200*li/(li+la)
+              ratio(inter, sb) <= 200*li/(li+lb)
+              ratio(sa,   sb) <= 200*mi/(la+lb), mi = multiset overlap
+            """
             hit = exact.get(q)
             if hit is not None:
                 return hit, 100.0
             qt = frozenset(q.split())
-            la = len(" ".join(sorted(qt)))
-            best_p, best_s = None, threshold  # prune below the threshold
-            found = False
-            for name, payload, ct, lb in prep:
-                if qt and ct and (qt <= ct or ct <= qt):
-                    return payload, 100.0
-                # Exact upper bound on all three token_set ratios before any
-                # SequenceMatcher work. ratio(x, y) = 200*M/(len x + len y)
-                # with matches M <= len(shorter); inter is a prefix of both
-                # sa and sb with len(sa) = la, len(sb) = lb (same character
-                # multiset as the sorted token strings), so:
-                #   ratio(inter, sa) <= 200*li/(li+la)
-                #   ratio(inter, sb) <= 200*li/(li+lb)
-                #   ratio(sa,   sb) <= 200*min(la,lb)/(la+lb)
+            sorted_a = " ".join(sorted(qt))
+            la = len(sorted_a)
+            qc = Counter(sorted_a)
+            q_items = list(qc.items())
+
+            bounds = []
+            for idx, (name, payload, ct, lb, cc) in enumerate(prep):
                 inter_t = qt & ct
                 li = (
                     sum(len(t) for t in inter_t) + len(inter_t) - 1
@@ -247,22 +267,38 @@ def best_match_udf(
                     # both token sets empty: ratio("","") is defined as 100
                     ub = 100.0
                 else:
-                    ub = 0.0
+                    mi = 0
+                    for ch, n in q_items:
+                        m = cc.get(ch)
+                        if m:
+                            mi += n if n < m else m
+                    ub = 200.0 * mi / denom_ab
                     if denom_a:
-                        ub = 200.0 * li / denom_a
+                        ub = max(ub, 200.0 * li / denom_a)
                     if denom_b:
                         ub = max(ub, 200.0 * li / denom_b)
-                    ub = max(ub, 200.0 * min(la, lb) / denom_ab)
-                # strict (with float-safety margin): an equal-score later
-                # candidate never displaces an already-found best
-                if ub < best_s - 1e-9 or (found and ub <= best_s):
-                    continue
-                sc = tsr(qt, ct)
-                if sc > best_s or (sc == best_s and not found):
-                    if sc >= threshold:
-                        best_p, best_s, found = payload, sc, True
-                        if sc >= 100.0:
-                            break
+                if ub >= threshold - 1e-9:
+                    bounds.append((ub, idx))
+            # descending bound, ascending index within equal bounds
+            bounds.sort(key=lambda t: (-t[0], t[1]))
+
+            best_p, best_s, best_i = None, threshold, -1
+            found = False
+            for ub, idx in bounds:
+                # sorted => every remaining bound is lower: nothing past
+                # this point can beat (or tie at a lower index than) best
+                if ub < best_s - 1e-9:
+                    break
+                name, payload, ct, lb, cc = prep[idx]
+                if qt and ct and (qt <= ct or ct <= qt):
+                    sc = 100.0  # subset => token_set_ratio is 100 exactly
+                else:
+                    sc = tsr(qt, ct)
+                if sc >= threshold and (
+                    sc > best_s
+                    or (sc == best_s and (not found or idx < best_i))
+                ):
+                    best_p, best_s, best_i, found = payload, sc, idx, True
             return (best_p, best_s) if found else (None, None)
 
         if len(cols) == 2:

@@ -286,3 +286,84 @@ def test_collect_candidates_scale_guard(spark):
         collect_candidates(big, "name", "payload", max_candidates=10)
     # at or under the cap: collects normally
     assert len(collect_candidates(big, "name", "payload", max_candidates=50)) == 50
+
+
+def test_pruned_scorer_matches_bruteforce_list_scan(spark):
+    """The bound-sorted early-terminating scorer must reproduce a full
+    list-order scan exactly: winner = lowest-index candidate among
+    argmax(token_set_ratio) with score >= threshold. Adversarial domain:
+    near-ties, shared char multisets (anagram-like names), subset pairs,
+    single-char edits, and disjoint strings around the threshold."""
+    import random
+
+    rng = random.Random(20260814)
+    vocab = ["centre", "sante", "urbain", "abobo", "nord", "sud", "est",
+             "hopital", "general", "chu", "csu", "clinique", "plateau",
+             "cocody", "bassam", "koumassi", "annexe", "ii", "iii"]
+    cand_names = []
+    for i in range(60):
+        k = rng.randint(1, 4)
+        cand_names.append(" ".join(rng.choice(vocab) for _ in range(k)))
+    # planted structure: duplicates (tie on 100), subsets, anagram-ish noise
+    cand_names += ["csu abobo nord", "csu abobo nord", "abobo csu",
+                   "centre sante abobo", "drons uboab"]
+    queries = []
+    for i in range(40):
+        base = rng.choice(cand_names)
+        toks = base.split()
+        mode = rng.randint(0, 3)
+        if mode == 0:  # token dropped
+            q = " ".join(toks[:-1]) if len(toks) > 1 else toks[0]
+        elif mode == 1:  # char typo
+            q = base.replace("a", "e", 1)
+        elif mode == 2:  # extra token
+            q = base + " " + rng.choice(vocab)
+        else:  # shuffled (token_set_ratio is order-insensitive)
+            rng.shuffle(toks)
+            q = " ".join(toks)
+        queries.append(q)
+    queries += ["zzz qqq xxx", "csu"]  # miss + subset-of-many
+
+    threshold = 55.0
+
+    def brute(qn, cands):
+        # exact-hit fast path mirrors the scorer: normalized exact match
+        # beats any fuzzy 100, and among duplicate names the LAST payload
+        # wins (dict construction order)
+        exact = {name: payload for name, payload in cands}
+        hit = exact.get(qn)
+        if hit is not None:
+            return hit, 100.0
+        best_p, best_s, found = None, threshold, False
+        for name, payload in cands:
+            sc = fz.token_set_ratio(qn, name)
+            if sc >= threshold and (sc > best_s or (sc == best_s and not found)):
+                best_p, best_s, found = payload, sc, True
+        return (best_p, best_s) if found else (None, None)
+
+    cands = [(n, f"p{i}") for i, n in enumerate(cand_names)]
+    cand_df = spark.createDataFrame(cands, "name string, payload string")
+    q_df = spark.createDataFrame([(q,) for q in queries], "q string")
+    out = {
+        r.q: (r.matched, r.match_score)
+        for r in fz.resolve_entities(
+            q_df.dropDuplicates(["q"]), "q", cand_df, "name", "payload",
+            threshold=threshold, fold_accents=False,
+        ).collect()
+    }
+    # brute force runs on NORMALIZED names exactly like the scorer does
+    from pyspark.sql import functions as F  # noqa: F811
+    norm_c = [
+        (r[0], r[1]) for r in cand_df.select(
+            fz.normalize_text_col(F.col("name"), False), "payload"
+        ).collect()
+    ]
+    norm_q = {
+        r[0]: r[1] for r in q_df.dropDuplicates(["q"]).select(
+            "q", fz.normalize_text_col(F.col("q"), False)
+        ).collect()
+    }
+    for q in out:
+        assert out[q] == brute(norm_q[q], norm_c), (
+            f"pruned scorer diverges from list-order brute force on {q!r}"
+        )
