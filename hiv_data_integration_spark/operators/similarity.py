@@ -19,6 +19,7 @@ bit-reproducible across engines (verified against DuckDB's
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -159,7 +160,7 @@ def hyperplane_lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     v = _as_double(vec)
     bucket: Column = F.lit(0).cast("long")
     for b, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(float(x)) for x in plane])
+        plane_col = _dbl_array_lit(plane)
         bit = F.when(dot(v, plane_col) >= 0, F.lit(2**b).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -184,16 +185,6 @@ def lsh_topk(
 # ---------------------------------------------------------------------------
 # Real IVF: deterministic Lloyd's k-means coarse quantizer + nprobe search
 # ---------------------------------------------------------------------------
-
-
-def _rel_sq_dist(v: Column, centroid: list[float]) -> Column:
-    """||v - c||² MINUS the per-row constant v·v: c·c - 2 v·c. Argmin over
-    centroids is invariant to the dropped term, and higher-order array
-    folds get no common-subexpression elimination — keeping v·v would
-    re-evaluate the same fold once per centroid."""
-    c_col = F.array(*[F.lit(float(x)) for x in centroid])
-    cc = float(sum(x * x for x in centroid))
-    return F.lit(cc) - 2.0 * dot(v, c_col)
 
 
 def kmeans_centroids(
@@ -233,13 +224,22 @@ def kmeans_centroids(
         # deterministic sample: hash-mod on the id, not rand()
         buckets = max(1, int(round(1.0 / sample_fraction)))
         train = corpus.filter(F.crc32(F.col(id_col).cast("string")) % buckets == 0)
-    else:
+
+    # cache the cast training vectors FIRST: the guard probe and the init
+    # collect below already populate it, and every Lloyd pass re-reads it
+    # (uncached, each pass would re-scan the source + re-cast)
+    v = _as_double(F.col(vec_col))
+    vecs = train.select(F.col(id_col).alias("_id"), v.alias("_v")).cache()
+
+    if sample_fraction is None:
         # scale guard: the per-(cluster, dim) id-ordered fold gathers n/k
         # doubles per group — unbounded input without a sample_fraction is
         # a silent driver/executor OOM at corpus scale, so fail loudly.
-        # limit+count short-circuits: the probe never scans past the cap.
-        probe = train.select(id_col).limit(max_train_rows + 1).count()
+        # limit+count short-circuits: the probe never scans past the cap
+        # (and what it does scan lands in the cache).
+        probe = vecs.select("_id").limit(max_train_rows + 1).count()
         if probe > max_train_rows:
+            vecs.unpersist()
             raise ValueError(
                 f"kmeans_centroids: training corpus exceeds {max_train_rows} "
                 f"rows with no sample_fraction — pass sample_fraction to "
@@ -247,22 +247,14 @@ def kmeans_centroids(
                 f"assign-all is the IVF production shape), or raise "
                 f"max_train_rows explicitly"
             )
-    v = _as_double(F.col(vec_col))
-    init_rows = (
-        train.select(F.col(id_col).alias("_id"), v.alias("_v"))
-        .orderBy("_id")
-        .limit(n_clusters)
-        .collect()
-    )
+    init_rows = vecs.orderBy("_id").limit(n_clusters).collect()
     centroids = [list(r["_v"]) for r in init_rows]
     if len(centroids) < n_clusters:
+        vecs.unpersist()
         raise ValueError(
             f"need >= {n_clusters} training vectors, got {len(centroids)}"
         )
 
-    # cache the cast training vectors: every iteration re-reads them, and
-    # without the cache each Lloyd pass re-scans the source + re-casts
-    vecs = train.select(F.col(id_col).alias("_id"), v.alias("_v")).cache()
     try:
         for _ in range(iters):
             assigned = vecs.withColumn(
@@ -301,16 +293,64 @@ def kmeans_centroids(
     return centroids
 
 
+def _dbl_array_lit(values: list[float]) -> Column:
+    """Double-array literal via the SQL parser: ``repr(x)`` is the shortest
+    round-trip decimal form, so the parsed double is bit-identical to the
+    Python float (verified incl. subnormals and -0.0). ~140x faster to
+    construct than ``F.lit(list)``, whose Py4J conversion is per-element
+    (~0.8 ms/element — a k=8, dim=64 centroid set cost 0.28 s PER CALL,
+    and the k-means trainer builds one per Lloyd iteration)."""
+    if not all(math.isfinite(x) for x in values):
+        return F.lit([float(x) for x in values])  # inf/nan: slow exact path
+    return F.expr("array(" + ",".join(repr(float(x)) + "D" for x in values) + ")")
+
+
+def _dbl_array_lit_2d(rows: list[list[float]]) -> Column:
+    if not all(math.isfinite(x) for row in rows for x in row):
+        return F.lit([[float(x) for x in row] for row in rows])
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(x)) + "D" for x in row) + ")"
+            for row in rows
+        )
+        + ")"
+    )
+
+
+def _centroid_dist_structs(vec: Column, centroids: list[list[float]]) -> Column:
+    """(distance, index) structs for every centroid as ONE transform over a
+    2-D centroid literal. The distance is ``c·c - 2 v·c`` (argmin-invariant
+    drop of the per-row ``v·v`` term); ``c·c`` enters as a precomputed
+    literal lookup — Python's left-to-right ``sum`` is the same double fold
+    as the in-plan ``F.aggregate`` and DuckDB's ``list_dot_product``, so
+    trained centroids stay bit-identical across engines.
+
+    One fold appears ONCE in the expression tree (vs one unrolled copy per
+    centroid): at k=8, dim=64 this cut driver-side Column construction from
+    ~0.55 s to ~0.35 s per call and plan analysis + 2000-row assignment
+    from 1.35 s to 0.76 s — the trainer builds this per Lloyd iteration,
+    so the constant factors are wall-clock, not noise."""
+    v = _as_double(vec)
+    c2 = _dbl_array_lit_2d(centroids)
+    ccs = _dbl_array_lit([float(sum(x * x for x in c)) for c in centroids])
+
+    def dist(c: Column, i: Column) -> Column:
+        vc = F.aggregate(
+            F.zip_with(v, c, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        return F.element_at(ccs, i + 1) - 2.0 * vc
+
+    return F.transform(
+        c2, lambda c, i: F.struct(dist(c, i).alias("d"), i.alias("i"))
+    )
+
+
 def nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     """Index of the closest centroid (squared L2; ties → lowest index).
     ``array_min`` over (distance, index) structs — struct ordering is
     field-by-field, no UDF."""
-    v = _as_double(vec)
-    structs = [
-        F.struct(_rel_sq_dist(v, c).alias("d"), F.lit(i).alias("i"))
-        for i, c in enumerate(centroids)
-    ]
-    return F.array_min(F.array(*structs)).getField("i")
+    return F.array_min(_centroid_dist_structs(vec, centroids)).getField("i")
 
 
 def nearest_centroids(
@@ -318,12 +358,9 @@ def nearest_centroids(
 ) -> Column:
     """The ``nprobe`` closest centroid indices (IVF multi-probe): sort the
     (distance, index) structs, slice, project the indices."""
-    v = _as_double(vec)
-    structs = [
-        F.struct(_rel_sq_dist(v, c).alias("d"), F.lit(i).alias("i"))
-        for i, c in enumerate(centroids)
-    ]
-    probed = F.slice(F.array_sort(F.array(*structs)), 1, nprobe)
+    probed = F.slice(
+        F.array_sort(_centroid_dist_structs(vec, centroids)), 1, nprobe
+    )
     return F.transform(probed, lambda s: s.getField("i"))
 
 
