@@ -61,6 +61,10 @@ def main() -> None:
     if only:
         wanted = [q.strip() for q in only.split(",") if q.strip()]
         queries = {q: ALL_QUERIES[q] for q in wanted}
+    # NB: no forced GC between queries — measured WORSE (a System.gc()
+    # wakes ContextCleaner, whose async broadcast/accumulator cleanup then
+    # overlaps the next timed query; full-battery A/B at sf0.1 showed the
+    # md5-heavy dedup queries 1.5-2x slower with pre-query GC)
     timings: dict[str, float] = {}
     for name, fn in queries.items():
         best = float("inf")
