@@ -1029,6 +1029,76 @@ GROUP BY event_type
 """
 
 
+def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered layout, oracle-checked as a round-trip: write
+    lineitem clustered by the interleaved bits of (l_orderkey, l_partkey)
+    (io/layout.py — native shift/mask/or Morton key, range-repartition +
+    in-partition sort), read it back through a 2-D box predicate, and
+    aggregate. The layout is the product: results are byte-identical to
+    the original table (the oracle reads the unclustered parquet), while
+    row-group min/max footers become axis-aligned z-boxes so BOTH
+    predicate dimensions prune at scan time — the multi-dimensional
+    data-skipping story a single sort key cannot give at 100 TB
+    (tests/test_layout.py asserts the footer-level skipping effect).
+
+    Box bounds are the [10%, 30%] band of each key's range (off-center on
+    purpose: a box straddling the z center corner cannot prune at coarse
+    partition granularity — Morton-order property), derived with integer
+    arithmetic both engines reproduce exactly."""
+    import shutil
+    import tempfile
+
+    from hiv_data_integration_spark.io.layout import write_zordered
+
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag"
+    )
+    base = tempfile.mkdtemp(prefix="zorder_")
+    try:
+        write_zordered(li, ["l_orderkey", "l_partkey"], base, target_files=8)
+        clustered = spark.read.parquet(base)
+        s = li.agg(
+            F.min("l_orderkey").alias("mn_o"), F.max("l_orderkey").alias("mx_o"),
+            F.min("l_partkey").alias("mn_p"), F.max("l_partkey").alias("mx_p"),
+        ).collect()[0]
+        lo_o = s.mn_o + (s.mx_o - s.mn_o) // 10
+        hi_o = s.mn_o + ((s.mx_o - s.mn_o) * 3) // 10
+        lo_p = s.mn_p + (s.mx_p - s.mn_p) // 10
+        hi_p = s.mn_p + ((s.mx_p - s.mn_p) * 3) // 10
+        result = (
+            clustered.filter(
+                F.col("l_orderkey").between(lo_o, hi_o)
+                & F.col("l_partkey").between(lo_p, hi_p)
+            )
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n_rows"),
+                dsum("l_quantity", scale=2, prec=28).alias("sum_qty"),
+            )
+        )
+        out = _local_result(result)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+SQL_ZORDER_SCAN = """
+WITH s AS (
+    SELECT min(l_orderkey) AS mn_o, max(l_orderkey) AS mx_o,
+           min(l_partkey) AS mn_p, max(l_partkey) AS mx_p
+    FROM lineitem
+)
+SELECT l_returnflag, count(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+FROM lineitem, s
+WHERE l_orderkey BETWEEN mn_o + (mx_o - mn_o) // 10
+                     AND mn_o + ((mx_o - mn_o) * 3) // 10
+  AND l_partkey BETWEEN mn_p + (mx_p - mn_p) // 10
+                    AND mn_p + ((mx_p - mn_p) * 3) // 10
+GROUP BY l_returnflag
+"""
+
+
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HASH-checked sketch-accuracy contract: HyperLogLog++
     (``approx_count_distinct``, fixed-size sketch per group, single pass)
@@ -2583,6 +2653,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "llm_corpus_prep": q_corpus_prep,
     "spectrum_csv_scan": q_spectrum_csv,
     "partitioned_parquet_pruning": q_partition_pruning,
+    "zorder_clustered_scan": q_zorder_scan,
     "approx_sketches_events": q_approx_sketches,
     "streaming_tumbling_counts": q_streaming_tumbling,
     "streaming_exactly_once_dedup": q_streaming_dedup,
@@ -2655,6 +2726,7 @@ EXT_ORACLE: dict[str, str] = {
     "llm_corpus_prep": SQL_CORPUS_PREP,
     "spectrum_csv_scan": SQL_SPECTRUM_CSV,
     "partitioned_parquet_pruning": SQL_PARTITION_PRUNING,
+    "zorder_clustered_scan": SQL_ZORDER_SCAN,
     # streaming result == batch tumbling aggregation over the same file
     "streaming_tumbling_counts": """
 SELECT event_type, date_trunc('hour', ts) AS window_start,
