@@ -499,6 +499,97 @@ FROM r WHERE rank <= {topk}""")
 SQL_KMEANS_IVF_TOPK = _kmeans_ivf_sql()
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (arXiv:2303.09540), HASH-checked
+    end-to-end: embeddings + planted x1.5-scaled duplicates (FP-exact
+    scaling, same direction ⇒ cosine ≈ 1 after L2-normalization) →
+    normalize → deterministic 2-iteration Lloyd clustering → within each
+    cluster drop every vector with a lower-id neighbor at cosine ≥ 0.999.
+    The oracle unrolls the ENTIRE pipeline — normalization, both Lloyd
+    iterations, final assignment, the pairwise drop and the per-cluster
+    rollup — as SQL CTEs, so the driver verifies the trainer numerics and
+    the dedup decisions, not just row counts."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x * 1.5
+        ).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(planted)
+    return sim.semantic_dedup(
+        corpus, "vec_id", "embedding", n_clusters=16, iters=2, threshold=0.999
+    )
+
+
+def _semantic_dedup_sql(k_clusters: int = 16, iters: int = 2,
+                        threshold: float = 0.999) -> str:
+    """Unrolled SQL mirror of q_semantic_dedup: the same Lloyd CTE shapes
+    as `_kmeans_ivf_sql` (see its docstring for the bit-parity
+    invariants), over an L2-normalized corpus with planted duplicates."""
+    assign_rn = (
+        "row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+        "list_dot_product(c.v, c.v) - 2 * list_dot_product(e.v, c.v), c.c_id)"
+    )
+    parts = [
+        """WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+pl AS (SELECT vec_id + 100000 AS vec_id, list_transform(v0, x -> x * 1.5) AS v0
+       FROM raw WHERE vec_id % 20 = 0),
+allv AS (SELECT * FROM raw UNION ALL SELECT * FROM pl),
+e AS (SELECT vec_id,
+             list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v
+      FROM allv),""",
+        f"""cents0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_id, v
+    FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k_clusters})
+),""",
+    ]
+    for i in range(iters):
+        parts.append(f"""assign{i} AS (
+    SELECT vec_id, v, c_id FROM (
+        SELECT e.vec_id, e.v, c.c_id, {assign_rn} AS rn
+        FROM e CROSS JOIN cents{i} c
+    ) WHERE rn = 1
+),
+mean{i} AS (
+    SELECT c_id, pos,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE), list(x ORDER BY vec_id)),
+                       (acc, x) -> acc + x) / count(*) AS m
+    FROM (SELECT c_id, vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+          FROM assign{i})
+    GROUP BY c_id, pos
+),
+cents{i + 1} AS (
+    SELECT p.c_id, COALESCE(n.v, p.v) AS v
+    FROM cents{i} p LEFT JOIN (
+        SELECT c_id, list(m ORDER BY pos) AS v FROM mean{i} GROUP BY c_id
+    ) n USING (c_id)
+),""")
+    parts.append(f"""af AS (
+    SELECT vec_id, v, c_id FROM (
+        SELECT e.vec_id, e.v, c.c_id, {assign_rn} AS rn
+        FROM e CROSS JOIN cents{iters} c
+    ) WHERE rn = 1
+),
+dropped AS (
+    SELECT DISTINCT b.vec_id FROM af a JOIN af b
+      ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+     AND list_dot_product(a.v, b.v) >= {threshold}
+)
+SELECT CAST(af.c_id AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped
+FROM af LEFT JOIN dropped d ON af.vec_id = d.vec_id
+GROUP BY af.c_id""")
+    return "\n".join(parts)
+
+
+SQL_SEMANTIC_DEDUP = _semantic_dedup_sql()
+
+
 _PLANES = sim.deterministic_planes(dim=64, n_planes=8, seed="lsh")
 
 
@@ -2654,6 +2745,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "spectrum_csv_scan": q_spectrum_csv,
     "partitioned_parquet_pruning": q_partition_pruning,
     "zorder_clustered_scan": q_zorder_scan,
+    "dedup_semantic_clusters": q_semantic_dedup,
     "approx_sketches_events": q_approx_sketches,
     "streaming_tumbling_counts": q_streaming_tumbling,
     "streaming_exactly_once_dedup": q_streaming_dedup,
@@ -2727,6 +2819,7 @@ EXT_ORACLE: dict[str, str] = {
     "spectrum_csv_scan": SQL_SPECTRUM_CSV,
     "partitioned_parquet_pruning": SQL_PARTITION_PRUNING,
     "zorder_clustered_scan": SQL_ZORDER_SCAN,
+    "dedup_semantic_clusters": SQL_SEMANTIC_DEDUP,
     # streaming result == batch tumbling aggregation over the same file
     "streaming_tumbling_counts": """
 SELECT event_type, date_trunc('hour', ts) AS window_start,

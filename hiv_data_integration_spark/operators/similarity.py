@@ -35,6 +35,8 @@ __all__ = [
     "hyperplane_lsh_bucket",
     "lsh_topk",
     "kmeans_centroids",
+    "l2_normalize",
+    "semantic_dedup",
     "nearest_centroid",
     "nearest_centroids",
     "kmeans_ivf_topk",
@@ -385,6 +387,104 @@ def kmeans_ivf_topk(
         "ivf_bucket", nearest_centroid(F.col(vec_col), centroids)
     )
     return bucketed_topk(bq, bc, "ivf_bucket", id_col=id_col, vec_col=vec_col, k=k)
+
+
+def l2_normalize(vec: Column) -> Column:
+    """Unit-normalize an embedding (per-element divide by the fold-computed
+    L2 norm). WARNING: higher-order functions get no common-subexpression
+    elimination — the norm fold inside the lambda re-evaluates PER ELEMENT
+    (dim² ops per row), and any downstream expression referencing the
+    result re-inlines the whole transform. For anything beyond a single
+    bounded projection, hoist the norm to its own column and materialize
+    behind an exchange the way :func:`semantic_dedup` does."""
+    v = _as_double(vec)
+    return F.transform(v, lambda x: x / l2_norm(v))
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    iters: int = 2,
+    threshold: float = 0.999,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540): L2-normalize the embeddings, cluster them with the
+    deterministic Lloyd trainer, and inside each cluster drop every vector
+    that has a lower-id neighbor with cosine ≥ ``threshold`` — the
+    "min-id wins" deterministic variant of the paper's greedy keep-one
+    (the paper iterates in random order; a fixed tie-break makes the
+    result reproducible and SQL-expressible, so the battery hash-checks
+    the whole pipeline including the trainer).
+
+    Output: one row per cluster — ``(bucket, n_total, n_dropped)``.
+
+    Scale: the pairwise stage is O(n²/k) per cluster — SemDeDup's
+    documented trade. At 100 TB, grow ``n_clusters`` with the corpus
+    (the paper uses ~10k clusters for billions of docs), train on a
+    ``sample_fraction``, and the per-cluster join stays bounded; the
+    normalize/assign passes are embarrassingly parallel projections.
+
+    Dataflow: the norm is hoisted to its own column and the normalized
+    vectors materialize through an exchange, then the assigned frame is
+    localCheckpoint'ed before the self-join — without those barriers
+    CollapseProject re-inlines the normalize transform (dim² interpreted
+    ops, no CSE in higher-order functions) into every centroid lambda and
+    every pair-side reference; measured 18 s → 2.5 s at sf0.1, and the
+    gap GROWS with n_clusters.
+    """
+    v = _as_double(F.col(vec_col))
+    pre = corpus.select(
+        F.col(id_col).alias("_id"),
+        v.alias("_v0"),
+        l2_norm(v).alias("_n"),  # ONE fold per row, below the exchange
+    )
+    normed = pre.repartition("_id").select(
+        "_id",
+        F.transform(F.col("_v0"), lambda x: x / F.col("_n")).alias("_v"),
+    )
+    cents = kmeans_centroids(
+        normed,
+        vec_col="_v",
+        id_col="_id",
+        n_clusters=n_clusters,
+        iters=iters,
+        sample_fraction=sample_fraction,
+    )
+    # checkpoint: concrete (id, v, bucket) rows — k·dim distance lambdas
+    # and the pairwise dot otherwise re-evaluate the normalize transform
+    # per reference
+    assigned = normed.withColumn(
+        "_b", nearest_centroid(F.col("_v"), cents)
+    ).localCheckpoint()
+    left = assigned.select(
+        F.col("_b"), F.col("_id").alias("id_a"), F.col("_v").alias("va")
+    )
+    right = assigned.select(
+        F.col("_b"), F.col("_id").alias("id_b"), F.col("_v").alias("vb")
+    )
+    dropped = (
+        left.join(right, "_b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_cos", dot(F.col("va"), F.col("vb")))
+        .filter(F.col("_cos") >= threshold)
+        .select("id_b")
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    return (
+        assigned.join(dropped, assigned["_id"] == dropped["id_b"], "left")
+        .groupBy("_b")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.coalesce(F.col("_dropped"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        .select(F.col("_b").cast("long").alias("bucket"), "n_total", "n_dropped")
+    )
 
 
 def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:

@@ -137,3 +137,34 @@ def test_kmeans_unbounded_train_guard(spark):
         kmeans_centroids(corpus, n_clusters=2, iters=1, max_train_rows=10)
     out = kmeans_centroids(corpus, n_clusters=2, iters=1, max_train_rows=100)
     assert len(out) == 2
+
+
+def test_semantic_dedup_drops_planted_duplicates(spark):
+    """SemDeDup min-id-wins semantics on a constructed corpus: scaled
+    copies (same direction => cosine 1 after normalization) are dropped,
+    originals survive, and disjoint-direction vectors are untouched."""
+    import math
+
+    rows = []
+    # 12 well-separated base directions in 8-d space: one-hot + small
+    # orthogonal wiggle, plus a x2.5 scaled copy of every third vector
+    for i in range(12):
+        base = [0.0] * 8
+        base[i % 8] = 1.0
+        base[(i + 3) % 8] = 0.05 * (i + 1)
+        rows.append((i, base))
+    for i in range(0, 12, 3):
+        rows.append((100 + i, [x * 2.5 for x in rows[i][1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sim.semantic_dedup(
+        df, "vec_id", "embedding", n_clusters=4, iters=2, threshold=0.9999
+    )
+    got = out.collect()
+    n_total = sum(r.n_total for r in got)
+    n_dropped = sum(r.n_dropped for r in got)
+    assert n_total == 16
+    # every scaled copy shares a direction with a lower id -> exactly the
+    # 4 copies drop (the 12 originals are mutually well-separated)
+    assert n_dropped == 4, got
+    # per-cluster counts are consistent
+    assert all(0 <= r.n_dropped <= r.n_total for r in got)
