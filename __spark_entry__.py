@@ -35,8 +35,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver hash-verifies only the FIRST 50 ``queries()`` entries per
 # round, so ordering is the verification budget. Round-4 tiers (lowest
-# emitted first): the 9 round-3 reds (all were the DuckDB-HUGEINT oracle
-# typing trap, now CAST to BIGINT — re-verify the fix), brand-new queries
+# emitted first): the 10 entries without a green row — 9 round-3 reds
+# (all the DuckDB-HUGEINT oracle typing trap, now CAST to BIGINT) plus
+# fuzzy_resolve_suppliers (previously rows-only, now given a full
+# value-hash oracle — re-verify both fixes), brand-new queries
 # (absent from the tier lists), entries whose only green is round 1, the
 # 45 round-2 greens (oldest standing signal), and finally the round-3
 # greens — the cross-round union of green rows converges to full coverage

@@ -1139,23 +1139,26 @@ def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from hiv_data_integration_spark.io.layout import write_zordered
+    from hiv_data_integration_spark.io.layout import column_minmax, write_zordered
 
     li = tbl(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_quantity", "l_returnflag"
     )
     base = tempfile.mkdtemp(prefix="zorder_")
     try:
-        write_zordered(li, ["l_orderkey", "l_partkey"], base, target_files=8)
+        # ONE stats pass: the same min/max feed the z-key scaling and the
+        # box bounds (integer key values are exact as doubles)
+        stats = column_minmax(li, ["l_orderkey", "l_partkey"])
+        write_zordered(
+            li, ["l_orderkey", "l_partkey"], base, target_files=8, stats=stats
+        )
         clustered = spark.read.parquet(base)
-        s = li.agg(
-            F.min("l_orderkey").alias("mn_o"), F.max("l_orderkey").alias("mx_o"),
-            F.min("l_partkey").alias("mn_p"), F.max("l_partkey").alias("mx_p"),
-        ).collect()[0]
-        lo_o = s.mn_o + (s.mx_o - s.mn_o) // 10
-        hi_o = s.mn_o + ((s.mx_o - s.mn_o) * 3) // 10
-        lo_p = s.mn_p + (s.mx_p - s.mn_p) // 10
-        hi_p = s.mn_p + ((s.mx_p - s.mn_p) * 3) // 10
+        mn_o, mx_o = (int(x) for x in stats["l_orderkey"])
+        mn_p, mx_p = (int(x) for x in stats["l_partkey"])
+        lo_o = mn_o + (mx_o - mn_o) // 10
+        hi_o = mn_o + ((mx_o - mn_o) * 3) // 10
+        lo_p = mn_p + (mx_p - mn_p) // 10
+        hi_p = mn_p + ((mx_p - mn_p) * 3) // 10
         result = (
             clustered.filter(
                 F.col("l_orderkey").between(lo_o, hi_o)

@@ -466,7 +466,10 @@ def write_xlsx_workbook(
         )
 
     sheets_el = "".join(
-        f'<sheet name="{escape(name)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        # attribute value: escape() alone leaves '"' unescaped, which would
+        # corrupt the workbook for quoted sheet names
+        f'<sheet name="{escape(name, {chr(34): "&quot;"})}" '
+        f'sheetId="{i + 1}" r:id="rId{i + 1}"/>'
         for i, name in enumerate(sheets)
     )
     workbook = (

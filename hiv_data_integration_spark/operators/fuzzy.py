@@ -263,8 +263,12 @@ def best_match_udf(
                     else 0
                 )
                 denom_a, denom_b, denom_ab = li + la, li + lb, la + lb
-                if denom_ab == 0:
-                    # both token sets empty: ratio("","") is defined as 100
+                if la == 0 or lb == 0:
+                    # either side's sorted-token string is empty: inter is
+                    # then empty too and tsr's empty-side rule scores the
+                    # pair 100 exactly (ratio("","") = 100), so the bound
+                    # must be 100 — a char-overlap bound of 0 would prune
+                    # a certain match
                     ub = 100.0
                 else:
                     mi = 0
@@ -382,39 +386,45 @@ def collect_candidates(
     is collected and shipped inside the scoring udf, which is only sane
     for dimension-sized inputs (the reference registries are < 10^4
     rows). A fact-sized frame passed by mistake would OOM the driver
-    during collect — fail loudly first. The probe is a limit+count, so it
-    never scans past the cap.
+    during collect — fail loudly first. The frame is cached before the
+    limit+count probe (the kmeans guard pattern): the probe never scans
+    past the cap, what it does scan feeds the collect, and the candidate
+    plan is not evaluated twice.
     """
-    probe = candidates_df.limit(max_candidates + 1).count()
-    if probe > max_candidates:
-        raise ValueError(
-            f"collect_candidates: candidate frame exceeds {max_candidates} "
-            f"rows — this operator broadcasts candidates to every scoring "
-            f"task and is meant for dimension-sized registries. Block the "
-            f"candidates (block_cols) to bound per-row work, pre-aggregate "
-            f"them, or raise max_candidates explicitly if the memory is "
-            f"truly available"
-        )
-    if not block_cols:
-        return [
-            (r[0], r[1])
-            for r in candidates_df.select(
-                normalize_text_col(F.col(cand_name_col), fold_accents),
-                F.col(cand_payload_col),
-            ).collect()
-            if r[0] is not None
-        ]
-    block_key = _block_key_col(block_cols, fold_accents)
-    out: dict[str, list[tuple[str, str]]] = {}
-    for r in candidates_df.select(
-        block_key,
-        normalize_text_col(F.col(cand_name_col), fold_accents),
-        F.col(cand_payload_col),
-    ).collect():
-        if r[1] is None:
-            continue
-        out.setdefault(r[0], []).append((r[1], r[2]))
-    return out
+    cached = candidates_df.persist()
+    try:
+        probe = cached.limit(max_candidates + 1).count()
+        if probe > max_candidates:
+            raise ValueError(
+                f"collect_candidates: candidate frame exceeds {max_candidates} "
+                f"rows — this operator broadcasts candidates to every scoring "
+                f"task and is meant for dimension-sized registries. Block the "
+                f"candidates (block_cols) to bound per-row work, pre-aggregate "
+                f"them, or raise max_candidates explicitly if the memory is "
+                f"truly available"
+            )
+        if not block_cols:
+            return [
+                (r[0], r[1])
+                for r in cached.select(
+                    normalize_text_col(F.col(cand_name_col), fold_accents),
+                    F.col(cand_payload_col),
+                ).collect()
+                if r[0] is not None
+            ]
+        block_key = _block_key_col(block_cols, fold_accents)
+        out: dict[str, list[tuple[str, str]]] = {}
+        for r in cached.select(
+            block_key,
+            normalize_text_col(F.col(cand_name_col), fold_accents),
+            F.col(cand_payload_col),
+        ).collect():
+            if r[1] is None:
+                continue
+            out.setdefault(r[0], []).append((r[1], r[2]))
+        return out
+    finally:
+        cached.unpersist()
 
 
 def resolve_entities(

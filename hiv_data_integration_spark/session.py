@@ -63,8 +63,10 @@ def get_spark(
         # single-JVM local mode: the driver heap IS the executor heap. 8g
         # measured FASTER than 24g on the md5-heavy dedup queries (A/B at
         # sf0.1: minhash 2.3 vs 3.7 s, ngram 2.1 vs 3.6 s — big-heap G1
-        # regions hurt more than the extra headroom helps); bench.py GCs
-        # between queries instead to keep pauses out of timed regions.
+        # regions hurt more than the extra headroom helps). Forced GC
+        # between bench queries was ALSO tried and rejected (see bench.py
+        # / BASELINE.md): ContextCleaner's post-GC async cleanup overlaps
+        # the next timed query.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():

@@ -322,7 +322,11 @@ def test_pruned_scorer_matches_bruteforce_list_scan(spark):
             rng.shuffle(toks)
             q = " ".join(toks)
         queries.append(q)
-    queries += ["zzz qqq xxx", "csu"]  # miss + subset-of-many
+    # miss + subset-of-many + a query that NORMALIZES TO EMPTY ('##' loses
+    # all chars): tsr('', cand) is 100 by the empty-side rule, so the
+    # pruning bound must not drop these pairs
+    queries += ["zzz qqq xxx", "csu", "##"]
+    cand_names += ["!!!"]  # candidate normalizing to empty: scores 100 vs all
 
     threshold = 55.0
 
