@@ -243,6 +243,113 @@ WHERE jaccard >= 0.6
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus incremental dedup (the crawl-ingestion shape): the
+    incoming batch is every 10th doc with its last word dropped (planted
+    near-dups, must flag) plus every (10k+3)rd doc with its words reversed
+    (same vocabulary, disjoint 3-gram shingles, must pass). The corpus'
+    LSH band entries are a pure projection — at scale computed once per
+    corpus version and stored — and the new batch's entries broadcast, so
+    the reference corpus never shuffles. Oracle mirrors the full pipeline
+    (signatures, banding, bucket join, exact-Jaccard verify, per-doc
+    rollup) in SQL."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.slice(words, 1, F.size(words) - 1), " ").alias("text"),
+    )
+    fresh = docs.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.array_join(F.reverse(words), " ").alias("text"),
+    )
+    return dd.incremental_dedup(
+        near.unionByName(fresh), docs, "doc_id", "text",
+        shingle_n=3, num_hashes=16, bands=4, jaccard_threshold=0.6,
+        partitions=32,
+    )
+
+
+_INC_SIDE_SH = f"""
+newb AS (
+    SELECT doc_id + 100000 AS doc_id, array_to_string(w[1:len(w)-1], ' ') AS text
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS w
+          FROM documents WHERE doc_id % 10 = 0)
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id, array_to_string(list_reverse(w), ' ') AS text
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS w
+          FROM documents WHERE doc_id % 10 = 3)
+),
+allside AS (
+    SELECT doc_id, text, 'n' AS side FROM newb
+    UNION ALL
+    SELECT doc_id, text, 'c' AS side FROM documents
+),
+sh AS (
+    SELECT doc_id, side,
+           list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1),
+                                   i -> array_to_string(w[i:i+2], ' '))
+               ELSE [] END) AS shingles
+    FROM (SELECT doc_id, side, {{toks}} AS w FROM allside)
+),
+docs2 AS (SELECT * FROM sh WHERE len(shingles) > 0),
+hs AS (
+    SELECT doc_id, side, shingles,
+           list_transform(shingles,
+               x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)) AS hvals
+    FROM docs2
+),
+sig AS (
+    SELECT doc_id, side, shingles,
+           list_transform(range(1, 17),
+               i -> list_min(list_transform(hvals,
+                   h -> (h * {{mh_a}}[i] + {{mh_b}}[i]) % {{prime}}))) AS sig
+    FROM hs
+),
+bands AS (
+    SELECT doc_id, side, shingles, b,
+           {{band_hash}} AS band_hash
+    FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)
+)
+"""
+
+SQL_INCREMENTAL_DEDUP = ("WITH " + _INC_SIDE_SH.format(
+    toks=_TOKS,
+    mh_a=_MH_A,
+    mh_b=_MH_B,
+    prime=dd.MINHASH_PRIME,
+    band_hash=_MD5L.format(expr=("'band|' || array_to_string(list_transform("
+                                 "sig[b*4+1:b*4+4], x -> CAST(x AS VARCHAR)), '|')")),
+) + f""",
+cand AS (
+    SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id,
+                    n.shingles AS sh_n, c.shingles AS sh_c
+    FROM bands n JOIN bands c
+      ON n.side = 'n' AND c.side = 'c'
+     AND n.b = c.b AND n.band_hash = c.band_hash
+),
+matches AS (
+    SELECT new_id, CAST(count(*) AS BIGINT) AS n_matches,
+           max(jaccard) AS best_jaccard
+    FROM (
+        SELECT new_id, corpus_id,
+               CAST(len(list_intersect(sh_n, sh_c)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(sh_n, sh_c))) AS DOUBLE) AS jaccard
+        FROM cand)
+    WHERE jaccard >= 0.6
+    GROUP BY new_id
+)
+SELECT nb.doc_id,
+       CAST(COALESCE(m.n_matches, 0) AS BIGINT) AS n_matches,
+       m.best_jaccard,
+       COALESCE(m.n_matches, 0) > 0 AS is_dup
+FROM newb nb LEFT JOIN matches m ON nb.doc_id = m.new_id
+""")
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _dup_corpus(spark, sf_dir)
     return dd.ngram_jaccard_pairs(
@@ -2749,6 +2856,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "partitioned_parquet_pruning": q_partition_pruning,
     "zorder_clustered_scan": q_zorder_scan,
     "dedup_semantic_clusters": q_semantic_dedup,
+    "dedup_incremental_batch": q_incremental_dedup,
     "approx_sketches_events": q_approx_sketches,
     "streaming_tumbling_counts": q_streaming_tumbling,
     "streaming_exactly_once_dedup": q_streaming_dedup,
@@ -2823,6 +2931,7 @@ EXT_ORACLE: dict[str, str] = {
     "partitioned_parquet_pruning": SQL_PARTITION_PRUNING,
     "zorder_clustered_scan": SQL_ZORDER_SCAN,
     "dedup_semantic_clusters": SQL_SEMANTIC_DEDUP,
+    "dedup_incremental_batch": SQL_INCREMENTAL_DEDUP,
     # streaming result == batch tumbling aggregation over the same file
     "streaming_tumbling_counts": """
 SELECT event_type, date_trunc('hour', ts) AS window_start,

@@ -28,7 +28,9 @@ __all__ = [
     "word_shingles",
     "exact_dedup",
     "minhash_signature",
+    "minhash_band_entries",
     "minhash_candidate_pairs",
+    "incremental_dedup",
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_near_pairs",
@@ -134,6 +136,78 @@ def minhash_signature(shingles_col: Column, num_hashes: int = 16) -> Column:
     return F.when(F.size(shingles_col) > 0, sig)
 
 
+def minhash_band_entries(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    partitions: int | None = None,
+) -> DataFrame:
+    """LSH band entries ``(doc_id_, band, band_hash)`` for a corpus:
+    explode shingles → per-shingle base hash → per-doc k-min signature as
+    a codegen'd ``groupBy().min()`` aggregate → seeded band hashes.
+
+    Shared by the self-join pair finder (:func:`minhash_candidate_pairs`)
+    and the batch-vs-corpus incremental path (:func:`incremental_dedup`).
+    At 100 TB the reference corpus' entries are computed once and stored;
+    only the new batch re-hashes per ingest."""
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+
+    if partitions:
+        # shingling + hashing are CPU-bound projections: small corpora read
+        # as 1-2 parquet splits and would otherwise use 1-2 cores. At real
+        # scale the natural file partitioning already fans out.
+        df = df.repartition(partitions)
+
+    posting = df.select(
+        F.col(id_col).alias("doc_id_"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    h = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+    p = F.lit(MINHASH_PRIME)
+    coeffs = minhash_coeffs(num_hashes)
+    sig = posting.groupBy("doc_id_").agg(
+        *[
+            F.min((h * F.lit(a) + F.lit(b)) % p).alias(f"mh{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    )
+
+    # band hash = seeded md5 over "m_i|m_i+1|..." — sig values are plain
+    # longs here, so the 4x column duplication below is codegen-cheap
+    return sig.select(
+        "doc_id_",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        md5_long(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"mh{i}").cast("string")
+                                    for i in range(
+                                        b * rows_per_band, (b + 1) * rows_per_band
+                                    )
+                                ],
+                            ),
+                            "band",
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select(
+        "doc_id_", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash")
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -165,57 +239,11 @@ def minhash_candidate_pairs(
     At 100 TB the bucket join is the only O(candidate) shuffle; banding
     keeps candidates ~linear for any corpus with bounded duplication.
     """
-    if num_hashes % bands != 0:
-        raise ValueError("num_hashes must be divisible by bands")
-    rows_per_band = num_hashes // bands
-
+    band_entries = minhash_band_entries(
+        df, id_col, text_col, shingle_n, num_hashes, bands, partitions
+    )
     if partitions:
-        # shingling + hashing are CPU-bound projections: small corpora read
-        # as 1-2 parquet splits and would otherwise use 1-2 cores. At real
-        # scale the natural file partitioning already fans out.
         df = df.repartition(partitions)
-
-    posting = df.select(
-        F.col(id_col).alias("doc_id_"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
-    )
-    h = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
-    p = F.lit(MINHASH_PRIME)
-    coeffs = minhash_coeffs(num_hashes)
-    sig = posting.groupBy("doc_id_").agg(
-        *[
-            F.min((h * F.lit(a) + F.lit(b)) % p).alias(f"mh{i}")
-            for i, (a, b) in enumerate(coeffs)
-        ]
-    )
-
-    # band hash = seeded md5 over "m_i|m_i+1|..." — sig values are plain
-    # longs here, so the 4x column duplication below is codegen-cheap
-    band_entries = sig.select(
-        "doc_id_",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        md5_long(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col(f"mh{i}").cast("string")
-                                    for i in range(
-                                        b * rows_per_band, (b + 1) * rows_per_band
-                                    )
-                                ],
-                            ),
-                            "band",
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bh"),
-    ).select("doc_id_", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
 
     left = band_entries.select(
         "band", "band_hash", F.col("doc_id_").alias("id_a")
@@ -250,6 +278,84 @@ def minhash_candidate_pairs(
         verified.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.6,
+    partitions: int | None = None,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Dedup an incoming batch AGAINST a reference corpus — the production
+    crawl-ingestion shape: each ingest must answer "which new documents
+    near-duplicate anything we already hold" without re-pairing the corpus
+    against itself.
+
+    Same LSH machinery as :func:`minhash_candidate_pairs`
+    (:func:`minhash_band_entries`), but the bucket join is new×corpus
+    only: candidates meet on (band, band_hash), survivors verify with the
+    exact shingle Jaccard. Output is one row per NEW document:
+    ``(id, n_matches, best_jaccard, is_dup)`` — ``n_matches`` corpus docs
+    at Jaccard ≥ threshold, ``best_jaccard`` the max (NULL when clean).
+
+    Scale: the reference corpus' band entries are a pure per-doc
+    projection — compute once per corpus version and store; per ingest
+    only the (small) new batch re-hashes, and with ``broadcast_new`` its
+    band entries broadcast so the corpus NEVER shuffles. The verify join
+    touches only candidate pairs (banding keeps those ~linear in batch
+    size for bounded duplication).
+    """
+    nb = minhash_band_entries(
+        new_df, id_col, text_col, shingle_n, num_hashes, bands, partitions
+    ).select(F.col("doc_id_").alias("new_id"), "band", "band_hash")
+    cb = minhash_band_entries(
+        corpus_df, id_col, text_col, shingle_n, num_hashes, bands, partitions
+    ).select(F.col("doc_id_").alias("corpus_id"), "band", "band_hash")
+    if broadcast_new:
+        nb = F.broadcast(nb)
+    candidates = (
+        cb.join(nb, ["band", "band_hash"])
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+
+    def shingle_side(df: DataFrame, out_id: str, out_sh: str) -> DataFrame:
+        d = df.repartition(partitions) if partitions else df
+        return d.select(
+            F.col(id_col).alias(out_id),
+            word_shingles(F.col(text_col), shingle_n).alias(out_sh),
+        )
+
+    verified = candidates.join(
+        shingle_side(new_df, "new_id", "sh_n"), "new_id"
+    ).join(shingle_side(corpus_df, "corpus_id", "sh_c"), "corpus_id")
+    inter = F.size(F.array_intersect("sh_n", "sh_c")).cast("double")
+    union = F.size(F.array_union("sh_n", "sh_c")).cast("double")
+    matches = (
+        verified.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .groupBy("new_id")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.max("jaccard").alias("best_jaccard"),
+        )
+    )
+    return (
+        new_df.select(F.col(id_col).alias("new_id"))
+        .join(matches, "new_id", "left")
+        .select(
+            F.col("new_id").alias(id_col),
+            F.coalesce(F.col("n_matches"), F.lit(0)).cast("long").alias("n_matches"),
+            "best_jaccard",
+            (F.coalesce(F.col("n_matches"), F.lit(0)) > 0).alias("is_dup"),
+        )
     )
 
 

@@ -825,3 +825,45 @@ def test_sessionize_wall_clock_gaps_survive_dst_sessions(spark):
     out = sessionize(df, "user_id", "ts", gap_minutes=30)
     seqs = sorted(r.session_seq for r in out.collect())
     assert seqs == [1, 2]
+
+
+def test_incremental_dedup_flags_batch_vs_corpus(spark):
+    """Batch-vs-corpus dedup: a near-copy of a corpus doc is flagged, a
+    fresh doc passes, a too-short doc (no shingles) passes, and the
+    corpus is never paired against itself (corpus-internal duplicates do
+    not appear in the output)."""
+    from hiv_data_integration_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine"),
+            (3, "one two three four five six seven eight nine"),  # internal dup
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta"),  # near-copy of 1
+            (11, "totally different words compose this document body"),
+            (12, "hi"),  # < shingle_n words
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_matches, r.is_dup)
+        for r in incremental_dedup(
+            new, corpus, "doc_id", "text", jaccard_threshold=0.6
+        ).collect()
+    }
+    assert out[10] == (1, True)
+    assert out[11] == (0, False)
+    assert out[12] == (0, False)
+    assert set(out) == {10, 11, 12}  # one row per NEW doc only
+
+    # the new side broadcasts: corpus band entries join without shuffling
+    plan = (
+        incremental_dedup(new, corpus, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
