@@ -120,6 +120,13 @@ def read_events_stream(spark: SparkSession, load_path: str, probe_path: str) -> 
     """
     s = spark.newSession()
     s.conf.set("spark.sql.session.timeZone", "UTC")
+    # stateful operators create one state-store instance PER shuffle
+    # partition per micro-batch: at test scale 32 stores are pure startup
+    # overhead (measured ~0.3-0.5 s/query); 8 keeps the windowed state
+    # distributed while the availableNow batches stay dominated by work,
+    # not store init. Values are partitioning-independent. A real
+    # deployment sizes this to its state volume, not our test default.
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         raw_schema = s.read.parquet(probe_path).schema
     except Exception:
