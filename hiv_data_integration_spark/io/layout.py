@@ -21,19 +21,33 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = ["zorder_key", "write_zordered", "column_minmax"]
+
+
+def _numeric(c: Column, dt: T.DataType | None) -> Column:
+    """Monotone numeric view of a z-column. LTZ timestamps cast straight
+    to epoch-seconds doubles; NTZ needs the LTZ hop first (direct
+    NTZ→DOUBLE is not a valid cast) — layout-only, so any fixed session
+    offset is fine: a clustering key needs ordering, not absolute values;
+    dates become days-since-epoch."""
+    if isinstance(dt, T.TimestampNTZType):
+        return c.cast("timestamp").cast("double")
+    if isinstance(dt, T.DateType):
+        return F.datediff(c, F.lit("1970-01-01")).cast("double")
+    return c.cast("double")
 
 
 def column_minmax(df: DataFrame, cols: list[str]) -> dict[str, tuple[float, float]]:
     """One aggregate pass collecting (min, max) per z-column as doubles.
 
     2·k doubles of driver state — constant in the table size. Dates and
-    timestamps participate via their numeric cast.
+    timestamps participate via their numeric view.
     """
     aggs = []
     for c in cols:
-        v = F.col(c).cast("double")
+        v = _numeric(F.col(c), df.schema[c].dataType)
         aggs.append(F.min(v).alias(f"__mn_{c}"))
         aggs.append(F.max(v).alias(f"__mx_{c}"))
     row = df.agg(*aggs).collect()[0]
@@ -44,6 +58,7 @@ def zorder_key(
     cols: list[str],
     stats: dict[str, tuple[float, float]],
     bits: int = 16,
+    dtypes: dict[str, T.DataType] | None = None,
 ) -> Column:
     """Interleaved-bit z-value over ``cols`` as a native LONG expression.
 
@@ -64,7 +79,7 @@ def zorder_key(
     scaled: list[Column] = []
     for c in cols:
         mn, mx = stats[c]
-        v = F.col(c).cast("double")
+        v = _numeric(F.col(c), (dtypes or {}).get(c))
         if mn is None or mx is None or mx <= mn:
             s = F.lit(0).cast("long")
         else:
@@ -105,7 +120,10 @@ def write_zordered(
     """
     if stats is None:
         stats = column_minmax(df, cols)
-    z = zorder_key(cols, stats, bits=bits)
+    z = zorder_key(
+        cols, stats, bits=bits,
+        dtypes={c: df.schema[c].dataType for c in cols},
+    )
     (
         df.withColumn("__z", z)
         .repartitionByRange(target_files, "__z")

@@ -147,3 +147,20 @@ def test_column_minmax_matches_agg(spark):
     ).collect()[0]
     assert stats["l_orderkey"] == (float(row[0]), float(row[1]))
     assert stats["l_partkey"] == (float(row[2]), float(row[3]))
+
+
+def test_zorder_timestamp_dimension(spark, tmp_path):
+    """Temporal z-ordering: a timestamp column participates via its
+    numeric (epoch-seconds) cast — the (time, entity) clustering shape of
+    event tables. Layout-invariance and schema checked on events."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "ts", "user_id", "value"
+    )
+    zpath = str(tmp_path / "events_z")
+    write_zordered(ev, ["ts", "user_id"], zpath, target_files=4)
+    back = spark.read.parquet(zpath)
+    assert back.columns == ev.columns
+    assert back.count() == ev.count()
+    a = sorted(map(tuple, back.orderBy("ts", "user_id", "value").collect()))
+    b = sorted(map(tuple, ev.orderBy("ts", "user_id", "value").collect()))
+    assert a == b
