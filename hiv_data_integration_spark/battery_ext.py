@@ -1227,6 +1227,47 @@ GROUP BY event_type
 """
 
 
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle, HASH-checked down to
+    the permutation itself: every doc's shard = md5(salted id) mod 8 and
+    shard-local position = rank of the shuffle key; the per-shard
+    ``perm_checksum`` (sum of pos·(doc_id mod 1000003), exact in BIGINT)
+    pins each position assignment, so a single transposition anywhere in
+    any shard flips the hash. Reproducible-by-construction across
+    engines, runs, and cluster sizes — what an RNG shuffle cannot give."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id")
+    sharded = sp.shuffle_shards(docs, "doc_id", n_shards=8)
+    return sharded.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.min("pos").alias("min_pos"),
+        F.max("pos").alias("max_pos"),
+        F.sum(F.col("pos") * (F.col("doc_id") % 1000003))
+        .cast("long")
+        .alias("perm_checksum"),
+    )
+
+
+SQL_SHUFFLE_SHARDS = """
+WITH k AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5('shuffle|' || CAST(doc_id AS VARCHAR)), 1, 15)
+                AS BIGINT) AS skey
+    FROM documents
+),
+p AS (
+    SELECT doc_id, skey % 8 AS shard,
+           row_number() OVER (PARTITION BY skey % 8 ORDER BY skey, doc_id) AS pos
+    FROM k
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(pos) AS BIGINT) AS min_pos,
+       CAST(max(pos) AS BIGINT) AS max_pos,
+       CAST(SUM(pos * (doc_id % 1000003)) AS BIGINT) AS perm_checksum
+FROM p GROUP BY shard
+"""
+
+
 def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustered layout, oracle-checked as a round-trip: write
     lineitem clustered by the interleaved bits of (l_orderkey, l_partkey)
@@ -2857,6 +2898,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "zorder_clustered_scan": q_zorder_scan,
     "dedup_semantic_clusters": q_semantic_dedup,
     "dedup_incremental_batch": q_incremental_dedup,
+    "corpus_shuffle_shards": q_shuffle_shards,
     "approx_sketches_events": q_approx_sketches,
     "streaming_tumbling_counts": q_streaming_tumbling,
     "streaming_exactly_once_dedup": q_streaming_dedup,
@@ -2932,6 +2974,7 @@ EXT_ORACLE: dict[str, str] = {
     "zorder_clustered_scan": SQL_ZORDER_SCAN,
     "dedup_semantic_clusters": SQL_SEMANTIC_DEDUP,
     "dedup_incremental_batch": SQL_INCREMENTAL_DEDUP,
+    "corpus_shuffle_shards": SQL_SHUFFLE_SHARDS,
     # streaming result == batch tumbling aggregation over the same file
     "streaming_tumbling_counts": """
 SELECT event_type, date_trunc('hour', ts) AS window_start,

@@ -20,7 +20,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "hash_split", "stratified_sample_flag", "quota_per_stratum"]
+__all__ = [
+    "hash_bucket",
+    "hash_split",
+    "stratified_sample_flag",
+    "quota_per_stratum",
+    "shuffle_shards",
+]
 
 #: Bucket space: 4 hex digits of the md5 → uniform integers in [0, 65536).
 BUCKETS = 1 << 16
@@ -115,4 +121,53 @@ def quota_per_stratum(
     return (
         df.withColumn("quota_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("quota_rank") <= quota)
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards.
+
+    Training-order shuffling must be reproducible (resume a run, compare
+    two runs, audit what batch N contained) — an RNG cannot give that
+    across engines and cluster sizes, a cryptographic hash can: each row
+    gets a shuffle key = md5 of the salted id, its shard = key mod
+    ``n_shards``, and its position = rank of the key WITHIN the shard
+    (ties broken by id; shard-local positions are what sequential shard
+    readers consume). Distinct salts give independent permutations —
+    re-shuffling between epochs is a salt change, not a data move.
+
+    Scale: the shard assignment is a pure projection; the only shuffle is
+    the per-shard window rank, which partitions by shard id — at 100 TB
+    pick ``n_shards`` >> executor count (shards are files, e.g. 10k+),
+    so the rank runs as thousands of independent modest sorts, not one
+    global one.
+
+    Output: input columns + ``shard`` (long), ``pos`` (long, 1-based
+    within shard).
+    """
+    from pyspark.sql.window import Window
+
+    if n_shards < 1:
+        raise ValueError("shuffle_shards: n_shards must be >= 1")
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    with_key = df.withColumn("_skey", key).withColumn(
+        "shard", (F.col("_skey") % n_shards).cast("long")
+    )
+    w = Window.partitionBy("shard").orderBy("_skey", id_col)
+    return (
+        with_key.withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_skey")
     )
