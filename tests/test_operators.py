@@ -867,3 +867,33 @@ def test_incremental_dedup_flags_batch_vs_corpus(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_shuffle_shards_deterministic_contiguous_permutation(spark):
+    """Shard-local positions are contiguous 1..n, the union of shards is
+    exactly the input, the same salt reproduces the identical permutation,
+    and a different salt yields a different one."""
+    from hiv_data_integration_spark.operators.sampling import shuffle_shards
+
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    a = shuffle_shards(df, "doc_id", n_shards=4).collect()
+    assert len(a) == 200
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(4))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # determinism: same salt, same permutation
+    b = shuffle_shards(df, "doc_id", n_shards=4).collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in a} == {
+        (r.doc_id, r.shard, r.pos) for r in b
+    }
+    # a different salt is a different permutation (astronomically unlikely
+    # to collide on 200 rows)
+    c = shuffle_shards(df, "doc_id", n_shards=4, salt="epoch2").collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in a} != {
+        (r.doc_id, r.shard, r.pos) for r in c
+    }
+    with pytest.raises(ValueError):
+        shuffle_shards(df, "doc_id", n_shards=0)
