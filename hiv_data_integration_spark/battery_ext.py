@@ -69,7 +69,13 @@ def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 10 == 0)
         .select(
             (F.col("doc_id") + 100000).alias("doc_id"),
-            F.array_join(F.slice(words, 1, F.size(words) - 1), " ").alias("text"),
+            F.array_join(
+                # greatest(…, 0): a zero-token doc would give slice
+                # length -1 (INVALID_PARAMETER_VALUE); DuckDB's
+                # w[1:len(w)-1] yields [] for the same row
+                F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+                " ",
+            ).alias("text"),
             "lang",
         )
     )
@@ -198,36 +204,50 @@ _MD5L = "CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
 _MH_A = "[" + ", ".join(str(a) for a, _ in dd.minhash_coeffs(16)) + "]"
 _MH_B = "[" + ", ".join(str(b) for _, b in dd.minhash_coeffs(16)) + "]"
 
-SQL_MINHASH_PAIRS = f"""
-WITH {_DUP_CORPUS_SQL},
-sh AS (
-    SELECT doc_id,
+def _minhash_sig_ctes(source: str, extra: str = "") -> str:
+    """Shared DuckDB CTE chain computing banded MinHash signatures over
+    ``source`` (columns: doc_id, text, plus any ``extra`` columns,
+    comma-led like ``", side"``). Emits sh/docs2/hs/sig/bands mirroring
+    ``operators.dedup.minhash_band_entries`` — the ONE place the shingle
+    window, hash widths, affine permutations, and band slicing live on
+    the oracle side, shared by the self-join pair oracle and the
+    incremental batch-vs-corpus oracle."""
+    band_hash = _MD5L.format(
+        expr=("'band|' || array_to_string(list_transform("
+              "sig[b*4+1:b*4+4], x -> CAST(x AS VARCHAR)), '|')")
+    )
+    return f"""sh AS (
+    SELECT doc_id{extra},
            list_distinct(CASE WHEN len(w) >= 3
                THEN list_transform(range(1, len(w) - 1),
                                    i -> array_to_string(w[i:i+2], ' '))
                ELSE [] END) AS shingles
-    FROM (SELECT doc_id, {_TOKS} AS w FROM corpus)
+    FROM (SELECT doc_id{extra}, {_TOKS} AS w FROM {source})
 ),
-docs AS (SELECT * FROM sh WHERE len(shingles) > 0),
+docs2 AS (SELECT * FROM sh WHERE len(shingles) > 0),
 hs AS (
-    SELECT doc_id, shingles,
+    SELECT doc_id{extra}, shingles,
            list_transform(shingles,
                x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)) AS hvals
-    FROM docs
+    FROM docs2
 ),
 sig AS (
-    SELECT doc_id, shingles,
+    SELECT doc_id{extra}, shingles,
            list_transform(range(1, 17),
                i -> list_min(list_transform(hvals,
                    h -> (h * {_MH_A}[i] + {_MH_B}[i]) % {dd.MINHASH_PRIME}))) AS sig
     FROM hs
 ),
 bands AS (
-    SELECT doc_id, shingles, b,
-           {_MD5L.format(expr=("'band|' || array_to_string(list_transform("
-                               "sig[b*4+1:b*4+4], x -> CAST(x AS VARCHAR)), '|')"))} AS band_hash
+    SELECT doc_id{extra}, shingles, b,
+           {band_hash} AS band_hash
     FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)
-),
+)"""
+
+
+SQL_MINHASH_PAIRS = f"""
+WITH {_DUP_CORPUS_SQL},
+{_minhash_sig_ctes("corpus")},
 cand AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                     a.shingles AS sh_a, b.shingles AS sh_b
@@ -257,7 +277,13 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
     near = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
-        F.array_join(F.slice(words, 1, F.size(words) - 1), " ").alias("text"),
+        F.array_join(
+                # greatest(…, 0): a zero-token doc would give slice
+                # length -1 (INVALID_PARAMETER_VALUE); DuckDB's
+                # w[1:len(w)-1] yields [] for the same row
+                F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+                " ",
+            ).alias("text"),
     )
     fresh = docs.filter(F.col("doc_id") % 10 == 3).select(
         (F.col("doc_id") + 200000).alias("doc_id"),
@@ -270,7 +296,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_INC_SIDE_SH = f"""
+_INC_NEWB_SQL = """
 newb AS (
     SELECT doc_id + 100000 AS doc_id, array_to_string(w[1:len(w)-1], ' ') AS text
     FROM (SELECT doc_id,
@@ -286,44 +312,10 @@ allside AS (
     SELECT doc_id, text, 'n' AS side FROM newb
     UNION ALL
     SELECT doc_id, text, 'c' AS side FROM documents
-),
-sh AS (
-    SELECT doc_id, side,
-           list_distinct(CASE WHEN len(w) >= 3
-               THEN list_transform(range(1, len(w) - 1),
-                                   i -> array_to_string(w[i:i+2], ' '))
-               ELSE [] END) AS shingles
-    FROM (SELECT doc_id, side, {{toks}} AS w FROM allside)
-),
-docs2 AS (SELECT * FROM sh WHERE len(shingles) > 0),
-hs AS (
-    SELECT doc_id, side, shingles,
-           list_transform(shingles,
-               x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)) AS hvals
-    FROM docs2
-),
-sig AS (
-    SELECT doc_id, side, shingles,
-           list_transform(range(1, 17),
-               i -> list_min(list_transform(hvals,
-                   h -> (h * {{mh_a}}[i] + {{mh_b}}[i]) % {{prime}}))) AS sig
-    FROM hs
-),
-bands AS (
-    SELECT doc_id, side, shingles, b,
-           {{band_hash}} AS band_hash
-    FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)
-)
-"""
+)"""
 
-SQL_INCREMENTAL_DEDUP = ("WITH " + _INC_SIDE_SH.format(
-    toks=_TOKS,
-    mh_a=_MH_A,
-    mh_b=_MH_B,
-    prime=dd.MINHASH_PRIME,
-    band_hash=_MD5L.format(expr=("'band|' || array_to_string(list_transform("
-                                 "sig[b*4+1:b*4+4], x -> CAST(x AS VARCHAR)), '|')")),
-) + f""",
+SQL_INCREMENTAL_DEDUP = (f"""WITH {_INC_NEWB_SQL},
+{_minhash_sig_ctes("allside", ", side")}""" + f""",
 cand AS (
     SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id,
                     n.shingles AS sh_n, c.shingles AS sh_c

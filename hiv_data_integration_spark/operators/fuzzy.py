@@ -391,7 +391,12 @@ def collect_candidates(
     past the cap, what it does scan feeds the collect, and the candidate
     plan is not evaluated twice.
     """
-    cached = candidates_df.persist()
+    # respect a caller-established cache: persisting is fine (no-op level
+    # change errors aside), but unpersisting in our finally would evict
+    # state the caller still relies on
+    lvl = candidates_df.storageLevel
+    caller_cached = lvl.useMemory or lvl.useDisk
+    cached = candidates_df if caller_cached else candidates_df.persist()
     try:
         probe = cached.limit(max_candidates + 1).count()
         if probe > max_candidates:
@@ -424,7 +429,8 @@ def collect_candidates(
             out.setdefault(r[0], []).append((r[1], r[2]))
         return out
     finally:
-        cached.unpersist()
+        if not caller_cached:
+            cached.unpersist()
 
 
 def resolve_entities(

@@ -154,6 +154,12 @@ def shuffle_shards(
 
     if n_shards < 1:
         raise ValueError("shuffle_shards: n_shards must be >= 1")
+    clash = {"_skey", "shard", "pos"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"shuffle_shards: input already has column(s) {sorted(clash)} — "
+            f"withColumn would silently replace them; rename before sharding"
+        )
     key = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string"))),

@@ -881,7 +881,9 @@ def test_shuffle_shards_deterministic_contiguous_permutation(spark):
     by_shard = {}
     for r in a:
         by_shard.setdefault(r.shard, []).append(r.pos)
-    assert set(by_shard) <= set(range(4))
+    # 200 uniform docs over 4 shards hit every shard — equality, not
+    # subset, so a degenerate constant shard function fails
+    assert set(by_shard) == set(range(4))
     for shard, poss in by_shard.items():
         assert sorted(poss) == list(range(1, len(poss) + 1)), shard
     # determinism: same salt, same permutation
