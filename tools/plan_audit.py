@@ -68,6 +68,10 @@ HEADLINE = [
     "source_quota_cap",
     "funnel_events",
     "cohort_retention_events",
+    "dedup_incremental_batch",
+    "corpus_shuffle_shards",
+    "zorder_clustered_scan",
+    "dedup_semantic_clusters",
 ]
 
 
