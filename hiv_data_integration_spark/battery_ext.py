@@ -1185,6 +1185,43 @@ FROM nation
 """
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip, oracle-checked: write the customer dim
+    as ORC (Spark's second first-class columnar format — same pushdown /
+    pruning machinery as parquet at scale), read it back with a pushed
+    predicate, and aggregate. The oracle reads the original parquet — the
+    ORC hop must be lossless for this schema (strings, longs, doubles)."""
+    import shutil
+    import tempfile
+
+    cust = tbl(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    base = tempfile.mkdtemp(prefix="orc_")
+    try:
+        cust.write.mode("overwrite").orc(base)
+        back = spark.read.orc(base).filter(F.col("c_acctbal") > 0)
+        result = back.groupBy("c_mktsegment").agg(
+            F.count("*").alias("n_cust"),
+            dsum("c_acctbal", scale=2, prec=28).alias("sum_bal"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        )
+        out = _local_result(result)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+SQL_ORC_ROUNDTRIP = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS sum_bal,
+       min(c_custkey) AS min_key, max(c_custkey) AS max_key
+FROM customer WHERE c_acctbal > 0
+GROUP BY c_mktsegment
+"""
+
+
 def q_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-style partitioned layout + partition pruning: write events
     partitioned by event_type, then aggregate one partition. The filter
@@ -2891,6 +2928,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "dedup_semantic_clusters": q_semantic_dedup,
     "dedup_incremental_batch": q_incremental_dedup,
     "corpus_shuffle_shards": q_shuffle_shards,
+    "orc_source_roundtrip": q_orc_roundtrip,
     "approx_sketches_events": q_approx_sketches,
     "streaming_tumbling_counts": q_streaming_tumbling,
     "streaming_exactly_once_dedup": q_streaming_dedup,
@@ -2967,6 +3005,7 @@ EXT_ORACLE: dict[str, str] = {
     "dedup_semantic_clusters": SQL_SEMANTIC_DEDUP,
     "dedup_incremental_batch": SQL_INCREMENTAL_DEDUP,
     "corpus_shuffle_shards": SQL_SHUFFLE_SHARDS,
+    "orc_source_roundtrip": SQL_ORC_ROUNDTRIP,
     # streaming result == batch tumbling aggregation over the same file
     "streaming_tumbling_counts": """
 SELECT event_type, date_trunc('hour', ts) AS window_start,
