@@ -1185,6 +1185,84 @@ FROM nation
 """
 
 
+def q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff audit, HASH-checked: a second orders version plants
+    removals (every 97th key), changes (every 101st surviving key gets a
+    marked priority), and additions (every 103rd key re-added shifted by
+    10M); dataset_diff's full-outer fingerprint join must classify every
+    key. Compare columns are string/integer (the engine-portable subset
+    of the md5 fingerprint projection). Output: per-status key counts +
+    key-sum checksum (exact in BIGINT) so a single misclassified key
+    flips the hash."""
+    from hiv_data_integration_spark.operators.relational import dataset_diff
+
+    old = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_custkey"
+    )
+    survivors = old.filter(F.col("o_orderkey") % 97 != 0)
+    changed = survivors.withColumn(
+        "o_orderpriority",
+        F.when(
+            F.col("o_orderkey") % 101 == 0,
+            F.concat(F.col("o_orderpriority"), F.lit("*")),
+        ).otherwise(F.col("o_orderpriority")),
+    )
+    added = old.filter(F.col("o_orderkey") % 103 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_orderstatus", "o_orderpriority", "o_custkey",
+    )
+    new = changed.unionByName(added)
+    diff = dataset_diff(old, new, ["o_orderkey"])
+    return diff.groupBy("diff_status").agg(
+        F.count("*").alias("n_keys"),
+        F.sum(F.col("o_orderkey") % 1000003).cast("long").alias("key_checksum"),
+    )
+
+
+SQL_DATASET_DIFF = """
+WITH old AS (
+    SELECT o_orderkey, o_orderstatus, o_orderpriority, o_custkey FROM orders
+),
+new_v AS (
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 101 = 0 THEN o_orderpriority || '*'
+                ELSE o_orderpriority END AS o_orderpriority,
+           o_custkey
+    FROM old WHERE o_orderkey % 97 != 0
+    UNION ALL
+    SELECT o_orderkey + 10000000, o_orderstatus, o_orderpriority, o_custkey
+    FROM old WHERE o_orderkey % 103 = 0
+),
+fp_old AS (
+    SELECT o_orderkey,
+           md5(concat_ws(chr(31),
+               COALESCE(CAST(o_orderstatus AS VARCHAR), chr(0)),
+               COALESCE(CAST(o_orderpriority AS VARCHAR), chr(0)),
+               COALESCE(CAST(o_custkey AS VARCHAR), chr(0)))) AS f
+    FROM old
+),
+fp_new AS (
+    SELECT o_orderkey,
+           md5(concat_ws(chr(31),
+               COALESCE(CAST(o_orderstatus AS VARCHAR), chr(0)),
+               COALESCE(CAST(o_orderpriority AS VARCHAR), chr(0)),
+               COALESCE(CAST(o_custkey AS VARCHAR), chr(0)))) AS f
+    FROM new_v
+),
+d AS (
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.f IS NULL THEN 'added'
+                WHEN n.f IS NULL THEN 'removed'
+                WHEN o.f != n.f THEN 'changed'
+                ELSE 'unchanged' END AS diff_status
+    FROM fp_old o FULL OUTER JOIN fp_new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT diff_status, CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(SUM(o_orderkey % 1000003) AS BIGINT) AS key_checksum
+FROM d GROUP BY diff_status
+"""
+
+
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source/sink round-trip, oracle-checked: write the customer dim
     as ORC (Spark's second first-class columnar format — same pushdown /
@@ -2929,6 +3007,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "dedup_incremental_batch": q_incremental_dedup,
     "corpus_shuffle_shards": q_shuffle_shards,
     "orc_source_roundtrip": q_orc_roundtrip,
+    "dataset_diff_audit": q_dataset_diff,
     "approx_sketches_events": q_approx_sketches,
     "streaming_tumbling_counts": q_streaming_tumbling,
     "streaming_exactly_once_dedup": q_streaming_dedup,
@@ -3006,6 +3085,7 @@ EXT_ORACLE: dict[str, str] = {
     "dedup_incremental_batch": SQL_INCREMENTAL_DEDUP,
     "corpus_shuffle_shards": SQL_SHUFFLE_SHARDS,
     "orc_source_roundtrip": SQL_ORC_ROUNDTRIP,
+    "dataset_diff_audit": SQL_DATASET_DIFF,
     # streaming result == batch tumbling aggregation over the same file
     "streaming_tumbling_counts": """
 SELECT event_type, date_trunc('hour', ts) AS window_start,

@@ -26,6 +26,7 @@ __all__ = [
     "salted_join",
     "skyline",
     "skip_rows",
+    "dataset_diff",
 ]
 
 
@@ -266,3 +267,49 @@ def skyline(
     any_gt = reduce(lambda a, b: a | b, gt)
     right = F.broadcast(q) if broadcast_hint else q
     return p.join(right, all_ge & any_gt, "left_anti")
+
+
+def dataset_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot diff between two versions of a keyed dataset: one row per
+    key with ``diff_status`` in added / removed / changed / unchanged —
+    the audit primitive for "what did this pipeline run change".
+
+    Non-key columns are fingerprinted (md5 over a separator-joined,
+    null-marked string projection — portable, so an external oracle can
+    reproduce it for string/integer columns; floating-point and timestamp
+    columns hash consistently WITHIN Spark but their string forms are
+    engine-specific) and versions meet in ONE full-outer join on the key.
+
+    Scale: the join shuffles each side once on the key columns — the
+    minimal movement any content diff needs; the fingerprint collapses
+    arbitrarily wide compare-column sets into one 128-bit value per row,
+    so the shuffle payload stays narrow no matter how wide the table is.
+    """
+    compare = compare_cols or [c for c in old.columns if c not in key_cols]
+    missing = [c for c in compare if c not in new.columns]
+    if missing:
+        raise ValueError(f"dataset_diff: new side lacks compare columns {missing}")
+
+    def fp(df: DataFrame, alias: str) -> DataFrame:
+        parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in compare
+        ]
+        return df.select(
+            *key_cols, F.md5(F.concat_ws("\x1f", *parts)).alias(alias)
+        )
+
+    o = fp(old, "_fp_old")
+    n = fp(new, "_fp_new")
+    joined = o.join(n, key_cols, "full_outer")
+    status = (
+        F.when(F.col("_fp_old").isNull(), F.lit("added"))
+        .when(F.col("_fp_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(*key_cols, status.alias("diff_status"))

@@ -899,3 +899,26 @@ def test_shuffle_shards_deterministic_contiguous_permutation(spark):
     }
     with pytest.raises(ValueError):
         shuffle_shards(df, "doc_id", n_shards=0)
+
+
+def test_dataset_diff_classifies_all_statuses(spark):
+    from hiv_data_integration_spark.operators.relational import dataset_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, None, 40), (5, "e", 50)],
+        "k long, s string, v long",
+    )
+    got = {r.k: r.diff_status for r in dataset_diff(old, new, ["k"]).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "unchanged",  # NULL compare value hashes stably via the marker
+        5: "added",
+    }
+    with pytest.raises(ValueError, match="compare columns"):
+        dataset_diff(old, new.drop("v"), ["k"])
