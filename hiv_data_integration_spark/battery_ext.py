@@ -1185,6 +1185,49 @@ FROM nation
 """
 
 
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning, HASH-checked: a synthetic file
+    manifest (one file per document, size = text length, partitioned by
+    lang) runs through the next-fit window binning; per-(lang, bin) file
+    counts and byte totals verify every bin assignment. The op's own
+    ``bin_bytes`` output is surfaced via max() so the oracle checks the
+    operator's column, not a recomputation."""
+    from hiv_data_integration_spark.io.layout import compaction_plan
+
+    manifest = tbl(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("file_id"),
+        F.length("text").cast("long").alias("size_bytes"),
+        "lang",
+    )
+    planned = compaction_plan(
+        manifest, size_col="size_bytes", file_col="file_id",
+        target_bytes=4000, group_cols=["lang"],
+    )
+    return planned.groupBy("lang", "bin").agg(
+        F.count("*").alias("n_files"),
+        F.max("bin_bytes").alias("bin_bytes"),
+    )
+
+
+SQL_COMPACTION_PLAN = """
+WITH manifest AS (
+    SELECT doc_id AS file_id, CAST(length(text) AS BIGINT) AS size_bytes, lang
+    FROM documents
+),
+b AS (
+    SELECT file_id, lang, size_bytes,
+           CAST(floor(COALESCE(SUM(size_bytes) OVER (
+                    PARTITION BY lang ORDER BY size_bytes DESC, file_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / 4000.0) AS BIGINT) AS bin
+    FROM manifest
+)
+SELECT lang, bin, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(SUM(size_bytes) AS BIGINT) AS bin_bytes
+FROM b GROUP BY lang, bin
+"""
+
+
 def q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff audit, HASH-checked: a second orders version plants
     removals (every 97th key), changes (every 101st surviving key gets a
@@ -3008,6 +3051,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "corpus_shuffle_shards": q_shuffle_shards,
     "orc_source_roundtrip": q_orc_roundtrip,
     "dataset_diff_audit": q_dataset_diff,
+    "compaction_plan_bins": q_compaction_plan,
     "approx_sketches_events": q_approx_sketches,
     "streaming_tumbling_counts": q_streaming_tumbling,
     "streaming_exactly_once_dedup": q_streaming_dedup,
@@ -3086,6 +3130,7 @@ EXT_ORACLE: dict[str, str] = {
     "corpus_shuffle_shards": SQL_SHUFFLE_SHARDS,
     "orc_source_roundtrip": SQL_ORC_ROUNDTRIP,
     "dataset_diff_audit": SQL_DATASET_DIFF,
+    "compaction_plan_bins": SQL_COMPACTION_PLAN,
     # streaming result == batch tumbling aggregation over the same file
     "streaming_tumbling_counts": """
 SELECT event_type, date_trunc('hour', ts) AS window_start,

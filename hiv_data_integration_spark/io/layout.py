@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["zorder_key", "write_zordered", "column_minmax"]
+__all__ = ["zorder_key", "write_zordered", "column_minmax", "compaction_plan"]
 
 
 def _numeric(c: Column, dt: T.DataType | None) -> Column:
@@ -131,4 +131,49 @@ def write_zordered(
         .drop("__z")
         .write.mode("overwrite")
         .parquet(path)
+    )
+
+
+def compaction_plan(
+    files: DataFrame,
+    size_col: str = "size_bytes",
+    file_col: str = "file_id",
+    target_bytes: int = 128 * 1024 * 1024,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Small-file compaction plan: assign input files to output bins of
+    ~``target_bytes`` — the table-maintenance pass every long-lived
+    parquet dataset needs (streaming sinks and per-period exports leave
+    kilobyte files whose per-file open/footer cost dominates reads at
+    scale).
+
+    Next-fit by deterministic order: files sort by (size desc, id) inside
+    each ``group_cols`` partition (compaction never merges across
+    partitions), and a file starts a new bin when the running total
+    before it has consumed whole multiples of the target —
+    ``bin = floor(cumsum_prev / target)``. One window pass, exactly
+    reproducible in SQL (no greedy driver loop), bins are contiguous in
+    the ordering so bin assignment is stable under append.
+
+    Output: input columns + ``bin`` (long) + ``bin_bytes`` (long, total
+    assigned to that bin). A bin's total can exceed ``target_bytes`` by
+    at most one file — next-fit's bounded overshoot.
+    """
+    from pyspark.sql.window import Window
+
+    if target_bytes < 1:
+        raise ValueError("compaction_plan: target_bytes must be >= 1")
+    part = group_cols or []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(F.col(size_col).desc(), F.col(file_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_prev = F.coalesce(F.sum(size_col).over(w), F.lit(0)).cast("long")
+    binned = files.withColumn(
+        "bin", F.floor(cum_prev / F.lit(target_bytes)).cast("long")
+    )
+    wb = Window.partitionBy(*(part + ["bin"]))
+    return binned.withColumn(
+        "bin_bytes", F.sum(size_col).over(wb).cast("long")
     )

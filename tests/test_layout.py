@@ -164,3 +164,40 @@ def test_zorder_timestamp_dimension(spark, tmp_path):
     a = sorted(map(tuple, back.orderBy("ts", "user_id", "value").collect()))
     b = sorted(map(tuple, ev.orderBy("ts", "user_id", "value").collect()))
     assert a == b
+
+
+def test_compaction_plan_next_fit_bins(spark):
+    """Next-fit binning invariants: a bin's bytes overshoot the target by
+    at most one file, bins are contiguous per group, singletons larger
+    than the target get their own bin, and groups never mix."""
+    from hiv_data_integration_spark.io.layout import compaction_plan
+
+    rows = [
+        ("a", 1, 90), ("a", 2, 80), ("a", 3, 50), ("a", 4, 40), ("a", 5, 10),
+        ("b", 6, 500),  # oversized singleton
+        ("b", 7, 30), ("b", 8, 30),
+    ]
+    df = spark.createDataFrame(rows, "grp string, file_id long, size_bytes long")
+    out = compaction_plan(
+        df, size_col="size_bytes", file_col="file_id",
+        target_bytes=100, group_cols=["grp"],
+    ).collect()
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault((r.grp, r.bin), []).append(r)
+    for (grp, b), members in by_bin.items():
+        total = sum(m.size_bytes for m in members)
+        assert all(m.bin_bytes == total for m in members)
+        # overshoot bounded by the last-added (smallest-in-order) file
+        if len(members) > 1:
+            smallest = min(m.size_bytes for m in members)
+            assert total - smallest < 100, (grp, b, total)
+    # the oversized file is alone in its bin within group b's ordering
+    big = [r for r in out if r.file_id == 6][0]
+    assert by_bin[("b", big.bin)] == [big]
+    # groups never share bins' membership
+    assert all(len({m.grp for m in ms}) == 1 for ms in by_bin.values())
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        compaction_plan(df, target_bytes=0)
