@@ -1278,18 +1278,16 @@ new_v AS (
 ),
 fp_old AS (
     SELECT o_orderkey,
-           md5(concat_ws(chr(31),
-               COALESCE(CAST(o_orderstatus AS VARCHAR), chr(0)),
-               COALESCE(CAST(o_orderpriority AS VARCHAR), chr(0)),
-               COALESCE(CAST(o_custkey AS VARCHAR), chr(0)))) AS f
+           md5((CASE WHEN o_orderstatus IS NULL THEN 'n' ELSE CAST(length(CAST(o_orderstatus AS VARCHAR)) AS VARCHAR) || ':' || CAST(o_orderstatus AS VARCHAR) END) ||
+               (CASE WHEN o_orderpriority IS NULL THEN 'n' ELSE CAST(length(CAST(o_orderpriority AS VARCHAR)) AS VARCHAR) || ':' || CAST(o_orderpriority AS VARCHAR) END) ||
+               (CASE WHEN o_custkey IS NULL THEN 'n' ELSE CAST(length(CAST(o_custkey AS VARCHAR)) AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR) END)) AS f
     FROM old
 ),
 fp_new AS (
     SELECT o_orderkey,
-           md5(concat_ws(chr(31),
-               COALESCE(CAST(o_orderstatus AS VARCHAR), chr(0)),
-               COALESCE(CAST(o_orderpriority AS VARCHAR), chr(0)),
-               COALESCE(CAST(o_custkey AS VARCHAR), chr(0)))) AS f
+           md5((CASE WHEN o_orderstatus IS NULL THEN 'n' ELSE CAST(length(CAST(o_orderstatus AS VARCHAR)) AS VARCHAR) || ':' || CAST(o_orderstatus AS VARCHAR) END) ||
+               (CASE WHEN o_orderpriority IS NULL THEN 'n' ELSE CAST(length(CAST(o_orderpriority AS VARCHAR)) AS VARCHAR) || ':' || CAST(o_orderpriority AS VARCHAR) END) ||
+               (CASE WHEN o_custkey IS NULL THEN 'n' ELSE CAST(length(CAST(o_custkey AS VARCHAR)) AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR) END)) AS f
     FROM new_v
 ),
 d AS (

@@ -152,8 +152,11 @@ def compaction_plan(
     partitions), and a file starts a new bin when the running total
     before it has consumed whole multiples of the target —
     ``bin = floor(cumsum_prev / target)``. One window pass, exactly
-    reproducible in SQL (no greedy driver loop), bins are contiguous in
-    the ordering so bin assignment is stable under append.
+    reproducible in SQL (no greedy driver loop). NB: assignments are a
+    pure function of the CURRENT manifest — appending a file larger than
+    an existing one reorders the size-desc sort and can reassign every
+    bin in its group, so re-plan per maintenance run rather than caching
+    bins across appends.
 
     Output: input columns + ``bin`` (long) + ``bin_bytes`` (long, total
     assigned to that bin). A bin's total can exceed ``target_bytes`` by
@@ -163,6 +166,12 @@ def compaction_plan(
 
     if target_bytes < 1:
         raise ValueError("compaction_plan: target_bytes must be >= 1")
+    clash = {"bin", "bin_bytes"} & set(files.columns)
+    if clash:
+        raise ValueError(
+            f"compaction_plan: input already has column(s) {sorted(clash)} — "
+            f"withColumn would silently replace them; rename before planning"
+        )
     part = group_cols or []
     w = (
         Window.partitionBy(*part)

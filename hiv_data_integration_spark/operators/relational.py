@@ -274,34 +274,69 @@ def dataset_diff(
     new: DataFrame,
     key_cols: list[str],
     compare_cols: list[str] | None = None,
+    validate_keys: bool = False,
 ) -> DataFrame:
     """Snapshot diff between two versions of a keyed dataset: one row per
     key with ``diff_status`` in added / removed / changed / unchanged —
     the audit primitive for "what did this pipeline run change".
 
-    Non-key columns are fingerprinted (md5 over a separator-joined,
-    null-marked string projection — portable, so an external oracle can
-    reproduce it for string/integer columns; floating-point and timestamp
-    columns hash consistently WITHIN Spark but their string forms are
-    engine-specific) and versions meet in ONE full-outer join on the key.
+    Non-key columns are fingerprinted — md5 over LENGTH-PREFIXED string
+    projections (``len:value`` per column, ``n`` for NULL), which is
+    injective: no separator byte or null-marker collision can make two
+    different value tuples hash equal. The projection is portable, so an
+    external oracle can reproduce it for string/integer columns;
+    floating-point and timestamp columns hash consistently WITHIN Spark
+    but their string forms are engine-specific. Versions meet in ONE
+    full-outer join on the key. ``compare_cols=[]`` is an explicit
+    existence-only diff (added/removed/unchanged; never ``changed``).
+
+    The one-row-per-key contract requires UNIQUE keys on both sides —
+    duplicate keys fan the full-outer join out to m×n rows and garble
+    counts. Pass ``validate_keys=True`` to pay one extra aggregate per
+    side and fail loudly on duplicates (an audit usually WANTS that
+    check: duplicate keys are themselves a pipeline defect).
 
     Scale: the join shuffles each side once on the key columns — the
     minimal movement any content diff needs; the fingerprint collapses
     arbitrarily wide compare-column sets into one 128-bit value per row,
     so the shuffle payload stays narrow no matter how wide the table is.
     """
-    compare = compare_cols or [c for c in old.columns if c not in key_cols]
+    compare = (
+        compare_cols
+        if compare_cols is not None
+        else [c for c in old.columns if c not in key_cols]
+    )
     missing = [c for c in compare if c not in new.columns]
     if missing:
         raise ValueError(f"dataset_diff: new side lacks compare columns {missing}")
+    if validate_keys:
+        for side, df in (("old", old), ("new", new)):
+            dup = (
+                df.groupBy(*key_cols)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"dataset_diff: duplicate key in {side} side: "
+                    f"{ {k: dup[0][k] for k in key_cols} }"
+                )
 
     def fp(df: DataFrame, alias: str) -> DataFrame:
-        parts = [
-            F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in compare
-        ]
-        return df.select(
-            *key_cols, F.md5(F.concat_ws("\x1f", *parts)).alias(alias)
+        parts = []
+        for c in compare:
+            s = F.col(c).cast("string")
+            parts.append(
+                F.when(s.isNull(), F.lit("n")).otherwise(
+                    F.concat(F.length(s).cast("string"), F.lit(":"), s)
+                )
+            )
+        fp_col = (
+            F.md5(F.concat(*parts)) if parts else F.lit("")  # existence-only
         )
+        return df.select(*key_cols, fp_col.alias(alias))
 
     o = fp(old, "_fp_old")
     n = fp(new, "_fp_new")

@@ -922,3 +922,42 @@ def test_dataset_diff_classifies_all_statuses(spark):
     }
     with pytest.raises(ValueError, match="compare columns"):
         dataset_diff(old, new.drop("v"), ["k"])
+
+
+def test_dataset_diff_injection_safe_and_duplicate_guard(spark):
+    """Length-prefixed fingerprints: separator-like bytes and NULL-marker
+    look-alikes cannot collide; explicit empty compare set is an
+    existence-only diff; validate_keys surfaces duplicate keys."""
+    from hiv_data_integration_spark.operators.relational import dataset_diff
+
+    # classic injection pair: ('a\x1fb','c') vs ('a','b\x1fc')
+    old = spark.createDataFrame([(1, "a\x1fb", "c")], "k long, x string, y string")
+    new = spark.createDataFrame([(1, "a", "b\x1fc")], "k long, x string, y string")
+    got = dataset_diff(old, new, ["k"]).collect()[0]
+    assert got.diff_status == "changed"
+
+    # NULL vs a literal marker-like value must differ
+    old2 = spark.createDataFrame([(1, None)], "k long, x string")
+    new2 = spark.createDataFrame([(1, "n")], "k long, x string")
+    assert dataset_diff(old2, new2, ["k"]).collect()[0].diff_status == "changed"
+
+    # explicit empty compare set: existence-only (no 'changed' possible)
+    assert (
+        dataset_diff(old, new, ["k"], compare_cols=[]).collect()[0].diff_status
+        == "unchanged"
+    )
+
+    # duplicate-key validation
+    dup_old = spark.createDataFrame([(1, "a"), (1, "b")], "k long, x string")
+    with pytest.raises(ValueError, match="duplicate key"):
+        dataset_diff(dup_old, new2, ["k"], validate_keys=True)
+
+
+def test_compaction_plan_rejects_column_clash(spark):
+    from hiv_data_integration_spark.io.layout import compaction_plan
+
+    df = spark.createDataFrame(
+        [("a", 1, 10, 99)], "grp string, file_id long, size_bytes long, bin long"
+    )
+    with pytest.raises(ValueError, match="bin"):
+        compaction_plan(df, group_cols=["grp"])
