@@ -1185,6 +1185,65 @@ FROM nation
 """
 
 
+def q_clean_corpus_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text cleaning, HASH-checked: deterministic dirt is injected
+    (a NUL control char on every 7th doc, a zero-width space on every
+    11th, doubled spaces on every 13th), the C4/CCNet-style cleaner
+    strips it, and per-lang counts + total removed characters verify
+    every cleaning decision. The regex classes run verbatim in DuckDB
+    (RE2) and Spark (Java regex); the one \\s dialect difference
+    (vertical tab) is removed by the control-strip step first, so the
+    engines agree by construction."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    dirty = docs.withColumn(
+        "dirty",
+        F.concat(
+            F.when(F.col("doc_id") % 7 == 0, F.lit("A\x00")).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("\u200b")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 13 == 0, F.lit("  x")).otherwise(F.lit("")),
+        ),
+    )
+    cleaned = dirty.withColumn("clean", tx.clean_corpus_text(F.col("dirty")))
+    return cleaned.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("clean") != F.col("dirty")).cast("int"))
+        .cast("long")
+        .alias("n_changed"),
+        F.sum(F.length("dirty") - F.length("clean"))
+        .cast("long")
+        .alias("chars_removed"),
+    )
+
+
+SQL_CLEAN_CORPUS_TEXT = """
+WITH dirty AS (
+    SELECT doc_id, lang,
+           (CASE WHEN doc_id % 7 = 0 THEN 'A' || chr(0) ELSE '' END)
+           || text
+           || (CASE WHEN doc_id % 11 = 0 THEN chr(8203) ELSE '' END)
+           || (CASE WHEN doc_id % 13 = 0 THEN '  x' ELSE '' END) AS d
+    FROM documents
+),
+cleaned AS (
+    SELECT doc_id, lang, d,
+           trim(regexp_replace(
+               regexp_replace(
+                   regexp_replace(d,
+                       '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]', '', 'g'),
+                   '[\\x{200b}-\\x{200d}\\x{feff}\\x{ad}]', '', 'g'),
+               '[\\s\\x{a0}]+', ' ', 'g')) AS c
+    FROM dirty
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN c != d THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(SUM(length(d) - length(c)) AS BIGINT) AS chars_removed
+FROM cleaned GROUP BY lang
+"""
+
+
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planning, HASH-checked: a synthetic file
     manifest (one file per document, size = text length, partitioned by
@@ -3050,6 +3109,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "orc_source_roundtrip": q_orc_roundtrip,
     "dataset_diff_audit": q_dataset_diff,
     "compaction_plan_bins": q_compaction_plan,
+    "text_clean_corpus": q_clean_corpus_text,
     "approx_sketches_events": q_approx_sketches,
     "streaming_tumbling_counts": q_streaming_tumbling,
     "streaming_exactly_once_dedup": q_streaming_dedup,
@@ -3129,6 +3189,7 @@ EXT_ORACLE: dict[str, str] = {
     "orc_source_roundtrip": SQL_ORC_ROUNDTRIP,
     "dataset_diff_audit": SQL_DATASET_DIFF,
     "compaction_plan_bins": SQL_COMPACTION_PLAN,
+    "text_clean_corpus": SQL_CLEAN_CORPUS_TEXT,
     # streaming result == batch tumbling aggregation over the same file
     "streaming_tumbling_counts": """
 SELECT event_type, date_trunc('hour', ts) AS window_start,

@@ -16,6 +16,7 @@ __all__ = [
     "token_count",
     "regex_token_count",
     "normalize_text_basic",
+    "clean_corpus_text",
     "fingerprint",
     "rolling_fingerprint",
     "stopword_count",
@@ -80,6 +81,27 @@ def normalize_text_basic(col: Column) -> Column:
     reference's normalize_text, update_pnls_report/utils.py:543-558; the
     NFD accent folding lives in operators.fuzzy as a pandas_udf)."""
     return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def clean_corpus_text(col: Column, lowercase: bool = False) -> Column:
+    """Corpus-grade text cleaning (the C4/CCNet-style pre-filter pass):
+
+    1. strip C0/C1 control characters (except \\t \\n \\r, which step 3
+       normalizes) and DEL;
+    2. strip zero-width code points (ZWSP/ZWNJ/ZWJ/BOM) and soft hyphen —
+       invisible characters that break tokenization and dedup hashing;
+    3. collapse all whitespace runs (incl. NBSP) to single spaces, trim.
+
+    Pure native regexp chain (RE2-compatible classes — the same patterns
+    run verbatim in DuckDB for the oracle); optional lowercasing for
+    hash-normalization pipelines. Unicode normalization (NFD/NFKC) stays
+    in ``operators.fuzzy.nfd_fold`` — it needs Python and most corpus
+    pipelines apply it selectively.
+    """
+    c = F.regexp_replace(col, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]", "")
+    c = F.regexp_replace(c, "[\\u200b-\\u200d\\ufeff\\u00ad]", "")
+    c = F.trim(F.regexp_replace(c, "[\\s\\u00a0]+", " "))
+    return F.lower(c) if lowercase else c
 
 
 def fingerprint(col: Column) -> Column:

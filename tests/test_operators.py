@@ -961,3 +961,31 @@ def test_compaction_plan_rejects_column_clash(spark):
     )
     with pytest.raises(ValueError, match="bin"):
         compaction_plan(df, group_cols=["grp"])
+
+
+def test_clean_corpus_text_strips_invisibles(spark):
+    from hiv_data_integration_spark.operators import textops as tx
+
+    rows = [
+        ("a\x00b\x1fc",),            # control chars deleted, tokens merge
+        ("x\u200by\u00ady",),  # zero-width + soft hyphen deleted
+        ("a    b\tc\nd",),      # NBSP/tab/newline runs -> single spaces
+        ("  already clean  ",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "t string")
+    got = [
+        r.c for r in df.select(
+            tx.clean_corpus_text(F.col("t")).alias("c")
+        ).collect()
+    ]
+    assert got[0] == "abc"
+    assert got[1] == "xyy"
+    assert got[2] == "a b c d"
+    assert got[3] == "already clean"
+    assert got[4] is None
+    # lowercase knob
+    low = df.limit(1).select(
+        tx.clean_corpus_text(F.lit("A\x00B"), lowercase=True).alias("c")
+    ).collect()[0].c
+    assert low == "ab"
