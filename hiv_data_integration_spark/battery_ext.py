@@ -16,6 +16,7 @@ from hiv_data_integration_spark.battery import QueryFn, dsum, read_events_stream
 from hiv_data_integration_spark.operators.aggregate import (
     cohort_retention as agg_cohort,
     funnel_conversion as agg_funnel,
+    user_event_sequences as agg_user_seq,
 )
 from hiv_data_integration_spark.operators import dedup as dd
 from hiv_data_integration_spark.operators import fuzzy as fz
@@ -1182,6 +1183,34 @@ SQL_SPECTRUM_CSV = """
 SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
        CAST(n_regionkey AS BIGINT) AS n_regionkey
 FROM nation
+"""
+
+
+def q_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence extraction, HASH-checked down to the ordering:
+    per-user chronological event-type sequences truncated to 20, verified
+    element-for-element against ``list(x ORDER BY ts, event_id)`` — the
+    (ts, event_id) key is unique so both engines produce the identical
+    array. Restricted to users with ≥ 2 events to keep the result set
+    meaningful."""
+    ev = tbl(spark, sf_dir, "events")
+    seqs = agg_user_seq(
+        ev, "user_id", "event_type", ["ts", "event_id"], max_len=20
+    )
+    return seqs.filter(F.col("n_events") >= 2).select(
+        "user", F.col("n_events").cast("long").alias("n_events"),
+        "seq_len", "sequence",
+    )
+
+
+SQL_USER_EVENT_SEQUENCES = """
+SELECT user_id AS user,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(LEAST(count(*), 20) AS BIGINT) AS seq_len,
+       (list(event_type ORDER BY ts, event_id))[1:20] AS sequence
+FROM events
+GROUP BY user_id
+HAVING count(*) >= 2
 """
 
 
@@ -3110,6 +3139,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "dataset_diff_audit": q_dataset_diff,
     "compaction_plan_bins": q_compaction_plan,
     "text_clean_corpus": q_clean_corpus_text,
+    "user_event_sequences": q_user_event_sequences,
     "approx_sketches_events": q_approx_sketches,
     "streaming_tumbling_counts": q_streaming_tumbling,
     "streaming_exactly_once_dedup": q_streaming_dedup,
@@ -3190,6 +3220,7 @@ EXT_ORACLE: dict[str, str] = {
     "dataset_diff_audit": SQL_DATASET_DIFF,
     "compaction_plan_bins": SQL_COMPACTION_PLAN,
     "text_clean_corpus": SQL_CLEAN_CORPUS_TEXT,
+    "user_event_sequences": SQL_USER_EVENT_SEQUENCES,
     # streaming result == batch tumbling aggregation over the same file
     "streaming_tumbling_counts": """
 SELECT event_type, date_trunc('hour', ts) AS window_start,

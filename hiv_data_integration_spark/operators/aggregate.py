@@ -22,6 +22,7 @@ __all__ = [
     "sessionize",
     "funnel_conversion",
     "cohort_retention",
+    "user_event_sequences",
 ]
 
 
@@ -262,4 +263,43 @@ def cohort_retention(
             ),
         )
         .agg(F.count_distinct("_u").alias("n_users"))
+    )
+
+
+def user_event_sequences(
+    df: DataFrame,
+    user_col: str,
+    event_col: str,
+    order_cols: list[str],
+    max_len: int = 50,
+) -> DataFrame:
+    """Per-user ordered event sequences — the behavioral-data-to-training-
+    sample primitive (recommendation / next-action models consume exactly
+    this shape: one row per user, the chronologically ordered action
+    list, truncated to a budget).
+
+    One hash aggregate per user: ``collect_list(struct(order, event))`` →
+    ``array_sort`` (struct ordering is field-by-field, so ``order_cols``
+    must make the sort key unique — e.g. ``[ts, event_id]``) → project
+    the event column → head-truncate to ``max_len``. Deterministic by
+    construction, so an external oracle reproduces the sequences
+    bit-for-bit (``list(x ORDER BY ...)`` + slice).
+
+    Scale: the only shuffle is the per-user aggregate; per-group state is
+    the user's own event list — bounded by per-user activity, with
+    ``max_len`` as the downstream contract (pre-filter upstream if single
+    users can hold millions of events).
+
+    Output: ``(user, n_events, seq_len, sequence)``.
+    """
+    if max_len < 1:
+        raise ValueError("user_event_sequences: max_len must be >= 1")
+    key = F.struct(*[F.col(c) for c in order_cols], F.col(event_col).alias("_e"))
+    seq_full = F.transform(
+        F.array_sort(F.collect_list(key)), lambda s: s.getField("_e")
+    )
+    return df.groupBy(F.col(user_col).alias("user")).agg(
+        F.count("*").alias("n_events"),
+        F.least(F.count("*"), F.lit(max_len)).cast("long").alias("seq_len"),
+        F.slice(seq_full, 1, max_len).alias("sequence"),
     )

@@ -989,3 +989,32 @@ def test_clean_corpus_text_strips_invisibles(spark):
         tx.clean_corpus_text(F.lit("A\x00B"), lowercase=True).alias("c")
     ).collect()[0].c
     assert low == "ab"
+
+
+def test_user_event_sequences_order_and_truncation(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        user_event_sequences,
+    )
+
+    rows = [
+        # user 1: out-of-order inserts, tie on ts broken by event_id
+        (1, "2024-01-01 10:00:02", 3, "c"),
+        (1, "2024-01-01 10:00:01", 2, "b"),
+        (1, "2024-01-01 10:00:01", 1, "a"),
+        (2, "2024-01-01 09:00:00", 4, "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {
+        r.user: r
+        for r in user_event_sequences(
+            df, "user_id", "event_type", ["ts", "event_id"], max_len=2
+        ).collect()
+    }
+    assert out[1].sequence == ["a", "b"]  # sorted by (ts, event_id), cut at 2
+    assert out[1].n_events == 3 and out[1].seq_len == 2
+    assert out[2].sequence == ["x"] and out[2].seq_len == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        user_event_sequences(df, "user_id", "event_type", ["ts"], max_len=0)
