@@ -16,6 +16,7 @@ from hiv_data_integration_spark.battery import QueryFn, dsum, read_events_stream
 from hiv_data_integration_spark.operators.aggregate import (
     cohort_retention as agg_cohort,
     funnel_conversion as agg_funnel,
+    trailing_window_features as agg_trailing,
     user_event_sequences as agg_user_seq,
 )
 from hiv_data_integration_spark.operators import dedup as dd
@@ -1183,6 +1184,43 @@ SQL_SPECTRUM_CSV = """
 SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
        CAST(n_regionkey AS BIGINT) AS n_regionkey
 FROM nation
+"""
+
+
+def q_trailing_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-interval features (1-hour window), HASH-checked
+    per event: RANGE-frame count + decimal-exact value sum over tz-proof
+    epoch seconds — identical frame semantics in both engines, and the
+    decimal accumulator makes the sum independent of evaluation order.
+    Rolled up per user (n_events, max trailing count, decimal-exact total
+    of the per-event sums) to keep the result set compact while every
+    event's window still feeds the hash."""
+    ev = tbl(spark, sf_dir, "events")
+    feats = agg_trailing(ev, "user_id", "ts", "value", window_seconds=3600)
+    return feats.groupBy(F.col("user_id").alias("user")).agg(
+        F.count("*").alias("n_events"),
+        F.max("n_trailing").alias("max_trailing"),
+        F.sum(F.col("sum_trailing").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("total_trailing"),
+    )
+
+
+SQL_TRAILING_WINDOW = """
+WITH f AS (
+    SELECT user_id,
+           count(*) OVER w AS n_trailing,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+               AS sum_trailing
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id AS user, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(n_trailing) AS BIGINT) AS max_trailing,
+       CAST(SUM(CAST(sum_trailing AS DECIMAL(28,6))) AS DOUBLE)
+           AS total_trailing
+FROM f GROUP BY user_id
 """
 
 
@@ -3140,6 +3178,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "compaction_plan_bins": q_compaction_plan,
     "text_clean_corpus": q_clean_corpus_text,
     "user_event_sequences": q_user_event_sequences,
+    "trailing_window_features": q_trailing_window_features,
     "approx_sketches_events": q_approx_sketches,
     "streaming_tumbling_counts": q_streaming_tumbling,
     "streaming_exactly_once_dedup": q_streaming_dedup,
@@ -3221,6 +3260,7 @@ EXT_ORACLE: dict[str, str] = {
     "compaction_plan_bins": SQL_COMPACTION_PLAN,
     "text_clean_corpus": SQL_CLEAN_CORPUS_TEXT,
     "user_event_sequences": SQL_USER_EVENT_SEQUENCES,
+    "trailing_window_features": SQL_TRAILING_WINDOW,
     # streaming result == batch tumbling aggregation over the same file
     "streaming_tumbling_counts": """
 SELECT event_type, date_trunc('hour', ts) AS window_start,

@@ -23,6 +23,7 @@ __all__ = [
     "funnel_conversion",
     "cohort_retention",
     "user_event_sequences",
+    "trailing_window_features",
 ]
 
 
@@ -147,6 +148,24 @@ def tumbling_window_agg(
     )
 
 
+def _epoch_seconds(df: DataFrame, ts_col: str) -> Column:
+    """Timezone-proof epoch seconds. NTZ gets pure field arithmetic on
+    the local value (no timezone involved — the NTZ→TIMESTAMP→long hop
+    only cancels in subtractions for CONSTANT offsets, and a DST-observing
+    session shifts gaps straddling a transition); LTZ is already an epoch
+    and casts to long timezone-independently by definition."""
+    ts_type = df.schema[ts_col].dataType
+    if isinstance(ts_type, T.TimestampNTZType):
+        c = F.col(ts_col)
+        return (
+            F.unix_date(c.cast("date")).cast("long") * 86400
+            + F.hour(c) * 3600
+            + F.minute(c) * 60
+            + F.second(c)
+        )
+    return F.col(ts_col).cast("timestamp").cast("long")
+
+
 def sessionize(
     df: DataFrame,
     user_col: str,
@@ -163,24 +182,7 @@ def sessionize(
 
     w = Window.partitionBy(user_col).orderBy(ts_col)
     gap_s = gap_minutes * 60
-    # Epoch-seconds extraction must not route through the session
-    # timezone: the NTZ->TIMESTAMP->long hop only cancels in the
-    # subtraction for CONSTANT offsets — in a DST-observing session a gap
-    # straddling a transition shifts by the DST delta. Dispatch on the
-    # actual type instead: NTZ gets pure field arithmetic on the local
-    # value (no timezone involved at all); LTZ is already an epoch, and
-    # a direct cast to long is timezone-independent by definition.
-    ts_type = df.schema[ts_col].dataType
-    if isinstance(ts_type, T.TimestampNTZType):
-        c = F.col(ts_col)
-        epoch_s = (
-            F.unix_date(c.cast("date")).cast("long") * 86400
-            + F.hour(c) * 3600
-            + F.minute(c) * 60
-            + F.second(c)
-        )
-    else:
-        epoch_s = F.col(ts_col).cast("timestamp").cast("long")
+    epoch_s = _epoch_seconds(df, ts_col)  # tz-proof: see the helper
     prev_ts = F.lag(epoch_s).over(w)
     new_session = (
         F.when(prev_ts.isNull(), F.lit(1))
@@ -302,4 +304,45 @@ def user_event_sequences(
         F.count("*").alias("n_events"),
         F.least(F.count("*"), F.lit(max_len)).cast("long").alias("seq_len"),
         F.slice(seq_full, 1, max_len).alias("sequence"),
+    )
+
+
+def trailing_window_features(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int = 600,
+) -> DataFrame:
+    """Per-event trailing-interval features: for every event, the count
+    and exact value sum over the SAME user's events in the preceding
+    ``window_seconds`` (inclusive of the current row and of same-second
+    peers — RANGE frame semantics, identical in every engine).
+
+    The classic real-time feature-engineering shape ("activity in the
+    last 10 minutes") expressed as ONE range-frame window over tz-proof
+    epoch seconds — no self-join, no explosion; the only shuffle is the
+    per-user partition. Value sums accumulate in DECIMAL so the result
+    is order-independent and bit-identical across engines (a double
+    accumulator would round differently under each engine's frame
+    evaluation order).
+
+    Output: input columns + ``n_trailing`` (long) + ``sum_trailing``
+    (double, decimal-exact).
+    """
+    from pyspark.sql.window import Window
+
+    if window_seconds < 0:
+        raise ValueError("trailing_window_features: window_seconds must be >= 0")
+    epoch_s = _epoch_seconds(df, ts_col)
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(epoch_s)
+        .rangeBetween(-window_seconds, 0)
+    )
+    return df.withColumn(
+        "n_trailing", F.count("*").over(w).cast("long")
+    ).withColumn(
+        "sum_trailing",
+        F.sum(F.col(value_col).cast("decimal(28,6)")).over(w).cast("double"),
     )

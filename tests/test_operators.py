@@ -1018,3 +1018,34 @@ def test_user_event_sequences_order_and_truncation(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         user_event_sequences(df, "user_id", "event_type", ["ts"], max_len=0)
+
+
+def test_trailing_window_features_frame_semantics(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        trailing_window_features,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1.0),
+        (1, "2024-01-01 10:05:00", 2.0),
+        (1, "2024-01-01 10:05:00", 4.0),   # same-second peer: RANGE includes both
+        (1, "2024-01-01 11:30:00", 8.0),   # outside the 1h window of the rest
+        (2, "2024-01-01 10:01:00", 16.0),  # other user isolated
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = trailing_window_features(
+        df, "user_id", "ts", "value", window_seconds=3600
+    ).collect()
+    got = sorted(
+        ((r.user_id, r.ts.isoformat(), r.value, r.n_trailing, r.sum_trailing)
+         for r in out)
+    )
+    by = {(u, t, v): (n, s) for u, t, v, n, s in got}
+    assert by[(1, "2024-01-01T10:00:00", 1.0)] == (1, 1.0)
+    # RANGE frame: both 10:05:00 rows are peers -> each sees all three
+    assert by[(1, "2024-01-01T10:05:00", 2.0)] == (3, 7.0)
+    assert by[(1, "2024-01-01T10:05:00", 4.0)] == (3, 7.0)
+    # 11:30 is 85 min after 10:05 -> only itself
+    assert by[(1, "2024-01-01T11:30:00", 8.0)] == (1, 8.0)
+    assert by[(2, "2024-01-01T10:01:00", 16.0)] == (1, 16.0)
