@@ -1187,6 +1187,49 @@ FROM nation
 """
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture sampling, HASH-checked: documents mix to exact
+    en:fr:de = 3:2:1 quotas (T = min over weighted langs of
+    floor(n/weight); lang keeps T·w rows, unweighted langs drop), chosen
+    in deterministic md5-of-salted-id order. Output: per-lang kept count
+    (exactly T·w — the mixture invariant itself) plus an id-sum checksum
+    so WHICH rows were kept is verified, not just how many."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "lang")
+    kept = sp.mixture_quota_sample(
+        docs, "lang", "doc_id", weights={"en": 3, "fr": 2, "de": 1}
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(F.col("doc_id") % 1000003).cast("long").alias("id_checksum"),
+    )
+
+
+SQL_MIXTURE_SAMPLE = """
+WITH counts AS (
+    SELECT lang, count(*) AS n FROM documents GROUP BY lang
+),
+w AS (
+    SELECT * FROM (VALUES ('en', 3), ('fr', 2), ('de', 1)) AS t(lang, wt)
+),
+t_units AS (
+    SELECT min(n // wt) AS t FROM counts JOIN w USING (lang)
+),
+ranked AS (
+    SELECT d.doc_id, d.lang, w.wt,
+           row_number() OVER (
+               PARTITION BY d.lang
+               ORDER BY md5('mixture|' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+           ) AS mix_rank
+    FROM documents d JOIN w ON d.lang = w.lang
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(SUM(doc_id % 1000003) AS BIGINT) AS id_checksum
+FROM ranked, t_units
+WHERE mix_rank <= t_units.t * wt
+GROUP BY lang
+"""
+
+
 def q_trailing_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event trailing-interval features (1-hour window), HASH-checked
     per event: RANGE-frame count + decimal-exact value sum over tz-proof
@@ -3179,6 +3222,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "text_clean_corpus": q_clean_corpus_text,
     "user_event_sequences": q_user_event_sequences,
     "trailing_window_features": q_trailing_window_features,
+    "corpus_mixture_sample": q_mixture_sample,
     "approx_sketches_events": q_approx_sketches,
     "streaming_tumbling_counts": q_streaming_tumbling,
     "streaming_exactly_once_dedup": q_streaming_dedup,
@@ -3261,6 +3305,7 @@ EXT_ORACLE: dict[str, str] = {
     "text_clean_corpus": SQL_CLEAN_CORPUS_TEXT,
     "user_event_sequences": SQL_USER_EVENT_SEQUENCES,
     "trailing_window_features": SQL_TRAILING_WINDOW,
+    "corpus_mixture_sample": SQL_MIXTURE_SAMPLE,
     # streaming result == batch tumbling aggregation over the same file
     "streaming_tumbling_counts": """
 SELECT event_type, date_trunc('hour', ts) AS window_start,

@@ -26,6 +26,7 @@ __all__ = [
     "stratified_sample_flag",
     "quota_per_stratum",
     "shuffle_shards",
+    "mixture_quota_sample",
 ]
 
 #: Bucket space: 4 hex digits of the md5 → uniform integers in [0, 65536).
@@ -176,4 +177,60 @@ def shuffle_shards(
     return (
         with_key.withColumn("pos", F.row_number().over(w).cast("long"))
         .drop("_skey")
+    )
+
+
+def mixture_quota_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    weights: dict[str, int],
+    salt: str = "mixture",
+) -> DataFrame:
+    """Corpus mixing to target proportions (the Pile/Dolma-style mixture
+    step): keep per-stratum quotas in EXACT integer ratio ``weights``,
+    scaled to the largest total the data can support.
+
+    ``T = min_s floor(n_s / w_s)`` is the number of "mixture units" every
+    weighted stratum can fill; stratum ``s`` keeps exactly ``T * w_s``
+    rows (strata without a weight are dropped). Which rows: the first
+    ``quota_s`` in deterministic md5-of-salted-id order — reproducible
+    across engines, runs, and cluster sizes, and a salt change redraws
+    the sample without moving data.
+
+    Scale: one count aggregate (strata are mixture categories — dozens,
+    not millions; counts are driver-side integers), then one per-stratum
+    window rank. The rank is the only shuffle; skewed strata are bounded
+    by their own quota past the filter.
+
+    Output: kept rows with ``mix_rank`` (1-based within stratum).
+    """
+    from pyspark.sql.window import Window
+
+    if not weights:
+        raise ValueError("mixture_quota_sample: weights must be non-empty")
+    if any(w < 1 for w in weights.values()):
+        raise ValueError("mixture_quota_sample: weights must be >= 1")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(stratum_col).count().collect()
+    }
+    units = [counts.get(s, 0) // w for s, w in weights.items()]
+    t = min(units)
+    quotas = {s: t * w for s, w in weights.items()}
+
+    key = F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string")))
+    w_rank = Window.partitionBy(stratum_col).orderBy(key, F.col(id_col))
+    quota_expr = None
+    for s, q in quotas.items():
+        cond = F.col(stratum_col) == s
+        quota_expr = (
+            F.when(cond, F.lit(q))
+            if quota_expr is None
+            else quota_expr.when(cond, F.lit(q))
+        )
+    quota_expr = quota_expr.otherwise(F.lit(0))
+    return (
+        df.withColumn("mix_rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("mix_rank") <= quota_expr)
     )

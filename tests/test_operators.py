@@ -1049,3 +1049,33 @@ def test_trailing_window_features_frame_semantics(spark):
     # 11:30 is 85 min after 10:05 -> only itself
     assert by[(1, "2024-01-01T11:30:00", 8.0)] == (1, 8.0)
     assert by[(2, "2024-01-01T10:01:00", 16.0)] == (1, 16.0)
+
+
+def test_mixture_quota_sample_exact_ratio(spark):
+    from hiv_data_integration_spark.operators.sampling import (
+        mixture_quota_sample,
+    )
+
+    rows = [(i, "a") for i in range(30)] + [(100 + i, "b") for i in range(8)] \
+        + [(200 + i, "c") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    # weights a:b = 3:1; b binds: T = min(30//3, 8//1) = 8 -> a keeps 24, b 8
+    kept = mixture_quota_sample(df, "src", "doc_id", {"a": 3, "b": 1}).collect()
+    by = {}
+    for r in kept:
+        by.setdefault(r.src, []).append(r.doc_id)
+    assert len(by["a"]) == 24 and len(by["b"]) == 8
+    assert "c" not in by  # unweighted stratum dropped
+    # deterministic: same call, same rows
+    again = mixture_quota_sample(df, "src", "doc_id", {"a": 3, "b": 1}).collect()
+    assert {(r.src, r.doc_id) for r in kept} == {(r.src, r.doc_id) for r in again}
+    # a different salt redraws (a keeps 24 of 30 -> overlap certain, equality
+    # astronomically unlikely)
+    redraw = mixture_quota_sample(
+        df, "src", "doc_id", {"a": 3, "b": 1}, salt="epoch2"
+    ).collect()
+    assert {(r.src, r.doc_id) for r in kept} != {(r.src, r.doc_id) for r in redraw}
+    with pytest.raises(ValueError):
+        mixture_quota_sample(df, "src", "doc_id", {})
+    with pytest.raises(ValueError):
+        mixture_quota_sample(df, "src", "doc_id", {"a": 0})
