@@ -382,6 +382,19 @@ WHERE jaccard >= 0.5
 """
 
 
+def q_ngram_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered set-similarity join: must return
+    BIT-IDENTICAL pairs to the unfiltered posting join — the oracle is
+    the SAME SQL as dedup_ngram_jaccard_pairs, so the hash check proves
+    the candidate-reduction optimization loses nothing (the scale story:
+    only each doc's rare-token prefix enters the left posting index)."""
+    corpus = _dup_corpus(spark, sf_dir)
+    return dd.ngram_jaccard_prefix_pairs(
+        corpus, "doc_id", "text", shingle_n=3, jaccard_threshold=0.5,
+        block_cols=["lang"], partitions=32,
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents")
     return dd.simhash(docs, "doc_id", "text", bits=32, partitions=32)
@@ -3173,6 +3186,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "dedup_exact_docs": q_dedup_exact,
     "dedup_minhash_lsh_pairs": q_minhash_pairs,
     "dedup_ngram_jaccard_pairs": q_ngram_jaccard,
+    "dedup_ngram_prefix_filter": q_ngram_prefix_filter,
     "dedup_simhash_fingerprints": q_simhash,
     "dedup_embedding_cosine_pairs": q_embedding_cosine_dedup,
     "dedup_connected_components": q_connected_components,
@@ -3247,6 +3261,7 @@ EXT_ORACLE: dict[str, str] = {
     "dedup_exact_docs": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh_pairs": SQL_MINHASH_PAIRS,
     "dedup_ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
+    "dedup_ngram_prefix_filter": SQL_NGRAM_JACCARD,
     "dedup_simhash_fingerprints": SQL_SIMHASH,
     "dedup_embedding_cosine_pairs": SQL_EMBED_COSINE_DEDUP,
     "dedup_connected_components": SQL_CONNECTED_COMPONENTS.format(

@@ -32,6 +32,7 @@ __all__ = [
     "minhash_candidate_pairs",
     "incremental_dedup",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_prefix_pairs",
     "simhash",
     "simhash_near_pairs",
     "embedding_cosine_pairs",
@@ -405,6 +406,117 @@ def ngram_jaccard_pairs(
     # pair-level size attach: the pair table is far smaller than postings,
     # and doc_sizes is doc-count-sized — AQE broadcasts it at small scale,
     # shuffles on id at 100 TB; either way it is off the posting hot path
+    sized = common.join(
+        doc_sizes.select(F.col("doc_id_").alias("id_a"), F.col("n_sh").alias("n_a")),
+        "id_a",
+    ).join(
+        doc_sizes.select(F.col("doc_id_").alias("id_b"), F.col("n_sh").alias("n_b")),
+        "id_b",
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
+    return (
+        sized.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    block_cols: list[str] | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Prefix-filtered exact n-gram-Jaccard pairs (PPJoin-family
+    candidate reduction, Xiao et al., WWW'08): IDENTICAL output to
+    :func:`ngram_jaccard_pairs`, but only each document's PREFIX tokens
+    enter the left side of the posting join.
+
+    Why it is exact: under any global token order, a pair with
+    ``J(a,b) ≥ τ`` shares ``|a∩b| ≥ τ·|a∪b| ≥ ceil(τ·|a|)`` tokens, so
+    ``b`` must hit at least one of ``a``'s first
+    ``|a| - ceil(τ·|a|) + 1`` tokens (pigeonhole on the complement) —
+    joining a-prefix × b-full postings finds every qualifying pair. The
+    global order is (document frequency asc, token): rare-first, so the
+    indexed prefix tokens are exactly the low-fan-out ones and hot
+    shingles ("of the", boilerplate) stay OUT of the left index — the
+    candidate-pair cut that makes exact set-similarity joins viable at
+    corpus scale (at τ=0.5 the left posting index halves; the cut grows
+    with τ and with token-frequency skew).
+
+    Candidates verify by counting FULL common postings (same arithmetic
+    as the unfiltered op), so results are bit-identical — the battery
+    checks this query against the SAME oracle as the plain join.
+    """
+    block_cols = block_cols or []
+    if partitions:
+        df = df.repartition(partitions)
+    posting = df.select(
+        F.col(id_col).alias("doc_id_"),
+        *[F.col(c) for c in block_cols],
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    doc_sizes = posting.groupBy("doc_id_").agg(F.count("*").alias("n_sh"))
+
+    from pyspark.sql.window import Window
+
+    dfreq = posting.groupBy("shingle").agg(F.count("*").alias("_df"))
+    ranked = (
+        posting.join(dfreq, "shingle")
+        .withColumn(
+            "_rnk",
+            F.row_number().over(
+                Window.partitionBy("doc_id_").orderBy("_df", "shingle")
+            ),
+        )
+        .join(doc_sizes, "doc_id_")
+    )
+    prefix = ranked.filter(
+        F.col("_rnk")
+        <= F.col("n_sh") - F.ceil(F.lit(jaccard_threshold) * F.col("n_sh")) + 1
+    )
+
+    a = prefix.select(
+        *[F.col(c) for c in block_cols],
+        F.col("shingle"),
+        F.col("doc_id_").alias("id_a"),
+    )
+    b = posting.select(
+        *[F.col(c) for c in block_cols],
+        F.col("shingle"),
+        F.col("doc_id_").alias("id_b"),
+    )
+    # a-prefix × b-full: every J>=τ pair is caught through the smaller
+    # side's prefix; normalize to unordered (id_a < id_b) candidates
+    cand = (
+        a.join(b, [*block_cols, "shingle"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # verification: count FULL common postings for the surviving pairs —
+    # expand each pair by a's postings, then equi-join (id_b, shingle) so
+    # only shared shingles survive (never the |a|×|b| cross per pair)
+    common = (
+        cand.join(
+            posting.select(F.col("doc_id_").alias("id_a"), F.col("shingle")),
+            "id_a",
+        )
+        .join(
+            posting.select(F.col("doc_id_").alias("id_b"), F.col("shingle")),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
     sized = common.join(
         doc_sizes.select(F.col("doc_id_").alias("id_a"), F.col("n_sh").alias("n_a")),
         "id_a",

@@ -1079,3 +1079,28 @@ def test_mixture_quota_sample_exact_ratio(spark):
         mixture_quota_sample(df, "src", "doc_id", {})
     with pytest.raises(ValueError):
         mixture_quota_sample(df, "src", "doc_id", {"a": 0})
+
+
+def test_ngram_prefix_filter_equals_full_join(spark):
+    """The PPJoin-style prefix filter must lose nothing: identical pairs
+    to the unfiltered posting join on a corpus with hot boilerplate
+    shingles (the case the prefix ordering exists for)."""
+    from hiv_data_integration_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_prefix_pairs,
+    )
+
+    boiler = "terms of service apply to all users"
+    rows = [
+        (1, f"{boiler} alpha beta gamma delta"),
+        (2, f"{boiler} alpha beta gamma epsilon"),
+        (3, f"{boiler} zeta eta theta iota"),
+        (4, "completely unrelated text with nothing shared here"),
+        (5, f"{boiler} alpha beta gamma delta"),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {(r.id_a, r.id_b, r.jaccard) for r in ngram_jaccard_pairs(
+        df, "doc_id", "text", 3, 0.3).collect()}
+    pref = {(r.id_a, r.id_b, r.jaccard) for r in ngram_jaccard_prefix_pairs(
+        df, "doc_id", "text", 3, 0.3).collect()}
+    assert full == pref and (1, 5, 1.0) in full
