@@ -1200,6 +1200,56 @@ FROM nation
 """
 
 
+def q_asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table as-of join, HASH-checked against DuckDB's NATIVE ASOF
+    JOIN operator: for every event, the latest order of the same customer
+    at or before the event time. The engine side is the union-window
+    formulation (tag → union → running last(value) per key — each input
+    shuffles exactly once, no (event, order) pair ever materializes,
+    which is what makes as-of joins viable on 100 TB event streams where
+    a range join explodes). Orders pre-aggregate to one row per
+    (customer, date) so the as-of target is unambiguous in both engines.
+    Rolled up per event_type with match counts and an order-id checksum."""
+    from hiv_data_integration_spark.operators.relational import asof_join_last
+
+    ev = tbl(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    orders = tbl(spark, sf_dir, "orders")
+    right = orders.groupBy(
+        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    ).agg(F.max("o_orderkey").alias("last_order"))
+    joined = asof_join_last(
+        ev, right, ["user_id"], "ts", "o_orderdate", "last_order",
+        out_col="last_order",
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("last_order").isNotNull().cast("int"))
+        .cast("long")
+        .alias("n_matched"),
+        F.sum(F.coalesce(F.col("last_order"), F.lit(0)) % 1000003)
+        .cast("long")
+        .alias("order_checksum"),
+    )
+
+
+SQL_ASOF_JOIN_ORDERS = """
+WITH r AS (
+    SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS last_order
+    FROM orders GROUP BY 1, 2
+),
+j AS (
+    SELECT e.event_type, r.last_order
+    FROM events e ASOF LEFT JOIN r
+      ON e.user_id = r.user_id AND r.o_orderdate <= e.ts
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN last_order IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_matched,
+       CAST(SUM(COALESCE(last_order, 0) % 1000003) AS BIGINT) AS order_checksum
+FROM j GROUP BY event_type
+"""
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixture sampling, HASH-checked: documents mix to exact
     en:fr:de = 3:2:1 quotas (T = min over weighted langs of
@@ -3237,6 +3287,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "user_event_sequences": q_user_event_sequences,
     "trailing_window_features": q_trailing_window_features,
     "corpus_mixture_sample": q_mixture_sample,
+    "asof_join_two_table": q_asof_join_orders,
     "approx_sketches_events": q_approx_sketches,
     "streaming_tumbling_counts": q_streaming_tumbling,
     "streaming_exactly_once_dedup": q_streaming_dedup,
@@ -3321,6 +3372,7 @@ EXT_ORACLE: dict[str, str] = {
     "user_event_sequences": SQL_USER_EVENT_SEQUENCES,
     "trailing_window_features": SQL_TRAILING_WINDOW,
     "corpus_mixture_sample": SQL_MIXTURE_SAMPLE,
+    "asof_join_two_table": SQL_ASOF_JOIN_ORDERS,
     # streaming result == batch tumbling aggregation over the same file
     "streaming_tumbling_counts": """
 SELECT event_type, date_trunc('hour', ts) AS window_start,

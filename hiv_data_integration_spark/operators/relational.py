@@ -27,6 +27,7 @@ __all__ = [
     "skyline",
     "skip_rows",
     "dataset_diff",
+    "asof_join_last",
 ]
 
 
@@ -348,3 +349,62 @@ def dataset_diff(
         .otherwise(F.lit("unchanged"))
     )
     return joined.select(*key_cols, status.alias("diff_status"))
+
+
+def asof_join_last(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    attach_col: str,
+    out_col: str = "asof_value",
+) -> DataFrame:
+    """As-of join: attach to every left row the ``attach_col`` of the
+    LATEST right row with the same key and ``right_ts <= left_ts``
+    (inclusive), NULL when no such row exists.
+
+    Implemented as the union-window technique, NOT a range join: tag both
+    sides, union, one window per key ordered by (t, side) with a running
+    ``last(value, ignoreNulls)`` — the canonical scale formulation
+    (a range join materializes every (left, right) pair in the window
+    and explodes on active keys; this never materializes pairs and
+    shuffles each input exactly once). Right rows sort BEFORE left rows
+    at equal timestamps, giving the inclusive <= semantics of a native
+    ASOF JOIN. Callers must ensure one right row per (key, right_ts)
+    (pre-aggregate otherwise) — as-of is ambiguous under timestamp ties
+    in ANY engine.
+    """
+    from pyspark.sql.window import Window
+
+    clash = {"_t", "_side", "_v", out_col} & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join_last: left side already has column(s) {sorted(clash)}"
+        )
+    r = right.select(
+        *[F.col(c) for c in key_cols],
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.col(attach_col).alias("_v"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in key_cols],
+    )
+    l_ = left.select(
+        *[F.col(c) for c in key_cols],
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(right.schema[attach_col].dataType).alias("_v"),
+        *[F.col(c) for c in left.columns if c not in key_cols],
+    )
+    unioned = r.unionByName(l_)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn(out_col, F.last("_v", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+        .drop("_t", "_side", "_v")
+    )

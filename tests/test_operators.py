@@ -1104,3 +1104,30 @@ def test_ngram_prefix_filter_equals_full_join(spark):
     pref = {(r.id_a, r.id_b, r.jaccard) for r in ngram_jaccard_prefix_pairs(
         df, "doc_id", "text", 3, 0.3).collect()}
     assert full == pref and (1, 5, 1.0) in full
+
+
+def test_asof_join_last_semantics(spark):
+    """Union-window as-of join: inclusive <=, latest-right-wins, NULL when
+    no prior right row, per-key isolation, column-clash guard."""
+    from hiv_data_integration_spark.operators.relational import asof_join_last
+
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 20, "e2"), (1, 5, "e0"), (2, 10, "x")],
+        "k long, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "r10"), (1, 15, "r15"), (3, 1, "zz")],
+        "k long, t long, v string",
+    )
+    out = {
+        r.tag: r.asof_value
+        for r in asof_join_last(left, right, ["k"], "t", "t", "v").collect()
+    }
+    assert out["e0"] is None       # no right row at or before t=5
+    assert out["e1"] == "r10"      # inclusive: right at t=10 visible at t=10
+    assert out["e2"] == "r15"      # latest of r10/r15
+    assert out["x"] is None        # key 2 has no right rows at all
+    with pytest.raises(ValueError, match="asof_join_last"):
+        asof_join_last(
+            left.withColumn("_side", F.lit(1)), right, ["k"], "t", "t", "v"
+        )
