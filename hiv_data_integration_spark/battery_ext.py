@@ -1200,6 +1200,39 @@ FROM nation
 """
 
 
+def q_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding mean-pooling, HASH-checked down to every double: vectors
+    pool per label with the id-ordered per-dimension fold (the same
+    bit-determinism invariant the k-means trainer relies on), so the
+    oracle reproduces all 64 pooled dimensions exactly."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    pooled = sim.mean_pool_embeddings(emb, "label", "embedding", "vec_id")
+    return pooled.select(
+        F.col("group").cast("long").alias("label"), "n_vecs", "pooled"
+    )
+
+
+SQL_MEAN_POOL = """
+WITH e AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+m AS (
+    SELECT label, pos,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE), list(x ORDER BY vec_id)),
+                       (acc, x) -> acc + x) / count(*) AS m,
+           count(*) AS n
+    FROM (SELECT label, vec_id, unnest(v) AS x,
+                 generate_subscripts(v, 1) AS pos
+          FROM e)
+    GROUP BY label, pos
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(max(n) AS BIGINT) AS n_vecs,
+       list(m ORDER BY pos) AS pooled
+FROM m GROUP BY label
+"""
+
+
 def q_asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-table as-of join, HASH-checked against DuckDB's NATIVE ASOF
     JOIN operator: for every event, the latest order of the same customer
@@ -3288,6 +3321,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "trailing_window_features": q_trailing_window_features,
     "corpus_mixture_sample": q_mixture_sample,
     "asof_join_two_table": q_asof_join_orders,
+    "embed_mean_pool": q_mean_pool,
     "approx_sketches_events": q_approx_sketches,
     "streaming_tumbling_counts": q_streaming_tumbling,
     "streaming_exactly_once_dedup": q_streaming_dedup,
@@ -3373,6 +3407,7 @@ EXT_ORACLE: dict[str, str] = {
     "trailing_window_features": SQL_TRAILING_WINDOW,
     "corpus_mixture_sample": SQL_MIXTURE_SAMPLE,
     "asof_join_two_table": SQL_ASOF_JOIN_ORDERS,
+    "embed_mean_pool": SQL_MEAN_POOL,
     # streaming result == batch tumbling aggregation over the same file
     "streaming_tumbling_counts": """
 SELECT event_type, date_trunc('hour', ts) AS window_start,

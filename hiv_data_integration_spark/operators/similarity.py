@@ -37,6 +37,7 @@ __all__ = [
     "kmeans_centroids",
     "l2_normalize",
     "semantic_dedup",
+    "mean_pool_embeddings",
     "nearest_centroid",
     "nearest_centroids",
     "kmeans_ivf_topk",
@@ -484,6 +485,53 @@ def semantic_dedup(
             .alias("n_dropped"),
         )
         .select(F.col("_b").cast("long").alias("bucket"), "n_total", "n_dropped")
+    )
+
+
+def mean_pool_embeddings(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Mean-pool vectors per group — the chunk→embed→pool step that turns
+    per-chunk embeddings back into one document/query vector.
+
+    BIT-deterministic: each dimension folds its values in ``order_col``
+    order with a 0.0 seed, then divides by the count (double addition is
+    order-sensitive; the fixed order is the same invariant that lets the
+    k-means trainer hash-check against SQL). One posexplode + one
+    (group, dim) hash aggregate + one re-assembly aggregate — grouped
+    state is bounded by group size; at 100 TB pool per document, not per
+    corpus-wide key.
+
+    Output: ``(group, n_vecs, pooled)``.
+    """
+    exploded = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(order_col).alias("_o"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("_pos", "_x"),
+    )
+    dims = exploded.groupBy("_g", "_pos").agg(
+        (
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("_o"), F.col("_x")))),
+                    lambda s: s["_x"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.count("*")
+        ).alias("_m"),
+        F.count("*").alias("_n"),
+    )
+    return dims.groupBy(F.col("_g").alias("group")).agg(
+        F.max("_n").cast("long").alias("n_vecs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("_pos"), F.col("_m")))),
+            lambda s: s["_m"],
+        ).alias("pooled"),
     )
 
 
