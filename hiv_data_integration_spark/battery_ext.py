@@ -1308,7 +1308,8 @@ w AS (
     SELECT * FROM (VALUES ('en', 3), ('fr', 2), ('de', 1)) AS t(lang, wt)
 ),
 t_units AS (
-    SELECT min(n // wt) AS t FROM counts JOIN w USING (lang)
+    SELECT min(COALESCE(n, 0) // wt) AS t
+    FROM w LEFT JOIN counts USING (lang)
 ),
 ranked AS (
     SELECT d.doc_id, d.lang, w.wt,
@@ -1352,7 +1353,7 @@ WITH f AS (
            CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
                AS sum_trailing
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
 )
 SELECT user_id AS user, CAST(count(*) AS BIGINT) AS n_events,

@@ -282,10 +282,15 @@ def user_event_sequences(
 
     One hash aggregate per user: ``collect_list(struct(order, event))`` →
     ``array_sort`` (struct ordering is field-by-field, so ``order_cols``
-    must make the sort key unique — e.g. ``[ts, event_id]``) → project
-    the event column → head-truncate to ``max_len``. Deterministic by
-    construction, so an external oracle reproduces the sequences
-    bit-for-bit (``list(x ORDER BY ...)`` + slice).
+    MUST make the sort key unique — with non-unique keys the event value
+    becomes the final tiebreak, which a SQL oracle's unstable ORDER BY
+    will not reproduce) → project the event column → head-truncate to
+    ``max_len``. Rows with a NULL order key are dropped first: an event
+    without a position cannot appear in an ordered sequence, and Spark's
+    NULLS-FIRST struct sort would otherwise diverge from SQL's
+    NULLS-LAST default. Deterministic by construction, so an external
+    oracle reproduces the sequences bit-for-bit
+    (``list(x ORDER BY ...)`` + slice).
 
     Scale: the only shuffle is the per-user aggregate; per-group state is
     the user's own event list — bounded by per-user activity, with
@@ -296,6 +301,7 @@ def user_event_sequences(
     """
     if max_len < 1:
         raise ValueError("user_event_sequences: max_len must be >= 1")
+    df = df.na.drop(subset=order_cols)
     key = F.struct(*[F.col(c) for c in order_cols], F.col(event_col).alias("_e"))
     seq_full = F.transform(
         F.array_sort(F.collect_list(key)), lambda s: s.getField("_e")
@@ -334,6 +340,13 @@ def trailing_window_features(
 
     if window_seconds < 0:
         raise ValueError("trailing_window_features: window_seconds must be >= 0")
+    clash = {"n_trailing", "sum_trailing"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"trailing_window_features: input already has column(s) "
+            f"{sorted(clash)} — alias the first horizon's outputs before "
+            f"computing another window length"
+        )
     epoch_s = _epoch_seconds(df, ts_col)
     w = (
         Window.partitionBy(user_col)

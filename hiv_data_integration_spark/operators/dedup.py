@@ -360,6 +360,53 @@ def incremental_dedup(
     )
 
 
+def _ngram_postings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    block_cols: list[str],
+    partitions: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared posting build for the exact-Jaccard joins: explode-first
+    shingle postings ``(doc_id_, [blocks...], shingle)`` plus per-doc
+    sizes counted from postings (shingles are distinct per doc). ONE
+    definition — the plain and prefix-filtered joins must stay
+    bit-identical, which they cannot if their posting/size rules drift."""
+    if partitions:
+        df = df.repartition(partitions)
+    posting = df.select(
+        F.col(id_col).alias("doc_id_"),
+        *[F.col(c) for c in block_cols],
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    doc_sizes = posting.groupBy("doc_id_").agg(F.count("*").alias("n_sh"))
+    return posting, doc_sizes
+
+
+def _jaccard_verify(
+    common: DataFrame, doc_sizes: DataFrame, jaccard_threshold: float
+) -> DataFrame:
+    """Shared size-attach + Jaccard filter over ``(id_a, id_b, n_common)``
+    pair counts — the other half of the bit-identical contract between the
+    plain and prefix-filtered joins."""
+    sized = common.join(
+        doc_sizes.select(F.col("doc_id_").alias("id_a"), F.col("n_sh").alias("n_a")),
+        "id_a",
+    ).join(
+        doc_sizes.select(F.col("doc_id_").alias("id_b"), F.col("n_sh").alias("n_b")),
+        "id_b",
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
+    return (
+        sized.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -376,17 +423,9 @@ def ngram_jaccard_pairs(
     This is the exact method; MinHash+LSH is its sublinear approximation.
     """
     block_cols = block_cols or []
-    if partitions:
-        df = df.repartition(partitions)
-    # explode-first (see minhash_candidate_pairs docstring): one evaluation
-    # of the shingle expression, empty shingle sets self-filter, and doc
-    # sizes come from counting postings (shingles are distinct per doc)
-    posting = df.select(
-        F.col(id_col).alias("doc_id_"),
-        *[F.col(c) for c in block_cols],
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    posting, doc_sizes = _ngram_postings(
+        df, id_col, text_col, shingle_n, block_cols, partitions
     )
-    doc_sizes = posting.groupBy("doc_id_").agg(F.count("*").alias("n_sh"))
     a = posting.select(
         *[F.col(c) for c in block_cols],
         F.col("shingle"),
@@ -406,21 +445,7 @@ def ngram_jaccard_pairs(
     # pair-level size attach: the pair table is far smaller than postings,
     # and doc_sizes is doc-count-sized — AQE broadcasts it at small scale,
     # shuffles on id at 100 TB; either way it is off the posting hot path
-    sized = common.join(
-        doc_sizes.select(F.col("doc_id_").alias("id_a"), F.col("n_sh").alias("n_a")),
-        "id_a",
-    ).join(
-        doc_sizes.select(F.col("doc_id_").alias("id_b"), F.col("n_sh").alias("n_b")),
-        "id_b",
-    )
-    jac = F.col("n_common").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_common")
-    ).cast("double")
-    return (
-        sized.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _jaccard_verify(common, doc_sizes, jaccard_threshold)
 
 
 def ngram_jaccard_prefix_pairs(
@@ -454,14 +479,9 @@ def ngram_jaccard_prefix_pairs(
     checks this query against the SAME oracle as the plain join.
     """
     block_cols = block_cols or []
-    if partitions:
-        df = df.repartition(partitions)
-    posting = df.select(
-        F.col(id_col).alias("doc_id_"),
-        *[F.col(c) for c in block_cols],
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    posting, doc_sizes = _ngram_postings(
+        df, id_col, text_col, shingle_n, block_cols, partitions
     )
-    doc_sizes = posting.groupBy("doc_id_").agg(F.count("*").alias("n_sh"))
 
     from pyspark.sql.window import Window
 
@@ -517,21 +537,7 @@ def ngram_jaccard_prefix_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )
-    sized = common.join(
-        doc_sizes.select(F.col("doc_id_").alias("id_a"), F.col("n_sh").alias("n_a")),
-        "id_a",
-    ).join(
-        doc_sizes.select(F.col("doc_id_").alias("id_b"), F.col("n_sh").alias("n_b")),
-        "id_b",
-    )
-    jac = F.col("n_common").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_common")
-    ).cast("double")
-    return (
-        sized.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _jaccard_verify(common, doc_sizes, jaccard_threshold)
 
 
 def simhash(

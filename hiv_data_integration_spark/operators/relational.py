@@ -382,11 +382,18 @@ def asof_join_last(
         raise ValueError(
             f"asof_join_last: left side already has column(s) {sorted(clash)}"
         )
-    r = right.select(
+    v_type = right.schema[attach_col].dataType
+    # presence is encoded by STRUCT-wrapping the attach value: a matched
+    # right row carrying a NULL value must shadow earlier non-NULL
+    # matches (native ASOF semantics) — a bare NULL sentinel would be
+    # skipped by ignorenulls and leak the stale earlier value. Right rows
+    # with a NULL timestamp match nothing (the ASOF predicate is
+    # three-valued): filtered out, never NULLS-FIRST-sorted to the front.
+    r = right.filter(F.col(right_ts).isNotNull()).select(
         *[F.col(c) for c in key_cols],
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),
-        F.col(attach_col).alias("_v"),
+        F.struct(F.col(attach_col).alias("v")).alias("_v"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in key_cols],
     )
@@ -394,7 +401,7 @@ def asof_join_last(
         *[F.col(c) for c in key_cols],
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_side"),
-        F.lit(None).cast(right.schema[attach_col].dataType).alias("_v"),
+        F.lit(None).cast(T.StructType([T.StructField("v", v_type)])).alias("_v"),
         *[F.col(c) for c in left.columns if c not in key_cols],
     )
     unioned = r.unionByName(l_)
@@ -404,7 +411,9 @@ def asof_join_last(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        unioned.withColumn(out_col, F.last("_v", ignorenulls=True).over(w))
+        unioned.withColumn(
+            out_col, F.last("_v", ignorenulls=True).over(w).getField("v")
+        )
         .filter(F.col("_side") == 1)
         .drop("_t", "_side", "_v")
     )

@@ -211,26 +211,41 @@ def mixture_quota_sample(
         raise ValueError("mixture_quota_sample: weights must be non-empty")
     if any(w < 1 for w in weights.values()):
         raise ValueError("mixture_quota_sample: weights must be >= 1")
-    counts = {
-        r[0]: r[1]
-        for r in df.groupBy(stratum_col).count().collect()
-    }
-    units = [counts.get(s, 0) // w for s, w in weights.items()]
-    t = min(units)
-    quotas = {s: t * w for s, w in weights.items()}
-
+    if "mix_rank" in df.columns:
+        raise ValueError(
+            "mixture_quota_sample: input already has column 'mix_rank' — "
+            "withColumn would silently replace it; rename before sampling"
+        )
+    # fully lazy, single pipeline: the weight table is a literal frame, T
+    # is one global aggregate cross-joined back (broadcast — one row), and
+    # quotas become T·w per stratum in-plan. A weighted stratum ABSENT
+    # from the data contributes floor(0/w) = 0 units, so T = 0 and the
+    # result is EMPTY — the mixture is unsatisfiable, which the LEFT join
+    # from weights to counts makes explicit rather than silently ignoring
+    # the missing stratum.
+    spark = df.sparkSession
+    w_df = spark.createDataFrame(
+        [(s, w) for s, w in sorted(weights.items())], f"{stratum_col} string, _wt long"
+    )
+    counts = df.groupBy(F.col(stratum_col).cast("string").alias(stratum_col)).count()
+    t_units = (
+        w_df.join(counts, stratum_col, "left")
+        .select(
+            F.min(
+                F.floor(F.coalesce(F.col("count"), F.lit(0)) / F.col("_wt"))
+            ).alias("_t")
+        )
+    )
     key = F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string")))
     w_rank = Window.partitionBy(stratum_col).orderBy(key, F.col(id_col))
-    quota_expr = None
-    for s, q in quotas.items():
-        cond = F.col(stratum_col) == s
-        quota_expr = (
-            F.when(cond, F.lit(q))
-            if quota_expr is None
-            else quota_expr.when(cond, F.lit(q))
-        )
-    quota_expr = quota_expr.otherwise(F.lit(0))
     return (
-        df.withColumn("mix_rank", F.row_number().over(w_rank).cast("long"))
-        .filter(F.col("mix_rank") <= quota_expr)
+        df.join(
+            F.broadcast(w_df),
+            df[stratum_col].cast("string") == w_df[stratum_col],
+        )
+        .drop(w_df[stratum_col])
+        .withColumn("mix_rank", F.row_number().over(w_rank).cast("long"))
+        .crossJoin(F.broadcast(t_units))
+        .filter(F.col("mix_rank") <= F.col("_t") * F.col("_wt"))
+        .drop("_wt", "_t")
     )

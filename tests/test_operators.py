@@ -1131,3 +1131,40 @@ def test_asof_join_last_semantics(spark):
         asof_join_last(
             left.withColumn("_side", F.lit(1)), right, ["k"], "t", "t", "v"
         )
+
+
+def test_asof_join_last_null_value_and_null_ts(spark):
+    """Native-ASOF parity on the NULL edges: a matched right row carrying
+    a NULL value SHADOWS earlier non-NULL matches (no stale leak), and a
+    right row with a NULL timestamp matches nothing."""
+    from hiv_data_integration_spark.operators.relational import asof_join_last
+
+    left = spark.createDataFrame([(1, 20, "e")], "k long, t long, tag string")
+    right = spark.createDataFrame(
+        [(1, 5, "x"), (1, 10, None), (1, None, "poison")],
+        "k long, t long, v string",
+    )
+    out = asof_join_last(left, right, ["k"], "t", "t", "v").collect()[0]
+    assert out.asof_value is None  # t=10 NULL-valued match shadows t=5 'x'
+
+    left2 = spark.createDataFrame([(2, 1, "early")], "k long, t long, tag string")
+    right2 = spark.createDataFrame([(2, None, "poison")], "k long, t long, v string")
+    out2 = asof_join_last(left2, right2, ["k"], "t", "t", "v").collect()[0]
+    assert out2.asof_value is None  # NULL-ts right row never matches
+
+
+def test_mixture_quota_sample_absent_stratum_empty(spark):
+    """A weighted stratum absent from the data makes the mixture
+    unsatisfiable: T = 0 and the result is empty (matching the oracle's
+    LEFT-join semantics), not a silent drop of the missing stratum."""
+    from hiv_data_integration_spark.operators.sampling import (
+        mixture_quota_sample,
+    )
+
+    df = spark.createDataFrame([(i, "a") for i in range(10)], "doc_id long, src string")
+    out = mixture_quota_sample(df, "src", "doc_id", {"a": 1, "ghost": 1})
+    assert out.count() == 0
+    with pytest.raises(ValueError, match="mix_rank"):
+        mixture_quota_sample(
+            df.withColumn("mix_rank", F.lit(1)), "src", "doc_id", {"a": 1}
+        )
