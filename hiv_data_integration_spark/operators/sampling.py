@@ -161,15 +161,9 @@ def shuffle_shards(
             f"shuffle_shards: input already has column(s) {sorted(clash)} — "
             f"withColumn would silently replace them; rename before sharding"
         )
-    key = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    from hiv_data_integration_spark.operators.dedup import md5_long
+
+    key = md5_long(F.col(id_col), salt)  # same "<salt>|<id>" construction
     with_key = df.withColumn("_skey", key).withColumn(
         "shard", (F.col("_skey") % n_shards).cast("long")
     )

@@ -168,3 +168,19 @@ def test_semantic_dedup_drops_planted_duplicates(spark):
     assert n_dropped == 4, got
     # per-cluster counts are consistent
     assert all(0 <= r.n_dropped <= r.n_total for r in got)
+
+
+def test_l2_normalize_unit_norm(spark):
+    """The standalone projection form used for single-pass normalization
+    (multi-reference pipelines hoist the norm instead — see
+    semantic_dedup): output vectors have unit L2 norm."""
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.5, 0.5, 0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    out = df.select(
+        sim.l2_normalize(F.col("embedding")).alias("v")
+    ).collect()
+    import math
+    for r in out:
+        assert math.isclose(sum(x * x for x in r.v), 1.0, rel_tol=1e-12)
