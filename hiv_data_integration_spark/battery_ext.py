@@ -16,6 +16,7 @@ from hiv_data_integration_spark.battery import QueryFn, dsum, read_events_stream
 from hiv_data_integration_spark.operators.aggregate import (
     cohort_retention as agg_cohort,
     funnel_conversion as agg_funnel,
+    numeric_histogram as agg_hist,
     trailing_window_features as agg_trailing,
     user_event_sequences as agg_user_seq,
 )
@@ -1197,6 +1198,38 @@ SQL_SPECTRUM_CSV = """
 SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
        CAST(n_regionkey AS BIGINT) AS n_regionkey
 FROM nation
+"""
+
+
+def q_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling histogram, HASH-checked bin-for-bin: 20 equi-width
+    bins over l_extendedprice with auto min/max bounds. Both engines
+    compute width, bin index (floored, clamped so the max closes the last
+    bin) and bin edges with the identical double arithmetic — IEEE
+    addition/division make the edges bit-equal."""
+    li = tbl(spark, sf_dir, "lineitem")
+    return agg_hist(li, "l_extendedprice", bins=20)
+
+
+SQL_NUMERIC_HISTOGRAM = """
+WITH s AS (
+    SELECT min(CAST(l_extendedprice AS DOUBLE)) AS mn,
+           max(CAST(l_extendedprice AS DOUBLE)) AS mx
+    FROM lineitem
+),
+p AS (SELECT mn, (mx - mn) / 20 AS wd FROM s),
+b AS (
+    SELECT CASE WHEN l_extendedprice IS NULL THEN -1
+                ELSE LEAST(GREATEST(CAST(floor(
+                         (CAST(l_extendedprice AS DOUBLE) - mn) / wd)
+                     AS BIGINT), 0), 19)
+           END AS bin
+    FROM lineitem, p
+)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_rows,
+       CASE WHEN bin < 0 THEN NULL ELSE mn + bin * wd END AS bin_lo,
+       CASE WHEN bin < 0 THEN NULL ELSE mn + (bin + 1) * wd END AS bin_hi
+FROM b, p GROUP BY bin, mn, wd
 """
 
 
@@ -3323,6 +3356,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "corpus_mixture_sample": q_mixture_sample,
     "asof_join_two_table": q_asof_join_orders,
     "embed_mean_pool": q_mean_pool,
+    "profile_numeric_histogram": q_numeric_histogram,
     "approx_sketches_events": q_approx_sketches,
     "streaming_tumbling_counts": q_streaming_tumbling,
     "streaming_exactly_once_dedup": q_streaming_dedup,
@@ -3409,6 +3443,7 @@ EXT_ORACLE: dict[str, str] = {
     "corpus_mixture_sample": SQL_MIXTURE_SAMPLE,
     "asof_join_two_table": SQL_ASOF_JOIN_ORDERS,
     "embed_mean_pool": SQL_MEAN_POOL,
+    "profile_numeric_histogram": SQL_NUMERIC_HISTOGRAM,
     # streaming result == batch tumbling aggregation over the same file
     "streaming_tumbling_counts": """
 SELECT event_type, date_trunc('hour', ts) AS window_start,

@@ -24,6 +24,7 @@ __all__ = [
     "cohort_retention",
     "user_event_sequences",
     "trailing_window_features",
+    "numeric_histogram",
 ]
 
 
@@ -358,4 +359,60 @@ def trailing_window_features(
     ).withColumn(
         "sum_trailing",
         F.sum(F.col(value_col).cast("decimal(28,6)")).over(w).cast("double"),
+    )
+
+
+def numeric_histogram(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column — the data-profiling
+    primitive (drift checks between pipeline runs, outlier triage, bin
+    sanity before quantile work).
+
+    Bounds default to the column's min/max (one stats pass, 2 doubles of
+    driver state). Bin index = ``floor((v - lo) / width)`` clamped to
+    ``[0, bins-1]`` (the max value closes the last bin instead of opening
+    bin ``bins``); NULLs are reported as bin -1 so the profile accounts
+    for every row. One partial+final hash aggregate — a distributed map
+    at any scale.
+
+    Output: ``(bin, n_rows, bin_lo, bin_hi)`` — edge columns are derived
+    per bin for direct rendering.
+    """
+    if bins < 1:
+        raise ValueError("numeric_histogram: bins must be >= 1")
+    v = F.col(value_col).cast("double")
+    if lo is None or hi is None:
+        row = df.agg(F.min(v).alias("_lo"), F.max(v).alias("_hi")).collect()[0]
+        lo = row["_lo"] if lo is None else lo
+        hi = row["_hi"] if hi is None else hi
+    if lo is None or hi is None or hi <= lo:
+        # degenerate: constant or empty column — everything in bin 0
+        b = F.when(v.isNull(), F.lit(-1)).otherwise(F.lit(0))
+        width = 0.0
+    else:
+        width = (float(hi) - float(lo)) / bins
+        raw = F.floor((v - F.lit(float(lo))) / F.lit(width))
+        b = F.when(v.isNull(), F.lit(-1)).otherwise(
+            F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
+        )
+    return (
+        df.groupBy(b.cast("long").alias("bin"))
+        .agg(F.count("*").alias("n_rows"))
+        .withColumn(
+            "bin_lo",
+            F.when(F.col("bin") < 0, F.lit(None).cast("double")).otherwise(
+                F.lit(float(lo or 0.0)) + F.col("bin") * F.lit(width)
+            ),
+        )
+        .withColumn(
+            "bin_hi",
+            F.when(F.col("bin") < 0, F.lit(None).cast("double")).otherwise(
+                F.lit(float(lo or 0.0)) + (F.col("bin") + 1) * F.lit(width)
+            ),
+        )
     )

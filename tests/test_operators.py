@@ -1168,3 +1168,25 @@ def test_mixture_quota_sample_absent_stratum_empty(spark):
         mixture_quota_sample(
             df.withColumn("mix_rank", F.lit(1)), "src", "doc_id", {"a": 1}
         )
+
+
+def test_numeric_histogram_bins_and_nulls(spark):
+    from hiv_data_integration_spark.operators.aggregate import numeric_histogram
+
+    df = spark.createDataFrame(
+        [(0.0,), (2.5,), (5.0,), (9.99,), (10.0,), (None,)], "v double"
+    )
+    out = {r.bin: r for r in numeric_histogram(df, "v", bins=4).collect()}
+    # lo=0, hi=10, width=2.5; 10.0 clamps into the LAST bin (3), not bin 4
+    assert out[-1].n_rows == 1 and out[-1].bin_lo is None
+    assert out[0].n_rows == 1          # 0.0
+    assert out[1].n_rows == 1          # 2.5 -> floor(1.0) = bin 1
+    assert out[3].n_rows == 2          # 9.99 and the clamped 10.0
+    assert out[0].bin_lo == 0.0 and out[0].bin_hi == 2.5
+    assert sum(r.n_rows for r in out.values()) == 6
+    # degenerate constant column: single bin 0
+    const = spark.createDataFrame([(7.0,), (7.0,)], "v double")
+    got = numeric_histogram(const, "v", bins=4).collect()
+    assert len(got) == 1 and got[0].bin == 0 and got[0].n_rows == 2
+    with pytest.raises(ValueError):
+        numeric_histogram(df, "v", bins=0)
