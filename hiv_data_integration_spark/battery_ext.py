@@ -16,6 +16,7 @@ from hiv_data_integration_spark.battery import QueryFn, dsum, read_events_stream
 from hiv_data_integration_spark.operators.aggregate import (
     cohort_retention as agg_cohort,
     funnel_conversion as agg_funnel,
+    completeness_profile as agg_completeness,
     numeric_histogram as agg_hist,
     trailing_window_features as agg_trailing,
     user_event_sequences as agg_user_seq,
@@ -1199,6 +1200,29 @@ SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
        CAST(n_regionkey AS BIGINT) AS n_regionkey
 FROM nation
 """
+
+
+def q_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile, HASH-checked: total/non-null/null/
+    exact-distinct for four customer columns in ONE aggregation job
+    (multi-DISTINCT expand), unpivoted to long in-plan."""
+    cust = tbl(spark, sf_dir, "customer")
+    return agg_completeness(
+        cust, ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    )
+
+
+_PROFILE_COL_SQL = """
+SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count({c}) AS BIGINT) AS n_nonnull,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM customer"""
+
+SQL_COMPLETENESS_PROFILE = "\nUNION ALL\n".join(
+    _PROFILE_COL_SQL.format(c=c)
+    for c in ("c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+)
 
 
 def q_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3357,6 +3381,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "asof_join_two_table": q_asof_join_orders,
     "embed_mean_pool": q_mean_pool,
     "profile_numeric_histogram": q_numeric_histogram,
+    "profile_completeness": q_completeness_profile,
     "approx_sketches_events": q_approx_sketches,
     "streaming_tumbling_counts": q_streaming_tumbling,
     "streaming_exactly_once_dedup": q_streaming_dedup,
@@ -3444,6 +3469,7 @@ EXT_ORACLE: dict[str, str] = {
     "asof_join_two_table": SQL_ASOF_JOIN_ORDERS,
     "embed_mean_pool": SQL_MEAN_POOL,
     "profile_numeric_histogram": SQL_NUMERIC_HISTOGRAM,
+    "profile_completeness": SQL_COMPLETENESS_PROFILE,
     # streaming result == batch tumbling aggregation over the same file
     "streaming_tumbling_counts": """
 SELECT event_type, date_trunc('hour', ts) AS window_start,

@@ -25,6 +25,7 @@ __all__ = [
     "user_event_sequences",
     "trailing_window_features",
     "numeric_histogram",
+    "completeness_profile",
 ]
 
 
@@ -415,4 +416,39 @@ def numeric_histogram(
                 F.lit(float(lo or 0.0)) + (F.col("bin") + 1) * F.lit(width)
             ),
         )
+    )
+
+
+def completeness_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column completeness/cardinality profile — the data-quality
+    gate run before a corpus version ships: one row per profiled column
+    with total rows, non-null count, null count, and exact distinct
+    count.
+
+    ONE aggregation job: all per-column aggregates evaluate in a single
+    global agg row (Spark plans the multiple DISTINCTs as an expand —
+    fine for the handful of columns a profile covers), then the wide row
+    unpivots to long via an inline struct array. No per-column scans.
+    """
+    if not cols:
+        raise ValueError("completeness_profile: cols must be non-empty")
+    aggs = [F.count("*").alias("_n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.count(F.col(c)).alias(f"_nn{i}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_nd{i}"))
+    wide = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_nn{i}").alias("n_nonnull"),
+                (F.col("_n") - F.col(f"_nn{i}")).alias("n_nulls"),
+                F.col(f"_nd{i}").alias("n_distinct"),
+            )
+            for i, c in enumerate(cols)
+        ]
+    )
+    return wide.select(F.explode(entries).alias("e")).select(
+        "e.column", "e.n_rows", "e.n_nonnull", "e.n_nulls", "e.n_distinct"
     )

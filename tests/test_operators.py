@@ -1190,3 +1190,19 @@ def test_numeric_histogram_bins_and_nulls(spark):
     assert len(got) == 1 and got[0].bin == 0 and got[0].n_rows == 2
     with pytest.raises(ValueError):
         numeric_histogram(df, "v", bins=0)
+
+
+def test_completeness_profile_counts(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        completeness_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")], "x long, s string"
+    )
+    out = {r.column: r for r in completeness_profile(df, ["x", "s"]).collect()}
+    assert out["x"].n_rows == 4 and out["x"].n_nonnull == 3
+    assert out["x"].n_nulls == 1 and out["x"].n_distinct == 3
+    assert out["s"].n_nonnull == 3 and out["s"].n_distinct == 2
+    with pytest.raises(ValueError):
+        completeness_profile(df, [])
