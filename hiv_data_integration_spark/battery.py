@@ -143,6 +143,26 @@ def read_events_stream(spark: SparkSession, load_path: str, probe_path: str) -> 
     return stream
 
 
+def driver_hashable_violations(schema: T.StructType) -> list[str]:
+    """Columns whose type the driver's correctness harness cannot hash.
+
+    The driver canonicalizes result frames in pandas (``sort_values`` →
+    ``factorize``); Python lists/dicts are unhashable, so any
+    ``ArrayType``/``MapType`` output column makes the official check ERROR
+    before comparing anything (round-4 reds ``user_event_sequences`` and
+    ``embed_mean_pool``). Battery queries must scalarize arrays first —
+    ``concat_ws`` for element-exact strings, ``posexplode`` for
+    per-position rows, or pos-weighted checksums (the
+    ``corpus_shuffle_shards`` pattern). Returns offending ``name: type``
+    strings; the driver-contract tests fail on any.
+    """
+    return [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType))
+    ]
+
+
 def dsum(col, scale: int = 2, prec: int = 18):
     """Deterministic double sum: exact decimal accumulation → double."""
     c = F.col(col) if isinstance(col, str) else col

@@ -1261,11 +1261,17 @@ def q_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding mean-pooling, HASH-checked down to every double: vectors
     pool per label with the id-ordered per-dimension fold (the same
     bit-determinism invariant the k-means trainer relies on), so the
-    oracle reproduces all 64 pooled dimensions exactly."""
+    oracle reproduces all 64 pooled dimensions exactly. The pooled array
+    is posexplode'd to one (label, pos, val) row per dimension — the
+    driver's pandas canonicalizer cannot hash raw ArrayType columns
+    (round-4 red), and per-dimension rows verify strictly MORE than the
+    array did: every double, position-addressed."""
     emb = tbl(spark, sf_dir, "embeddings")
     pooled = sim.mean_pool_embeddings(emb, "label", "embedding", "vec_id")
     return pooled.select(
-        F.col("group").cast("long").alias("label"), "n_vecs", "pooled"
+        F.col("group").cast("long").alias("label"),
+        "n_vecs",
+        F.posexplode("pooled").alias("pos", "val"),
     )
 
 
@@ -1284,9 +1290,10 @@ m AS (
     GROUP BY label, pos
 )
 SELECT CAST(label AS BIGINT) AS label,
-       CAST(max(n) AS BIGINT) AS n_vecs,
-       list(m ORDER BY pos) AS pooled
-FROM m GROUP BY label
+       CAST(n AS BIGINT) AS n_vecs,
+       CAST(pos - 1 AS INTEGER) AS pos,
+       m AS val
+FROM m
 """
 
 
@@ -1426,15 +1433,18 @@ def q_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user chronological event-type sequences truncated to 20, verified
     element-for-element against ``list(x ORDER BY ts, event_id)`` — the
     (ts, event_id) key is unique so both engines produce the identical
-    array. Restricted to users with ≥ 2 events to keep the result set
-    meaningful."""
+    array. The sequence is projected to a '|'-joined string (element- and
+    order-exact; event_type is NULL-free and delimiter-free) because the
+    driver's pandas canonicalizer cannot hash raw ArrayType columns
+    (round-4 red). Restricted to users with ≥ 2 events to keep the
+    result set meaningful."""
     ev = tbl(spark, sf_dir, "events")
     seqs = agg_user_seq(
         ev, "user_id", "event_type", ["ts", "event_id"], max_len=20
     )
     return seqs.filter(F.col("n_events") >= 2).select(
         "user", F.col("n_events").cast("long").alias("n_events"),
-        "seq_len", "sequence",
+        "seq_len", F.concat_ws("|", "sequence").alias("sequence"),
     )
 
 
@@ -1442,7 +1452,8 @@ SQL_USER_EVENT_SEQUENCES = """
 SELECT user_id AS user,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(LEAST(count(*), 20) AS BIGINT) AS seq_len,
-       (list(event_type ORDER BY ts, event_id))[1:20] AS sequence
+       array_to_string((list(event_type ORDER BY ts, event_id))[1:20], '|')
+           AS sequence
 FROM events
 GROUP BY user_id
 HAVING count(*) >= 2

@@ -92,6 +92,41 @@ def test_oracle_output_types_are_hash_portable(name, duck):
     )
 
 
+def test_array_output_guard_catches_unhashable_schemas():
+    """The round-4 lesson, generalized (like the HUGEINT guard): the
+    driver's pandas canonicalizer cannot hash ArrayType/MapType output
+    columns — ``factorize`` raises ``TypeError: unhashable type: 'list'``
+    before any comparison happens, so such a query can NEVER go green.
+    ``driver_hashable_violations`` must flag exactly those schemas; the
+    battery-wide application runs in tests/test_oracle_parity.py against
+    every ``queries()`` entry's actual result schema."""
+    from pyspark.sql import types as T
+
+    from hiv_data_integration_spark.battery import driver_hashable_violations
+
+    bad = T.StructType(
+        [
+            T.StructField("user", T.LongType()),
+            T.StructField("sequence", T.ArrayType(T.StringType())),
+            T.StructField("attrs", T.MapType(T.StringType(), T.LongType())),
+        ]
+    )
+    viols = driver_hashable_violations(bad)
+    assert viols == [
+        "sequence: array<string>",
+        "attrs: map<string,bigint>",
+    ]
+
+    good = T.StructType(
+        [
+            T.StructField("user", T.LongType()),
+            T.StructField("sequence", T.StringType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    assert driver_hashable_violations(good) == []
+
+
 def test_no_libm_functions_in_oracles():
     # ln/log results are libm-dependent and differ across engines at the
     # last ulp — hashed projections must stay integer/IEEE-exact (the

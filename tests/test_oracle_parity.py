@@ -73,6 +73,17 @@ def _normalize(columns, rows):
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, duck):
     sdf = QUERIES[name](spark, SF_DIR)
+    # driver-hashability gate: the official harness canonicalizes in pandas
+    # and ERRORS on ArrayType/MapType outputs (round-4 reds) — this local
+    # harness tuple-izes lists, so without this check it is silently laxer
+    # than the spec
+    from hiv_data_integration_spark.battery import driver_hashable_violations
+
+    viols = driver_hashable_violations(sdf.schema)
+    assert not viols, (
+        f"{name}: output columns {viols} are unhashable by the driver's "
+        f"pandas canonicalizer — scalarize (concat_ws / posexplode / checksum)"
+    )
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
