@@ -34,32 +34,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver hash-verifies only the FIRST 50 ``queries()`` entries per
-# round, so ordering is the verification budget. Round-4 tiers (lowest
-# emitted first): the 10 entries without a green row — 9 round-3 reds
-# (all the DuckDB-HUGEINT oracle typing trap, now CAST to BIGINT) plus
-# fuzzy_resolve_suppliers (previously rows-only, now given a full
-# value-hash oracle — re-verify both fixes), brand-new queries
-# (absent from the tier lists), entries whose only green is round 1, the
-# 45 round-2 greens (oldest standing signal), and finally the round-3
-# greens — the cross-round union of green rows converges to full coverage
-# while every entry keeps a green row ≤2 rounds old.
-_R3_RED_FIXED = [
-    "data_split_sample", "jsonl_corpus_roundtrip", "streaming_pii_redaction",
-    "corpus_dataset_card", "embed_ann_recall", "llm_corpus_prep",
-    "streaming_corpus_chunking", "corpus_unigram_logprob",
-    "dedup_canonical_corpus", "fuzzy_resolve_suppliers",
+# round, so ordering is the verification budget. Round-5 tiers (lowest
+# emitted first): the 2 round-4 reds (raw ArrayType outputs the driver's
+# pandas canonicalizer cannot hash — now scalarized via concat_ws /
+# posexplode on both engine and oracle sides), brand-new queries (absent
+# from the tier lists), the 29 entries whose latest green is round 2
+# (stalest standing signal), the 39 round-3 greens (~17 fit this round's
+# window, the rest rotate next round), and finally the 48 round-4
+# greens — the cross-round union of green rows stays total while the
+# oldest signals refresh first.
+_R4_RED_FIXED = [
+    "user_event_sequences", "embed_mean_pool",
 ]
-_R1_GREEN_STALE = [
-    "embed_lsh_ann_topk", "multimodal_payload_meta", "fuzzy_normalize_fold",
-    "rest_fanout_analytics",
-]
-_R2_GREEN = [
-    "flagship_pnls_chain", "pricing_summary", "filter_membership",
-    "date_range_filter", "conditional_bucket", "join_fact_dim",
-    "multi_hop_join", "semi_join_orders", "anti_join_customers",
-    "cross_join_replicate", "union_relaxed", "distinct_pairs",
-    "pivot_sum_returnflag", "pivot_min_status", "semester_rollup",
-    "topk_customers", "window_rank_customers", "rules_engine_lineitem",
+_R2_GREEN_STALE = [
+    "window_rank_customers", "rules_engine_lineitem",
     "rules_consistent_only", "stack_wide_to_long", "pad_to_contract",
     "string_path_ops", "period_roundtrip", "lenient_numeric_parse",
     "dict_lookup_priority", "fuzzy_levenshtein_match", "text_token_counts",
@@ -89,6 +77,26 @@ _R3_GREEN = [
     "multimodal_frame_sample_stub", "embed_cosine_topk",
     "embed_ivf_topk_label",
 ]
+_R4_GREEN = [
+    "data_split_sample", "jsonl_corpus_roundtrip", "streaming_pii_redaction",
+    "corpus_dataset_card", "embed_ann_recall", "llm_corpus_prep",
+    "streaming_corpus_chunking", "corpus_unigram_logprob",
+    "dedup_canonical_corpus", "fuzzy_resolve_suppliers",
+    "xlsx_report_roundtrip", "csv_per_period_export", "json_dict_scan",
+    "registry_upsert_state", "dedup_ngram_prefix_filter",
+    "zorder_clustered_scan", "dedup_semantic_clusters",
+    "dedup_incremental_batch", "corpus_shuffle_shards",
+    "orc_source_roundtrip", "dataset_diff_audit", "compaction_plan_bins",
+    "text_clean_corpus", "trailing_window_features", "corpus_mixture_sample",
+    "asof_join_two_table", "profile_numeric_histogram",
+    "profile_completeness", "embed_lsh_ann_topk", "multimodal_payload_meta",
+    "fuzzy_normalize_fold", "rest_fanout_analytics", "flagship_pnls_chain",
+    "pricing_summary", "filter_membership", "date_range_filter",
+    "conditional_bucket", "join_fact_dim", "multi_hop_join",
+    "semi_join_orders", "anti_join_customers", "cross_join_replicate",
+    "union_relaxed", "distinct_pairs", "pivot_sum_returnflag",
+    "pivot_min_status", "semester_rollup", "topk_customers",
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -98,17 +106,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries with the least cross-round driver signal."""
     merged = {**QUERIES, **EXT_QUERIES, **SQL2_QUERIES}
     tiered = (
-        set(_R3_RED_FIXED) | set(_R1_GREEN_STALE) | set(_R2_GREEN)
-        | set(_R3_GREEN)
+        set(_R4_RED_FIXED) | set(_R2_GREEN_STALE) | set(_R3_GREEN)
+        | set(_R4_GREEN)
     )
     new_this_round = [k for k in merged if k not in tiered]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for tier in (
-        _R3_RED_FIXED,
+        _R4_RED_FIXED,
         new_this_round,
-        _R1_GREEN_STALE,
-        _R2_GREEN,
+        _R2_GREEN_STALE,
         _R3_GREEN,
+        _R4_GREEN,
     ):
         for k in tier:
             if k in merged and k not in ordered:

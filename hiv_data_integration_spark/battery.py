@@ -708,6 +708,72 @@ WHERE NOT ((CAST(cnt_a AS DOUBLE) > CAST(cnt_n AS DOUBLE))
 """
 
 
+def q_rules_inconsistent_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 routing with the R2 flag INVERTED (``exclude_inconsistent=
+    False`` — R2's ``include_inconsistent_data=True`` keeps flagged rows in
+    the data output while STILL routing them to the review sink,
+    R2/utils.py:821-830). Both branches union into one result tagged by
+    ``branch``: the hash pins that 'data' carries EVERY row (inconsistent
+    included) and 'review' carries exactly the flagged rows with their
+    per-cell colors ('-' for clear cells)."""
+    wide = _rules_wide_frame(spark, sf_dir)
+    consistent, flagged = split_by_consistency(
+        wide, _LINEITEM_RULES, key_cols=["l_orderkey"],
+        exclude_inconsistent=False,
+    )
+    base = ["l_orderkey", "cnt_a", "cnt_n", "cnt_r", "qty_tot"]
+    data = consistent.select(
+        F.lit("data").alias("branch"), *base,
+        F.lit(None).cast("string").alias("colors"),
+    )
+    review = flagged.select(
+        F.lit("review").alias("branch"), *base,
+        F.concat_ws(
+            "|",
+            *[
+                F.coalesce(F.col(f"{c}__color"), F.lit("-"))
+                for c in ("cnt_a", "cnt_n", "cnt_r", "qty_tot")
+            ],
+        ).alias("colors"),
+    )
+    return data.unionByName(review)
+
+
+SQL_RULES_INCONSISTENT_ROUTING = """
+WITH wide AS (
+    SELECT l_orderkey,
+           count(CASE WHEN l_returnflag='A' THEN 1 END) AS cnt_a,
+           count(CASE WHEN l_returnflag='N' THEN 1 END) AS cnt_n,
+           count(CASE WHEN l_returnflag='R' THEN 1 END) AS cnt_r,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_tot
+    FROM lineitem GROUP BY l_orderkey
+), fired AS (
+    SELECT *,
+           (CAST(cnt_a AS DOUBLE) > CAST(cnt_n AS DOUBLE)) AS f_red,
+           (qty_tot < CAST(cnt_a AS DOUBLE) + CAST(cnt_n AS DOUBLE) + CAST(cnt_r AS DOUBLE)) AS f_orange,
+           (CAST(cnt_a AS DOUBLE) != CAST(cnt_n AS DOUBLE)) AS f_yellow
+    FROM wide
+), colored AS (
+    SELECT *,
+           CASE WHEN f_yellow THEN 'FFFF00' WHEN f_red THEN 'FF0000'
+                WHEN f_orange THEN 'FFA500' END AS ca,
+           CASE WHEN f_yellow THEN 'FFFF00' WHEN f_red THEN 'FF0000'
+                WHEN f_orange THEN 'FFA500' END AS cn,
+           CASE WHEN f_orange THEN 'FFA500' END AS cr,
+           CASE WHEN f_orange THEN 'FFA500' END AS cq
+    FROM fired
+)
+SELECT 'data' AS branch, l_orderkey, cnt_a, cnt_n, cnt_r, qty_tot,
+       CAST(NULL AS VARCHAR) AS colors
+FROM colored
+UNION ALL
+SELECT 'review' AS branch, l_orderkey, cnt_a, cnt_n, cnt_r, qty_tot,
+       concat_ws('|', coalesce(ca, '-'), coalesce(cn, '-'),
+                 coalesce(cr, '-'), coalesce(cq, '-')) AS colors
+FROM colored WHERE f_yellow OR f_red OR f_orange
+"""
+
+
 # ---------------------------------------------------------------------------
 # Reshape + scalar functions (§2.9-2.10)
 # ---------------------------------------------------------------------------
@@ -1027,6 +1093,7 @@ QUERIES: dict[str, QueryFn] = {
     "sessionize_events": q_sessionize,
     "rules_engine_lineitem": q_rules_engine,
     "rules_consistent_only": q_rules_consistent_only,
+    "rules_inconsistent_routing": q_rules_inconsistent_routing,
     "stack_wide_to_long": q_stack_wide_to_long,
     "pad_to_contract": q_pad_to_contract,
     "string_path_ops": q_string_path_ops,
@@ -1060,6 +1127,7 @@ ORACLE: dict[str, str] = {
     "sessionize_events": SQL_SESSIONIZE,
     "rules_engine_lineitem": SQL_RULES_ENGINE,
     "rules_consistent_only": SQL_RULES_CONSISTENT_ONLY,
+    "rules_inconsistent_routing": SQL_RULES_INCONSISTENT_ROUTING,
     "stack_wide_to_long": SQL_STACK_WIDE_TO_LONG,
     "pad_to_contract": SQL_PAD_TO_CONTRACT,
     "string_path_ops": SQL_STRING_PATH_OPS,

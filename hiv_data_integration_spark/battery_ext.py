@@ -625,6 +625,13 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations, final assignment, the pairwise drop and the per-cluster
     rollup — as SQL CTEs, so the driver verifies the trainer numerics and
     the dedup decisions, not just row counts."""
+    return sim.semantic_dedup(
+        _planted_corpus(spark, sf_dir),
+        "vec_id", "embedding", n_clusters=16, iters=2, threshold=0.999,
+    )
+
+
+def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tbl(spark, sf_dir, "embeddings")
     planted = emb.filter(F.col("vec_id") % 20 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
@@ -632,23 +639,45 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").cast("array<double>"), lambda x: x * 1.5
         ).alias("embedding"),
     )
-    corpus = emb.select(
+    return emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     ).unionByName(planted)
+
+
+def q_semantic_dedup_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the documented 100 TB trainer knob EXERCISED: the
+    Lloyd quantizer trains on the deterministic md5-threshold 25% sample
+    (``kmeans_centroids(sample_fraction=0.25)`` — train-on-sample), the
+    final assignment and the pairwise drop cover the full planted corpus
+    (assign-all). The oracle unrolls the sampled trainer's CTEs over the
+    same md5-thresholded subset, so the sampled path is proven
+    bit-deterministic end-to-end, not just claimed bounded."""
     return sim.semantic_dedup(
-        corpus, "vec_id", "embedding", n_clusters=16, iters=2, threshold=0.999
+        _planted_corpus(spark, sf_dir),
+        "vec_id", "embedding", n_clusters=16, iters=2, threshold=0.999,
+        sample_fraction=0.25,
     )
 
 
 def _semantic_dedup_sql(k_clusters: int = 16, iters: int = 2,
-                        threshold: float = 0.999) -> str:
+                        threshold: float = 0.999,
+                        sample_hex: str | None = None) -> str:
     """Unrolled SQL mirror of q_semantic_dedup: the same Lloyd CTE shapes
     as `_kmeans_ivf_sql` (see its docstring for the bit-parity
-    invariants), over an L2-normalized corpus with planted duplicates."""
-    assign_rn = (
-        "row_number() OVER (PARTITION BY e.vec_id ORDER BY "
-        "list_dot_product(c.v, c.v) - 2 * list_dot_product(e.v, c.v), c.c_id)"
+    invariants), over an L2-normalized corpus with planted duplicates.
+
+    ``sample_hex`` mirrors the trainer's deterministic md5-threshold
+    sample (``kmeans_centroids(sample_fraction=...)``): the init and both
+    Lloyd passes then run over ``tr`` (the sampled subset) while the final
+    assignment and the pairwise drop still cover the FULL corpus — the
+    train-on-sample / assign-all production shape, hash-checked."""
+    tr = "tr" if sample_hex else "e"
+    assign_rn_tmpl = (
+        "row_number() OVER (PARTITION BY {t}.vec_id ORDER BY "
+        "list_dot_product(c.v, c.v) - 2 * list_dot_product({t}.v, c.v), c.c_id)"
     )
+    assign_rn = assign_rn_tmpl.format(t="e")
+    assign_rn_tr = assign_rn_tmpl.format(t=tr)
     parts = [
         """WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
 pl AS (SELECT vec_id + 100000 AS vec_id, list_transform(v0, x -> x * 1.5) AS v0
@@ -657,16 +686,21 @@ allv AS (SELECT * FROM raw UNION ALL SELECT * FROM pl),
 e AS (SELECT vec_id,
              list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v
       FROM allv),""",
-        f"""cents0 AS (
-    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_id, v
-    FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k_clusters})
-),""",
     ]
+    if sample_hex:
+        parts.append(
+            f"""tr AS (SELECT * FROM e
+      WHERE md5('km|' || CAST(vec_id AS VARCHAR)) < '{sample_hex}'),"""
+        )
+    parts.append(f"""cents0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_id, v
+    FROM (SELECT vec_id, v FROM {tr} ORDER BY vec_id LIMIT {k_clusters})
+),""")
     for i in range(iters):
         parts.append(f"""assign{i} AS (
     SELECT vec_id, v, c_id FROM (
-        SELECT e.vec_id, e.v, c.c_id, {assign_rn} AS rn
-        FROM e CROSS JOIN cents{i} c
+        SELECT {tr}.vec_id, {tr}.v, c.c_id, {assign_rn_tr} AS rn
+        FROM {tr} CROSS JOIN cents{i} c
     ) WHERE rn = 1
 ),
 mean{i} AS (
@@ -704,6 +738,8 @@ GROUP BY af.c_id""")
 
 
 SQL_SEMANTIC_DEDUP = _semantic_dedup_sql()
+# int(0.25 * 16**8) == 0x40000000 — the engine-side threshold for 25%
+SQL_SEMANTIC_DEDUP_SAMPLED = _semantic_dedup_sql(sample_hex="40000000")
 
 
 _PLANES = sim.deterministic_planes(dim=64, n_planes=8, seed="lsh")
@@ -3380,6 +3416,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "partitioned_parquet_pruning": q_partition_pruning,
     "zorder_clustered_scan": q_zorder_scan,
     "dedup_semantic_clusters": q_semantic_dedup,
+    "dedup_semantic_sampled_trainer": q_semantic_dedup_sampled,
     "dedup_incremental_batch": q_incremental_dedup,
     "corpus_shuffle_shards": q_shuffle_shards,
     "orc_source_roundtrip": q_orc_roundtrip,
@@ -3468,6 +3505,7 @@ EXT_ORACLE: dict[str, str] = {
     "partitioned_parquet_pruning": SQL_PARTITION_PRUNING,
     "zorder_clustered_scan": SQL_ZORDER_SCAN,
     "dedup_semantic_clusters": SQL_SEMANTIC_DEDUP,
+    "dedup_semantic_sampled_trainer": SQL_SEMANTIC_DEDUP_SAMPLED,
     "dedup_incremental_batch": SQL_INCREMENTAL_DEDUP,
     "corpus_shuffle_shards": SQL_SHUFFLE_SHARDS,
     "orc_source_roundtrip": SQL_ORC_ROUNDTRIP,

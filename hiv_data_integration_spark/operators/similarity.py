@@ -223,10 +223,21 @@ def kmeans_centroids(
     build (train-on-sample, assign-all).
     """
     train = corpus
-    if sample_fraction is not None:
-        # deterministic sample: hash-mod on the id, not rand()
-        buckets = max(1, int(round(1.0 / sample_fraction)))
-        train = corpus.filter(F.crc32(F.col(id_col).cast("string")) % buckets == 0)
+    if sample_fraction is not None and sample_fraction < 1.0:
+        if sample_fraction <= 0.0:
+            raise ValueError(
+                "kmeans_centroids: sample_fraction must be in (0, 1]"
+            )
+        # deterministic, engine-portable sample (not rand()): keep ids whose
+        # salted md5 falls below the fraction's 8-hex-digit threshold —
+        # lowercase-hex string compare is byte-wise in every engine, so a
+        # SQL oracle reproduces the exact training set
+        # (md5('km|' || CAST(id AS VARCHAR)) < thr)
+        thr = format(int(sample_fraction * 16**8), "08x")
+        train = corpus.filter(
+            F.md5(F.concat(F.lit("km|"), F.col(id_col).cast("string")))
+            < F.lit(thr)
+        )
 
     # cache the cast training vectors FIRST: the guard probe and the init
     # collect below already populate it, and every Lloyd pass re-reads it
@@ -234,31 +245,34 @@ def kmeans_centroids(
     v = _as_double(F.col(vec_col))
     vecs = train.select(F.col(id_col).alias("_id"), v.alias("_v")).cache()
 
-    if sample_fraction is None:
-        # scale guard: the per-(cluster, dim) id-ordered fold gathers n/k
-        # doubles per group — unbounded input without a sample_fraction is
-        # a silent driver/executor OOM at corpus scale, so fail loudly.
-        # limit+count short-circuits: the probe never scans past the cap
-        # (and what it does scan lands in the cache).
-        probe = vecs.select("_id").limit(max_train_rows + 1).count()
-        if probe > max_train_rows:
-            vecs.unpersist()
-            raise ValueError(
-                f"kmeans_centroids: training corpus exceeds {max_train_rows} "
-                f"rows with no sample_fraction — pass sample_fraction to "
-                f"train on a bounded deterministic sample (train-on-sample, "
-                f"assign-all is the IVF production shape), or raise "
-                f"max_train_rows explicitly"
-            )
-    init_rows = vecs.orderBy("_id").limit(n_clusters).collect()
-    centroids = [list(r["_v"]) for r in init_rows]
-    if len(centroids) < n_clusters:
-        vecs.unpersist()
-        raise ValueError(
-            f"need >= {n_clusters} training vectors, got {len(centroids)}"
-        )
-
+    # ONE try/finally owns the cached RDD from here on: the guard probe,
+    # the init collect, and every Lloyd pass can raise analysis/executor
+    # errors beyond the two ValueErrors — an early exit must not leak the
+    # cache for the session's lifetime
     try:
+        if sample_fraction is None:
+            # scale guard: the per-(cluster, dim) id-ordered fold gathers
+            # n/k doubles per group — unbounded input without a
+            # sample_fraction is a silent driver/executor OOM at corpus
+            # scale, so fail loudly. limit+count short-circuits: the probe
+            # never scans past the cap (and what it does scan lands in the
+            # cache).
+            probe = vecs.select("_id").limit(max_train_rows + 1).count()
+            if probe > max_train_rows:
+                raise ValueError(
+                    f"kmeans_centroids: training corpus exceeds "
+                    f"{max_train_rows} rows with no sample_fraction — pass "
+                    f"sample_fraction to train on a bounded deterministic "
+                    f"sample (train-on-sample, assign-all is the IVF "
+                    f"production shape), or raise max_train_rows explicitly"
+                )
+        init_rows = vecs.orderBy("_id").limit(n_clusters).collect()
+        centroids = [list(r["_v"]) for r in init_rows]
+        if len(centroids) < n_clusters:
+            raise ValueError(
+                f"need >= {n_clusters} training vectors, got {len(centroids)}"
+            )
+
         for _ in range(iters):
             assigned = vecs.withColumn(
                 "_bucket", nearest_centroid(F.col("_v"), centroids)

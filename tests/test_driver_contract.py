@@ -44,12 +44,19 @@ def test_registry_complete_and_oracled():
 def test_window_prioritizes_unverified_entries():
     names = list(contract.queries())
     window = names[:50]
-    # the 9 round-3 hash-reds (HUGEINT oracle typing, now cast) plus the
-    # previously rows-only fuzzy entry must be re-verified this round
-    for k in contract._R3_RED_FIXED:
+    # the 2 round-4 reds (ArrayType outputs, now scalarized) must be
+    # re-verified this round, ahead of everything else
+    assert names[:2] == contract._R4_RED_FIXED
+    # brand-new entries (no tier row yet → no driver signal) come next
+    tiered = (
+        set(contract._R4_RED_FIXED) | set(contract._R2_GREEN_STALE)
+        | set(contract._R3_GREEN) | set(contract._R4_GREEN)
+    )
+    new_this_round = [k for k in names if k not in tiered]
+    for k in new_this_round:
         assert k in window, k
-    # entries whose only green row is round 1 rotate in next
-    for k in contract._R1_GREEN_STALE:
+    # entries whose latest green is round 2 are the stalest signal
+    for k in contract._R2_GREEN_STALE:
         assert k in window, k
     # nothing is dropped or duplicated by the ordering
     assert len(names) == len(set(names))
