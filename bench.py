@@ -21,9 +21,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from hiv_data_integration_spark.battery import QUERIES  # noqa: E402
 from hiv_data_integration_spark.battery_ext import EXT_QUERIES  # noqa: E402
 from hiv_data_integration_spark.battery_sql import SQL2_QUERIES  # noqa: E402
+from hiv_data_integration_spark.benchmarks import (  # noqa: E402
+    pipeline_a_ist_scaled,
+)
 from hiv_data_integration_spark.session import get_spark  # noqa: E402
 
-ALL_QUERIES = {**QUERIES, **EXT_QUERIES, **SQL2_QUERIES}
+ALL_QUERIES = {
+    **QUERIES,
+    **EXT_QUERIES,
+    **SQL2_QUERIES,
+    # bench-only (no DuckDB oracle; pipeline goldens cover correctness in
+    # tests/test_pipelines.py): the full report pipeline at real width —
+    # 154-col IST contract × 86 compiled rules over a 107,800-row fact —
+    # measures the rule compiler's codegen behavior, the reference's hot
+    # spot (update_pnls_report/utils.py:300-315)
+    "pipeline_a_ist_scaled": pipeline_a_ist_scaled,
+}
 
 
 def main() -> None:
@@ -75,19 +88,27 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "battery_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "n_queries": len(timings),
-                "runs_per_query": runs,
-            }
-        )
+    payload = {
+        # "queries" first / totals last: the driver archives a TAIL of the
+        # printed line, which used to truncate the head (totals + the
+        # first ~57 per-query times were lost from BENCH_r{N}.json) — with
+        # this ordering the kept suffix carries the headline numbers
+        "queries": timings,
+        "n_queries": len(timings),
+        "runs_per_query": runs,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "metric": "battery_total_wall",
+        "value": total,
+        "unit": "sec",
+    }
+    # the complete artifact, always parseable regardless of tail budget
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_full_latest.json"
     )
+    with open(full_path, "w") as f:
+        json.dump(payload, f, indent=1)
+        f.write("\n")
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

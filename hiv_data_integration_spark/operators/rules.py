@@ -201,6 +201,81 @@ def compile_formula(formula: str, binding: Mapping[str, str]) -> Column:
     return pred
 
 
+class _SqlParser(_Parser):
+    """Same grammar, emitting Spark-SQL TEXT instead of Column objects.
+
+    Why: building a Column tree goes through Py4J per operator — the real
+    IST ruleset (86 formulas × 154 columns) costs ~5 s of driver time per
+    ``apply_rules`` call in Column form; one ``F.expr`` parse per output
+    column is ~50× cheaper (the same reason ``similarity._dbl_array_lit``
+    builds array literals through the SQL parser). Every emitted fragment
+    is the SQL spelling of the exact expression the Column path builds
+    (coalesce/CAST, parenthesized arithmetic, CASE WHEN, named_struct,
+    greatest), so the two paths are semantically identical — the
+    hypothesis property suite compares the output against the per-row
+    Python oracle, and the battery hash-checks it against DuckDB.
+    """
+
+    def comparison(self) -> str:
+        left = self.sum_()
+        tok = self._peek()
+        if tok is None or tok[0] != "op" or tok[1] not in (
+            "<", ">", "<=", ">=", "==", "!=",
+        ):
+            raise ValueError("formula is not a comparison")
+        op = self._next()[1]
+        right = self.sum_()
+        sql_op = "=" if op == "==" else op
+        return f"({left} {sql_op} {right})"
+
+    def sum_(self) -> str:
+        node = self.product()
+        while self._peek() in (("op", "+"), ("op", "-")):
+            op = self._next()[1]
+            node = f"({node} {op} {self.product()})"
+        return node
+
+    def product(self) -> str:
+        node = self.atom()
+        while self._peek() in (("op", "*"), ("op", "/")):
+            op = self._next()[1]
+            node = f"({node} {op} {self.atom()})"
+        return node
+
+    def atom(self) -> str:
+        kind, val = self._next()
+        if kind == "letter":
+            if val not in self.binding:
+                raise KeyError(f"formula letter {val} has no bound column")
+            quoted = self.binding[val].replace("`", "``")
+            # fillna(0) semantics from update_pnls_report/utils.py:159
+            return f"coalesce(CAST(`{quoted}` AS DOUBLE), 0.0D)"
+        if kind == "num":
+            # repr() is the shortest exact decimal round-trip, 'D' makes it
+            # a DOUBLE literal — bit-identical to the Column path's F.lit
+            return repr(float(val)) + "D"
+        if (kind, val) == ("op", "("):
+            node = self.sum_()
+            closing = self._next()
+            if closing != ("op", ")"):
+                raise ValueError("unbalanced parentheses")
+            return node
+        raise ValueError(f"unexpected token {val!r}")
+
+
+def compile_formula_sql(formula: str, binding: Mapping[str, str]) -> str:
+    """Parse one rule formula into a boolean Spark-SQL predicate string."""
+    parser = _SqlParser(_tokenize(formula), binding)
+    pred = parser.comparison()
+    if parser._peek() is not None:
+        raise ValueError(f"trailing tokens in formula {formula!r}")
+    return pred
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
 def apply_rules(
     df: DataFrame,
     rules: Mapping[str, Rule | tuple[str, str, int]],
@@ -220,10 +295,16 @@ def apply_rules(
     binding = default_letter_binding(df.columns, offset)
     col_to_letter = {v: k for k, v in binding.items()}
 
-    compiled: list[tuple[Rule, Column, set[str], int]] = []
+    # SQL-text construction, ONE F.expr parse per output column: building
+    # the same tree as Column objects costs one Py4J round trip per
+    # operator — ~5 s of driver time for the real 86-rule × 154-column IST
+    # payload, vs ~0.1 s through the SQL parser. Identical expressions
+    # either way (verified by the hypothesis suite vs the per-row Python
+    # oracle and by the battery's DuckDB hash checks).
+    compiled: list[tuple[Rule, str, set[str], int]] = []
     for idx, rule in enumerate(norm.values()):
-        pred = compile_formula(rule.formula, binding)
-        compiled.append((rule, pred, formula_letters(rule.formula), idx))
+        pred_sql = compile_formula_sql(rule.formula, binding)
+        compiled.append((rule, pred_sql, formula_letters(rule.formula), idx))
 
     out_cols: list[Column] = [F.col(c) for c in df.columns]
     color_cols: list[str] = []
@@ -234,15 +315,11 @@ def apply_rules(
         letter = col_to_letter[c]
         # candidates: struct(priority, earliness, color) per rule touching c
         candidates = [
-            F.when(
-                pred,
-                F.struct(
-                    F.lit(rule.priority).alias("priority"),
-                    F.lit(n_rules - idx).alias("earliness"),
-                    F.lit(rule.color).alias("color"),
-                ),
-            )
-            for rule, pred, letters, idx in compiled
+            f"CASE WHEN {pred_sql} THEN named_struct("
+            f"'priority', {int(rule.priority)}, "
+            f"'earliness', {n_rules - idx}, "
+            f"'color', {_sql_str(rule.color)}) END"
+            for rule, pred_sql, letters, idx in compiled
             if letter in letters
         ]
         if not candidates:
@@ -252,8 +329,10 @@ def apply_rules(
         else:
             # greatest() skips NULLs; struct ordering is field-by-field, so
             # (priority, earliness) gives max-priority / first-rule-on-tie.
-            best = F.greatest(*candidates)
-        out_cols.append(best.getField("color").alias(f"{c}{COLOR_SUFFIX}"))
+            best = f"greatest({', '.join(candidates)})"
+        out_cols.append(
+            F.expr(f"({best}).color").alias(f"{c}{COLOR_SUFFIX}")
+        )
         color_cols.append(f"{c}{COLOR_SUFFIX}")
 
     annotated = df.select(*out_cols)

@@ -58,6 +58,14 @@ def get_spark(
         # parquet scans: keep filter pushdown + schema pruning observable
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # the report pipelines project 154-236 contract columns plus one
+        # __color column each — far past the default maxFields=100, which
+        # silently drops the ENTIRE wide path out of whole-stage codegen
+        # (measured: 0 WholeStageCodegen spans, every rule when-chain
+        # interpreted). 600 covers PEC (236 + 236 + keys) with headroom;
+        # Spark still splits oversized generated methods and falls back
+        # per-stage via hugeMethodLimit if Janino ever balks.
+        .config("spark.sql.codegen.maxFields", "600")
         # driver-side niceties for a test/bench session
         .config("spark.ui.enabled", "false")
         # single-JVM local mode: the driver heap IS the executor heap. 8g

@@ -145,3 +145,50 @@ def test_aqe_skew_join_split_available(spark):
         14 if i % 10 != 0 else 2 * (i % 1000) for i in range(200000)
     )
     assert rows[0].s == expect_s
+
+
+def test_rules_at_width_stay_in_whole_stage_codegen(spark):
+    """The report pipeline's rule evaluation at REAL width — 86 IST rules
+    compiled over the 154-column contract — must stay inside whole-stage
+    codegen (the reference's hot spot is exactly this loop, per-row Python
+    over every rule × row, update_pnls_report/utils.py:300-315). Spark's
+    default spark.sql.codegen.maxFields=100 silently dropped the ENTIRE
+    wide path to interpreted evaluation (0 codegen spans measured);
+    session.py pins 600. This test pins both halves: codegen spans exist,
+    and the specific Project carrying the greatest()-of-when-chains rule
+    expressions sits inside one."""
+    import re
+
+    from hiv_data_integration_spark import ref_constants as rc
+    from hiv_data_integration_spark.benchmarks import ist_scaled_fixture
+    from hiv_data_integration_spark.operators.rules import apply_rules
+    from hiv_data_integration_spark.pipeline.extract import pathology_extract
+
+    analytics, coc, de_map, _ = ist_scaled_fixture(spark, n_facilities=20)
+    wide = pathology_extract(
+        analytics, coc, de_map, rc.expected_value_columns("IST")
+    )
+    ann = apply_rules(
+        wide,
+        dict(rc.rules_for("IST")),
+        key_cols=["organisation_unit_id", "period"],
+    )
+    plan = final_plan_string(spark, ann)
+    a = audit(plan)
+    assert a["codegen"] >= 1, "wide rules path fell out of codegen entirely"
+    assert a["python"] == 0
+    # the rule projection itself (the only node with greatest() chains)
+    # must carry a codegen id
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    rule_projects = [
+        b for b in blocks
+        if "Project" in b.split("\n", 1)[0] and "greatest(" in b
+    ]
+    assert rule_projects, "no Project with rule chains found in plan"
+    in_codegen = [
+        b for b in rule_projects if "[codegen id :" in b.split("\n", 1)[0]
+    ]
+    assert in_codegen, (
+        "the greatest()-of-when-chains rule Project is not inside a "
+        "whole-stage-codegen span"
+    )
