@@ -1279,7 +1279,8 @@ WITH s AS (
 ),
 p AS (SELECT mn, (mx - mn) / 20 AS wd FROM s),
 b AS (
-    SELECT CASE WHEN l_extendedprice IS NULL THEN -1
+    SELECT CASE WHEN l_extendedprice IS NULL
+                  OR isnan(CAST(l_extendedprice AS DOUBLE)) THEN -1
                 ELSE LEAST(GREATEST(CAST(floor(
                          (CAST(l_extendedprice AS DOUBLE) - mn) / wd)
                      AS BIGINT), 0), 19)

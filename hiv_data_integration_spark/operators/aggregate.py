@@ -321,6 +321,7 @@ def trailing_window_features(
     ts_col: str,
     value_col: str,
     window_seconds: int = 600,
+    sum_dtype: str = "decimal(28,6)",
 ) -> DataFrame:
     """Per-event trailing-interval features: for every event, the count
     and exact value sum over the SAME user's events in the preceding
@@ -335,8 +336,15 @@ def trailing_window_features(
     accumulator would round differently under each engine's frame
     evaluation order).
 
+    Precision contract: values are cast to ``sum_dtype`` (default
+    ``decimal(28,6)``) — inputs with more than 6 fractional digits ROUND
+    to the scale, and |value| >= 1e22 overflows the accumulator to NULL
+    (non-ANSI cast), dropping the row from the sum. Pass a wider
+    ``sum_dtype`` for such inputs, or enable ``spark.sql.ansi.enabled``
+    to make overflow raise instead of going NULL.
+
     Output: input columns + ``n_trailing`` (long) + ``sum_trailing``
-    (double, decimal-exact).
+    (double, exact at ``sum_dtype``'s precision/scale).
     """
     from pyspark.sql.window import Window
 
@@ -359,7 +367,7 @@ def trailing_window_features(
         "n_trailing", F.count("*").over(w).cast("long")
     ).withColumn(
         "sum_trailing",
-        F.sum(F.col(value_col).cast("decimal(28,6)")).over(w).cast("double"),
+        F.sum(F.col(value_col).cast(sum_dtype)).over(w).cast("double"),
     )
 
 
@@ -374,12 +382,15 @@ def numeric_histogram(
     primitive (drift checks between pipeline runs, outlier triage, bin
     sanity before quantile work).
 
-    Bounds default to the column's min/max (one stats pass, 2 doubles of
-    driver state). Bin index = ``floor((v - lo) / width)`` clamped to
-    ``[0, bins-1]`` (the max value closes the last bin instead of opening
-    bin ``bins``); NULLs are reported as bin -1 so the profile accounts
-    for every row. One partial+final hash aggregate — a distributed map
-    at any scale.
+    Bounds default to the column's min/max over finite values (one stats
+    pass, 2 doubles of driver state). Bin index = ``floor((v - lo) /
+    width)`` clamped to ``[0, bins-1]`` — with CALLER-SUPPLIED bounds this
+    means out-of-range values are counted in the edge bins (the profile
+    accounts for every row; pre-filter if you want out-of-range rows
+    excluded instead). NULL and NaN both report as bin -1: NaN has no
+    position on the axis, and without the explicit branch Spark's
+    NaN-is-largest ordering would silently inflate the top bin. One
+    partial+final hash aggregate — a distributed map at any scale.
 
     Output: ``(bin, n_rows, bin_lo, bin_hi)`` — edge columns are derived
     per bin for direct rendering.
@@ -387,18 +398,25 @@ def numeric_histogram(
     if bins < 1:
         raise ValueError("numeric_histogram: bins must be >= 1")
     v = F.col(value_col).cast("double")
+    # NaN joins NULL in the -1 bin; keep it out of the auto-bounds pass
+    # too (min/max treat NaN as largest — an auto hi of NaN would poison
+    # every bin edge)
+    unbinnable = v.isNull() | F.isnan(v)
     if lo is None or hi is None:
-        row = df.agg(F.min(v).alias("_lo"), F.max(v).alias("_hi")).collect()[0]
+        finite = F.when(~F.isnan(v), v)
+        row = df.agg(
+            F.min(finite).alias("_lo"), F.max(finite).alias("_hi")
+        ).collect()[0]
         lo = row["_lo"] if lo is None else lo
         hi = row["_hi"] if hi is None else hi
     if lo is None or hi is None or hi <= lo:
         # degenerate: constant or empty column — everything in bin 0
-        b = F.when(v.isNull(), F.lit(-1)).otherwise(F.lit(0))
+        b = F.when(unbinnable, F.lit(-1)).otherwise(F.lit(0))
         width = 0.0
     else:
         width = (float(hi) - float(lo)) / bins
         raw = F.floor((v - F.lit(float(lo))) / F.lit(width))
-        b = F.when(v.isNull(), F.lit(-1)).otherwise(
+        b = F.when(unbinnable, F.lit(-1)).otherwise(
             F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
         )
     return (

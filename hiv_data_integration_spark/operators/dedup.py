@@ -293,6 +293,7 @@ def incremental_dedup(
     jaccard_threshold: float = 0.6,
     partitions: int | None = None,
     broadcast_new: bool = True,
+    max_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """Dedup an incoming batch AGAINST a reference corpus — the production
     crawl-ingestion shape: each ingest must answer "which new documents
@@ -309,9 +310,14 @@ def incremental_dedup(
     Scale: the reference corpus' band entries are a pure per-doc
     projection — compute once per corpus version and store; per ingest
     only the (small) new batch re-hashes, and with ``broadcast_new`` its
-    band entries broadcast so the corpus NEVER shuffles. The verify join
-    touches only candidate pairs (banding keeps those ~linear in batch
-    size for bounded duplication).
+    band entries broadcast so the corpus NEVER shuffles. Broadcasting is
+    only sane for a bounded batch, so the band-entry count is probed
+    first (limit+count short-circuits): past ``max_broadcast_rows`` the
+    call FAILS LOUDLY instead of OOMing executors — re-run with
+    ``broadcast_new=False`` (shuffled join; the corpus side pays one
+    exchange) or split the ingest. The verify join touches only candidate
+    pairs (banding keeps those ~linear in batch size for bounded
+    duplication).
     """
     nb = minhash_band_entries(
         new_df, id_col, text_col, shingle_n, num_hashes, bands, partitions
@@ -320,6 +326,20 @@ def incremental_dedup(
         corpus_df, id_col, text_col, shingle_n, num_hashes, bands, partitions
     ).select(F.col("doc_id_").alias("corpus_id"), "band", "band_hash")
     if broadcast_new:
+        # same guard shape as kmeans_centroids' trainer probe: an
+        # unbounded ingest batch must not silently become a broadcast OOM.
+        # Probed on the RAW batch (band entries = rows x bands exactly),
+        # so the probe never computes a signature; limit+count
+        # short-circuits past the cap.
+        cap = max(1, max_broadcast_rows // bands)
+        probe = new_df.select(F.col(id_col)).limit(cap + 1).count()
+        if probe > cap:
+            raise ValueError(
+                f"incremental_dedup: new batch exceeds {cap} rows "
+                f"(> {max_broadcast_rows} band entries at bands={bands}) — "
+                f"too large to broadcast; pass broadcast_new=False "
+                f"(shuffled join) or split the ingest batch"
+            )
         nb = F.broadcast(nb)
     candidates = (
         cb.join(nb, ["band", "band_hash"])

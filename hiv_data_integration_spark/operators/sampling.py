@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = [
     "hash_bucket",
@@ -218,8 +219,16 @@ def mixture_quota_sample(
     # from weights to counts makes explicit rather than silently ignoring
     # the missing stratum.
     spark = df.sparkSession
+    # explicit StructType, not a DDL string: interpolating stratum_col
+    # into DDL breaks (or mis-parses) for names needing backtick quoting
+    w_schema = T.StructType(
+        [
+            T.StructField(stratum_col, T.StringType()),
+            T.StructField("_wt", T.LongType()),
+        ]
+    )
     w_df = spark.createDataFrame(
-        [(s, w) for s, w in sorted(weights.items())], f"{stratum_col} string, _wt long"
+        [(s, int(w)) for s, w in sorted(weights.items())], w_schema
     )
     counts = df.groupBy(F.col(stratum_col).cast("string").alias(stratum_col)).count()
     t_units = (
