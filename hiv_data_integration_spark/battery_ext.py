@@ -1497,6 +1497,167 @@ HAVING count(*) >= 2
 """
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact line dedup (the C4/Dolma boilerplate killer),
+    HASH-checked per document: deterministic boilerplate is injected (a
+    newsletter header on every 3rd doc, a copyright footer on every 5th,
+    a self-duplicated body line on every 4th), ``line_dedup`` keeps only
+    each line's first (doc, position) occurrence corpus-wide, and the
+    oracle reproduces the reconstructed text byte-for-byte (md5 signature
+    so the result set stays compact while every byte feeds the hash).
+    documents.text is single-line ASCII, so body lines collide only where
+    injected — every keep/drop decision is oracle-predicted."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("SUBSCRIBE TO OUR NEWSLETTER TODAY\n"),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.concat(F.lit("\n"), F.col("text"))
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("\nCOPYRIGHT 2024 EXAMPLE MEDIA GROUP - ALL RIGHTS RESERVED"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = tx.line_dedup(dirty, "doc_id", "text", min_line_chars=10)
+    return out.select(
+        "doc_id", "n_lines", "n_kept", "n_dropped",
+        F.md5(F.col("text_clean")).alias("clean_sig"),
+    )
+
+
+SQL_LINE_DEDUP = """
+WITH dirty AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'SUBSCRIBE TO OUR NEWSLETTER TODAY' || chr(10)
+                ELSE '' END
+           || text
+           || CASE WHEN doc_id % 4 = 0 THEN chr(10) || text ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                   THEN chr(10) ||
+                        'COPYRIGHT 2024 EXAMPLE MEDIA GROUP - ALL RIGHTS RESERVED'
+                   ELSE '' END AS t
+    FROM documents
+),
+lines AS (
+    SELECT doc_id,
+           generate_subscripts(string_split(t, chr(10)), 1) - 1 AS pos,
+           unnest(string_split(t, chr(10))) AS line
+    FROM dirty
+),
+marked AS (
+    SELECT doc_id, pos, line,
+           (length(line) < 10
+            OR row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1
+           ) AS keep
+    FROM lines
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       md5(array_to_string(list(line ORDER BY pos) FILTER (WHERE keep),
+                           chr(10))) AS clean_sig
+FROM marked GROUP BY doc_id
+"""
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup (the RefinedWeb/CCNet
+    crawl-hygiene step), HASH-checked: deterministic messy URLs are
+    synthesized per doc (scheme/www/tracking-param/fragment variants over
+    a 5-domain pool), ``normalize_url`` canonicalizes them, and the
+    per-domain rollup pins the unique-URL count plus min/max canonical
+    strings — so every regexp decision (global replacement included) is
+    verified against the RE2 oracle running the same patterns with the
+    'g' flag."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id")
+    domains = F.array(
+        F.lit("example.com"), F.lit("news.site.org"), F.lit("blog.dev"),
+        F.lit("data.example.net"), F.lit("archive.org"),
+    )
+    messy = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https://")).otherwise(
+            F.lit("HTTP://WWW.")
+        ),
+        F.element_at(domains, (F.col("doc_id") % 5 + 1).cast("int")),
+        F.lit("/articles/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("/?utm_source=feed&utm_campaign=x&id="),
+                (F.col("doc_id") % 40).cast("string"),
+            ),
+        ).otherwise(
+            F.concat(F.lit("?id="), (F.col("doc_id") % 40).cast("string"))
+        ),
+        F.when(F.col("doc_id") % 6 == 0, F.lit("#section-2")).otherwise(
+            F.lit("")
+        ),
+    )
+    urls = docs.select("doc_id", messy.alias("url"))
+    norm = urls.select(
+        "doc_id",
+        tx.normalize_url(F.col("url")).alias("canon"),
+    ).withColumn("domain", tx.url_domain(F.col("canon")))
+    return norm.groupBy("domain").agg(
+        F.count("*").alias("n_urls"),
+        F.count_distinct("canon").alias("n_unique"),
+        F.min("canon").alias("min_canon"),
+        F.max("canon").alias("max_canon"),
+    )
+
+
+SQL_URL_CANONICALIZE = """
+WITH messy AS (
+    SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://WWW.' END)
+           || (['example.com', 'news.site.org', 'blog.dev',
+                'data.example.net', 'archive.org'])[CAST(doc_id % 5 AS INT) + 1]
+           || '/articles/' || CAST(doc_id % 40 AS VARCHAR)
+           || (CASE WHEN doc_id % 4 = 0
+                    THEN '/?utm_source=feed&utm_campaign=x&id='
+                         || CAST(doc_id % 40 AS VARCHAR)
+                    ELSE '?id=' || CAST(doc_id % 40 AS VARCHAR) END)
+           || (CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END)
+               AS url
+    FROM documents
+),
+canon AS (
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(lower(url), '#.*$', '', 'g'),
+                       '^https?://', '', 'g'),
+                     '^www\\.', '', 'g'),
+                   '[?&](utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|ref)=[^&#]*',
+                   '', 'g'),
+                 '^([^?&]*)&', '\\1?', 'g'),
+               '[?&]+$', '', 'g'),
+             '/$', '', 'g') AS canon
+    FROM messy
+)
+SELECT regexp_extract(canon, '^([^/:?#]+)', 1) AS domain,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT canon) AS BIGINT) AS n_unique,
+       min(canon) AS min_canon,
+       max(canon) AS max_canon
+FROM canon GROUP BY 1
+"""
+
+
 def q_clean_corpus_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus text cleaning, HASH-checked: deterministic dirt is injected
     (a NUL control char on every 7th doc, a zero-width space on every
@@ -3418,6 +3579,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "zorder_clustered_scan": q_zorder_scan,
     "dedup_semantic_clusters": q_semantic_dedup,
     "dedup_semantic_sampled_trainer": q_semantic_dedup_sampled,
+    "text_line_dedup": q_line_dedup,
+    "text_url_canonicalize": q_url_canonicalize,
     "dedup_incremental_batch": q_incremental_dedup,
     "corpus_shuffle_shards": q_shuffle_shards,
     "orc_source_roundtrip": q_orc_roundtrip,
@@ -3507,6 +3670,8 @@ EXT_ORACLE: dict[str, str] = {
     "zorder_clustered_scan": SQL_ZORDER_SCAN,
     "dedup_semantic_clusters": SQL_SEMANTIC_DEDUP,
     "dedup_semantic_sampled_trainer": SQL_SEMANTIC_DEDUP_SAMPLED,
+    "text_line_dedup": SQL_LINE_DEDUP,
+    "text_url_canonicalize": SQL_URL_CANONICALIZE,
     "dedup_incremental_batch": SQL_INCREMENTAL_DEDUP,
     "corpus_shuffle_shards": SQL_SHUFFLE_SHARDS,
     "orc_source_roundtrip": SQL_ORC_ROUNDTRIP,

@@ -33,6 +33,9 @@ __all__ = [
     "pack_token_budget",
     "unigram_logprob",
     "quality_decile_stats",
+    "line_dedup",
+    "normalize_url",
+    "url_domain",
     "PII_PATTERNS",
     "STOPWORDS",
 ]
@@ -696,3 +699,108 @@ def quality_decile_stats(
             F.max("n_tokens").alias("max_tokens"),
         )
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_chars: int = 10,
+) -> DataFrame:
+    """Corpus-wide exact LINE deduplication — the C4/Dolma boilerplate
+    killer: a line that appears verbatim anywhere earlier in the corpus
+    (nav menus, cookie banners, subscribe footers) is removed from every
+    later document; the FIRST occurrence (smallest ``(doc, position)``)
+    keeps it. Lines shorter than ``min_line_chars`` are always kept —
+    short lines ("", "---", headings) collide by accident, not by
+    boilerplate.
+
+    Dataflow: posexplode the line split → ONE window (``row_number`` over
+    ``partition by line order by (doc, pos)``) → reassemble kept lines per
+    doc with an order-exact ``concat_ws``. Deterministic by construction
+    (the (doc, pos) key is unique), so a SQL oracle reproduces the
+    reconstructed texts byte-for-byte.
+
+    Scale: two shuffles — one keyed on the line value for the global
+    first-wins window (hot boilerplate lines are exactly the high-fanout
+    keys, but the window carries only (doc, pos) pairs, not documents),
+    one on the doc id for reassembly. At corpus scale partition the
+    window on ``md5(line)`` instead of raw text by pre-hashing upstream;
+    semantics are identical for exact matches.
+
+    Output: one row per input doc —
+    ``(id, n_lines, n_kept, n_dropped, text_clean)``.
+    """
+    from pyspark.sql.window import Window
+
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias(
+            "_pos", "_line"
+        ),
+    )
+    w = Window.partitionBy("_line").orderBy("_id", "_pos")
+    marked = lines.withColumn(
+        "_keep",
+        (F.length("_line") < min_line_chars)
+        | (F.row_number().over(w) == 1),
+    )
+    return (
+        marked.groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+            F.sum((~F.col("_keep")).cast("long")).alias("n_dropped"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct(F.col("_pos"), F.col("_line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["_line"],
+                ),
+            ).alias("text_clean"),
+        )
+    )
+
+
+# tracking params stripped by normalize_url (RefinedWeb-style URL
+# canonicalization): the exhaustive-enough industry set, spelled as one
+# alternation valid in both Java regex and RE2. The [?&] left boundary is
+# load-bearing: without it 'ref=' would also eat the tail of ?href=/?pref=
+_TRACKING_PARAM_RE = r"[?&](utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|ref)=[^&#]*"
+
+
+def normalize_url(col: Column) -> Column:
+    """Canonicalize a URL for dedup/quota purposes (the RefinedWeb /
+    CCNet URL-dedup step): lowercase, drop the fragment, drop the
+    http(s) scheme and a leading ``www.``, strip tracking query params
+    (``utm_*``, ``fbclid``, ``gclid``, ...) with their separators, repair
+    the first surviving param's separator back to ``?``, tidy trailing
+    ``?``/``&`` and a trailing slash. Pure regexp chain — every pattern
+    avoids lookaround so Spark (Java regex) and an RE2-based oracle agree
+    byte-for-byte; replacements are global in both (DuckDB needs the 'g'
+    flag and ``\\1`` instead of ``$1``, mirrored in the battery oracle).
+    """
+    u = F.lower(col)
+    u = F.regexp_replace(u, r"#.*$", "")
+    u = F.regexp_replace(u, r"^https?://", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    u = F.regexp_replace(u, _TRACKING_PARAM_RE, "")
+    # if the removed param owned the '?', the first survivor starts with
+    # '&' — promote it ('^' anchors: at most one rewrite)
+    u = F.regexp_replace(u, r"^([^?&]*)&", "$1?")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    u = F.regexp_replace(u, r"/$", "")
+    return u
+
+
+def url_domain(col: Column) -> Column:
+    """Registrable host of an ALREADY-normalized URL (everything before
+    the first ``/``, ``:``, ``?`` or ``#``)."""
+    return F.regexp_extract(col, r"^([^/:?#]+)", 1)

@@ -1206,3 +1206,76 @@ def test_completeness_profile_counts(spark):
     assert out["s"].n_nonnull == 3 and out["s"].n_distinct == 2
     with pytest.raises(ValueError):
         completeness_profile(df, [])
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    """Corpus-wide exact line dedup: the smallest (doc, pos) occurrence of
+    a long-enough line survives, every later occurrence (same doc or
+    later doc) drops, and short lines always survive."""
+    from hiv_data_integration_spark.operators.textops import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "SHARED BOILERPLATE LINE\nunique first body line\nok"),
+            # same boilerplate later -> dropped; own body kept
+            (2, "unique second body line\nSHARED BOILERPLATE LINE"),
+            # within-doc duplicate: second occurrence dropped
+            (3, "repeated within document\nrepeated within document\nok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in line_dedup(df, "doc_id", "text", min_line_chars=10).collect()
+    }
+    assert out[1].n_lines == 3 and out[1].n_dropped == 0
+    assert (
+        out[1].text_clean
+        == "SHARED BOILERPLATE LINE\nunique first body line\nok"
+    )
+    assert out[2].n_dropped == 1
+    assert out[2].text_clean == "unique second body line"
+    assert out[3].n_dropped == 1
+    assert out[3].text_clean == "repeated within document\nok"
+    # 'ok' (< 10 chars) survives in BOTH docs — short lines never dedup
+    assert out[1].text_clean.endswith("ok") and out[3].text_clean.endswith("ok")
+
+
+def test_normalize_url_and_domain(spark):
+    """URL canonicalization: scheme/www/fragment/tracking params strip,
+    global replacement (multiple utm params in one URL), query tidy-up,
+    trailing slash."""
+    from pyspark.sql import functions as F
+
+    from hiv_data_integration_spark.operators.textops import (
+        normalize_url,
+        url_domain,
+    )
+
+    cases = [
+        ("HTTPS://WWW.Example.COM/a/?utm_source=x&utm_medium=y#frag",
+         "example.com/a"),
+        ("http://example.com/a?id=2&utm_campaign=z", "example.com/a?id=2"),
+        ("https://news.site.org/p?utm_a=1&id=3&utm_b=2&fbclid=q",
+         "news.site.org/p?id=3"),
+        ("example.com/bare/", "example.com/bare"),
+        ("https://a.b/x?gclid=1", "a.b/x"),
+        # the [?&] boundary: 'ref' must not eat the tail of href=/pref=
+        ("https://a.b/x?href=q&pref=1&ref=spam", "a.b/x?href=q&pref=1"),
+        # removed param owned the '?': survivor's '&' promotes to '?'
+        ("https://a.b/p?utm_source=f&keep=1", "a.b/p?keep=1"),
+    ]
+    df = spark.createDataFrame(cases, "url string, want string")
+    rows = df.select(
+        "want",
+        normalize_url(F.col("url")).alias("got"),
+    ).collect()
+    for r in rows:
+        assert r.got == r.want, (r.got, r.want)
+    d = df.select(
+        url_domain(normalize_url(F.col("url"))).alias("d")
+    ).collect()
+    assert [r.d for r in d] == [
+        "example.com", "example.com", "news.site.org", "example.com",
+        "a.b", "a.b", "a.b",
+    ]
