@@ -23,20 +23,24 @@ __all__ = ["ist_scaled_fixture", "pipeline_a_ist_scaled"]
 
 
 def ist_scaled_fixture(
-    spark: SparkSession, n_facilities: int = 700, n_periods: int = 1
+    spark: SparkSession,
+    n_facilities: int = 700,
+    n_periods: int = 1,
+    pathology: str = "IST",
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
-    """Synthetic pipeline-A inputs at width: every one of the real IST
-    contract's 154 value columns is fed by its own data element through
-    the default COC (wide name == indicator column, no suffix synthesis),
-    so the pivot, the padding and every rule input column carry real
-    values. The fact is generated DISTRIBUTED (``spark.range``, no driver
-    list) — n_facilities × n_periods × 154 rows.
+    """Synthetic pipeline-A inputs at width: every one of the real
+    contract's value columns (IST 154 / PEC 236 / PTME 33) is fed by its
+    own data element through the default COC (wide name == indicator
+    column, no suffix synthesis), so the pivot, the padding and every
+    rule input column carry real values. The fact is generated
+    DISTRIBUTED (``spark.range``, no driver list) —
+    n_facilities × n_periods × n_contract_cols rows.
 
     Returns ``(analytics, coc, de_map, org_units)``.
     """
     from hiv_data_integration_spark import ref_constants as rc
 
-    cols = rc.expected_value_columns("IST")
+    cols = rc.expected_value_columns(pathology)
     k = len(cols)
     de_map = spark.createDataFrame(
         [(f"de{i}", c, "data_element") for i, c in enumerate(cols)],

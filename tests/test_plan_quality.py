@@ -147,16 +147,19 @@ def test_aqe_skew_join_split_available(spark):
     assert rows[0].s == expect_s
 
 
-def test_rules_at_width_stay_in_whole_stage_codegen(spark):
+
+@pytest.mark.parametrize("pathology,n_rules", [("IST", 86), ("PEC", 175)])
+def test_rules_at_width_stay_in_whole_stage_codegen(spark, pathology, n_rules):
     """The report pipeline's rule evaluation at REAL width — 86 IST rules
-    compiled over the 154-column contract — must stay inside whole-stage
+    over the 154-column contract and 175 PEC rules over the 236-column
+    contract (the widest shipped payload) — must stay inside whole-stage
     codegen (the reference's hot spot is exactly this loop, per-row Python
     over every rule × row, update_pnls_report/utils.py:300-315). Spark's
     default spark.sql.codegen.maxFields=100 silently dropped the ENTIRE
     wide path to interpreted evaluation (0 codegen spans measured);
-    session.py pins 600. This test pins both halves: codegen spans exist,
-    and the specific Project carrying the greatest()-of-when-chains rule
-    expressions sits inside one."""
+    session.py pins 600 (PEC projects 236+236+keys fields). This test pins
+    both halves: codegen spans exist, and the specific Project carrying
+    the greatest()-of-when-chains rule expressions sits inside one."""
     import re
 
     from hiv_data_integration_spark import ref_constants as rc
@@ -164,13 +167,16 @@ def test_rules_at_width_stay_in_whole_stage_codegen(spark):
     from hiv_data_integration_spark.operators.rules import apply_rules
     from hiv_data_integration_spark.pipeline.extract import pathology_extract
 
-    analytics, coc, de_map, _ = ist_scaled_fixture(spark, n_facilities=20)
+    assert len(rc.rules_for(pathology)) == n_rules
+    analytics, coc, de_map, _ = ist_scaled_fixture(
+        spark, n_facilities=5, pathology=pathology
+    )
     wide = pathology_extract(
-        analytics, coc, de_map, rc.expected_value_columns("IST")
+        analytics, coc, de_map, rc.expected_value_columns(pathology)
     )
     ann = apply_rules(
         wide,
-        dict(rc.rules_for("IST")),
+        dict(rc.rules_for(pathology)),
         key_cols=["organisation_unit_id", "period"],
     )
     plan = final_plan_string(spark, ann)
