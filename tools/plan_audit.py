@@ -72,6 +72,14 @@ HEADLINE = [
     "corpus_shuffle_shards",
     "zorder_clustered_scan",
     "dedup_semantic_clusters",
+    "dedup_semantic_sampled_trainer",
+    "rules_inconsistent_routing",
+    "text_line_dedup",
+    "text_url_canonicalize",
+    "user_event_sequences",
+    "embed_mean_pool",
+    "trailing_window_features",
+    "asof_join_two_table",
 ]
 
 
