@@ -2069,6 +2069,88 @@ FROM events GROUP BY event_type
 """
 
 
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INTERVAL join (click→purchase attribution within 4
+    hours per user), oracle-checked: one file-source stream self-joins
+    (clicks side × purchases side) under dual watermarks + a time-range
+    predicate — the state-bounded dual-stream join every streaming
+    attribution pipeline runs. Inner matches emit as they form, so the
+    availableNow run over the static file equals the batch join EXACTLY;
+    the per-bucket rollup (pair counts, distinct users, an event-id pair
+    checksum) hashes every matched pair."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from hiv_data_integration_spark.streaming import stream_interval_join
+
+    stream = read_events_stream(
+        spark, f"{sf_dir}/events*.parquet", f"{sf_dir}/events.parquet"
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = stream_interval_join(
+        clicks, purchases, "user_id", "ts",
+        max_delay="4 hours", watermark="24 hours",
+    ).select("user_id", "event_id", "r_event_id")
+
+    name = f"stream_ivj_{_uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ssession = joined.sparkSession
+    out = _local_result(
+        ssession.table(name)
+        .groupBy((F.col("user_id") % 8).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum(
+                (F.col("event_id") % 1000003) * 31
+                + (F.col("r_event_id") % 1000003)
+            )
+            .cast("long")
+            .alias("pair_checksum"),
+        )
+    )
+    ssession.catalog.dropTempView(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+SQL_STREAMING_INTERVAL_JOIN = """
+WITH l AS (
+    SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+),
+r AS (
+    SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+),
+j AS (
+    SELECT l.user_id, l.event_id AS le, r.event_id AS re
+    FROM l JOIN r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 4 HOUR
+)
+SELECT CAST(user_id % 8 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM((le % 1000003) * 31 + (re % 1000003)) AS BIGINT)
+           AS pair_checksum
+FROM j GROUP BY 1
+"""
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once ingest, oracle-checked: the events file is
     delivered TWICE (at-least-once re-delivery), the stream dedups on
@@ -3598,6 +3680,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "streaming_tumbling_counts": q_streaming_tumbling,
     "streaming_exactly_once_dedup": q_streaming_dedup,
     "streaming_corpus_chunking": q_streaming_chunking,
+    "streaming_interval_join": q_streaming_interval_join,
 }
 
 EXT_ORACLE: dict[str, str] = {
@@ -3663,6 +3746,7 @@ EXT_ORACLE: dict[str, str] = {
     "salted_skew_join": SQL_SALTED_JOIN,
     "streaming_exactly_once_dedup": SQL_STREAMING_DEDUP,
     "streaming_corpus_chunking": SQL_STREAMING_CHUNKING,
+    "streaming_interval_join": SQL_STREAMING_INTERVAL_JOIN,
     "bucketed_colocated_join": SQL_BUCKETED_JOIN,
     "llm_corpus_prep": SQL_CORPUS_PREP,
     "spectrum_csv_scan": SQL_SPECTRUM_CSV,

@@ -37,6 +37,7 @@ __all__ = [
     "running_user_totals",
     "run_available_now",
     "run_available_now_to_parquet",
+    "stream_interval_join",
 ]
 
 # Driver testdata events shape (TESTDATA.md; ts stored as timestamp).
@@ -242,3 +243,41 @@ def run_available_now_to_parquet(
     )
     q.awaitTermination()
     return stream_df.sparkSession.read.schema(stream_df.schema).parquet(out_dir)
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    max_delay: str = "4 hours",
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Watermarked stream-stream INNER interval join — the classic
+    click→conversion attribution shape: for each left event, every right
+    event of the same key within ``[left.ts, left.ts + max_delay]``.
+
+    The right side's columns come back ``r_``-prefixed (Spark
+    stream-stream joins need distinct attribute names across sides; the
+    prefix also makes a SELF-join of one stream source well-defined).
+    Both sides carry the watermark and the join predicate carries the
+    time-range bound — together they let Spark evict each side's state
+    once ``watermark + max_delay`` has passed, which is what keeps a
+    100 TB/day dual-stream join's state bounded instead of unbounded.
+    Inner-join matches emit as they form (no watermark hold-back), so an
+    ``availableNow`` run over static files reproduces the batch join
+    exactly.
+    """
+    l_side = left.withWatermark(ts_col, watermark)
+    r_side = right.select(
+        *[F.col(c).alias(f"r_{c}") for c in right.columns]
+    ).withWatermark(f"r_{ts_col}", watermark)
+    cond = (
+        (F.col(key_col) == F.col(f"r_{key_col}"))
+        & (F.col(f"r_{ts_col}") >= F.col(ts_col))
+        & (
+            F.col(f"r_{ts_col}")
+            <= F.col(ts_col) + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    return l_side.join(r_side, cond, "inner")
