@@ -106,6 +106,36 @@ def test_running_user_totals_stateful(spark, tmp_path, events_dir):
     assert len([r for r in rows if r.user_id == 1]) >= 2
 
 
+def test_stream_interval_join_equals_batch(spark, tmp_path, events_dir):
+    """Stream-stream interval self-join (availableNow, multi-file source)
+    must produce exactly the batch join's pairs — inner matches emit as
+    they form, so no watermark hold-back is involved."""
+    stream = stx.read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    joined = stx.stream_interval_join(
+        stream.select("user_id", "ts", "event_id"),
+        stream.select("user_id", "ts", "event_id"),
+        "user_id",
+        max_delay="1 hour",
+        watermark="10 minutes",
+    ).select("user_id", "event_id", "r_event_id")
+    result = stx.run_available_now(
+        joined, str(tmp_path / "ckpt_ivj"), query_name="ivj_snapshot"
+    )
+    got = {(r.user_id, r.event_id, r.r_event_id) for r in result.collect()}
+
+    batch = spark.read.schema(stx.EVENTS_SCHEMA).parquet(events_dir)
+    b = batch.select("user_id", "ts", "event_id")
+    exp_rows = stx.stream_interval_join(
+        b, b, "user_id", max_delay="1 hour", watermark="10 minutes"
+    ).select("user_id", "event_id", "r_event_id")
+    exp = {(r.user_id, r.event_id, r.r_event_id) for r in exp_rows.collect()}
+    assert got == exp
+    # fixture: user 1 events at 10:00/10:10 pair both ways within 1 hour,
+    # plus every event self-pairs (delay 0) -> strictly more than 6 rows
+    assert (1, 1, 2) in got and (1, 2, 2) in got and (1, 2, 1) not in got
+    assert len(got) > 6
+
+
 def test_late_data_dropped_by_watermark(spark, tmp_path):
     """An event older than the watermark bound arriving in a later
     micro-batch must not resurrect a sealed window."""
