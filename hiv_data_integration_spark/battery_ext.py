@@ -2151,6 +2151,145 @@ FROM j GROUP BY 1
 """
 
 
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows, oracle-checked: file-source
+    readStream → ``F.session_window`` (state-store session merge, no
+    Python) → availableNow into a complete-mode memory sink so every
+    session emits regardless of the final watermark. Boundary semantics
+    pinned by experiment: an event at exactly ``prev + gap`` MERGES into
+    the session (new session only when the gap is strictly exceeded), so
+    the oracle's gaps-and-islands split uses ``> INTERVAL`` — exact µs
+    integer comparison on both engines, no float epoch math. Session ids
+    never cross the shuffle key (user_id), so at scale this is one
+    shuffle + in-store merge; the complete-mode sink is the toy-scale
+    harness, production uses append + watermark eviction."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    stream = read_events_stream(
+        spark, f"{sf_dir}/events*.parquet", f"{sf_dir}/events.parquet"
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("s"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", scale=6, prec=28).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"stream_sess_{_uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ssession = agg.sparkSession
+    out = _local_result(ssession.table(name))
+    ssession.catalog.dropTempView(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+# session_end = last event + gap (Spark's session_window upper bound);
+# split on strict-> gap (boundary event merges — pinned by experiment)
+SQL_STREAMING_SESSION_WINDOWS = """
+WITH gaps AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+    SELECT user_id, ts, value,
+           SUM(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+           ) AS sid
+    FROM gaps
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
+def q_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator, oracle-checked END-TO-END: the
+    ``applyInPandasWithState`` running per-user totals (arbitrary per-key
+    state the built-in aggs can't express) over the events stream,
+    availableNow → update-mode memory sink. The LAST update row per user
+    (n_events is strictly increasing, so ``max_by`` picks it) must equal
+    the batch GROUP BY — a full hash oracle on the custom state path, not
+    the weaker rows-only contract. Cents rounding: the pandas state
+    accumulates float64; the true per-user total is an exact multiple of
+    0.01 (2-decimal inputs), so ROUND(total*100) lands on the same BIGINT
+    on both engines regardless of accumulation order."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from hiv_data_integration_spark.streaming import running_user_totals
+
+    stream = read_events_stream(
+        spark, f"{sf_dir}/events*.parquet", f"{sf_dir}/events.parquet"
+    )
+    totals = running_user_totals(
+        stream.select("user_id", "ts", "value")
+    )
+    name = f"stream_state_{_uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ssession = totals.sparkSession
+    out = _local_result(
+        ssession.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.round(F.max_by("total_value", "n_events") * 100)
+            .cast("long")
+            .alias("total_cents"),
+        )
+    )
+    ssession.catalog.dropTempView(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+SQL_STREAMING_STATEFUL_TOTALS = """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(ROUND(SUM(value) * 100) AS BIGINT) AS total_cents
+FROM events GROUP BY user_id
+"""
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once ingest, oracle-checked: the events file is
     delivered TWICE (at-least-once re-delivery), the stream dedups on
@@ -3681,6 +3820,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "streaming_exactly_once_dedup": q_streaming_dedup,
     "streaming_corpus_chunking": q_streaming_chunking,
     "streaming_interval_join": q_streaming_interval_join,
+    "streaming_session_windows": q_streaming_session_windows,
+    "streaming_stateful_totals": q_streaming_stateful_totals,
 }
 
 EXT_ORACLE: dict[str, str] = {
@@ -3747,6 +3888,8 @@ EXT_ORACLE: dict[str, str] = {
     "streaming_exactly_once_dedup": SQL_STREAMING_DEDUP,
     "streaming_corpus_chunking": SQL_STREAMING_CHUNKING,
     "streaming_interval_join": SQL_STREAMING_INTERVAL_JOIN,
+    "streaming_session_windows": SQL_STREAMING_SESSION_WINDOWS,
+    "streaming_stateful_totals": SQL_STREAMING_STATEFUL_TOTALS,
     "bucketed_colocated_join": SQL_BUCKETED_JOIN,
     "llm_corpus_prep": SQL_CORPUS_PREP,
     "spectrum_csv_scan": SQL_SPECTRUM_CSV,

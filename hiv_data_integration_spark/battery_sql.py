@@ -310,6 +310,66 @@ WHERE NOT EXISTS (
 """
 
 
+def q_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE hierarchy rollup (Spark 4 ``WITH RECURSIVE``,
+    SPARK-24497): a synthetic decimal org tree over suppliers
+    (``parent = floor(suppkey / 10)``, roots at keys < 10), closed
+    transitively by :func:`hierarchy_closure`, then account balances
+    rolled up to EVERY ancestor level — the "sum the org tree at each
+    node" query the reference walks row-at-a-time in Python. Each
+    recursion step is one join of the frontier against the edge
+    dimension; depth is O(log10 N), so 100 TB of facts cost
+    depth × broadcast-join, never a quadratic closure materialization."""
+    from hiv_data_integration_spark.operators.relational import (
+        hierarchy_closure,
+    )
+
+    sup = tbl(spark, sf_dir, "supplier")
+    edges = sup.select(
+        F.col("s_suppkey").cast("long").alias("node"),
+        F.nullif(
+            F.floor(F.col("s_suppkey") / 10.0).cast("long"), F.lit(0)
+        ).alias("parent"),
+    )
+    closure = hierarchy_closure(edges)
+    facts = sup.select(
+        F.col("s_suppkey").cast("long").alias("node"), "s_acctbal"
+    )
+    return (
+        closure.join(facts, "node")
+        .groupBy(F.col("ancestor").alias("org_node"))
+        .agg(
+            F.count("*").alias("n_desc"),
+            F.max("depth").cast("long").alias("max_depth"),
+            dsum("s_acctbal").alias("subtree_acctbal"),
+        )
+    )
+
+
+SQL_RECURSIVE_CLOSURE = """
+WITH RECURSIVE edges AS (
+    SELECT CAST(s_suppkey AS BIGINT) AS node,
+           NULLIF(CAST(FLOOR(s_suppkey / 10.0) AS BIGINT), 0) AS parent
+    FROM supplier
+),
+walk (node, ancestor, depth) AS (
+    SELECT node, node AS ancestor, 0 AS depth FROM edges
+    UNION ALL
+    SELECT w.node, e.parent AS ancestor, w.depth + 1
+    FROM walk w
+    JOIN edges e ON w.ancestor = e.node
+    WHERE e.parent IS NOT NULL AND e.parent <> w.ancestor
+)
+SELECT w.ancestor AS org_node,
+       count(*) AS n_desc,
+       CAST(MAX(w.depth) AS BIGINT) AS max_depth,
+       CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+           AS subtree_acctbal
+FROM walk w JOIN supplier s ON w.node = CAST(s.s_suppkey AS BIGINT)
+GROUP BY w.ancestor
+"""
+
+
 SQL2_QUERIES: dict[str, QueryFn] = {
     "rollup_lineitem": q_rollup,
     "cube_orders": q_cube,
@@ -324,6 +384,7 @@ SQL2_QUERIES: dict[str, QueryFn] = {
     "correlated_subquery_balance": q_correlated_subquery,
     "embed_vector_norms": q_vector_norms,
     "skyline_suppliers": q_skyline,
+    "recursive_org_rollup": q_recursive_closure,
 }
 
 SQL2_ORACLE: dict[str, str] = {
@@ -340,4 +401,5 @@ SQL2_ORACLE: dict[str, str] = {
     "correlated_subquery_balance": SQL_CORRELATED,
     "embed_vector_norms": SQL_VECTOR_NORMS,
     "skyline_suppliers": SQL_SKYLINE,
+    "recursive_org_rollup": SQL_RECURSIVE_CLOSURE,
 }

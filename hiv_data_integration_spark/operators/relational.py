@@ -28,6 +28,7 @@ __all__ = [
     "skip_rows",
     "dataset_diff",
     "asof_join_last",
+    "hierarchy_closure",
 ]
 
 
@@ -417,3 +418,56 @@ def asof_join_last(
         .filter(F.col("_side") == 1)
         .drop("_t", "_side", "_v")
     )
+
+
+def hierarchy_closure(
+    edges: DataFrame,
+    node_col: str = "node",
+    parent_col: str = "parent",
+    max_depth: int = 64,
+) -> DataFrame:
+    """Ancestor transitive closure of a parent-child hierarchy via Spark's
+    recursive CTE (``WITH RECURSIVE``, SQL:1999 linear recursion — Spark 4,
+    SPARK-24497). The reference walks org-unit parent chains row-at-a-time
+    in Python (`R1/utils.py` org hierarchy handling); here the whole
+    closure is one declarative iterative plan: each recursion step is a
+    shuffle-join of the frontier against the (small, broadcastable) edge
+    table, with Catalyst applying the usual pushdowns per step.
+
+    ``edges`` must have one row per node with its parent (root rows:
+    parent NULL or parent == node). Emits one row per (node, ancestor)
+    pair including depth 0 (the node itself) — the classic "roll metrics
+    up every level of the org tree" enabler: join facts on ``node``, group
+    by ``ancestor``.
+
+    ``max_depth`` bounds runaway recursion on cyclic data (Spark enforces
+    it via the CTE's LIMIT-style recursion guard; a cycle otherwise loops
+    forever). At 100 TB the facts are big but the hierarchy is a dimension:
+    the per-step join broadcasts, so the closure costs depth × one
+    broadcast-join over the frontier, no quadratic blowup.
+    """
+    spark = edges.sparkSession
+    view = f"edges_hc_{abs(hash((node_col, parent_col))) % 10**8}"
+    edges.select(
+        F.col(node_col).alias("node"), F.col(parent_col).alias("parent")
+    ).createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""
+            WITH RECURSIVE walk (node, ancestor, depth) AS (
+                SELECT node, node AS ancestor, 0 AS depth FROM {view}
+                UNION ALL
+                SELECT w.node, e.parent AS ancestor, w.depth + 1
+                FROM walk w
+                JOIN {view} e ON w.ancestor = e.node
+                WHERE e.parent IS NOT NULL
+                  AND e.parent <> w.ancestor
+                  AND w.depth < {int(max_depth)}
+            )
+            SELECT node, ancestor, depth FROM walk
+            """
+        )
+    finally:
+        # the returned plan is resolved eagerly by Spark's analyzer, so the
+        # temp view is safe to drop once the DataFrame exists
+        spark.catalog.dropTempView(view)

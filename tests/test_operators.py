@@ -1279,3 +1279,39 @@ def test_normalize_url_and_domain(spark):
         "example.com", "example.com", "news.site.org", "example.com",
         "a.b", "a.b", "a.b",
     ]
+
+
+def test_hierarchy_closure_semantics(spark):
+    from hiv_data_integration_spark.operators.relational import (
+        hierarchy_closure,
+    )
+
+    # chain 1<-2<-4, root via NULL parent; 3's root declares parent==self
+    edges = spark.createDataFrame(
+        [(1, None), (2, 1), (4, 2), (3, 3)], "node long, parent long"
+    )
+    got = {
+        (r.node, r.ancestor, r.depth)
+        for r in hierarchy_closure(edges).collect()
+    }
+    assert got == {
+        (1, 1, 0),
+        (2, 2, 0), (2, 1, 1),
+        (4, 4, 0), (4, 2, 1), (4, 1, 2),
+        (3, 3, 0),  # self-parent = root: no self-loop walk
+    }
+
+
+def test_hierarchy_closure_cycle_bounded(spark):
+    from hiv_data_integration_spark.operators.relational import (
+        hierarchy_closure,
+    )
+
+    # 2-cycle: 10<->11. max_depth must bound the walk instead of looping
+    # forever; each node still reports itself plus alternating ancestors.
+    edges = spark.createDataFrame(
+        [(10, 11), (11, 10)], "node long, parent long"
+    )
+    rows = hierarchy_closure(edges, max_depth=5).collect()
+    assert max(r.depth for r in rows) <= 6
+    assert (10, 11, 1) in {(r.node, r.ancestor, r.depth) for r in rows}
