@@ -615,6 +615,110 @@ FROM r WHERE rank <= {topk}""")
 SQL_KMEANS_IVF_TOPK = _kmeans_ivf_sql()
 
 
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., TPAMI 2011), HASH-checked
+    end-to-end: 4 subspaces × 16 dims, a deterministic per-subspace Lloyd
+    codebook (4 codewords, 2 iterations), corpus encoded to 4 code ids,
+    queries scored by asymmetric distance — 4 LUT lookups summed in fixed
+    subspace order. The oracle unrolls all 8 per-subspace Lloyd iterations
+    as SQL CTEs, so the driver verifies the codebook TRAINER, the encoder,
+    and the ADC scorer numerics, not just the final ranking."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    books = sim.pq_codebooks(emb, dim=64, m=4, n_codes=4, iters=2)
+    return sim.pq_adc_topk(queries, emb, books, k=3)
+
+
+def _pq_sql(m: int = 4, sub: int = 16, n_codes: int = 4, iters: int = 2,
+            topk: int = 3) -> str:
+    """Unrolled per-subspace-Lloyd SQL mirror of q_pq_adc_topk. Same float
+    invariants as `_kmeans_ivf_sql`: assignment distance ``c·c − 2·v·c``
+    (list_dot_product == the Spark fold == Python's literal sum),
+    id-ordered per-dimension mean folds, argmin ties to the lower code id;
+    the ADC sum is left-assoc ``d_0 + d_1 + …`` matching the Spark
+    expression tree."""
+    assign = (
+        "row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+        "list_dot_product(c.v, c.v) - 2 * list_dot_product(e.sv, c.v), c.c_id)"
+    )
+    parts = ["WITH"]
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(f"""e{s} AS (
+    SELECT vec_id, (CAST(embedding AS DOUBLE[]))[{lo}:{hi}] AS sv
+    FROM embeddings
+),
+cents{s}_0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_id, sv AS v
+    FROM (SELECT vec_id, sv FROM e{s} ORDER BY vec_id LIMIT {n_codes})
+),""")
+        for i in range(iters):
+            parts.append(f"""assign{s}_{i} AS (
+    SELECT vec_id, sv, c_id FROM (
+        SELECT e.vec_id, e.sv, c.c_id, {assign} AS rn
+        FROM e{s} e CROSS JOIN cents{s}_{i} c
+    ) WHERE rn = 1
+),
+mean{s}_{i} AS (
+    SELECT c_id, pos,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE), list(x ORDER BY vec_id)),
+                       (acc, x) -> acc + x) / count(*) AS m
+    FROM (SELECT c_id, vec_id, unnest(sv) AS x, generate_subscripts(sv, 1) AS pos
+          FROM assign{s}_{i})
+    GROUP BY c_id, pos
+),
+cents{s}_{i + 1} AS (
+    SELECT p.c_id, COALESCE(n.v, p.v) AS v
+    FROM cents{s}_{i} p LEFT JOIN (
+        SELECT c_id, list(m ORDER BY pos) AS v FROM mean{s}_{i} GROUP BY c_id
+    ) n USING (c_id)
+),""")
+        parts.append(f"""codes{s} AS (
+    SELECT vec_id, c_id AS code FROM (
+        SELECT e.vec_id, c.c_id, {assign} AS rn
+        FROM e{s} e CROSS JOIN cents{s}_{iters} c
+    ) WHERE rn = 1
+),
+qd{s} AS (
+    SELECT e.vec_id AS query_id, c.c_id,
+           list_dot_product(c.v, c.v) - 2 * list_dot_product(e.sv, c.v) AS d
+    FROM e{s} e CROSS JOIN cents{s}_{iters} c
+    WHERE e.vec_id % 50 = 0
+),""")
+    code_joins = "\n    ".join(
+        f"JOIN codes{s} c{s} ON c{s}.vec_id = c0.vec_id" for s in range(1, m)
+    )
+    qd_joins = "\n    ".join(
+        f"JOIN qd{s} ON qd{s}.query_id = qd0.query_id "
+        f"AND qd{s}.c_id = cc.code_{s}" for s in range(1, m)
+    )
+    adc = " + ".join(f"qd{s}.d" for s in range(m))
+    parts.append(f"""corpus_codes AS (
+    SELECT c0.vec_id AS neighbor_id,
+           {', '.join(f'c{s}.code AS code_{s}' for s in range(m))}
+    FROM codes0 c0
+    {code_joins}
+),
+scored AS (
+    SELECT qd0.query_id, cc.neighbor_id, {adc} AS adc
+    FROM corpus_codes cc
+    JOIN qd0 ON qd0.c_id = cc.code_0
+    {qd_joins}
+    WHERE cc.neighbor_id != qd0.query_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc, neighbor_id) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adc
+FROM r WHERE rank <= {topk}""")
+    # join the WITH header to the first CTE without a leading comma
+    body = "\n".join(parts[1:])
+    return "WITH " + body
+
+
+SQL_PQ_ADC_TOPK = _pq_sql()
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (arXiv:2303.09540), HASH-checked
     end-to-end: embeddings + planted x1.5-scaled duplicates (FP-exact
@@ -3782,6 +3886,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "embed_ivf_topk_label": q_ivf_topk,
     "embed_lsh_ann_topk": q_lsh_topk,
     "embed_ivf_kmeans_topk": q_kmeans_ivf_topk,
+    "embed_pq_adc_topk": q_pq_adc_topk,
     "embed_ann_recall": q_ann_recall,
     "multimodal_payload_meta": q_payload_meta,
     "multimodal_decode_stub": q_decode_media_stub,
@@ -3876,6 +3981,7 @@ EXT_ORACLE: dict[str, str] = {
     "embed_cosine_topk": SQL_COSINE_TOPK,
     "embed_ivf_topk_label": SQL_IVF_TOPK,
     "embed_ivf_kmeans_topk": SQL_KMEANS_IVF_TOPK,
+    "embed_pq_adc_topk": SQL_PQ_ADC_TOPK,
     "embed_lsh_ann_topk": SQL_LSH_TOPK,
     "approx_sketches_events": SQL_APPROX_SKETCHES,
     "embed_ann_recall": SQL_ANN_RECALL,

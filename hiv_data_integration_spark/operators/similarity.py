@@ -44,6 +44,8 @@ __all__ = [
     "recall_at_k",
     "quantize_int8",
     "quantized_rerank_topk",
+    "pq_codebooks",
+    "pq_adc_topk",
 ]
 
 
@@ -679,4 +681,124 @@ def quantized_rerank_topk(
             F.col("rank").cast("long").alias("rank"),
             "cos",
         )
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 4,
+    n_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al., TPAMI 2011): split the
+    ``dim``-wide vectors into ``m`` contiguous subspaces and train one
+    deterministic Lloyd codebook of ``n_codes`` codewords per subspace
+    (same bit-reproducible trainer as :func:`kmeans_centroids`, run on the
+    sliced sub-vectors). Returns ``m`` codebooks of shape
+    ``n_codes × dim/m``.
+
+    Memory story at 100 TB: a PQ code is ``m`` small ints per vector vs
+    ``dim`` floats — a 64-dim float32 corpus compresses 64x at m=4/256
+    codes, which is what lets a billion-vector index fit a cluster's RAM.
+    Train on a sample (``sample_fraction``), encode the full corpus once.
+    """
+    if dim % m != 0:
+        raise ValueError(f"pq_codebooks: dim {dim} not divisible by m {m}")
+    sub = dim // m
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        sliced = corpus.select(
+            F.col(id_col),
+            F.slice(_as_double(F.col(vec_col)), s * sub + 1, sub).alias("_sub"),
+        )
+        books.append(
+            kmeans_centroids(
+                sliced,
+                vec_col="_sub",
+                id_col=id_col,
+                n_clusters=n_codes,
+                iters=iters,
+                sample_fraction=sample_fraction,
+            )
+        )
+    return books
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """PQ top-k by asymmetric distance (ADC): the corpus is encoded once to
+    ``m`` codeword ids; each query precomputes an ``n_codes``-entry
+    distance LUT per subspace (``c·c − 2·q_s·c`` — the per-query ``q_s·q_s``
+    constant drops, argmin-invariant), and a candidate's approximate
+    distance is ``m`` LUT lookups summed in FIXED subspace order
+    (``d_0 + d_1 + …`` left-to-right), so the double result is
+    bit-deterministic and oracle-checkable. No UDFs anywhere: encode is
+    ``array_min`` over (distance, index) structs, LUTs are in-plan
+    ``transform`` folds, lookups are ``element_at``.
+
+    The scoring join broadcasts the (small) query LUT table against the
+    encoded corpus — the corpus never shuffles and carries only ``m``
+    small ints per row past the encode projection. At production scale
+    you IVF-partition first and ADC-scan only the probed buckets; this
+    operator is that scan.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    enc = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        *[
+            nearest_centroid(
+                F.slice(_as_double(F.col(vec_col)), s * sub + 1, sub),
+                codebooks[s],
+            ).alias(f"code_{s}")
+            for s in range(m)
+        ],
+    )
+    qcols = [F.col(id_col).alias("query_id")]
+    for s in range(m):
+        cb = codebooks[s]
+        c2 = _dbl_array_lit_2d(cb)
+        ccs = _dbl_array_lit([float(sum(x * x for x in c)) for c in cb])
+        qsub = F.slice(_as_double(F.col(vec_col)), s * sub + 1, sub)
+
+        def _lut_entry(qsub: Column, ccs: Column):
+            # closure factory: binds this subspace's slice/norms without
+            # extra lambda params (PySpark inspects HOF lambda arity)
+            def entry(c: Column, i: Column) -> Column:
+                return F.element_at(ccs, i + 1) - 2.0 * F.aggregate(
+                    F.zip_with(qsub, c, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+
+            return entry
+
+        qcols.append(F.transform(c2, _lut_entry(qsub, ccs)).alias(f"lut_{s}"))
+    q = queries.select(*qcols)
+
+    adc = F.element_at(F.col("lut_0"), F.col("code_0") + 1)
+    for s in range(1, m):
+        adc = adc + F.element_at(F.col(f"lut_{s}"), F.col(f"code_{s}") + 1)
+
+    pairs = (
+        enc.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc")
     )
