@@ -80,6 +80,8 @@ HEADLINE = [
     "embed_mean_pool",
     "trailing_window_features",
     "asof_join_two_table",
+    "recursive_org_rollup",
+    "embed_pq_adc_topk",
 ]
 
 
