@@ -20,6 +20,7 @@ from hiv_data_integration_spark.operators.aggregate import (
     numeric_histogram as agg_hist,
     trailing_window_features as agg_trailing,
     user_event_sequences as agg_user_seq,
+    gap_fill_locf as agg_ops_gap_fill,
 )
 from hiv_data_integration_spark.operators import dedup as dd
 from hiv_data_integration_spark.operators import fuzzy as fz
@@ -2394,6 +2395,112 @@ FROM events GROUP BY user_id
 """
 
 
+def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densify + forward-fill: per-user HOURLY grid over the
+    first week (``F.sequence`` + explode — in-plan grid, no driver loop),
+    missing hours carried forward with last-observation LOCF. The value
+    chain accumulates as DECIMAL so the carried double is bit-identical
+    on both engines; ``filled`` marks synthesized rows."""
+    ev = tbl(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit("2024-01-01")) & (F.col("ts") < F.lit("2024-01-08"))
+    )
+    out = agg_ops_gap_fill(
+        ev,
+        "user_id",
+        "ts",
+        F.col("value").cast("decimal(28,6)"),
+        bucket="hour",
+        step_expr="INTERVAL 1 HOUR",
+    )
+    return out.select(
+        F.col("key").alias("user_id"),
+        "bucket_ts",
+        F.col("value").cast("double").alias("value"),
+        "filled",
+    )
+
+
+SQL_GAP_FILL_LOCF = """
+WITH hourly AS (
+    SELECT user_id, date_trunc('hour', ts) AS b,
+           SUM(CAST(value AS DECIMAL(28,6))) AS v
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+    GROUP BY 1, 2
+),
+grid AS (
+    SELECT user_id,
+           unnest(generate_series(min(b), max(b), INTERVAL 1 HOUR))
+               AS bucket_ts
+    FROM hourly GROUP BY user_id
+)
+SELECT g.user_id, g.bucket_ts,
+       CAST(last_value(h.v IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS value,
+       h.v IS NULL AS filled
+FROM grid g LEFT JOIN hourly h
+  ON h.user_id = g.user_id AND h.b = g.bucket_ts
+"""
+
+
+def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join, oracle-checked: the events stream
+    joins the STATIC customer dimension (the canonical "enrich a stream
+    with a slowly-changing dim" shape — no watermark needed, the static
+    side is re-planned per micro-batch and broadcast) then aggregates per
+    market segment × event type in complete mode. The static frame must
+    come from the stream's own isolated UTC session."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    stream = read_events_stream(
+        spark, f"{sf_dir}/events*.parquet", f"{sf_dir}/events.parquet"
+    )
+    ssession = stream.sparkSession
+    dim = ssession.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        stream.join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            # distinct aggs are unsupported on streams; a user-id checksum
+            # pins the same row membership without distinct state
+            F.sum(F.col("user_id") * 31 + 7).cast("long").alias("user_checksum"),
+            dsum("value", scale=6, prec=28).alias("sum_value"),
+        )
+    )
+    name = f"stream_enrich_{_uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = _local_result(ssession.table(name))
+    ssession.catalog.dropTempView(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+SQL_STREAMING_STATIC_ENRICH = """
+SELECT c_mktsegment, event_type,
+       count(*) AS n_events,
+       CAST(SUM(user_id * 31 + 7) AS BIGINT) AS user_checksum,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once ingest, oracle-checked: the events file is
     delivered TWICE (at-least-once re-delivery), the stream dedups on
@@ -3927,6 +4034,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "streaming_interval_join": q_streaming_interval_join,
     "streaming_session_windows": q_streaming_session_windows,
     "streaming_stateful_totals": q_streaming_stateful_totals,
+    "streaming_static_enrich": q_streaming_static_enrich,
+    "gap_fill_locf_hourly": q_gap_fill_locf,
 }
 
 EXT_ORACLE: dict[str, str] = {
@@ -3996,6 +4105,8 @@ EXT_ORACLE: dict[str, str] = {
     "streaming_interval_join": SQL_STREAMING_INTERVAL_JOIN,
     "streaming_session_windows": SQL_STREAMING_SESSION_WINDOWS,
     "streaming_stateful_totals": SQL_STREAMING_STATEFUL_TOTALS,
+    "streaming_static_enrich": SQL_STREAMING_STATIC_ENRICH,
+    "gap_fill_locf_hourly": SQL_GAP_FILL_LOCF,
     "bucketed_colocated_join": SQL_BUCKETED_JOIN,
     "llm_corpus_prep": SQL_CORPUS_PREP,
     "spectrum_csv_scan": SQL_SPECTRUM_CSV,

@@ -310,6 +310,39 @@ WHERE NOT EXISTS (
 """
 
 
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-family window functions over a unique ordering:
+    ntile quartiles, percent_rank, cume_dist, and lead-with-default —
+    all single-pass over one (nationkey)-partitioned sort, no UDFs.
+    percent_rank/cume_dist are exact rationals divided in doubles, so
+    both engines produce identical bits."""
+    from pyspark.sql.window import Window
+
+    c = tbl(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal"), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.lead("c_acctbal", 1, 0.0).over(w).alias("next_bal"),
+    )
+
+
+SQL_WINDOW_DISTRIBUTION = """
+SELECT c_custkey, c_nationkey,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       lead(c_acctbal, 1, 0.0) OVER w AS next_bal
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+"""
+
+
 def q_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive-CTE hierarchy rollup (Spark 4 ``WITH RECURSIVE``,
     SPARK-24497): a synthetic decimal org tree over suppliers
@@ -385,6 +418,7 @@ SQL2_QUERIES: dict[str, QueryFn] = {
     "embed_vector_norms": q_vector_norms,
     "skyline_suppliers": q_skyline,
     "recursive_org_rollup": q_recursive_closure,
+    "window_distribution_funcs": q_window_distribution,
 }
 
 SQL2_ORACLE: dict[str, str] = {
@@ -402,4 +436,5 @@ SQL2_ORACLE: dict[str, str] = {
     "embed_vector_norms": SQL_VECTOR_NORMS,
     "skyline_suppliers": SQL_SKYLINE,
     "recursive_org_rollup": SQL_RECURSIVE_CLOSURE,
+    "window_distribution_funcs": SQL_WINDOW_DISTRIBUTION,
 }

@@ -26,6 +26,7 @@ __all__ = [
     "trailing_window_features",
     "numeric_histogram",
     "completeness_profile",
+    "gap_fill_locf",
 ]
 
 
@@ -469,4 +470,63 @@ def completeness_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     )
     return wide.select(F.explode(entries).alias("e")).select(
         "e.column", "e.n_rows", "e.n_nonnull", "e.n_nulls", "e.n_distinct"
+    )
+
+
+def gap_fill_locf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: Column,
+    bucket: str = "hour",
+    step_expr: str = "INTERVAL 1 HOUR",
+) -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward: per
+    key, build the dense ``bucket`` grid from the key's first to last
+    observation (``F.sequence`` + explode — in-plan, no driver loop), left
+    join the observed per-bucket aggregate, and forward-fill missing
+    buckets with ``last(value, ignorenulls=True)`` over the ordered
+    window. Emits ``(key, bucket_ts, value, filled)`` where ``filled``
+    marks carried-forward rows.
+
+    The classic feature-store densifier (sensor/metric resampling). Scale:
+    the grid explode multiplies rows by buckets-per-key, not corpus size;
+    the forward-fill is one window over the same (key, ts) sort the grid
+    join already clustered, so Catalyst reuses the shuffle. Skewed keys
+    (one key spanning years at minute grain) dominate their partition —
+    range-partition on (key, bucket_ts) first if a key's grid exceeds a
+    partition's memory.
+    """
+    from pyspark.sql.window import Window
+
+    b = F.date_trunc(bucket, F.col(ts_col))
+    observed = (
+        df.select(F.col(key_col).alias("key"), b.alias("bucket_ts"),
+                  value_col.alias("_v"))
+        .groupBy("key", "bucket_ts")
+        .agg(F.sum("_v").alias("_v"))
+    )
+    grid = (
+        observed.groupBy("key")
+        .agg(F.min("bucket_ts").alias("_lo"), F.max("bucket_ts").alias("_hi"))
+        .select(
+            "key",
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), F.expr(step_expr))
+            ).alias("bucket_ts"),
+        )
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(observed, ["key", "bucket_ts"], "left")
+        .select(
+            "key",
+            "bucket_ts",
+            F.last("_v", ignorenulls=True).over(w).alias("value"),
+            F.col("_v").isNull().alias("filled"),
+        )
     )

@@ -1315,3 +1315,29 @@ def test_hierarchy_closure_cycle_bounded(spark):
     rows = hierarchy_closure(edges, max_depth=5).collect()
     assert max(r.depth for r in rows) <= 6
     assert (10, 11, 1) in {(r.node, r.ancestor, r.depth) for r in rows}
+
+
+def test_gap_fill_locf_semantics(spark):
+    import datetime
+
+    from hiv_data_integration_spark.operators.aggregate import gap_fill_locf
+
+    t = lambda h: datetime.datetime(2024, 3, 1, h, 15, 0)  # noqa: E731
+    rows = [
+        # user 1: events in hours 10 and 13 -> 11,12 filled with hour-10 sum
+        (1, t(10), 2.0), (1, t(10), 3.0), (1, t(13), 7.0),
+        # user 2: single hour -> 1-row grid, nothing filled
+        (2, t(5), 1.5),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = gap_fill_locf(df, "user_id", "ts", F.col("value")).collect()
+    got = {
+        (r.key, r.bucket_ts.hour, float(r.value), r.filled) for r in out
+    }
+    assert got == {
+        (1, 10, 5.0, False),
+        (1, 11, 5.0, True),
+        (1, 12, 5.0, True),
+        (1, 13, 7.0, False),
+        (2, 5, 1.5, False),
+    }
