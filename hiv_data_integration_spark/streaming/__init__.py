@@ -38,6 +38,7 @@ __all__ = [
     "run_available_now",
     "run_available_now_to_parquet",
     "stream_interval_join",
+    "first_seen_dedup",
 ]
 
 # Driver testdata events shape (TESTDATA.md; ts stored as timestamp).
@@ -281,3 +282,95 @@ def stream_interval_join(
         )
     )
     return l_side.join(r_side, cond, "inner")
+
+
+def first_seen_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str] = ("ts", "event_id"),
+    payload_cols: list[str] = ("ts", "event_id", "value"),
+    state_ttl_minutes: int | None = None,
+) -> DataFrame:
+    """First-occurrence-per-key filter on Spark 4's arbitrary-state API
+    (``transformWithStateInPandas``, SPARK-49564): per-key ValueState marks
+    keys already emitted; later arrivals are suppressed. Within a
+    micro-batch the winner is the minimum of ``order_cols`` (deterministic,
+    not arrival order); across batches first-batch-wins — the
+    at-least-once → exactly-once ingest gate, with per-key state the
+    built-in ``dropDuplicates`` cannot TTL-expire.
+
+    ``state_ttl_minutes`` uses the state store's NATIVE per-value TTL
+    (``getValueState(ttlDurationMs=...)``): an idle key's marker is evicted
+    by the store itself — no timers, no full-state scans — which is what
+    bounds an unbounded keyspace at 100 TB/day. Requires the RocksDB state
+    store provider (transformWithState's backing store; set
+    ``spark.sql.streaming.stateStore.providerClass`` accordingly).
+
+    Single-key-struct limitation: ``key_cols`` become the grouping key and
+    are re-attached to the emitted payload.
+
+    Environment gate: transformWithState's Python worker speaks protobuf
+    to the JVM state server (``pyspark/sql/streaming/proto``), so the
+    ``protobuf`` package must be importable — without it the stream would
+    die mid-run with an opaque worker crash, so we fail fast here with
+    the remedy. :func:`running_user_totals` (applyInPandasWithState) and
+    ``dropDuplicates`` cover the same shapes without that dependency.
+    """
+    try:
+        from google.protobuf import descriptor as _descriptor  # noqa: F401
+    except ImportError as exc:
+        raise RuntimeError(
+            "first_seen_dedup needs transformWithStateInPandas, whose "
+            "Python worker requires the 'protobuf' package (pip install "
+            "protobuf). Alternatives without it: streaming dropDuplicates "
+            "for plain first-seen, running_user_totals "
+            "(applyInPandasWithState) for custom per-key state."
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    key_cols = list(key_cols)
+    order_cols = list(order_cols)
+    payload_cols = list(payload_cols)
+    out_fields = [events.schema[c] for c in key_cols + payload_cols]
+    out_schema = T.StructType(out_fields)
+    ttl_ms = state_ttl_minutes * 60 * 1000 if state_ttl_minutes else None
+
+    class FirstSeen(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState(
+                "seen", "emitted boolean", ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._seen.exists():
+                return
+            first = None
+            for pdf in rows:
+                cand = pdf.sort_values(order_cols, kind="mergesort").head(1)
+                if first is None:
+                    first = cand
+                else:
+                    both = pd.concat([first, cand], ignore_index=True)
+                    first = both.sort_values(
+                        order_cols, kind="mergesort"
+                    ).head(1)
+            if first is None:
+                return
+            self._seen.update((True,))
+            out = first[payload_cols].copy()
+            for i, kc in enumerate(key_cols):
+                out.insert(i, kc, key[i])
+            yield out
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(*key_cols).transformWithStateInPandas(
+        statefulProcessor=FirstSeen(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="None",
+    )

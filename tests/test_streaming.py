@@ -188,3 +188,28 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
     by_window2 = {str(r.window_start): r.total_value for r in r2.collect()}
     assert by_window2[str(datetime.datetime(2024, 1, 1, 10, 0))] == 1.0
     assert r2.count() == r1.count()
+
+
+def test_first_seen_dedup_gated_or_working(spark, tmp_path, events_dir):
+    """transformWithStateInPandas needs protobuf; without it the operator
+    must fail FAST with the remedy (not crash mid-stream). With it, the
+    first-seen semantics are asserted end-to-end."""
+    stream = stx.read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    try:
+        import google.protobuf  # noqa: F401
+        have_protobuf = True
+    except ImportError:
+        have_protobuf = False
+
+    if not have_protobuf:
+        with pytest.raises(RuntimeError, match="protobuf"):
+            stx.first_seen_dedup(stream, ["event_type"])
+        return
+
+    out = stx.first_seen_dedup(stream, ["event_type"])
+    result = stx.run_available_now(
+        out, str(tmp_path / "ckpt_fs"), query_name="fs_snapshot"
+    )
+    rows = {(r.event_type, r.event_id) for r in result.collect()}
+    # fixture: all six events are 'click'; batch-1 min (ts, event_id) wins
+    assert rows == {("click", 1)}
