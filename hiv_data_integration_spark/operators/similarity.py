@@ -705,26 +705,89 @@ def pq_codebooks(
     ``dim`` floats — a 64-dim float32 corpus compresses 64x at m=4/256
     codes, which is what lets a billion-vector index fit a cluster's RAM.
     Train on a sample (``sample_fraction``), encode the full corpus once.
+
+    All ``m`` codebooks train in ONE distributed pass per Lloyd iteration
+    (sub-vectors posexploded to a (id, subspace, vec) long frame; the
+    per-subspace assignment is a CASE chain over subspace id; means
+    aggregate by (subspace, cluster, dim) in a single shuffle) — m
+    independent trainers would re-scan the corpus m times and multiply
+    the driver-synced job count by m. Numerics are bit-identical to
+    training each subspace alone: same init (lowest-id sub-vectors), same
+    ``c·c − 2·v·c`` argmin, same id-ordered mean folds, empty clusters
+    keep their previous codeword.
     """
     if dim % m != 0:
         raise ValueError(f"pq_codebooks: dim {dim} not divisible by m {m}")
     sub = dim // m
-    books: list[list[list[float]]] = []
-    for s in range(m):
-        sliced = corpus.select(
-            F.col(id_col),
-            F.slice(_as_double(F.col(vec_col)), s * sub + 1, sub).alias("_sub"),
+    train = corpus
+    if sample_fraction is not None and sample_fraction < 1.0:
+        if sample_fraction <= 0.0:
+            raise ValueError("pq_codebooks: sample_fraction must be in (0, 1]")
+        # same deterministic md5-threshold sample as kmeans_centroids, so
+        # SQL oracles reproduce the exact training set
+        thr = format(int(sample_fraction * 16**8), "08x")
+        train = corpus.filter(
+            F.md5(F.concat(F.lit("km|"), F.col(id_col).cast("string")))
+            < F.lit(thr)
         )
-        books.append(
-            kmeans_centroids(
-                sliced,
-                vec_col="_sub",
-                id_col=id_col,
-                n_clusters=n_codes,
-                iters=iters,
-                sample_fraction=sample_fraction,
+
+    v = _as_double(F.col(vec_col))
+    subs = F.array(*[F.slice(v, s * sub + 1, sub) for s in range(m)])
+    long = train.select(
+        F.col(id_col).alias("_id"), F.posexplode(subs).alias("_s", "_v")
+    ).cache()
+    try:
+        # init: sub-vectors of the n_codes lowest ids (every id carries
+        # exactly m rows, so the ordered limit is n_codes·m rows)
+        init_rows = long.orderBy("_id", "_s").limit(n_codes * m).collect()
+        ids = sorted({r["_id"] for r in init_rows})
+        if len(ids) < n_codes:
+            raise ValueError(
+                f"need >= {n_codes} training vectors, got {len(ids)}"
             )
-        )
+        rank = {i: r for r, i in enumerate(ids)}
+        books: list[list[list[float]]] = [
+            [None] * n_codes for _ in range(m)  # type: ignore[list-item]
+        ]
+        for r in init_rows:
+            books[r["_s"]][rank[r["_id"]]] = [float(x) for x in r["_v"]]
+
+        for _ in range(iters):
+            nc: Column = nearest_centroid(F.col("_v"), books[0])
+            for s in range(1, m):
+                nc = F.when(
+                    F.col("_s") == s, nearest_centroid(F.col("_v"), books[s])
+                ).otherwise(nc)
+            means = (
+                long.withColumn("_c", nc)
+                .select("_s", "_c", "_id", F.posexplode("_v").alias("_pos", "_x"))
+                .groupBy("_s", "_c", "_pos")
+                .agg(
+                    F.aggregate(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct(F.col("_id"), F.col("_x")))
+                            ),
+                            lambda st: st["_x"],
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("_sum"),
+                    F.count("*").alias("_n"),
+                )
+                .collect()
+            )
+            new_books = [[list(c) for c in b] for b in books]
+            acc: dict[tuple[int, int], dict[int, float]] = {}
+            for r in means:
+                acc.setdefault((r["_s"], r["_c"]), {})[r["_pos"]] = (
+                    r["_sum"] / r["_n"]
+                )
+            for (s, c), dims in acc.items():
+                new_books[s][c] = [dims[i] for i in range(len(dims))]
+            books = new_books
+    finally:
+        long.unpersist()
     return books
 
 

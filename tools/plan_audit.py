@@ -82,6 +82,8 @@ HEADLINE = [
     "asof_join_two_table",
     "recursive_org_rollup",
     "embed_pq_adc_topk",
+    "gap_fill_locf_hourly",
+    "window_distribution_funcs",
 ]
 
 
