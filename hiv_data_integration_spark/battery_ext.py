@@ -2553,6 +2553,54 @@ FROM events GROUP BY event_type
 """
 
 
+def q_streaming_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The state-BOUNDED twin of streaming_exactly_once_dedup:
+    ``dropDuplicatesWithinWatermark`` holds each event's dedup state only
+    until the watermark passes its event time + delay, so the state store
+    stays finite on an unbounded feed — plain ``dropDuplicates`` keyed
+    state grows forever, which is the difference between a demo and a
+    100 TB/day ingest. Same duplicate double-delivery harness; both
+    copies land within the delay, so the result equals the batch
+    single-copy aggregate exactly."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    src = tempfile.mkdtemp(prefix="dupw_feed_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/delivery1.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/delivery2.parquet")
+
+    agg = (
+        read_events_stream(spark, src, f"{sf_dir}/events.parquet")
+        .withWatermark("ts", "48 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", scale=6, prec=28).alias("sum_value"),
+        )
+    )
+    name = f"stream_dedup_wm_{_uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ssession = agg.sparkSession
+    out = _local_result(ssession.table(name))
+    ssession.catalog.dropTempView(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(src, ignore_errors=True)
+    return out
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end LLM training-corpus prep chain (§2.14 composed): corpus
     with planted duplicates → exact dedup (md5 fingerprint, keep lowest id)
@@ -3622,6 +3670,49 @@ FROM c
 """
 
 
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped importance resampling (Xie et al. 2023,
+    arXiv:2302.03169) toward the English sub-corpus as the target domain,
+    fully hash-checked INCLUDING the float weight: the importance score is
+    a smoothed rational of exact integer evidence sums (one double
+    division — bit-portable, unlike the paper's libm-dependent log-ratio)
+    and the accept draw is md5-uniform, so both engines keep or drop the
+    exact same documents."""
+    docs = tbl(spark, sf_dir, "documents")
+    return tx.dsir_importance_resample(docs, F.col("lang") == "en")
+
+
+SQL_DSIR_RESAMPLE = f"""
+WITH d AS (
+    SELECT doc_id, lang = 'en' AS is_target, {_TOKS} AS l FROM documents
+),
+toks AS (
+    SELECT doc_id AS id, is_target, unnest(l) AS token FROM d
+),
+freq AS (
+    SELECT token, count(*) AS r_tok,
+           SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS t_tok
+    FROM toks GROUP BY token
+),
+scored AS (
+    SELECT id, count(*) AS n_tokens,
+           CAST(SUM(t_tok) AS BIGINT) AS sum_target_freq,
+           CAST(SUM(r_tok) AS BIGINT) AS sum_raw_freq
+    FROM toks JOIN freq USING (token) GROUP BY id
+),
+w AS (
+    SELECT *,
+           CAST(sum_target_freq + 1 AS DOUBLE)
+               / CAST(sum_raw_freq + 2 AS DOUBLE) AS weight,
+           CAST(CAST('0x' || substr(md5('dsir|' || CAST(id AS VARCHAR)), 1, 8)
+                     AS BIGINT) AS DOUBLE) / 4294967296.0 AS draw
+    FROM scored
+)
+SELECT id, n_tokens, sum_target_freq, sum_raw_freq, weight
+FROM w WHERE draw < weight
+"""
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality scoring (perplexity-filter stand-in). The battery
     projects the integer-exact columns — total corpus frequency and
@@ -3957,6 +4048,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "registry_upsert_state": q_registry_upsert_state,
     "corpus_token_packing": q_token_packing,
     "corpus_unigram_logprob": q_unigram_logprob,
+    "corpus_dsir_resample": q_dsir_resample,
     "quality_decile_stats": q_quality_deciles,
     "source_quota_cap": q_source_quota,
     "funnel_events": q_funnel,
@@ -4030,6 +4122,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "approx_sketches_events": q_approx_sketches,
     "streaming_tumbling_counts": q_streaming_tumbling,
     "streaming_exactly_once_dedup": q_streaming_dedup,
+    "streaming_dedup_within_watermark": q_streaming_dedup_within_watermark,
     "streaming_corpus_chunking": q_streaming_chunking,
     "streaming_interval_join": q_streaming_interval_join,
     "streaming_session_windows": q_streaming_session_windows,
@@ -4045,6 +4138,7 @@ EXT_ORACLE: dict[str, str] = {
     "registry_upsert_state": SQL_REGISTRY_UPSERT,
     "corpus_token_packing": SQL_TOKEN_PACKING,
     "corpus_unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "corpus_dsir_resample": SQL_DSIR_RESAMPLE,
     "quality_decile_stats": SQL_QUALITY_DECILES,
     "source_quota_cap": SQL_SOURCE_QUOTA,
     "funnel_events": SQL_FUNNEL,
@@ -4101,6 +4195,7 @@ EXT_ORACLE: dict[str, str] = {
     "rest_naomi_json_flatten": SQL_NAOMI_FLATTEN,
     "salted_skew_join": SQL_SALTED_JOIN,
     "streaming_exactly_once_dedup": SQL_STREAMING_DEDUP,
+    "streaming_dedup_within_watermark": SQL_STREAMING_DEDUP,
     "streaming_corpus_chunking": SQL_STREAMING_CHUNKING,
     "streaming_interval_join": SQL_STREAMING_INTERVAL_JOIN,
     "streaming_session_windows": SQL_STREAMING_SESSION_WINDOWS,

@@ -32,6 +32,7 @@ __all__ = [
     "tfidf_topk",
     "pack_token_budget",
     "unigram_logprob",
+    "dsir_importance_resample",
     "quality_decile_stats",
     "line_dedup",
     "normalize_url",
@@ -667,6 +668,83 @@ def unigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+def dsir_importance_resample(
+    df: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "dsir",
+) -> DataFrame:
+    """Data Selection with Importance Resampling (the DSIR shape,
+    Xie et al. 2023, arXiv:2302.03169), made bit-portable: score every
+    document by how much its token mass is explained by a TARGET domain
+    versus the raw corpus, then keep documents whose deterministic
+    md5-uniform draw falls under that importance weight.
+
+    Deviations from the paper, on purpose: the per-token log-ratio sum is
+    replaced by the smoothed rational ``w = (sum_t + 1) / (sum_r + 2)``
+    (``sum_t`` = total TARGET-corpus frequency of the doc's tokens,
+    ``sum_r`` = total raw-corpus frequency — both exact integers), because
+    ``ln`` is libm-dependent and not bit-portable across engines while a
+    single division of exactly-represented integers is; and sampling
+    without replacement becomes an independent accept test against an
+    md5-derived uniform (reproducible across engines AND runs, no RNG
+    state). The true log-ratio variant is :func:`unigram_logprob` scored
+    per-domain, verified same-engine.
+
+    Note: the driver's synthetic documents draw text independently of
+    ``lang`` (one shared 31-token vocabulary), so battery weights cluster
+    near the corpus prior there — the separation behavior is asserted on a
+    constructed corpus in tests/test_operators.py instead.
+
+    Two shuffles (raw-freq aggregate, per-doc sum); both frequency tables
+    are vocabulary-sized and broadcast. ``target_pred`` marks the target
+    rows of ``df`` itself (e.g. a trusted-source flag), so one corpus scan
+    feeds both models. Output: accepted docs with the evidence columns.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        target_pred.alias("is_target"),
+        F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    freq = (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("r_tok"),
+            F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("t_tok"),
+        )
+        .localCheckpoint()
+    )
+    scored = (
+        toks.join(F.broadcast(freq), "token")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("t_tok").cast("long").alias("sum_target_freq"),
+            F.sum("r_tok").cast("long").alias("sum_raw_freq"),
+        )
+        .withColumn(
+            "weight",
+            (F.col("sum_target_freq") + F.lit(1)).cast("double")
+            / (F.col("sum_raw_freq") + F.lit(2)).cast("double"),
+        )
+        .withColumn(
+            "draw",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(seed + "|"), F.col("id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(4294967296.0),
+        )
+    )
+    return scored.filter(F.col("draw") < F.col("weight")).drop("draw")
 
 
 def quality_decile_stats(

@@ -1341,3 +1341,30 @@ def test_gap_fill_locf_semantics(spark):
         (1, 13, 7.0, False),
         (2, 5, 1.5, False),
     }
+
+
+def test_dsir_resample_prefers_target_vocabulary(spark):
+    """On a corpus where target docs use disjoint vocabulary, the
+    importance weight must separate: docs sharing the target's tokens get
+    high weights, alien-vocabulary docs get low ones (the driver testdata
+    cannot show this — its text is decorrelated from lang by
+    construction, so battery weights cluster near the prior)."""
+    from hiv_data_integration_spark.operators.textops import (
+        dsir_importance_resample,
+    )
+
+    rows = (
+        # target domain: cooking vocabulary
+        [(i, "flour sugar butter oven bake whisk", True) for i in range(8)]
+        # in-domain candidates (not flagged target, same vocabulary)
+        + [(100 + i, "sugar butter bake oven flour", False) for i in range(4)]
+        # out-of-domain: disjoint vocabulary
+        + [(200 + i, "carburetor piston gasket torque", False) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    out = dsir_importance_resample(df, F.col("is_t"))
+    w = {r.id: r.weight for r in out.collect()}
+    in_dom = [w[k] for k in w if 100 <= k < 200]
+    out_dom = [w[k] for k in w if k >= 200]
+    assert in_dom and min(in_dom) > 0.5           # mostly target evidence
+    assert all(v < 0.1 for v in out_dom) or not out_dom  # alien vocab -> tiny w
