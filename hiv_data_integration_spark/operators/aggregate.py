@@ -499,7 +499,11 @@ def gap_fill_locf(
     """
     from pyspark.sql.window import Window
 
-    b = F.date_trunc(bucket, F.col(ts_col))
+    # bucket via F.window(...).start, NOT date_trunc: date_trunc coerces
+    # TIMESTAMP_NTZ to the session-zone TIMESTAMP (a +05:45 session shifts
+    # hour boundaries by 45 min), while window() truncates NTZ in place —
+    # the same tz-proofing contract the tumbling-window operators rely on
+    b = F.window(F.col(ts_col), f"1 {bucket}").start
     observed = (
         df.select(F.col(key_col).alias("key"), b.alias("bucket_ts"),
                   value_col.alias("_v"))
