@@ -3243,6 +3243,43 @@ FROM a GROUP BY 1, 2
 """
 
 
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe GROUP-level split: the split key is the USER, not the
+    event, so every event of a user lands in the same train/val/test
+    partition — the guard against entity leakage across ML splits (same
+    ``hash_split`` operator, keyed on the group column). The oracle pins
+    per-split user counts, event counts and value cents; user-level
+    atomicity is structural (split is a pure function of user_id) and is
+    additionally hash-pinned by n_users: a leaked user would appear in
+    two splits and inflate the sum of per-split distinct users."""
+    ev = tbl(spark, sf_dir, "events").select("user_id", "value")
+    out = sp.hash_split(ev, "user_id", train=0.8, val=0.1)
+    return out.groupBy("split").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")) * 100
+        ).cast("long").alias("total_cents"),
+    )
+
+
+SQL_GROUP_SPLIT = """
+WITH a AS (
+    SELECT user_id, value,
+           CASE WHEN CAST('0x' || substr(md5('split:' || CAST(user_id AS VARCHAR)), 1, 4)
+                          AS BIGINT) < 52429 THEN 'train'
+                WHEN CAST('0x' || substr(md5('split:' || CAST(user_id AS VARCHAR)), 1, 4)
+                          AS BIGINT) < 58982 THEN 'val'
+                ELSE 'test' END AS split
+    FROM events
+)
+SELECT split, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))) * 100) AS BIGINT)
+           AS total_cents
+FROM a GROUP BY split
+"""
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by raw-ratio tf-idf
     (log-free: only IEEE-exact double ops, so ranking is bit-reproducible
@@ -4075,6 +4112,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "text_contamination_check": q_contamination_check,
     "text_tfidf_topk": q_tfidf_topk,
     "data_split_sample": q_split_sample,
+    "group_split_no_leakage": q_group_split,
     "jsonl_corpus_roundtrip": q_jsonl_roundtrip,
     "scd2_customer_history": q_scd2_history,
     "embed_quantize_int8": q_embed_quantize,
@@ -4169,6 +4207,7 @@ EXT_ORACLE: dict[str, str] = {
     "text_contamination_check": SQL_CONTAMINATION,
     "text_tfidf_topk": SQL_TFIDF_TOPK,
     "data_split_sample": SQL_SPLIT_SAMPLE,
+    "group_split_no_leakage": SQL_GROUP_SPLIT,
     "jsonl_corpus_roundtrip": SQL_JSONL_ROUNDTRIP,
     "scd2_customer_history": SQL_SCD2_HISTORY,
     "embed_quantize_int8": SQL_EMBED_QUANTIZE,

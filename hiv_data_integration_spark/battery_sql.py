@@ -310,6 +310,106 @@ WHERE NOT EXISTS (
 """
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem,
+    revenue per open order, top 10 — the canonical selective multi-join
+    the optimizer must order correctly (both dim filters before the fact
+    join; customer side broadcast). Revenue accumulates as DECIMAL."""
+    c = tbl(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = tbl(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") < F.lit("1998-03-15")
+    )
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") > F.lit("1998-03-15")
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    joined = li.join(
+        F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey")
+    ).join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    out = (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+    return out
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(o_orderdate AS DATE) < DATE '1998-03-15'
+  AND CAST(l_shipdate AS DATE) > DATE '1998-03-15'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table snowflake (region→nation→customer→orders
+    →lineitem→supplier) with the local-supplier constraint
+    (``c_nationkey = s_nationkey``), revenue per nation over one year.
+    All dimension hops broadcast; only the orders⋈lineitem spine
+    shuffles."""
+    r = tbl(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = tbl(spark, sf_dir, "nation")
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = tbl(spark, sf_dir, "lineitem")
+    s = tbl(spark, sf_dir, "supplier")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(c),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(revenue).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL_REGION_REVENUE = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+GROUP BY n_name
+"""
+
+
 def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-family window functions over a unique ordering:
     ntile quartiles, percent_rank, cume_dist, and lead-with-default —
@@ -419,6 +519,8 @@ SQL2_QUERIES: dict[str, QueryFn] = {
     "skyline_suppliers": q_skyline,
     "recursive_org_rollup": q_recursive_closure,
     "window_distribution_funcs": q_window_distribution,
+    "shipping_priority_top10": q_shipping_priority,
+    "region_local_supplier_revenue": q_region_revenue,
 }
 
 SQL2_ORACLE: dict[str, str] = {
@@ -437,4 +539,6 @@ SQL2_ORACLE: dict[str, str] = {
     "skyline_suppliers": SQL_SKYLINE,
     "recursive_org_rollup": SQL_RECURSIVE_CLOSURE,
     "window_distribution_funcs": SQL_WINDOW_DISTRIBUTION,
+    "shipping_priority_top10": SQL_SHIPPING_PRIORITY,
+    "region_local_supplier_revenue": SQL_REGION_REVENUE,
 }
