@@ -3844,6 +3844,37 @@ SELECT CAST(2 AS BIGINT), 'purchase', count(*) FROM s2
 """
 
 
+def q_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT attribution-window funnel: each next stage must land within
+    6 hours of the previous stage's entry (``max_gap``) — the
+    converted-within-window semantics; interval arithmetic on NTZ event
+    time, timezone-free. Same chain of conditional min-aggregates as the
+    unbounded funnel, so the two entries pin both semantics."""
+    ev = tbl(spark, sf_dir, "events")
+    return agg_funnel(
+        ev, ["view", "click", "purchase"], max_gap="6 hours"
+    )
+
+
+SQL_WINDOWED_FUNNEL = """
+WITH s0 AS (SELECT user_id AS u, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s1 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+       JOIN s0 ON e.user_id = s0.u AND e.ts > s0.t
+                AND e.ts <= s0.t + INTERVAL 6 HOUR
+       WHERE e.event_type = 'click' GROUP BY e.user_id),
+s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+       JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t
+                AND e.ts <= s1.t + INTERVAL 6 HOUR
+       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage, count(*) AS n_users FROM s0
+UNION ALL
+SELECT CAST(1 AS BIGINT), 'click', count(*) FROM s1
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'purchase', count(*) FROM s2
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort/retention matrix: first-activity-day cohorts × whole-week
     offsets, distinct active users per cell."""
@@ -4089,6 +4120,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "quality_decile_stats": q_quality_deciles,
     "source_quota_cap": q_source_quota,
     "funnel_events": q_funnel,
+    "windowed_funnel_events": q_windowed_funnel,
     "cohort_retention_events": q_cohort_retention,
     "text_token_counts": q_token_counts,
     "text_quality_scores": q_quality_scores,
@@ -4180,6 +4212,7 @@ EXT_ORACLE: dict[str, str] = {
     "quality_decile_stats": SQL_QUALITY_DECILES,
     "source_quota_cap": SQL_SOURCE_QUOTA,
     "funnel_events": SQL_FUNNEL,
+    "windowed_funnel_events": SQL_WINDOWED_FUNNEL,
     "cohort_retention_events": SQL_COHORT_RETENTION,
     "text_token_counts": SQL_TOKEN_COUNTS,
     "text_quality_scores": SQL_QUALITY_SCORES,

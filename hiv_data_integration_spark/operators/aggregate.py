@@ -206,9 +206,15 @@ def funnel_conversion(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    max_gap: str | None = None,
 ) -> DataFrame:
     """Ordered-funnel analysis: how many users reach each stage IN ORDER
     (stage n+1 counts only events strictly after the user's stage-n entry).
+
+    ``max_gap`` (an INTERVAL string, e.g. ``"48 hours"``) makes the funnel
+    STRICT: stage n+1 must also land within the gap after the stage-n
+    entry — the "converted within the attribution window" semantics, pure
+    timestamp interval arithmetic (timezone-free on NTZ event time).
 
     Classic event analytics that the per-event window trick cannot express
     directly; here it is a chain of conditional min-aggregates — one
@@ -226,6 +232,10 @@ def funnel_conversion(
         )
         if reached is not None:
             ev = ev.join(reached, "_u").filter(F.col("_t") > F.col("_prev"))
+            if max_gap is not None:
+                ev = ev.filter(
+                    F.col("_t") <= F.col("_prev") + F.expr(f"INTERVAL {max_gap}")
+                )
         reached = ev.groupBy("_u").agg(F.min("_t").alias("_prev"))
         counts.append(
             reached.agg(
