@@ -446,8 +446,12 @@ def hierarchy_closure(
     the per-step join broadcasts, so the closure costs depth × one
     broadcast-join over the frontier, no quadratic blowup.
     """
+    import uuid as _uuid
+
     spark = edges.sparkSession
-    view = f"edges_hc_{abs(hash((node_col, parent_col))) % 10**8}"
+    # per-call unique name: two concurrent closures over same-named
+    # columns must not replace each other's view between register and sql
+    view = f"edges_hc_{_uuid.uuid4().hex[:12]}"
     edges.select(
         F.col(node_col).alias("node"), F.col(parent_col).alias("parent")
     ).createOrReplaceTempView(view)

@@ -84,6 +84,11 @@ HEADLINE = [
     "embed_pq_adc_topk",
     "gap_fill_locf_hourly",
     "window_distribution_funcs",
+    "shipping_priority_top10",
+    "region_local_supplier_revenue",
+    "corpus_dsir_resample",
+    "windowed_funnel_events",
+    "group_split_no_leakage",
 ]
 
 
