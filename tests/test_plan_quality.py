@@ -14,13 +14,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from hiv_data_integration_spark.battery import QUERIES
 from hiv_data_integration_spark.battery_ext import EXT_QUERIES
+from hiv_data_integration_spark.battery_sql import SQL2_QUERIES
 from tools.plan_audit import audit, final_plan_string
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _audit(spark, name):
-    fn = {**QUERIES, **EXT_QUERIES}[name]
+    fn = {**QUERIES, **EXT_QUERIES, **SQL2_QUERIES}[name]
     return audit(final_plan_string(spark, fn(spark, SF_DIR)))
 
 
@@ -198,3 +199,46 @@ def test_rules_at_width_stay_in_whole_stage_codegen(spark, pathology, n_rules):
         "the greatest()-of-when-chains rule Project is not inside a "
         "whole-stage-codegen span"
     )
+
+
+def test_q5_snowflake_one_spine_shuffle(spark):
+    """TPC-H Q5 shape: every dimension hop must broadcast (5 BHJ), all six
+    scans carry pushed filters or pruned schemas, and only the
+    orders-lineitem spine plus the final aggregate may shuffle."""
+    a = _audit(spark, "region_local_supplier_revenue")
+    assert a["bhj"] == 5 and a["smj"] == 0
+    assert a["scans"] == 6
+    assert a["python"] == 0
+    assert a["exchanges"] <= 3  # spine join + partial/final agg
+
+
+def test_q3_broadcasts_and_pushes(spark):
+    a = _audit(spark, "shipping_priority_top10")
+    assert a["bhj"] == 2 and a["smj"] == 0
+    assert a["pushed_filters"] == a["scans"] == 3
+    assert a["python"] == 0
+
+
+def test_recursive_closure_broadcasts_frontier_join(spark):
+    a = _audit(spark, "recursive_org_rollup")
+    assert a["smj"] == 0 and a["python"] == 0
+    assert a["bhj"] >= 1
+
+
+def test_pq_adc_stays_jvm_broadcast_nlj(spark):
+    """PQ ADC scan: the corpus side must not shuffle for scoring — the
+    query LUTs broadcast through a nested-loop join (the != predicate);
+    a CartesianProduct would mean the broadcast fell through (audit
+    counts them together, so also pin the plan string)."""
+    a = _audit(spark, "embed_pq_adc_topk")
+    assert a["python"] == 0 and a["smj"] == 0
+    assert a["nlj"] == 1
+    fn = EXT_QUERIES["embed_pq_adc_topk"]
+    plan = final_plan_string(spark, fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+
+def test_gap_fill_no_sort_merge_no_python(spark):
+    a = _audit(spark, "gap_fill_locf_hourly")
+    assert a["smj"] == 0 and a["python"] == 0
+    assert a["bhj"] >= 1  # grid joins observed broadcast-side
