@@ -515,8 +515,11 @@ def gap_fill_locf(
     # the same tz-proofing contract the tumbling-window operators rely on
     b = F.window(F.col(ts_col), f"1 {bucket}").start
     observed = (
-        df.select(F.col(key_col).alias("key"), b.alias("bucket_ts"),
-                  value_col.alias("_v"))
+        # NULL timestamps carry no position on the grid: drop them rather
+        # than let a NULL bucket generate a NULL→NULL sequence
+        df.filter(F.col(ts_col).isNotNull())
+        .select(F.col(key_col).alias("key"), b.alias("bucket_ts"),
+                value_col.alias("_v"))
         .groupBy("key", "bucket_ts")
         .agg(F.sum("_v").alias("_v"))
     )

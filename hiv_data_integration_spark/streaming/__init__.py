@@ -269,6 +269,13 @@ def stream_interval_join(
     ``availableNow`` run over static files reproduces the batch join
     exactly.
     """
+    clash = [c for c in left.columns if c.startswith("r_")]
+    if clash:
+        raise ValueError(
+            f"stream_interval_join: left side already has r_-prefixed "
+            f"columns {clash}, which would collide with the prefixed "
+            f"right side — rename them first"
+        )
     l_side = left.withWatermark(ts_col, watermark)
     r_side = right.select(
         *[F.col(c).alias(f"r_{c}") for c in right.columns]
