@@ -3044,6 +3044,64 @@ HAVING count(*) >= 3
 """
 
 
+def q_pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank over a deterministic synthetic graph
+    on the customer keys (decimal-tree edges k→k div 10 plus a functional
+    hash edge k→(7k+3) mod N), 3 iterations, top-20 by rank. Every rank
+    is an exact BIGINT multiple of 1e-12 — integer sums commute, so the
+    result is bit-identical across engines and partitionings, and the
+    oracle unrolls all three iterations as plain SQL. The float
+    formulation would drift by summation order; this one cannot."""
+    cust = tbl(spark, sf_dir, "customer")
+    n = cust.count()
+    k = F.col("c_custkey").cast("long")
+    nodes = cust.select(k.alias("node"))
+    e1 = cust.select(
+        k.alias("src"), F.expr("c_custkey div 10").cast("long").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    e2 = cust.select(
+        k.alias("src"), ((k * 7 + 3) % F.lit(n)).alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    pr = dd.pagerank_fixed_point(e1.unionByName(e2), nodes, iters=3)
+    return pr.orderBy(F.col("rank_fp").desc(), "node").limit(20)
+
+
+def _pagerank_sql(iters: int = 3, scale: int = 10**12, topk: int = 20) -> str:
+    parts = [f"""WITH nn AS (SELECT count(*) AS cnt FROM customer),
+nodes AS (SELECT CAST(c_custkey AS BIGINT) AS n FROM customer),
+edges AS (
+    SELECT CAST(c_custkey AS BIGINT) AS src,
+           CAST(c_custkey AS BIGINT) // 10 AS dst
+    FROM customer WHERE CAST(c_custkey AS BIGINT) // 10 <> c_custkey
+    UNION ALL
+    SELECT CAST(c_custkey AS BIGINT),
+           (c_custkey * 7 + 3) % (SELECT cnt FROM nn)
+    FROM customer
+    WHERE (c_custkey * 7 + 3) % (SELECT cnt FROM nn) <> c_custkey
+),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+p0 AS (SELECT n, {scale} // (SELECT cnt FROM nn) AS p FROM nodes),"""]
+    for i in range(iters):
+        parts.append(f"""c{i} AS (
+    SELECT e.dst, SUM(p.p // d.outdeg) AS m
+    FROM edges e JOIN deg d USING (src) JOIN p{i} p ON p.n = e.src
+    GROUP BY e.dst
+),
+p{i + 1} AS (
+    SELECT nd.n,
+           ({scale} * 15) // (100 * (SELECT cnt FROM nn))
+               + 85 * COALESCE(c{i}.m, 0) // 100 AS p
+    FROM nodes nd LEFT JOIN c{i} ON c{i}.dst = nd.n
+),""")
+    parts.append(f"""final AS (SELECT n AS node, CAST(p AS BIGINT) AS rank_fp
+                              FROM p{iters})
+SELECT node, rank_fp FROM final ORDER BY rank_fp DESC, node LIMIT {topk}""")
+    return "\n".join(parts)
+
+
+SQL_PAGERANK_FIXED_POINT = _pagerank_sql()
+
+
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS → duplicate GROUPS: min-label propagation over the
     MinHash pair graph (a≈b, b≈c collapse to one cluster without an a≈c
@@ -4133,6 +4191,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "dedup_simhash_fingerprints": q_simhash,
     "dedup_embedding_cosine_pairs": q_embedding_cosine_dedup,
     "dedup_connected_components": q_connected_components,
+    "graph_pagerank_fixed_point": q_pagerank_fixed_point,
     "dedup_canonical_corpus": q_canonical_corpus,
     "text_rolling_fingerprint": q_rolling_fingerprint,
     "text_chunking": q_text_chunking,
@@ -4227,6 +4286,7 @@ EXT_ORACLE: dict[str, str] = {
     "dedup_connected_components": SQL_CONNECTED_COMPONENTS.format(
         minhash_sql=SQL_MINHASH_PAIRS
     ),
+    "graph_pagerank_fixed_point": SQL_PAGERANK_FIXED_POINT,
     "dedup_canonical_corpus": SQL_CANONICAL_CORPUS.format(
         minhash_sql=SQL_MINHASH_PAIRS, dup_corpus_sql=_DUP_CORPUS_SQL
     ),

@@ -38,6 +38,7 @@ __all__ = [
     "embedding_cosine_pairs",
     "connected_components",
     "drop_non_canonical",
+    "pagerank_fixed_point",
 ]
 
 
@@ -884,3 +885,80 @@ def drop_non_canonical(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """PageRank in FIXED-POINT integer arithmetic — every rank is an exact
+    BIGINT multiple of ``1/scale``, so iteration results are bit-identical
+    across engines, partitionings, and aggregation orders (integer sums
+    commute; double sums do not). The float formulation's cross-engine
+    drift is exactly why published PageRank numbers are hard to reproduce;
+    at ``scale=10^12`` the quantization error per update is < 1e-12 of
+    total mass.
+
+    Update rule per iteration (all integer ops, positive operands):
+    ``p'_v = (scale*(den-num)) div (den*N)  +  (num * Σ_in contrib) div den``
+    with ``contrib(u→v) = p_u div outdeg(u)``. Dangling mass (nodes with
+    no out-edges, and div truncation residue) is dropped, not
+    redistributed — the standard simplification; ranks then sum to ≤
+    scale, which the tests pin.
+
+    Scale shape: each iteration is one shuffle-join of the rank vector
+    with the edge list plus one integer sum by destination — the classic
+    distributed PageRank step. The plan is built lazily over ``iters``
+    steps; for deep iteration counts at corpus scale, localCheckpoint
+    every few steps to keep lineage bounded (same pattern as
+    :func:`connected_components`).
+    """
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        raise ValueError("pagerank_fixed_point: empty node set")
+    base = (scale * (damping_den - damping_num)) // (damping_den * n_nodes)
+
+    deg = edges.groupBy(F.col(src_col).alias("_u")).agg(
+        F.count("*").alias("_deg")
+    )
+    e = edges.select(
+        F.col(src_col).alias("_u"), F.col(dst_col).alias("_v")
+    ).join(deg, "_u")
+
+    p = nodes.select(
+        F.col(node_col).alias("_n"),
+        F.lit(scale // n_nodes).cast("long").alias("_p"),
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(p, e["_u"] == p["_n"])
+            .select(
+                F.col("_v"),
+                F.expr("_p div _deg").cast("long").alias("_c"),
+            )
+            .groupBy("_v")
+            .agg(F.sum("_c").cast("long").alias("_in"))
+        )
+        p = (
+            p.select("_n")
+            .join(contrib, p["_n"] == contrib["_v"], "left")
+            .select(
+                "_n",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"{damping_num} * coalesce(_in, 0L) div {damping_den}"
+                    ).cast("long")
+                ).alias("_p"),
+            )
+        )
+    return p.select(
+        F.col("_n").alias(node_col), F.col("_p").alias("rank_fp")
+    )

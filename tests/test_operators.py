@@ -1368,3 +1368,26 @@ def test_dsir_resample_prefers_target_vocabulary(spark):
     out_dom = [w[k] for k in w if k >= 200]
     assert in_dom and min(in_dom) > 0.5           # mostly target evidence
     assert all(v < 0.1 for v in out_dom) or not out_dom  # alien vocab -> tiny w
+
+
+def test_pagerank_fixed_point_semantics(spark):
+    from hiv_data_integration_spark.operators.dedup import (
+        pagerank_fixed_point,
+    )
+
+    # star 2,3,4 -> 1 plus chain 5 -> 4: the hub must outrank the mid
+    # node, which outranks the leaves; leaves sit exactly at base + 0
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 1), (5, 4)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "node long")
+    r = {x.node: x.rank_fp for x in pagerank_fixed_point(edges, nodes).collect()}
+    assert r[1] > r[4] > r[2] == r[3] == r[5]
+    # exact reproducibility: integer arithmetic, not floats
+    r2 = {x.node: x.rank_fp for x in pagerank_fixed_point(edges, nodes).collect()}
+    assert r == r2
+    # dangling mass is dropped, never created
+    assert sum(r.values()) <= 10**12
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        pagerank_fixed_point(edges, nodes.filter("node > 99"))
