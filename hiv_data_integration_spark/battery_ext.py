@@ -3902,6 +3902,44 @@ SELECT CAST(2 AS BIGINT), 'purchase', count(*) FROM s2
 """
 
 
+def q_variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics on the Spark 4 VARIANT type
+    (``parse_json`` → ``try_variant_get`` path extraction): the events
+    ``props`` JSON column parses once into the binary variant encoding
+    and the typed path ``$.k`` feeds ordinary aggregation — the
+    schema-on-read shape that replaces brittle from_json struct
+    contracts. try_variant_get (not variant_get) so malformed payloads
+    degrade to NULL rows instead of failing the scan; the oracle's
+    json_extract does the same."""
+    ev = tbl(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.count_distinct("k").alias("n_distinct_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
+SQL_VARIANT_JSON_EXTRACT = """
+WITH x AS (
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+)
+SELECT event_type,
+       count(k) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       count(DISTINCT k) AS n_distinct_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM x GROUP BY event_type
+"""
+
+
 def q_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRICT attribution-window funnel: each next stage must land within
     6 hours of the previous stage's entry (``max_gap``) — the
@@ -4179,6 +4217,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "source_quota_cap": q_source_quota,
     "funnel_events": q_funnel,
     "windowed_funnel_events": q_windowed_funnel,
+    "variant_json_extract": q_variant_json_extract,
     "cohort_retention_events": q_cohort_retention,
     "text_token_counts": q_token_counts,
     "text_quality_scores": q_quality_scores,
@@ -4272,6 +4311,7 @@ EXT_ORACLE: dict[str, str] = {
     "source_quota_cap": SQL_SOURCE_QUOTA,
     "funnel_events": SQL_FUNNEL,
     "windowed_funnel_events": SQL_WINDOWED_FUNNEL,
+    "variant_json_extract": SQL_VARIANT_JSON_EXTRACT,
     "cohort_retention_events": SQL_COHORT_RETENTION,
     "text_token_counts": SQL_TOKEN_COUNTS,
     "text_quality_scores": SQL_QUALITY_SCORES,
