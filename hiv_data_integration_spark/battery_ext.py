@@ -1978,6 +1978,59 @@ GROUP BY c_mktsegment
 """
 
 
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML source/sink round-trip (Spark 4 first-class format,
+    SPARK-44265 — no external package): write the nation dim as XML
+    rowTag records, read it back with an explicit schema (inference
+    would widen types), join the region dim broadcast and aggregate.
+    The oracle reads the original parquet — the XML hop must be
+    lossless for strings and longs. XML is row-oriented text: fine for
+    dimension feeds and legacy interchange, never the 100 TB fact path
+    (no pushdown, no pruning, full parse per read — the columnar
+    formats carry the facts)."""
+    import shutil
+    import tempfile
+
+    nation = tbl(spark, sf_dir, "nation")
+    region = tbl(spark, sf_dir, "region")
+    base = tempfile.mkdtemp(prefix="xml_")
+    try:
+        nation.write.format("xml").option("rowTag", "nation").mode(
+            "overwrite"
+        ).save(base)
+        back = (
+            spark.read.format("xml")
+            .option("rowTag", "nation")
+            .schema(nation.schema)
+            .load(base)
+        )
+        result = (
+            back.join(
+                F.broadcast(region),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            )
+            .groupBy("r_name")
+            .agg(
+                F.count("*").alias("n_nations"),
+                F.min("n_name").alias("first_nation"),
+                F.sum("n_nationkey").cast("long").alias("key_sum"),
+            )
+        )
+        out = _local_result(result)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+SQL_XML_ROUNDTRIP = """
+SELECT r_name, count(*) AS n_nations,
+       min(n_name) AS first_nation,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 def q_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-style partitioned layout + partition pruning: write events
     partitioned by event_type, then aggregate one partition. The filter
@@ -4277,6 +4330,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "dedup_incremental_batch": q_incremental_dedup,
     "corpus_shuffle_shards": q_shuffle_shards,
     "orc_source_roundtrip": q_orc_roundtrip,
+    "xml_source_roundtrip": q_xml_roundtrip,
     "dataset_diff_audit": q_dataset_diff,
     "compaction_plan_bins": q_compaction_plan,
     "text_clean_corpus": q_clean_corpus_text,
@@ -4386,6 +4440,7 @@ EXT_ORACLE: dict[str, str] = {
     "dedup_incremental_batch": SQL_INCREMENTAL_DEDUP,
     "corpus_shuffle_shards": SQL_SHUFFLE_SHARDS,
     "orc_source_roundtrip": SQL_ORC_ROUNDTRIP,
+    "xml_source_roundtrip": SQL_XML_ROUNDTRIP,
     "dataset_diff_audit": SQL_DATASET_DIFF,
     "compaction_plan_bins": SQL_COMPACTION_PLAN,
     "text_clean_corpus": SQL_CLEAN_CORPUS_TEXT,
