@@ -2654,6 +2654,66 @@ def q_streaming_dedup_within_watermark(
     return out
 
 
+def q_streaming_foreach_batch_upsert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``foreachBatch`` production-sink pattern, oracle-checked END TO
+    END: the events file delivered twice, one micro-batch per delivery
+    (maxFilesPerTrigger=1), each batch's per-user partial aggregate
+    MERGED into a parquet state store by read-add-rename-swap. Exact
+    accumulators (BIGINT count, DECIMAL sum) make the merge commutative
+    and replay-idempotent; the final state must equal exactly 2× the
+    single-copy batch aggregate."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from hiv_data_integration_spark.streaming import foreach_batch_accumulate
+
+    src = tempfile.mkdtemp(prefix="fb_feed_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/delivery1.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/delivery2.parquet")
+    state = tempfile.mkdtemp(prefix="fb_state_") + f"/{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        # battery reader: isolated UTC session + footer-type dispatch (the
+        # multi-batch pacing variant is exercised in tests/test_streaming)
+        stream = read_events_stream(spark, src, f"{sf_dir}/events.parquet")
+        final = foreach_batch_accumulate(
+            stream,
+            state,
+            ckpt,
+            key_cols=["user_id"],
+            sum_cols={
+                "n_events": F.lit(1).cast("long"),
+                "sum_value": F.col("value").cast("decimal(28,6)"),
+            },
+        )
+        out = _local_result(
+            final.select(
+                "user_id",
+                F.col("n_events").cast("long").alias("n_events"),
+                F.round(F.col("sum_value") * 100)
+                .cast("long")
+                .alias("total_cents"),
+            )
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(state.rsplit("/", 1)[0], ignore_errors=True)
+    return out
+
+
+SQL_STREAMING_FOREACH_BATCH = """
+SELECT user_id,
+       CAST(2 * count(*) AS BIGINT) AS n_events,
+       CAST(ROUND(2 * SUM(CAST(value AS DECIMAL(28,6))) * 100) AS BIGINT)
+           AS total_cents
+FROM events GROUP BY user_id
+"""
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end LLM training-corpus prep chain (§2.14 composed): corpus
     with planted duplicates → exact dedup (md5 fingerprint, keep lowest id)
@@ -4345,6 +4405,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "streaming_tumbling_counts": q_streaming_tumbling,
     "streaming_exactly_once_dedup": q_streaming_dedup,
     "streaming_dedup_within_watermark": q_streaming_dedup_within_watermark,
+    "streaming_foreach_batch_upsert": q_streaming_foreach_batch_upsert,
     "streaming_corpus_chunking": q_streaming_chunking,
     "streaming_interval_join": q_streaming_interval_join,
     "streaming_session_windows": q_streaming_session_windows,
@@ -4422,6 +4483,7 @@ EXT_ORACLE: dict[str, str] = {
     "salted_skew_join": SQL_SALTED_JOIN,
     "streaming_exactly_once_dedup": SQL_STREAMING_DEDUP,
     "streaming_dedup_within_watermark": SQL_STREAMING_DEDUP,
+    "streaming_foreach_batch_upsert": SQL_STREAMING_FOREACH_BATCH,
     "streaming_corpus_chunking": SQL_STREAMING_CHUNKING,
     "streaming_interval_join": SQL_STREAMING_INTERVAL_JOIN,
     "streaming_session_windows": SQL_STREAMING_SESSION_WINDOWS,

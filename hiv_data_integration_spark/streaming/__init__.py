@@ -39,6 +39,7 @@ __all__ = [
     "run_available_now_to_parquet",
     "stream_interval_join",
     "first_seen_dedup",
+    "foreach_batch_accumulate",
 ]
 
 # Driver testdata events shape (TESTDATA.md; ts stored as timestamp).
@@ -381,3 +382,64 @@ def first_seen_dedup(
         outputMode="Append",
         timeMode="None",
     )
+
+
+def foreach_batch_accumulate(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    sum_cols: dict[str, "Column"],
+) -> DataFrame:
+    """``foreachBatch`` sink: per micro-batch, aggregate the batch to
+    per-key partial sums and MERGE them into a parquet state store
+    (read current → add → atomic rename swap via
+    ``operators.fuzzy.upsert_parquet_state``). This is the production
+    exactly-once sink shape for stores without idempotent writers: the
+    checkpoint pins which source files each batch id consumed, and the
+    merge is deterministic because every column is an exact accumulator
+    (BIGINT counts, DECIMAL sums — commutative, order-free), so a batch
+    replay after a crash rewrites the same state.
+
+    ``sum_cols`` maps output name → input expression; each is summed
+    within the batch and added across batches. Runs with availableNow
+    and returns the final state read back from ``state_path``.
+
+    At scale the state store would be a table format with real MERGE
+    (the swap is per-path); the pattern — partial agg per batch, exact
+    accumulators, key-wise merge — is unchanged.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from hiv_data_integration_spark.operators.fuzzy import (
+        upsert_parquet_state,
+    )
+
+    names = list(sum_cols)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        part = batch_df.groupBy(*key_cols).agg(
+            *[F.sum(expr).alias(n) for n, expr in sum_cols.items()]
+        )
+        try:
+            cur = sp.read.parquet(state_path)
+        except AnalysisException:
+            cur = None
+        if cur is not None:
+            part = (
+                part.unionByName(cur)
+                .groupBy(*key_cols)
+                .agg(*[F.sum(n).alias(n) for n in names])
+            )
+        upsert_parquet_state(sp, state_path, part, key_cols)
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream.sparkSession.read.parquet(state_path)

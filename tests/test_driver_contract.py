@@ -55,9 +55,15 @@ def test_window_prioritizes_unverified_entries():
     new_this_round = [k for k in names if k not in tiered]
     for k in new_this_round:
         assert k in window, k
-    # entries whose latest green is round 2 are the stalest signal
-    for k in contract._R2_GREEN_STALE:
+    # the window remainder goes to the stalest standing signal (latest
+    # green = round 2), in tier order — when new entries overflow the
+    # budget, the R2 tail rotates to the NEXT round, never mid-tier skips
+    remainder = 50 - 2 - len(new_this_round)
+    expect_r2 = [k for k in contract._R2_GREEN_STALE if k in names][:remainder]
+    for k in expect_r2:
         assert k in window, k
+    in_window_r2 = [k for k in contract._R2_GREEN_STALE if k in window]
+    assert in_window_r2 == expect_r2
     # nothing is dropped or duplicated by the ordering
     assert len(names) == len(set(names))
     merged = set(contract.QUERIES) | set(contract.EXT_QUERIES) | set(

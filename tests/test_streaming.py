@@ -213,3 +213,23 @@ def test_first_seen_dedup_gated_or_working(spark, tmp_path, events_dir):
     rows = {(r.event_type, r.event_id) for r in result.collect()}
     # fixture: all six events are 'click'; batch-1 min (ts, event_id) wins
     assert rows == {("click", 1)}
+
+
+def test_foreach_batch_accumulates_across_batches(spark, tmp_path, events_dir):
+    """Two micro-batches (maxFilesPerTrigger=1) must each merge their
+    partial aggregate into the parquet state; the final state equals the
+    batch aggregate over all files — exact accumulators, so batch order
+    is irrelevant."""
+    stream = stx.read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    final = stx.foreach_batch_accumulate(
+        stream,
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt_fb"),
+        key_cols=["user_id"],
+        sum_cols={
+            "n_events": F.lit(1).cast("long"),
+            "sum_value": F.col("value").cast("decimal(18,2)"),
+        },
+    )
+    got = {(r.user_id, r.n_events, float(r.sum_value)) for r in final.collect()}
+    assert got == {(1, 3, 22.0), (2, 3, 3.5)}
