@@ -89,6 +89,8 @@ HEADLINE = [
     "corpus_dsir_resample",
     "windowed_funnel_events",
     "group_split_no_leakage",
+    "graph_pagerank_fixed_point",
+    "variant_json_extract",
 ]
 
 
