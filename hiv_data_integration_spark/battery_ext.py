@@ -1978,6 +1978,52 @@ GROUP BY c_mktsegment
 """
 
 
+def q_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source ingest — the opaque-blob half of the
+    multimodal story: every 10th document's payload materialized as a
+    file, ingested through Spark's built-in binaryFile format
+    (path/modificationTime/length/content), identity recovered from the
+    path and losslessness proven by md5 of the raw bytes against the
+    oracle's md5 of the original text. At 100 TB this is the raw-media
+    landing pattern (each blob one row, content lazily read per split);
+    the decode stage on top is the Arrow mapInPandas multimodal path."""
+    import shutil
+    import tempfile
+
+    docs = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+    )
+    base = tempfile.mkdtemp(prefix="binf_")
+    try:
+        # bounded driver materialization (10% of docs) — the WRITE side is
+        # harness scaffolding; the operator under test is the read path
+        for r in docs.collect():
+            with open(f"{base}/doc_{r.doc_id:08d}.bin", "wb") as f:
+                f.write(r.text.encode("utf-8"))
+        bf = spark.read.format("binaryFile").load(base)
+        result = bf.select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length").cast("long").alias("n_bytes"),
+            F.md5(F.col("content")).alias("content_md5"),
+        )
+        out = _local_result(result)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+SQL_BINARYFILE_INGEST = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+
 def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native XML source/sink round-trip (Spark 4 first-class format,
     SPARK-44265 — no external package): write the nation dim as XML
@@ -4391,6 +4437,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "corpus_shuffle_shards": q_shuffle_shards,
     "orc_source_roundtrip": q_orc_roundtrip,
     "xml_source_roundtrip": q_xml_roundtrip,
+    "binaryfile_blob_ingest": q_binaryfile_ingest,
     "dataset_diff_audit": q_dataset_diff,
     "compaction_plan_bins": q_compaction_plan,
     "text_clean_corpus": q_clean_corpus_text,
@@ -4503,6 +4550,7 @@ EXT_ORACLE: dict[str, str] = {
     "corpus_shuffle_shards": SQL_SHUFFLE_SHARDS,
     "orc_source_roundtrip": SQL_ORC_ROUNDTRIP,
     "xml_source_roundtrip": SQL_XML_ROUNDTRIP,
+    "binaryfile_blob_ingest": SQL_BINARYFILE_INGEST,
     "dataset_diff_audit": SQL_DATASET_DIFF,
     "compaction_plan_bins": SQL_COMPACTION_PLAN,
     "text_clean_corpus": SQL_CLEAN_CORPUS_TEXT,
