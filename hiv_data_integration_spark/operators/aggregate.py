@@ -522,6 +522,11 @@ def gap_fill_locf(
                 value_col.alias("_v"))
         .groupBy("key", "bucket_ts")
         .agg(F.sum("_v").alias("_v"))
+        # materialize the (keys × buckets)-sized aggregate: BOTH the grid
+        # bounds and the fill join consume it, and without a checkpoint
+        # each consumer re-runs the full source scan — 1 corpus scan
+        # instead of 2 (same pattern as unigram_logprob's freq table)
+        .localCheckpoint()
     )
     grid = (
         observed.groupBy("key")

@@ -928,9 +928,14 @@ def pagerank_fixed_point(
     deg = edges.groupBy(F.col(src_col).alias("_u")).agg(
         F.count("*").alias("_deg")
     )
-    e = edges.select(
-        F.col(src_col).alias("_u"), F.col(dst_col).alias("_v")
-    ).join(deg, "_u")
+    # materialize (edges ⋈ outdeg) once: every iteration joins against it,
+    # and without a checkpoint each of the ``iters`` passes re-derives the
+    # edge source AND the degree aggregate from scratch
+    e = (
+        edges.select(F.col(src_col).alias("_u"), F.col(dst_col).alias("_v"))
+        .join(deg, "_u")
+        .localCheckpoint()
+    )
 
     p = nodes.select(
         F.col(node_col).alias("_n"),
