@@ -913,6 +913,10 @@ def pagerank_fixed_point(
     redistributed — the standard simplification; ranks then sum to ≤
     scale, which the tests pin.
 
+    Contract: ``nodes`` must be one row per node (a duplicate id would
+    double that node's mass and fan duplicate rank rows through every
+    join); ``edges`` may contain parallel edges — each contributes.
+
     Scale shape: each iteration is one shuffle-join of the rank vector
     with the edge list plus one integer sum by destination — the classic
     distributed PageRank step. The plan is built lazily over ``iters``

@@ -737,6 +737,18 @@ def pq_codebooks(
         F.col(id_col).alias("_id"), F.posexplode(subs).alias("_s", "_v")
     ).cache()
     try:
+        if sample_fraction is None:
+            # same scale guard as kmeans_centroids: the id-ordered mean
+            # fold gathers n/k doubles per (subspace, cluster, dim) group —
+            # unbounded training input is a silent OOM, so fail loudly
+            probe = train.select(id_col).limit(2_000_001).count()
+            if probe > 2_000_000:
+                raise ValueError(
+                    "pq_codebooks: training corpus exceeds 2,000,000 rows "
+                    "with no sample_fraction — train on a bounded "
+                    "deterministic sample (train-on-sample, encode-all is "
+                    "the production PQ shape)"
+                )
         # init: sub-vectors of the n_codes lowest ids (every id carries
         # exactly m rows, so the ordered limit is n_codes·m rows)
         init_rows = long.orderBy("_id", "_s").limit(n_codes * m).collect()
