@@ -233,3 +233,74 @@ def test_foreach_batch_accumulates_across_batches(spark, tmp_path, events_dir):
     )
     got = {(r.user_id, r.n_events, float(r.sum_value)) for r in final.collect()}
     assert got == {(1, 3, 22.0), (2, 3, 3.5)}
+
+
+def test_stream_interval_join_left_outer_nulls(spark, tmp_path, events_dir):
+    """Left-outer stream-stream interval join: unmatched left rows emit
+    null-extended only in a LATER batch whose processing runs under a
+    watermark that already sealed their join window — Spark's documented
+    outer-join delay: a finite feed never flushes its tail without new
+    data. A heartbeat batch (one far-future event) advances the
+    watermark, after which exactly the sealed unmatched lefts appear."""
+    import datetime as _dt
+
+    # heartbeat file: far-future event advancing the watermark past the
+    # fixture rows' join windows (processed last: alphabetical z_ name,
+    # maxFilesPerTrigger=1)
+    import glob as _glob
+    import shutil as _shutil
+
+    hb = [(99, _dt.datetime(2024, 1, 1, 20, 0, 0), 9, "hb", 0.0, "{}")]
+    hb_dir = str(tmp_path / "hb_out")
+    spark.createDataFrame(hb, stx.EVENTS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(hb_dir)
+    # the file source does not recurse into nested directories: the
+    # heartbeat must land as a plain FILE beside the fixture part-files
+    part = _glob.glob(hb_dir + "/part-*.parquet")[0]
+    _shutil.copy(part, events_dir + "/z_heartbeat.parquet")
+
+    # an IDLE input (the filtered-empty right side) pins its watermark at
+    # epoch, and the global watermark is the MIN across inputs by default —
+    # so outer results would never flush. multipleWatermarkPolicy=max is
+    # the documented knob for idle-input outer joins; isolated newSession
+    # so the shared conf is untouched.
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
+    stream = (
+        s2.readStream.schema(stx.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    left = stream.select("user_id", "ts", "event_id")
+    right = stream.filter(F.col("event_type") == "no_such_type").select(
+        "user_id", "ts", "event_id"
+    )
+    l_w = left.withWatermark("ts", "10 minutes")
+    r_w = right.select(
+        *[F.col(c).alias(f"r_{c}") for c in right.columns]
+    ).withWatermark("r_ts", "10 minutes")
+    cond = (
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("r_ts") >= F.col("ts"))
+        & (F.col("r_ts") <= F.col("ts") + F.expr("INTERVAL 1 hour"))
+    )
+    joined = l_w.join(r_w, cond, "left_outer").select(
+        "user_id", "event_id", "r_event_id"
+    )
+    result = stx.run_available_now(
+        joined, str(tmp_path / "ckpt_loj"), query_name="loj_snapshot"
+    )
+    rows = [(r.user_id, r.event_id, r.r_event_id) for r in result.collect()]
+    assert all(r[2] is None for r in rows)
+    # the heartbeat batch ran under the post-batch-2 watermark (12:05):
+    # exactly the fixture lefts with ts + 1h < 12:05 (events 1 and 2) have
+    # sealed windows; the later ones (and the heartbeat itself) stay in
+    # state when the finite feed ends
+    ids = sorted(r[1] for r in rows)
+    # the heartbeat advances the watermark to 19:50 and availableNow runs
+    # the extra eviction batch: every fixture left (windows ending by
+    # 13:15) flushes null-extended; the heartbeat itself (window ends
+    # 21:00 > 19:50) stays in state when the feed ends
+    assert set(ids) == {1, 2, 3, 4, 5, 6}
+    assert len(ids) == len(set(ids))  # each unmatched left emits once
