@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["zorder_key", "write_zordered", "column_minmax", "compaction_plan"]
+__all__ = ["zorder_key", "write_zordered", "column_minmax", "compaction_plan", "observe_quality"]
 
 
 def _numeric(c: Column, dt: T.DataType | None) -> Column:
@@ -186,3 +186,33 @@ def compaction_plan(
     return binned.withColumn(
         "bin_bytes", F.sum(size_col).over(wb).cast("long")
     )
+
+
+def observe_quality(
+    df, name: str, value_cols: list[str] | None = None
+):
+    """Attach an in-flight data-quality observation to a DataFrame
+    (`df.observe`, SPARK-34806): row count, per-column null counts, and
+    decimal-exact value sums are accumulated DURING whatever action the
+    caller runs next — zero extra scans, unlike a separate profiling
+    query over 100 TB. Returns ``(df, observation)``; read
+    ``observation.get`` AFTER an action has materialized the frame.
+
+    The metrics use the same exactness discipline as the battery: counts
+    are longs, sums accumulate as DECIMAL — so pipeline health checks
+    compare bit-exactly against an independent profiling query.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    value_cols = value_cols or []
+    obs = Observation(name)
+    exprs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in value_cols:
+        exprs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")
+        )
+        exprs.append(
+            F.sum(F.col(c).cast("decimal(28,6)")).alias(f"sum_{c}")
+        )
+    return df.observe(obs, *exprs), obs

@@ -201,3 +201,20 @@ def test_compaction_plan_next_fit_bins(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         compaction_plan(df, target_bytes=0)
+
+
+def test_observe_quality_piggybacks_metrics(spark):
+    """df.observe metrics must accumulate during the caller's own action
+    (no extra scan) and match an independent aggregate bit-exactly."""
+    from hiv_data_integration_spark.io.layout import observe_quality
+
+    df = spark.createDataFrame(
+        [(1, 10.5), (2, None), (3, 2.25), (4, None)], "id long, v double"
+    )
+    observed, obs = observe_quality(df, "quality", value_cols=["v"])
+    out = observed.filter(F.col("id") > 0).count()  # the caller's action
+    assert out == 4
+    got = obs.get
+    assert got["n_rows"] == 4
+    assert got["nulls_v"] == 2
+    assert float(got["sum_v"]) == 12.75
