@@ -1978,6 +1978,60 @@ GROUP BY c_mktsegment
 """
 
 
+def q_sql_ddl_managed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog lifecycle in pure SQL: CREATE TABLE … USING parquet at an
+    explicit tempdir LOCATION (external, so no warehouse litter),
+    INSERT INTO … SELECT from a temp view over the source, aggregate the
+    managed table back, DROP in ``finally``. Unique table name per run —
+    concurrent drivers share one catalog. The oracle aggregates the
+    original parquet: the DDL round-trip must be lossless."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    tag = _uuid.uuid4().hex[:10]
+    tbl_name = f"orders_ddl_{tag}"
+    view = f"orders_src_{tag}"
+    loc = tempfile.mkdtemp(prefix="ddl_")
+    orders = tbl(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView(view)
+    try:
+        spark.sql(
+            f"""CREATE TABLE {tbl_name}
+                (o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+                USING parquet LOCATION '{loc}/t'"""
+        )
+        spark.sql(
+            f"""INSERT INTO {tbl_name}
+                SELECT o_orderkey, o_orderstatus, o_totalprice
+                FROM {view} WHERE o_totalprice > 1000.0"""
+        )
+        out = _local_result(
+            spark.sql(
+                f"""SELECT o_orderstatus,
+                           count(*) AS n_orders,
+                           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2)))
+                                AS DOUBLE) AS sum_price,
+                           min(o_orderkey) AS min_key
+                    FROM {tbl_name} GROUP BY o_orderstatus"""
+            )
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl_name}")
+        spark.catalog.dropTempView(view)
+        shutil.rmtree(loc, ignore_errors=True)
+    return out
+
+
+SQL_DDL_MANAGED_TABLE = """
+SELECT o_orderstatus, count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price,
+       min(o_orderkey) AS min_key
+FROM orders WHERE o_totalprice > 1000.0
+GROUP BY o_orderstatus
+"""
+
+
 def q_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``binaryFile`` source ingest — the opaque-blob half of the
     multimodal story: every 10th document's payload materialized as a
@@ -4438,6 +4492,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "orc_source_roundtrip": q_orc_roundtrip,
     "xml_source_roundtrip": q_xml_roundtrip,
     "binaryfile_blob_ingest": q_binaryfile_ingest,
+    "sql_ddl_managed_table": q_sql_ddl_managed_table,
     "dataset_diff_audit": q_dataset_diff,
     "compaction_plan_bins": q_compaction_plan,
     "text_clean_corpus": q_clean_corpus_text,
@@ -4551,6 +4606,7 @@ EXT_ORACLE: dict[str, str] = {
     "orc_source_roundtrip": SQL_ORC_ROUNDTRIP,
     "xml_source_roundtrip": SQL_XML_ROUNDTRIP,
     "binaryfile_blob_ingest": SQL_BINARYFILE_INGEST,
+    "sql_ddl_managed_table": SQL_DDL_MANAGED_TABLE,
     "dataset_diff_audit": SQL_DATASET_DIFF,
     "compaction_plan_bins": SQL_COMPACTION_PLAN,
     "text_clean_corpus": SQL_CLEAN_CORPUS_TEXT,
