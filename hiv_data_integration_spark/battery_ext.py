@@ -1978,6 +1978,56 @@ GROUP BY c_mktsegment
 """
 
 
+def q_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition overwrite — the incremental-reprocessing write
+    path: a Hive-partitioned dataset gets ONE partition rewritten
+    (``partitionOverwriteMode=dynamic`` as a per-write option, static
+    mode would truncate the whole table), the untouched partitions must
+    read back byte-identical. The oracle reproduces the end state with a
+    CASE filter: 'F' rows only where reprocessing kept them, every other
+    partition complete."""
+    import shutil
+    import tempfile
+
+    orders = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    base = tempfile.mkdtemp(prefix="dpo_")
+    try:
+        orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(
+            base
+        )
+        # reprocess ONLY the 'F' partition: keep the big orders
+        repro = orders.filter(
+            (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 5000.0)
+        )
+        repro.write.partitionBy("o_orderstatus").mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).parquet(base)
+        back = spark.read.parquet(base)
+        result = back.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", scale=2, prec=28).alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+        )
+        out = _local_result(result)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+SQL_DYNAMIC_PARTITION_OVERWRITE = """
+SELECT o_orderstatus, count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price,
+       min(o_orderkey) AS min_key
+FROM orders
+WHERE o_orderstatus <> 'F' OR o_totalprice > 5000.0
+GROUP BY o_orderstatus
+"""
+
+
 def q_sql_ddl_managed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog lifecycle in pure SQL: CREATE TABLE … USING parquet at an
     explicit tempdir LOCATION (external, so no warehouse litter),
@@ -4493,6 +4543,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "xml_source_roundtrip": q_xml_roundtrip,
     "binaryfile_blob_ingest": q_binaryfile_ingest,
     "sql_ddl_managed_table": q_sql_ddl_managed_table,
+    "dynamic_partition_overwrite": q_dynamic_partition_overwrite,
     "dataset_diff_audit": q_dataset_diff,
     "compaction_plan_bins": q_compaction_plan,
     "text_clean_corpus": q_clean_corpus_text,
@@ -4607,6 +4658,7 @@ EXT_ORACLE: dict[str, str] = {
     "xml_source_roundtrip": SQL_XML_ROUNDTRIP,
     "binaryfile_blob_ingest": SQL_BINARYFILE_INGEST,
     "sql_ddl_managed_table": SQL_DDL_MANAGED_TABLE,
+    "dynamic_partition_overwrite": SQL_DYNAMIC_PARTITION_OVERWRITE,
     "dataset_diff_audit": SQL_DATASET_DIFF,
     "compaction_plan_bins": SQL_COMPACTION_PLAN,
     "text_clean_corpus": SQL_CLEAN_CORPUS_TEXT,
