@@ -503,6 +503,214 @@ GROUP BY w.ancestor
 """
 
 
+def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate subquery driving the
+    outer join (customers whose orders exceed 300 total quantity).
+
+    The pre-aggregation runs FIRST and is tiny (tens of rows), so the
+    orders join against it is broadcast-able by AQE and the big lineitem
+    table is touched exactly once — at 100 TB the HAVING filter is the
+    whole query; joining facts before aggregating would be quadratically
+    worse. Quantities accumulate as DECIMAL for bit-stable doubles."""
+    li = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300.0)
+    )
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+    )
+
+
+SQL_LARGE_ORDER_CUSTOMERS = """
+WITH big AS (
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 300.0
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM orders
+JOIN big      ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the hardest decorrelation pattern — EXISTS plus
+    NOT EXISTS, both correlated on the same derived table. Suppliers who
+    shipped >365 days after the order date in a multi-supplier order
+    where EVERY other supplier shipped on time.
+
+    Written as SQL subqueries on purpose: Catalyst decorrelates the
+    EXISTS into a LeftSemi and the NOT EXISTS into a LeftAnti join on
+    ``l_orderkey`` — three passes over one shuffle key, no correlated
+    re-execution per row (the reference engine would loop). Day lag uses
+    integer ``datediff`` so both engines compare exact integers."""
+    tbl(spark, sf_dir, "lineitem").createOrReplaceTempView("li_q21")
+    tbl(spark, sf_dir, "orders").createOrReplaceTempView("ord_q21")
+    tbl(spark, sf_dir, "supplier").createOrReplaceTempView("sup_q21")
+    return spark.sql(
+        """
+        WITH l1 AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   datediff(CAST(l.l_shipdate AS DATE),
+                            CAST(o.o_orderdate AS DATE)) > 365 AS late
+            FROM li_q21 l JOIN ord_q21 o ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT s.s_name, count(*) AS numwait
+        FROM l1 a JOIN sup_q21 s ON a.l_suppkey = s.s_suppkey
+        WHERE a.late
+          AND EXISTS (SELECT 1 FROM l1 b
+                      WHERE b.l_orderkey = a.l_orderkey
+                        AND b.l_suppkey <> a.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM l1 c
+                          WHERE c.l_orderkey = a.l_orderkey
+                            AND c.l_suppkey <> a.l_suppkey AND c.late)
+        GROUP BY s.s_name
+        """
+    )
+
+
+SQL_WAITING_SUPPLIERS = """
+WITH l1 AS (
+    SELECT l.l_orderkey, l.l_suppkey,
+           date_diff('day', CAST(o.o_orderdate AS DATE),
+                     CAST(l.l_shipdate AS DATE)) > 365 AS late
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT s.s_name, count(*) AS numwait
+FROM l1 a JOIN supplier s ON a.l_suppkey = s.s_suppkey
+WHERE a.late
+  AND EXISTS (SELECT 1 FROM l1 b
+              WHERE b.l_orderkey = a.l_orderkey
+                AND b.l_suppkey <> a.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM l1 c
+                  WHERE c.l_orderkey = a.l_orderkey
+                    AND c.l_suppkey <> a.l_suppkey AND c.late)
+GROUP BY s.s_name
+"""
+
+
+def q_inactive_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global scalar subquery (average positive balance)
+    + anti join (customers with no order since 2001), aggregated per
+    synthetic country code.
+
+    The above-average predicate is cross-multiplied into exact DECIMAL
+    arithmetic (``bal * n > total``) instead of comparing against a
+    floating-point average — a 1-ulp avg difference between engines
+    would otherwise flip boundary customers. The scalar aggregate is one
+    broadcast value; the anti join shuffles on ``custkey`` once."""
+    tbl(spark, sf_dir, "customer").createOrReplaceTempView("cust_q22")
+    tbl(spark, sf_dir, "orders").createOrReplaceTempView("ord_q22")
+    return spark.sql(
+        """
+        WITH pos AS (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2))
+                       AS total_bal,
+                   count(*) AS n_pos
+            FROM cust_q22 WHERE c_acctbal > 0
+        )
+        SELECT CAST(c.c_nationkey % 10 AS BIGINT) AS country_code,
+               count(*) AS n_cust,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_acctbal
+        FROM cust_q22 c CROSS JOIN pos
+        WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * pos.n_pos > pos.total_bal
+          AND NOT EXISTS (SELECT 1 FROM ord_q22 o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+        GROUP BY 1
+        """
+    )
+
+
+SQL_INACTIVE_ABOVE_AVG = """
+WITH pos AS (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2))
+               AS total_bal,
+           count(*) AS n_pos
+    FROM customer WHERE c_acctbal > 0
+)
+SELECT CAST(c.c_nationkey % 10 AS BIGINT) AS country_code,
+       count(*) AS n_cust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer c CROSS JOIN pos
+WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * pos.n_pos > pos.total_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY 1
+"""
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio (share of revenue
+    from PROMO parts) per ship month over one year. Both sums accumulate
+    as DECIMAL; only the FINAL division runs in doubles — one IEEE op on
+    bit-identical operands, so the ratio is bit-stable across engines.
+    The part dimension broadcasts; lineitem is scanned once with the
+    month filter pushed to parquet."""
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1998-01-01"))
+    )
+    p = tbl(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)")
+        - F.col("l_discount").cast("decimal(18,2)")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(
+        F.lit(0.00).cast("decimal(38,4)")
+    )
+    joined = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    return (
+        joined.groupBy(
+            F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+        )
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(revenue).cast("double").alias("total_revenue"),
+        )
+        .withColumn(
+            "promo_share",
+            F.col("promo_revenue") / F.col("total_revenue"),
+        )
+    )
+
+
+SQL_PROMO_REVENUE_SHARE = """
+WITH j AS (
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+               AS rev,
+           p_type
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+)
+SELECT ship_month,
+       CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev
+                     ELSE CAST(0.00 AS DECIMAL(38,4)) END) AS DOUBLE)
+           AS promo_revenue,
+       CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+       CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev
+                     ELSE CAST(0.00 AS DECIMAL(38,4)) END) AS DOUBLE)
+         / CAST(SUM(rev) AS DOUBLE) AS promo_share
+FROM j GROUP BY ship_month
+"""
+
+
 SQL2_QUERIES: dict[str, QueryFn] = {
     "rollup_lineitem": q_rollup,
     "cube_orders": q_cube,
@@ -521,6 +729,10 @@ SQL2_QUERIES: dict[str, QueryFn] = {
     "window_distribution_funcs": q_window_distribution,
     "shipping_priority_top10": q_shipping_priority,
     "region_local_supplier_revenue": q_region_revenue,
+    "large_order_customers": q_large_order_customers,
+    "waiting_supplier_ranking": q_waiting_suppliers,
+    "inactive_above_avg_balance": q_inactive_above_avg,
+    "promo_revenue_share": q_promo_revenue_share,
 }
 
 SQL2_ORACLE: dict[str, str] = {
@@ -541,4 +753,8 @@ SQL2_ORACLE: dict[str, str] = {
     "window_distribution_funcs": SQL_WINDOW_DISTRIBUTION,
     "shipping_priority_top10": SQL_SHIPPING_PRIORITY,
     "region_local_supplier_revenue": SQL_REGION_REVENUE,
+    "large_order_customers": SQL_LARGE_ORDER_CUSTOMERS,
+    "waiting_supplier_ranking": SQL_WAITING_SUPPLIERS,
+    "inactive_above_avg_balance": SQL_INACTIVE_ABOVE_AVG,
+    "promo_revenue_share": SQL_PROMO_REVENUE_SHARE,
 }
