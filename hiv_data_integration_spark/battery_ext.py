@@ -4468,6 +4468,232 @@ FROM supplier WHERE s_suppkey % 10 = 0
 """
 
 
+def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup spans (Lee et al. 2022 suffix-array dedup,
+    discretized to 5-gram runs): see
+    operators.textops.duplicate_ngram_spans for the scale shape."""
+    docs = tbl(spark, sf_dir, "documents")
+    return tx.duplicate_ngram_spans(
+        docs, text_col="text", id_col="doc_id", n=5
+    )
+
+
+SQL_DUP_NGRAM_SPANS = f"""
+WITH toks AS (SELECT doc_id AS id, {_TOKS} AS w FROM documents),
+pg AS (
+    SELECT id, i - 1 AS pos,
+           CAST('0x' || substr(md5(array_to_string(w[i:i+4], ' ')), 1, 15)
+                AS BIGINT) AS gram_h
+    FROM (SELECT id, w, unnest(range(1, len(w) - 3)) AS i
+          FROM toks WHERE len(w) >= 5)
+),
+dup AS (SELECT gram_h FROM pg GROUP BY gram_h HAVING count(*) >= 2),
+m AS (SELECT pg.id, pg.pos FROM pg JOIN dup USING (gram_h)),
+isl AS (
+    SELECT id, pos,
+           pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS island
+    FROM m
+)
+SELECT id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(count(*) + 4 AS BIGINT) AS span_tokens
+FROM isl GROUP BY id, island
+"""
+
+
+def q_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point estimates vs exact counts for the corpus's
+    top-20 tokens. The sketch (4×256 integer table) is built in ONE
+    map-side-combinable aggregate and broadcasts to the probe join; the
+    CMS guarantee est >= exact is part of the checked result. See
+    operators.aggregate.countmin_build."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        countmin_build,
+        countmin_query,
+    )
+
+    docs = tbl(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(tx.whitespace_tokens(F.lower(F.col("text")))).alias("term")
+    )
+    cms = countmin_build(terms, "term", depth=4, width=256)
+    exact = (
+        terms.groupBy("term")
+        .agg(F.count("*").cast("long").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("term"))
+        .limit(20)
+    )
+    est = countmin_query(cms, exact, "term", depth=4, width=256)
+    return est.select(
+        "term", "exact_cnt", "cms_est",
+        (F.col("cms_est") >= F.col("exact_cnt")).alias("upper_bound_holds"),
+    )
+
+
+_CMS_HASH = (
+    "(((({r2}) * CAST('0x' || substr(md5(term), 1, 15) AS BIGINT)"
+    " + ({b})) % 2305843009213693951) % 256)"
+)
+_CMS_BUCKETS = ",\n           ".join(
+    _CMS_HASH.format(r2=2 * r + 1, b=1000003 * r + 12345) + f" AS b{r}"
+    for r in range(4)
+)
+_CMS_ESTS = "\n".join(
+    f"LEFT JOIN cms c{r} ON c{r}.rr = {r} AND c{r}.bucket = p.b{r}"
+    for r in range(4)
+)
+SQL_COUNTMIN_TOKENS = f"""
+WITH terms AS (
+    SELECT unnest({_TOKS}) AS term FROM documents
+),
+hashed AS (
+    SELECT term,
+           {_CMS_BUCKETS}
+    FROM terms
+),
+cms AS (
+    SELECT rr, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT 0 AS rr, b0 AS bucket FROM hashed
+        UNION ALL SELECT 1, b1 FROM hashed
+        UNION ALL SELECT 2, b2 FROM hashed
+        UNION ALL SELECT 3, b3 FROM hashed)
+    GROUP BY rr, bucket
+),
+exact AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS exact_cnt,
+           {_CMS_BUCKETS}
+    FROM terms GROUP BY term
+    ORDER BY exact_cnt DESC, term LIMIT 20
+)
+SELECT p.term, p.exact_cnt,
+       CAST(least(COALESCE(c0.cnt, 0), COALESCE(c1.cnt, 0),
+                  COALESCE(c2.cnt, 0), COALESCE(c3.cnt, 0)) AS BIGINT)
+           AS cms_est,
+       least(COALESCE(c0.cnt, 0), COALESCE(c1.cnt, 0),
+             COALESCE(c2.cnt, 0), COALESCE(c3.cnt, 0)) >= p.exact_cnt
+           AS upper_bound_holds
+FROM exact p
+{_CMS_ESTS}
+"""
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts over the co-purchase graph (parts
+    bought together in >= 2 orders) — degree-oriented wedge join, each
+    triangle found exactly once. See operators.dedup.triangle_count."""
+    li = tbl(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return dd.triangle_count(edges)
+
+
+SQL_TRIANGLE_COUNT = """
+WITH e AS (
+    SELECT a.l_partkey AS a, b.l_partkey AS b
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING count(*) >= 2
+),
+tri AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM e e1 JOIN e e2 ON e1.b = e2.a
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri)
+GROUP BY node
+"""
+
+
+def q_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed k-fold assignment + per-fold
+    balance stats (the CV-split integrity check: fold sizes, token mass
+    and language coverage must be near-uniform)."""
+    docs = tbl(spark, sf_dir, "documents")
+    return (
+        sp.kfold_assign(docs, "doc_id", k=5)
+        .groupBy("fold")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+SQL_KFOLD_ASSIGNMENT = """
+SELECT CAST(CAST('0x' || substr(md5('kfold' || CAST(doc_id AS VARCHAR)), 1, 4)
+            AS BIGINT) % 5 AS BIGINT) AS fold,
+       count(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       count(DISTINCT lang) AS n_langs
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval for a fixed 3-term query, rational-idf
+    variant (no libm in the score — bit-reproducible ranking). See
+    operators.textops.bm25_topk."""
+    docs = tbl(spark, sf_dir, "documents")
+    return tx.bm25_topk(
+        docs, ["customer", "window", "merge"],
+        text_col="text", id_col="doc_id", k1=1.2, b=0.75, k=10,
+    )
+
+
+_BM25_PART = (
+    "((n_docs - df_t + 0.5) / (df_t + 0.5))"
+    " * (tf * 2.2)"
+    " / (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (sum_dl / n_docs))))"
+)
+SQL_BM25_TOPK = f"""
+WITH toks AS (SELECT doc_id AS id, {_TOKS} AS w FROM documents),
+lengths AS (SELECT id, CAST(len(w) AS BIGINT) AS dl FROM toks),
+stats AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           CAST(SUM(dl) AS DOUBLE) AS sum_dl
+    FROM lengths
+),
+tf AS (
+    SELECT id, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT id, unnest(w) AS term FROM toks)
+    WHERE term IN ('customer', 'window', 'merge')
+    GROUP BY id, term
+),
+dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df_t FROM tf GROUP BY term),
+scored AS (
+    SELECT tf.id, tf.term,
+           {_BM25_PART} AS part_score
+    FROM tf
+    JOIN dfreq USING (term)
+    JOIN lengths USING (id)
+    CROSS JOIN stats
+),
+per_term AS (
+    SELECT id,
+           MAX(CASE WHEN term = 'customer' THEN part_score END) AS s0,
+           MAX(CASE WHEN term = 'window' THEN part_score END) AS s1,
+           MAX(CASE WHEN term = 'merge' THEN part_score END) AS s2
+    FROM scored GROUP BY id
+)
+SELECT id, COALESCE(s0, 0.0) + COALESCE(s1, 0.0) + COALESCE(s2, 0.0) AS score
+FROM per_term
+ORDER BY score DESC, id
+LIMIT 10
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
@@ -4537,6 +4763,11 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "dedup_semantic_sampled_trainer": q_semantic_dedup_sampled,
     "text_line_dedup": q_line_dedup,
     "text_url_canonicalize": q_url_canonicalize,
+    "text_duplicate_ngram_spans": q_duplicate_ngram_spans,
+    "sketch_countmin_tokens": q_countmin_tokens,
+    "graph_triangle_count_parts": q_triangle_count,
+    "data_kfold_assignment": q_kfold_assignment,
+    "text_bm25_topk": q_bm25_topk,
     "dedup_incremental_batch": q_incremental_dedup,
     "corpus_shuffle_shards": q_shuffle_shards,
     "orc_source_roundtrip": q_orc_roundtrip,
@@ -4651,6 +4882,11 @@ EXT_ORACLE: dict[str, str] = {
     "dedup_semantic_clusters": SQL_SEMANTIC_DEDUP,
     "dedup_semantic_sampled_trainer": SQL_SEMANTIC_DEDUP_SAMPLED,
     "text_line_dedup": SQL_LINE_DEDUP,
+    "text_duplicate_ngram_spans": SQL_DUP_NGRAM_SPANS,
+    "sketch_countmin_tokens": SQL_COUNTMIN_TOKENS,
+    "graph_triangle_count_parts": SQL_TRIANGLE_COUNT,
+    "data_kfold_assignment": SQL_KFOLD_ASSIGNMENT,
+    "text_bm25_topk": SQL_BM25_TOPK,
     "text_url_canonicalize": SQL_URL_CANONICALIZE,
     "dedup_incremental_batch": SQL_INCREMENTAL_DEDUP,
     "corpus_shuffle_shards": SQL_SHUFFLE_SHARDS,

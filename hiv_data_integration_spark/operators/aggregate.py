@@ -27,6 +27,8 @@ __all__ = [
     "numeric_histogram",
     "completeness_profile",
     "gap_fill_locf",
+    "countmin_build",
+    "countmin_query",
 ]
 
 
@@ -552,3 +554,92 @@ def gap_fill_locf(
             F.col("_v").isNull().alias("filled"),
         )
     )
+
+
+def countmin_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    prime: int = (1 << 61) - 1,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of key
+    frequencies: a ``depth × width`` integer table where
+    ``cms[r][h_r(key)] += 1`` per occurrence, with the pairwise-
+    independent hash family ``h_r(k) = ((a_r·x + b_r) mod P) mod width``
+    over the portable 60-bit md5 integer ``x`` of the key (the same
+    affine-over-md5 construction the MinHash permutations use, so every
+    engine reproduces the identical sketch).
+
+    Counts are pure integer SUMs — commutative, so the sketch is
+    bit-identical under any partitioning. This is the sketch's scale
+    story: the output is ``depth·width`` rows REGARDLESS of corpus
+    size, built by one map-side-combinable aggregate; merging shard
+    sketches is elementwise addition, so it composes with streaming
+    and incremental builds for free.
+
+    Output: ``(row, bucket, cnt)`` — only non-empty buckets (absent
+    buckets are zero).
+    """
+    from hiv_data_integration_spark.operators.dedup import md5_long
+
+    x = md5_long(F.col(key_col))
+    rows = [
+        df.select(
+            F.lit(r).alias("row"),
+            (
+                ((F.lit(2 * r + 1) * x + F.lit(1000003 * r + 12345)) % prime)
+                % width
+            ).cast("long").alias("bucket"),
+        )
+        for r in range(depth)
+    ]
+    all_rows = rows[0]
+    for extra in rows[1:]:
+        all_rows = all_rows.unionAll(extra)
+    return all_rows.groupBy("row", "bucket").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+
+def countmin_query(
+    cms: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    prime: int = (1 << 61) - 1,
+) -> DataFrame:
+    """Point-estimate key counts from a :func:`countmin_build` sketch:
+    ``est(k) = min_r cms[r][h_r(k)]`` — an overestimate with
+    probability-bounded error (ε = e/width with probability 1−e^−depth).
+
+    The sketch is tiny (``depth·width`` rows) and broadcasts; probes
+    never shuffle. Missing buckets read as 0.
+
+    Output: probes' columns + ``cms_est``.
+    """
+    from hiv_data_integration_spark.operators.dedup import md5_long
+
+    x = md5_long(F.col(key_col))
+    hashed = probes.select(
+        "*",
+        *[
+            (
+                ((F.lit(2 * r + 1) * x + F.lit(1000003 * r + 12345)) % prime)
+                % width
+            ).cast("long").alias(f"_b{r}")
+            for r in range(depth)
+        ],
+    )
+    out = hashed
+    for r in range(depth):
+        row_r = cms.filter(F.col("row") == r).select(
+            F.col("bucket").alias(f"_b{r}"), F.col("cnt").alias(f"_c{r}")
+        )
+        out = out.join(F.broadcast(row_r), f"_b{r}", "left")
+    est = F.least(
+        *[F.coalesce(F.col(f"_c{r}"), F.lit(0)) for r in range(depth)]
+    ).cast("long")
+    keep = [c for c in probes.columns]
+    return out.select(*keep, est.alias("cms_est"))

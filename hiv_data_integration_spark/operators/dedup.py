@@ -39,6 +39,7 @@ __all__ = [
     "connected_components",
     "drop_non_canonical",
     "pagerank_fixed_point",
+    "triangle_count",
 ]
 
 
@@ -970,4 +971,77 @@ def pagerank_fixed_point(
         )
     return p.select(
         F.col("_n").alias(node_col), F.col("_p").alias("rank_fp")
+    )
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph, with the
+    degree-orientation optimization that makes triangle enumeration
+    tractable on skewed graphs (Cohen 2009, "Graph Twiddling in a
+    MapReduce World"; the same orientation GraphX's TriangleCount uses).
+
+    Input edges may be directed/duplicated; they are canonicalized to
+    distinct undirected pairs first. Each edge is then oriented from its
+    lower-degree endpoint to the higher-degree one (ties broken by node
+    id), which bounds the two-path fan-out per node by O(sqrt(|E|))
+    regardless of raw degree skew — the wedge join on a celebrity node's
+    raw adjacency would otherwise be quadratic in its degree. Every
+    triangle has exactly one source wedge under this orientation, so
+    each is found once, no /3 correction.
+
+    Plan: degree aggregate → oriented edge list → self-join on the wedge
+    apex (the one big shuffle) → closing-edge semi-ish join → explode
+    the 3 corners → count per node. All integer keys and counts:
+    bit-stable under any partitioning.
+
+    Output: ``(node, n_triangles)`` for nodes in ≥1 triangle.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("lo"), F.col("b").alias("hi")),
+            )
+            .otherwise(
+                F.struct(F.col("b").alias("lo"), F.col("a").alias("hi"))
+            )
+            .alias("e")
+        )
+        .select(F.col("e.lo").alias("u"), F.col("e.hi").alias("v"))
+    )
+    w1 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("x"))
+    w2 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("y"))
+    wedges = w1.join(w2, "apex").filter(F.col("x") < F.col("y"))
+    closing = und.select(
+        F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"])
+    corners = tri.select(
+        F.explode(F.array("apex", "x", "y")).alias("node")
+    )
+    return corners.groupBy("node").agg(
+        F.count("*").cast("long").alias("n_triangles")
     )

@@ -28,6 +28,7 @@ __all__ = [
     "quota_per_stratum",
     "shuffle_shards",
     "mixture_quota_sample",
+    "kfold_assign",
 ]
 
 #: Bucket space: 4 hex digits of the md5 → uniform integers in [0, 65536).
@@ -251,4 +252,25 @@ def mixture_quota_sample(
         .crossJoin(F.broadcast(t_units))
         .filter(F.col("mix_rank") <= F.col("_t") * F.col("_wt"))
         .drop("_wt", "_t")
+    )
+
+
+def kfold_assign(
+    df: DataFrame,
+    id_col: str,
+    k: int = 5,
+    salt: str = "kfold",
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    portable md5 bucket of the id, mod ``k``. Content-addressed like
+    :func:`hash_split` — the same row lands in the same fold on any
+    engine, any partitioning, any corpus subset (no global ordering or
+    count needed, so it streams and scales embarrassingly).
+
+    Output: input columns + ``fold`` (0..k-1).
+    """
+    if k < 2:
+        raise ValueError(f"kfold_assign: k must be >= 2, got {k}")
+    return df.withColumn(
+        "fold", (hash_bucket(F.col(id_col), salt=salt) % k).cast("long")
     )

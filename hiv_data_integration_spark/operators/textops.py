@@ -37,6 +37,8 @@ __all__ = [
     "line_dedup",
     "normalize_url",
     "url_domain",
+    "duplicate_ngram_spans",
+    "bm25_topk",
     "PII_PATTERNS",
     "STOPWORDS",
 ]
@@ -882,3 +884,152 @@ def url_domain(col: Column) -> Column:
     """Registrable host of an ALREADY-normalized URL (everything before
     the first ``/``, ``:``, ``?`` or ``#``)."""
     return F.regexp_extract(col, r"^([^/:?#]+)", 1)
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_span_tokens: int = 0,
+) -> DataFrame:
+    """Maximal duplicated token spans per document — the distributed
+    re-expression of exact-substring training-data dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better",
+    which builds a corpus-wide suffix array): a token span is reported
+    when EVERY length-``n`` window inside it occurs at least twice in
+    the corpus (across documents or repeated within one) — the
+    suffix-array duplicated-substring property discretized to token
+    n-grams, so a duplicated run of ``r`` consecutive grams certifies a
+    duplicated substring of ``r + n - 1`` tokens.
+
+    Plan: one posexplode pass over positioned n-grams; global gram
+    occurrence counts aggregated on a 60-bit md5 key (fixed-width
+    shuffle key — the long gram strings themselves never shuffle, and
+    the count partially combines map-side); a semi join of the
+    positions against the (small) duplicated-key set, which AQE
+    broadcasts; then the gaps-and-islands window
+    (``pos - row_number()`` per document) collapses consecutive
+    duplicated positions into maximal spans. The only per-document
+    state is the window partition, bounded by document length — at
+    corpus scale every stage is a key-partitioned shuffle, no
+    all-pairs step.
+
+    Output: ``(id, span_start, span_tokens)``, ``span_start`` 0-based
+    in whitespace-token space.
+    """
+    from pyspark.sql.window import Window
+
+    from hiv_data_integration_spark.operators.dedup import md5_long
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        whitespace_tokens(F.lower(F.col(text_col))).alias("toks"),
+    )
+    pos_grams = toks.select(
+        "id", F.posexplode(ngrams(F.col("toks"), n)).alias("pos", "gram")
+    ).select("id", "pos", md5_long(F.col("gram")).alias("gram_h"))
+    dup_keys = (
+        pos_grams.groupBy("gram_h")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("gram_h")
+    )
+    marked = pos_grams.join(dup_keys, "gram_h", "left_semi")
+    w = Window.partitionBy("id").orderBy("pos")
+    return (
+        marked.withColumn("island", F.col("pos") - F.row_number().over(w))
+        .groupBy("id", "island")
+        .agg(F.min("pos").alias("start"), F.count("*").alias("run"))
+        .select(
+            "id",
+            F.col("start").cast("long").alias("span_start"),
+            (F.col("run") + F.lit(n - 1)).cast("long").alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_span_tokens)
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """BM25 retrieval scoring of a fixed term set over the corpus, top-k
+    documents. Rational-idf variant: ``idf = (N - df + 0.5)/(df + 0.5)``
+    — same monotone ranking as the log form, but products/divisions are
+    correctly-rounded IEEE ops on every engine while ``ln`` is
+    libm-dependent at the last ulp (same policy as :func:`tfidf_topk`).
+
+    ``tf``, ``df``, ``dl`` and ``N·Σdl`` are exact integers;
+    ``avgdl = Σdl / N`` is one double division — every engine computing
+    the same expression tree yields identical bits, so the ranking (and
+    the hash check) is bit-reproducible. The per-term partial scores are
+    recombined in FIXED term order (a left-to-right chain of conditional
+    maxes), never a float SUM whose accumulation order the engine picks.
+
+    Plan: explode → (doc, term) counts → per-doc lengths and the 1-row
+    corpus stats both broadcast; the query-term filter prunes the
+    posting join to ``len(terms)`` keys before any shuffle. Output:
+    ``(id, score)`` ranked ``score desc, id asc``.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        whitespace_tokens(F.lower(F.col(text_col))).alias("toks"),
+    )
+    lengths = toks.select("id", F.size("toks").cast("long").alias("dl"))
+    stats = lengths.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum("dl").cast("double").alias("sum_dl"),
+    )
+    tf = (
+        toks.select("id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count("*").cast("double").alias("df_t")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lengths, "id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "part_score",
+            ((F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+             / (F.col("df_t") + F.lit(0.5)))
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b)
+                    * (F.col("dl").cast("double")
+                       / (F.col("sum_dl") / F.col("n_docs")))
+                )
+            ),
+        )
+    )
+    # fixed-order recombination: s(t1) + s(t2) + ... — never a float SUM
+    per_term = scored.groupBy("id").agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.col("part_score"))).alias(
+                f"_s{i}"
+            )
+            for i, t in enumerate(terms)
+        ]
+    )
+    score = F.coalesce(F.col("_s0"), F.lit(0.0))
+    for i in range(1, len(terms)):
+        score = score + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+    return (
+        per_term.select("id", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id"))
+        .limit(k)
+    )

@@ -1391,3 +1391,149 @@ def test_pagerank_fixed_point_semantics(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         pagerank_fixed_point(edges, nodes.filter("node > 99"))
+
+
+# ---------------------------------------------------------------------------
+# duplicate_ngram_spans / triangle_count / count-min / kfold / bm25 (r5)
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_ngram_spans_cross_doc_run(spark):
+    from hiv_data_integration_spark.operators.textops import (
+        duplicate_ngram_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens
+    df = spark.createDataFrame(
+        [
+            (1, "x1 y1 " + shared + " z1 w1"),
+            (2, "p2 " + shared + " q2 r2 s2"),
+            (3, "totally unrelated words only here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.id, r.span_start, r.span_tokens)
+        for r in duplicate_ngram_spans(df, n=5).collect()
+    }
+    # 7 shared tokens → 3 consecutive duplicated 5-grams → one span of 7
+    assert out == {(1, 2, 7), (2, 1, 7)}
+
+
+def test_duplicate_ngram_spans_within_doc_repeat(spark):
+    from hiv_data_integration_spark.operators.textops import (
+        duplicate_ngram_spans,
+    )
+
+    rep = "one two three four five"
+    df = spark.createDataFrame(
+        [(1, rep + " filler " + rep)], "doc_id long, text string"
+    )
+    out = [tuple(r) for r in duplicate_ngram_spans(df, n=5).collect()]
+    # the 5-gram repeats at positions 0 and 6
+    assert sorted(out) == [(1, 0, 5), (1, 6, 5)]
+
+
+def test_duplicate_ngram_spans_min_tokens_filter(spark):
+    from hiv_data_integration_spark.operators.textops import (
+        duplicate_ngram_spans,
+    )
+
+    shared = "a b c d e"
+    df = spark.createDataFrame(
+        [(1, shared + " x"), (2, shared + " y")], "doc_id long, text string"
+    )
+    assert (
+        duplicate_ngram_spans(df, n=5, min_span_tokens=6).count() == 0
+    )
+    assert (
+        duplicate_ngram_spans(df, n=5, min_span_tokens=5).count() == 2
+    )
+
+
+def test_triangle_count_known_graph(spark):
+    from hiv_data_integration_spark.operators.dedup import triangle_count
+
+    # two triangles sharing edge (2,3): {1,2,3} and {2,3,4}; plus a
+    # dangling edge (4,5). Fed as DIRECTED duplicates to exercise
+    # canonicalization.
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 1), (2, 3), (3, 1), (1, 3),
+            (3, 2), (2, 4), (3, 4), (4, 5),
+        ],
+        "src long, dst long",
+    )
+    out = {r.node: r.n_triangles for r in triangle_count(edges).collect()}
+    assert out == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_triangle_count_no_triangles(spark):
+    from hiv_data_integration_spark.operators.dedup import triangle_count
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    assert triangle_count(edges).count() == 0
+
+
+def test_countmin_upper_bound_and_wide_exactness(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        countmin_build,
+        countmin_query,
+    )
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    probes = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 1), ("zz", 0)], "k string, exact long"
+    )
+    # narrow sketch: estimates are upper bounds
+    cms = countmin_build(df, "k", depth=2, width=2)
+    est = {
+        r.k: r.cms_est
+        for r in countmin_query(cms, probes, "k", depth=2, width=2).collect()
+    }
+    assert est["a"] >= 5 and est["b"] >= 3 and est["c"] >= 1
+    # wide sketch: no collisions among 3 keys → exact, and absent key → 0
+    cms_w = countmin_build(df, "k", depth=4, width=4096)
+    est_w = {
+        r.k: r.cms_est
+        for r in countmin_query(
+            cms_w, probes, "k", depth=4, width=4096
+        ).collect()
+    }
+    assert est_w == {"a": 5, "b": 3, "c": 1, "zz": 0}
+
+
+def test_kfold_assign_deterministic_and_partitioned(spark):
+    from hiv_data_integration_spark.operators.sampling import kfold_assign
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "id long")
+    a = {r.id: r.fold for r in kfold_assign(df, "id", k=5).collect()}
+    b = {
+        r.id: r.fold
+        for r in kfold_assign(df.repartition(7), "id", k=5).collect()
+    }
+    assert a == b  # content-addressed, partitioning-independent
+    assert set(a.values()) == {0, 1, 2, 3, 4}
+    with pytest.raises(ValueError):
+        kfold_assign(df, "id", k=1)
+
+
+def test_bm25_ranks_matching_doc_first(spark):
+    from hiv_data_integration_spark.operators.textops import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark query engine spark query"),
+            (2, "spark engine"),
+            (3, "unrelated text entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    out = [tuple(r) for r in bm25_topk(df, ["spark", "query"], k=3).collect()]
+    ids = [t[0] for t in out]
+    assert ids[0] == 1  # highest tf for both terms
+    assert 3 not in ids or out[-1][1] == 0.0
+    assert all(s >= 0 for _, s in out)
