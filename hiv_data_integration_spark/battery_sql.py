@@ -550,33 +550,47 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped >365 days after the order date in a multi-supplier order
     where EVERY other supplier shipped on time.
 
-    Written as SQL subqueries on purpose: Catalyst decorrelates the
-    EXISTS into a LeftSemi and the NOT EXISTS into a LeftAnti join on
-    ``l_orderkey`` — three passes over one shuffle key, no correlated
-    re-execution per row (the reference engine would loop). Day lag uses
-    integer ``datediff`` so both engines compare exact integers."""
-    tbl(spark, sf_dir, "lineitem").createOrReplaceTempView("li_q21")
-    tbl(spark, sf_dir, "orders").createOrReplaceTempView("ord_q21")
-    tbl(spark, sf_dir, "supplier").createOrReplaceTempView("sup_q21")
-    return spark.sql(
-        """
-        WITH l1 AS (
-            SELECT l.l_orderkey, l.l_suppkey,
-                   datediff(CAST(l.l_shipdate AS DATE),
-                            CAST(o.o_orderdate AS DATE)) > 365 AS late
-            FROM li_q21 l JOIN ord_q21 o ON l.l_orderkey = o.o_orderkey
+    The engine side runs the manually-decorrelated single-pass form:
+    one per-order aggregate (distinct suppliers, distinct LATE
+    suppliers) joined back onto the late rows — a late row qualifies
+    iff ``n_supp >= 2 AND n_late_supp = 1`` (it is then necessarily the
+    only late supplier). The ORACLE keeps the textbook correlated
+    EXISTS / NOT EXISTS formulation, so the hash check proves the
+    rewrite equivalent row-for-row. Spark's own subquery decorrelation
+    would instead expand the derived table three times (CTEs inline);
+    at fact scale the one-aggregate form is one shuffle over
+    ``l_orderkey`` instead of three. Day lag uses integer ``datediff``
+    so both engines compare exact integers."""
+    li = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders")
+    s = tbl(spark, sf_dir, "supplier")
+    l1 = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.datediff(
+                F.to_date("l_shipdate"), F.to_date("o_orderdate")
+            )
+            > 365
+        ).alias("late"),
+    )
+    per_order = l1.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    qualifying = (
+        l1.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        qualifying.join(
+            F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")
         )
-        SELECT s.s_name, count(*) AS numwait
-        FROM l1 a JOIN sup_q21 s ON a.l_suppkey = s.s_suppkey
-        WHERE a.late
-          AND EXISTS (SELECT 1 FROM l1 b
-                      WHERE b.l_orderkey = a.l_orderkey
-                        AND b.l_suppkey <> a.l_suppkey)
-          AND NOT EXISTS (SELECT 1 FROM l1 c
-                          WHERE c.l_orderkey = a.l_orderkey
-                            AND c.l_suppkey <> a.l_suppkey AND c.late)
-        GROUP BY s.s_name
-        """
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
     )
 
 

@@ -584,21 +584,22 @@ def countmin_build(
     from hiv_data_integration_spark.operators.dedup import md5_long
 
     x = md5_long(F.col(key_col))
-    rows = [
-        df.select(
-            F.lit(r).alias("row"),
+    # one scan: the md5 is computed once per occurrence and fanned out to
+    # the depth buckets by posexplode (a depth-way unionAll would re-hash
+    # the key per sketch row)
+    buckets = F.array(
+        *[
             (
                 ((F.lit(2 * r + 1) * x + F.lit(1000003 * r + 12345)) % prime)
                 % width
-            ).cast("long").alias("bucket"),
-        )
-        for r in range(depth)
-    ]
-    all_rows = rows[0]
-    for extra in rows[1:]:
-        all_rows = all_rows.unionAll(extra)
-    return all_rows.groupBy("row", "bucket").agg(
-        F.count("*").cast("long").alias("cnt")
+            ).cast("long")
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.posexplode(buckets).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
     )
 
 

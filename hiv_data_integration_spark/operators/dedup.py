@@ -996,7 +996,13 @@ def triangle_count(
     Plan: degree aggregate → oriented edge list → self-join on the wedge
     apex (the one big shuffle) → closing-edge semi-ish join → explode
     the 3 corners → count per node. All integer keys and counts:
-    bit-stable under any partitioning.
+    bit-stable under any partitioning. The canonical edge set is
+    ``localCheckpoint``-ed once: the plan references it THREE times
+    (degree derivation, orientation, closing join), and without the
+    barrier each reference re-derives the whole upstream edge pipeline
+    — for a co-occurrence graph that is the expensive fact self-join,
+    tripled (same lineage-truncation pattern as
+    :func:`connected_components`).
 
     Output: ``(node, n_triangles)`` for nodes in ≥1 triangle.
     """
@@ -1007,6 +1013,7 @@ def triangle_count(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         und.select(F.col("a").alias("n"))

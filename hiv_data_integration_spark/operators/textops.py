@@ -903,12 +903,14 @@ def duplicate_ngram_spans(
     n-grams, so a duplicated run of ``r`` consecutive grams certifies a
     duplicated substring of ``r + n - 1`` tokens.
 
-    Plan: one posexplode pass over positioned n-grams; global gram
-    occurrence counts aggregated on a 60-bit md5 key (fixed-width
-    shuffle key — the long gram strings themselves never shuffle, and
-    the count partially combines map-side); a semi join of the
-    positions against the (small) duplicated-key set, which AQE
-    broadcasts; then the gaps-and-islands window
+    Plan: explode-first dataflow (the r1-m9 lesson — array HOFs are
+    interpreted and re-evaluated per reference): tokens posexplode once,
+    then each position's n-gram is assembled by ``n-1`` codegen'd
+    ``lead`` window calls over the document partition and hashed to a
+    60-bit md5 key (fixed-width shuffle key — the gram strings never
+    shuffle). Global gram occurrence counts partially combine map-side;
+    a semi join marks duplicated positions (AQE broadcasts the small
+    duplicated-key set); the gaps-and-islands window
     (``pos - row_number()`` per document) collapses consecutive
     duplicated positions into maximal spans. The only per-document
     state is the window partition, bounded by document length — at
@@ -922,13 +924,26 @@ def duplicate_ngram_spans(
 
     from hiv_data_integration_spark.operators.dedup import md5_long
 
-    toks = df.select(
+    tokpos = df.select(
         F.col(id_col).alias("id"),
-        whitespace_tokens(F.lower(F.col(text_col))).alias("toks"),
+        F.posexplode(
+            whitespace_tokens(F.lower(F.col(text_col)))
+        ).alias("pos", "tok"),
     )
-    pos_grams = toks.select(
-        "id", F.posexplode(ngrams(F.col("toks"), n)).alias("pos", "gram")
-    ).select("id", "pos", md5_long(F.col("gram")).alias("gram_h"))
+    wg = Window.partitionBy("id").orderBy("pos")
+    gram_parts = [F.col("tok")] + [
+        F.lead("tok", i).over(wg) for i in range(1, n)
+    ]
+    pos_grams = (
+        tokpos.select(
+            "id",
+            "pos",
+            F.concat_ws(" ", *gram_parts).alias("gram"),
+            F.lead("tok", n - 1).over(wg).isNotNull().alias("_complete"),
+        )
+        .filter(F.col("_complete"))
+        .select("id", "pos", md5_long(F.col("gram")).alias("gram_h"))
+    )
     dup_keys = (
         pos_grams.groupBy("gram_h")
         .agg(F.count("*").alias("cnt"))
