@@ -4694,6 +4694,203 @@ LIMIT 10
 """
 
 
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom filter (16384 bits × 3 hashes) of the part keys
+    shipping in >45-quantity lines, probed with EVERY part key — the
+    checked result carries both guarantees: actually-present keys are
+    always maybe_present (no false negatives), and the nonzero
+    false-positive set is bit-identical on any engine reproducing the
+    hash family. See operators.aggregate.bloom_build."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    li = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part")
+    hot = (
+        li.filter(F.col("l_quantity") > 45.0)
+        .select(F.col("l_partkey").alias("k"))
+        .distinct()
+    )
+    bloom = bloom_build(hot, "k", num_bits=16384, num_hashes=3)
+    probes = p.select(F.col("p_partkey").alias("k"))
+    probed = bloom_probe(bloom, probes, "k", num_bits=16384, num_hashes=3)
+    return (
+        probed.join(hot.withColumn("_actual", F.lit(True)), "k", "left")
+        .select(
+            "k",
+            "maybe_present",
+            F.coalesce(F.col("_actual"), F.lit(False)).alias(
+                "actually_present"
+            ),
+            (
+                F.col("maybe_present")
+                & ~F.coalesce(F.col("_actual"), F.lit(False))
+            ).alias("is_false_positive"),
+        )
+    )
+
+
+_BLOOM_POS = (
+    "((({m}) * CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15) AS BIGINT)"
+    " + ({b})) % 2305843009213693951) % 16384"
+)
+_BLOOM_LIST = "[" + ", ".join(
+    _BLOOM_POS.format(m=2 * r + 1, b=1000003 * r + 12345) for r in range(3)
+) + "]"
+SQL_BLOOM_MEMBERSHIP = f"""
+WITH hot AS (
+    SELECT DISTINCT l_partkey AS k FROM lineitem WHERE l_quantity > 45.0
+),
+bloom AS (
+    SELECT DISTINCT unnest({_BLOOM_LIST}) AS bit FROM hot
+),
+probe_bits AS (
+    SELECT k, len(list_distinct({_BLOOM_LIST})) AS n_pos,
+           unnest(list_distinct({_BLOOM_LIST})) AS bit
+    FROM (SELECT p_partkey AS k FROM part)
+),
+hits AS (
+    SELECT pb.k, any_value(pb.n_pos) AS n_pos,
+           count(b.bit) AS n_hits
+    FROM probe_bits pb LEFT JOIN bloom b ON pb.bit = b.bit
+    GROUP BY pb.k
+)
+SELECT h.k,
+       h.n_hits = h.n_pos AS maybe_present,
+       hot.k IS NOT NULL AS actually_present,
+       (h.n_hits = h.n_pos) AND hot.k IS NULL AS is_false_positive
+FROM hits h LEFT JOIN hot ON h.k = hot.k
+"""
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag winsorization profile of l_quantity at the
+    binary-exact 1/8 and 7/8 percentiles (clamp counts + DECIMAL-exact
+    winsorized sum). See operators.aggregate.winsorized_stats."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        winsorized_stats,
+    )
+
+    li = tbl(spark, sf_dir, "lineitem")
+    return winsorized_stats(
+        li, "l_quantity", "l_returnflag", p_lo=0.125, p_hi=0.875
+    )
+
+
+SQL_WINSORIZED_STATS = """
+WITH bounds AS (
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.125) AS lo,
+           quantile_cont(l_quantity, 0.875) AS hi
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       MIN(b.lo) AS lo_bound,
+       MIN(b.hi) AS hi_bound,
+       count(*) AS n_rows,
+       CAST(SUM(CASE WHEN l.l_quantity < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clamped_lo,
+       CAST(SUM(CASE WHEN l.l_quantity > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clamped_hi,
+       CAST(SUM(CAST(least(greatest(l.l_quantity, b.lo), b.hi)
+                     AS DECIMAL(28,6))) AS DOUBLE) AS sum_winsorized
+FROM lineitem l JOIN bounds b USING (l_returnflag)
+GROUP BY l.l_returnflag
+"""
+
+
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier profile of event values per type —
+    the explicit rank-median formulation (both engines mirror the same
+    midpoint expression bit-for-bit). See
+    operators.aggregate.robust_outliers."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        robust_outliers,
+    )
+
+    ev = tbl(spark, sf_dir, "events")
+    return robust_outliers(ev, "value", "event_type", k=3.0)
+
+
+SQL_ROBUST_OUTLIERS = """
+WITH ranked AS (
+    SELECT event_type, value AS v,
+           row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+),
+med AS (
+    SELECT event_type,
+           (MIN(CASE WHEN rn = (n + 1) // 2 THEN v END)
+            + MIN(CASE WHEN rn = (n + 2) // 2 THEN v END)) / 2.0 AS _med
+    FROM ranked GROUP BY event_type
+),
+devs AS (
+    SELECT e.event_type, m._med, abs(e.value - m._med) AS _dev
+    FROM events e JOIN med m USING (event_type)
+),
+dev_ranked AS (
+    SELECT event_type, _med, _dev,
+           row_number() OVER (PARTITION BY event_type ORDER BY _dev) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM devs
+),
+mad AS (
+    SELECT event_type,
+           (MIN(CASE WHEN rn = (n + 1) // 2 THEN _dev END)
+            + MIN(CASE WHEN rn = (n + 2) // 2 THEN _dev END)) / 2.0 AS _mad
+    FROM dev_ranked GROUP BY event_type
+)
+SELECT d.event_type,
+       MIN(d._med) AS med,
+       MIN(m._mad) AS mad,
+       count(*) AS n_rows,
+       CAST(SUM(CASE WHEN d._dev > 3.0 * m._mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM devs d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+"""
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding/hopping event-time windows (1 h window, 15 min hop):
+    each event lands in exactly 4 overlapping windows — the batch twin
+    of the streaming sliding aggregation, fan-out materialized at
+    assignment."""
+    ev = tbl(spark, sf_dir, "events")
+    from hiv_data_integration_spark.operators.aggregate import (
+        tumbling_window_agg,
+    )
+
+    out = tumbling_window_agg(
+        ev,
+        "ts",
+        "1 hour",
+        keys=["event_type"],
+        aggs=[
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        ],
+        slide="15 minutes",
+    )
+    return out.select("event_type", "window_start", "n_events", "sum_value")
+
+
+SQL_SLIDING_WINDOW = """
+SELECT event_type,
+       time_bucket(INTERVAL '15 minutes', ts)
+           - k * INTERVAL '15 minutes' AS window_start,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) t(k)
+GROUP BY 1, 2
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
@@ -4768,6 +4965,10 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "graph_triangle_count_parts": q_triangle_count,
     "data_kfold_assignment": q_kfold_assignment,
     "text_bm25_topk": q_bm25_topk,
+    "sketch_bloom_membership": q_bloom_membership,
+    "profile_winsorized_stats": q_winsorized_stats,
+    "profile_robust_outliers": q_robust_outliers,
+    "sliding_window_events": q_sliding_window,
     "dedup_incremental_batch": q_incremental_dedup,
     "corpus_shuffle_shards": q_shuffle_shards,
     "orc_source_roundtrip": q_orc_roundtrip,
@@ -4887,6 +5088,10 @@ EXT_ORACLE: dict[str, str] = {
     "graph_triangle_count_parts": SQL_TRIANGLE_COUNT,
     "data_kfold_assignment": SQL_KFOLD_ASSIGNMENT,
     "text_bm25_topk": SQL_BM25_TOPK,
+    "sketch_bloom_membership": SQL_BLOOM_MEMBERSHIP,
+    "profile_winsorized_stats": SQL_WINSORIZED_STATS,
+    "profile_robust_outliers": SQL_ROBUST_OUTLIERS,
+    "sliding_window_events": SQL_SLIDING_WINDOW,
     "text_url_canonicalize": SQL_URL_CANONICALIZE,
     "dedup_incremental_batch": SQL_INCREMENTAL_DEDUP,
     "corpus_shuffle_shards": SQL_SHUFFLE_SHARDS,

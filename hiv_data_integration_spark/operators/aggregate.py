@@ -29,6 +29,10 @@ __all__ = [
     "gap_fill_locf",
     "countmin_build",
     "countmin_query",
+    "bloom_build",
+    "bloom_probe",
+    "winsorized_stats",
+    "robust_outliers",
 ]
 
 
@@ -136,14 +140,23 @@ def tumbling_window_agg(
     duration: str,
     keys: list[str],
     aggs: list[Column],
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling event-time window aggregation (engine extension, §2.13).
+    """Tumbling (or, with ``slide``, sliding/hopping) event-time window
+    aggregation (engine extension, §2.13).
 
     Batch counterpart of the Structured Streaming windowed aggregation in
     ``hiv_data_integration_spark.streaming``; the same expression works
-    under ``readStream`` with a watermark.
+    under ``readStream`` with a watermark. With ``slide`` each event
+    lands in ``duration/slide`` overlapping windows (Spark materializes
+    the fan-out at assignment time — the streaming state and the batch
+    shuffle both scale by that factor, so keep the ratio small).
     """
-    w = F.window(F.col(ts_col), duration)
+    w = (
+        F.window(F.col(ts_col), duration, slide)
+        if slide is not None
+        else F.window(F.col(ts_col), duration)
+    )
     return (
         df.groupBy(*keys, w.alias("window"))
         .agg(*aggs)
@@ -644,3 +657,206 @@ def countmin_query(
     ).cast("long")
     keep = [c for c in probes.columns]
     return out.select(*keep, est.alias("cms_est"))
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    num_bits: int = 4096,
+    num_hashes: int = 5,
+    prime: int = (1 << 61) - 1,
+) -> DataFrame:
+    """Portable Bloom filter of a key set: each key sets ``num_hashes``
+    bit positions from the affine-over-md5 hash family (same portable
+    construction as :func:`countmin_build`). The filter is the DISTINCT
+    set-bit table — bit-OR is commutative, so the filter is bit-stable
+    under any partitioning, and merging shard filters is a plain
+    UNION/DISTINCT (mergeable like the CMS; composes with incremental
+    ingestion). No false negatives by construction; the false-positive
+    rate is the standard ``(1 - e^{-kn/m})^k``.
+
+    At scale the output is at most ``num_bits`` rows regardless of input
+    size — the classic use is shipping a compact membership summary of a
+    huge key set to prune a scan or join (the DIY analogue of the
+    runtime bloom-filter join pins in ``session.py``).
+
+    Output: ``(bit,)`` — the set bit positions.
+    """
+    from hiv_data_integration_spark.operators.dedup import md5_long
+
+    x = md5_long(F.col(key_col))
+    bits = F.array(
+        *[
+            (
+                ((F.lit(2 * r + 1) * x + F.lit(1000003 * r + 12345)) % prime)
+                % num_bits
+            ).cast("long")
+            for r in range(num_hashes)
+        ]
+    )
+    return df.select(F.explode(bits).alias("bit")).distinct()
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    num_bits: int = 4096,
+    num_hashes: int = 5,
+    prime: int = (1 << 61) - 1,
+) -> DataFrame:
+    """Membership test against a :func:`bloom_build` filter:
+    ``maybe_present`` iff EVERY hash position of the key is set. A key's
+    hash positions may collide with each other, so presence compares the
+    per-key DISTINCT position count against its matched count — not
+    against ``num_hashes``.
+
+    The filter (≤ ``num_bits`` rows) broadcasts; probes never shuffle
+    beyond their own key aggregation.
+
+    Output: probes' columns + ``maybe_present``.
+    """
+    from hiv_data_integration_spark.operators.dedup import md5_long
+
+    x = md5_long(F.col(key_col))
+    bits = F.array_distinct(
+        F.array(
+            *[
+                (
+                    (
+                        (F.lit(2 * r + 1) * x + F.lit(1000003 * r + 12345))
+                        % prime
+                    )
+                    % num_bits
+                ).cast("long")
+                for r in range(num_hashes)
+            ]
+        )
+    )
+    probe_bits = probes.select(
+        "*", F.size(bits).alias("_n_pos"), F.explode(bits).alias("bit")
+    )
+    hit = bloom.select("bit", F.lit(1).alias("_hit"))
+    keep = list(probes.columns)
+    return (
+        probe_bits.join(F.broadcast(hit), "bit", "left")
+        .groupBy(*keep, "_n_pos")
+        .agg(F.sum("_hit").alias("_hits"))
+        .select(
+            *keep,
+            (F.coalesce(F.col("_hits"), F.lit(0)) == F.col("_n_pos")).alias(
+                "maybe_present"
+            ),
+        )
+    )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    p_lo: float = 0.125,
+    p_hi: float = 0.875,
+) -> DataFrame:
+    """Per-group winsorization profile: exact percentile bounds at
+    ``p_lo``/``p_hi``, clamp counts, and the DECIMAL-exact sum of the
+    winsorized values — the standard outlier-robust normalization pass
+    before feature scaling.
+
+    Bit-reproducibility contract: pick ``p_lo``/``p_hi`` exactly
+    representable in binary (defaults 1/8 and 7/8) — exact ``percentile``
+    interpolates linearly, and with binary-exact fractions the
+    interpolated bound is the same IEEE double on every engine (the
+    grouped_quantiles precedent). The clamped values are summed as
+    DECIMAL, never floating accumulation.
+
+    Plan: one exact-percentile aggregate per group (sort-based within
+    the group partition), broadcast the tiny bounds table back, one
+    clamp-and-aggregate pass. Two scans of the fact, no self-join.
+    """
+    bounds = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, {p_lo!r})").alias("_lo"),
+        F.expr(f"percentile({value_col}, {p_hi!r})").alias("_hi"),
+    )
+    v = F.col(value_col)
+    clamped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.min("_lo").alias("lo_bound"),
+            F.min("_hi").alias("hi_bound"),
+            F.count("*").alias("n_rows"),
+            F.sum((v < F.col("_lo")).cast("long")).alias("n_clamped_lo"),
+            F.sum((v > F.col("_hi")).cast("long")).alias("n_clamped_hi"),
+            F.sum(clamped.cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_winsorized"),
+        )
+    )
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Median/MAD robust outlier profile per group: flags values with
+    ``|x - median| > k * MAD`` (median absolute deviation) — the
+    variance-free robust z-score, immune to the outliers it hunts
+    (unlike mean/stddev, which the outliers themselves drag).
+
+    Float determinism: built-in median implementations interpolate with
+    engine-specific expression trees (``(a+b)/2`` vs
+    ``lo + (hi-lo)·0.5`` round differently at the last ulp on arbitrary
+    doubles), so the median here is spelled EXPLICITLY: rank the group,
+    take the two middle values, midpoint as ``(a+b)/2`` — any engine
+    mirroring that exact expression reproduces the bits. ``|x - med|``
+    is one subtraction; the threshold compare multiplies ``k·MAD``
+    once. No accumulation-order dependence anywhere.
+
+    Plan: rank window + middle-pick aggregate → broadcast join-back →
+    same again for the deviation median → flag-and-count. Each pass is
+    one shuffle on the group key, partitions bounded by group size; at
+    100 TB swap the exact rank-median for ``approx_percentile`` and
+    keep the shape.
+    """
+
+    def exact_median(frame: DataFrame, col: str, out: str) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(group_col).orderBy(col)
+        ranked = frame.select(
+            group_col,
+            F.col(col).alias("_v"),
+            F.row_number().over(w).alias("_rn"),
+            F.count("*").over(Window.partitionBy(group_col)).alias("_n"),
+        )
+        lo_i = F.expr("(_n + 1) div 2")
+        hi_i = F.expr("(_n + 2) div 2")
+        return ranked.groupBy(group_col).agg(
+            (
+                (
+                    F.min(F.when(F.col("_rn") == lo_i, F.col("_v")))
+                    + F.min(F.when(F.col("_rn") == hi_i, F.col("_v")))
+                )
+                / F.lit(2.0)
+            ).alias(out)
+        )
+
+    med = exact_median(df, value_col, "_med")
+    v = F.col(value_col)
+    devs = df.join(F.broadcast(med), group_col).select(
+        group_col, "_med", F.abs(v - F.col("_med")).alias("_dev")
+    )
+    mad = exact_median(devs, "_dev", "_mad")
+    flagged = devs.join(F.broadcast(mad), group_col)
+    return flagged.groupBy(group_col).agg(
+        F.min("_med").alias("med"),
+        F.min("_mad").alias("mad"),
+        F.count("*").alias("n_rows"),
+        F.sum(
+            (F.col("_dev") > F.lit(k) * F.col("_mad")).cast("long")
+        ).alias("n_outliers"),
+    )

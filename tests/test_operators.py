@@ -1537,3 +1537,90 @@ def test_bm25_ranks_matching_doc_first(spark):
     assert ids[0] == 1  # highest tf for both terms
     assert 3 not in ids or out[-1][1] == 0.0
     assert all(s >= 0 for _, s in out)
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(50)], "k string")
+    bloom = bloom_build(keys, "k", num_bits=512, num_hashes=3)
+    probes = spark.createDataFrame(
+        [(f"k{i}",) for i in range(50)] + [(f"absent{i}",) for i in range(50)],
+        "k string",
+    )
+    out = {
+        r.k: r.maybe_present
+        for r in bloom_probe(
+            bloom, probes, "k", num_bits=512, num_hashes=3
+        ).collect()
+    }
+    # no false negatives, ever
+    assert all(out[f"k{i}"] for i in range(50))
+    # merging shard filters == filter of the union (bit-OR commutes)
+    half_a = bloom_build(keys.limit(25), "k", num_bits=512, num_hashes=3)
+    half_b = bloom_build(
+        keys.subtract(keys.limit(25)), "k", num_bits=512, num_hashes=3
+    )
+    merged = half_a.unionAll(half_b).distinct()
+    assert sorted(r.bit for r in merged.collect()) == sorted(
+        r.bit for r in bloom.collect()
+    )
+
+
+def test_winsorized_stats_clamps_and_bounds(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        winsorized_stats,
+    )
+
+    # group g: values 0..8 → p=1/8 bound = 1.0, p=7/8 bound = 7.0
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(9)], "grp string, v double"
+    )
+    r = winsorized_stats(df, "v", "grp", p_lo=0.125, p_hi=0.875).collect()[0]
+    assert (r.lo_bound, r.hi_bound) == (1.0, 7.0)
+    assert (r.n_clamped_lo, r.n_clamped_hi) == (1, 1)
+    # winsorized sum: 1 + 1+2+...+7 + 7 = 36.0
+    assert r.sum_winsorized == 36.0
+
+
+def test_robust_outliers_median_mad_flags(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        robust_outliers,
+    )
+
+    # values 1..9 plus a wild outlier: med=5.5 (even n=10), MAD from devs
+    vals = [float(i) for i in range(1, 10)] + [1000.0]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "grp string, v double"
+    )
+    r = robust_outliers(df, "v", "grp", k=3.0).collect()[0]
+    assert r.med == 5.5
+    # devs: 4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,994.5 → sorted mid pair (2.5,2.5)
+    assert r.mad == 2.5
+    assert r.n_outliers == 1  # only the 1000.0 exceeds 3*2.5 beyond med
+    assert r.n_rows == 10
+
+
+def test_sliding_window_fanout(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        tumbling_window_agg,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01T10:07:00")], "k string, ts_s string"
+    ).select("k", F.col("ts_s").cast("timestamp_ntz").alias("ts"))
+    out = tumbling_window_agg(
+        df, "ts", "1 hour", keys=["k"],
+        aggs=[F.count("*").alias("n")], slide="15 minutes",
+    )
+    starts = sorted(str(r.window_start) for r in out.collect())
+    # event at 10:07 belongs to windows starting 09:15, 09:30, 09:45, 10:00
+    assert starts == [
+        "2024-01-01 09:15:00",
+        "2024-01-01 09:30:00",
+        "2024-01-01 09:45:00",
+        "2024-01-01 10:00:00",
+    ]
