@@ -4891,6 +4891,66 @@ GROUP BY 1, 2
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix over per-user streams
+    (Markov behavior model input). Total order pinned by (ts, event_id).
+    See operators.aggregate.event_transitions."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        event_transitions,
+    )
+
+    ev = tbl(spark, sf_dir, "events")
+    return event_transitions(ev, "user_id", "ts", "event_type", "event_id")
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH pairs AS (
+    SELECT lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS from_type,
+           event_type AS to_type
+    FROM events
+),
+counts AS (
+    SELECT from_type, to_type, count(*) AS n_trans
+    FROM pairs WHERE from_type IS NOT NULL
+    GROUP BY from_type, to_type
+),
+totals AS (
+    SELECT from_type, SUM(n_trans) AS total FROM counts GROUP BY from_type
+)
+SELECT c.from_type, c.to_type, c.n_trans,
+       CAST(c.n_trans AS DOUBLE) / CAST(t.total AS DOUBLE) AS p_trans
+FROM counts c JOIN totals t USING (from_type)
+"""
+
+
+def q_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity quality features (type-token ratio +
+    Gini-Simpson, log-free). See operators.textops.token_diversity."""
+    docs = tbl(spark, sf_dir, "documents")
+    return tx.token_diversity(docs, text_col="text", id_col="doc_id")
+
+
+SQL_TOKEN_DIVERSITY = f"""
+WITH tf AS (
+    SELECT id, term, count(*) AS tf FROM (
+        SELECT doc_id AS id, unnest({_TOKS}) AS term FROM documents)
+    GROUP BY id, term
+),
+per_doc AS (
+    SELECT id, CAST(SUM(tf) AS BIGINT) AS dl,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(SUM(tf * tf) AS BIGINT) AS sum_sq
+    FROM tf GROUP BY id
+)
+SELECT id, dl, n_types,
+       CAST(n_types AS DOUBLE) / CAST(dl AS DOUBLE) AS type_token_ratio,
+       1.0 - CAST(sum_sq AS DOUBLE) / CAST(dl * dl AS DOUBLE)
+           AS gini_simpson
+FROM per_doc
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
@@ -4969,6 +5029,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "profile_winsorized_stats": q_winsorized_stats,
     "profile_robust_outliers": q_robust_outliers,
     "sliding_window_events": q_sliding_window,
+    "event_transition_matrix": q_event_transitions,
+    "text_token_diversity": q_token_diversity,
     "dedup_incremental_batch": q_incremental_dedup,
     "corpus_shuffle_shards": q_shuffle_shards,
     "orc_source_roundtrip": q_orc_roundtrip,
@@ -5092,6 +5154,8 @@ EXT_ORACLE: dict[str, str] = {
     "profile_winsorized_stats": SQL_WINSORIZED_STATS,
     "profile_robust_outliers": SQL_ROBUST_OUTLIERS,
     "sliding_window_events": SQL_SLIDING_WINDOW,
+    "event_transition_matrix": SQL_EVENT_TRANSITIONS,
+    "text_token_diversity": SQL_TOKEN_DIVERSITY,
     "text_url_canonicalize": SQL_URL_CANONICALIZE,
     "dedup_incremental_batch": SQL_INCREMENTAL_DEDUP,
     "corpus_shuffle_shards": SQL_SHUFFLE_SHARDS,

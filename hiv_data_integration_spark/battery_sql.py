@@ -725,6 +725,37 @@ FROM j GROUP BY ship_month
 """
 
 
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT (top-2
+    orders per customer by price) — the SQL:2016 lateral-join surface.
+    Catalyst decorrelates the limit into a ranked window join (one
+    shuffle on the correlation key), never a per-customer re-execution;
+    the deterministic tiebreak (``o_orderkey``) makes the cut
+    bit-stable."""
+    tbl(spark, sf_dir, "customer").createOrReplaceTempView("cust_lat")
+    tbl(spark, sf_dir, "orders").createOrReplaceTempView("ord_lat")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM cust_lat c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM ord_lat o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        """
+    )
+
+
+SQL_LATERAL_TOPN = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+    SELECT o_orderkey, o_totalprice FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+"""
+
+
 SQL2_QUERIES: dict[str, QueryFn] = {
     "rollup_lineitem": q_rollup,
     "cube_orders": q_cube,
@@ -747,6 +778,7 @@ SQL2_QUERIES: dict[str, QueryFn] = {
     "waiting_supplier_ranking": q_waiting_suppliers,
     "inactive_above_avg_balance": q_inactive_above_avg,
     "promo_revenue_share": q_promo_revenue_share,
+    "lateral_topn_orders": q_lateral_topn,
 }
 
 SQL2_ORACLE: dict[str, str] = {
@@ -771,4 +803,5 @@ SQL2_ORACLE: dict[str, str] = {
     "waiting_supplier_ranking": SQL_WAITING_SUPPLIERS,
     "inactive_above_avg_balance": SQL_INACTIVE_ABOVE_AVG,
     "promo_revenue_share": SQL_PROMO_REVENUE_SHARE,
+    "lateral_topn_orders": SQL_LATERAL_TOPN,
 }

@@ -33,6 +33,7 @@ __all__ = [
     "bloom_probe",
     "winsorized_stats",
     "robust_outliers",
+    "event_transitions",
 ]
 
 
@@ -859,4 +860,57 @@ def robust_outliers(
         F.sum(
             (F.col("_dev") > F.lit(k) * F.col("_mad")).cast("long")
         ).alias("n_outliers"),
+    )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """First-order behavioral transition matrix: counts and probabilities
+    of consecutive event-type pairs per user stream — the input to
+    Markov-chain behavior models and next-event training labels.
+
+    Ordering contract: ``(ts_col, tiebreak_col)`` must totally order each
+    user's events (pass a unique id as tiebreak) — same bit-determinism
+    contract as ``user_event_sequences``. The transition probability is
+    ONE double division of two exact integers, so it hashes identically
+    everywhere.
+
+    Plan: one lag window over the user partition, one hash aggregate on
+    the (from, to) pair, one broadcast-sized re-aggregate for the
+    per-source totals joined back. Scales as a single shuffle on users
+    plus vocabulary-sized joins.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        df.select(
+            F.col(user_col),
+            F.col(type_col).alias("to_type"),
+            F.lag(type_col).over(w).alias("from_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_trans")
+    )
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n_trans").alias("_total")
+    )
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_trans",
+            (
+                F.col("n_trans").cast("double")
+                / F.col("_total").cast("double")
+            ).alias("p_trans"),
+        )
     )

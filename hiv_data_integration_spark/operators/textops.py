@@ -39,6 +39,7 @@ __all__ = [
     "url_domain",
     "duplicate_ngram_spans",
     "bm25_topk",
+    "token_diversity",
     "PII_PATTERNS",
     "STOPWORDS",
 ]
@@ -1047,4 +1048,46 @@ def bm25_topk(
         per_term.select("id", score.alias("score"))
         .orderBy(F.col("score").desc(), F.col("id"))
         .limit(k)
+    )
+
+
+def token_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lexical-diversity quality features per document: type-token ratio
+    and Gini-Simpson index ``1 - Σ tf²/dl²`` — the log-free diversity
+    measure (entropy needs libm; Gini-Simpson ranks repetitive docs the
+    same way with only exact-integer sums and ONE double division each,
+    so the scores hash bit-identically across engines). Low diversity =
+    boilerplate/template/spam signal, complementing the Gopher
+    repetition fractions.
+
+    Plan: explode → (doc, term) count → per-doc integer aggregate
+    (Σtf, Σtf², distinct terms) → two scalar divisions. One shuffle on
+    the doc key.
+    """
+    terms = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    per_doc = tf.groupBy("id").agg(
+        F.sum("tf").cast("long").alias("dl"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("_sum_sq"),
+    )
+    return per_doc.select(
+        "id",
+        "dl",
+        "n_types",
+        (F.col("n_types").cast("double") / F.col("dl").cast("double")).alias(
+            "type_token_ratio"
+        ),
+        (
+            F.lit(1.0)
+            - F.col("_sum_sq").cast("double")
+            / (F.col("dl") * F.col("dl")).cast("double")
+        ).alias("gini_simpson"),
     )

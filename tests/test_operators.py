@@ -1624,3 +1624,52 @@ def test_sliding_window_fanout(spark):
         "2024-01-01 09:45:00",
         "2024-01-01 10:00:00",
     ]
+
+
+def test_event_transitions_counts_and_probs(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        event_transitions,
+    )
+
+    rows = [
+        (1, "2024-01-01T00:00:00", "a", 1),
+        (1, "2024-01-01T00:01:00", "b", 2),
+        (1, "2024-01-01T00:02:00", "a", 3),
+        (1, "2024-01-01T00:03:00", "b", 4),
+        (2, "2024-01-01T00:00:00", "a", 5),
+        (2, "2024-01-01T00:01:00", "c", 6),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_s string, event_type string, event_id long"
+    ).select(
+        "user_id",
+        F.col("ts_s").cast("timestamp_ntz").alias("ts"),
+        "event_type",
+        "event_id",
+    )
+    out = {
+        (r.from_type, r.to_type): (r.n_trans, r.p_trans)
+        for r in event_transitions(
+            df, "user_id", "ts", "event_type", "event_id"
+        ).collect()
+    }
+    # from 'a': a→b twice, a→c once; from 'b': b→a once
+    assert out[("a", "b")] == (2, 2 / 3)
+    assert out[("a", "c")] == (1, 1 / 3)
+    assert out[("b", "a")] == (1, 1.0)
+    # no cross-user transition (user 2 starts fresh)
+    assert ("b", "c") not in out
+
+
+def test_token_diversity_handcrafted(spark):
+    from hiv_data_integration_spark.operators.textops import token_diversity
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d")], "doc_id long, text string"
+    )
+    out = {r.id: r for r in token_diversity(df).collect()}
+    assert out[1].dl == 4 and out[1].n_types == 1
+    assert out[1].type_token_ratio == 0.25
+    assert out[1].gini_simpson == 0.0  # all mass on one type
+    assert out[2].gini_simpson == 1.0 - 4 / 16  # uniform over 4 types
+    assert out[2].type_token_ratio == 1.0
