@@ -756,6 +756,840 @@ FROM customer c, LATERAL (
 """
 
 
+def q_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair shipping volume by ship
+    year. The two nation lookups play different ROLES (supplier's vs
+    customer's nation) over the same broadcast dim — the classic
+    role-playing-dimension join. Fact joins shuffle on their natural keys
+    (orderkey, custkey); both nation joins and the supplier join
+    broadcast; the pair filter prunes before aggregation. Revenue
+    accumulates as DECIMAL so the yearly totals are bit-identical."""
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1998-01-01"))
+    )
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = tbl(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)")
+        - F.col("l_discount").cast("decimal(18,2)")
+    )
+    j = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(n.withColumnRenamed("n_name", "supp_nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .drop("n_nationkey")
+        .join(
+            F.broadcast(n.withColumnRenamed("n_name", "cust_nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+    ).agg(
+        F.sum(revenue).cast("double").alias("volume"),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL_NATION_VOLUME = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS ship_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS volume,
+       count(*) AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l.l_shipdate AS DATE) < DATE '1998-01-01'
+  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a target nation's market share of PROMO-part
+    revenue inside one region, per order year. Numerator is a
+    conditional aggregate over the same rows as the denominator (one
+    scan, no second pass); both accumulate as DECIMAL and only the final
+    share division runs in doubles — one IEEE op on bit-identical
+    operands. The region filter prunes through the customer-side nation
+    broadcast join before the fact shuffle."""
+    li = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = tbl(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    p = tbl(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    n = tbl(spark, sf_dir, "nation")
+    cust_nations = n.filter(F.col("n_regionkey") == 2).select(
+        F.col("n_nationkey").alias("cn_key")
+    )
+    supp_nation = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("sn_name")
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)")
+        - F.col("l_discount").cast("decimal(18,2)")
+    )
+    j = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_nations), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    target = F.when(F.col("sn_name") == "NATION_3", revenue).otherwise(
+        F.lit(0.00).cast("decimal(38,4)")
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            F.sum(target).cast("double").alias("nation_revenue"),
+            F.sum(revenue).cast("double").alias("region_revenue"),
+        )
+        .withColumn(
+            "market_share",
+            F.col("nation_revenue") / F.col("region_revenue"),
+        )
+    )
+
+
+SQL_MARKET_SHARE = """
+WITH j AS (
+    SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS order_year,
+           CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2))
+                - CAST(l.l_discount AS DECIMAL(18,2))) AS rev,
+           sn.n_name AS sn_name
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey AND cn.n_regionkey = 2
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+)
+SELECT order_year,
+       CAST(SUM(CASE WHEN sn_name = 'NATION_3' THEN rev
+                     ELSE CAST(0.00 AS DECIMAL(38,4)) END) AS DOUBLE)
+           AS nation_revenue,
+       CAST(SUM(rev) AS DOUBLE) AS region_revenue,
+       CAST(SUM(CASE WHEN sn_name = 'NATION_3' THEN rev
+                     ELSE CAST(0.00 AS DECIMAL(38,4)) END) AS DOUBLE)
+         / CAST(SUM(rev) AS DOUBLE) AS market_share
+FROM j GROUP BY order_year
+"""
+
+
+def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned
+    items in one order quarter. Aggregate-first: the per-customer
+    revenue rolls up BEFORE the customer/nation dims attach, so the
+    top-k sort ranks a customer-sized set, not a fact-sized one.
+    Revenue is DECIMAL-exact, so the top-20 cut (ties broken by
+    c_custkey) selects identical rows in both engines."""
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = tbl(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1999-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1999-04-01"))
+    ).select("o_orderkey", "o_custkey")
+    c = tbl(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    n = tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)")
+        - F.col("l_discount").cast("decimal(18,2)")
+    )
+    per_cust = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(revenue).alias("_rev_dec"))
+    )
+    return (
+        per_cust.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .orderBy(F.col("_rev_dec").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.col("_rev_dec").cast("double").alias("lost_revenue"),
+        )
+    )
+
+
+SQL_RETURNED_ITEM_REVENUE = """
+WITH per_cust AS (
+    SELECT o.o_custkey,
+           SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2))
+                  - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev_dec
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1999-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1999-04-01'
+    GROUP BY o.o_custkey
+)
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       CAST(p.rev_dec AS DOUBLE) AS lost_revenue
+FROM per_cust p
+JOIN customer c ON p.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY p.rev_dec DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count — a
+    LEFT OUTER join with the predicate in the JOIN condition (not the
+    WHERE), so customers whose every order is urgent still appear with
+    count 0; then a count-of-counts re-aggregation. The hash check pins
+    exactly the outer-join-vs-filter semantics that a naive WHERE
+    placement silently breaks."""
+    c = tbl(spark, sf_dir, "customer").select("c_custkey")
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").alias("custdist")
+    )
+
+
+SQL_ORDER_COUNT_DISTRIBUTION = """
+WITH per_cust AS (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c LEFT OUTER JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY c_count
+"""
+
+
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
+    revenue, selected by a scalar max-subquery over a shared derived
+    table. Revenue stays DECIMAL end-to-end INCLUDING the max-equality
+    predicate — a float max would 1-ulp-miss the equality join and
+    return zero rows on some engines. Spark reuses the revenue aggregate
+    across both references (same temp view, one Exchange reused)."""
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1999-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1999-04-01"))
+    )
+    s = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)")
+        - F.col("l_discount").cast("decimal(18,2)")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(revenue).alias("total_dec")
+    )
+    best = rev.agg(F.max("total_dec").alias("best_dec"))
+    return (
+        rev.join(F.broadcast(best), F.col("total_dec") == F.col("best_dec"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+SQL_TOP_REVENUE_SUPPLIER = """
+WITH rev AS (
+    SELECT l_suppkey AS supplier_no,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2))
+                  - CAST(l_discount AS DECIMAL(18,2)))) AS total_dec
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1999-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1999-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_dec AS DOUBLE) AS total_revenue
+FROM rev r JOIN supplier s ON r.supplier_no = s.s_suppkey
+WHERE r.total_dec = (SELECT max(total_dec) FROM rev)
+"""
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    20% of their part's average quantity — the classic correlated scalar
+    AVG, manually decorrelated to ONE per-part aggregate + join-back
+    (one ``l_partkey`` shuffle; the subquery form would rescan lineitem
+    per part). The below-average predicate is cross-multiplied into
+    exact DECIMAL (``5·qty·n < sum``) so no float-average boundary can
+    flip a row between engines; only the final per-brand yearly average
+    divides in doubles. Oracle keeps the textbook correlated form — the
+    hash proves the rewrite."""
+    li = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(qty).alias("sum_qty"), F.count("*").alias("n_li")
+    )
+    j = (
+        li.join(per_part, F.col("l_partkey") == F.col("pk"))
+        .filter(
+            qty * F.lit(5).cast("decimal(18,2)") * F.col("n_li")
+            < F.col("sum_qty")
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return j.groupBy("p_brand").agg(
+        F.count("*").alias("n_small"),
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            / F.lit(7.0)
+        ).alias("avg_yearly"),
+    )
+
+
+SQL_SMALL_QUANTITY_REVENUE = """
+SELECT p.p_brand, count(*) AS n_small,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+           AS avg_yearly
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5
+        * (SELECT count(*) FROM lineitem l2
+           WHERE l2.l_partkey = l.l_partkey)
+      < (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(18,2)))
+         FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)
+GROUP BY p.p_brand
+"""
+
+
+def q_disjunctive_part_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a DISJUNCTION of three
+    (brand, size-range, quantity-range) conjunct groups — the classic
+    OR-of-ANDs predicate that tests an optimizer's ability to keep a
+    broadcast join + common-conjunct pushdown instead of falling back
+    to a cross product. Grouped per matching brand; DECIMAL revenue."""
+    li = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 40)
+            & qty.between(20, 30)
+        )
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)")
+        - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_DISJUNCTIVE_PART_FILTER = """
+SELECT p.p_brand,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 40
+       AND l.l_quantity BETWEEN 20 AND 30)
+GROUP BY p.p_brand
+"""
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the EUROPE supplier
+    quoting the minimum price, selected by a correlated-MIN subquery
+    whose result joins back on a MULTI-column key (partkey, price) —
+    the classic "argmin join-back". The testdata has no ``partsupp``,
+    so the quoted price is the minimum ``l_extendedprice`` the
+    (part, supplier) pair ever shipped at — same shape, same
+    decorrelation question. Engine side decorrelates to ONE per-part
+    aggregate + equi join-back (one ``p_partkey`` shuffle); the oracle
+    keeps the textbook correlated subquery, so the hash proves the
+    rewrite. Prices stay DECIMAL through the min-equality predicate —
+    a float min would 1-ulp-miss the join-back. Top-100 by account
+    balance with full deterministic tie-breaks."""
+    li = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") == 15)
+    ).select("p_partkey", "p_name")
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = tbl(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    ).select("r_regionkey")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    quotes = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name",
+                 "s_acctbal", "n_name")
+        .agg(F.min(price).alias("_cost_dec"))
+    )
+    best = quotes.groupBy(F.col("p_partkey").alias("_bk")).agg(
+        F.min("_cost_dec").alias("_best_dec")
+    )
+    return (
+        quotes.join(
+            best,
+            (F.col("p_partkey") == F.col("_bk"))
+            & (F.col("_cost_dec") == F.col("_best_dec")),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+        .select(
+            "s_acctbal", "s_name", F.col("n_name").alias("nation"),
+            "p_partkey", "p_name",
+            F.col("_cost_dec").cast("double").alias("min_cost"),
+        )
+    )
+
+
+SQL_MIN_COST_SUPPLIER = """
+WITH quotes AS (
+    SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal,
+           n.n_name,
+           MIN(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS cost_dec
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+      AND p.p_type = 'LARGE' AND p.p_size = 15
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+    GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT q.s_acctbal, q.s_name, q.n_name AS nation, q.p_partkey, q.p_name,
+       CAST(q.cost_dec AS DOUBLE) AS min_cost
+FROM quotes q
+WHERE q.cost_dec = (SELECT MIN(q2.cost_dec) FROM quotes q2
+                    WHERE q2.p_partkey = q.p_partkey)
+ORDER BY q.s_acctbal DESC, q.n_name, q.s_name, q.p_partkey
+LIMIT 100
+"""
+
+
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders in one quarter counted per priority when
+    at least one lineitem shipped late — an EXISTS semi join whose
+    correlation carries a NON-equi conjunct (``l_shipdate >
+    o_orderdate + 30 days``; the testdata has no commit/receipt dates,
+    so "late" is ship-lag against the order date — same mixed
+    equi+range correlated-EXISTS shape). Spark executes it as a
+    LeftSemi hash join on ``orderkey`` with the range conjunct as a
+    join residual — one fact shuffle, no fact duplication from the
+    multi-lineitem fan-out (semi join emits each order at most once)."""
+    o = tbl(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1998-07-01"))
+        & (F.to_date("o_orderdate") < F.lit("1998-10-01"))
+    )
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (
+        F.col("l_orderkey") == F.col("o_orderkey")
+    ) & (
+        F.to_date("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 30)
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+SQL_ORDER_PRIORITY_CHECK = """
+SELECT o.o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE CAST(o.o_orderdate AS DATE) >= DATE '1998-07-01'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1998-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND CAST(l.l_shipdate AS DATE)
+                    > CAST(o.o_orderdate AS DATE) + INTERVAL 30 DAY)
+GROUP BY o.o_orderpriority
+"""
+
+
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-table filter aggregate — the revenue
+    gained by eliminating small discounts in one year. Every predicate
+    (ship year, discount band, quantity cap) pushes to the parquet
+    scan; the whole query is one scan + one partial/final agg with no
+    shuffle beyond the 1-row final. Discount-band bounds compare in
+    DECIMAL so 0.05/0.07 (not binary-exact as doubles) cannot flip
+    boundary rows between engines."""
+    li = tbl(spark, sf_dir, "lineitem")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.filter(
+            (F.to_date("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.to_date("l_shipdate") < F.lit("1998-01-01"))
+            & (disc >= F.lit("0.05").cast("decimal(4,2)"))
+            & (disc <= F.lit("0.07").cast("decimal(4,2)"))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * disc)
+            .cast("double")
+            .alias("revenue_delta"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_FORECAST_REVENUE_CHANGE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+           AS revenue_delta,
+       count(*) AS n_items
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+  AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN
+        CAST('0.05' AS DECIMAL(4,2)) AND CAST('0.07' AS DECIMAL(4,2))
+  AND l_quantity < 24
+"""
+
+
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: per-nation per-year profit on a part-name
+    pattern — a 5-table star whose measure SUBTRACTS a cost term from
+    revenue inside the aggregate. The testdata has no ``partsupp``,
+    so cost is ``p_retailprice × l_quantity`` (the dim attribute plays
+    supplycost) — the shape under test is the multi-table profit
+    expression, LIKE-pattern dim pruning, and the two-level group-by.
+    Profit accumulates in DECIMAL end-to-end: revenue and cost terms
+    subtract exactly, so per-(nation, year) sums are bit-identical
+    regardless of partitioning."""
+    li = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    ).select("p_partkey", "p_retailprice")
+    s = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    amount = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)")
+        - F.col("l_discount").cast("decimal(18,2)")
+    ) - F.col("p_retailprice").cast("decimal(18,2)") * F.col(
+        "l_quantity"
+    ).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.sum(amount).cast("double").alias("profit"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_PRODUCT_TYPE_PROFIT = """
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2))
+                     - CAST(l.l_discount AS DECIMAL(18,2)))
+                - CAST(p.p_retailprice AS DECIMAL(18,2))
+                  * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           AS profit,
+       count(*) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%widget%'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+def q_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts representing a significant share of one
+    nation's total traded value — a grouped aggregate filtered by a
+    HAVING against a SCALAR subquery over the same filtered set
+    (``value > 0.001 × total``). The share predicate runs in exact
+    BIGINT ten-thousandths (each line's DECIMAL(·,4) amount is an
+    integral number of 1e-4 units, so the cast is lossless and
+    ``value_e4 × 1000 > total_e4`` is pure integer math) — a float
+    share would flip boundary parts between engines. One ``l_partkey``
+    shuffle; the total is a broadcast scalar."""
+    li = tbl(spark, sf_dir, "lineitem")
+    s = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = tbl(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    ).select("n_nationkey")
+    amount_e4 = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (
+            F.lit(1).cast("decimal(3,2)")
+            - F.col("l_discount").cast("decimal(4,2)")
+        )
+        * F.lit(10000)
+    ).cast("long")
+    per_part = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(amount_e4).alias("_value_e4"))
+    )
+    total = per_part.agg(F.sum("_value_e4").alias("_total_e4"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("_value_e4") * 1000 > F.col("_total_e4"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("_value_e4") / F.lit(10000.0)).alias("part_value"),
+        )
+    )
+
+
+SQL_IMPORTANT_PART_VALUE = """
+WITH per_part AS (
+    SELECT l.l_partkey,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(3,2))
+                            - CAST(l.l_discount AS DECIMAL(4,2)))
+                         * 10000 AS BIGINT)) AS BIGINT) AS value_e4
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+      AND n.n_name = 'NATION_7'
+    GROUP BY l.l_partkey
+)
+SELECT p.l_partkey AS p_partkey, p.value_e4 / 10000.0 AS part_value
+FROM per_part p
+WHERE p.value_e4 * 1000 > (SELECT CAST(SUM(value_e4) AS BIGINT)
+                           FROM per_part)
+"""
+
+
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: late shipments in one year, grouped by a line
+    attribute, with the order-priority split folded into CONDITIONAL
+    COUNTS (the CASE-inside-SUM idiom). The testdata has no
+    ``l_shipmode``/commit/receipt dates, so the group key is
+    ``l_returnflag`` and "late" is ship-lag > 60 days — the shape under
+    test is the fact-fact join with a derived range predicate plus the
+    two-way conditional aggregation. One ``orderkey`` shuffle pair."""
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1998-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1999-01-01"))
+    ).select("l_orderkey", "l_returnflag", "l_shipdate")
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.to_date("l_shipdate")
+            > F.date_add(F.to_date("o_orderdate"), 60)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+SQL_LATE_SHIPMENT_PRIORITY = """
+SELECT l.l_returnflag,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE CAST(l.l_shipdate AS DATE) >= DATE '1998-01-01'
+  AND CAST(l.l_shipdate AS DATE) < DATE '1999-01-01'
+  AND CAST(l.l_shipdate AS DATE)
+      > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY
+GROUP BY l.l_returnflag
+"""
+
+
+def q_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    group, EXCLUDING suppliers from a NOT-IN subquery. The testdata has
+    no ``partsupp``, so shipment history (lineitem) is the
+    part↔supplier bridge, and the exclusion list is negative-balance
+    suppliers (standing in for the comment-complaints filter). Spark
+    plans the NOT IN as a broadcast left-anti join (the exclusion list
+    is tiny and ``s_suppkey`` is non-null, so NOT-IN's three-valued
+    trap does not bite — documented here, asserted by the oracle
+    keeping the literal NOT IN). Distinct count shuffles once on the
+    attribute group."""
+    li = tbl(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = tbl(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = tbl(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("_bad_sk"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("_bad_sk"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_SUPPLIER_COUNT_BY_PART = """
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#5'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                          WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+def q_promotion_qty_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation who shipped a
+    significant quantity of a name-pattern part family in one year —
+    the NESTED-IN pyramid (supplier IN … lineitem group HAVING …
+    part IN …). The testdata has no ``partsupp``/availqty, so the
+    HAVING threshold is a fixed shipped-quantity floor rather than
+    0.5×availqty — the shape under test is the two-level IN
+    decorrelation. Engine side: broadcast the part-id list into the
+    fact scan, aggregate per (supplier, part), threshold in DECIMAL,
+    then ONE semi join onto supplier; the oracle keeps both textbook
+    IN subqueries. No fact re-scan, no duplication from multi-part
+    qualification (semi join emits each supplier once)."""
+    part_ids = tbl(spark, sf_dir, "part").filter(
+        F.col("p_name").like("cold%")
+    ).select("p_partkey")
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1998-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1999-01-01"))
+    )
+    qual = (
+        li.join(
+            F.broadcast(part_ids), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_qty"))
+        .filter(F.col("_qty") > F.lit(50).cast("decimal(18,2)"))
+        .select("l_suppkey")
+    )
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_4"
+    ).select("n_nationkey")
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qual, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+SQL_PROMOTION_QTY_SUPPLIERS = """
+SELECT s.s_suppkey, s.s_name, s.s_acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_4'
+WHERE s.s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l
+    WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_name LIKE 'cold%')
+      AND CAST(l.l_shipdate AS DATE) >= DATE '1998-01-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1999-01-01'
+    GROUP BY l.l_suppkey, l.l_partkey
+    HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2)))
+           > CAST(50 AS DECIMAL(18,2))
+)
+"""
+
+
 SQL2_QUERIES: dict[str, QueryFn] = {
     "rollup_lineitem": q_rollup,
     "cube_orders": q_cube,
@@ -779,6 +1613,21 @@ SQL2_QUERIES: dict[str, QueryFn] = {
     "inactive_above_avg_balance": q_inactive_above_avg,
     "promo_revenue_share": q_promo_revenue_share,
     "lateral_topn_orders": q_lateral_topn,
+    "nation_volume_shipping": q_nation_volume_shipping,
+    "market_share_by_year": q_market_share,
+    "returned_item_revenue": q_returned_item_revenue,
+    "order_count_distribution": q_order_count_distribution,
+    "top_revenue_supplier": q_top_revenue_supplier,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "disjunctive_part_filter": q_disjunctive_part_filter,
+    "min_cost_supplier_part": q_min_cost_supplier,
+    "order_priority_check": q_order_priority_check,
+    "forecast_revenue_change": q_forecast_revenue_change,
+    "product_type_profit": q_product_type_profit,
+    "important_part_value": q_important_part_value,
+    "late_shipment_priority": q_late_shipment_priority,
+    "supplier_count_by_part": q_supplier_count_by_part,
+    "promotion_qty_suppliers": q_promotion_qty_suppliers,
 }
 
 SQL2_ORACLE: dict[str, str] = {
@@ -804,4 +1653,19 @@ SQL2_ORACLE: dict[str, str] = {
     "inactive_above_avg_balance": SQL_INACTIVE_ABOVE_AVG,
     "promo_revenue_share": SQL_PROMO_REVENUE_SHARE,
     "lateral_topn_orders": SQL_LATERAL_TOPN,
+    "nation_volume_shipping": SQL_NATION_VOLUME,
+    "market_share_by_year": SQL_MARKET_SHARE,
+    "returned_item_revenue": SQL_RETURNED_ITEM_REVENUE,
+    "order_count_distribution": SQL_ORDER_COUNT_DISTRIBUTION,
+    "top_revenue_supplier": SQL_TOP_REVENUE_SUPPLIER,
+    "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
+    "disjunctive_part_filter": SQL_DISJUNCTIVE_PART_FILTER,
+    "min_cost_supplier_part": SQL_MIN_COST_SUPPLIER,
+    "order_priority_check": SQL_ORDER_PRIORITY_CHECK,
+    "forecast_revenue_change": SQL_FORECAST_REVENUE_CHANGE,
+    "product_type_profit": SQL_PRODUCT_TYPE_PROFIT,
+    "important_part_value": SQL_IMPORTANT_PART_VALUE,
+    "late_shipment_priority": SQL_LATE_SHIPMENT_PRIORITY,
+    "supplier_count_by_part": SQL_SUPPLIER_COUNT_BY_PART,
+    "promotion_qty_suppliers": SQL_PROMOTION_QTY_SUPPLIERS,
 }

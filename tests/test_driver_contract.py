@@ -53,17 +53,24 @@ def test_window_prioritizes_unverified_entries():
         | set(contract._R3_GREEN) | set(contract._R4_GREEN)
     )
     new_this_round = [k for k in names if k not in tiered]
-    for k in new_this_round:
+    # when new entries overflow the 50-slot budget, the first
+    # (50 - reds) of them verify this round and the tail rotates to the
+    # NEXT round — but no previously-green entry may displace a
+    # never-driver-verified one
+    budget = 50 - len(contract._R4_RED_FIXED)
+    for k in new_this_round[:budget]:
         assert k in window, k
-    # the window remainder goes to the stalest standing signal (latest
-    # green = round 2), in tier order — when new entries overflow the
-    # budget, the R2 tail rotates to the NEXT round, never mid-tier skips
-    remainder = 50 - 2 - len(new_this_round)
+    # the window remainder (if any) goes to the stalest standing signal
+    # (latest green = round 2), in tier order — never mid-tier skips
+    remainder = max(0, 50 - 2 - len(new_this_round))
     expect_r2 = [k for k in contract._R2_GREEN_STALE if k in names][:remainder]
     for k in expect_r2:
         assert k in window, k
     in_window_r2 = [k for k in contract._R2_GREEN_STALE if k in window]
     assert in_window_r2 == expect_r2
+    # window is exactly reds + new-entry prefix when new entries saturate
+    if len(new_this_round) >= budget:
+        assert window == contract._R4_RED_FIXED + new_this_round[:budget]
     # nothing is dropped or duplicated by the ordering
     assert len(names) == len(set(names))
     merged = set(contract.QUERIES) | set(contract.EXT_QUERIES) | set(
