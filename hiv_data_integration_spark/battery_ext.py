@@ -4951,7 +4951,387 @@ FROM per_doc
 """
 
 
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted median, the corpus-curation form of a quantile:
+    per return flag, the smallest price whose cumulative QUANTITY
+    reaches half the flag's total quantity. Weights are BIGINTs, so the
+    half-total test is pure integer math (2*cum >= total); values order
+    as DECIMAL(18,2) and only the final projection is double. Runs the
+    BUCKETED two-phase path (bucket_div=1000: histogram finds each
+    group's median bucket, only that bucket's values sort) — the scale
+    path for few-groups/many-values profiles; the oracle keeps the
+    naive full cumulative scan, so the hash proves the rewrite."""
+    from hiv_data_integration_spark.operators.aggregate import weighted_median
+
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("_price"),
+        "l_quantity",
+    )
+    out = weighted_median(
+        li, "l_returnflag", "_price", "l_quantity", bucket_div=1000
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("weighted_median").cast("double").alias("weighted_median"),
+        "total_weight",
+    )
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH per_val AS (
+    SELECT l_returnflag AS grp, CAST(l_extendedprice AS DECIMAL(18,2)) AS val,
+           SUM(CAST(l_quantity AS BIGINT)) AS w
+    FROM lineitem GROUP BY 1, 2
+),
+c AS (
+    SELECT grp, val, w,
+           SUM(w) OVER (PARTITION BY grp ORDER BY val
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(w) OVER (PARTITION BY grp) AS total
+    FROM per_val
+)
+SELECT grp AS l_returnflag,
+       CAST(MIN(val) AS DOUBLE) AS weighted_median,
+       CAST(MIN(total) AS BIGINT) AS total_weight
+FROM c WHERE cum * 2 >= total GROUP BY grp
+"""
+
+
+def q_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user RFM behavioral features: recency in whole days against
+    the corpus max-date anchor (reproducible, no wall clock), frequency,
+    and a DECIMAL(28,6)-accumulated monetary sum (bit-identical under
+    any partitioning; one final double cast)."""
+    from hiv_data_integration_spark.operators.aggregate import rfm_features
+
+    ev = tbl(spark, sf_dir, "events")
+    return rfm_features(ev).select(
+        F.col("user").alias("user_id"), "recency_days", "frequency",
+        "monetary",
+    )
+
+
+SQL_RFM = """
+WITH anchor AS (SELECT MAX(CAST(ts AS DATE)) AS a FROM events),
+per_user AS (
+    SELECT user_id, MAX(CAST(ts AS DATE)) AS last_d, COUNT(*) AS frequency,
+           SUM(CAST(value AS DECIMAL(28,6))) AS mon
+    FROM events GROUP BY 1
+)
+SELECT p.user_id,
+       CAST(a.a - p.last_d AS BIGINT) AS recency_days,
+       p.frequency,
+       CAST(p.mon AS DOUBLE) AS monetary
+FROM per_user p CROSS JOIN anchor a
+"""
+
+
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution over the event stream: every
+    view/click/signup inside the 72 h window before a purchase shares
+    that purchase's credit equally. Credits decomposed by window-size
+    cohort as exact BIGINT numerators (summing 1/n floats across
+    conversions would be order-dependent); credit = one IEEE division
+    per output row."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        linear_attribution,
+    )
+
+    ev = tbl(spark, sf_dir, "events")
+    return linear_attribution(
+        ev, "purchase", ["view", "click", "signup"], "72 hours"
+    )
+
+
+SQL_LINEAR_ATTRIBUTION = """
+WITH conv AS (SELECT user_id AS u, ts AS ct, event_id AS cid FROM events
+              WHERE event_type = 'purchase'),
+touch AS (SELECT user_id AS u, event_type AS tt, ts AS tts FROM events
+          WHERE event_type IN ('view', 'click', 'signup')),
+pct AS (
+    SELECT c.cid, t.tt, COUNT(*) AS cnt
+    FROM conv c JOIN touch t ON c.u = t.u
+     AND t.tts < c.ct AND t.tts >= c.ct - INTERVAL 72 HOUR
+    GROUP BY 1, 2
+),
+pc AS (SELECT cid, CAST(SUM(cnt) AS BIGINT) AS n_touches FROM pct GROUP BY 1)
+SELECT pct.tt AS touch_type, pc.n_touches,
+       CAST(SUM(pct.cnt) AS BIGINT) AS credit_num,
+       COUNT(DISTINCT pct.cid) AS n_conversions,
+       CAST(CAST(SUM(pct.cnt) AS BIGINT) AS DOUBLE)
+           / CAST(pc.n_touches AS DOUBLE) AS credit
+FROM pct JOIN pc USING (cid)
+GROUP BY 1, 2
+"""
+
+
+def q_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford leading-digit profile of lineitem prices: values become
+    exact integer cents via a DECIMAL cast (never floor(x*100) on
+    doubles), and the leading digit is the first character of the
+    BIGINT's decimal string — integer-to-string is exact on every
+    engine, unlike log10 (libm rounding differs at powers of ten)."""
+    from hiv_data_integration_spark.operators.aggregate import benford_profile
+
+    li = tbl(spark, sf_dir, "lineitem")
+    return benford_profile(li, "l_extendedprice", decimal_scale=2)
+
+
+SQL_BENFORD = """
+WITH units AS (
+    SELECT CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100 AS BIGINT) AS u
+    FROM lineitem
+),
+d AS (SELECT CAST(substr(CAST(u AS VARCHAR), 1, 1) AS BIGINT)
+          AS leading_digit
+      FROM units WHERE u > 0),
+c AS (SELECT leading_digit, COUNT(*) AS n_values FROM d GROUP BY 1)
+SELECT leading_digit, n_values,
+       CAST(n_values AS DOUBLE)
+           / CAST((SELECT CAST(SUM(n_values) AS BIGINT) FROM c) AS DOUBLE)
+           AS share
+FROM c
+"""
+
+
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric eval-containment decontamination scores: per
+    (train doc, eval doc) pair, shared distinct word 3-grams over the
+    eval doc's gram count — the right measure when a short benchmark
+    item hides inside a long page (containment ~1.0 where Jaccard ~0).
+    Eval suite = doc_id % 25 == 0 (broadcast); the corpus never
+    re-shuffles. Counts exact BIGINTs; containment one IEEE division."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_df = docs.filter(F.col("doc_id") % 25 == 0)
+    train = docs.filter(F.col("doc_id") % 25 != 0)
+    return tx.ngram_containment(train, eval_df, n=3, min_shared=1)
+
+
+SQL_NGRAM_CONTAINMENT = f"""
+WITH g AS (
+    SELECT doc_id AS id,
+           unnest(list_transform(generate_series(1, len(toks) - 2),
+                  i -> array_to_string(toks[i : i + 2], ' '))) AS gram
+    FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    WHERE len(toks) >= 3
+),
+ev AS (SELECT DISTINCT id AS eval_id, gram FROM g WHERE id % 25 = 0),
+tr AS (SELECT DISTINCT id AS train_id, gram FROM g WHERE id % 25 != 0),
+ev_sizes AS (SELECT eval_id, COUNT(*) AS eval_grams FROM ev GROUP BY 1),
+shared AS (
+    SELECT tr.train_id, ev.eval_id, COUNT(*) AS shared_grams
+    FROM tr JOIN ev USING (gram)
+    GROUP BY 1, 2
+)
+SELECT s.train_id, s.eval_id, s.shared_grams, z.eval_grams,
+       CAST(s.shared_grams AS DOUBLE) / CAST(z.eval_grams AS DOUBLE)
+           AS containment
+FROM shared s JOIN ev_sizes z USING (eval_id)
+WHERE s.shared_grams >= 1
+"""
+
+
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis on the orders->customer key: top-10
+    heaviest o_custkey values with exact counts, share, and skew ratio
+    (cnt*n_keys/total) — the measurement pass that decides whether a
+    join needs salting/AQE skew handling. Ranking is total (count desc,
+    key string asc)."""
+    from hiv_data_integration_spark.operators.relational import (
+        key_skew_profile,
+    )
+
+    o = tbl(spark, sf_dir, "orders")
+    return key_skew_profile(o, "o_custkey", k=10)
+
+
+SQL_KEY_SKEW = """
+WITH counts AS (
+    SELECT CAST(o_custkey AS VARCHAR) AS key, COUNT(*) AS cnt
+    FROM orders GROUP BY 1
+),
+stats AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS nkeys
+          FROM counts),
+r AS (SELECT key, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, key ASC NULLS LAST)
+                 AS rank
+      FROM counts)
+SELECT r.rank, r.key, r.cnt,
+       s.total AS total_rows, s.nkeys AS n_keys,
+       CAST(r.cnt AS DOUBLE) / CAST(s.total AS DOUBLE) AS share,
+       CAST(r.cnt * s.nkeys AS DOUBLE) / CAST(s.total AS DOUBLE)
+           AS skew_ratio
+FROM r CROSS JOIN stats s
+WHERE r.rank <= 10
+"""
+
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the exact cosine top-5 and the
+    hyperplane-LSH top-3 rankings (k0=60): the zero-training ranker
+    combiner. The score adds its 1/(60+rank) terms in fixed list order
+    (exact ranker first) — a left-to-right float expression, not an
+    aggregate, so the fused ordering is bit-reproducible."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = sim.cosine_topk(queries, emb, k=5)
+    approx = sim.lsh_topk(queries, emb, _PLANES, k=3)
+    return sim.rrf_fuse([exact, approx], k0=60, k=5)
+
+
+SQL_RRF_FUSION = f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           CAST({_BUCKET_SQL.format(v="CAST(embedding AS DOUBLE[])")} AS BIGINT) AS bucket
+    FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, bucket, v AS qv FROM e WHERE vec_id % 50 = 0),
+exact_scored AS (
+    SELECT query_id, e.vec_id AS neighbor_id, {_COS_SQL} AS cos
+    FROM e CROSS JOIN q WHERE e.vec_id != query_id
+),
+exact_r AS (
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rank
+        FROM exact_scored) WHERE rank <= 5
+),
+approx_scored AS (
+    SELECT query_id, e.vec_id AS neighbor_id, {_COS_SQL} AS cos
+    FROM e JOIN q USING (bucket) WHERE e.vec_id != query_id
+),
+approx_r AS (
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rank
+        FROM approx_scored) WHERE rank <= 3
+),
+fused AS (
+    SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+           COALESCE(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+           COALESCE(CAST(1 AS DOUBLE) / (60 + a.rank), CAST(0 AS DOUBLE))
+           + COALESCE(CAST(1 AS DOUBLE) / (60 + b.rank), CAST(0 AS DOUBLE))
+               AS score
+    FROM exact_r a
+    FULL OUTER JOIN approx_r b
+      ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM fused)
+WHERE rank <= 5
+"""
+
+
+def q_rank_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source rank-quantile normalization of document length: each
+    doc's n_chars maps to its exact within-source quantile
+    (rank-1)/(n-1) with the doc_id tiebreak making ranks unique —
+    the cross-source score calibration step of corpus curation."""
+    docs = tbl(spark, sf_dir, "documents")
+    return sp.rank_quantile_norm(docs, "source", "n_chars", "doc_id")
+
+
+SQL_RANK_QUANTILE_NORM = """
+SELECT doc_id AS id, source AS stratum, n_chars AS metric,
+       CAST(ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY n_chars, doc_id) AS BIGINT) AS rank,
+       CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n,
+       CASE WHEN COUNT(*) OVER (PARTITION BY source) = 1
+            THEN CAST(0.5 AS DOUBLE)
+            ELSE CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                         ORDER BY n_chars, doc_id) - 1
+                      AS DOUBLE)
+                 / CAST(COUNT(*) OVER (PARTITION BY source) - 1 AS DOUBLE)
+       END AS quantile
+FROM documents
+"""
+
+
+def q_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum interleave ordering: rank docs easy-to-hard (n_chars)
+    within each source, then emit the balanced round-robin position —
+    every training-window slice stays source-balanced while each
+    source ramps in difficulty. The battery materializes the total
+    order so the oracle hashes it; at corpus scale the key triple
+    feeds repartitionByRange/sortWithinPartitions instead."""
+    docs = tbl(spark, sf_dir, "documents")
+    return sp.curriculum_interleave(
+        docs, "source", ["n_chars"], "doc_id"
+    ).select("id", "source", "src_rank", "position")
+
+
+SQL_CURRICULUM_INTERLEAVE = """
+WITH ranked AS (
+    SELECT doc_id AS id, source,
+           CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY n_chars, doc_id) AS BIGINT)
+               AS src_rank
+    FROM documents
+)
+SELECT id, source, src_rank,
+       CAST(ROW_NUMBER() OVER (ORDER BY src_rank, source, id) AS BIGINT)
+           AS position
+FROM ranked
+"""
+
+
+def q_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Spearman rank correlation between document length
+    and whitespace token count (unique ranks via the doc_id tiebreak,
+    so rho = 1 - 6*sum(d^2)/(n*(n^2-1)) is exact BIGINT math up to one
+    final IEEE division) — the monotone-association profile check."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        rank_correlation,
+    )
+
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars",
+        tx.token_count(F.col("text")).alias("_ntok"),
+    )
+    return rank_correlation(docs, "lang", "n_chars", "_ntok", "doc_id")
+
+
+SQL_RANK_CORRELATION = f"""
+WITH base AS (
+    SELECT doc_id, lang, n_chars, CAST(len({_TOKS}) AS BIGINT) AS ntok
+    FROM documents
+),
+ranked AS (
+    SELECT lang,
+           CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY n_chars, doc_id) AS BIGINT)
+               AS rx,
+           CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY ntok, doc_id) AS BIGINT) AS ry
+    FROM base
+)
+SELECT lang, COUNT(*) AS n,
+       CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2,
+       CAST(1 AS DOUBLE)
+       - (CAST(6 AS DOUBLE) * CAST(SUM((rx - ry) * (rx - ry)) AS DOUBLE))
+         / CAST(COUNT(*) * (COUNT(*) * COUNT(*) - 1) AS DOUBLE) AS rho
+FROM ranked
+GROUP BY lang
+HAVING COUNT(*) >= 2
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
+    "weighted_median_price": q_weighted_median,
+    "user_rfm_features": q_rfm_features,
+    "event_linear_attribution": q_linear_attribution,
+    "benford_price_profile": q_benford_profile,
+    "text_ngram_containment": q_ngram_containment,
+    "join_key_skew_profile": q_key_skew_profile,
+    "embed_rrf_fusion": q_rrf_fusion,
+    "source_quantile_norm": q_rank_quantile_norm,
+    "corpus_curriculum_interleave": q_curriculum_interleave,
+    "quality_length_rank_corr": q_rank_correlation,
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
     "json_dict_scan": q_json_dict_scan,
@@ -5062,6 +5442,16 @@ EXT_QUERIES: dict[str, QueryFn] = {
 }
 
 EXT_ORACLE: dict[str, str] = {
+    "weighted_median_price": SQL_WEIGHTED_MEDIAN,
+    "user_rfm_features": SQL_RFM,
+    "event_linear_attribution": SQL_LINEAR_ATTRIBUTION,
+    "benford_price_profile": SQL_BENFORD,
+    "text_ngram_containment": SQL_NGRAM_CONTAINMENT,
+    "join_key_skew_profile": SQL_KEY_SKEW,
+    "embed_rrf_fusion": SQL_RRF_FUSION,
+    "source_quantile_norm": SQL_RANK_QUANTILE_NORM,
+    "corpus_curriculum_interleave": SQL_CURRICULUM_INTERLEAVE,
+    "quality_length_rank_corr": SQL_RANK_CORRELATION,
     "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
     "csv_per_period_export": SQL_CSV_PER_PERIOD,
     "json_dict_scan": SQL_JSON_DICT_SCAN,

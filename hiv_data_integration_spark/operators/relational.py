@@ -29,6 +29,7 @@ __all__ = [
     "dataset_diff",
     "asof_join_last",
     "hierarchy_closure",
+    "key_skew_profile",
 ]
 
 
@@ -475,3 +476,52 @@ def hierarchy_closure(
         # the returned plan is resolved eagerly by Spark's analyzer, so the
         # temp view is safe to drop once the DataFrame exists
         spark.catalog.dropTempView(view)
+
+
+def key_skew_profile(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
+    """Join-key skew diagnosis: the ``k`` heaviest key values with their
+    exact frequency, share of all rows, and skew ratio (how many times
+    the mean per-key load this key carries) — the measurement pass that
+    decides whether a join needs ``salted_join`` / AQE skew handling
+    before the shuffle falls over at scale.
+
+    All inputs to the ratios are exact BIGINTs (``cnt·n_keys`` and
+    ``cnt`` vs totals), each ratio one IEEE division. NULL keys are
+    profiled too (they hash to one partition like any other value —
+    the most common real-world skew culprit).
+
+    Plan: one key-keyed hash aggregate (map-side combined), a 1-row
+    broadcast of the global stats, and a top-k window over the
+    key-count table (key-cardinality-sized, not row-sized). Ranking is
+    total: count desc, then key string asc.
+
+    Output: ``(rank, key, cnt, total_rows, n_keys, share, skew_ratio)``.
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    stats = counts.agg(
+        F.sum("cnt").alias("_total"), F.count("*").alias("_nkeys")
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc_nulls_last())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "rank",
+            "key",
+            "cnt",
+            F.col("_total").alias("total_rows"),
+            F.col("_nkeys").alias("n_keys"),
+            (F.col("cnt").cast("double") / F.col("_total").cast("double")).alias(
+                "share"
+            ),
+            (
+                (F.col("cnt") * F.col("_nkeys")).cast("double")
+                / F.col("_total").cast("double")
+            ).alias("skew_ratio"),
+        )
+    )

@@ -29,6 +29,8 @@ __all__ = [
     "shuffle_shards",
     "mixture_quota_sample",
     "kfold_assign",
+    "rank_quantile_norm",
+    "curriculum_interleave",
 ]
 
 #: Bucket space: 4 hex digits of the md5 → uniform integers in [0, 65536).
@@ -273,4 +275,89 @@ def kfold_assign(
         raise ValueError(f"kfold_assign: k must be >= 2, got {k}")
     return df.withColumn(
         "fold", (hash_bucket(F.col(id_col), salt=salt) % k).cast("long")
+    )
+
+
+def rank_quantile_norm(
+    df: DataFrame,
+    stratum_col: str,
+    metric_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-stratum rank-quantile normalization of a metric: each row's
+    metric maps to its rank position within its stratum, scaled to
+    [0, 1] — the cross-source calibration step of corpus curation
+    (a "0.8 quality" from one scorer and a "62/100" from another become
+    comparable once both are within-source quantiles).
+
+    Ranks are made unique by the id tiebreak, so the quantile is the
+    exact rational ``(rank-1)/(n-1)`` (one IEEE division of BIGINTs);
+    single-row strata pin to 0.5. One window per stratum plus a
+    stratum-keyed count join — shuffles only on the stratum key.
+
+    Output: ``(id, stratum, metric, rank, n, quantile)``.
+    """
+    from pyspark.sql.window import Window
+
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(stratum_col).alias("stratum"),
+            F.col(metric_col).alias("metric"),
+        )
+        .withColumn("rank", F.row_number().over(
+            Window.partitionBy("stratum").orderBy("metric", "id")
+        ).cast("long"))
+        .withColumn("n", F.count("*").over(
+            Window.partitionBy("stratum")
+        ).cast("long"))
+        .withColumn(
+            "quantile",
+            F.when(F.col("n") == 1, F.lit(0.5)).otherwise(
+                (F.col("rank") - 1).cast("double")
+                / (F.col("n") - 1).cast("double")
+            ),
+        )
+    )
+
+
+def curriculum_interleave(
+    df: DataFrame,
+    source_col: str,
+    order_cols: list[str],
+    id_col: str,
+) -> DataFrame:
+    """Curriculum/interleave ordering: rank rows within each source by
+    the difficulty key, then emit the balanced round-robin position
+    (all sources' rank-1 rows first, then rank-2, ...) — the data-
+    ordering step that keeps any training-window slice of the corpus
+    source-balanced while preserving each source's easy→hard ramp.
+
+    Ranks are unique (id tiebreak). The global position is a
+    row_number over (src_rank, source, id) — at corpus scale, DON'T
+    materialize it: write with ``sortWithinPartitions`` /
+    ``repartitionByRange`` on the same key triple instead (total
+    orders are inherently a final serial pass; the KEY is the
+    product). The battery materializes it so the oracle can hash it.
+
+    Output: ``(id, source, src_rank, position)``.
+    """
+    from pyspark.sql.window import Window
+
+    per_src = Window.partitionBy(source_col).orderBy(
+        *[F.col(c) for c in order_cols], F.col(id_col)
+    )
+    ranked = df.withColumn(
+        "src_rank", F.row_number().over(per_src).cast("long")
+    ).select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("source"),
+        "src_rank",
+    )
+    total = Window.orderBy("src_rank", "source", "id")
+    return ranked.select(
+        "id",
+        "source",
+        "src_rank",
+        F.row_number().over(total).cast("long").alias("position"),
     )

@@ -46,6 +46,7 @@ __all__ = [
     "quantized_rerank_topk",
     "pq_codebooks",
     "pq_adc_topk",
+    "rrf_fuse",
 ]
 
 
@@ -876,4 +877,53 @@ def pq_adc_topk(
         pairs.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k0: int = 60,
+    k: int = 5,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of N retrieval
+    rankings: ``score = Σ_i 1/(k0 + rank_i)``, missing ranks contribute
+    0 — the standard zero-training way to combine an exact ranker with
+    cheaper ANN rankers (or dense with lexical BM25).
+
+    Each input must expose ``(query_id, neighbor_id, rank)``. The score
+    adds its terms in LIST ORDER (a fixed left-to-right expression, not
+    an aggregate), so the float result is bit-reproducible on any
+    engine — the same trick the tf-idf entry uses to keep rankings
+    hash-comparable. Fused rank ties break by neighbor id.
+
+    Plan: N-1 full-outer hash joins on (query, neighbor) — each side is
+    top-k-sized (queries × k rows, not corpus-sized) — then one window
+    re-rank per query. Output: ``(query_id, neighbor_id, rank, score)``.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    sides = []
+    for i, r in enumerate(rankings):
+        sides.append(
+            r.select(
+                "query_id", "neighbor_id", F.col("rank").alias(f"_r{i}")
+            )
+        )
+    fused = sides[0]
+    for s in sides[1:]:
+        fused = fused.join(s, ["query_id", "neighbor_id"], "full_outer")
+    score = None
+    for i in range(len(sides)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(k0) + F.col(f"_r{i}")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        fused.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
     )

@@ -28,6 +28,7 @@ __all__ = [
     "winnow_fingerprints",
     "ngrams",
     "ngram_repetition_features",
+    "ngram_containment",
     "contamination_check",
     "tfidf_topk",
     "pack_token_budget",
@@ -1090,4 +1091,65 @@ def token_diversity(
             - F.col("_sum_sq").cast("double")
             / (F.col("dl") * F.col("dl")).cast("double")
         ).alias("gini_simpson"),
+    )
+
+
+def ngram_containment(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Asymmetric n-gram containment between training documents and an
+    evaluation suite: per (train, eval) pair, ``|grams(train) ∩
+    grams(eval)| / |grams(eval)|`` over DISTINCT token n-grams.
+
+    Containment (not Jaccard) is the right decontamination measure when
+    the eval document is much shorter than the training document — a
+    benchmark question fully embedded in a long web page scores ~1.0 on
+    containment but near 0 on Jaccard. This is the pairwise, scored
+    complement of ``contamination_check`` (which only counts shared
+    grams per training doc, any eval doc).
+
+    The shared count and the eval gram count are exact BIGINTs; the
+    containment is one IEEE division. Plan: both sides reduce to
+    distinct (id, gram); the eval side (suite-sized by construction) is
+    broadcast into the corpus-side gram stream, then one (train, eval)
+    hash aggregate — the corpus never re-shuffles.
+
+    Output: ``(train_id, eval_id, shared_grams, eval_grams,
+    containment)`` for pairs with ``shared_grams >= min_shared``.
+    """
+    def gram_rows(d: DataFrame, out_id: str) -> DataFrame:
+        toks = d.select(
+            F.col(id_col).alias(out_id),
+            whitespace_tokens(F.lower(F.col(text_col))).alias("_toks"),
+        )
+        return toks.select(
+            out_id, F.explode(ngrams(F.col("_toks"), n)).alias("gram")
+        ).distinct()
+
+    train_grams = gram_rows(train, "train_id")
+    eval_grams = gram_rows(eval_df, "eval_id")
+    eval_sizes = eval_grams.groupBy("eval_id").agg(
+        F.count("*").alias("eval_grams")
+    )
+    return (
+        train_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("shared_grams"))
+        .filter(F.col("shared_grams") >= min_shared)
+        .join(F.broadcast(eval_sizes), "eval_id")
+        .select(
+            "train_id",
+            "eval_id",
+            "shared_grams",
+            "eval_grams",
+            (
+                F.col("shared_grams").cast("double")
+                / F.col("eval_grams").cast("double")
+            ).alias("containment"),
+        )
     )

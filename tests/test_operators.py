@@ -1673,3 +1673,255 @@ def test_token_diversity_handcrafted(spark):
     assert out[1].gini_simpson == 0.0  # all mass on one type
     assert out[2].gini_simpson == 1.0 - 4 / 16  # uniform over 4 types
     assert out[2].type_token_ratio == 1.0
+
+
+def test_weighted_median_handcrafted(spark):
+    from hiv_data_integration_spark.operators.aggregate import weighted_median
+
+    # group a: values 1,2,3 with weights 1,1,10 → total 12, half 6 →
+    # median is 3 (cum: 1,2,12). group b: 5 w4, 7 w4 → total 8, 2*cum at
+    # 5 is 8 >= 8 → LOWER median 5.
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 1), ("a", 3, 10), ("b", 5, 4), ("b", 7, 4)],
+        "g string, v int, w int",
+    )
+    got = {
+        r["g"]: (r["weighted_median"], r["total_weight"])
+        for r in weighted_median(df, "g", "v", "w").collect()
+    }
+    assert got == {"a": (3, 12), "b": (5, 8)}
+
+
+def test_weighted_median_duplicate_values_merge(spark):
+    from hiv_data_integration_spark.operators.aggregate import weighted_median
+
+    # duplicate value rows must merge weights BEFORE the cumulative pass
+    # (ROWS window over non-unique keys would be nondeterministic)
+    df = spark.createDataFrame(
+        [("g", 10, 1), ("g", 10, 1), ("g", 20, 1)], "g string, v int, w int"
+    )
+    [r] = weighted_median(df, "g", "v", "w").collect()
+    assert (r["weighted_median"], r["total_weight"]) == (10, 3)
+
+
+def test_rfm_features_handcrafted(spark):
+    from hiv_data_integration_spark.operators.aggregate import rfm_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 5.0),
+            (1, "2024-01-03 09:00:00", 7.5),
+            (2, "2024-01-05 00:00:00", 1.25),
+        ],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["user"]: (r["recency_days"], r["frequency"], r["monetary"])
+        for r in rfm_features(df).collect()
+    }
+    # anchor = 2024-01-05
+    assert got == {1: (2, 2, 12.5), 2: (0, 1, 1.25)}
+
+
+def test_linear_attribution_handcrafted(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        linear_attribution,
+    )
+
+    rows = [
+        # user 1: view + click in window, then purchase → n=2, each 1/2
+        (1, 1, "view", "2024-01-01 00:00:00"),
+        (2, 1, "click", "2024-01-01 01:00:00"),
+        (3, 1, "purchase", "2024-01-01 02:00:00"),
+        # user 2: one view inside window, one outside (>72h) → n=1
+        (4, 2, "view", "2024-01-01 00:00:00"),
+        (5, 2, "view", "2024-01-05 00:00:00"),
+        (6, 2, "purchase", "2024-01-05 12:00:00"),
+        # user 3: purchase with no touches → contributes nothing
+        (7, 3, "purchase", "2024-01-02 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = linear_attribution(df, "purchase", ["view", "click"], "72 hours")
+    got = {
+        (r["touch_type"], r["n_touches"]): (
+            r["credit_num"], r["n_conversions"], r["credit"]
+        )
+        for r in out.collect()
+    }
+    assert got == {
+        ("view", 2): (1, 1, 0.5),
+        ("click", 2): (1, 1, 0.5),
+        ("view", 1): (1, 1, 1.0),
+    }
+
+
+def test_benford_profile_handcrafted(spark):
+    from hiv_data_integration_spark.operators.aggregate import benford_profile
+
+    # 1.00, 19.99, 0.02 (leading digit 2 at cent scale), -5 and NULL dropped
+    df = spark.createDataFrame(
+        [(1.0,), (19.99,), (0.02,), (-5.0,), (None,)], "v double"
+    )
+    got = {
+        r["leading_digit"]: (r["n_values"], r["share"])
+        for r in benford_profile(df, "v").collect()
+    }
+    assert got == {1: (2, 2 / 3), 2: (1, 1 / 3)}
+
+
+def test_ngram_containment_handcrafted(spark):
+    from hiv_data_integration_spark.operators.textops import ngram_containment
+
+    train = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(1, "quick brown fox jumps"), (2, "totally unrelated words here")],
+        "doc_id long, text string",
+    )
+    out = ngram_containment(train, ev, n=3).collect()
+    # eval 1 has 2 distinct 3-grams, both inside the train doc; eval 2
+    # shares nothing and must not appear
+    assert len(out) == 1
+    r = out[0]
+    assert (r["train_id"], r["eval_id"]) == (100, 1)
+    assert (r["shared_grams"], r["eval_grams"], r["containment"]) == (2, 2, 1.0)
+
+
+def test_key_skew_profile_handcrafted(spark):
+    from hiv_data_integration_spark.operators.relational import (
+        key_skew_profile,
+    )
+
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 2 + [(None,)] * 2, "k string"
+    )
+    out = {r["rank"]: r for r in key_skew_profile(df, "k", k=2).collect()}
+    assert out[1]["key"] == "a" and out[1]["cnt"] == 6
+    assert out[1]["total_rows"] == 10 and out[1]["n_keys"] == 3
+    assert out[1]["share"] == 0.6 and out[1]["skew_ratio"] == 1.8
+    # NULL keys are profiled (rank 2 tie between b and NULL broken by
+    # key asc nulls last → b)
+    assert out[2]["key"] == "b" and out[2]["cnt"] == 2
+
+
+def test_weighted_median_bucketed_matches_direct(spark):
+    from hiv_data_integration_spark.operators.aggregate import weighted_median
+
+    import random
+
+    rng = random.Random(42)
+    rows = [
+        (f"g{i % 4}", rng.randint(0, 5000), rng.randint(1, 9))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g string, v int, w int")
+    direct = {
+        r["g"]: (r["weighted_median"], r["total_weight"])
+        for r in weighted_median(df, "g", "v", "w").collect()
+    }
+    for div in (1, 7, 100, 10_000):
+        bucketed = {
+            r["g"]: (r["weighted_median"], r["total_weight"])
+            for r in weighted_median(
+                df, "g", "v", "w", bucket_div=div
+            ).collect()
+        }
+        assert bucketed == direct, div
+
+
+def test_weighted_median_bucket_div_validation(spark):
+    from hiv_data_integration_spark.operators.aggregate import weighted_median
+
+    df = spark.createDataFrame([("g", 1, 1)], "g string, v int, w int")
+    with pytest.raises(ValueError):
+        weighted_median(df, "g", "v", "w", bucket_div=0)
+
+
+def test_rrf_fuse_handcrafted(spark):
+    from hiv_data_integration_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, neighbor_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2)], "query_id long, neighbor_id long, rank long"
+    )
+    out = {
+        r["neighbor_id"]: (r["rank"], r["score"])
+        for r in rrf_fuse([a, b], k0=60, k=3).collect()
+    }
+    # 11 appears in both (1/62 + 1/61) and outranks 10 (1/61) and 12 (1/62)
+    assert out[11][0] == 1 and out[11][1] == 1 / 62 + 1 / 61
+    assert out[10] == (2, 1 / 61)
+    assert out[12] == (3, 1 / 62)
+
+
+def test_rrf_fuse_validation(spark):
+    from hiv_data_integration_spark.operators.similarity import rrf_fuse
+
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+
+
+def test_rank_quantile_norm_handcrafted(spark):
+    from hiv_data_integration_spark.operators.sampling import (
+        rank_quantile_norm,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 30), (3, "a", 20), (4, "b", 99)],
+        "id long, src string, m long",
+    )
+    got = {
+        r["id"]: (r["rank"], r["n"], r["quantile"])
+        for r in rank_quantile_norm(df, "src", "m", "id").collect()
+    }
+    assert got[1] == (1, 3, 0.0)
+    assert got[3] == (2, 3, 0.5)
+    assert got[2] == (3, 3, 1.0)
+    # single-row stratum pins to 0.5
+    assert got[4] == (1, 1, 0.5)
+
+
+def test_curriculum_interleave_handcrafted(spark):
+    from hiv_data_integration_spark.operators.sampling import (
+        curriculum_interleave,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 1), (3, "b", 9), (4, "b", 2)],
+        "id long, src string, difficulty long",
+    )
+    out = {
+        r["position"]: (r["id"], r["source"], r["src_rank"])
+        for r in curriculum_interleave(df, "src", ["difficulty"], "id").collect()
+    }
+    # round-robin: both rank-1 rows first (a before b), then rank-2 rows
+    assert out[1] == (2, "a", 1)
+    assert out[2] == (4, "b", 1)
+    assert out[3] == (1, "a", 2)
+    assert out[4] == (3, "b", 2)
+
+
+def test_rank_correlation_handcrafted(spark):
+    from hiv_data_integration_spark.operators.aggregate import rank_correlation
+
+    df = spark.createDataFrame(
+        # group p: perfectly monotone (rho=1); group n: perfectly
+        # reversed (rho=-1); group s: single row (dropped)
+        [("p", 1, 10, 1), ("p", 2, 20, 2), ("p", 3, 30, 3),
+         ("n", 1, 30, 4), ("n", 2, 20, 5), ("n", 3, 10, 6),
+         ("s", 1, 1, 7)],
+        "g string, x long, y long, id long",
+    )
+    got = {
+        r["g"]: (r["n"], r["sum_d2"], r["rho"])
+        for r in rank_correlation(df, "g", "x", "y", "id").collect()
+    }
+    assert got["p"] == (3, 0, 1.0)
+    assert got["n"] == (3, 8, -1.0)
+    assert "s" not in got

@@ -91,6 +91,14 @@ HEADLINE = [
     "group_split_no_leakage",
     "graph_pagerank_fixed_point",
     "variant_json_extract",
+    "min_cost_supplier_part",
+    "order_priority_check",
+    "product_type_profit",
+    "important_part_value",
+    "market_share_by_year",
+    "order_count_distribution",
+    "small_quantity_revenue",
+    "disjunctive_part_filter",
 ]
 
 
