@@ -5321,6 +5321,141 @@ HAVING COUNT(*) >= 2
 """
 
 
+
+def q_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-validation suite compiled into ONE pass over
+    lineitem: completeness, uniqueness of the (orderkey, linenumber)
+    line key, discount range, returnflag domain, and a shipdate regex —
+    five expectations, one shared hash aggregate (a 20-rule suite costs
+    the same scan as a count). Pass thresholds compare by exact integer
+    cross-multiplication, so a 99.9% bar can never flip on float
+    rounding."""
+    from hiv_data_integration_spark.operators import validation as V
+
+    li = tbl(spark, sf_dir, "lineitem").withColumn(
+        "_ship_s", F.col("l_shipdate").cast("string")
+    )
+    suite = [
+        V.not_null("l_orderkey"),
+        V.unique("l_orderkey", "l_linenumber"),
+        V.in_range("l_discount", 0.0, 0.1),
+        V.in_set("l_returnflag", ["A", "N", "R"]),
+        V.matches("_ship_s", r"^199[5-9]-", (9, 10)),
+    ]
+    return V.expectations_check(li, suite)
+
+
+SQL_EXPECTATIONS_SUITE = """
+WITH li AS (SELECT *, CAST(l_shipdate AS VARCHAR) AS ship_s FROM lineitem),
+agg AS (
+    SELECT
+        CAST(SUM(CASE WHEN l_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n0,
+        CAST(COUNT(*) AS BIGINT) AS d0,
+        CAST(COUNT(DISTINCT CASE WHEN l_orderkey IS NOT NULL
+                                  AND l_linenumber IS NOT NULL
+                             THEN struct_pack(a := l_orderkey,
+                                              b := l_linenumber) END)
+             AS BIGINT) AS n1,
+        CAST(COUNT(CASE WHEN l_orderkey IS NOT NULL
+                         AND l_linenumber IS NOT NULL
+                    THEN 1 END) AS BIGINT) AS d1,
+        CAST(SUM(CASE WHEN l_discount IS NOT NULL
+                       AND l_discount >= 0.0 AND l_discount <= 0.1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        CAST(SUM(CASE WHEN l_discount IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS d2,
+        CAST(SUM(CASE WHEN l_returnflag IS NOT NULL
+                       AND l_returnflag IN ('A', 'N', 'R')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        CAST(SUM(CASE WHEN l_returnflag IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS d3,
+        CAST(SUM(CASE WHEN ship_s IS NOT NULL
+                       AND regexp_matches(ship_s, '^199[5-9]-')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+        CAST(SUM(CASE WHEN ship_s IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS d4
+    FROM li
+)
+SELECT 'not_null(l_orderkey)' AS expectation, n0 AS satisfied,
+       d0 AS applicable, n0 * 1 >= 1 * d0 AS passed FROM agg
+UNION ALL
+SELECT 'unique(l_orderkey, l_linenumber)', n1, d1, n1 * 1 >= 1 * d1 FROM agg
+UNION ALL
+SELECT 'in_range(l_discount, 0.0, 0.1)', n2, d2, n2 * 1 >= 1 * d2 FROM agg
+UNION ALL
+SELECT 'in_set(l_returnflag)', n3, d3, n3 * 1 >= 1 * d3 FROM agg
+UNION ALL
+SELECT 'matches(_ship_s, >=9/10)', n4, d4, n4 * 10 >= 9 * d4 FROM agg
+"""
+
+
+def q_fk_orphan_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity profile with synthesized decay: the parent
+    snapshot drops every 7th order (the late-arriving-dimension /
+    dropped-partition scenario), then lineitem's orderkey FK is
+    profiled — orphan rows, orphan keys, orphan fraction. One anti join
+    against the distinct parent keys; NULL FKs (none here) would report
+    separately, not as orphans."""
+    from hiv_data_integration_spark.operators.validation import (
+        fk_orphan_profile,
+    )
+
+    li = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 != 0)
+    return fk_orphan_profile(li, o, "l_orderkey", "o_orderkey")
+
+
+SQL_FK_ORPHAN_PROFILE = """
+WITH keys AS (SELECT DISTINCT o_orderkey AS pk FROM orders
+              WHERE o_orderkey % 7 != 0),
+base AS (SELECT l_orderkey AS fk FROM lineitem),
+totals AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS child_rows,
+           CAST(SUM(CASE WHEN fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_fk_rows
+    FROM base
+),
+orph AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS orphan_rows,
+           CAST(COUNT(DISTINCT fk) AS BIGINT) AS orphan_keys
+    FROM base WHERE fk IS NOT NULL
+      AND fk NOT IN (SELECT pk FROM keys)
+)
+SELECT t.child_rows, t.null_fk_rows, o.orphan_rows, o.orphan_keys,
+       CAST(o.orphan_rows AS DOUBLE) / CAST(t.child_rows AS DOUBLE)
+           AS orphan_frac
+FROM totals t CROSS JOIN orph o
+"""
+
+
+def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequenceMatch-style cohort labeling: per user, does the
+    chronologically ordered event-type string ever show
+    view → … → click → … → purchase? One user-keyed aggregate; the
+    (ts, event_id) sort key is unique so every engine reproduces the
+    string bit-for-bit before the one regex test."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        sequence_pattern_match,
+    )
+
+    ev = tbl(spark, sf_dir, "events")
+    return sequence_pattern_match(
+        ev, "user_id", "event_type", ["ts", "event_id"],
+        "view.*click.*purchase",
+    ).select(F.col("user").alias("user_id"), "n_events", "matched")
+
+
+SQL_EVENT_PATTERN_MATCH = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       regexp_matches(string_agg(event_type, ' ' ORDER BY ts, event_id),
+                      'view.*click.*purchase') AS matched
+FROM events
+WHERE ts IS NOT NULL AND event_id IS NOT NULL
+GROUP BY user_id
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_median_price": q_weighted_median,
     "user_rfm_features": q_rfm_features,
@@ -5332,6 +5467,9 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "source_quantile_norm": q_rank_quantile_norm,
     "corpus_curriculum_interleave": q_curriculum_interleave,
     "quality_length_rank_corr": q_rank_correlation,
+    "expectations_suite_lineitem": q_expectations_suite,
+    "fk_orphan_profile": q_fk_orphan_profile,
+    "event_pattern_match": q_event_pattern_match,
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
     "json_dict_scan": q_json_dict_scan,
@@ -5452,6 +5590,9 @@ EXT_ORACLE: dict[str, str] = {
     "source_quantile_norm": SQL_RANK_QUANTILE_NORM,
     "corpus_curriculum_interleave": SQL_CURRICULUM_INTERLEAVE,
     "quality_length_rank_corr": SQL_RANK_CORRELATION,
+    "expectations_suite_lineitem": SQL_EXPECTATIONS_SUITE,
+    "fk_orphan_profile": SQL_FK_ORPHAN_PROFILE,
+    "event_pattern_match": SQL_EVENT_PATTERN_MATCH,
     "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
     "csv_per_period_export": SQL_CSV_PER_PERIOD,
     "json_dict_scan": SQL_JSON_DICT_SCAN,

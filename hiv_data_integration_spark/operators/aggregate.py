@@ -39,6 +39,8 @@ __all__ = [
     "linear_attribution",
     "benford_profile",
     "rank_correlation",
+    "sequence_pattern_match",
+    "hll_merged_distinct",
 ]
 
 
@@ -1277,4 +1279,77 @@ def rank_correlation(
                 / (F.col("n") * (F.col("n") * F.col("n") - 1)).cast("double")
             ).alias("rho"),
         )
+    )
+
+
+def sequence_pattern_match(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    order_cols: list[str],
+    pattern: str,
+) -> DataFrame:
+    """ClickHouse-``sequenceMatch``-style behavioral pattern test: per
+    user, does the chronologically ordered event-type string match the
+    regex? (``'view.*click.*purchase'`` = "ever funnel-converted, any
+    gaps allowed" — the cohort-definition primitive behind audience
+    segments and conversion labels.)
+
+    Same ordering contract as :func:`user_event_sequences`: NULL order
+    keys drop, ``order_cols`` must make the sort key unique so the
+    array_sort is total and any engine reproduces the string. The
+    regex runs once per user on the joined type string (types are
+    space-joined words, so ``.*`` cannot bridge a partial token match
+    unless the type vocabulary itself overlaps — use word boundaries
+    if it does). One user-keyed hash aggregate; per-group state is the
+    user's own event list.
+
+    Output: ``(user, n_events, matched)``.
+    """
+    df = df.na.drop(subset=order_cols)
+    key = F.struct(
+        *[F.col(c) for c in order_cols], F.col(type_col).alias("_e")
+    )
+    seq_str = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(F.collect_list(key)), lambda s: s.getField("_e")
+        ),
+    )
+    return df.groupBy(F.col(user_col).alias("user")).agg(
+        F.count("*").alias("n_events"),
+        seq_str.rlike(pattern).alias("matched"),
+    )
+
+
+def hll_merged_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    shard_col: Column | str,
+    lgk: int = 12,
+) -> DataFrame:
+    """Mergeable distinct-count sketches: build one Apache DataSketches
+    HLL per (group, shard), union the shards, estimate — the
+    pre-aggregation pattern that makes 100 TB distinct counting
+    incremental (daily partitions keep their sketch table; any date
+    range is a cheap union of tiny binaries, never a re-scan).
+
+    This is the capability ``approx_count_distinct`` alone lacks: its
+    sketch state is internal. ``hll_sketch_agg`` emits the portable
+    binary, ``hll_union_agg`` merges across any grouping. Estimates are
+    approximate (not oracle-hashable); the accuracy envelope vs the
+    exact count is asserted in pytest instead.
+
+    Output: ``(group, n_shards, approx_distinct)``.
+    """
+    shard = F.col(shard_col) if isinstance(shard_col, str) else shard_col
+    per_shard = df.groupBy(
+        F.col(group_col).alias("grp"), shard.alias("_shard")
+    ).agg(F.hll_sketch_agg(F.col(value_col), F.lit(lgk)).alias("_sk"))
+    return per_shard.groupBy(F.col("grp").alias(group_col)).agg(
+        F.count("*").alias("n_shards"),
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("_sk"))).alias(
+            "approx_distinct"
+        ),
     )

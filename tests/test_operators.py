@@ -1925,3 +1925,100 @@ def test_rank_correlation_handcrafted(spark):
     assert got["p"] == (3, 0, 1.0)
     assert got["n"] == (3, 8, -1.0)
     assert "s" not in got
+
+
+def test_expectations_check_handcrafted(spark):
+    from hiv_data_integration_spark.operators import validation as V
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "A"), (2, 50.0, "A"), (2, 2.0, None), (None, 1.0, "B")],
+        "k long, v double, f string",
+    )
+    out = {
+        r["expectation"]: (r["satisfied"], r["applicable"], r["passed"])
+        for r in V.expectations_check(
+            df,
+            [
+                V.not_null("k"),
+                V.not_null("k", (3, 4)),
+                V.unique("k"),
+                V.in_range("v", 0.0, 10.0),
+                V.in_set("f", ["A"]),
+                V.matches("f", "^[AB]$"),
+            ],
+        ).collect()
+    }
+    assert out["not_null(k)"] == (3, 4, False)
+    # same metric, 75% threshold → passes by exact cross-multiplication
+    assert out["not_null(k, >=3/4)"] == (3, 4, True)
+    # NULL keys excluded from uniqueness; k=2 duplicates
+    assert out["unique(k)"] == (2, 3, False)
+    assert out["in_range(v, 0.0, 10.0)"] == (3, 4, False)
+    assert out["in_set(f)"] == (2, 3, False)
+    assert out["matches(f)"] == (3, 3, True)
+
+
+def test_expectations_check_empty_suite(spark):
+    from hiv_data_integration_spark.operators import validation as V
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError):
+        V.expectations_check(df, [])
+
+
+def test_fk_orphan_profile_handcrafted(spark):
+    from hiv_data_integration_spark.operators.validation import (
+        fk_orphan_profile,
+    )
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (9,), (9,), (None,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    [r] = fk_orphan_profile(child, parent, "fk", "pk").collect()
+    assert r["child_rows"] == 6
+    assert r["null_fk_rows"] == 1  # NULL is unassigned, not an orphan
+    assert r["orphan_rows"] == 2 and r["orphan_keys"] == 1
+    assert r["orphan_frac"] == 2 / 6
+
+
+def test_sequence_pattern_match_handcrafted(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        sequence_pattern_match,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "view", "2024-01-01 00:00:00", 1),
+            (1, "error", "2024-01-01 01:00:00", 2),
+            (1, "click", "2024-01-01 02:00:00", 3),
+            (1, "purchase", "2024-01-01 03:00:00", 4),
+            # user 2: right events, wrong order
+            (2, "purchase", "2024-01-01 00:00:00", 5),
+            (2, "click", "2024-01-01 01:00:00", 6),
+            (2, "view", "2024-01-01 02:00:00", 7),
+        ],
+        "user_id long, event_type string, ts string, event_id long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["user"]: r["matched"]
+        for r in sequence_pattern_match(
+            df, "user_id", "event_type", ["ts", "event_id"],
+            "view.*click.*purchase",
+        ).collect()
+    }
+    assert got == {1: True, 2: False}
+
+
+def test_hll_merged_distinct_envelope(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        hll_merged_distinct,
+    )
+
+    rows = [("g", i % 500, i % 8) for i in range(5000)]
+    df = spark.createDataFrame(rows, "g string, v long, shard int")
+    [r] = hll_merged_distinct(df, "v", "g", "shard", lgk=12).collect()
+    assert r["n_shards"] == 8
+    # lgk=12 → rsd ~1.6%; assert a generous 5% envelope around the
+    # exact 500 — sketch drift outside its documented error is a bug
+    assert abs(r["approx_distinct"] - 500) <= 25
