@@ -5456,6 +5456,158 @@ GROUP BY user_id
 """
 
 
+
+def q_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language OLS trend of whitespace tokens vs characters, from
+    the five exact-BIGINT sufficient statistics in one pass; the
+    slope/intercept evaluate as fixed-order double expressions over
+    integers below 2^53, so they are bit-identical on any engine."""
+    from hiv_data_integration_spark.operators.aggregate import grouped_ols
+
+    docs = tbl(spark, sf_dir, "documents").select(
+        "lang", "n_chars", tx.token_count(F.col("text")).alias("_ntok")
+    )
+    return grouped_ols(docs, "lang", "n_chars", "_ntok")
+
+
+SQL_GROUPED_OLS = f"""
+WITH base AS (
+    SELECT lang, CAST(n_chars AS BIGINT) AS x,
+           CAST(len({_TOKS}) AS BIGINT) AS y
+    FROM documents
+),
+stats AS (
+    SELECT lang, COUNT(*) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx
+    FROM base GROUP BY lang
+)
+SELECT lang, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+       (CAST(sy AS DOUBLE)
+        - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+FROM stats
+WHERE n >= 2 AND n * sxx != sx * sx
+"""
+
+
+def q_contingency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lang x source independence profile: per cell the exact observed
+    count, the expected count under independence, and the chi-square
+    contribution — fixed per-row double expressions over exact BIGINTs
+    (never a float SUM across the unordered cell set)."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        contingency_profile,
+    )
+
+    docs = tbl(spark, sf_dir, "documents")
+    return contingency_profile(docs, "lang", "source")
+
+
+SQL_CONTINGENCY = """
+WITH cells AS (
+    SELECT lang AS row_val, source AS col_val,
+           CAST(COUNT(*) AS BIGINT) AS observed
+    FROM documents GROUP BY 1, 2
+),
+rt AS (SELECT row_val, CAST(SUM(observed) AS BIGINT) AS r FROM cells
+       GROUP BY 1),
+ct AS (SELECT col_val, CAST(SUM(observed) AS BIGINT) AS c FROM cells
+       GROUP BY 1),
+gt AS (SELECT CAST(SUM(observed) AS BIGINT) AS g FROM cells)
+SELECT cells.row_val, cells.col_val, cells.observed,
+       CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE) / CAST(gt.g AS DOUBLE)
+           AS expected,
+       (CAST(cells.observed AS DOUBLE)
+        - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE)
+          / CAST(gt.g AS DOUBLE))
+       * (CAST(cells.observed AS DOUBLE)
+          - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE)
+            / CAST(gt.g AS DOUBLE))
+       / (CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE)
+          / CAST(gt.g AS DOUBLE)) AS contribution
+FROM cells JOIN rt USING (row_val) JOIN ct USING (col_val) CROSS JOIN gt
+"""
+
+
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert deciles: first view -> first subsequent purchase
+    per user, exact BIGINT latency seconds (tz-proof field arithmetic on
+    NTZ event time), ntile(10) over the (latency, user) total order so
+    bucket membership is engine-reproducible; per-bucket stats exact."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        conversion_latency_deciles,
+    )
+
+    ev = tbl(spark, sf_dir, "events")
+    return conversion_latency_deciles(ev, "view", "purchase")
+
+
+SQL_CONVERSION_LATENCY = """
+WITH v AS (SELECT user_id AS u, MIN(ts) AS t0 FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+p AS (
+    SELECT e.user_id AS u, v.t0, MIN(e.ts) AS t1
+    FROM events e JOIN v ON e.user_id = v.u AND e.ts > v.t0
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1, 2
+),
+lat AS (
+    SELECT u, CAST(date_diff('second', t0, t1) AS BIGINT) AS latency_s
+    FROM p
+),
+d AS (SELECT u, latency_s,
+             CAST(ntile(10) OVER (ORDER BY latency_s, u) AS BIGINT)
+                 AS decile
+      FROM lat)
+SELECT decile, COUNT(*) AS n_users,
+       CAST(MIN(latency_s) AS BIGINT) AS min_s,
+       CAST(MAX(latency_s) AS BIGINT) AS max_s
+FROM d GROUP BY decile
+"""
+
+
+def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type market-basket lift per user basket: exact BIGINT
+    pair/item/basket counts from three hash aggregates, lift = one IEEE
+    division of exact products; marginals broadcast, the basket total
+    stays in-plan as a 1-row broadcast."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        cooccurrence_lift,
+    )
+
+    ev = tbl(spark, sf_dir, "events")
+    return cooccurrence_lift(ev, "user_id", "event_type")
+
+
+SQL_COOCCURRENCE_LIFT = """
+WITH items AS (SELECT DISTINCT user_id AS b, event_type AS i FROM events),
+n AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n_baskets FROM items),
+c AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS cnt FROM items GROUP BY 1),
+pairs AS (
+    SELECT a.i AS item_a, b.i AS item_b, CAST(COUNT(*) AS BIGINT) AS n_both
+    FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+    GROUP BY 1, 2
+)
+SELECT p.item_a, p.item_b, p.n_both,
+       ca.cnt AS n_a, cb.cnt AS n_b, n.n_baskets,
+       CAST(n.n_baskets * p.n_both AS DOUBLE)
+           / CAST(ca.cnt * cb.cnt AS DOUBLE) AS lift
+FROM pairs p
+JOIN c ca ON p.item_a = ca.i
+JOIN c cb ON p.item_b = cb.i
+CROSS JOIN n
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_median_price": q_weighted_median,
     "user_rfm_features": q_rfm_features,
@@ -5470,6 +5622,10 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "expectations_suite_lineitem": q_expectations_suite,
     "fk_orphan_profile": q_fk_orphan_profile,
     "event_pattern_match": q_event_pattern_match,
+    "grouped_ols_trend": q_grouped_ols,
+    "contingency_chi2_profile": q_contingency_profile,
+    "conversion_latency_deciles": q_conversion_latency,
+    "event_cooccurrence_lift": q_cooccurrence_lift,
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
     "json_dict_scan": q_json_dict_scan,
@@ -5593,6 +5749,10 @@ EXT_ORACLE: dict[str, str] = {
     "expectations_suite_lineitem": SQL_EXPECTATIONS_SUITE,
     "fk_orphan_profile": SQL_FK_ORPHAN_PROFILE,
     "event_pattern_match": SQL_EVENT_PATTERN_MATCH,
+    "grouped_ols_trend": SQL_GROUPED_OLS,
+    "contingency_chi2_profile": SQL_CONTINGENCY,
+    "conversion_latency_deciles": SQL_CONVERSION_LATENCY,
+    "event_cooccurrence_lift": SQL_COOCCURRENCE_LIFT,
     "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
     "csv_per_period_export": SQL_CSV_PER_PERIOD,
     "json_dict_scan": SQL_JSON_DICT_SCAN,

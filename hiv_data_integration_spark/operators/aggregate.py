@@ -41,6 +41,10 @@ __all__ = [
     "rank_correlation",
     "sequence_pattern_match",
     "hll_merged_distinct",
+    "grouped_ols",
+    "contingency_profile",
+    "conversion_latency_deciles",
+    "cooccurrence_lift",
 ]
 
 
@@ -1352,4 +1356,232 @@ def hll_merged_distinct(
         F.hll_sketch_estimate(F.hll_union_agg(F.col("_sk"))).alias(
             "approx_distinct"
         ),
+    )
+
+
+def grouped_ols(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group simple linear regression (OLS slope + intercept) from
+    the five classic sufficient statistics — the trend-profiling
+    primitive ("tokens per character by language", "revenue per unit by
+    segment") computed in ONE distributed pass, no per-group fitting.
+
+    The sums (n, Σx, Σy, Σxy, Σx²) accumulate as exact BIGINTs
+    (integer inputs; the caller scales decimals up-front), then
+    ``slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx)`` evaluates as ONE
+    fixed-order double expression over those integers — doubles
+    represent integers exactly below 2⁵³, so the result is
+    bit-reproducible on any engine while the sums stay in that range
+    (document the contract upstream; 100 TB magnitudes should pre-
+    aggregate or scale down). Degenerate groups (n < 2 or zero
+    x-variance) are dropped — 0/0 semantics differ across engines.
+
+    Output: ``(group, n, slope, intercept)``.
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    stats = df.groupBy(F.col(group_col).alias(group_col)).agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return (
+        stats.filter(
+            (F.col("n") >= 2)
+            & (F.col("n") * F.col("_sxx") != F.col("_sx") * F.col("_sx"))
+        )
+        .withColumn("slope", slope)
+        .select(
+            group_col,
+            "n",
+            "slope",
+            ((sy - F.col("slope") * sx) / n).alias("intercept"),
+        )
+    )
+
+
+def contingency_profile(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Contingency (cross-tab) independence profile of two categorical
+    columns: per cell, the observed count, the independence-expected
+    count ``row_total · col_total / grand_total``, and the chi-square
+    contribution ``(obs − exp)² / exp`` — the drift/association check
+    between e.g. language and source shares of a corpus.
+
+    Observed counts and all three totals are exact BIGINTs; expected
+    and contribution are fixed per-row double expressions over them
+    (bit-reproducible — never SUM the contributions into a single χ²
+    across an unordered row set, that float total is order-dependent;
+    rank or threshold the per-cell contributions instead). Three
+    hash aggregates, marginals broadcast onto the cell table.
+
+    Output: ``(row_val, col_val, observed, expected, contribution)``.
+    """
+    cells = df.groupBy(
+        F.col(row_col).alias("row_val"), F.col(col_col).alias("col_val")
+    ).agg(F.count("*").alias("observed"))
+    rows = cells.groupBy("row_val").agg(F.sum("observed").alias("_rt"))
+    cols = cells.groupBy("col_val").agg(F.sum("observed").alias("_ct"))
+    total = cells.agg(F.sum("observed").alias("_gt"))
+    exp = (
+        F.col("_rt").cast("double")
+        * F.col("_ct").cast("double")
+        / F.col("_gt").cast("double")
+    )
+    obs = F.col("observed").cast("double")
+    return (
+        cells.join(F.broadcast(rows), "row_val")
+        .join(F.broadcast(cols), "col_val")
+        .crossJoin(F.broadcast(total))
+        .withColumn("expected", exp)
+        .select(
+            "row_val",
+            "col_val",
+            "observed",
+            "expected",
+            (
+                (obs - F.col("expected"))
+                * (obs - F.col("expected"))
+                / F.col("expected")
+            ).alias("contribution"),
+        )
+    )
+
+
+def conversion_latency_deciles(
+    events: DataFrame,
+    start_type: str,
+    end_type: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Time-to-convert distribution: per user, seconds from the FIRST
+    ``start_type`` event to the first ``end_type`` event after it, then
+    the converted population bucketed into latency deciles — the
+    "how fast do users convert" product-analytics staple.
+
+    Latencies are exact BIGINT seconds (timezone-proof field arithmetic
+    on NTZ event time); deciles are ``ntile`` over (latency, user) — the
+    user tiebreak makes the bucketing total, so an external engine
+    reproduces bucket membership exactly. Per-bucket min/max/count are
+    exact integers. Two user-keyed aggregates + one global window over
+    the converted-user set (population-sized, not event-sized).
+
+    Output: ``(decile, n_users, min_s, max_s)``.
+    """
+    from pyspark.sql.window import Window
+
+    first_start = (
+        events.filter(F.col(type_col) == start_type)
+        .groupBy(F.col(user_col).alias("_u"))
+        .agg(F.min(ts_col).alias("_t0"))
+    )
+    ends = events.filter(F.col(type_col) == end_type).select(
+        F.col(user_col).alias("_u"), F.col(ts_col).alias("_t1")
+    )
+    conv = (
+        ends.join(first_start, "_u")
+        .filter(F.col("_t1") > F.col("_t0"))
+        .groupBy("_u", "_t0")
+        .agg(F.min("_t1").alias("_t1"))
+    )
+    # tz-proof per-column epoch seconds (same dispatch as _epoch_seconds:
+    # NTZ gets pure field arithmetic, LTZ is already an epoch)
+    def _ep(c: str) -> Column:
+        if isinstance(conv.schema[c].dataType, T.TimestampNTZType):
+            return (
+                F.unix_date(F.col(c).cast("date")).cast("long") * 86400
+                + F.hour(c) * 3600
+                + F.minute(c) * 60
+                + F.second(c)
+            )
+        return F.col(c).cast("timestamp").cast("long")
+
+    lat = conv.select("_u", (_ep("_t1") - _ep("_t0")).alias("latency_s"))
+    w = Window.orderBy("latency_s", "_u")
+    return (
+        lat.withColumn("decile", F.ntile(n_buckets).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.min("latency_s").alias("min_s"),
+            F.max("latency_s").alias("max_s"),
+        )
+    )
+
+
+def cooccurrence_lift(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+) -> DataFrame:
+    """Market-basket co-occurrence lift between item pairs:
+    ``lift(a,b) = n_baskets · n(a∧b) / (n(a) · n(b))`` over distinct
+    per-basket item sets — association mining for event types, tags,
+    categories (>1 = attract, <1 = repel).
+
+    All counts are exact BIGINTs from three hash aggregates; the lift
+    is one IEEE division of exact products. Pairs come from a per-
+    basket self-join with ``a < b`` — at scale, bound the per-basket
+    distinct-item count upstream (quota or top-k) exactly like every
+    posting-list join in the dedup family; item-count marginals
+    broadcast.
+
+    Output: ``(item_a, item_b, n_both, n_a, n_b, n_baskets, lift)``.
+    """
+    items = df.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    # basket total stays IN the plan (1-row broadcast), never a driver count
+    baskets = items.agg(F.count_distinct("_b").alias("n_baskets"))
+    counts = items.groupBy("_i").agg(F.count("*").alias("_c"))
+    a = items.select(F.col("_b"), F.col("_i").alias("item_a"))
+    b = items.select(F.col("_b"), F.col("_i").alias("item_b"))
+    pairs = (
+        a.join(b, "_b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(counts.select(F.col("_i").alias("item_a"),
+                                      F.col("_c").alias("n_a"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(counts.select(F.col("_i").alias("item_b"),
+                                      F.col("_c").alias("n_b"))),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            "n_baskets",
+            (
+                (F.col("n_baskets") * F.col("n_both")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
     )

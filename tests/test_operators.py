@@ -2022,3 +2022,77 @@ def test_hll_merged_distinct_envelope(spark):
     # lgk=12 → rsd ~1.6%; assert a generous 5% envelope around the
     # exact 500 — sketch drift outside its documented error is a bug
     assert abs(r["approx_distinct"] - 500) <= 25
+
+
+def test_grouped_ols_handcrafted(spark):
+    from hiv_data_integration_spark.operators.aggregate import grouped_ols
+
+    df = spark.createDataFrame(
+        # group a: y = 2x + 1 exactly; group z: zero x-variance (dropped);
+        # group s: single row (dropped)
+        [("a", 1, 3), ("a", 2, 5), ("a", 3, 7),
+         ("z", 4, 1), ("z", 4, 9), ("s", 1, 1)],
+        "g string, x long, y long",
+    )
+    got = {
+        r["g"]: (r["n"], r["slope"], r["intercept"])
+        for r in grouped_ols(df, "g", "x", "y").collect()
+    }
+    assert got == {"a": (3, 2.0, 1.0)}
+
+
+def test_contingency_profile_handcrafted(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        contingency_profile,
+    )
+
+    # perfectly independent 2x2: every cell's contribution is 0
+    rows = [("x", "p")] * 2 + [("x", "q")] * 2 + [("y", "p")] * 3 + [
+        ("y", "q")
+    ] * 3
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = {(r["row_val"], r["col_val"]): r for r in
+           contingency_profile(df, "r", "c").collect()}
+    assert out[("x", "p")]["observed"] == 2
+    assert out[("x", "p")]["expected"] == 2.0
+    assert all(v["contribution"] == 0.0 for v in out.values())
+
+
+def test_conversion_latency_handcrafted(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        conversion_latency_deciles,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "view", "2024-01-01 00:00:00"),
+            (1, "purchase", "2024-01-01 00:01:40"),  # 100 s
+            (2, "view", "2024-01-01 00:00:00"),
+            (2, "purchase", "2024-01-01 00:05:00"),  # 300 s
+            (3, "purchase", "2024-01-01 00:00:00"),  # purchase BEFORE view
+            (3, "view", "2024-01-01 01:00:00"),      # → not converted
+            (4, "view", "2024-01-01 00:00:00"),      # never purchases
+        ],
+        "user_id long, event_type string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = conversion_latency_deciles(df, "view", "purchase", n_buckets=2)
+    got = {r["decile"]: (r["n_users"], r["min_s"], r["max_s"])
+           for r in out.collect()}
+    assert got == {1: (1, 100, 100), 2: (1, 300, 300)}
+
+
+def test_cooccurrence_lift_handcrafted(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        cooccurrence_lift,
+    )
+
+    df = spark.createDataFrame(
+        # 4 baskets: {a,b}, {a,b}, {a}, {c} — lift(a,b) = 4*2/(3*2)
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (4, "c"),
+         (1, "a")],  # duplicate item in basket 1 must not double-count
+        "b long, i string",
+    )
+    [r] = cooccurrence_lift(df, "b", "i").collect()
+    assert (r["item_a"], r["item_b"]) == ("a", "b")
+    assert (r["n_both"], r["n_a"], r["n_b"], r["n_baskets"]) == (2, 3, 2, 4)
+    assert r["lift"] == (4 * 2) / (3 * 2)
