@@ -5608,6 +5608,133 @@ CROSS JOIN n
 """
 
 
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance hash-proof: the per-(flag, status)
+    quantity rollup is seeded from pre-1998 shipments, then the 1998+
+    DELTA folds in via merge_agg_state (one delta-side aggregate + one
+    full-outer merge join — O(delta), the base is never re-scanned).
+    The oracle recomputes from scratch over ALL of lineitem, so the
+    hash proves maintained-state == full recompute, bit for bit
+    (DECIMAL accumulation on both paths)."""
+    from hiv_data_integration_spark.operators.relational import (
+        merge_agg_state,
+    )
+
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus",
+        F.col("l_quantity").cast("decimal(18,2)").alias("sum_qty"),
+        F.to_date("l_shipdate").alias("_d"),
+    )
+    keys = ["l_returnflag", "l_linestatus"]
+    base = li.filter(F.col("_d") < F.lit("1998-01-01"))
+    delta = li.filter(F.col("_d") >= F.lit("1998-01-01"))
+    old_agg = base.groupBy(*keys).agg(
+        F.sum("sum_qty").alias("sum_qty"), F.count("*").alias("n_rows")
+    )
+    merged = merge_agg_state(old_agg, delta, keys, ["sum_qty"])
+    return merged.select(
+        *keys, F.col("sum_qty").cast("double").alias("sum_qty"), "n_rows"
+    )
+
+
+SQL_INCREMENTAL_AGG = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 variant, HASH-checked: dynamic partition overwrite (the
+    idempotent daily-reload sink). Write 1: all orders partitioned by
+    priority at ver 1. Write 2: only URGENT orders with even keys at
+    ver 2, with partitionOverwriteMode=dynamic — ONLY the urgent
+    partition is replaced (its row count halves, proving replacement
+    not append; static overwrite would wipe the other four). Writer-
+    level option, never session conf (a crashing query must not
+    perturb the shared driver session)."""
+    import shutil
+    import tempfile
+
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    base = tempfile.mkdtemp(prefix="dynpart_")
+    path = f"{base}/orders_state"
+    try:
+        o.withColumn("ver", F.lit(1).cast("long")).write.partitionBy(
+            "o_orderpriority"
+        ).mode("overwrite").parquet(path)
+        (
+            o.filter(
+                (F.col("o_orderpriority") == "1-URGENT")
+                & (F.col("o_orderkey") % 2 == 0)
+            )
+            .withColumn("ver", F.lit(2).cast("long"))
+            .write.partitionBy("o_orderpriority")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(path)
+        )
+        out = _local_result(
+            spark.read.parquet(path)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.max("ver").alias("max_ver"),
+            )
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+SQL_DYNAMIC_PARTITION_OVERWRITE = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                     THEN CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END
+                     ELSE 1 END) AS BIGINT) AS n_rows,
+       CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN 2 ELSE 1 END
+            AS BIGINT) AS max_ver
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface coverage (Spark 4 user-defined TABLE function,
+    lateral one-to-many expansion): sentence rows from a 40-doc slice.
+    The oracle mirrors with a native unnest-of-split — hash equality
+    proves the Python row expander agrees with the set-based form
+    bit-for-bit. Sliced small ON PURPOSE: the UDTF is the labeled
+    Python path; the native split is the corpus-scale form."""
+    docs = tbl(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 25 == 0
+    )
+    return tx.sentence_rows_udtf(docs)
+
+
+SQL_UDTF_SENTENCES = """
+WITH segs AS (
+    SELECT doc_id AS id,
+           unnest(string_split(text, '. ')) AS seg,
+           generate_subscripts(string_split(text, '. '), 1) AS pos
+    FROM documents WHERE doc_id % 25 = 0
+),
+cleaned AS (SELECT id, pos, trim(seg) AS sentence FROM segs
+            WHERE trim(seg) != ''),
+numbered AS (
+    SELECT id, sentence,
+           CAST(ROW_NUMBER() OVER (PARTITION BY id ORDER BY pos) - 1
+                AS BIGINT) AS idx
+    FROM cleaned
+)
+SELECT id, idx, sentence FROM numbered
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_median_price": q_weighted_median,
     "user_rfm_features": q_rfm_features,
@@ -5626,6 +5753,9 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "contingency_chi2_profile": q_contingency_profile,
     "conversion_latency_deciles": q_conversion_latency,
     "event_cooccurrence_lift": q_cooccurrence_lift,
+    "incremental_agg_maintenance": q_incremental_agg,
+    "dynamic_partition_overwrite": q_dynamic_partition_overwrite,
+    "python_udtf_sentences": q_udtf_sentences,
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
     "json_dict_scan": q_json_dict_scan,
@@ -5753,6 +5883,9 @@ EXT_ORACLE: dict[str, str] = {
     "contingency_chi2_profile": SQL_CONTINGENCY,
     "conversion_latency_deciles": SQL_CONVERSION_LATENCY,
     "event_cooccurrence_lift": SQL_COOCCURRENCE_LIFT,
+    "incremental_agg_maintenance": SQL_INCREMENTAL_AGG,
+    "dynamic_partition_overwrite": SQL_DYNAMIC_PARTITION_OVERWRITE,
+    "python_udtf_sentences": SQL_UDTF_SENTENCES,
     "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
     "csv_per_period_export": SQL_CSV_PER_PERIOD,
     "json_dict_scan": SQL_JSON_DICT_SCAN,

@@ -30,6 +30,7 @@ __all__ = [
     "asof_join_last",
     "hierarchy_closure",
     "key_skew_profile",
+    "merge_agg_state",
 ]
 
 
@@ -525,3 +526,60 @@ def key_skew_profile(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
             ).alias("skew_ratio"),
         )
     )
+
+
+def merge_agg_state(
+    old_agg: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Incremental view maintenance for distributive aggregates: fold a
+    DELTA batch into an existing per-key aggregate state without
+    re-scanning the base data — the pattern that keeps a 100 TB rollup
+    maintainable (daily update cost = O(delta), not O(corpus)).
+
+    The delta first aggregates to the same key grain (map-side combined),
+    then ONE full-outer hash join on the keys merges states:
+    ``new = coalesce(old, 0) + coalesce(delta, 0)`` per sum column, same
+    for the row count. Only distributive aggregates (SUM/COUNT, and
+    MIN/MAX for inserts-only) can be maintained this way; AVG derives
+    from sum/count downstream. Sums should accumulate in DECIMAL or
+    integer types upstream so the merged state is bit-identical to a
+    full recompute — the battery entry hash-proves exactly that
+    equivalence.
+
+    Output: ``keys + sum_cols + count_col``, one row per live key.
+    """
+    if not keys or not sum_cols:
+        raise ValueError("merge_agg_state: need keys and sum_cols")
+    delta_agg = delta.groupBy(*[F.col(k) for k in keys]).agg(
+        *[F.sum(c).alias(c) for c in sum_cols],
+        F.count("*").alias(count_col),
+    )
+    old = old_agg.select(
+        *keys, *[F.col(c).alias(f"_o_{c}") for c in sum_cols],
+        F.col(count_col).alias(f"_o_{count_col}"),
+    )
+    new = delta_agg.select(
+        *keys, *[F.col(c).alias(f"_d_{c}") for c in sum_cols],
+        F.col(count_col).alias(f"_d_{count_col}"),
+    )
+    merged = old.join(new, keys, "full_outer")
+    zero = F.lit(0)
+    out_cols = [F.col(k) for k in keys]
+    for c in sum_cols:
+        out_cols.append(
+            (
+                F.coalesce(F.col(f"_o_{c}"), zero)
+                + F.coalesce(F.col(f"_d_{c}"), zero)
+            ).alias(c)
+        )
+    out_cols.append(
+        (
+            F.coalesce(F.col(f"_o_{count_col}"), zero)
+            + F.coalesce(F.col(f"_d_{count_col}"), zero)
+        ).cast("long").alias(count_col)
+    )
+    return merged.select(*out_cols)

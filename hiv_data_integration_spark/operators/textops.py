@@ -29,6 +29,7 @@ __all__ = [
     "ngrams",
     "ngram_repetition_features",
     "ngram_containment",
+    "sentence_rows_udtf",
     "contamination_check",
     "tfidf_topk",
     "pack_token_budget",
@@ -1153,3 +1154,52 @@ def ngram_containment(
             ).alias("containment"),
         )
     )
+
+
+def sentence_rows_udtf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sentence segmentation via a Python UDTF (Spark 3.5+/4 user-defined
+    TABLE function, the lateral-join row-expander API): one input doc →
+    one output row per '. '-delimited sentence with its index.
+
+    This exists to cover the UDTF surface — the one-to-many Python
+    expansion shape that scalar UDFs cannot express (a real pipeline
+    would put model-based segmentation here). It is the PYTHON path:
+    per-row interpreter cost applies, so for plain delimiter splits
+    prefer the native equivalent (``posexplode(split(...))`` — exactly
+    what the oracle mirror uses, which also proves the two agree
+    bit-for-bit). Plan: pure lateral expansion, no shuffle; parallelism
+    follows the input partitioning.
+
+    Output: ``(id, idx, sentence)`` — empty segments dropped.
+    """
+    import uuid as _uuid
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx bigint, sentence string")
+    class _SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            i = 0
+            for seg in text.split(". "):
+                seg = seg.strip()
+                if seg:
+                    yield i, seg
+                    i += 1
+
+    spark = df.sparkSession
+    fn = f"split_sentences_{_uuid.uuid4().hex[:12]}"
+    view = f"docs_{_uuid.uuid4().hex[:12]}"
+    spark.udtf.register(fn, _SplitSentences)
+    df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")).createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"SELECT v.id, s.idx, s.sentence FROM {view} v, LATERAL {fn}(v._t) s"
+        )
+    finally:
+        spark.catalog.dropTempView(view)
