@@ -5735,6 +5735,185 @@ SELECT id, idx, sentence FROM numbered
 """
 
 
+
+def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join against the SCD2 customer history:
+    orders stamped into batch 1 or 2 (o_orderkey parity) pick up the
+    balance VERSION valid at their own stamp — valid_from <= stamp <
+    valid_to, open interval = current. Orders whose customer was
+    deleted in batch 2 but stamped 2 fall out (NULL version, counted in
+    the null-version row). Equi hash join on the key with the window as
+    a residual; SCD2 intervals are non-overlapping so the join never
+    fans out. Balances sum in DECIMAL; one final double cast."""
+    from hiv_data_integration_spark.operators.history import (
+        pit_join,
+        scd2_initial,
+        scd2_merge,
+    )
+
+    cust = tbl(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("bal")
+    )
+    hist = scd2_initial(cust, batch_id=1)
+    upd = (
+        cust.filter(F.col("k") % 11 != 3)
+        .select(
+            "k",
+            F.when(F.col("k") % 7 == 0, F.col("bal") + 100)
+            .otherwise(F.col("bal"))
+            .alias("bal"),
+        )
+        .unionByName(
+            cust.filter(F.col("k") % 13 == 0).select(
+                (F.col("k") + 1000000).alias("k"),
+                (F.col("k") % 1000).cast("double").alias("bal"),
+            )
+        )
+    )
+    history = scd2_merge(
+        hist, upd, key_cols=["k"], tracked_cols=["bal"], batch_id=2
+    )
+    facts = tbl(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        (F.lit(1) + F.col("o_orderkey") % 2).cast("long").alias("stamp"),
+    )
+    joined = pit_join(facts, history, ["k"], "stamp")
+    return joined.groupBy("stamp", "valid_from").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("bal").cast("decimal(28,2)"))
+        .cast("double")
+        .alias("sum_bal"),
+    )
+
+
+SQL_PIT_JOIN = """
+WITH cur AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+upd AS (
+    SELECT k, CASE WHEN k % 7 = 0 THEN bal + 100 ELSE bal END AS bal
+    FROM cur WHERE k % 11 != 3
+    UNION ALL
+    SELECT k + 1000000 AS k, CAST(k % 1000 AS DOUBLE) AS bal
+    FROM cur WHERE k % 13 = 0
+),
+j AS (
+    SELECT cur.k AS ck, cur.bal AS cbal, upd.k AS uk, upd.bal AS ubal
+    FROM cur FULL OUTER JOIN upd ON cur.k = upd.k
+),
+hist AS (
+    SELECT ck AS k, cbal AS bal, CAST(1 AS BIGINT) AS valid_from,
+           CAST(NULL AS BIGINT) AS valid_to
+    FROM j WHERE ck IS NOT NULL AND uk IS NOT NULL AND cbal = ubal
+    UNION ALL
+    SELECT ck, cbal, 1, 2
+    FROM j WHERE ck IS NOT NULL AND uk IS NOT NULL AND cbal != ubal
+    UNION ALL
+    SELECT uk, ubal, 2, NULL
+    FROM j WHERE ck IS NOT NULL AND uk IS NOT NULL AND cbal != ubal
+    UNION ALL
+    SELECT ck, cbal, 1, 2 FROM j WHERE uk IS NULL
+    UNION ALL
+    SELECT uk, ubal, 2, NULL FROM j WHERE ck IS NULL
+),
+facts AS (
+    SELECT o_custkey AS k,
+           CAST(1 + o_orderkey % 2 AS BIGINT) AS stamp
+    FROM orders
+),
+pj AS (
+    SELECT f.stamp, h.valid_from, h.bal
+    FROM facts f
+    LEFT JOIN hist h
+      ON f.k = h.k AND h.valid_from <= f.stamp
+     AND (h.valid_to IS NULL OR f.stamp < h.valid_to)
+)
+SELECT stamp, valid_from, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(bal AS DECIMAL(28,2))) AS DOUBLE) AS sum_bal
+FROM pj GROUP BY 1, 2
+"""
+
+
+def q_proportion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag Wilson 95% CI for the share of discounted lineitems
+    (discount >= 0.05 compared in DECIMAL so the boundary cannot
+    flip): exact BIGINT successes/trials, interval as one fixed-order
+    double expression — sqrt is correctly-rounded IEEE, so the bounds
+    hash bit-for-bit."""
+    from hiv_data_integration_spark.operators.aggregate import proportion_ci
+
+    li = tbl(spark, sf_dir, "lineitem")
+    flag = F.col("l_discount").cast("decimal(4,2)") >= F.lit("0.05").cast(
+        "decimal(4,2)"
+    )
+    return proportion_ci(li, "l_returnflag", flag)
+
+
+SQL_PROPORTION_CI = """
+WITH agg AS (
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN CAST(l_discount AS DECIMAL(4,2))
+                              >= CAST('0.05' AS DECIMAL(4,2))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS successes
+    FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n, successes,
+       CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+       ((CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+         + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+           / (CAST(2.0 AS DOUBLE) * CAST(n AS DOUBLE)))
+        - CAST(1.96 AS DOUBLE)
+          * sqrt(CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+                 * (CAST(1.0 AS DOUBLE)
+                    - CAST(successes AS DOUBLE) / CAST(n AS DOUBLE))
+                 / CAST(n AS DOUBLE)
+                 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                   / (CAST(4.0 AS DOUBLE) * CAST(n AS DOUBLE)
+                      * CAST(n AS DOUBLE))))
+       / (CAST(1.0 AS DOUBLE)
+          + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+            / CAST(n AS DOUBLE)) AS ci_lo,
+       ((CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+         + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+           / (CAST(2.0 AS DOUBLE) * CAST(n AS DOUBLE)))
+        + CAST(1.96 AS DOUBLE)
+          * sqrt(CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+                 * (CAST(1.0 AS DOUBLE)
+                    - CAST(successes AS DOUBLE) / CAST(n AS DOUBLE))
+                 / CAST(n AS DOUBLE)
+                 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                   / (CAST(4.0 AS DOUBLE) * CAST(n AS DOUBLE)
+                      * CAST(n AS DOUBLE))))
+       / (CAST(1.0 AS DOUBLE)
+          + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+            / CAST(n AS DOUBLE)) AS ci_hi
+FROM agg
+"""
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary-induction inner loop: corpus-wide adjacent
+    2-character pair counts over lowercased text, global top-20 with
+    total ordering — 1-based substring positions, identical semantics
+    in Spark and ANSI SQL (no split-on-empty edge cases)."""
+    docs = tbl(spark, sf_dir, "documents")
+    return tx.bpe_pair_counts(docs, k=20)
+
+
+SQL_BPE_PAIRS = """
+WITH t AS (SELECT lower(text) AS t FROM documents),
+pairs AS (
+    SELECT unnest(list_transform(generate_series(1, length(t) - 1),
+                  i -> substr(t, i, 2))) AS pair
+    FROM t WHERE length(t) >= 2
+),
+c AS (SELECT pair, COUNT(*) AS n_occurrences FROM pairs GROUP BY 1),
+r AS (SELECT pair, n_occurrences,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, pair)
+                  AS BIGINT) AS rank
+      FROM c)
+SELECT rank, pair, n_occurrences FROM r WHERE rank <= 20
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_median_price": q_weighted_median,
     "user_rfm_features": q_rfm_features,
@@ -5756,6 +5935,9 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "incremental_agg_maintenance": q_incremental_agg,
     "dynamic_partition_overwrite": q_dynamic_partition_overwrite,
     "python_udtf_sentences": q_udtf_sentences,
+    "pit_join_scd2_orders": q_pit_join,
+    "discount_share_wilson_ci": q_proportion_ci,
+    "bpe_pair_topk": q_bpe_pairs,
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
     "json_dict_scan": q_json_dict_scan,
@@ -5886,6 +6068,9 @@ EXT_ORACLE: dict[str, str] = {
     "incremental_agg_maintenance": SQL_INCREMENTAL_AGG,
     "dynamic_partition_overwrite": SQL_DYNAMIC_PARTITION_OVERWRITE,
     "python_udtf_sentences": SQL_UDTF_SENTENCES,
+    "pit_join_scd2_orders": SQL_PIT_JOIN,
+    "discount_share_wilson_ci": SQL_PROPORTION_CI,
+    "bpe_pair_topk": SQL_BPE_PAIRS,
     "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
     "csv_per_period_export": SQL_CSV_PER_PERIOD,
     "json_dict_scan": SQL_JSON_DICT_SCAN,

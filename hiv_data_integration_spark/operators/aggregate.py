@@ -45,6 +45,7 @@ __all__ = [
     "contingency_profile",
     "conversion_latency_deciles",
     "cooccurrence_lift",
+    "proportion_ci",
 ]
 
 
@@ -1584,4 +1585,50 @@ def cooccurrence_lift(
                 / (F.col("n_a") * F.col("n_b")).cast("double")
             ).alias("lift"),
         )
+    )
+
+
+def proportion_ci(
+    df: DataFrame,
+    group_col: str,
+    flag_col: Column | str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-group proportion with a Wilson score confidence interval —
+    the monitoring statistic for pass rates (quality-filter keep rate,
+    dedup hit rate, conversion share) that stays sane at small n and
+    p near 0/1, where the naive normal interval escapes [0, 1].
+
+    Successes and trials are exact BIGINTs from one hash aggregate;
+    the interval is ONE fixed-order double expression over them
+    (division, multiplication, and sqrt are all correctly-rounded IEEE
+    operations, so the bounds are bit-reproducible on any engine —
+    unlike ln/pow, which are not). Groups with n = 0 cannot occur
+    (grouping implies membership); flag NULLs count as failures —
+    pre-filter if NULL should mean not-applicable.
+
+    Output: ``(group, n, successes, p, ci_lo, ci_hi)``.
+    """
+    flag = F.col(flag_col) if isinstance(flag_col, str) else flag_col
+    agg = df.groupBy(F.col(group_col).alias(group_col)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(flag, 1).otherwise(0)).cast("long").alias("successes"),
+    )
+    n = F.col("n").cast("double")
+    s = F.col("successes").cast("double")
+    p = s / n
+    z_ = F.lit(float(z))
+    z2 = z_ * z_
+    center = p + z2 / (F.lit(2.0) * n)
+    margin = z_ * F.sqrt(
+        p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n)
+    )
+    denom = F.lit(1.0) + z2 / n
+    return agg.select(
+        group_col,
+        "n",
+        "successes",
+        p.alias("p"),
+        ((center - margin) / denom).alias("ci_lo"),
+        ((center + margin) / denom).alias("ci_hi"),
     )

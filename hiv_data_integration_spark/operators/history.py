@@ -24,7 +24,7 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["scd2_initial", "scd2_merge"]
+__all__ = ["scd2_initial", "scd2_merge", "pit_join"]
 
 #: SCD2 bookkeeping columns added to the dimension payload.
 META_COLS = ("valid_from", "valid_to", "is_current")
@@ -112,3 +112,52 @@ def scd2_merge(
     )
     merged = j.select(F.explode(out_rows).alias("_s")).select("_s.*")
     return merged.unionByName(cur_closed)
+
+
+def pit_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key_cols: list[str],
+    stamp_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time (temporal) join: each fact row picks up the
+    dimension VERSION that was valid at the fact's own stamp —
+    ``valid_from <= stamp < valid_to`` (open ``valid_to`` = still
+    current). The lookup every SCD2 history exists to serve: revenue
+    under the price list of the sale date, events against the org
+    hierarchy of that day — using today's version (a plain key join)
+    silently rewrites history.
+
+    Executes as an equi hash join on the business key with the validity
+    window as a join residual — versions per key are few by
+    construction, so the residual prunes a handful of rows per match;
+    one key-partitioned shuffle, bucketing both sides on the key makes
+    it exchange-free. SCD2 validity intervals are half-open and
+    non-overlapping per key, so each fact matches AT MOST one version —
+    the join never fans out (same contract the merge maintains).
+
+    Output: all fact columns + the history payload and validity
+    columns.
+    """
+    h = history.select(
+        *[F.col(k).alias(f"_h_{k}") for k in key_cols],
+        *[
+            F.col(c)
+            for c in history.columns
+            if c not in key_cols
+        ],
+    )
+    cond = None
+    for k in key_cols:
+        eq = facts[k] == h[f"_h_{k}"]
+        cond = eq if cond is None else cond & eq
+    stamp = facts[stamp_col]
+    cond = (
+        cond
+        & (stamp >= h[valid_from])
+        & (h[valid_to].isNull() | (stamp < h[valid_to]))
+    )
+    return facts.join(h, cond, how).drop(*[f"_h_{k}" for k in key_cols])

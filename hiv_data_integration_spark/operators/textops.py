@@ -30,6 +30,7 @@ __all__ = [
     "ngram_repetition_features",
     "ngram_containment",
     "sentence_rows_udtf",
+    "bpe_pair_counts",
     "contamination_check",
     "tfidf_topk",
     "pack_token_budget",
@@ -1203,3 +1204,48 @@ def sentence_rows_udtf(
         )
     finally:
         spark.catalog.dropTempView(view)
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Adjacent-symbol pair frequencies — the inner loop of BPE/
+    SentencePiece vocabulary induction (each merge step promotes the
+    most frequent pair; this operator computes that corpus-wide count
+    table, the part that actually needs a cluster).
+
+    Pairs are 2-character substrings at every position of the
+    lowercased text (``substring(text, i, 2)`` — identical 1-based
+    semantics in Spark and ANSI SQL, no split-on-empty-string edge
+    cases). Plan: per-row position expansion → explode → one pair-keyed
+    hash aggregate (map-side combined, exactly a word count) → global
+    top-k window with total ordering (count desc, pair asc). Space-
+    containing pairs are word-boundary statistics and are kept — real
+    BPE trainers pre-segment on whitespace; filter upstream to match a
+    specific tokenizer's convention.
+
+    Output: ``(rank, pair, n_occurrences)``.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(F.lower(F.col(text_col)).alias("_t"))
+    # length<2 texts yield an explicit empty array — sequence(1, 0) is
+    # DESCENDING in Spark, not empty (same trap ngrams() documents)
+    pairs = base.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN length(_t) >= 2 THEN "
+                "transform(sequence(1, length(_t) - 1), i -> substring(_t, i, 2)) "
+                "ELSE array() END"
+            )
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count("*").alias("n_occurrences"))
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "pair", "n_occurrences")
+    )

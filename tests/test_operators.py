@@ -2176,3 +2176,65 @@ def test_sentence_rows_udtf_handcrafted(spark):
     )
     # empty segment skipped without consuming an index; None yields nothing
     assert got == [(1, 0, "Hello there"), (1, 1, "Nice day"), (1, 2, "Bye")]
+
+
+def test_pit_join_handcrafted(spark):
+    from hiv_data_integration_spark.operators.history import pit_join
+
+    hist = spark.createDataFrame(
+        [
+            ("a", 10.0, 1, 3, False),   # version 1: batches 1-2
+            ("a", 20.0, 3, None, True), # version 2: batch 3 onward
+            ("b", 5.0, 2, None, True),
+        ],
+        "k string, bal double, valid_from long, valid_to long, is_current boolean",
+    )
+    facts = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("b", 1), ("c", 2)], "k string, stamp long"
+    )
+    got = {
+        (r["k"], r["stamp"]): (r["bal"], r["valid_from"])
+        for r in pit_join(facts, hist, ["k"], "stamp").collect()
+    }
+    assert got[("a", 1)] == (10.0, 1)   # old version at stamp 1
+    assert got[("a", 3)] == (20.0, 3)   # new version exactly at boundary
+    assert got[("b", 1)] == (None, None)  # before the key existed
+    assert got[("c", 2)] == (None, None)  # unknown key survives (left)
+
+
+def test_proportion_ci_handcrafted(spark):
+    import math
+
+    from hiv_data_integration_spark.operators.aggregate import proportion_ci
+
+    df = spark.createDataFrame(
+        [("g", True)] * 8 + [("g", False)] * 2, "g string, f boolean"
+    )
+    [r] = proportion_ci(df, "g", "f").collect()
+    assert (r["n"], r["successes"], r["p"]) == (10, 8, 0.8)
+    # Wilson bounds for 8/10 at z=1.96 (reference values)
+    z = 1.96
+    p, n = 0.8, 10.0
+    denom = 1.0 + z * z / n
+    center = p + z * z / (2.0 * n)
+    margin = z * math.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))
+    assert r["ci_lo"] == (center - margin) / denom
+    assert r["ci_hi"] == (center + margin) / denom
+    assert 0.0 < r["ci_lo"] < 0.8 < r["ci_hi"] < 1.0
+
+
+def test_bpe_pair_counts_handcrafted(spark):
+    from hiv_data_integration_spark.operators.textops import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [("ababa",), ("AB",), ("x",), (None,)], "text string"
+    )
+    got = {
+        r["pair"]: (r["rank"], r["n_occurrences"])
+        for r in bpe_pair_counts(df, k=10).collect()
+    }
+    # "ababa" → ab, ba, ab, ba; "AB" lowercases to one more ab;
+    # "x" (length 1) contributes nothing
+    assert got["ab"] == (1, 3)
+    assert got["ba"] == (2, 2)
+    assert len(got) == 2
