@@ -5914,6 +5914,89 @@ SELECT rank, pair, n_occurrences FROM r WHERE rank <= 20
 """
 
 
+
+def q_streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming trending-items: event-time tumbling windows
+    with a watermark aggregate per-type counts in the stream (state
+    bounded by window x type), then the FINAL batch pass ranks the
+    top 3 types per window — the streaming-aggregate + batch-rank split
+    every "trending now" pipeline uses (a global rank inside the stream
+    would need unbounded state; the per-window re-rank over the tiny
+    aggregate table is free). DECIMAL value sums keep the micro-batch
+    merge order invisible."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql.window import Window
+
+    stream = read_events_stream(
+        spark, f"{sf_dir}/events*.parquet", f"{sf_dir}/events.parquet"
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", scale=6, prec=28).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"stream_topk_{_uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        # the memory sink registers in the stream's ISOLATED UTC session
+        # (read_events_stream contract) — route the lookup through it
+        ssession = agg.sparkSession
+        table = ssession.table(name)
+        w = Window.partitionBy("window_start").orderBy(
+            F.col("n_events").desc(), F.col("event_type")
+        )
+        out = _local_result(
+            table.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 3)
+            .select(
+                "window_start", "rank", "event_type", "n_events",
+                "sum_value",
+            )
+        )
+        ssession.catalog.dropTempView(name)
+        return out
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+SQL_STREAMING_WINDOWED_TOPK = """
+WITH agg AS (
+    SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+                                        ORDER BY n_events DESC, event_type)
+                     AS BIGINT) AS rank
+      FROM agg)
+SELECT window_start, rank, event_type, n_events, sum_value
+FROM r WHERE rank <= 3
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_median_price": q_weighted_median,
     "user_rfm_features": q_rfm_features,
@@ -5938,6 +6021,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "pit_join_scd2_orders": q_pit_join,
     "discount_share_wilson_ci": q_proportion_ci,
     "bpe_pair_topk": q_bpe_pairs,
+    "streaming_windowed_topk": q_streaming_windowed_topk,
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
     "json_dict_scan": q_json_dict_scan,
@@ -6071,6 +6155,7 @@ EXT_ORACLE: dict[str, str] = {
     "pit_join_scd2_orders": SQL_PIT_JOIN,
     "discount_share_wilson_ci": SQL_PROPORTION_CI,
     "bpe_pair_topk": SQL_BPE_PAIRS,
+    "streaming_windowed_topk": SQL_STREAMING_WINDOWED_TOPK,
     "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
     "csv_per_period_export": SQL_CSV_PER_PERIOD,
     "json_dict_scan": SQL_JSON_DICT_SCAN,

@@ -1590,6 +1590,59 @@ WHERE s.s_suppkey IN (
 """
 
 
+
+def q_revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period BI shape: monthly DECIMAL revenue per return
+    flag, with month-over-month delta and growth ratio via lag. The
+    delta subtracts in DECIMAL (exact); both outputs cast to double at
+    the end, the ratio is one IEEE division. First month per flag has
+    NULL delta/ratio (no prior period), preserved on both engines."""
+    from pyspark.sql.window import Window
+
+    li = tbl(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)")
+        - F.col("l_discount").cast("decimal(18,2)")
+    )
+    monthly = (
+        li.groupBy(
+            "l_returnflag",
+            F.date_format(F.to_date("l_shipdate"), "yyyy-MM").alias("month"),
+        )
+        .agg(F.sum(revenue).alias("_rev"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("month")
+    prev = F.lag("_rev").over(w)
+    return monthly.select(
+        "l_returnflag",
+        "month",
+        F.col("_rev").cast("double").alias("revenue"),
+        (F.col("_rev") - prev).cast("double").alias("mom_delta"),
+        (
+            F.col("_rev").cast("double") / prev.cast("double")
+        ).alias("mom_ratio"),
+    )
+
+
+SQL_REVENUE_MOM_GROWTH = """
+WITH monthly AS (
+    SELECT l_returnflag, strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS month,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2))
+                  - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+    FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag, month,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(rev - lag(rev) OVER (PARTITION BY l_returnflag ORDER BY month)
+            AS DOUBLE) AS mom_delta,
+       CAST(rev AS DOUBLE)
+           / CAST(lag(rev) OVER (PARTITION BY l_returnflag ORDER BY month)
+                  AS DOUBLE) AS mom_ratio
+FROM monthly
+"""
+
+
 SQL2_QUERIES: dict[str, QueryFn] = {
     "rollup_lineitem": q_rollup,
     "cube_orders": q_cube,
@@ -1628,6 +1681,7 @@ SQL2_QUERIES: dict[str, QueryFn] = {
     "late_shipment_priority": q_late_shipment_priority,
     "supplier_count_by_part": q_supplier_count_by_part,
     "promotion_qty_suppliers": q_promotion_qty_suppliers,
+    "revenue_mom_growth": q_revenue_mom_growth,
 }
 
 SQL2_ORACLE: dict[str, str] = {
@@ -1668,4 +1722,5 @@ SQL2_ORACLE: dict[str, str] = {
     "late_shipment_priority": SQL_LATE_SHIPMENT_PRIORITY,
     "supplier_count_by_part": SQL_SUPPLIER_COUNT_BY_PART,
     "promotion_qty_suppliers": SQL_PROMOTION_QTY_SUPPLIERS,
+    "revenue_mom_growth": SQL_REVENUE_MOM_GROWTH,
 }

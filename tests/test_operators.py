@@ -2238,3 +2238,44 @@ def test_bpe_pair_counts_handcrafted(spark):
     assert got["ab"] == (1, 3)
     assert got["ba"] == (2, 2)
     assert len(got) == 2
+
+
+def test_file_metadata_hidden_column(spark, tmp_path):
+    # Spark's _metadata hidden column: per-source-file lineage audit —
+    # the ingest-provenance surface (file name, size, mod time) without
+    # any custom reader
+    p = str(tmp_path / "files")
+    spark.range(0, 100).withColumn(
+        "part", (F.col("id") % 4).cast("int")
+    ).repartition(4, "part").write.parquet(p)
+    audited = (
+        spark.read.parquet(p)
+        .select("id", F.col("_metadata.file_name").alias("fname"))
+        .groupBy("fname")
+        .agg(F.count("*").alias("n"))
+    )
+    rows = audited.collect()
+    assert sum(r["n"] for r in rows) == 100
+    assert all(r["fname"].endswith(".parquet") for r in rows)
+    assert len(rows) >= 2  # multiple files, each audited separately
+
+
+def test_observation_metrics_api(spark):
+    # batch Observation API: accumulator-style metrics piggyback on an
+    # action with NO extra pass over the data — the pipeline-monitoring
+    # hook (row counts, null counts, sums observed mid-plan)
+    from pyspark.sql import Observation
+
+    obs = Observation("ingest_stats")
+    df = spark.range(0, 1000).withColumn(
+        "v", F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id"))
+    )
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("v").isNull().cast("long")).alias("n_nulls"),
+    )
+    assert observed.filter(F.col("id") >= 0).count() == 1000
+    got = obs.get
+    assert got["n_rows"] == 1000
+    assert got["n_nulls"] == 100
