@@ -5997,6 +5997,168 @@ FROM r WHERE rank <= 3
 """
 
 
+
+def q_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer proration: each order's total price (in cents)
+    splits across its lineitems proportional to quantity via the
+    largest-remainder method — whole cents, summing EXACTLY to the
+    order total (naive rounding leaks cents). All BIGINT math
+    (integral `div`, never floor-of-double); remainder ties break by
+    linenumber. Sliced to every 20th order to keep the driver compare
+    row-bounded."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        largest_remainder_allocation,
+    )
+
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 20 == 0
+    )
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("_total_cents"),
+    )
+    base = li.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("long").alias("_qty"),
+    ).join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey")).drop(
+        "o_orderkey"
+    )
+    return largest_remainder_allocation(
+        base, "l_orderkey", "_qty", "_total_cents", ["l_linenumber"]
+    )
+
+
+SQL_LARGEST_REMAINDER = """
+WITH base AS (
+    SELECT l.l_orderkey, l.l_linenumber,
+           CAST(l.l_quantity AS BIGINT) AS weight,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS T
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_orderkey % 20 = 0
+),
+w AS (SELECT l_orderkey, CAST(SUM(weight) AS BIGINT) AS W FROM base
+      GROUP BY 1),
+x AS (
+    SELECT b.l_orderkey, b.l_linenumber, b.weight, b.T, w.W,
+           (b.T * b.weight) // w.W AS fl,
+           (b.T * b.weight) % w.W AS rem
+    FROM base b JOIN w USING (l_orderkey)
+),
+y AS (
+    SELECT *,
+           CAST(T - SUM(fl) OVER (PARTITION BY l_orderkey) AS BIGINT)
+               AS deficit,
+           ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                              ORDER BY rem DESC, l_linenumber) AS r
+    FROM x
+)
+SELECT l_orderkey, l_linenumber, weight,
+       CAST(fl + CASE WHEN r <= deficit THEN 1 ELSE 0 END AS BIGINT)
+           AS allocated
+FROM y
+"""
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity privacy audit: quasi-identifier = (nation, market
+    segment, balance bucketed to 1000s); classes under k=5 members are
+    re-identification risks and their rows would need suppression.
+    Exact counts; one QI hash aggregate + a 1-row rollup."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        k_anonymity_audit,
+    )
+
+    # bucket via floor-of-double (identical IEEE on both engines) — a
+    # decimal-cast-to-long would TRUNCATE in Spark but ROUND in DuckDB,
+    # splitting boundary classes differently
+    cust = tbl(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0))
+        .cast("long")
+        .alias("_bal_bucket"),
+    )
+    return k_anonymity_audit(
+        cust, ["c_nationkey", "c_mktsegment", "_bal_bucket"], k=5
+    )
+
+
+SQL_K_ANONYMITY = """
+WITH classes AS (
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / CAST(1000.0 AS DOUBLE)) AS BIGINT)
+               AS bal_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer GROUP BY 1, 2, 3
+)
+SELECT CAST(5 AS BIGINT) AS k,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_classes,
+       CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating_classes,
+       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+           AS n_suppressed_rows,
+       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(n) AS DOUBLE) AS suppressed_frac
+FROM classes
+"""
+
+
+def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-intervals engagement time: each event opens a 30-minute
+    activity interval; overlaps must not double-count, so cumulative-
+    max island detection merges them before summing — naive
+    sum(end-start) over-reports exactly where activity clusters. All
+    exact BIGINT epoch seconds (tz-proof NTZ field arithmetic)."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        interval_union_time,
+    )
+
+    ev = tbl(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 minutes")).alias("_end"),
+    )
+    return interval_union_time(ev, "user_id", "_start", "_end")
+
+
+SQL_INTERVAL_UNION = """
+WITH base AS (
+    -- floor, not CAST: Spark's NTZ field arithmetic TRUNCATES fractional
+    -- seconds while a DuckDB BIGINT cast would round them
+    SELECT user_id AS u,
+           CAST(floor(epoch(ts)) AS BIGINT) AS s,
+           CAST(floor(epoch(ts + INTERVAL 30 MINUTE)) AS BIGINT) AS e
+    FROM events
+),
+flagged AS (
+    SELECT u, s, e,
+           CASE WHEN MAX(e) OVER (PARTITION BY u ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) IS NULL
+                  OR s > MAX(e) OVER (PARTITION BY u ORDER BY s, e
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS new_island
+    FROM base
+),
+islands AS (
+    SELECT u, s, e,
+           SUM(new_island) OVER (PARTITION BY u ORDER BY s, e
+                                 ROWS UNBOUNDED PRECEDING) AS island
+    FROM flagged
+),
+per_island AS (
+    SELECT u, island, COUNT(*) AS cnt, MAX(e) - MIN(s) AS cov
+    FROM islands GROUP BY 1, 2
+)
+SELECT u AS user, CAST(SUM(cnt) AS BIGINT) AS n_intervals,
+       COUNT(*) AS n_islands, CAST(SUM(cov) AS BIGINT) AS covered_s
+FROM per_island GROUP BY u
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_median_price": q_weighted_median,
     "user_rfm_features": q_rfm_features,
@@ -6022,6 +6184,9 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "discount_share_wilson_ci": q_proportion_ci,
     "bpe_pair_topk": q_bpe_pairs,
     "streaming_windowed_topk": q_streaming_windowed_topk,
+    "largest_remainder_proration": q_largest_remainder,
+    "k_anonymity_audit": q_k_anonymity,
+    "interval_union_engagement": q_interval_union,
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
     "json_dict_scan": q_json_dict_scan,
@@ -6156,6 +6321,9 @@ EXT_ORACLE: dict[str, str] = {
     "discount_share_wilson_ci": SQL_PROPORTION_CI,
     "bpe_pair_topk": SQL_BPE_PAIRS,
     "streaming_windowed_topk": SQL_STREAMING_WINDOWED_TOPK,
+    "largest_remainder_proration": SQL_LARGEST_REMAINDER,
+    "k_anonymity_audit": SQL_K_ANONYMITY,
+    "interval_union_engagement": SQL_INTERVAL_UNION,
     "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
     "csv_per_period_export": SQL_CSV_PER_PERIOD,
     "json_dict_scan": SQL_JSON_DICT_SCAN,

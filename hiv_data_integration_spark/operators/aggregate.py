@@ -46,6 +46,9 @@ __all__ = [
     "conversion_latency_deciles",
     "cooccurrence_lift",
     "proportion_ci",
+    "largest_remainder_allocation",
+    "k_anonymity_audit",
+    "interval_union_time",
 ]
 
 
@@ -1631,4 +1634,160 @@ def proportion_ci(
         p.alias("p"),
         ((center - margin) / denom).alias("ci_lo"),
         ((center + margin) / denom).alias("ci_hi"),
+    )
+
+
+def largest_remainder_allocation(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    total_col: str,
+    id_cols: list[str],
+) -> DataFrame:
+    """Exact integer proration (largest-remainder / Hamilton method):
+    split each group's integer ``total_col`` across its rows in
+    proportion to integer ``weight_col`` such that the shares are whole
+    units and SUM EXACTLY to the total — the allocation problem behind
+    revenue attribution, budget spread, and seat apportionment, where
+    naive round(T·w/W) leaks or overshoots cents.
+
+    Each row gets ``floor(T·w/W)``; the leftover ``T − Σfloor`` units
+    (always < group size) go one each to the rows with the largest
+    remainders ``(T·w) mod W``, ties broken by ``id_cols`` — every step
+    is BIGINT math, so the allocation is bit-identical on any engine.
+    ``total_col`` must be constant within a group (the caller's
+    contract; it rides along the group key).
+
+    Plan: one group aggregate for ``W``, broadcast back, one window
+    rank per group over remainders. Output: input id/group columns +
+    ``(weight, allocated)``.
+    """
+    from pyspark.sql.window import Window
+
+    w_sum = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("_W")
+    )
+    base = df.select(
+        F.col(group_col),
+        *[F.col(c) for c in id_cols],
+        F.col(weight_col).cast("long").alias("weight"),
+        F.col(total_col).cast("long").alias("_T"),
+    ).join(w_sum, F.col(group_col) == F.col("_g")).drop("_g")
+    # `div` is Spark's INTEGRAL division — floor(a/b) on doubles would
+    # corrupt quotients once T·w exceeds 2^53
+    base = base.withColumn(
+        "_floor", F.expr("(_T * weight) div _W").cast("long")
+    ).withColumn("_rem", F.expr("(_T * weight) % _W"))
+    grp_w = Window.partitionBy(group_col)
+    rank_w = Window.partitionBy(group_col).orderBy(
+        F.col("_rem").desc(), *[F.col(c) for c in id_cols]
+    )
+    return (
+        base.withColumn("_deficit", F.col("_T") - F.sum("_floor").over(grp_w))
+        .withColumn("_r", F.row_number().over(rank_w))
+        .select(
+            group_col,
+            *id_cols,
+            "weight",
+            (
+                F.col("_floor")
+                + F.when(F.col("_r") <= F.col("_deficit"), 1).otherwise(0)
+            ).cast("long").alias("allocated"),
+        )
+    )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    qi_cols: list[Column | str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: how many
+    QI equivalence classes fall below ``k`` members, and what share of
+    rows a release would have to suppress — the privacy gate before
+    sharing user-derived training data or analytics extracts.
+
+    One QI-keyed hash aggregate + a 1-row rollup; all counts exact
+    BIGINTs, the suppressed share one IEEE division. NULL QI values
+    form their own class (NULL patterns re-identify too).
+
+    Output 1 row: ``(k, n_rows, n_classes, n_violating_classes,
+    n_suppressed_rows, suppressed_frac)``.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in qi_cols]
+    classes = df.groupBy(*cols).agg(F.count("*").alias("_n"))
+    return classes.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.count("*").alias("n_classes"),
+        F.sum(F.when(F.col("_n") < k, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating_classes"),
+        F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(0))
+        .cast("long")
+        .alias("n_suppressed_rows"),
+    ).select(
+        "*",
+        (
+            F.col("n_suppressed_rows").cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("suppressed_frac"),
+    )
+
+
+def interval_union_time(
+    df: DataFrame,
+    user_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Total COVERED time per user from possibly-overlapping intervals
+    (the union-of-intervals / gaps-and-islands problem): overlapping
+    sessions must not double-count — naive ``sum(end − start)`` over-
+    reports engagement whenever activities overlap.
+
+    Classic cumulative-max island detection, all in exact BIGINT epoch
+    seconds (tz-proof NTZ field arithmetic): an interval starts a new
+    island when its start exceeds the running max end of everything
+    before it; per-island coverage is ``max(end) − min(start)``. Two
+    user-keyed windows + two aggregates — shuffles only on the user
+    key; per-user state is one running BIGINT.
+
+    Output: ``(user, n_intervals, n_islands, covered_s)``.
+    """
+    from pyspark.sql.window import Window
+
+    def _ep(c: str, d: DataFrame) -> Column:
+        if isinstance(d.schema[c].dataType, T.TimestampNTZType):
+            return (
+                F.unix_date(F.col(c).cast("date")).cast("long") * 86400
+                + F.hour(c) * 3600 + F.minute(c) * 60 + F.second(c)
+            )
+        return F.col(c).cast("timestamp").cast("long")
+
+    base = df.select(
+        F.col(user_col).alias("_u"),
+        _ep(start_col, df).alias("_s"),
+        _ep(end_col, df).alias("_e"),
+    )
+    order_w = Window.partitionBy("_u").orderBy("_s", "_e")
+    prev_max = F.max("_e").over(
+        order_w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = base.withColumn(
+        "_new",
+        F.when(prev_max.isNull() | (F.col("_s") > prev_max), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "_island",
+        F.sum("_new").over(order_w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_island = islands.groupBy("_u", "_island").agg(
+        F.count("*").alias("_cnt"),
+        (F.max("_e") - F.min("_s")).alias("_cov"),
+    )
+    return per_island.groupBy(F.col("_u").alias("user")).agg(
+        F.sum("_cnt").cast("long").alias("n_intervals"),
+        F.count("*").alias("n_islands"),
+        F.sum("_cov").cast("long").alias("covered_s"),
     )

@@ -2279,3 +2279,74 @@ def test_observation_metrics_api(spark):
     got = obs.get
     assert got["n_rows"] == 1000
     assert got["n_nulls"] == 100
+
+
+def test_largest_remainder_allocation_handcrafted(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        largest_remainder_allocation,
+    )
+
+    # T=100 split over weights 1,1,1 → 33/33/34 with the extra cent on
+    # the smallest id? all remainders equal (100*1 % 3 == 1) → tie broken
+    # by id asc: rows 1,2,3 all rem=1, deficit=1 → row 1 gets it
+    df = spark.createDataFrame(
+        [("o1", 1, 1, 100), ("o1", 2, 1, 100), ("o1", 3, 1, 100),
+         ("o2", 1, 2, 7), ("o2", 2, 3, 7)],
+        "g string, i long, w long, t long",
+    )
+    got = {
+        (r["g"], r["i"]): r["allocated"]
+        for r in largest_remainder_allocation(
+            df, "g", "w", "t", ["i"]
+        ).collect()
+    }
+    assert got[("o1", 1)] == 34 and got[("o1", 2)] == 33
+    assert got[("o1", 3)] == 33
+    # o2: T=7, W=5 → floors 2,4 rems 4,1 → deficit 1 → row 1 gets it
+    assert got[("o2", 1)] == 3 and got[("o2", 2)] == 4
+    # invariant: allocations sum exactly to each group's total
+    assert got[("o1", 1)] + got[("o1", 2)] + got[("o1", 3)] == 100
+    assert got[("o2", 1)] + got[("o2", 2)] == 7
+
+
+def test_k_anonymity_audit_handcrafted(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        k_anonymity_audit,
+    )
+
+    rows = [("a", 1)] * 5 + [("a", 2)] * 2 + [(None, 1)] * 1
+    df = spark.createDataFrame(rows, "q1 string, q2 long")
+    [r] = k_anonymity_audit(df, ["q1", "q2"], k=3).collect()
+    assert (r["n_rows"], r["n_classes"]) == (8, 3)
+    # class (a,2) has 2 < 3; NULL class has 1 < 3 (NULLs form a class)
+    assert (r["n_violating_classes"], r["n_suppressed_rows"]) == (2, 3)
+    assert r["suppressed_frac"] == 3 / 8
+
+
+def test_interval_union_time_handcrafted(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        interval_union_time,
+    )
+
+    rows = [
+        # user 1: [0,100) and [50,150) overlap → one island of 150 s;
+        # [200,250) separate
+        (1, "2024-01-01 00:00:00", "2024-01-01 00:01:40"),
+        (1, "2024-01-01 00:00:50", "2024-01-01 00:02:30"),
+        (1, "2024-01-01 00:03:20", "2024-01-01 00:04:10"),
+        # user 2: touching intervals [0,60) and [60,120) merge (s > e is
+        # strict: start == prev end does NOT open a new island)
+        (2, "2024-01-01 00:00:00", "2024-01-01 00:01:00"),
+        (2, "2024-01-01 00:01:00", "2024-01-01 00:02:00"),
+    ]
+    df = (
+        spark.createDataFrame(rows, "u long, s string, e string")
+        .withColumn("s", F.to_timestamp("s"))
+        .withColumn("e", F.to_timestamp("e"))
+    )
+    got = {
+        r["user"]: (r["n_intervals"], r["n_islands"], r["covered_s"])
+        for r in interval_union_time(df, "u", "s", "e").collect()
+    }
+    assert got[1] == (3, 2, 200)
+    assert got[2] == (2, 1, 120)
