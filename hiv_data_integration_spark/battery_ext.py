@@ -6159,6 +6159,163 @@ FROM per_island GROUP BY u
 """
 
 
+
+def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct actives (WAU): exact distinct counting
+    does not decompose over sliding windows, so the day spine range-
+    joins the distinct (user, day) activity table — cost bounded by
+    days x in-window pairs, with the documented scale knobs (cap the
+    spine, or switch to the mergeable-HLL path)."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        trailing_distinct_users,
+    )
+
+    ev = tbl(spark, sf_dir, "events")
+    return trailing_distinct_users(ev, window_days=7)
+
+
+SQL_ROLLING_WAU = """
+WITH activity AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+                  FROM events),
+days AS (SELECT DISTINCT d AS day FROM activity)
+SELECT day, COUNT(DISTINCT u) AS n_active_users
+FROM days JOIN activity ON d > day - 7 AND d <= day
+GROUP BY day
+"""
+
+
+def q_median_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-median NULL repair: every 7th event's value is knocked out,
+    then imputed with its event type's exact lower median of the
+    surviving values; the rollup hash-pins both the imputation count
+    and the DECIMAL-accumulated repaired sum (all-NULL groups would
+    stay NULL by contract)."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        group_median_impute,
+    )
+
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("v"),
+    )
+    out = group_median_impute(ev, "event_type", "v")
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("was_imputed").cast("long")).alias("n_imputed"),
+        F.sum(F.col("value_imputed").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sum_imputed"),
+    )
+
+
+SQL_MEDIAN_IMPUTE = """
+WITH base AS (
+    SELECT event_id, event_type,
+           CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+    FROM events
+),
+per_val AS (
+    SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS w
+    FROM base WHERE v IS NOT NULL GROUP BY 1, 2
+),
+c AS (
+    SELECT event_type, v, w,
+           SUM(w) OVER (PARTITION BY event_type ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(w) OVER (PARTITION BY event_type) AS tot
+    FROM per_val
+),
+med AS (SELECT event_type, MIN(v) AS m FROM c
+        WHERE cum * 2 >= tot GROUP BY 1)
+SELECT b.event_type, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN b.v IS NULL AND med.m IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+       CAST(SUM(CAST(COALESCE(b.v, med.m) AS DECIMAL(28,6))) AS DOUBLE)
+           AS sum_imputed
+FROM base b LEFT JOIN med ON b.event_type = med.event_type
+GROUP BY 1
+"""
+
+
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join (<=> / IS NOT DISTINCT FROM): the events
+    stream splits by id parity, each side aggregates per nullable JSON
+    key (malformed payloads -> NULL, a REAL key class), then a
+    null-safe FULL OUTER join aligns the two histograms — under plain
+    equality the NULL classes would never meet. Pre-aggregation keeps
+    the NULL groups from cross-multiplying."""
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_id",
+        F.try_variant_get(
+            F.parse_json(F.col("props")), "$.k", "long"
+        ).alias("k"),
+    )
+    left = ev.filter(F.col("event_id") % 2 == 0).groupBy("k").agg(
+        F.count("*").alias("n_left")
+    )
+    right = ev.filter(F.col("event_id") % 2 == 1).groupBy(
+        F.col("k").alias("k2")
+    ).agg(F.count("*").alias("n_right"))
+    return (
+        left.join(right, F.col("k").eqNullSafe(F.col("k2")), "full_outer")
+        .select(
+            F.coalesce(F.col("k"), F.col("k2")).alias("k"),
+            "n_left",
+            "n_right",
+        )
+    )
+
+
+SQL_NULL_SAFE_JOIN = """
+WITH ev AS (
+    SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+),
+l AS (SELECT k, COUNT(*) AS n_left FROM ev WHERE event_id % 2 = 0
+      GROUP BY k),
+r AS (SELECT k AS k2, COUNT(*) AS n_right FROM ev WHERE event_id % 2 = 1
+      GROUP BY k)
+SELECT COALESCE(l.k, r.k2) AS k, l.n_left, r.n_right
+FROM l FULL OUTER JOIN r ON l.k IS NOT DISTINCT FROM r.k2
+"""
+
+
+def q_collated_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collation semantics: market segments re-cased by key
+    parity group under UTF8_LCASE collation — case variants land in ONE
+    group without a lower() rewrite of the data. The emitted
+    representative is min(original) (the collated group key itself
+    keeps an arbitrary variant's casing, which no oracle could
+    reproduce); the oracle's lower()-keyed twin proves the grouping is
+    exactly case-insensitive equality."""
+    cust = tbl(spark, sf_dir, "customer").select(
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment")
+        ).otherwise(F.lower("c_mktsegment")).alias("seg_cased")
+    )
+    return (
+        cust.groupBy(F.collate(F.col("seg_cased"), "UTF8_LCASE").alias("_g"))
+        .agg(
+            F.min("seg_cased").alias("segment_rep"),
+            F.count("*").alias("n_customers"),
+        )
+        .select("segment_rep", "n_customers")
+    )
+
+
+SQL_COLLATED_GROUPS = """
+WITH cased AS (
+    SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                ELSE lower(c_mktsegment) END AS seg_cased
+    FROM customer
+)
+SELECT MIN(seg_cased) AS segment_rep, COUNT(*) AS n_customers
+FROM cased GROUP BY lower(seg_cased)
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_median_price": q_weighted_median,
     "user_rfm_features": q_rfm_features,
@@ -6187,6 +6344,10 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "largest_remainder_proration": q_largest_remainder,
     "k_anonymity_audit": q_k_anonymity,
     "interval_union_engagement": q_interval_union,
+    "rolling_wau_exact": q_rolling_wau,
+    "group_median_impute": q_median_impute,
+    "null_safe_join_histograms": q_null_safe_join,
+    "collated_group_counts": q_collated_groups,
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
     "json_dict_scan": q_json_dict_scan,
@@ -6324,6 +6485,10 @@ EXT_ORACLE: dict[str, str] = {
     "largest_remainder_proration": SQL_LARGEST_REMAINDER,
     "k_anonymity_audit": SQL_K_ANONYMITY,
     "interval_union_engagement": SQL_INTERVAL_UNION,
+    "rolling_wau_exact": SQL_ROLLING_WAU,
+    "group_median_impute": SQL_MEDIAN_IMPUTE,
+    "null_safe_join_histograms": SQL_NULL_SAFE_JOIN,
+    "collated_group_counts": SQL_COLLATED_GROUPS,
     "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
     "csv_per_period_export": SQL_CSV_PER_PERIOD,
     "json_dict_scan": SQL_JSON_DICT_SCAN,

@@ -49,6 +49,8 @@ __all__ = [
     "largest_remainder_allocation",
     "k_anonymity_audit",
     "interval_union_time",
+    "trailing_distinct_users",
+    "group_median_impute",
 ]
 
 
@@ -1790,4 +1792,90 @@ def interval_union_time(
         F.sum("_cnt").cast("long").alias("n_intervals"),
         F.count("*").alias("n_islands"),
         F.sum("_cov").cast("long").alias("covered_s"),
+    )
+
+
+def trailing_distinct_users(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling distinct-actives (the DAU/WAU/MAU family): for every
+    calendar day with activity, the EXACT count of distinct users
+    active in the trailing ``window_days`` window ending that day.
+
+    Distinct counting does not decompose over sliding windows (a user
+    active twice must count once), so the exact form is a range join:
+    the (user, day) distinct activity table joins the day spine on
+    ``day - w < active_day <= day``, then one distinct count per day.
+    Cost is bounded by |distinct days| × |active pairs in window| —
+    at corpus scale cap the spine (report the last N days) or switch
+    to the mergeable-HLL path (:func:`hll_merged_distinct`) and accept
+    the documented error envelope; both knobs are standard for this
+    metric.
+
+    Output: ``(day, n_active_users)``.
+    """
+    activity = events.select(
+        F.col(user_col).alias("_u"), F.to_date(ts_col).alias("_d")
+    ).distinct()
+    days = activity.select(F.col("_d").alias("day")).distinct()
+    joined = days.join(
+        activity,
+        (F.col("_d") > F.date_sub(F.col("day"), window_days))
+        & (F.col("_d") <= F.col("day")),
+    )
+    return joined.groupBy("day").agg(
+        F.count_distinct("_u").alias("n_active_users")
+    )
+
+
+def group_median_impute(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """NULL imputation with the group's exact lower median — the
+    deterministic repair step for numeric features (a mean imputation
+    drags on outliers and is float-order-dependent; the lower median
+    of the non-NULL values is exact and engine-portable).
+
+    Medians come from the same integer half-count rule as
+    :func:`weighted_median` (every non-NULL value weighs 1), broadcast
+    back onto the rows. Groups that are entirely NULL stay NULL —
+    there is nothing to impute from, and inventing a global fallback
+    silently mixes distributions (callers chain a second pass if they
+    want one).
+
+    Output: input columns + ``(value_imputed, was_imputed)``.
+    """
+    from pyspark.sql.window import Window
+
+    nn = df.filter(F.col(value_col).isNotNull())
+    per_val = nn.groupBy(
+        F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+    ).agg(F.count("*").alias("_w"))
+    cum = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("_g")
+    med = (
+        per_val.withColumn("_cum", F.sum("_w").over(cum))
+        .withColumn("_tot", F.sum("_w").over(tot))
+        .filter(F.col("_cum") * 2 >= F.col("_tot"))
+        .groupBy("_g")
+        .agg(F.min("_v").alias("_med"))
+    )
+    out = df.join(
+        F.broadcast(med), df[group_col] == med["_g"], "left"
+    ).drop("_g")
+    return out.select(
+        *df.columns,
+        F.coalesce(F.col(value_col), F.col("_med")).alias("value_imputed"),
+        (F.col(value_col).isNull() & F.col("_med").isNotNull()).alias(
+            "was_imputed"
+        ),
     )

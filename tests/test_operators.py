@@ -2350,3 +2350,43 @@ def test_interval_union_time_handcrafted(spark):
     }
     assert got[1] == (3, 2, 200)
     assert got[2] == (2, 1, 120)
+
+
+def test_trailing_distinct_users_handcrafted(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        trailing_distinct_users,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 11:00:00"),  # same user same day: once
+        (2, "2024-01-03 10:00:00"),
+        (1, "2024-01-09 10:00:00"),  # day 1 fell out of the 7-day window
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = {
+        str(r["day"]): r["n_active_users"]
+        for r in trailing_distinct_users(df, window_days=7).collect()
+    }
+    assert got == {"2024-01-01": 1, "2024-01-03": 2, "2024-01-09": 2}
+
+
+def test_group_median_impute_handcrafted(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        group_median_impute,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", None), ("b", None)],
+        "g string, v double",
+    )
+    got = {
+        (r["g"], r["v"]): (r["value_imputed"], r["was_imputed"])
+        for r in group_median_impute(df, "g", "v").collect()
+    }
+    # lower median of {1, 3} is 1; all-NULL group b stays NULL
+    assert got[("a", None)] == (1.0, True)
+    assert got[("a", 1.0)] == (1.0, False)
+    assert got[("b", None)] == (None, False)
