@@ -6316,6 +6316,68 @@ FROM cased GROUP BY lower(seg_cased)
 """
 
 
+
+def q_stable_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed global row numbering: range-repartition + per-
+    partition offsets replace the single-reducer empty-window
+    row_number; ids are invariant to the sampled range boundaries
+    because the key order is total — the oracle's plain ROW_NUMBER
+    proves the two-phase assignment is the same global rank, bit for
+    bit."""
+    from hiv_data_integration_spark.operators.relational import (
+        stable_row_ids,
+    )
+
+    cust = tbl(spark, sf_dir, "customer").select("c_custkey")
+    return stable_row_ids(cust, ["c_custkey"], partitions=8)
+
+
+SQL_STABLE_ROW_IDS = """
+SELECT c_custkey,
+       CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS BIGINT) AS row_id
+FROM customer
+"""
+
+
+def _ema_weights(k: int, num: int, den: int) -> list[float]:
+    alpha = num / den
+    raw = [alpha * (1.0 - alpha) ** i for i in range(k)]
+    tot = sum(raw)
+    return [w / tot for w in raw]
+
+
+_EMA_W = _ema_weights(4, 1, 2)
+
+
+def q_trailing_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated 4-term EMA of event values per user (alpha=1/2,
+    normalized literal weights): the recursive EMA's unbounded float
+    accumulation is not replayable cross-engine, the fixed k-term
+    arithmetic tree is. Warm-up rows (< 3 predecessors) emit NULL via
+    natural NULL propagation through the lag terms — identical on both
+    engines. Sliced to every 10th user to keep the compare
+    row-bounded."""
+    from hiv_data_integration_spark.operators.aggregate import trailing_ema
+
+    ev = tbl(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    out = trailing_ema(
+        ev, "user_id", ["ts", "event_id"], "value", k=4
+    )
+    return out.select("event_id", "user_id", "ema")
+
+
+SQL_TRAILING_EMA = f"""
+SELECT event_id, user_id,
+       value * {_EMA_W[0]!r}
+       + lag(value, 1) OVER w * {_EMA_W[1]!r}
+       + lag(value, 2) OVER w * {_EMA_W[2]!r}
+       + lag(value, 3) OVER w * {_EMA_W[3]!r} AS ema
+FROM events
+WHERE user_id % 10 = 0
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_median_price": q_weighted_median,
     "user_rfm_features": q_rfm_features,
@@ -6348,6 +6410,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "group_median_impute": q_median_impute,
     "null_safe_join_histograms": q_null_safe_join,
     "collated_group_counts": q_collated_groups,
+    "stable_global_row_ids": q_stable_row_ids,
+    "user_value_trailing_ema": q_trailing_ema,
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
     "json_dict_scan": q_json_dict_scan,
@@ -6489,6 +6553,8 @@ EXT_ORACLE: dict[str, str] = {
     "group_median_impute": SQL_MEDIAN_IMPUTE,
     "null_safe_join_histograms": SQL_NULL_SAFE_JOIN,
     "collated_group_counts": SQL_COLLATED_GROUPS,
+    "stable_global_row_ids": SQL_STABLE_ROW_IDS,
+    "user_value_trailing_ema": SQL_TRAILING_EMA,
     "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
     "csv_per_period_export": SQL_CSV_PER_PERIOD,
     "json_dict_scan": SQL_JSON_DICT_SCAN,

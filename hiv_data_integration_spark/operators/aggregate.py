@@ -51,6 +51,7 @@ __all__ = [
     "interval_union_time",
     "trailing_distinct_users",
     "group_median_impute",
+    "trailing_ema",
 ]
 
 
@@ -1879,3 +1880,45 @@ def group_median_impute(
             "was_imputed"
         ),
     )
+
+
+def trailing_ema(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    k: int = 4,
+    alpha_num: int = 1,
+    alpha_den: int = 2,
+) -> DataFrame:
+    """Truncated exponential moving average per key: each row's EMA is
+    the fixed-order weighted sum of its own value and its ``k−1``
+    predecessors with weights ``α·(1−α)^i`` (α = ``alpha_num/
+    alpha_den``), normalized over the k terms — the smoothing feature
+    of time-series modeling, made engine-portable by TRUNCATION: the
+    textbook recursive EMA accumulates float error in an order no
+    second engine can replay, while a fixed k-term expression with
+    literal weights is one deterministic arithmetic tree.
+
+    Rows with fewer than ``k−1`` predecessors emit NULL (warm-up) —
+    renormalizing over partial windows silently mixes a different
+    estimator into the series head. One window per key; lag state is
+    ``k`` values.
+
+    Output: input columns + ``ema`` (double).
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError("trailing_ema: k must be >= 1")
+    alpha = alpha_num / alpha_den
+    raw = [alpha * (1.0 - alpha) ** i for i in range(k)]
+    tot = sum(raw)
+    weights = [w / tot for w in raw]
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    v = F.col(value_col).cast("double")
+    terms = None
+    for i, wt in enumerate(weights):
+        t = (v if i == 0 else F.lag(v, i).over(w)) * F.lit(wt)
+        terms = t if terms is None else terms + t
+    return df.withColumn("ema", terms)

@@ -31,6 +31,7 @@ __all__ = [
     "hierarchy_closure",
     "key_skew_profile",
     "merge_agg_state",
+    "stable_row_ids",
 ]
 
 
@@ -583,3 +584,58 @@ def merge_agg_state(
         ).cast("long").alias(count_col)
     )
     return merged.select(*out_cols)
+
+
+def stable_row_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic GLOBAL 1-based row numbers in ``order_cols`` order
+    without a single-task sort — the scale-safe replacement for
+    ``row_number() OVER (ORDER BY …)`` (whose empty window moves every
+    row through one reducer) and for ``monotonically_increasing_id``
+    (whose values depend on physical partitioning).
+
+    Two-phase: range-repartition + local sort on the order key, count
+    rows per partition (a #partitions-sized driver collect — bounded
+    scalar state, like every stats probe in this package), broadcast
+    the cumulative offsets back, and add each row's partition-local
+    rank. ``order_cols`` must be a TOTAL order (unique keys): the
+    global rank is then invariant to the sampled range boundaries, so
+    the ids are bit-deterministic even though the partitioning isn't.
+
+    Output: input columns + ``row_id`` (long, 1-based).
+    """
+    from pyspark.sql.window import Window
+
+    if not order_cols:
+        raise ValueError("stable_row_ids: need order_cols")
+    part = df.repartitionByRange(
+        *( [partitions] if partitions else [] ), *order_cols
+    ).sortWithinPartitions(*order_cols)
+    with_pid = part.withColumn("_pid", F.spark_partition_id())
+    sizes = sorted(
+        (r["_pid"], r["cnt"])
+        for r in with_pid.groupBy("_pid").agg(
+            F.count("*").alias("cnt")
+        ).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in sizes:
+        offsets[pid] = acc
+        acc += cnt
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()],
+        "_pid int, _offset long",
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        with_pid.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            "row_id",
+            (F.col("_offset") + F.row_number().over(w)).cast("long"),
+        )
+        .drop("_pid", "_offset")
+    )

@@ -2390,3 +2390,45 @@ def test_group_median_impute_handcrafted(spark):
     assert got[("a", None)] == (1.0, True)
     assert got[("a", 1.0)] == (1.0, False)
     assert got[("b", None)] == (None, False)
+
+
+def test_stable_row_ids_matches_global_rank(spark):
+    from hiv_data_integration_spark.operators.relational import (
+        stable_row_ids,
+    )
+
+    import random
+
+    rng = random.Random(3)
+    keys = rng.sample(range(100000), 500)
+    df = spark.createDataFrame([(k,) for k in keys], "k long").repartition(7)
+    got = {
+        r["k"]: r["row_id"]
+        for r in stable_row_ids(df, ["k"], partitions=5).collect()
+    }
+    expect = {k: i + 1 for i, k in enumerate(sorted(keys))}
+    assert got == expect
+
+
+def test_stable_row_ids_validation(spark):
+    from hiv_data_integration_spark.operators.relational import (
+        stable_row_ids,
+    )
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError):
+        stable_row_ids(df, [])
+
+
+def test_trailing_ema_handcrafted(spark):
+    from hiv_data_integration_spark.operators.aggregate import trailing_ema
+
+    rows = [("u", i, float(v)) for i, v in enumerate([1, 2, 3, 4, 5])]
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    out = {r["i"]: r["ema"] for r in
+           trailing_ema(df, "k", ["i"], "v", k=2).collect()}
+    # k=2, alpha=1/2 → weights 2/3 current + 1/3 previous; first row NULL
+    assert out[0] is None
+    for i in range(1, 5):
+        expect = (i + 1) * (2 / 3 / 1.0) + i * (1 / 3)
+        assert abs(out[i] - expect) < 1e-12
