@@ -6378,6 +6378,85 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+
+def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe churn labels at a mid-corpus cutoff (2024-01-20,
+    7-day observation window): features aggregate ONLY pre-cutoff
+    events, the label only reads the window, users first seen after
+    the cutoff are excluded — the label-generation step behavioral
+    models get wrong by letting post-cutoff activity leak into
+    features. All counts/recencies exact."""
+    from hiv_data_integration_spark.operators.aggregate import churn_labels
+
+    ev = tbl(spark, sf_dir, "events")
+    return churn_labels(ev, "2024-01-20", horizon_days=7)
+
+
+SQL_CHURN_LABELS = """
+WITH before AS (
+    SELECT user_id, CAST(ts AS DATE) AS d FROM events
+    WHERE CAST(ts AS DATE) < DATE '2024-01-20'
+),
+features AS (
+    SELECT user_id AS "user", COUNT(*) AS n_events_before,
+           CAST(DATE '2024-01-20' - MAX(d) AS BIGINT)
+               AS recency_days_at_cutoff
+    FROM before GROUP BY 1
+),
+active_after AS (
+    SELECT DISTINCT user_id AS u FROM events
+    WHERE CAST(ts AS DATE) >= DATE '2024-01-20'
+      AND CAST(ts AS DATE) < DATE '2024-01-20' + INTERVAL 7 DAY
+)
+SELECT f."user", f.n_events_before, f.recency_days_at_cutoff,
+       a.u IS NULL AS churned
+FROM features f LEFT JOIN active_after a ON f."user" = a.u
+"""
+
+
+def q_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of return flag by discount:
+    each lineitem's category encodes as the mean discount of the OTHER
+    rows in its flag — (sum - own)/(n-1) with DECIMAL sums, so the
+    encoding is leakage-safe AND bit-exact; singleton categories would
+    encode NULL by contract. Sliced to every 50th order."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        loo_target_encoding,
+    )
+
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 50 == 0
+    ).select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        F.col("l_discount").cast("decimal(4,2)").alias("disc"),
+    )
+    out = loo_target_encoding(li, "l_returnflag", "disc")
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "target_loo"
+    )
+
+
+SQL_LOO_TARGET_ENCODING = """
+WITH base AS (
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           CAST(l_discount AS DECIMAL(4,2)) AS disc
+    FROM lineitem WHERE l_orderkey % 50 = 0
+),
+stats AS (
+    SELECT l_returnflag,
+           SUM(CAST(disc AS DECIMAL(28,6))) AS s,
+           CAST(COUNT(disc) AS BIGINT) AS n
+    FROM base GROUP BY 1
+)
+SELECT b.l_orderkey, b.l_linenumber, b.l_returnflag,
+       CASE WHEN st.n > 1
+            THEN CAST(st.s - CAST(b.disc AS DECIMAL(28,6)) AS DOUBLE)
+                 / CAST(st.n - 1 AS DOUBLE)
+       END AS target_loo
+FROM base b JOIN stats st USING (l_returnflag)
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_median_price": q_weighted_median,
     "user_rfm_features": q_rfm_features,
@@ -6412,6 +6491,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "collated_group_counts": q_collated_groups,
     "stable_global_row_ids": q_stable_row_ids,
     "user_value_trailing_ema": q_trailing_ema,
+    "churn_label_generation": q_churn_labels,
+    "loo_target_encoding": q_loo_target_encoding,
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
     "json_dict_scan": q_json_dict_scan,
@@ -6555,6 +6636,8 @@ EXT_ORACLE: dict[str, str] = {
     "collated_group_counts": SQL_COLLATED_GROUPS,
     "stable_global_row_ids": SQL_STABLE_ROW_IDS,
     "user_value_trailing_ema": SQL_TRAILING_EMA,
+    "churn_label_generation": SQL_CHURN_LABELS,
+    "loo_target_encoding": SQL_LOO_TARGET_ENCODING,
     "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
     "csv_per_period_export": SQL_CSV_PER_PERIOD,
     "json_dict_scan": SQL_JSON_DICT_SCAN,

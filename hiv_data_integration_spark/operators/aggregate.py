@@ -52,6 +52,8 @@ __all__ = [
     "trailing_distinct_users",
     "group_median_impute",
     "trailing_ema",
+    "churn_labels",
+    "loo_target_encoding",
 ]
 
 
@@ -1922,3 +1924,91 @@ def trailing_ema(
         t = (v if i == 0 else F.lag(v, i).over(w)) * F.lit(wt)
         terms = t if terms is None else terms + t
     return df.withColumn("ema", terms)
+
+
+def churn_labels(
+    events: DataFrame,
+    cutoff: str,
+    horizon_days: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Supervised churn-label generation: for every user active BEFORE
+    the cutoff, did they go silent for the whole ``horizon_days``
+    observation window after it? The label-building step of every
+    churn/retention model — and the step teams most often get wrong by
+    letting post-cutoff activity leak into the features.
+
+    The feature side (activity counts, recency at cutoff) aggregates
+    ONLY pre-cutoff events; the label side only reads the observation
+    window; users first seen after the cutoff are excluded (they have
+    no features). All exact: BIGINT counts, whole-day recency, boolean
+    label via left-anti semantics (left join + NULL test). Two
+    user-keyed aggregates + one key join.
+
+    Output: ``(user, n_events_before, recency_days_at_cutoff,
+    churned)``.
+    """
+    cut = F.to_date(F.lit(cutoff))
+    before = events.filter(F.to_date(ts_col) < cut)
+    features = before.groupBy(F.col(user_col).alias("user")).agg(
+        F.count("*").alias("n_events_before"),
+        F.datediff(cut, F.max(F.to_date(ts_col)))
+        .cast("long")
+        .alias("recency_days_at_cutoff"),
+    )
+    active_after = (
+        events.filter(
+            (F.to_date(ts_col) >= cut)
+            & (F.to_date(ts_col) < F.date_add(cut, horizon_days))
+        )
+        .select(F.col(user_col).alias("_u"))
+        .distinct()
+    )
+    return (
+        features.join(active_after, features["user"] == active_after["_u"], "left")
+        .select(
+            "user",
+            "n_events_before",
+            "recency_days_at_cutoff",
+            F.col("_u").isNull().alias("churned"),
+        )
+    )
+
+
+def loo_target_encoding(
+    df: DataFrame,
+    category_col: str,
+    target_col: str,
+    decimal_type: str = "decimal(28,6)",
+) -> DataFrame:
+    """Leave-one-out target encoding: each row's category encodes as
+    the mean target of the OTHER rows in its category,
+    ``(Σy − y_own) / (n − 1)`` — the leakage-safe form (a plain
+    category mean lets every row see its own label, inflating
+    validation scores). Singleton categories encode NULL (no other
+    rows to learn from; imputing a global prior is a modeling choice
+    the caller makes explicitly).
+
+    The category sums accumulate in DECIMAL, the numerator subtracts
+    exactly, and the one IEEE division per row is bit-reproducible.
+    One category-keyed aggregate broadcast back onto the rows — a
+    projection at any scale.
+
+    Output: input columns + ``(target_loo)``.
+    """
+    y = F.col(target_col).cast(decimal_type)
+    stats = df.groupBy(F.col(category_col).alias("_c")).agg(
+        F.sum(y).alias("_sum"), F.count(target_col).alias("_n")
+    )
+    out = df.join(
+        F.broadcast(stats), df[category_col] == stats["_c"]
+    ).drop("_c")
+    return out.select(
+        *df.columns,
+        F.when(
+            F.col("_n") > 1,
+            (F.col("_sum") - y).cast("double")
+            / (F.col("_n") - 1).cast("double"),
+        ).alias("target_loo"),
+    )

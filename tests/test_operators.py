@@ -2432,3 +2432,42 @@ def test_trailing_ema_handcrafted(spark):
     for i in range(1, 5):
         expect = (i + 1) * (2 / 3 / 1.0) + i * (1 / 3)
         assert abs(out[i] - expect) < 1e-12
+
+
+def test_churn_labels_handcrafted(spark):
+    from hiv_data_integration_spark.operators.aggregate import churn_labels
+
+    rows = [
+        (1, "2024-01-05 10:00:00"),  # active before, silent after → churn
+        (2, "2024-01-06 10:00:00"),
+        (2, "2024-01-12 10:00:00"),  # active in window → retained
+        (3, "2024-01-25 10:00:00"),  # first seen after cutoff → excluded
+        (2, "2024-02-20 10:00:00"),  # after the window: irrelevant
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = {
+        r["user"]: (r["n_events_before"], r["recency_days_at_cutoff"],
+                    r["churned"])
+        for r in churn_labels(df, "2024-01-10", horizon_days=7).collect()
+    }
+    assert got == {1: (1, 5, True), 2: (1, 4, False)}
+
+
+def test_loo_target_encoding_handcrafted(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        loo_target_encoding,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0), (4, "b", 7.0)],
+        "i long, c string, y double",
+    )
+    got = {
+        r["i"]: r["target_loo"]
+        for r in loo_target_encoding(df, "c", "y").collect()
+    }
+    # each row sees the mean of the OTHERS; singleton category → NULL
+    assert got[1] == 25.0 and got[2] == 20.0 and got[3] == 15.0
+    assert got[4] is None
