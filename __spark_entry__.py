@@ -37,12 +37,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # round, so ordering is the verification budget. Round-5 tiers (lowest
 # emitted first): the 2 round-4 reds (raw ArrayType outputs the driver's
 # pandas canonicalizer cannot hash — now scalarized via concat_ws /
-# posexplode on both engine and oracle sides), brand-new queries (absent
-# from the tier lists), the 29 entries whose latest green is round 2
-# (stalest standing signal), the 39 round-3 greens (~17 fit this round's
-# window, the rest rotate next round), and finally the 48 round-4
-# greens — the cross-round union of green rows stays total while the
-# oldest signals refresh first.
+# posexplode on both engine and oracle sides), then brand-new queries
+# (absent from the tier lists; round 5 added 91, far more than the 48
+# remaining slots — the first 48 in registration order verify this
+# round, the tail rotates to round 6; ALL of them are hash-verified
+# locally at sf0.001 AND sf0.01 regardless), then the stale r2/r3/r4
+# greens, which rotate entirely to later rounds this time. A
+# previously-green entry never displaces a never-driver-verified one
+# (contract-tested in tests/test_driver_contract.py).
 _R4_RED_FIXED = [
     "user_event_sequences", "embed_mean_pool",
 ]

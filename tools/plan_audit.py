@@ -99,6 +99,14 @@ HEADLINE = [
     "order_count_distribution",
     "small_quantity_revenue",
     "disjunctive_part_filter",
+    "weighted_median_price",
+    "incremental_agg_maintenance",
+    "pit_join_scd2_orders",
+    "expectations_suite_lineitem",
+    "stable_global_row_ids",
+    "rolling_wau_exact",
+    "largest_remainder_proration",
+    "embed_rrf_fusion",
 ]
 
 
@@ -213,10 +221,14 @@ def main() -> None:
     print("  posting joins) pay their shuffle once, the other side reads the")
     print("  same exchange output.")
     print("- **BHJ vs SMJ**: dimension joins broadcast; sort-merge appears")
-    print("  only where both sides are genuinely large. NLJ counts")
+    print("  only where both sides are genuinely large, OR for FULL OUTER")
+    print("  joins (the IVM merge, SCD2, RRF fusion) where Spark cannot")
+    print("  broadcast either side by definition — those SMJs are the")
+    print("  correct physical shape, not a tuning miss. NLJ counts")
     print("  broadcast nested-loop joins (non-equi predicates: skyline")
-    print("  dominance, cross joins) — a CartesianProduct here would mean")
-    print("  the broadcast fell through.")
+    print("  dominance, cross joins, pure range joins like the WAU day")
+    print("  spine) — a CartesianProduct here would mean the broadcast")
+    print("  fell through.")
     print("- **codegen** = distinct whole-stage-codegen spans; 0 would mean")
     print("  the hot path fell back to interpreted evaluation.")
     print("- **py == 0** for every JVM-only query: Python appears only in")
