@@ -6457,6 +6457,141 @@ FROM base b JOIN stats st USING (l_returnflag)
 """
 
 
+
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup estimate over the near-duplicate
+    corpus: cut points where the 8-gram md5 hash ≡ 0 mod 64, chunk
+    fingerprints by md5 — CDC boundaries survive the corpus's one-word
+    edits, so the mutated duplicates share most chunks with their
+    originals and the reclaimable-bytes ratio is REAL sharing, not
+    whole-doc identity. Every boundary and fingerprint is md5-integer
+    math, reproduced bit-for-bit by the oracle."""
+    from hiv_data_integration_spark.operators.dedup import cdc_chunk_stats
+
+    corpus = _dup_corpus(spark, sf_dir)
+    return cdc_chunk_stats(corpus, window=8, divisor=64)
+
+
+SQL_CDC_CHUNK_DEDUP = f"""
+WITH {_DUP_CORPUS_SQL.strip().lstrip()},
+base AS (SELECT doc_id AS id, text AS t, length(text) AS len FROM corpus),
+pos AS (
+    SELECT id, len, t,
+           unnest(CASE WHEN len >= 8 THEN generate_series(1, len - 8 + 1)
+                       ELSE [1] END) AS p
+    FROM base
+),
+cuts AS (
+    SELECT id, len, p FROM pos
+    WHERE p = 1
+       OR {_MD5L.format(expr="substr(t, p, 8)")} % 64 = 0
+),
+extents AS (
+    SELECT id, len, p,
+           COALESCE(lead(p) OVER (PARTITION BY id ORDER BY p), len + 1)
+               AS e
+    FROM cuts
+),
+chunks AS (
+    SELECT md5(substr(b.t, x.p, x.e - x.p)) AS h, x.e - x.p AS clen
+    FROM extents x JOIN base b ON x.id = b.id
+),
+per_chunk AS (
+    SELECT h, CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(clen) AS BIGINT) AS l
+    FROM chunks GROUP BY h
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_chunks,
+       COUNT(*) AS n_distinct_chunks,
+       CAST(SUM(n * l) AS BIGINT) AS bytes_total,
+       CAST(SUM(l) AS BIGINT) AS bytes_stored,
+       CAST(1.0 AS DOUBLE)
+       - CAST(SUM(l) AS DOUBLE) / CAST(SUM(n * l) AS DOUBLE)
+           AS dedup_ratio
+FROM per_chunk
+"""
+
+
+def q_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test over a deterministic md5-parity A/B split
+    of users: exact BIGINT counts, the z statistic one fixed-order
+    double expression (sqrt correctly-rounded IEEE — even the test
+    statistic hashes). The outcome (odd purchase count) is chosen to be
+    non-degenerate on the synthetic corpus — "ever purchased" is 100%
+    here, where z is undefined (the operator would emit NULL). p-values
+    stay with the caller: erf's libm rounding is not portable."""
+    from hiv_data_integration_spark.operators.aggregate import ab_test_ztest
+
+    ev = tbl(spark, sf_dir, "events")
+    success = (
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) % 2
+    )
+    return ab_test_ztest(ev, success)
+
+
+SQL_AB_TEST_ZTEST = """
+WITH per_user AS (
+    SELECT user_id AS u,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) % 2
+                AS BIGINT) AS conv
+    FROM events GROUP BY 1
+),
+tagged AS (
+    SELECT u, conv,
+           CAST('0x' || substr(md5('ab' || CAST(u AS VARCHAR)), 1, 4)
+                AS BIGINT) % 2 AS v
+    FROM per_user
+),
+agg AS (
+    SELECT CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN v = 0 THEN conv ELSE 0 END) AS BIGINT)
+               AS conv_a,
+           CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           CAST(SUM(CASE WHEN v = 1 THEN conv ELSE 0 END) AS BIGINT)
+               AS conv_b
+    FROM tagged
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+       CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+       (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+       / sqrt(CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+              * (CAST(1.0 AS DOUBLE)
+                 - CAST(conv_a + conv_b AS DOUBLE)
+                   / CAST(n_a + n_b AS DOUBLE))
+              * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                 + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE))) AS z
+FROM agg
+"""
+
+
+def q_class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency class weights N/(k·n_c) for the language label
+    distribution — exact rational numerator/denominator plus one IEEE
+    division; a balanced corpus would weight 1.0 everywhere."""
+    from hiv_data_integration_spark.operators.sampling import (
+        class_balance_weights,
+    )
+
+    docs = tbl(spark, sf_dir, "documents")
+    return class_balance_weights(docs, "lang")
+
+
+SQL_CLASS_BALANCE = """
+WITH counts AS (
+    SELECT lang AS class, CAST(COUNT(*) AS BIGINT) AS n_class
+    FROM documents GROUP BY 1
+),
+totals AS (SELECT CAST(SUM(n_class) AS BIGINT) AS N, COUNT(*) AS k
+           FROM counts)
+SELECT c.class, c.n_class,
+       t.N AS weight_num,
+       CAST(t.k * c.n_class AS BIGINT) AS weight_den,
+       CAST(t.N AS DOUBLE) / CAST(t.k * c.n_class AS DOUBLE) AS weight
+FROM counts c CROSS JOIN totals t
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_median_price": q_weighted_median,
     "user_rfm_features": q_rfm_features,
@@ -6493,6 +6628,9 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "user_value_trailing_ema": q_trailing_ema,
     "churn_label_generation": q_churn_labels,
     "loo_target_encoding": q_loo_target_encoding,
+    "cdc_chunk_dedup": q_cdc_chunk_dedup,
+    "ab_test_ztest_purchase": q_ab_test_ztest,
+    "class_balance_weights": q_class_balance_weights,
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
     "json_dict_scan": q_json_dict_scan,
@@ -6638,6 +6776,9 @@ EXT_ORACLE: dict[str, str] = {
     "user_value_trailing_ema": SQL_TRAILING_EMA,
     "churn_label_generation": SQL_CHURN_LABELS,
     "loo_target_encoding": SQL_LOO_TARGET_ENCODING,
+    "cdc_chunk_dedup": SQL_CDC_CHUNK_DEDUP,
+    "ab_test_ztest_purchase": SQL_AB_TEST_ZTEST,
+    "class_balance_weights": SQL_CLASS_BALANCE,
     "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
     "csv_per_period_export": SQL_CSV_PER_PERIOD,
     "json_dict_scan": SQL_JSON_DICT_SCAN,

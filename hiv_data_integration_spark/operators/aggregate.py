@@ -54,6 +54,7 @@ __all__ = [
     "trailing_ema",
     "churn_labels",
     "loo_target_encoding",
+    "ab_test_ztest",
 ]
 
 
@@ -2011,4 +2012,73 @@ def loo_target_encoding(
             (F.col("_sum") - y).cast("double")
             / (F.col("_n") - 1).cast("double"),
         ).alias("target_loo"),
+    )
+
+
+def ab_test_ztest(
+    events: DataFrame,
+    success_expr: Column,
+    user_col: str = "user_id",
+    salt: str = "ab",
+) -> DataFrame:
+    """Two-proportion z-test for an A/B split: users assign to variants
+    by md5 parity of their id (deterministic, engine-portable — the
+    same hash-bucket discipline as every sampler here), per-user
+    success is ``success_expr`` (any 0/1 aggregate over the user's
+    events), and the variant rates compare via the pooled z statistic.
+    The experiment-analysis primitive. Zero-variance pools (success
+    rate 0 or 1 overall) emit a NULL z — the statistic is undefined
+    there, not infinite.
+
+    Counts are exact BIGINTs from one per-user flag aggregate; the z
+    statistic is one fixed-order double expression (div/mul/sqrt —
+    correctly-rounded IEEE), so even the test statistic hashes
+    bit-for-bit. Significance thresholds stay with the caller (a
+    p-value needs erf, whose libm rounding is NOT portable — compare
+    |z| against a literal critical value instead).
+
+    Output 1 row: ``(n_a, conv_a, n_b, conv_b, p_a, p_b, z)``.
+    """
+    from hiv_data_integration_spark.operators.sampling import hash_bucket
+
+    per_user = events.groupBy(F.col(user_col).alias("_u")).agg(
+        success_expr.alias("_conv")
+    )
+    tagged = per_user.withColumn(
+        "_v", hash_bucket(F.col("_u"), salt=salt) % 2
+    )
+    agg = tagged.agg(
+        F.sum(F.when(F.col("_v") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("_v") == 0, F.col("_conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("_v") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("_v") == 1, F.col("_conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    pa = F.col("conv_a").cast("double") / na
+    pb = F.col("conv_b").cast("double") / nb
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (na + nb)
+    # z is undefined at pool 0 or 1 (zero variance — e.g. every user
+    # converted); emit NULL instead of an ANSI divide-by-zero
+    z = F.when(
+        (F.col("conv_a") + F.col("conv_b") > 0)
+        & (F.col("conv_a") + F.col("conv_b") < F.col("n_a") + F.col("n_b")),
+        (pa - pb)
+        / F.sqrt(
+            pool
+            * (F.lit(1.0) - pool)
+            * (F.lit(1.0) / na + F.lit(1.0) / nb)
+        ),
+    )
+    return agg.select(
+        "n_a", "conv_a", "n_b", "conv_b",
+        pa.alias("p_a"), pb.alias("p_b"), z.alias("z"),
     )

@@ -40,6 +40,7 @@ __all__ = [
     "drop_non_canonical",
     "pagerank_fixed_point",
     "triangle_count",
+    "cdc_chunk_stats",
 ]
 
 
@@ -1051,4 +1052,85 @@ def triangle_count(
     )
     return corners.groupBy("node").agg(
         F.count("*").cast("long").alias("n_triangles")
+    )
+
+
+def cdc_chunk_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    divisor: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (CDC) dedup estimate: documents split at
+    content-derived cut points (positions whose ``window``-gram hash ≡ 0
+    mod ``divisor``), chunks fingerprint by md5, and the corpus-wide
+    stats say how much storage chunk-level dedup would reclaim — the
+    rsync/LBFS/backup-dedup primitive. Unlike fixed-size blocks, CDC
+    boundaries survive insertions: a one-word edit re-chunks only its
+    neighborhood, so shared chunks keep matching (exactly why the
+    near-duplicate corpus shows real sharing).
+
+    Every step is md5-derived integer math (the package's portable-hash
+    idiom), so an external engine reproduces chunk boundaries AND
+    fingerprints bit-for-bit. Plan: position explode → cut filter →
+    per-doc lead() window for chunk extents → one doc-keyed join back
+    for the substrings → two hash aggregates for the stats. Average
+    chunk length ≈ ``divisor`` characters; tune it upward at scale so
+    the position explode (L rows per doc) amortizes.
+
+    Output 1 row: ``(n_chunks, n_distinct_chunks, bytes_total,
+    bytes_stored, dedup_ratio)``.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
+    ).withColumn("_len", F.length("_t"))
+    pos = base.select(
+        "_id",
+        "_len",
+        F.explode(
+            F.expr(
+                f"CASE WHEN _len >= {window} THEN "
+                f"sequence(1, _len - {window} + 1) "
+                f"ELSE array(1) END"
+            )
+        ).alias("_p"),
+    )
+    is_cut = (F.col("_p") > 1) & (
+        md5_long(F.expr(f"substring(_t, _p, {window})")) % divisor == 0
+    )
+    cuts = (
+        pos.join(base.select("_id", "_t"), "_id")
+        .select("_id", "_len", "_p", is_cut.alias("_cut"))
+        .filter((F.col("_p") == 1) | F.col("_cut"))
+        .select("_id", "_len", "_p")
+    )
+    nxt = F.lead("_p").over(Window.partitionBy("_id").orderBy("_p"))
+    extents = cuts.withColumn(
+        "_end", F.coalesce(nxt, F.col("_len") + 1)
+    ).withColumn("_clen", F.col("_end") - F.col("_p"))
+    chunks = (
+        extents.join(base.select("_id", "_t"), "_id")
+        .select(
+            F.md5(F.expr("substring(_t, _p, _clen)")).alias("_h"),
+            F.col("_clen"),
+        )
+    )
+    per_chunk = chunks.groupBy("_h").agg(
+        F.count("*").alias("_n"), F.min("_clen").alias("_l")
+    )
+    return per_chunk.agg(
+        F.sum("_n").cast("long").alias("n_chunks"),
+        F.count("*").alias("n_distinct_chunks"),
+        F.sum(F.col("_n") * F.col("_l")).cast("long").alias("bytes_total"),
+        F.sum("_l").cast("long").alias("bytes_stored"),
+    ).select(
+        "*",
+        (
+            F.lit(1.0)
+            - F.col("bytes_stored").cast("double")
+            / F.col("bytes_total").cast("double")
+        ).alias("dedup_ratio"),
     )

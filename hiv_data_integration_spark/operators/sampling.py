@@ -31,6 +31,7 @@ __all__ = [
     "kfold_assign",
     "rank_quantile_norm",
     "curriculum_interleave",
+    "class_balance_weights",
 ]
 
 #: Bucket space: 4 hex digits of the md5 → uniform integers in [0, 65536).
@@ -360,4 +361,37 @@ def curriculum_interleave(
         "source",
         "src_rank",
         F.row_number().over(total).cast("long").alias("position"),
+    )
+
+
+def class_balance_weights(
+    df: DataFrame,
+    class_col: str,
+) -> DataFrame:
+    """Inverse-frequency class weights ``N / (k · n_c)`` — the loss-
+    weighting (or sampling-weight) table that rebalances skewed label
+    distributions; a balanced dataset gets weight 1.0 everywhere.
+
+    The weight is carried as an exact rational (numerator ``N``,
+    denominator ``k·n_c``) plus one IEEE division — downstream exact
+    pipelines keep the integers, model training takes the double.
+    One class-keyed aggregate + a 1-row broadcast.
+
+    Output: ``(class, n_class, weight_num, weight_den, weight)``.
+    """
+    counts = df.groupBy(F.col(class_col).alias("class")).agg(
+        F.count("*").alias("n_class")
+    )
+    totals = counts.agg(
+        F.sum("n_class").alias("_N"), F.count("*").alias("_k")
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "class",
+        "n_class",
+        F.col("_N").cast("long").alias("weight_num"),
+        (F.col("_k") * F.col("n_class")).cast("long").alias("weight_den"),
+        (
+            F.col("_N").cast("double")
+            / (F.col("_k") * F.col("n_class")).cast("double")
+        ).alias("weight"),
     )

@@ -2471,3 +2471,76 @@ def test_loo_target_encoding_handcrafted(spark):
     # each row sees the mean of the OTHERS; singleton category → NULL
     assert got[1] == 25.0 and got[2] == 20.0 and got[3] == 15.0
     assert got[4] is None
+
+
+def test_cdc_chunk_stats_duplicate_sharing(spark):
+    from hiv_data_integration_spark.operators.dedup import cdc_chunk_stats
+
+    text = "the quick brown fox jumps over the lazy dog " * 20
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "completely different content here")],
+        "doc_id long, text string",
+    )
+    [r] = cdc_chunk_stats(df, window=8, divisor=16).collect()
+    # two identical docs must share every chunk: distinct < total and
+    # the ratio reflects real reclaimable bytes
+    assert r["n_distinct_chunks"] < r["n_chunks"]
+    assert r["bytes_stored"] < r["bytes_total"]
+    assert 0.0 < r["dedup_ratio"] < 1.0
+    # identical docs halve at least their own contribution
+    assert r["dedup_ratio"] >= 0.3
+
+
+def test_cdc_chunk_stats_short_doc(spark):
+    from hiv_data_integration_spark.operators.dedup import cdc_chunk_stats
+
+    # shorter than the window: one whole-doc chunk, no crash
+    df = spark.createDataFrame([(1, "tiny")], "doc_id long, text string")
+    [r] = cdc_chunk_stats(df, window=8, divisor=16).collect()
+    assert (r["n_chunks"], r["bytes_total"]) == (1, 4)
+
+
+def test_ab_test_ztest_handcrafted(spark):
+    from hiv_data_integration_spark.operators.aggregate import ab_test_ztest
+
+    rows = [(u, "purchase" if u % 3 == 0 else "view") for u in range(1, 41)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    success = F.max(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    )
+    [r] = ab_test_ztest(df, success).collect()
+    assert r["n_a"] + r["n_b"] == 40
+    assert r["conv_a"] + r["conv_b"] == 13  # users divisible by 3
+    assert r["z"] is not None
+
+
+def test_ab_test_ztest_degenerate_pool_null(spark):
+    from hiv_data_integration_spark.operators.aggregate import ab_test_ztest
+
+    df = spark.createDataFrame(
+        [(u, "purchase") for u in range(1, 21)],
+        "user_id long, event_type string",
+    )
+    success = F.max(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    )
+    [r] = ab_test_ztest(df, success).collect()
+    # every user converted → zero variance → z undefined, not an error
+    assert r["z"] is None
+
+
+def test_class_balance_weights_handcrafted(spark):
+    from hiv_data_integration_spark.operators.sampling import (
+        class_balance_weights,
+    )
+
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 2, "c string"
+    )
+    got = {
+        r["class"]: (r["n_class"], r["weight_num"], r["weight_den"],
+                     r["weight"])
+        for r in class_balance_weights(df, "c").collect()
+    }
+    assert got["a"] == (6, 8, 12, 8 / 12)
+    assert got["b"] == (2, 8, 4, 2.0)
