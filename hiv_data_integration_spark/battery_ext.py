@@ -6592,6 +6592,144 @@ FROM counts c CROSS JOIN totals t
 """
 
 
+
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: each user's 30-minute activity intervals
+    (from view events) paired with the same user's 20-minute error
+    windows that OVERLAP them (half-open s1<e2 AND s2<e1 — touching
+    intervals don't pair). The user equi key bounds the range
+    explosion. Rolled up to per-user overlap counts plus exact summed
+    overlap seconds (BIGINT epoch math, fractional seconds floored)."""
+    from hiv_data_integration_spark.operators.relational import (
+        interval_overlap_join,
+    )
+
+    ev = tbl(spark, sf_dir, "events")
+
+    def ep(c):
+        # floor to whole seconds BEFORE the join: the overlap predicate
+        # must compare the same values the oracle compares (raw micro-
+        # second timestamps would flip sub-second boundary pairs)
+        return (
+            F.unix_date(F.col(c).cast("date")).cast("long") * 86400
+            + F.hour(c) * 3600 + F.minute(c) * 60 + F.second(c)
+        )
+
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        ep("ts").alias("v_start"),
+        (ep("ts") + 1800).alias("v_end"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        ep("ts").alias("e_start"),
+        (ep("ts") + 1200).alias("e_end"),
+    )
+    pairs = interval_overlap_join(
+        views, errors, ["user_id"], "v_start", "v_end", "e_start", "e_end"
+    )
+    overlap_s = F.least(F.col("v_end"), F.col("e_end")) - F.greatest(
+        F.col("v_start"), F.col("e_start")
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_overlaps"),
+        F.sum(overlap_s).cast("long").alias("overlap_seconds"),
+    )
+
+
+SQL_INTERVAL_OVERLAP_JOIN = """
+WITH v AS (
+    SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+           CAST(floor(epoch(ts + INTERVAL 30 MINUTE)) AS BIGINT) AS e
+    FROM events WHERE event_type = 'view'
+),
+er AS (
+    SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+           CAST(floor(epoch(ts + INTERVAL 20 MINUTE)) AS BIGINT) AS e
+    FROM events WHERE event_type = 'error'
+)
+SELECT v.user_id, COUNT(*) AS n_overlaps,
+       CAST(SUM(LEAST(v.e, er.e) - GREATEST(v.s, er.s)) AS BIGINT)
+           AS overlap_seconds
+FROM v JOIN er ON v.user_id = er.user_id
+WHERE v.s < er.e AND er.s < v.e
+GROUP BY v.user_id
+"""
+
+
+def q_sequence_bigram_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern support (length-2): top-10 immediately-
+    adjacent event-type pairs by DISTINCT-user support — support
+    counting, not transition frequency (a hyperactive user counts once
+    per pattern, unlike the transition matrix). Unique (ts, event_id)
+    order key."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        sequence_bigram_support,
+    )
+
+    ev = tbl(spark, sf_dir, "events")
+    return sequence_bigram_support(
+        ev, order_cols=["ts", "event_id"], k=10
+    )
+
+
+SQL_SEQUENCE_BIGRAM_SUPPORT = """
+WITH pairs AS (
+    SELECT DISTINCT user_id AS u, event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS to_type
+    FROM events
+),
+counts AS (
+    SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM events),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY n_users DESC,
+                                        from_type, to_type) AS BIGINT)
+          AS rank
+      FROM counts)
+SELECT rank, from_type, to_type, n_users,
+       CAST(n_users AS DOUBLE) / CAST(tot.n AS DOUBLE) AS support
+FROM r CROSS JOIN tot WHERE rank <= 10
+"""
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins: the event value (0-100) read as a
+    score against the purchase outcome, 10 equal-width bins via
+    floor-of-double (identical IEEE on both engines — never a decimal
+    cast), top boundary folded into the last bin; exact counts, mean
+    score DECIMAL-accumulated. ECE stays with the caller — a float sum
+    over unordered bins is not reproducible, the per-bin rows are."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        calibration_bins,
+    )
+
+    ev = tbl(spark, sf_dir, "events")
+    return calibration_bins(
+        ev, "value", F.col("event_type") == "purchase", n_bins=10,
+        score_max=100.0,
+    )
+
+
+SQL_CALIBRATION_BINS = """
+WITH base AS (
+    SELECT CAST(LEAST(floor(CAST(value AS DOUBLE) * CAST(10 AS DOUBLE)
+                            / CAST(100.0 AS DOUBLE)), 9) AS BIGINT)
+               AS bin,
+           CAST(value AS DOUBLE) AS s,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+    FROM events
+)
+SELECT bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+       CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pos_rate,
+       CAST(SUM(CAST(s AS DECIMAL(28,6))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS mean_score
+FROM base GROUP BY bin
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_median_price": q_weighted_median,
     "user_rfm_features": q_rfm_features,
@@ -6631,6 +6769,9 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "cdc_chunk_dedup": q_cdc_chunk_dedup,
     "ab_test_ztest_purchase": q_ab_test_ztest,
     "class_balance_weights": q_class_balance_weights,
+    "interval_overlap_join": q_interval_overlap_join,
+    "sequence_bigram_support": q_sequence_bigram_support,
+    "calibration_bins": q_calibration_bins,
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
     "json_dict_scan": q_json_dict_scan,
@@ -6779,6 +6920,9 @@ EXT_ORACLE: dict[str, str] = {
     "cdc_chunk_dedup": SQL_CDC_CHUNK_DEDUP,
     "ab_test_ztest_purchase": SQL_AB_TEST_ZTEST,
     "class_balance_weights": SQL_CLASS_BALANCE,
+    "interval_overlap_join": SQL_INTERVAL_OVERLAP_JOIN,
+    "sequence_bigram_support": SQL_SEQUENCE_BIGRAM_SUPPORT,
+    "calibration_bins": SQL_CALIBRATION_BINS,
     "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
     "csv_per_period_export": SQL_CSV_PER_PERIOD,
     "json_dict_scan": SQL_JSON_DICT_SCAN,

@@ -55,6 +55,8 @@ __all__ = [
     "churn_labels",
     "loo_target_encoding",
     "ab_test_ztest",
+    "sequence_bigram_support",
+    "calibration_bins",
 ]
 
 
@@ -2081,4 +2083,110 @@ def ab_test_ztest(
     return agg.select(
         "n_a", "conv_a", "n_b", "conv_b",
         pa.alias("p_a"), pb.alias("p_b"), z.alias("z"),
+    )
+
+
+def sequence_bigram_support(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: list[str] = ("ts",),
+    k: int = 10,
+) -> DataFrame:
+    """Sequential-pattern support mining (length-2): how many DISTINCT
+    users ever do X immediately followed by Y — the support measure of
+    classic sequence mining, which :func:`event_transitions` does NOT
+    give (it counts transitions; a single hyperactive user can dominate
+    frequencies, while support counts each user once per pattern).
+
+    Per-user adjacent pairs come from one ordered lag window, collapse
+    to distinct (user, pair), then a pair-keyed distinct-user count and
+    a total top-k with deterministic ties. All shuffles keyed by user
+    or pair. Output: ``(rank, from_type, to_type, n_users, support)``
+    with support = one IEEE division by the distinct-user total.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    pairs = (
+        events.withColumn("_next", F.lead(type_col).over(w))
+        .filter(F.col("_next").isNotNull())
+        .select(
+            F.col(user_col).alias("_u"),
+            F.col(type_col).alias("from_type"),
+            F.col("_next").alias("to_type"),
+        )
+        .distinct()
+    )
+    totals = events.agg(
+        F.count_distinct(user_col).alias("_n_users_total")
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_users")
+    )
+    rank_w = Window.orderBy(
+        F.col("n_users").desc(), F.col("from_type"), F.col("to_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(rank_w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "rank",
+            "from_type",
+            "to_type",
+            "n_users",
+            (
+                F.col("n_users").cast("double")
+                / F.col("_n_users_total").cast("double")
+            ).alias("support"),
+        )
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: Column | str,
+    n_bins: int = 10,
+    score_max: float = 100.0,
+) -> DataFrame:
+    """Reliability-diagram (calibration) bins for a bounded score
+    against a binary outcome: per equal-width score bin, the exact
+    positive rate and the mean score — the model-evaluation primitive
+    behind calibration curves and ECE (sum the per-bin gaps yourself,
+    in a defined order; a float total over unordered bins is not
+    reproducible, the per-bin rows are).
+
+    Bin index via floor-of-double on the normalized score (identical
+    IEEE on every engine — never a decimal cast, whose rounding
+    direction differs between engines); the top boundary folds into
+    the last bin. Mean score accumulates in DECIMAL before its one
+    double division. One hash aggregate on an ``n_bins``-sized key.
+
+    Output: ``(bin, n, n_pos, pos_rate, mean_score)``.
+    """
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    s = F.col(score_col).cast("double")
+    b = F.least(
+        F.floor(s * F.lit(float(n_bins)) / F.lit(float(score_max))),
+        F.lit(n_bins - 1),
+    ).cast("long")
+    base = df.select(
+        b.alias("bin"),
+        s.alias("_s"),
+        F.when(lab, 1).otherwise(0).alias("_y"),
+    )
+    return base.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("_y").cast("long").alias("n_pos"),
+        (
+            F.sum("_y").cast("double") / F.count("*").cast("double")
+        ).alias("pos_rate"),
+        (
+            F.sum(F.col("_s").cast("decimal(28,6)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("mean_score"),
     )

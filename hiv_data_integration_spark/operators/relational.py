@@ -32,6 +32,7 @@ __all__ = [
     "key_skew_profile",
     "merge_agg_state",
     "stable_row_ids",
+    "interval_overlap_join",
 ]
 
 
@@ -638,4 +639,48 @@ def stable_row_ids(
             (F.col("_offset") + F.row_number().over(w)).cast("long"),
         )
         .drop("_pid", "_offset")
+    )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval-overlap join: pair every left interval with every right
+    interval ON THE SAME KEY that overlaps it — the canonical
+    half-open test ``s1 < e2 AND s2 < e1`` (touching intervals do NOT
+    overlap). Sessions × campaign windows, shifts × incidents,
+    exposure × outcome windows — the temporal-join workhorse beyond
+    point-in-interval lookups.
+
+    The equi key bounds the range explosion (the same discipline as
+    every range join here — a keyless theta join would not scale);
+    the overlap predicate rides as a join residual on the hash join.
+    Right-side columns take ``suffix`` on name collisions.
+
+    Output: left columns + (suffixed) right columns, one row per
+    overlapping pair.
+    """
+    if not key_cols:
+        raise ValueError("interval_overlap_join: need key_cols")
+    lcols = set(left.columns)
+    renames = {
+        c: f"{c}{suffix}"
+        for c in right.columns
+        if c in lcols and c not in key_cols
+    }
+    r = right
+    for old, new in renames.items():
+        r = r.withColumnRenamed(old, new)
+    rs = renames.get(right_start, right_start)
+    re_ = renames.get(right_end, right_end)
+    joined = left.join(r, key_cols)
+    return joined.filter(
+        (F.col(left_start) < F.col(re_)) & (F.col(rs) < F.col(left_end))
     )

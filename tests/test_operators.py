@@ -2544,3 +2544,66 @@ def test_class_balance_weights_handcrafted(spark):
     }
     assert got["a"] == (6, 8, 12, 8 / 12)
     assert got["b"] == (2, 8, 4, 2.0)
+
+
+def test_interval_overlap_join_handcrafted(spark):
+    from hiv_data_integration_spark.operators.relational import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [("u", 0, 100), ("u", 200, 300), ("v", 0, 50)],
+        "k string, s long, e long",
+    )
+    right = spark.createDataFrame(
+        [("u", 50, 150),   # overlaps [0,100)
+         ("u", 100, 120),  # touches [0,100) at 100 → NOT an overlap
+         ("u", 250, 260),  # inside [200,300)
+         ("w", 0, 10)],    # different key → never pairs
+        "k string, s long, e long",
+    )
+    got = sorted(
+        (r["s"], r["e"], r["s_r"], r["e_r"])
+        for r in interval_overlap_join(
+            left, right, ["k"], "s", "e", "s", "e"
+        ).collect()
+    )
+    assert got == [(0, 100, 50, 150), (200, 300, 250, 260)]
+
+
+def test_sequence_bigram_support_counts_users_once(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        sequence_bigram_support,
+    )
+
+    rows = [
+        # user 1 does a→b twice: support must count the user ONCE
+        (1, "a", 1), (1, "b", 2), (1, "a", 3), (1, "b", 4),
+        (2, "a", 1), (2, "b", 2),
+        (3, "b", 1), (3, "a", 2),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+    got = {
+        (r["from_type"], r["to_type"]): (r["n_users"], r["support"])
+        for r in sequence_bigram_support(
+            df, order_cols=["ts"], k=10
+        ).collect()
+    }
+    assert got[("a", "b")] == (2, 2 / 3)
+    assert got[("b", "a")][0] == 2  # users 1 (b@2→a@3) and 3
+
+
+def test_calibration_bins_handcrafted(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        calibration_bins,
+    )
+
+    rows = [(5.0, True), (5.0, False), (95.0, True), (100.0, True)]
+    df = spark.createDataFrame(rows, "score double, y boolean")
+    got = {
+        r["bin"]: (r["n"], r["n_pos"], r["pos_rate"], r["mean_score"])
+        for r in calibration_bins(df, "score", "y", n_bins=10).collect()
+    }
+    assert got[0] == (2, 1, 0.5, 5.0)
+    # 100.0 folds into the last bin rather than spilling to bin 10
+    assert got[9] == (2, 2, 1.0, 97.5)
