@@ -6730,6 +6730,42 @@ FROM base GROUP BY bin
 """
 
 
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity-resolution candidates: parts ranked
+    by name (partkey tiebreak → total order), each paired with its 4
+    forward neighbors in sort order — O(n·w) candidates instead of the
+    O(n²) cross join — then verified with the expensive measure
+    (Levenshtein ≤ 15), the classic block-then-verify ER shape the
+    reference's district-blocked fuzzy matcher uses with a natural key
+    (``update_orgunits/utils.py`` resolution chain)."""
+    from hiv_data_integration_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    part = tbl(spark, sf_dir, "part")
+    pairs = sorted_neighborhood_pairs(
+        part, id_col="p_partkey", sort_col="p_name", window=5
+    )
+    return pairs.withColumn(
+        "lev", F.levenshtein("key_a", "key_b").cast("long")
+    ).filter(F.col("lev") <= 15)
+
+
+SQL_SORTED_NEIGHBORHOOD = """
+WITH r AS (
+    SELECT p_partkey AS id, p_name AS key,
+           CAST(ROW_NUMBER() OVER (ORDER BY p_name, p_partkey)
+                AS BIGINT) AS rk
+    FROM part
+)
+SELECT a.id AS id_a, b.id AS id_b, a.key AS key_a, b.key AS key_b,
+       b.rk - a.rk AS rank_gap,
+       CAST(levenshtein(a.key, b.key) AS BIGINT) AS lev
+FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 4
+WHERE levenshtein(a.key, b.key) <= 15
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_median_price": q_weighted_median,
     "user_rfm_features": q_rfm_features,
@@ -6772,6 +6808,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "interval_overlap_join": q_interval_overlap_join,
     "sequence_bigram_support": q_sequence_bigram_support,
     "calibration_bins": q_calibration_bins,
+    "dedup_sorted_neighborhood": q_sorted_neighborhood,
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
     "json_dict_scan": q_json_dict_scan,
@@ -6923,6 +6960,7 @@ EXT_ORACLE: dict[str, str] = {
     "interval_overlap_join": SQL_INTERVAL_OVERLAP_JOIN,
     "sequence_bigram_support": SQL_SEQUENCE_BIGRAM_SUPPORT,
     "calibration_bins": SQL_CALIBRATION_BINS,
+    "dedup_sorted_neighborhood": SQL_SORTED_NEIGHBORHOOD,
     "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
     "csv_per_period_export": SQL_CSV_PER_PERIOD,
     "json_dict_scan": SQL_JSON_DICT_SCAN,

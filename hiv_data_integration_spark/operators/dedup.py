@@ -41,6 +41,7 @@ __all__ = [
     "pagerank_fixed_point",
     "triangle_count",
     "cdc_chunk_stats",
+    "sorted_neighborhood_pairs",
 ]
 
 
@@ -1133,4 +1134,66 @@ def cdc_chunk_stats(
             - F.col("bytes_stored").cast("double")
             / F.col("bytes_total").cast("double")
         ).alias("dedup_ratio"),
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    sort_col: str,
+    window: int = 5,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995): rank
+    records by the blocking key and pair each record with its next
+    ``window - 1`` neighbors in that order — O(n·w) candidate pairs
+    instead of the O(n²) all-pairs cross join, while typo-adjacent
+    records still meet because near-identical keys sort together.
+    The classic entity-resolution candidate generator the reference's
+    fuzzy org-matching family (``fuzzy.py``) blocks by district; this
+    is the key-agnostic alternative when no natural block exists.
+
+    Distributed shape: the global rank comes from ``stable_row_ids``
+    (range-repartition + offset broadcast — never a single-reducer
+    ``ROW_NUMBER() OVER ()``), and the neighbor pairing is an
+    EQUI-join: each row explodes into its ``window - 1`` forward
+    neighbor ranks and joins on the rank value. Two range shuffles
+    plus one hash join total — no windowed self-scan, no skew (ranks
+    are unique and uniform by construction). Multi-pass variants
+    (a second pass on a different key) compose by unioning pair sets.
+
+    ``(sort_col, id_col)`` must form a total order (the id tiebreak
+    makes it one), so the ranks — and therefore the emitted pair set —
+    are bit-deterministic under any partitioning.
+
+    Output: ``(id_a, id_b, key_a, key_b, rank_gap)`` with
+    ``rank_gap ∈ [1, window-1]``; callers verify candidates with the
+    expensive measure (``F.levenshtein``, MinHash, …) afterwards.
+    """
+    if window < 2:
+        raise ValueError("sorted_neighborhood_pairs: window must be >= 2")
+    from hiv_data_integration_spark.operators.relational import stable_row_ids
+
+    ranked = stable_row_ids(
+        df.select(F.col(id_col).alias("_id"), F.col(sort_col).alias("_key")),
+        ["_key", "_id"],
+    ).localCheckpoint()  # both join sides consume it: 1 rank pass, not 2
+    left = ranked.select(
+        F.col("_id").alias("id_a"),
+        F.col("_key").alias("key_a"),
+        F.col("row_id").alias("_ra"),
+        F.explode(
+            F.sequence(F.col("row_id") + 1, F.col("row_id") + (window - 1))
+        ).alias("_rb"),
+    )
+    right = ranked.select(
+        F.col("_id").alias("id_b"),
+        F.col("_key").alias("key_b"),
+        F.col("row_id").alias("_rb"),
+    )
+    return left.join(right, "_rb").select(
+        "id_a",
+        "id_b",
+        "key_a",
+        "key_b",
+        (F.col("_rb") - F.col("_ra")).cast("long").alias("rank_gap"),
     )

@@ -2607,3 +2607,32 @@ def test_calibration_bins_handcrafted(spark):
     assert got[0] == (2, 1, 0.5, 5.0)
     # 100.0 folds into the last bin rather than spilling to bin 10
     assert got[9] == (2, 2, 1.0, 97.5)
+
+
+def test_sorted_neighborhood_pairs_handcrafted(spark):
+    from hiv_data_integration_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [
+        (1, "smith"), (2, "smyth"), (3, "adams"), (4, "addams"), (5, "zorn"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    # sort order: adams(3) addams(4) smith(1) smyth(2) zorn(5)
+    got = {
+        (r["id_a"], r["id_b"]): r["rank_gap"]
+        for r in sorted_neighborhood_pairs(
+            df, "id", "name", window=2
+        ).collect()
+    }
+    # window=2 → only immediate neighbors, typo pairs meet
+    assert got == {(3, 4): 1, (4, 1): 1, (1, 2): 1, (2, 5): 1}
+
+    wide = sorted_neighborhood_pairs(df, "id", "name", window=3).collect()
+    assert len(wide) == 4 + 3  # gap-1 pairs + gap-2 pairs
+    assert {r["rank_gap"] for r in wide} == {1, 2}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "id", "name", window=1)
