@@ -6766,6 +6766,142 @@ WHERE levenshtein(a.key, b.key) <= 15
 """
 
 
+def q_ohlc_value_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per event_type × day bars over the event
+    value — open/close picked by exact (epoch_micros, event_id)
+    tiebreak packed into one fixed-width lexicographic key so min_by /
+    max_by stay map-side combinable (never a sort), high/low exact,
+    volume DECIMAL-accumulated."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        ohlc_downsample,
+    )
+
+    ev = tbl(spark, sf_dir, "events")
+    return ohlc_downsample(
+        ev, keys=["event_type"], ts_col="ts", value_col="value",
+        id_col="event_id", bucket="day",
+    )
+
+
+SQL_OHLC_VALUE_BARS = """
+WITH base AS (
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+           CAST(value AS DOUBLE) AS v,
+           lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '|' ||
+           lpad(CAST(event_id AS VARCHAR), 20, '0') AS k
+    FROM events
+)
+SELECT event_type, bucket_ts,
+       arg_min(v, k) AS open, MAX(v) AS high, MIN(v) AS low,
+       arg_max(v, k) AS close, COUNT(*) AS n,
+       CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) AS volume
+FROM base GROUP BY event_type, bucket_ts
+"""
+
+
+def q_grouped_mode_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user majority event type with deterministic tiebreak
+    (highest count, then smallest value) — spelled as count +
+    row_number on BOTH engines because SQL mode()'s tie winner is
+    engine-dependent."""
+    from hiv_data_integration_spark.operators.aggregate import grouped_mode
+
+    ev = tbl(spark, sf_dir, "events")
+    return grouped_mode(ev, keys=["user_id"], value_col="event_type")
+
+
+SQL_GROUPED_MODE_EVENT = """
+WITH c AS (
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_mode
+    FROM events GROUP BY 1, 2
+),
+r AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY n_mode DESC, event_type ASC) AS rn
+    FROM c
+)
+SELECT user_id, event_type AS mode_value, n_mode FROM r WHERE rn = 1
+"""
+
+
+def q_twap_user_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average event value per user × day: each value
+    holds until the user's next event ((ts, event_id) order), interval
+    assigned to its start's day, value×duration accumulated as DECIMAL
+    with one final IEEE division — the irregular-stream downsample a
+    plain AVG gets wrong."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        time_weighted_average,
+    )
+
+    ev = tbl(spark, sf_dir, "events")
+    return time_weighted_average(
+        ev, keys=["user_id"], ts_col="ts", value_col="value",
+        id_col="event_id", bucket="day",
+    )
+
+
+SQL_TWAP_USER_DAY = """
+WITH base AS (
+    SELECT user_id,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+           CAST(value AS DECIMAL(18,6)) AS v,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                ORDER BY epoch_us(ts), event_id) - epoch_us(ts) AS dur
+    FROM events
+)
+SELECT user_id, bucket_ts,
+       -- numerator decimal->double goes via VARCHAR: DuckDB's direct
+       -- DECIMAL->DOUBLE cast is not correctly rounded (1-ULP off vs
+       -- Spark's BigDecimal.doubleValue); strtod parsing is
+       CASE WHEN SUM(dur) > 0 THEN
+            CAST(CAST(SUM(v * CAST(dur AS DECIMAL(19,0))) AS VARCHAR)
+                 AS DOUBLE)
+            / CAST(SUM(dur) AS DOUBLE)
+       END AS twap,
+       CAST(SUM(dur) AS BIGINT) AS held_micros,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals
+FROM base WHERE dur IS NOT NULL
+GROUP BY user_id, bucket_ts
+"""
+
+
+def q_segmented_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running value total that RESETS at every 'signup'
+    event ((ts, event_id) order — unique, so the ROWS-frame prefix sum
+    is reproducible) — segment id via running flag count, DECIMAL
+    accumulation within (user, segment)."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        segmented_running_total,
+    )
+    from pyspark.sql import functions as F
+
+    ev = tbl(spark, sf_dir, "events")
+    out = segmented_running_total(
+        ev, keys=["user_id"], order_cols=["ts", "event_id"],
+        value_col="value",
+        reset_col=(F.col("event_type") == "signup"),
+    )
+    return out.select("event_id", "user_id", "segment", "running_value")
+
+
+SQL_SEGMENTED_RUNNING_TOTAL = """
+WITH seg AS (
+    SELECT event_id, user_id, ts, value,
+           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS segment
+    FROM events
+)
+SELECT event_id, user_id, CAST(segment AS BIGINT) AS segment,
+       CAST(SUM(CAST(value AS DECIMAL(28,6)))
+            OVER (PARTITION BY user_id, segment ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+FROM seg
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_median_price": q_weighted_median,
     "user_rfm_features": q_rfm_features,
@@ -6809,6 +6945,10 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "sequence_bigram_support": q_sequence_bigram_support,
     "calibration_bins": q_calibration_bins,
     "dedup_sorted_neighborhood": q_sorted_neighborhood,
+    "ohlc_value_bars": q_ohlc_value_bars,
+    "grouped_mode_event": q_grouped_mode_event,
+    "twap_user_day": q_twap_user_day,
+    "segmented_running_total": q_segmented_running_total,
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
     "json_dict_scan": q_json_dict_scan,
@@ -6961,6 +7101,10 @@ EXT_ORACLE: dict[str, str] = {
     "sequence_bigram_support": SQL_SEQUENCE_BIGRAM_SUPPORT,
     "calibration_bins": SQL_CALIBRATION_BINS,
     "dedup_sorted_neighborhood": SQL_SORTED_NEIGHBORHOOD,
+    "ohlc_value_bars": SQL_OHLC_VALUE_BARS,
+    "grouped_mode_event": SQL_GROUPED_MODE_EVENT,
+    "twap_user_day": SQL_TWAP_USER_DAY,
+    "segmented_running_total": SQL_SEGMENTED_RUNNING_TOTAL,
     "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
     "csv_per_period_export": SQL_CSV_PER_PERIOD,
     "json_dict_scan": SQL_JSON_DICT_SCAN,

@@ -57,6 +57,11 @@ __all__ = [
     "ab_test_ztest",
     "sequence_bigram_support",
     "calibration_bins",
+    "ntz_epoch_micros",
+    "ohlc_downsample",
+    "grouped_mode",
+    "time_weighted_average",
+    "segmented_running_total",
 ]
 
 
@@ -2189,4 +2194,222 @@ def calibration_bins(
             F.sum(F.col("_s").cast("decimal(28,6)")).cast("double")
             / F.count("*").cast("double")
         ).alias("mean_score"),
+    )
+
+
+def ntz_epoch_micros(ts_col: str | Column) -> Column:
+    """Exact epoch microseconds from a TIMESTAMP_NTZ column via field
+    arithmetic — timezone-independent by construction (never casts NTZ
+    to a zoned timestamp, so a hostile non-UTC session cannot shift
+    it). ``extract(second from ts)`` carries the fraction as
+    DECIMAL(8,6), so the microsecond part is exact integer math, not
+    the truncating NTZ second field (COVERAGE.md cross-engine trap).
+    DuckDB twin: ``epoch_us(ts)``."""
+    c = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    return (
+        F.unix_date(c.cast("date")).cast("long") * F.lit(86_400_000_000)
+        + F.hour(c).cast("long") * F.lit(3_600_000_000)
+        + F.minute(c).cast("long") * F.lit(60_000_000)
+        + (F.expr(f"extract(second from {ts_col})") * 1_000_000).cast("long")
+    )
+
+
+def ohlc_downsample(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """Time-bucket OHLC resampling: per key × 1-``bucket`` tumbling
+    window emit open (value at earliest (ts, id)), high, low, close
+    (value at latest (ts, id)), exact row count, and DECIMAL-
+    accumulated volume — the classic downsample that turns raw event
+    streams into bar series.
+
+    Scale shape: one hash aggregation, fully partial+final — ``min_by``
+    / ``max_by`` combine map-side like min/max, so 100 TB of events
+    never sorts. The order key packs (epoch_micros, id) into one
+    fixed-width lexicographic string because the tiebreak must be a
+    SINGLE orderable value for map-side combine on both engines
+    (DuckDB's ``arg_min`` takes scalar keys only); ``id_col`` must be
+    unique so open/close are deterministic under any partitioning.
+    """
+    k = F.concat(
+        F.lpad(ntz_epoch_micros(ts_col).cast("string"), 20, "0"),
+        F.lit("|"),
+        F.lpad(F.col(id_col).cast("string"), 20, "0"),
+    )
+    v = F.col(value_col).cast("double")
+    # bucket via F.window(...).start, NOT date_trunc: date_trunc coerces
+    # NTZ through the session timezone (a hostile non-UTC session shifts
+    # bar boundaries), while window() truncates NTZ in place
+    base = df.select(
+        *keys,
+        F.window(F.col(ts_col), f"1 {bucket}").start.alias("bucket_ts"),
+        v.alias("_v"),
+        k.alias("_k"),
+    )
+    return base.groupBy(*keys, "bucket_ts").agg(
+        F.min_by("_v", "_k").alias("open"),
+        F.max("_v").alias("high"),
+        F.min("_v").alias("low"),
+        F.max_by("_v", "_k").alias("close"),
+        F.count("*").alias("n"),
+        F.sum(F.col("_v").cast("decimal(28,6)")).cast("double").alias(
+            "volume"
+        ),
+    )
+
+
+def grouped_mode(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-group mode with a DETERMINISTIC tiebreak: highest count
+    wins, ties broken by smallest value — unlike SQL ``mode()`` whose
+    tie winner is engine- and partitioning-dependent (why the oracle
+    twin is spelled as count + ROW_NUMBER, not ``mode()``). The
+    majority-label aggregation curation pipelines use to collapse
+    conflicting annotations per document.
+
+    Two hash aggregations: (key, value) counts combine map-side first,
+    so the window ranks |distinct values| rows per key, not raw rows.
+    Output: keys + ``mode_value`` + ``n_mode``.
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(*keys, value_col).agg(F.count("*").alias("n_mode"))
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("n_mode").desc(), F.col(value_col).asc()
+    )
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            *keys,
+            F.col(value_col).alias("mode_value"),
+            F.col("n_mode"),
+        )
+    )
+
+
+def time_weighted_average(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """Time-weighted average (TWAP): each observation holds until the
+    SAME key's next observation, and the bucket average weights values
+    by exactly how long they held — the downsample that is correct for
+    irregular event streams where a plain AVG over-counts bursts
+    (reference-style period rollups assume regular sampling; this is
+    the irregular-stream generalization).
+
+    Semantics contract (documented, not configurable): observations
+    order by the unique ``(ts, id)`` pair, so same-instant peers are
+    deterministic and contribute zero-length intervals; each interval
+    is assigned WHOLE to the bucket its start falls in (no clipping at
+    bucket edges); a key's final observation has no successor and is
+    excluded (``n_intervals`` counts the rest). Buckets whose total
+    duration is 0 (all same-instant) emit NULL — never an engine-
+    specific 0/0.
+
+    Bit-exactness: durations are exact epoch-microsecond longs
+    (``ntz_epoch_micros``); value×duration products accumulate as
+    DECIMAL(38,6) (value at DECIMAL(18,6) × micros at DECIMAL(19,0) —
+    exact, no float order-dependence); ONE final IEEE double division
+    per group.
+
+    Scale shape: one window shuffle on the keys (lead), then one hash
+    aggregate that AQE plans off the same partitioning — values never
+    sort globally, and per-group state is two DECIMAL accumulators.
+
+    Output: keys + ``bucket_ts`` + ``twap`` (double|NULL) +
+    ``held_micros`` (long) + ``n_intervals`` (long).
+    """
+    from pyspark.sql.window import Window
+
+    epoch = ntz_epoch_micros(ts_col)
+    w = Window.partitionBy(*keys).orderBy(epoch, F.col(id_col))
+    dur = (F.lead(epoch).over(w) - epoch).alias("_dur")
+    base = (
+        df.select(
+            *keys,
+            # window().start, not date_trunc — NTZ-safe truncation (see
+            # ohlc_downsample)
+            F.window(F.col(ts_col), f"1 {bucket}").start.alias("bucket_ts"),
+            F.col(value_col).cast("decimal(18,6)").alias("_v"),
+            dur,
+        )
+        .filter(F.col("_dur").isNotNull())
+    )
+    vw = F.sum(F.col("_v") * F.col("_dur").cast("decimal(19,0)"))
+    sw = F.sum(F.col("_dur"))
+    return base.groupBy(*keys, "bucket_ts").agg(
+        F.when(
+            sw > 0, (vw.cast("double") / sw.cast("double"))
+        ).alias("twap"),
+        sw.cast("long").alias("held_micros"),
+        F.count("*").cast("long").alias("n_intervals"),
+    )
+
+
+def segmented_running_total(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    reset_col: str | Column,
+) -> DataFrame:
+    """Running total that RESETS: within each key, accumulate
+    ``value_col`` in ``order_cols`` order, restarting from zero at every
+    row where ``reset_col`` is true (that row starts — and is included
+    in — its segment). The balance-with-reset shape: meter readings
+    after replacement, session spend after re-login, counters after
+    redeploy.
+
+    Classic two-window formulation: segment id = running count of reset
+    flags (rows frame), then the running DECIMAL sum within
+    ``(keys, segment)``. ``order_cols`` MUST be unique per key — with
+    duplicates, ROWS-frame prefix sums are partition-order-dependent
+    and no external oracle can reproduce them.
+
+    Scale shape: two window shuffles — the second partitions on the
+    strictly finer ``(keys, segment)`` key, which is inherent to the
+    operator (the segment boundary is itself a running computation).
+    Both are per-key sequential scans; no self-join, no explosion.
+    Sums accumulate as DECIMAL(28,6) and emit one final double.
+
+    Output: input columns + ``segment`` (long, 1-based per key) +
+    ``running_value`` (double).
+    """
+    from pyspark.sql.window import Window
+
+    reset = (
+        F.col(reset_col) if isinstance(reset_col, str) else reset_col
+    ).cast("boolean")
+    order = [F.col(c) for c in order_cols]
+    w_seg = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn(
+        "segment", F.sum(reset.cast("long")).over(w_seg)
+    )
+    w_run = (
+        Window.partitionBy(*keys, "segment")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return out.withColumn(
+        "running_value",
+        F.sum(F.col(value_col).cast("decimal(28,6)")).over(w_run)
+        .cast("double"),
     )

@@ -2636,3 +2636,106 @@ def test_sorted_neighborhood_pairs_handcrafted(spark):
 
     with _pytest.raises(ValueError):
         sorted_neighborhood_pairs(df, "id", "name", window=1)
+
+
+def test_ohlc_downsample_handcrafted(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        ohlc_downsample,
+    )
+
+    rows = [
+        (1, "2024-03-01 09:00:00.000001", "a", 10.0),
+        (2, "2024-03-01 12:00:00", "a", 50.0),
+        (3, "2024-03-01 23:59:59.999999", "a", 20.0),
+        (4, "2024-03-02 01:00:00", "a", 7.0),
+        # same-instant tie on day 2: smaller id wins open
+        (5, "2024-03-02 01:00:00", "a", 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, ts string, k string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = {
+        r["bucket_ts"].day: (
+            r["open"], r["high"], r["low"], r["close"], r["n"], r["volume"]
+        )
+        for r in ohlc_downsample(
+            df, ["k"], "ts", "v", "id", bucket="day"
+        ).collect()
+    }
+    assert got[1] == (10.0, 50.0, 10.0, 20.0, 3, 80.0)
+    assert got[2] == (7.0, 9.0, 7.0, 9.0, 2, 16.0)
+
+
+def test_grouped_mode_tiebreak(spark):
+    from hiv_data_integration_spark.operators.aggregate import grouped_mode
+
+    rows = [(1, "b"), (1, "b"), (1, "a"), (2, "z"), (2, "y")]
+    df = spark.createDataFrame(rows, "g long, v string")
+    got = {
+        r["g"]: (r["mode_value"], r["n_mode"])
+        for r in grouped_mode(df, ["g"], "v").collect()
+    }
+    assert got[1] == ("b", 2)
+    assert got[2] == ("y", 1)  # count tie → smallest value wins
+
+
+def test_time_weighted_average_handcrafted(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        time_weighted_average,
+    )
+
+    rows = [
+        # day 1: 10.0 held 60s, 20.0 held 30s -> twap 13.333...
+        (1, "2024-03-01 00:00:00", "u", 10.0),
+        (2, "2024-03-01 00:01:00", "u", 20.0),
+        (3, "2024-03-01 00:01:30", "u", 99.0),  # last obs of day 1...
+        # ...holds into day 2 but is ASSIGNED to day 1 (start bucket)
+        (4, "2024-03-02 00:00:00", "u", 5.0),
+        # same-instant pair on day 2: zero-length interval from id 4
+        (5, "2024-03-02 00:00:00", "u", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, ts string, k string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = {
+        r["bucket_ts"].day: (
+            r["twap"], r["held_micros"], r["n_intervals"]
+        )
+        for r in time_weighted_average(
+            df, ["k"], "ts", "v", "id", bucket="day"
+        ).collect()
+    }
+    # day 1: 10.0 held 60 s + 20.0 held 30 s; 99.0's cross-day interval
+    # (86400-90 s) also lands in day 1 (start-bucket contract)
+    d1_num = 10.0 * 60 + 20.0 * 30 + 99.0 * 86310
+    assert got[1] == (d1_num / (90 + 86310), (90 + 86310) * 10**6, 3)
+    # day 2: only the zero-length same-instant interval -> NULL twap
+    assert got[2] == (None, 0, 1)
+
+
+def test_segmented_running_total_handcrafted(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        segmented_running_total,
+    )
+
+    rows = [
+        (1, 1, 10.0, True),   # seg 1 starts
+        (1, 2, 5.0, False),   # seg 1: 15
+        (1, 3, 2.0, True),    # seg 2 resets: 2
+        (1, 4, 1.0, False),   # seg 2: 3
+        (2, 1, 4.0, False),   # seg 0 (no reset yet): 4
+        (2, 2, 6.0, True),    # seg 1: 6
+    ]
+    df = spark.createDataFrame(rows, "g long, o long, v double, r boolean")
+    got = {
+        (r["g"], r["o"]): (r["segment"], r["running_value"])
+        for r in segmented_running_total(
+            df, ["g"], ["o"], "v", "r"
+        ).collect()
+    }
+    assert got[(1, 1)] == (1, 10.0)
+    assert got[(1, 2)] == (1, 15.0)
+    assert got[(1, 3)] == (2, 2.0)
+    assert got[(1, 4)] == (2, 3.0)
+    assert got[(2, 1)] == (0, 4.0)
+    assert got[(2, 2)] == (1, 6.0)
