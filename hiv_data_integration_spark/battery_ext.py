@@ -6902,6 +6902,112 @@ FROM seg
 """
 
 
+def q_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (priority sampling): top-10
+    documents per language by n_chars-weighted deterministic priority
+    w/h — h is the first 13 md5 hex digits of the salted id (+1), exact
+    in double, so the priority is ONE correctly-rounded IEEE division
+    reproduced bit-for-bit by the oracle."""
+    from hiv_data_integration_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    docs = tbl(spark, sf_dir, "documents")
+    out = weighted_priority_sample(
+        docs, id_col="doc_id", weight_col="n_chars", k=10,
+        stratum_cols=["lang"],
+    )
+    return out.select("doc_id", "lang", "n_chars", "priority")
+
+
+SQL_WEIGHTED_PRIORITY_SAMPLE = """
+WITH p AS (
+    SELECT doc_id, lang, n_chars,
+           CAST(n_chars AS DOUBLE) /
+           CAST(CAST('0x' || substr(md5('prio:' || CAST(doc_id AS VARCHAR)),
+                                    1, 13) AS BIGINT) + 1 AS DOUBLE)
+               AS priority
+    FROM documents WHERE n_chars > 0
+),
+r AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY priority DESC, doc_id ASC) AS rn
+    FROM p
+)
+SELECT doc_id, lang, n_chars, priority FROM r WHERE rn <= 10
+"""
+
+
+def q_l_diversity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity privacy audit on customers: (nation, market segment)
+    quasi-identifier classes must hold >= 3 distinct account balances;
+    exact distinct counts, one IEEE division for the exposed share."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        l_diversity_audit,
+    )
+
+    cust = tbl(spark, sf_dir, "customer")
+    return l_diversity_audit(
+        cust, ["c_nationkey", "c_mktsegment"], "c_acctbal", l=3
+    )
+
+
+SQL_L_DIVERSITY_CUSTOMERS = """
+WITH classes AS (
+    SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+           COUNT(DISTINCT c_acctbal)
+           + MAX(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS d
+    FROM customer GROUP BY 1, 2
+)
+SELECT CAST(3 AS BIGINT) AS l,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN d < 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating_classes,
+       CAST(SUM(CASE WHEN d < 3 THEN n ELSE 0 END) AS BIGINT)
+           AS n_exposed_rows,
+       CAST(SUM(CASE WHEN d < 3 THEN n ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(n) AS DOUBLE) AS exposed_frac
+FROM classes
+"""
+
+
+def q_link_prediction_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors + resource-allocation link prediction between
+    suppliers sharing shipped parts (bipartite posting-list self-join,
+    hub parts with >20 suppliers df-cut before the join; RA index as an
+    exact scaled-integer sum — bit-stable under any aggregation
+    order)."""
+    from hiv_data_integration_spark.operators.dedup import (
+        link_prediction_scores,
+    )
+
+    li = tbl(spark, sf_dir, "lineitem")
+    return link_prediction_scores(
+        li, left_col="l_suppkey", right_col="l_partkey", max_degree=20
+    )
+
+
+SQL_LINK_PREDICTION_SUPPLIERS = """
+WITH e AS (
+    SELECT DISTINCT l_suppkey AS l, l_partkey AS r FROM lineitem
+),
+deg AS (
+    SELECT r, COUNT(*) AS d FROM e GROUP BY r HAVING COUNT(*) <= 20
+),
+contrib AS (
+    SELECT e.l, e.r, CAST(1000000000000 AS BIGINT) // d AS c
+    FROM e JOIN deg USING (r)
+)
+SELECT a.l AS left_a, b.l AS left_b,
+       CAST(COUNT(*) AS BIGINT) AS n_common,
+       CAST(SUM(a.c) AS BIGINT) AS ra_score
+FROM contrib a JOIN contrib b USING (r)
+WHERE a.l < b.l
+GROUP BY 1, 2
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_median_price": q_weighted_median,
     "user_rfm_features": q_rfm_features,
@@ -6949,6 +7055,9 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "grouped_mode_event": q_grouped_mode_event,
     "twap_user_day": q_twap_user_day,
     "segmented_running_total": q_segmented_running_total,
+    "weighted_priority_sample": q_weighted_priority_sample,
+    "l_diversity_customers": q_l_diversity_customers,
+    "link_prediction_suppliers": q_link_prediction_suppliers,
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
     "json_dict_scan": q_json_dict_scan,
@@ -7105,6 +7214,9 @@ EXT_ORACLE: dict[str, str] = {
     "grouped_mode_event": SQL_GROUPED_MODE_EVENT,
     "twap_user_day": SQL_TWAP_USER_DAY,
     "segmented_running_total": SQL_SEGMENTED_RUNNING_TOTAL,
+    "weighted_priority_sample": SQL_WEIGHTED_PRIORITY_SAMPLE,
+    "l_diversity_customers": SQL_L_DIVERSITY_CUSTOMERS,
+    "link_prediction_suppliers": SQL_LINK_PREDICTION_SUPPLIERS,
     "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
     "csv_per_period_export": SQL_CSV_PER_PERIOD,
     "json_dict_scan": SQL_JSON_DICT_SCAN,

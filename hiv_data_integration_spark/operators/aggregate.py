@@ -48,6 +48,7 @@ __all__ = [
     "proportion_ci",
     "largest_remainder_allocation",
     "k_anonymity_audit",
+    "l_diversity_audit",
     "interval_union_time",
     "trailing_distinct_users",
     "group_median_impute",
@@ -1745,6 +1746,56 @@ def k_anonymity_audit(
             F.col("n_suppressed_rows").cast("double")
             / F.col("n_rows").cast("double")
         ).alias("suppressed_frac"),
+    )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    qi_cols: list[Column | str],
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """l-diversity audit: k-anonymity's complement — a QI equivalence
+    class with enough MEMBERS can still leak if they all share one
+    SENSITIVE value, so each class must contain at least ``l`` distinct
+    sensitive values (Machanavajjhala et al.). Run it next to
+    ``k_anonymity_audit`` before releasing user-derived data.
+
+    One QI-keyed hash aggregate (exact COUNT DISTINCT of the sensitive
+    column — Spark plans the distinct as a two-phase expand, no
+    driver state) + a 1-row rollup; one IEEE division for the share.
+    NULL sensitive values count as one value (a class of all-NULLs
+    discloses the NULL pattern itself).
+
+    Output 1 row: ``(l, n_rows, n_classes, n_violating_classes,
+    n_exposed_rows, exposed_frac)``.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in qi_cols]
+    # NULL counts as one distinct value: count_distinct skips NULLs, so
+    # add the class's has-null flag (no string sentinel to collide with)
+    classes = df.groupBy(*cols).agg(
+        F.count("*").alias("_n"),
+        (
+            F.count_distinct(F.col(sensitive_col))
+            + F.max(F.col(sensitive_col).isNull().cast("long"))
+        ).alias("_d"),
+    )
+    return classes.agg(
+        F.lit(l).cast("long").alias("l"),
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.count("*").alias("n_classes"),
+        F.sum(F.when(F.col("_d") < l, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating_classes"),
+        F.sum(F.when(F.col("_d") < l, F.col("_n")).otherwise(0))
+        .cast("long")
+        .alias("n_exposed_rows"),
+    ).select(
+        "*",
+        (
+            F.col("n_exposed_rows").cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("exposed_frac"),
     )
 
 

@@ -40,6 +40,7 @@ __all__ = [
     "drop_non_canonical",
     "pagerank_fixed_point",
     "triangle_count",
+    "link_prediction_scores",
     "cdc_chunk_stats",
     "sorted_neighborhood_pairs",
 ]
@@ -1196,4 +1197,70 @@ def sorted_neighborhood_pairs(
         "key_a",
         "key_b",
         (F.col("_rb") - F.col("_ra")).cast("long").alias("rank_gap"),
+    )
+
+
+def link_prediction_scores(
+    edges: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_degree: int | None = None,
+    ra_scale: int = 10**12,
+) -> DataFrame:
+    """Common-neighbors + resource-allocation link prediction over a
+    bipartite graph (Zhou, Lü & Zhang 2009): for every pair of LEFT
+    nodes sharing ≥1 RIGHT neighbor, emit the shared-neighbor count and
+    the RA index Σ 1/deg(z) over shared neighbors ``z`` — the "users
+    who bought X also..." candidate generator, and the same
+    posting-list self-join that powers record-linkage candidate pairs.
+
+    The RA index is emitted as the exact BIGINT ``ra_score`` =
+    Σ floor(ra_scale / deg(z)): per-neighbor contributions are integer,
+    so the unordered sum is bit-stable on every engine — a float
+    Σ 1/deg would hash-differently under each aggregation order (same
+    rationale as the repo's other scaled-integer scores). Divide by
+    ``ra_scale`` for the paper's value.
+
+    Scale shape: distinct edges → right-node degree aggregate →
+    self-join on the right node (posting-list join). Fan-out per right
+    node is deg², so hubs dominate — ``max_degree`` drops right nodes
+    above the cap BEFORE the join (the df-blocking cut every
+    similarity-join here uses; a stopword-frequency right node predicts
+    nothing anyway). Pass None only on graphs known hub-free.
+
+    Output: ``(left_a, left_b, n_common, ra_score)`` with
+    ``left_a < left_b``.
+    """
+    e = edges.select(
+        F.col(left_col).alias("l"), F.col(right_col).alias("r")
+    ).distinct()
+    deg = e.groupBy("r").agg(F.count("*").alias("_d"))
+    if max_degree is not None:
+        deg = deg.filter(F.col("_d") <= max_degree)
+    # `div`, not `/`-then-cast: long `/` long routes through DOUBLE and
+    # the rounded quotient can truncate to the wrong floor
+    contrib = e.join(deg, "r").select(
+        "l",
+        "r",
+        F.expr(f"CAST({ra_scale} AS BIGINT) div _d").alias("_c"),
+    )
+    # the two self-join sides re-derive contrib's aggregates (a
+    # localCheckpoint barrier measured 2.7× SLOWER at bench scale — the
+    # materialized edge list costs more than the recompute, and
+    # ReuseExchange does not match across the join's build/probe
+    # positions). At corpus scale, hand the operator a pre-deduplicated
+    # persisted edge table instead: `e`'s distinct then collapses to a
+    # cheap pass-through and the double derivation is two cheap scans.
+    a = contrib.alias("a")
+    b = contrib.alias("b")
+    return (
+        a.join(b, "r")
+        .filter(F.col("a.l") < F.col("b.l"))
+        .groupBy(
+            F.col("a.l").alias("left_a"), F.col("b.l").alias("left_b")
+        )
+        .agg(
+            F.count("*").alias("n_common"),
+            F.sum("a._c").alias("ra_score"),
+        )
     )

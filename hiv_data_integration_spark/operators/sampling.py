@@ -32,6 +32,7 @@ __all__ = [
     "rank_quantile_norm",
     "curriculum_interleave",
     "class_balance_weights",
+    "weighted_priority_sample",
 ]
 
 #: Bucket space: 4 hex digits of the md5 → uniform integers in [0, 65536).
@@ -395,3 +396,65 @@ def class_balance_weights(
             / (F.col("_k") * F.col("n_class")).cast("double")
         ).alias("weight"),
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str | Column,
+    k: int,
+    stratum_cols: list[str] | None = None,
+    salt: str = "prio:",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via priority sampling
+    (Duffield, Lund & Thorup): each row gets priority ``w / h`` for a
+    deterministic per-id uniform hash ``h``, and the top-``k``
+    priorities (per stratum, if given) are the sample — heavier rows
+    win proportionally more often, no row twice. The weighted-corpus
+    subsampling shape (quality-weighted document picks, importance-
+    weighted eval slices) that `TABLESAMPLE` and `rand()` cannot do
+    reproducibly.
+
+    Bit-portable by construction: ``h`` is the first 13 md5 hex digits
+    of the salted id (+1), an EXACT-in-double integer in [1, 2^52], and
+    weights are required integral, so the priority is ONE correctly-
+    rounded IEEE division of two exact values — identical on every
+    engine, partitioning, and row order. Ties broken by id. Rows with
+    NULL or non-positive weight are excluded (they cannot be sampled).
+
+    Scale shape: stratified → one window shuffle on the strata;
+    unstratified → a global ``ORDER BY ... LIMIT k`` which Spark plans
+    as TakeOrderedAndProject (per-partition top-k then a k-row merge —
+    never a single-reducer window).
+
+    Output: input columns + ``priority`` (double).
+    """
+    if k < 1:
+        raise ValueError("weighted_priority_sample: k must be >= 1")
+    w = (
+        F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    ).cast("long")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    )
+    prio = w.cast("double") / h.cast("double")
+    out = df.filter(w > 0).withColumn("priority", prio)
+    if stratum_cols:
+        from pyspark.sql.window import Window
+
+        rank = F.row_number().over(
+            Window.partitionBy(*stratum_cols).orderBy(
+                F.col("priority").desc(), F.col(id_col).asc()
+            )
+        )
+        return out.withColumn("_rk", rank).filter(F.col("_rk") <= k).drop("_rk")
+    return out.orderBy(F.col("priority").desc(), F.col(id_col).asc()).limit(k)
