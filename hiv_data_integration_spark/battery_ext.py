@@ -7008,6 +7008,89 @@ GROUP BY 1, 2
 """
 
 
+def q_fifo_match_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO reconciliation: per part, match returned quantities
+    (l_returnflag = 'R') against shipped non-returned quantities in
+    ship-date order — two window prefix sums + one overlap join, every
+    matched quantity the exact DECIMAL overlap length."""
+    from hiv_data_integration_spark.operators.relational import fifo_allocate
+
+    li = tbl(spark, sf_dir, "lineitem").withColumn(
+        "row_id",
+        F.col("l_orderkey") * F.lit(10) + F.col("l_linenumber"),
+    )
+    supply = li.filter(F.col("l_returnflag") != "R")
+    demand = li.filter(F.col("l_returnflag") == "R")
+    return fifo_allocate(
+        supply, demand, key_cols=["l_partkey"], qty_col="l_quantity",
+        order_cols=["l_shipdate", "l_orderkey", "l_linenumber"],
+    )
+
+
+SQL_FIFO_MATCH_RETURNS = """
+WITH ranked AS (
+    SELECT l_partkey, l_returnflag,
+           l_orderkey * 10 + l_linenumber AS rid,
+           SUM(CAST(l_quantity AS DECIMAL(28,6)))
+               OVER (PARTITION BY l_partkey, (l_returnflag = 'R')
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS UNBOUNDED PRECEDING) AS hi,
+           CAST(l_quantity AS DECIMAL(28,6)) AS q
+    FROM lineitem WHERE l_quantity > 0
+),
+s AS (SELECT l_partkey, rid, hi, hi - q AS lo FROM ranked
+      WHERE l_returnflag <> 'R'),
+d AS (SELECT l_partkey, rid, hi, hi - q AS lo FROM ranked
+      WHERE l_returnflag = 'R')
+SELECT s.l_partkey,
+       s.rid AS row_id, d.rid AS row_id_d,
+       CAST(CAST(LEAST(s.hi, d.hi) - GREATEST(s.lo, d.lo) AS VARCHAR)
+            AS DOUBLE) AS qty_matched
+FROM s JOIN d ON s.l_partkey = d.l_partkey
+WHERE s.lo < d.hi AND d.lo < s.hi
+"""
+
+
+def q_gini_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini impurity (value-concentration) profile of three orders
+    columns (two categoricals + the order-date spread) in ONE unpivoted pipeline — rational statistic, exact
+    until one final IEEE division (ln-based entropy is engine-ULP-
+    dependent and never goes in hashed output)."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        gini_impurity_profile,
+    )
+
+    o = tbl(spark, sf_dir, "orders")
+    return gini_impurity_profile(
+        o, ["o_orderstatus", "o_orderpriority", "o_orderdate"]
+    )
+
+
+SQL_GINI_PROFILE_ORDERS = """
+WITH pairs AS (
+    SELECT 'o_orderstatus' AS "column",
+           CAST(o_orderstatus AS VARCHAR) AS value FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(o_orderdate AS VARCHAR) FROM orders
+),
+counts AS (
+    SELECT "column", value, CAST(COUNT(*) AS HUGEINT) AS c
+    FROM pairs GROUP BY 1, 2
+)
+SELECT "column",
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(MAX(c) AS BIGINT) AS max_count,
+       -- VARCHAR-mediated casts: DuckDB's direct wide-int->double is
+       -- not correctly rounded; strtod is
+       CAST(CAST(SUM(c) * SUM(c) - SUM(c * c) AS VARCHAR) AS DOUBLE)
+       / CAST(CAST(SUM(c) * SUM(c) AS VARCHAR) AS DOUBLE) AS gini
+FROM counts GROUP BY "column"
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_median_price": q_weighted_median,
     "user_rfm_features": q_rfm_features,
@@ -7058,6 +7141,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_priority_sample": q_weighted_priority_sample,
     "l_diversity_customers": q_l_diversity_customers,
     "link_prediction_suppliers": q_link_prediction_suppliers,
+    "fifo_match_returns": q_fifo_match_returns,
+    "gini_profile_orders": q_gini_profile_orders,
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
     "json_dict_scan": q_json_dict_scan,
@@ -7217,6 +7302,8 @@ EXT_ORACLE: dict[str, str] = {
     "weighted_priority_sample": SQL_WEIGHTED_PRIORITY_SAMPLE,
     "l_diversity_customers": SQL_L_DIVERSITY_CUSTOMERS,
     "link_prediction_suppliers": SQL_LINK_PREDICTION_SUPPLIERS,
+    "fifo_match_returns": SQL_FIFO_MATCH_RETURNS,
+    "gini_profile_orders": SQL_GINI_PROFILE_ORDERS,
     "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
     "csv_per_period_export": SQL_CSV_PER_PERIOD,
     "json_dict_scan": SQL_JSON_DICT_SCAN,

@@ -49,6 +49,7 @@ __all__ = [
     "largest_remainder_allocation",
     "k_anonymity_audit",
     "l_diversity_audit",
+    "gini_impurity_profile",
     "interval_union_time",
     "trailing_distinct_users",
     "group_median_impute",
@@ -2463,4 +2464,55 @@ def segmented_running_total(
         "running_value",
         F.sum(F.col(value_col).cast("decimal(28,6)")).over(w_run)
         .cast("double"),
+    )
+
+
+def gini_impurity_profile(
+    df: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """Per-column Gini impurity profile: 1 − Σ(cᵢ/N)² over each
+    column's value distribution — the concentration/diversity screen
+    (near 0 = one value dominates, near 1 − 1/k = uniform) run before
+    choosing stratification keys, spotting collapsed feature columns,
+    or monitoring label drift. Chosen over Shannon entropy because
+    Gini is a RATIONAL statistic: transcendental ``ln`` in hashed
+    output is engine-ULP-dependent (repo float rules), while
+    ``(N² − Σcᵢ²)/N²`` is exact until one final IEEE division.
+
+    One pipeline for all columns: unpivot to (column, value) → count →
+    per-column rollup (2 hash-aggregate shuffles total, not 2×|cols|
+    jobs). Values compare as strings; NULL is its own category.
+    Σcᵢ² accumulates as DECIMAL(38,0) — exact far past any row count.
+
+    Output: one row per profiled column —
+    ``(column, n_rows, n_distinct, max_count, gini)``.
+    """
+    if not cols:
+        raise ValueError("gini_impurity_profile: need cols")
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("_p")
+    ).select("_p.column", "_p.value")
+    counts = pairs.groupBy("column", "value").agg(F.count("*").alias("_c"))
+    n = F.sum("_c").cast("decimal(38,0)")
+    sumsq = F.sum(
+        F.col("_c").cast("decimal(19,0)") * F.col("_c").cast("decimal(19,0)")
+    )
+    return counts.groupBy("column").agg(
+        F.sum("_c").cast("long").alias("n_rows"),
+        F.count("*").alias("n_distinct"),
+        F.max("_c").cast("long").alias("max_count"),
+        (
+            (n * n - sumsq).cast("double") / (n * n).cast("double")
+        ).alias("gini"),
     )

@@ -33,6 +33,7 @@ __all__ = [
     "merge_agg_state",
     "stable_row_ids",
     "interval_overlap_join",
+    "fifo_allocate",
 ]
 
 
@@ -683,4 +684,85 @@ def interval_overlap_join(
     joined = left.join(r, key_cols)
     return joined.filter(
         (F.col(left_start) < F.col(re_)) & (F.col(rs) < F.col(left_end))
+    )
+
+
+def fifo_allocate(
+    supply: DataFrame,
+    demand: DataFrame,
+    key_cols: list[str],
+    qty_col: str,
+    order_cols: list[str],
+    id_col: str = "row_id",
+    suffix: str = "_d",
+) -> DataFrame:
+    """FIFO allocation matching: per key, consume supply quantities in
+    ``order_cols`` order against demand quantities in the same order,
+    emitting one row per (supply row, demand row) pair with the
+    quantity matched — returns netted against shipments, lots against
+    orders, refunds against charges. The classic inventory/ledger
+    reconciliation that row-at-a-time engines do with a cursor; here it
+    is two window prefix sums + one overlap join, fully distributed.
+
+    The interval formulation: a row with cumulative-quantity range
+    [cum − qty, cum) matches every opposite-side row whose range
+    overlaps (half-open test), and the matched quantity is the exact
+    overlap length ``least(hi_s, hi_d) − greatest(lo_s, lo_d)``.
+    Total matches are O(n_supply + n_demand) per key (consecutive
+    ranges interleave), so output never explodes past the input.
+
+    Contracts: ``order_cols`` must be unique per key on each side
+    (prefix sums are otherwise partition-order-dependent); quantities
+    accumulate as DECIMAL(28,6) — exact for any sane quantity;
+    rows with NULL or non-positive qty are excluded (their empty
+    intervals can never match); demand beyond total supply (and vice
+    versa) simply emits no rows — reconcile by comparing group sums.
+
+    Scale shape: one window shuffle per side on the keys, then an
+    equi join on the keys with the overlap predicate as a residual —
+    the per-key candidate space is the same-key pair set, bounded by
+    per-key row counts, never a keyless theta join.
+
+    Output: key cols + ``id_col`` (supply) + ``id_col + suffix``
+    (demand) + ``qty_matched`` (double).
+    """
+    from pyspark.sql.window import Window
+
+    if not key_cols:
+        raise ValueError("fifo_allocate: need key_cols")
+    if not order_cols:
+        raise ValueError("fifo_allocate: need order_cols")
+
+    def cum_ranges(df: DataFrame, tag: str) -> DataFrame:
+        q = F.col(qty_col).cast("decimal(28,6)")
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy(*[F.col(c) for c in order_cols])
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            df.filter(q > 0)
+            .select(
+                *key_cols,
+                F.col(id_col).alias(f"_id{tag}"),
+                F.sum(q).over(w).alias(f"_hi{tag}"),
+                (F.sum(q).over(w) - q).alias(f"_lo{tag}"),
+            )
+        )
+
+    s = cum_ranges(supply, "s")
+    d = cum_ranges(demand, "d")
+    pair = s.join(d, key_cols).filter(
+        (F.col("_los") < F.col("_hid")) & (F.col("_lod") < F.col("_his"))
+    )
+    return pair.select(
+        *key_cols,
+        F.col("_ids").alias(id_col),
+        F.col("_idd").alias(f"{id_col}{suffix}"),
+        (
+            F.least(F.col("_his"), F.col("_hid"))
+            - F.greatest(F.col("_los"), F.col("_lod"))
+        )
+        .cast("double")
+        .alias("qty_matched"),
     )

@@ -2820,3 +2820,58 @@ def test_link_prediction_scores(spark):
     assert got[(1, 3)] == (1, 1000 // 3)
     assert got[(2, 3)] == (1, 1000 // 3)
     assert (3, 4) not in got and len(got) == 3
+
+
+def test_fifo_allocate_handcrafted(spark):
+    from hiv_data_integration_spark.operators.relational import fifo_allocate
+
+    supply = spark.createDataFrame(
+        [
+            ("p", 1, 1, 10.0),  # covers [0, 10)
+            ("p", 2, 2, 5.0),   # covers [10, 15)
+            ("p", 3, 3, 0.0),   # excluded: empty interval
+        ],
+        "k string, row_id long, o long, qty double",
+    )
+    demand = spark.createDataFrame(
+        [
+            ("p", 101, 1, 4.0),   # [0, 4)  -> s1
+            ("p", 102, 2, 8.0),   # [4, 12) -> s1 (6) + s2 (2)
+            ("p", 103, 3, 9.0),   # [12,21) -> s2 (3); 6 unmet, no row
+            ("q", 104, 1, 1.0),   # no supply on key q -> no rows
+        ],
+        "k string, row_id long, o long, qty double",
+    )
+    got = {
+        (r["row_id"], r["row_id_d"]): r["qty_matched"]
+        for r in fifo_allocate(
+            supply, demand, ["k"], "qty", ["o"]
+        ).collect()
+    }
+    assert got == {
+        (1, 101): 4.0,
+        (1, 102): 6.0,
+        (2, 102): 2.0,
+        (2, 103): 3.0,
+    }
+
+
+def test_gini_impurity_profile(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        gini_impurity_profile,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", None), ("b", 2)],
+        "s string, v long",
+    )
+    got = {
+        r["column"]: (
+            r["n_rows"], r["n_distinct"], r["max_count"], r["gini"]
+        )
+        for r in gini_impurity_profile(df, ["s", "v"]).collect()
+    }
+    # s: counts {a:2, b:2} -> gini = (16-8)/16 = 0.5
+    assert got["s"] == (4, 2, 2, 0.5)
+    # v: counts {1:1, 2:2, NULL:1} -> gini = (16-6)/16 = 0.625
+    assert got["v"] == (4, 3, 2, 0.625)
