@@ -7091,6 +7091,81 @@ FROM counts GROUP BY "column"
 """
 
 
+def q_roc_auc_value_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of event value as a purchase predictor — the
+    Mann-Whitney rank form with ×2 tie absorption: every accumulator
+    an exact BIGINT, one final IEEE division; the prefix window runs
+    over DISTINCT scores only."""
+    from hiv_data_integration_spark.operators.aggregate import roc_auc_exact
+
+    ev = tbl(spark, sf_dir, "events")
+    return roc_auc_exact(ev, F.col("event_type") == "purchase", "value")
+
+
+SQL_ROC_AUC_VALUE_PURCHASE = """
+WITH s AS (
+    SELECT value AS sc,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+    FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+per AS (
+    SELECT sc, SUM(y) AS np, SUM(1 - y) AS nn FROM s GROUP BY sc
+),
+t AS (
+    SELECT np, nn,
+           np * (2 * (SUM(nn) OVER (ORDER BY sc
+                      ROWS UNBOUNDED PRECEDING) - nn) + nn) AS term
+    FROM per
+)
+SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+       CAST(SUM(nn) AS BIGINT) AS n_neg,
+       CAST(SUM(term) AS BIGINT) AS u2,
+       CASE WHEN SUM(np) > 0 AND SUM(nn) > 0 THEN
+            CAST(SUM(term) AS DOUBLE)
+            / CAST(2 * SUM(np) * SUM(nn) AS DOUBLE)
+       END AS auc
+FROM t
+"""
+
+
+def q_zscore_outliers_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly flags: per (event_type, epoch-day mod
+    7) group, flag |x−μ| > 3σ via the cross-multiplied ALL-integer form
+    (n·x−S₁)² > 9·(n·S₂−S₁²) — no float statistic anywhere, so flags
+    cannot flip with aggregation order; the weekday key is pure integer
+    arithmetic (engine week-numbering conventions differ)."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        group_zscore_outliers,
+    )
+
+    ev = tbl(spark, sf_dir, "events")
+    dow = F.pmod(F.unix_date(F.col("ts").cast("date")), F.lit(7))
+    return group_zscore_outliers(
+        ev, [F.col("event_type"), dow], "value", k=3
+    )
+
+
+SQL_ZSCORE_OUTLIERS_DOW = """
+WITH base AS (
+    SELECT event_id, ts, user_id, event_type, value, props,
+           CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS xc,
+           (((CAST(ts AS DATE) - DATE '1970-01-01') % 7) + 7) % 7 AS dw
+    FROM events WHERE value IS NOT NULL
+),
+st AS (
+    SELECT event_type, dw, COUNT(*) AS n, SUM(xc) AS s1,
+           SUM(CAST(xc AS HUGEINT) * xc) AS s2
+    FROM base GROUP BY 1, 2
+)
+SELECT b.event_id, b.ts, b.user_id, b.event_type, b.value, b.props,
+       CAST(n AS BIGINT) AS n_group,
+       (CAST(n AS HUGEINT) * xc - s1) * (CAST(n AS HUGEINT) * xc - s1)
+           > 9 * (CAST(n AS HUGEINT) * s2
+                  - CAST(s1 AS HUGEINT) * s1) AS is_outlier
+FROM base b JOIN st USING (event_type, dw)
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_median_price": q_weighted_median,
     "user_rfm_features": q_rfm_features,
@@ -7143,6 +7218,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "link_prediction_suppliers": q_link_prediction_suppliers,
     "fifo_match_returns": q_fifo_match_returns,
     "gini_profile_orders": q_gini_profile_orders,
+    "roc_auc_value_purchase": q_roc_auc_value_purchase,
+    "zscore_outliers_dow": q_zscore_outliers_dow,
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
     "json_dict_scan": q_json_dict_scan,
@@ -7304,6 +7381,8 @@ EXT_ORACLE: dict[str, str] = {
     "link_prediction_suppliers": SQL_LINK_PREDICTION_SUPPLIERS,
     "fifo_match_returns": SQL_FIFO_MATCH_RETURNS,
     "gini_profile_orders": SQL_GINI_PROFILE_ORDERS,
+    "roc_auc_value_purchase": SQL_ROC_AUC_VALUE_PURCHASE,
+    "zscore_outliers_dow": SQL_ZSCORE_OUTLIERS_DOW,
     "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
     "csv_per_period_export": SQL_CSV_PER_PERIOD,
     "json_dict_scan": SQL_JSON_DICT_SCAN,

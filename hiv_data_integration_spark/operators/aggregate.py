@@ -50,6 +50,8 @@ __all__ = [
     "k_anonymity_audit",
     "l_diversity_audit",
     "gini_impurity_profile",
+    "roc_auc_exact",
+    "group_zscore_outliers",
     "interval_union_time",
     "trailing_distinct_users",
     "group_median_impute",
@@ -2515,4 +2517,133 @@ def gini_impurity_profile(
         (
             (n * n - sumsq).cast("double") / (n * n).cast("double")
         ).alias("gini"),
+    )
+
+
+def roc_auc_exact(
+    df: DataFrame,
+    label_col: str | Column,
+    score_col: str,
+) -> DataFrame:
+    """EXACT ROC-AUC via the Mann–Whitney U statistic with the
+    standard tie correction — the model-eval metric computed over the
+    full prediction set, not a sampled curve. AUC = P(score⁺ > score⁻)
+    + ½P(score⁺ = score⁻), which over per-distinct-score counts is
+    Σₛ n₊(s)·(2·cum_n₋(<s) + n₋(s)) / (2·P·N): every term an exact
+    BIGINT (the ×2 absorbs the half-credit for ties), then ONE IEEE
+    division — bit-identical on any engine or partitioning, unlike
+    trapezoid integration over a float curve.
+
+    Scale shape: one hash aggregate to per-distinct-score counts, then
+    an ordered prefix sum over DISTINCT scores — the window's input is
+    |distinct scores| rows, not |rows| (quantize scores upstream if
+    they are continuous and unbounded, e.g. round to 6 digits; the
+    statistic is then exact for the quantized scores). NULL labels or
+    scores are excluded. Degenerate single-class input yields NULL.
+
+    Output 1 row: ``(n_pos, n_neg, u2, auc)`` where ``u2`` = 2·U.
+    """
+    from pyspark.sql.window import Window
+
+    lab = (
+        F.col(label_col) if isinstance(label_col, str) else label_col
+    ).cast("boolean")
+    s = df.filter(
+        lab.isNotNull() & F.col(score_col).isNotNull()
+    ).select(
+        F.col(score_col).alias("_s"), lab.cast("long").alias("_y")
+    )
+    per_score = s.groupBy("_s").agg(
+        F.sum("_y").alias("_np"),
+        F.sum(F.lit(1) - F.col("_y")).alias("_nn"),
+    )
+    w = (
+        Window.orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    terms = per_score.select(
+        "_np",
+        "_nn",
+        (
+            F.col("_np")
+            * (
+                2 * (F.sum("_nn").over(w) - F.col("_nn"))
+                + F.col("_nn")
+            )
+        ).alias("_t"),
+    )
+    return terms.agg(
+        F.sum("_np").cast("long").alias("n_pos"),
+        F.sum("_nn").cast("long").alias("n_neg"),
+        F.sum("_t").cast("long").alias("u2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "u2",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.col("u2").cast("double")
+            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
+        ).alias("auc"),
+    )
+
+
+def group_zscore_outliers(
+    df: DataFrame,
+    group_cols: list[Column | str],
+    value_col: str,
+    k: int = 3,
+    cent_scale: int = 100,
+) -> DataFrame:
+    """Per-group z-score outlier flags WITHOUT any float statistics:
+    flag rows where (x − μ)² > k²·σ² via the cross-multiplied integer
+    form (n·x − S₁)² > k²·(n·S₂ − S₁²) — exact seasonal-baseline
+    anomaly detection (metric per weekday, value per segment) whose
+    flags cannot flip with aggregation order, unlike float μ/σ.
+
+    Values are fixed-point-scaled to integers first (``cent_scale``,
+    default cents) via ``floor(v·scale + 0.5)`` — the one rounding,
+    identical IEEE arithmetic on every engine; all sums and the two
+    comparison sides are then exact (sums as BIGINT, the final squares
+    as DECIMAL(38,0) — n·x up to ~1e14 squares past int64).
+    Zero-variance groups flag nothing (σ = 0 means no evidence, not
+    everything-anomalous); NULL values are excluded.
+
+    One grouped aggregate broadcast back onto the rows (plus the flag
+    arithmetic) — two shuffles, no window, no sort.
+
+    Output: input columns + ``n_group`` (long) + ``is_outlier``
+    (boolean).
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in group_cols]
+    names = [f"_g{i}" for i in range(len(cols))]
+    xc = F.floor(
+        F.col(value_col).cast("double") * cent_scale + F.lit(0.5)
+    ).cast("long")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        "*", *[c.alias(n) for c, n in zip(cols, names)], xc.alias("_xc")
+    )
+    stats = base.groupBy(*names).agg(
+        F.count("*").alias("_n"),
+        F.sum("_xc").alias("_s1"),
+        F.sum(
+            F.col("_xc").cast("decimal(19,0)")
+            * F.col("_xc").cast("decimal(19,0)")
+        ).cast("decimal(38,0)").alias("_s2"),
+    )
+    j = base.join(stats, names)
+    dev = (
+        F.col("_n").cast("decimal(19,0)") * F.col("_xc").cast("decimal(19,0)")
+        - F.col("_s1").cast("decimal(19,0)")
+    ).cast("decimal(19,0)")
+    lhs = dev * dev
+    rhs = F.lit(k * k).cast("decimal(19,0)") * (
+        F.col("_n").cast("decimal(19,0)") * F.col("_s2")
+        - F.col("_s1").cast("decimal(19,0)")
+        * F.col("_s1").cast("decimal(19,0)")
+    )
+    return j.select(
+        *[c for c in df.columns],
+        F.col("_n").cast("long").alias("n_group"),
+        (lhs > rhs).alias("is_outlier"),
     )

@@ -2875,3 +2875,43 @@ def test_gini_impurity_profile(spark):
     assert got["s"] == (4, 2, 2, 0.5)
     # v: counts {1:1, 2:2, NULL:1} -> gini = (16-6)/16 = 0.625
     assert got["v"] == (4, 3, 2, 0.625)
+
+
+def test_roc_auc_exact(spark):
+    from hiv_data_integration_spark.operators.aggregate import roc_auc_exact
+
+    # scores: pos {3, 2}, neg {1, 2} -> pairs: (3>1)=1, (3>2)=1,
+    # (2>1)=1, (2=2)=0.5 -> U = 3.5, AUC = 3.5/4
+    df = spark.createDataFrame(
+        [(1, 3.0), (1, 2.0), (0, 1.0), (0, 2.0), (None, 9.0), (1, None)],
+        "y int, s double",
+    )
+    got = roc_auc_exact(df, F.col("y") == 1, "s").collect()[0]
+    assert (got["n_pos"], got["n_neg"], got["u2"]) == (2, 2, 7)
+    assert got["auc"] == 7 / 8
+
+    # degenerate: single class -> NULL auc
+    one = spark.createDataFrame([(1, 0.5), (1, 0.7)], "y int, s double")
+    assert roc_auc_exact(one, F.col("y") == 1, "s").collect()[0]["auc"] is None
+
+
+def test_group_zscore_outliers(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        group_zscore_outliers,
+    )
+
+    # group a: 9 values at 10.00, one at 20.00 -> mean 11, var 9 ->
+    # z(20) = 3 exactly -> NOT flagged at k=3 (strict >), flagged at k=2
+    rows = [("a", 10.0)] * 9 + [("a", 20.0)] + [("b", 5.0), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    res3 = {
+        (r["g"], r["v"]): r["is_outlier"]
+        for r in group_zscore_outliers(df, ["g"], "v", k=3).collect()
+    }
+    assert res3[("a", 20.0)] is False and res3[("a", 10.0)] is False
+    assert res3[("b", 5.0)] is False  # zero variance flags nothing
+    res2 = {
+        (r["g"], r["v"]): r["is_outlier"]
+        for r in group_zscore_outliers(df, ["g"], "v", k=2).collect()
+    }
+    assert res2[("a", 20.0)] is True and res2[("a", 10.0)] is False
