@@ -7166,6 +7166,104 @@ FROM base b JOIN st USING (event_type, dw)
 """
 
 
+def q_feature_hash_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick sparse encoding of two customer categoricals into
+    4096 buckets — md5-prefix modulus, no vocabulary build, collisions
+    sum; the web-scale categorical encoder."""
+    from hiv_data_integration_spark.operators.sampling import feature_hash
+
+    cust = tbl(spark, sf_dir, "customer")
+    return feature_hash(
+        cust, "c_custkey", ["c_mktsegment", "c_nationkey"],
+        num_buckets=4096,
+    )
+
+
+SQL_FEATURE_HASH_CUSTOMERS = """
+WITH pairs AS (
+    SELECT c_custkey, 'c_mktsegment=' || CAST(c_mktsegment AS VARCHAR) AS f
+    FROM customer WHERE c_mktsegment IS NOT NULL
+    UNION ALL
+    SELECT c_custkey, 'c_nationkey=' || CAST(c_nationkey AS VARCHAR)
+    FROM customer WHERE c_nationkey IS NOT NULL
+)
+SELECT c_custkey,
+       CAST('0x' || substr(md5('fh:' || f), 1, 13) AS BIGINT) % 4096
+           AS feature_idx,
+       CAST(COUNT(*) AS DOUBLE) AS feature_val
+FROM pairs GROUP BY 1, 2
+"""
+
+
+def q_km_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-first-purchase curve over users (right-
+    censored at each user's last event): exact integer risk sets, one
+    IEEE division per factor, LEFT-TO-RIGHT product fold over the
+    time-ordered factor array — replayed factor-for-factor by the
+    oracle's list_reduce."""
+    from hiv_data_integration_spark.operators.aggregate import kaplan_meier
+
+    ev = tbl(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+        F.max("ts").alias("tl"),
+    )
+    subj = per_user.select(
+        F.datediff(
+            F.coalesce(F.col("tp"), F.col("tl")).cast("date"),
+            F.col("t0").cast("date"),
+        ).alias("dur"),
+        F.col("tp").isNotNull().alias("ev"),
+    )
+    return kaplan_meier(subj, "dur", "ev")
+
+
+SQL_KM_SIGNUP_TO_PURCHASE = """
+WITH pu AS (
+    SELECT user_id, min(ts) AS t0,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+           max(ts) AS tl
+    FROM events GROUP BY 1
+),
+subj AS (
+    SELECT CAST(CAST(COALESCE(tp, tl) AS DATE) - CAST(t0 AS DATE)
+                AS BIGINT) AS t,
+           (tp IS NOT NULL) AS e
+    FROM pu
+),
+per_t AS (
+    SELECT t, COUNT(*) AS c,
+           SUM(CASE WHEN e THEN 1 ELSE 0 END) AS d
+    FROM subj GROUP BY 1
+),
+risk AS (
+    SELECT t, d,
+           SUM(c) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n
+    FROM per_t
+),
+f AS (
+    SELECT list({'t': t, 'n': n, 'd': d} ORDER BY t) AS arr
+    FROM risk WHERE d > 0
+),
+g AS (
+    -- select-list unnest: generate_series cannot lateral-correlate
+    SELECT arr, unnest(range(1, len(arr) + 1)) AS i FROM f
+)
+SELECT arr[i].t AS t,
+       CAST(arr[i].n AS BIGINT) AS n_risk,
+       CAST(arr[i].d AS BIGINT) AS d_events,
+       list_reduce(
+           list_transform(arr[1:i],
+               x -> CAST(1 AS DOUBLE)
+                    - CAST(x.d AS DOUBLE) / CAST(x.n AS DOUBLE)),
+           (a, b) -> a * b) AS survival
+FROM g
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_median_price": q_weighted_median,
     "user_rfm_features": q_rfm_features,
@@ -7220,6 +7318,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "gini_profile_orders": q_gini_profile_orders,
     "roc_auc_value_purchase": q_roc_auc_value_purchase,
     "zscore_outliers_dow": q_zscore_outliers_dow,
+    "feature_hash_customers": q_feature_hash_customers,
+    "km_signup_to_purchase": q_km_signup_to_purchase,
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
     "json_dict_scan": q_json_dict_scan,
@@ -7383,6 +7483,8 @@ EXT_ORACLE: dict[str, str] = {
     "gini_profile_orders": SQL_GINI_PROFILE_ORDERS,
     "roc_auc_value_purchase": SQL_ROC_AUC_VALUE_PURCHASE,
     "zscore_outliers_dow": SQL_ZSCORE_OUTLIERS_DOW,
+    "feature_hash_customers": SQL_FEATURE_HASH_CUSTOMERS,
+    "km_signup_to_purchase": SQL_KM_SIGNUP_TO_PURCHASE,
     "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
     "csv_per_period_export": SQL_CSV_PER_PERIOD,
     "json_dict_scan": SQL_JSON_DICT_SCAN,

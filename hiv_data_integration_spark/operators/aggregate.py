@@ -52,6 +52,7 @@ __all__ = [
     "gini_impurity_profile",
     "roc_auc_exact",
     "group_zscore_outliers",
+    "kaplan_meier",
     "interval_union_time",
     "trailing_distinct_users",
     "group_median_impute",
@@ -2646,4 +2647,75 @@ def group_zscore_outliers(
         *[c for c in df.columns],
         F.col("_n").cast("long").alias("n_group"),
         (lhs > rhs).alias("is_outlier"),
+    )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Kaplan–Meier survival curve with right censoring — time-to-event
+    analytics (churn, time-to-conversion, component lifetime) computed
+    distributed: S(tᵢ) = Π_{j≤i} (1 − dⱼ/nⱼ) over the distinct event
+    times, where nⱼ counts subjects still at risk (duration ≥ tⱼ;
+    subjects censored AT tⱼ are still at risk, the standard
+    convention).
+
+    Bit-reproducible floats without transcendentals: dⱼ, nⱼ are exact
+    integers, each factor is ONE IEEE division, and the product folds
+    LEFT-TO-RIGHT over the time-ordered factor array (``F.aggregate``
+    over a sorted ``collect_list``) — a fixed evaluation order an
+    external engine replays factor-for-factor (cumulative products via
+    exp/log would be engine-ULP-dependent).
+
+    Scale shape: one (group, duration) hash aggregate, one window over
+    DISTINCT durations per group (reverse prefix sum = risk set), then
+    per-group state of |distinct event times| structs — bounded by the
+    time resolution, not the subject count. The O(k²) prefix folds run
+    per group on k = distinct event times.
+
+    Output: group cols + ``(t, n_risk, d_events, survival)`` rows.
+    """
+    from pyspark.sql.window import Window
+
+    g = list(group_cols or [])
+    dur = F.col(duration_col).cast("long")
+    ev = F.col(event_col).cast("boolean").cast("long")
+    base = df.filter(dur.isNotNull() & ev.isNotNull()).select(
+        *g, dur.alias("_t"), ev.alias("_e")
+    )
+    per_t = base.groupBy(*g, "_t").agg(
+        F.count("*").alias("_c"), F.sum("_e").alias("_d")
+    )
+    w_risk = (
+        Window.partitionBy(*g)
+        .orderBy(F.col("_t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = per_t.withColumn("_n", F.sum("_c").over(w_risk)).filter(
+        F.col("_d") > 0
+    )
+    arr = risk.groupBy(*g).agg(
+        F.array_sort(
+            F.collect_list(F.struct("_t", "_n", "_d"))
+        ).alias("_arr")
+    )
+    factor = lambda x: F.lit(1.0) - (  # noqa: E731
+        x.getField("_d").cast("double") / x.getField("_n").cast("double")
+    )
+    exploded = arr.select(
+        *g, F.posexplode("_arr").alias("_i", "_x"), F.col("_arr")
+    )
+    return exploded.select(
+        *g,
+        F.col("_x._t").alias("t"),
+        F.col("_x._n").cast("long").alias("n_risk"),
+        F.col("_x._d").cast("long").alias("d_events"),
+        F.aggregate(
+            F.slice(F.col("_arr"), 1, F.col("_i") + 1),
+            F.lit(1.0),
+            lambda acc, x: acc * factor(x),
+        ).alias("survival"),
     )

@@ -33,6 +33,7 @@ __all__ = [
     "curriculum_interleave",
     "class_balance_weights",
     "weighted_priority_sample",
+    "feature_hash",
 ]
 
 #: Bucket space: 4 hex digits of the md5 → uniform integers in [0, 65536).
@@ -458,3 +459,55 @@ def weighted_priority_sample(
         )
         return out.withColumn("_rk", rank).filter(F.col("_rk") <= k).drop("_rk")
     return out.orderBy(F.col("priority").desc(), F.col(id_col).asc()).limit(k)
+
+
+def feature_hash(
+    df: DataFrame,
+    id_col: str,
+    cat_cols: list[str],
+    num_buckets: int = 1 << 18,
+    salt: str = "fh:",
+) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): encode categorical
+    columns into a fixed-width sparse feature space without a fitted
+    vocabulary — bucket = md5("col=value") mod ``num_buckets``; values
+    colliding into one bucket sum. No vocabulary build pass, no
+    broadcast dictionary, no unseen-category failure mode: exactly why
+    it is the standard encoder for web-scale categorical data.
+
+    Deterministic everywhere: md5 is bit-identical across engines and
+    the 13-hex-digit prefix (52 bits) keeps the modulus pure integer
+    math. NULL categories are skipped (a missing feature is absent,
+    not a "None" bucket — pass an imputed column to override).
+
+    Scale shape: one explode (|cat_cols| rows each) + one hash
+    aggregate on (id, bucket) — map-side combinable, no vocabulary
+    state anywhere.
+
+    Output: ``(id_col, feature_idx, feature_val)`` sparse triplets.
+    """
+    if num_buckets < 1:
+        raise ValueError("feature_hash: num_buckets must be >= 1")
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{c}="), F.col(c).cast("string")
+                    ).alias(c)
+                    for c in cat_cols
+                ]
+            )
+        ).alias("_f"),
+    ).filter(F.col("_f").isNotNull())
+    idx = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col("_f"))), 1, 13),
+               16, 10).cast("long"),
+        F.lit(num_buckets),
+    )
+    return (
+        pairs.select(F.col(id_col), idx.alias("feature_idx"))
+        .groupBy(id_col, "feature_idx")
+        .agg(F.count("*").cast("double").alias("feature_val"))
+    )

@@ -2915,3 +2915,52 @@ def test_group_zscore_outliers(spark):
         for r in group_zscore_outliers(df, ["g"], "v", k=2).collect()
     }
     assert res2[("a", 20.0)] is True and res2[("a", 10.0)] is False
+
+
+def test_feature_hash(spark):
+    from hiv_data_integration_spark.operators.sampling import feature_hash
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(1, "red", "eu"), (2, "red", None), (3, "blue", "eu")],
+        "id long, color string, region string",
+    )
+    got = {
+        (r["id"], r["feature_idx"]): r["feature_val"]
+        for r in feature_hash(
+            df, "id", ["color", "region"], num_buckets=1 << 18
+        ).collect()
+    }
+
+    def bucket(f):
+        return (
+            int(hashlib.md5(f"fh:{f}".encode()).hexdigest()[:13], 16)
+            % (1 << 18)
+        )
+
+    assert got[(1, bucket("color=red"))] == 1.0
+    assert got[(1, bucket("region=eu"))] == 1.0
+    assert got[(3, bucket("color=blue"))] == 1.0
+    # NULL category skipped: id 2 has only the color feature
+    assert sum(1 for (i, _) in got if i == 2) == 1
+    assert len(got) == 5
+
+
+def test_kaplan_meier_handcrafted(spark):
+    from hiv_data_integration_spark.operators.aggregate import kaplan_meier
+
+    # classic toy: events at t=1 (1 of 5), t=3 (1 of 3);
+    # censored at t=2 and t=3; survivor to t=4
+    rows = [
+        (1, True), (2, False), (3, True), (3, False), (4, False),
+    ]
+    df = spark.createDataFrame(rows, "t long, e boolean")
+    got = {
+        r["t"]: (r["n_risk"], r["d_events"], r["survival"])
+        for r in kaplan_meier(df, "t", "e").collect()
+    }
+    # t=1: n=5, d=1 -> S = 1 - 1/5 = 0.8
+    assert got[1] == (5, 1, 1.0 * (1 - 1 / 5))
+    # t=3: n=3 (censored-at-3 still at risk), d=1 -> S = 0.8 * (1 - 1/3)
+    assert got[3] == (3, 1, (1.0 * (1 - 1 / 5)) * (1 - 1 / 3))
+    assert len(got) == 2
