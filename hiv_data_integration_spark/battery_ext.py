@@ -7264,6 +7264,130 @@ FROM g
 """
 
 
+def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-event-type value totals in exact integer cents
+    (epoch-day key — tz-proof integer arithmetic; the one rounding is
+    floor(v·100+0.5), identical IEEE on both engines)."""
+    ev = tbl(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.unix_date(F.col("ts").cast("date")).cast("long").alias("day"),
+            F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("_xc"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("_xc").alias("cents"))
+    )
+
+
+_SQL_DAILY_CENTS = """
+    SELECT event_type,
+           CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+           SUM(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT))
+               AS cents
+    FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def q_mann_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall drift test on each event type's daily cents series
+    — integer S, integer tie-corrected var18, significance decided by
+    the all-integer cross-multiplied inequality (z²=1.96² as
+    9604/2500); O(days²) pairwise by design (resolution-bounded)."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        mann_kendall_trend,
+    )
+
+    return mann_kendall_trend(
+        _daily_cents(spark, sf_dir), ["event_type"], "day", "cents"
+    )
+
+
+SQL_MANN_KENDALL_DAILY = f"""
+WITH daily AS ({_SQL_DAILY_CENTS}),
+s AS (
+    SELECT a.event_type,
+           CAST(SUM(sign(b.cents - a.cents)) AS BIGINT) AS s_stat
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND a.day < b.day
+    GROUP BY 1
+),
+n AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM daily GROUP BY 1
+),
+ties AS (
+    SELECT event_type,
+           SUM(tp * (tp - 1) * (2 * tp + 5)) AS tie18
+    FROM (SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS tp
+          FROM daily GROUP BY 1, 2)
+    GROUP BY 1
+)
+SELECT n.event_type, n.n_points, s.s_stat,
+       CAST(n_points * (n_points - 1) * (2 * n_points + 5) - tie18
+            AS BIGINT) AS var18,
+       s_stat <> 0 AND
+       45000 * (abs(s_stat) - 1) * (abs(s_stat) - 1)
+           > 9604 * (n_points * (n_points - 1) * (2 * n_points + 5)
+                     - tie18) AS is_significant,
+       CAST(CASE WHEN s_stat <> 0 AND
+                      45000 * (abs(s_stat) - 1) * (abs(s_stat) - 1)
+                      > 9604 * (n_points * (n_points - 1)
+                                * (2 * n_points + 5) - tie18)
+                 THEN sign(s_stat) ELSE 0 END AS INTEGER) AS trend
+FROM n JOIN s USING (event_type) JOIN ties USING (event_type)
+"""
+
+
+def q_cusum_change_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point scan on each event type's daily cents series:
+    exact integer mean-centered prefix deviations (scaled by n), change
+    point at max |D| with smallest-day tiebreak, floats only in the two
+    final fixed-order normalization ops."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        cusum_change_detection,
+    )
+
+    return cusum_change_detection(
+        _daily_cents(spark, sf_dir), ["event_type"], "day", "cents",
+        cent_scale=1,
+    )
+
+
+SQL_CUSUM_CHANGE_DAILY = f"""
+WITH daily AS ({_SQL_DAILY_CENTS}),
+d AS (
+    SELECT event_type, day,
+           COUNT(*) OVER (PARTITION BY event_type)
+             * SUM(cents) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS UNBOUNDED PRECEDING)
+           - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+             * SUM(cents) OVER (PARTITION BY event_type) AS dd
+    FROM daily
+),
+agg AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(MAX(dd) AS BIGINT) AS d_max,
+           CAST(MIN(dd) AS BIGINT) AS d_min,
+           CAST(MAX(dd) - MIN(dd) AS DOUBLE)
+               / CAST(COUNT(*) * 1 AS DOUBLE) AS cusum_range
+    FROM d GROUP BY 1
+),
+tc AS (
+    SELECT event_type, day,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY abs(dd) DESC, day ASC) AS rn
+    FROM d
+)
+SELECT agg.event_type, n_points, d_max, d_min, cusum_range,
+       tc.day AS t_change
+FROM agg JOIN tc ON agg.event_type = tc.event_type AND tc.rn = 1
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_median_price": q_weighted_median,
     "user_rfm_features": q_rfm_features,
@@ -7320,6 +7444,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "zscore_outliers_dow": q_zscore_outliers_dow,
     "feature_hash_customers": q_feature_hash_customers,
     "km_signup_to_purchase": q_km_signup_to_purchase,
+    "mann_kendall_daily": q_mann_kendall_daily,
+    "cusum_change_daily": q_cusum_change_daily,
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
     "json_dict_scan": q_json_dict_scan,
@@ -7485,6 +7611,8 @@ EXT_ORACLE: dict[str, str] = {
     "zscore_outliers_dow": SQL_ZSCORE_OUTLIERS_DOW,
     "feature_hash_customers": SQL_FEATURE_HASH_CUSTOMERS,
     "km_signup_to_purchase": SQL_KM_SIGNUP_TO_PURCHASE,
+    "mann_kendall_daily": SQL_MANN_KENDALL_DAILY,
+    "cusum_change_daily": SQL_CUSUM_CHANGE_DAILY,
     "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
     "csv_per_period_export": SQL_CSV_PER_PERIOD,
     "json_dict_scan": SQL_JSON_DICT_SCAN,

@@ -53,6 +53,8 @@ __all__ = [
     "roc_auc_exact",
     "group_zscore_outliers",
     "kaplan_meier",
+    "mann_kendall_trend",
+    "cusum_change_detection",
     "interval_union_time",
     "trailing_distinct_users",
     "group_median_impute",
@@ -2718,4 +2720,148 @@ def kaplan_meier(
             F.lit(1.0),
             lambda acc, x: acc * factor(x),
         ).alias("survival"),
+    )
+
+
+def mann_kendall_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    z_crit_sq_num: int = 9604,
+    z_crit_sq_den: int = 2500,
+) -> DataFrame:
+    """Mann–Kendall monotonic-trend test per series — the standard
+    nonparametric "is this metric drifting" check, computed EXACTLY:
+    S = Σ_{i<j} sign(xⱼ − xᵢ) is an integer, the tie-corrected variance
+    is the integer ``var18`` = n(n−1)(2n+5) − Σₜ tₚ(tₚ−1)(2tₚ+5) (the
+    /18 deferred), and the two-sided significance at z_crit is decided
+    by the cross-multiplied ALL-INTEGER inequality
+    ``den·18·(|S|−1)² > num·var18`` (default z²=1.96² as the exact
+    rational 9604/2500, continuity-corrected) — no sqrt, no normal CDF,
+    no float that could flip a verdict.
+
+    Scale contract: the pairwise self-join is O(n²) per series on n =
+    points per series — run it on RESOLUTION-BOUNDED series (daily/
+    hourly rollups, n in the hundreds), which is exactly the drift-
+    monitoring shape; it is not a raw-event operator.
+
+    Output per group: ``(n_points, s_stat, var18, is_significant,
+    trend)`` where trend ∈ {-1, 0, 1} = sign(S) gated on significance.
+    """
+    v = F.col(value_col)
+    base = df.filter(
+        v.isNotNull() & F.col(order_col).isNotNull()
+    ).select(*group_cols, F.col(order_col).alias("_t"), v.alias("_x"))
+    a = base.alias("a")
+    b = base.alias("b")
+    pairs = a.join(b, group_cols).filter(F.col("a._t") < F.col("b._t"))
+    s_df = pairs.groupBy(*group_cols).agg(
+        F.sum(F.signum(F.col("b._x") - F.col("a._x")).cast("long"))
+        .alias("s_stat")
+    )
+    n_df = base.groupBy(*group_cols).agg(F.count("*").alias("n_points"))
+    tie_term = lambda c: c * (c - 1) * (2 * c + 5)  # noqa: E731
+    ties = (
+        base.groupBy(*group_cols, "_x")
+        .agg(F.count("*").alias("_tp"))
+        .groupBy(*group_cols)
+        .agg(F.sum(tie_term(F.col("_tp"))).alias("_tie18"))
+    )
+    out = (
+        n_df.join(s_df, group_cols)
+        .join(ties, group_cols)
+        .select(
+            *group_cols,
+            "n_points",
+            "s_stat",
+            (
+                tie_term(F.col("n_points").cast("long"))
+                - F.col("_tie18")
+            ).alias("var18"),
+        )
+    )
+    abs_s = F.abs(F.col("s_stat"))
+    sig = (F.col("s_stat") != 0) & (
+        F.lit(z_crit_sq_den * 18) * (abs_s - 1) * (abs_s - 1)
+        > F.lit(z_crit_sq_num) * F.col("var18")
+    )
+    return out.select(
+        "*",
+        sig.alias("is_significant"),
+        F.when(sig, F.signum(F.col("s_stat")).cast("int"))
+        .otherwise(F.lit(0))
+        .alias("trend"),
+    )
+
+
+def cusum_change_detection(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    cent_scale: int = 100,
+) -> DataFrame:
+    """CUSUM change-point scan per series (Page's cumulative-sum chart,
+    offline form): D_k = n·P_k − k·S₁ is the mean-centered prefix
+    deviation SCALED BY n so it stays an exact integer (values fixed-
+    point-scaled once via floor(v·scale+0.5)); the change point is the
+    k maximizing |D_k| and the drift magnitude is the exact integer
+    range max(D) − min(D). Floats appear only in the final normalized
+    ``cusum_range`` = range/(n·scale) — two fixed-order IEEE ops.
+
+    ``order_col`` must be unique per group (prefix sums are otherwise
+    irreproducible). One window pass + one group aggregate; like the
+    MK test this is a resolution-bounded series operator, though here
+    the scan is O(n) per series, not O(n²).
+
+    Output per group: ``(n_points, d_max, d_min, cusum_range,
+    t_change)`` — ``t_change`` the order value at max |D| (ties →
+    smallest order value).
+    """
+    from pyspark.sql.window import Window
+
+    xc = F.floor(
+        F.col(value_col).cast("double") * cent_scale + F.lit(0.5)
+    ).cast("long")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols,
+        F.col(order_col).cast("long").alias("_t"),
+        xc.alias("_xc"),
+    )
+    w_pre = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    with_d = base.select(
+        *group_cols,
+        "_t",
+        (
+            F.count("*").over(w_all) * F.sum("_xc").over(w_pre)
+            - F.row_number().over(
+                Window.partitionBy(*group_cols).orderBy("_t")
+            ).cast("long")
+            * F.sum("_xc").over(w_all)
+        ).alias("_d"),
+    )
+    return with_d.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.max("_d").alias("d_max"),
+        F.min("_d").alias("d_min"),
+        (
+            (F.max("_d") - F.min("_d")).cast("double")
+            / (F.count("*") * F.lit(cent_scale)).cast("double")
+        ).alias("cusum_range"),
+        F.max(F.struct(F.abs(F.col("_d")).alias("_a"), (-F.col("_t")).alias("_nt")))
+        .getField("_nt")
+        .alias("_neg_t"),
+    ).select(
+        *group_cols,
+        "n_points",
+        "d_max",
+        "d_min",
+        "cusum_range",
+        (-F.col("_neg_t")).alias("t_change"),
     )

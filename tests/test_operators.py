@@ -2964,3 +2964,43 @@ def test_kaplan_meier_handcrafted(spark):
     # t=3: n=3 (censored-at-3 still at risk), d=1 -> S = 0.8 * (1 - 1/3)
     assert got[3] == (3, 1, (1.0 * (1 - 1 / 5)) * (1 - 1 / 3))
     assert len(got) == 2
+
+
+def test_mann_kendall_trend(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        mann_kendall_trend,
+    )
+
+    # strictly increasing 10-point series: S = 45, var18 = 10*9*25 = 2250
+    up = [("u", t, float(t)) for t in range(10)]
+    # flat series: S = 0, all tied -> var18 = 2250 - 2250 = 0
+    flat = [("f", t, 7.0) for t in range(10)]
+    df = spark.createDataFrame(up + flat, "g string, t long, x double")
+    got = {
+        r["g"]: (
+            r["n_points"], r["s_stat"], r["var18"],
+            r["is_significant"], r["trend"],
+        )
+        for r in mann_kendall_trend(df, ["g"], "t", "x").collect()
+    }
+    # up: 2500*18*44^2 = 87_120_000 > 9604*2250 = 21_609_000 -> significant
+    assert got["u"] == (10, 45, 2250, True, 1)
+    assert got["f"] == (10, 0, 0, False, 0)
+
+
+def test_cusum_change_detection(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        cusum_change_detection,
+    )
+
+    # level shift at t=3: [0,0,0,10,10,10] -> S1c = 3000, n = 6
+    # D_k = 6*P_k - k*3000 (cents): k=1..6 ->
+    # P = [0,0,0,1000,2000,3000] -> D = [-3000,-6000,-9000,-6000,-3000,0]
+    rows = [("a", t, 0.0) for t in range(3)] + [
+        ("a", t, 10.0) for t in range(3, 6)
+    ]
+    df = spark.createDataFrame(rows, "g string, t long, x double")
+    got = cusum_change_detection(df, ["g"], "t", "x").collect()[0]
+    assert (got["n_points"], got["d_max"], got["d_min"]) == (6, 0, -9000)
+    assert got["cusum_range"] == 9000 / 600
+    assert got["t_change"] == 2  # max |D| at the 3rd point (t=2)
