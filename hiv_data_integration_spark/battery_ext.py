@@ -7388,6 +7388,112 @@ FROM agg JOIN tc ON agg.event_type = tc.event_type AND tc.rn = 1
 """
 
 
+def q_theil_sen_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope of each event type's daily cents series —
+    median-of-pairwise-slopes by ORDER-STATISTIC selection (tie order
+    can't change the value), each slope one IEEE division of exact
+    integers; shares the Mann-Kendall pairwise join and scale
+    contract."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        theil_sen_slope,
+    )
+
+    return theil_sen_slope(
+        _daily_cents(spark, sf_dir), ["event_type"], "day", "cents"
+    )
+
+
+SQL_THEIL_SEN_DAILY = f"""
+WITH daily AS ({_SQL_DAILY_CENTS}),
+slopes AS (
+    SELECT a.event_type,
+           CAST(b.cents - a.cents AS DOUBLE)
+           / CAST(b.day - a.day AS DOUBLE) AS s
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND a.day < b.day
+),
+ranked AS (
+    SELECT event_type, s,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY s) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS m
+    FROM slopes
+),
+med AS (
+    SELECT event_type, (MIN(s) + MAX(s)) / 2 AS slope,
+           CAST(MAX(m) AS BIGINT) AS n_pairs
+    FROM ranked WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+    GROUP BY 1
+),
+n AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM daily GROUP BY 1
+)
+SELECT n.event_type, n_points,
+       COALESCE(n_pairs, 0) AS n_pairs, slope
+FROM n LEFT JOIN med USING (event_type)
+"""
+
+
+def q_abc_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/Pareto revenue triage: per brand, classify parts into the
+    80%/95% cumulative-revenue tiers — revenue as exact cents (one
+    shared floor rounding), boundary membership decided by all-integer
+    comparisons so no boundary part can flip."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        abc_classification,
+    )
+
+    li = tbl(spark, sf_dir, "lineitem")
+    part = tbl(spark, sf_dir, "part")
+    rev = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li.l_partkey == part.p_partkey,
+        )
+        .select(
+            "p_brand",
+            "l_partkey",
+            F.floor(
+                F.col("l_extendedprice")
+                * (F.lit(1.0) - F.col("l_discount"))
+                * 100
+                + F.lit(0.5)
+            ).cast("long").alias("_rc"),
+        )
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.sum("_rc").alias("revenue_cents"))
+    )
+    return abc_classification(
+        rev, ["p_brand"], ["l_partkey"], "revenue_cents"
+    )
+
+
+SQL_ABC_PARTS_BY_BRAND = """
+WITH rev AS (
+    SELECT p_brand, l_partkey,
+           SUM(CAST(floor(CAST(l_extendedprice AS DOUBLE)
+                          * (1.0 - CAST(l_discount AS DOUBLE))
+                          * 100 + 0.5) AS BIGINT)) AS value
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1, 2
+),
+cum AS (
+    SELECT p_brand, l_partkey, value,
+           SUM(value) OVER (PARTITION BY p_brand
+                            ORDER BY value DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS c,
+           SUM(value) OVER (PARTITION BY p_brand) AS total
+    FROM rev
+)
+SELECT p_brand, l_partkey, value,
+       CAST(c AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share,
+       CASE WHEN 100 * (c - value) < 80 * total THEN 'A'
+            WHEN 100 * (c - value) < 95 * total THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM cum
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_median_price": q_weighted_median,
     "user_rfm_features": q_rfm_features,
@@ -7446,6 +7552,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "km_signup_to_purchase": q_km_signup_to_purchase,
     "mann_kendall_daily": q_mann_kendall_daily,
     "cusum_change_daily": q_cusum_change_daily,
+    "theil_sen_daily": q_theil_sen_daily,
+    "abc_parts_by_brand": q_abc_parts_by_brand,
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
     "json_dict_scan": q_json_dict_scan,
@@ -7613,6 +7721,8 @@ EXT_ORACLE: dict[str, str] = {
     "km_signup_to_purchase": SQL_KM_SIGNUP_TO_PURCHASE,
     "mann_kendall_daily": SQL_MANN_KENDALL_DAILY,
     "cusum_change_daily": SQL_CUSUM_CHANGE_DAILY,
+    "theil_sen_daily": SQL_THEIL_SEN_DAILY,
+    "abc_parts_by_brand": SQL_ABC_PARTS_BY_BRAND,
     "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
     "csv_per_period_export": SQL_CSV_PER_PERIOD,
     "json_dict_scan": SQL_JSON_DICT_SCAN,

@@ -55,6 +55,8 @@ __all__ = [
     "kaplan_meier",
     "mann_kendall_trend",
     "cusum_change_detection",
+    "theil_sen_slope",
+    "abc_classification",
     "interval_union_time",
     "trailing_distinct_users",
     "group_median_impute",
@@ -2864,4 +2866,136 @@ def cusum_change_detection(
         "d_min",
         "cusum_range",
         (-F.col("_neg_t")).alias("t_change"),
+    )
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil–Sen robust trend slope per series: the median of all
+    pairwise slopes (yⱼ−yᵢ)/(xⱼ−xᵢ) — outlier-resistant where OLS is
+    not (up to ~29% contamination), the standard robust companion to
+    the Mann–Kendall test and sharing its pairwise self-join.
+
+    Determinism: each slope is ONE IEEE division of exact integers
+    (pass integer-valued x and y, e.g. epoch days and cents); the
+    median is an ORDER-STATISTIC SELECTION — rank positions
+    ⌈m/2⌉..⌊m/2⌋+1 — so equal-slope tie order cannot change the
+    selected VALUE, and the even-m midpoint (a+b)/2 is two fixed-order
+    IEEE ops. No float is ever summed across an unordered set.
+
+    Scale contract: O(n²) pairs per series — a resolution-bounded
+    rollup operator like :func:`mann_kendall_trend`, not a raw-event
+    one.
+
+    Output per group: ``(n_points, n_pairs, slope)`` — slope NULL for
+    single-point series.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(order_col).isNotNull()
+    ).select(
+        *group_cols,
+        F.col(order_col).cast("long").alias("_t"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    slopes = (
+        a.join(b, group_cols)
+        .filter(F.col("a._t") < F.col("b._t"))
+        .select(
+            *group_cols,
+            (
+                (F.col("b._x") - F.col("a._x")).cast("double")
+                / (F.col("b._t") - F.col("a._t")).cast("double")
+            ).alias("_s"),
+        )
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_s")
+    ranked = slopes.select(
+        *group_cols,
+        "_s",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(Window.partitionBy(*group_cols)).alias("_m"),
+    )
+    # `div`, not `/`: the rank positions are integer order statistics
+    sel = ranked.filter(
+        (F.col("_rn") == F.expr("(_m + 1) div 2"))
+        | (F.col("_rn") == F.expr("_m div 2 + 1"))
+    )
+    med = sel.groupBy(*group_cols).agg(
+        ((F.min("_s") + F.max("_s")) / 2).alias("slope"),
+        F.max("_m").cast("long").alias("n_pairs"),
+    )
+    n_df = base.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_points")
+    )
+    return n_df.join(med, group_cols, "left").select(
+        *group_cols,
+        "n_points",
+        F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+        "slope",
+    )
+
+
+def abc_classification(
+    df: DataFrame,
+    key_cols: list[str],
+    item_cols: list[str],
+    value_col: str,
+    a_pct: int = 80,
+    b_pct: int = 95,
+) -> DataFrame:
+    """ABC / Pareto classification: per key, rank items by value
+    descending and label the head that carries the first ``a_pct``% of
+    cumulative value A, the next tier to ``b_pct``% B, the tail C —
+    the 80/20 inventory-and-revenue triage, and the corpus-curation
+    "which sources carry the volume" cut.
+
+    An item's class comes from its cumulative total EXCLUDING itself
+    (the item crossing a boundary belongs to the head tier — standard
+    convention), decided by the all-integer comparison
+    ``100·cum_prev < pct·total`` on exact BIGINT values — no share
+    ratio is ever floated, so boundary items cannot flip. The reported
+    ``cum_share`` double is display-only (one IEEE division). Ranking
+    ties break by the item columns, so equal-valued items classify
+    identically everywhere.
+
+    One window shuffle on the keys + a broadcast-back total. Pass an
+    exact integer ``value_col`` (cents, counts).
+
+    Output: key cols + item cols + ``value`` + ``cum_share`` +
+    ``abc_class``.
+    """
+    from pyspark.sql.window import Window
+
+    if not (0 < a_pct < b_pct <= 100):
+        raise ValueError("abc_classification: need 0 < a_pct < b_pct <= 100")
+    v = F.col(value_col).cast("long")
+    base = df.filter(v.isNotNull()).select(
+        *key_cols, *item_cols, v.alias("value")
+    )
+    w_cum = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("value").desc(), *[F.col(c) for c in item_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*key_cols)
+    cum = F.sum("value").over(w_cum)
+    total = F.sum("value").over(w_all)
+    prev = cum - F.col("value")
+    return base.select(
+        *key_cols,
+        *item_cols,
+        "value",
+        (cum.cast("double") / total.cast("double")).alias("cum_share"),
+        F.when(100 * prev < a_pct * total, F.lit("A"))
+        .when(100 * prev < b_pct * total, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
     )

@@ -3004,3 +3004,41 @@ def test_cusum_change_detection(spark):
     assert (got["n_points"], got["d_max"], got["d_min"]) == (6, 0, -9000)
     assert got["cusum_range"] == 9000 / 600
     assert got["t_change"] == 2  # max |D| at the 3rd point (t=2)
+
+
+def test_theil_sen_slope(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        theil_sen_slope,
+    )
+
+    # y = 2x with one wild outlier at t=2: slopes stay median 2
+    rows = [("g", 0, 0), ("g", 1, 2), ("g", 2, 100), ("g", 3, 6),
+            ("g", 4, 8), ("s", 5, 1)]
+    df = spark.createDataFrame(rows, "g string, t long, x long")
+    got = {
+        r["g"]: (r["n_points"], r["n_pairs"], r["slope"])
+        for r in theil_sen_slope(df, ["g"], "t", "x").collect()
+    }
+    # 10 pairs, sorted slopes: [-47,-46,-92/3,2,2,2,2,2,50,49] ->
+    # positions 5 and 6 are both 2.0
+    assert got["g"] == (5, 10, 2.0)
+    assert got["s"] == (1, 0, None)  # single point -> no pairs
+
+
+def test_abc_classification(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        abc_classification,
+    )
+
+    rows = [("k", "i1", 60), ("k", "i2", 25), ("k", "i3", 10),
+            ("k", "i4", 5)]
+    df = spark.createDataFrame(rows, "k string, item string, v long")
+    got = {
+        r["item"]: (r["abc_class"], r["cum_share"])
+        for r in abc_classification(df, ["k"], ["item"], "v").collect()
+    }
+    # cum_prev: i1=0 (<80) A; i2=60 (<80) A; i3=85 (<95) B; i4=95 C
+    assert got["i1"] == ("A", 0.6)
+    assert got["i2"] == ("A", 0.85)
+    assert got["i3"] == ("B", 0.95)
+    assert got["i4"] == ("C", 1.0)
