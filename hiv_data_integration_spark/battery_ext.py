@@ -7471,9 +7471,9 @@ def q_abc_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ABC_PARTS_BY_BRAND = """
 WITH rev AS (
     SELECT p_brand, l_partkey,
-           SUM(CAST(floor(CAST(l_extendedprice AS DOUBLE)
-                          * (1.0 - CAST(l_discount AS DOUBLE))
-                          * 100 + 0.5) AS BIGINT)) AS value
+           CAST(SUM(CAST(floor(CAST(l_extendedprice AS DOUBLE)
+                               * (1.0 - CAST(l_discount AS DOUBLE))
+                               * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY 1, 2
 ),
