@@ -7286,8 +7286,8 @@ def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_DAILY_CENTS = """
     SELECT event_type,
            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
-           SUM(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT))
-               AS cents
+           CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS cents
     FROM events WHERE value IS NOT NULL GROUP BY 1, 2
 """
 
@@ -7494,6 +7494,93 @@ FROM cum
 """
 
 
+def q_rolling_band_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 14-day band breakout flags on each event type's daily
+    cents series — trailing window EXCLUDES the current point, all
+    comparison arithmetic exact integers, <5 trailing peers → NULL
+    verdict."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        rolling_band_outliers,
+    )
+
+    return rolling_band_outliers(
+        _daily_cents(spark, sf_dir), ["event_type"], "day", "cents",
+        window=14, min_n=5, k=3, cent_scale=1,
+    )
+
+
+SQL_ROLLING_BAND_DAILY = f"""
+WITH daily AS ({_SQL_DAILY_CENTS}),
+b AS (
+    SELECT event_type, day, cents,
+           COUNT(cents) OVER w AS n,
+           SUM(cents) OVER w AS s1,
+           SUM(CAST(cents AS HUGEINT) * cents) OVER w AS s2
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, cents,
+       CAST(n AS BIGINT) AS n_band,
+       CASE WHEN n >= 5 THEN
+            (CAST(n AS HUGEINT) * cents - s1)
+              * (CAST(n AS HUGEINT) * cents - s1)
+            > 9 * (CAST(n AS HUGEINT) * s2
+                   - CAST(s1 AS HUGEINT) * s1)
+       END AS is_breakout
+FROM b
+"""
+
+
+def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session paths (30-min gap sessions, first 8 steps in
+    (ts, event_id) order) — ORDER BY + LIMIT TakeOrdered cut, then the
+    k survivors ranked; total (count desc, path asc) order so the cut
+    is partition-independent."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        top_session_paths,
+    )
+
+    ev = tbl(spark, sf_dir, "events")
+    return top_session_paths(
+        ev, "user_id", "ts", "event_id", "event_type",
+        gap_minutes=30, max_steps=8, k=20,
+    )
+
+
+SQL_TOP_SESSION_PATHS = """
+WITH gaps AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+                ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+    SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM gaps
+),
+paths AS (
+    SELECT user_id, session_seq,
+           array_to_string(
+               (list(event_type ORDER BY ts, event_id))[1:8], '>') AS path
+    FROM sess GROUP BY 1, 2
+),
+counts AS (
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY 1
+),
+r AS (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path ASC)
+              AS rank FROM counts
+)
+SELECT path, n_sessions, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 20
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_median_price": q_weighted_median,
     "user_rfm_features": q_rfm_features,
@@ -7554,6 +7641,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "cusum_change_daily": q_cusum_change_daily,
     "theil_sen_daily": q_theil_sen_daily,
     "abc_parts_by_brand": q_abc_parts_by_brand,
+    "rolling_band_daily": q_rolling_band_daily,
+    "top_session_paths": q_top_session_paths,
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
     "json_dict_scan": q_json_dict_scan,
@@ -7723,6 +7812,8 @@ EXT_ORACLE: dict[str, str] = {
     "cusum_change_daily": SQL_CUSUM_CHANGE_DAILY,
     "theil_sen_daily": SQL_THEIL_SEN_DAILY,
     "abc_parts_by_brand": SQL_ABC_PARTS_BY_BRAND,
+    "rolling_band_daily": SQL_ROLLING_BAND_DAILY,
+    "top_session_paths": SQL_TOP_SESSION_PATHS,
     "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
     "csv_per_period_export": SQL_CSV_PER_PERIOD,
     "json_dict_scan": SQL_JSON_DICT_SCAN,

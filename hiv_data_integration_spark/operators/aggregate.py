@@ -57,6 +57,8 @@ __all__ = [
     "cusum_change_detection",
     "theil_sen_slope",
     "abc_classification",
+    "rolling_band_outliers",
+    "top_session_paths",
     "interval_union_time",
     "trailing_distinct_users",
     "group_median_impute",
@@ -2999,3 +3001,132 @@ def abc_classification(
         .otherwise(F.lit("C"))
         .alias("abc_class"),
     )
+
+
+def rolling_band_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    window: int = 14,
+    min_n: int = 5,
+    k: int = 3,
+    cent_scale: int = 100,
+) -> DataFrame:
+    """Rolling-band breakout flags (Bollinger-style, but exact): flag a
+    point whose deviation from the TRAILING window's mean exceeds k
+    trailing standard deviations — the self-updating monitor for slow
+    drifts where a fixed global baseline (:func:`group_zscore_outliers`)
+    goes stale. The current point is EXCLUDED from its own band (ROWS
+    −window..−1), so a spike cannot widen the band that judges it.
+
+    Same all-integer algebra as the global variant: values fixed-point
+    scaled once via floor(v·scale+0.5), then
+    (n·x − S₁)² > k²·(n·S₂ − S₁²) over the trailing counts/sums — every
+    comparison side exact (squares as DECIMAL(38,0)), so flags cannot
+    flip with partitioning. Points with fewer than ``min_n`` trailing
+    peers emit NULL (no verdict), zero-variance bands flag nothing.
+    ``order_col`` must be unique per group.
+
+    One window shuffle on the groups; state = window-sized frame.
+
+    Output: group cols + ``order_col`` + ``value_col`` + ``n_band``
+    (long) + ``is_breakout`` (boolean|NULL).
+    """
+    from pyspark.sql.window import Window
+
+    if window < 1:
+        raise ValueError("rolling_band_outliers: window must be >= 1")
+    xc = F.floor(
+        F.col(value_col).cast("double") * cent_scale + F.lit(0.5)
+    ).cast("long")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols, F.col(order_col), F.col(value_col), xc.alias("_xc")
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order_col)
+        .rowsBetween(-window, -1)
+    )
+    n = F.count("_xc").over(w)
+    s1 = F.sum("_xc").over(w)
+    s2 = F.sum(
+        F.col("_xc").cast("decimal(19,0)") * F.col("_xc").cast("decimal(19,0)")
+    ).over(w)
+    dev = (
+        n.cast("decimal(19,0)") * F.col("_xc").cast("decimal(19,0)")
+        - s1.cast("decimal(19,0)")
+    ).cast("decimal(19,0)")
+    lhs = dev * dev
+    rhs = F.lit(k * k).cast("decimal(19,0)") * (
+        n.cast("decimal(19,0)") * s2
+        - s1.cast("decimal(19,0)") * s1.cast("decimal(19,0)")
+    )
+    return base.select(
+        *group_cols,
+        order_col,
+        value_col,
+        F.coalesce(n, F.lit(0)).cast("long").alias("n_band"),
+        F.when(n >= min_n, lhs > rhs).alias("is_breakout"),
+    ).drop("_xc")
+
+
+def top_session_paths(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    event_col: str,
+    gap_minutes: int = 30,
+    max_steps: int = 8,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k session paths: gap-sessionize, concatenate each session's
+    first ``max_steps`` events in (ts, id) order into a path string,
+    and rank paths by frequency — the "what do users actually do"
+    product-analytics staple (Sankey input, funnel discovery).
+
+    Determinism: the (ts, id) struct sort key must be unique per user
+    (same contract as :func:`user_event_sequences`); path truncation
+    bounds per-session state; the top-k order is total
+    (count desc, path asc), so the cut cannot depend on partitioning.
+
+    Scale shape: the sessionize window + one (user, session) aggregate
+    + one (path) aggregate + a k-row rank; per-session state is
+    ``max_steps`` strings.
+
+    Output: ``(path, n_sessions, rank)`` — exactly ``k`` rows or fewer.
+    """
+    from pyspark.sql.window import Window
+
+    sess = sessionize(df, user_col, ts_col, gap_minutes=gap_minutes)
+    key = F.struct(
+        F.col(ts_col), F.col(id_col), F.col(event_col).alias("_e")
+    )
+    paths = (
+        sess.groupBy(F.col(user_col), F.col("session_seq"))
+        .agg(
+            F.concat_ws(
+                ">",
+                F.slice(
+                    F.transform(
+                        F.array_sort(F.collect_list(key)),
+                        lambda x: x.getField("_e"),
+                    ),
+                    1,
+                    max_steps,
+                ),
+            ).alias("path")
+        )
+    )
+    counts = paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    # ORDER BY + LIMIT first (TakeOrderedAndProject — distributed
+    # per-partition top-k, never a global single-reducer window), THEN
+    # rank the k surviving rows
+    top = counts.orderBy(
+        F.col("n_sessions").desc(), F.col("path").asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("path", "n_sessions", "rank")

@@ -3042,3 +3042,61 @@ def test_abc_classification(spark):
     assert got["i2"] == ("A", 0.85)
     assert got["i3"] == ("B", 0.95)
     assert got["i4"] == ("C", 1.0)
+
+
+def test_rolling_band_outliers(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        rolling_band_outliers,
+    )
+
+    # 5 stable points then a spike: trailing band (w=5, min_n=3)
+    vals = [10.0, 10.0, 12.0, 10.0, 12.0, 30.0]
+    rows = [("g", t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    got = {
+        r["t"]: (r["n_band"], r["is_breakout"])
+        for r in rolling_band_outliers(
+            df, ["g"], "t", "v", window=5, min_n=3, k=3
+        ).collect()
+    }
+    assert got[0] == (0, None)       # no trailing peers
+    assert got[2] == (2, None)       # below min_n -> no verdict
+    assert got[5][0] == 5 and got[5][1] is True   # the spike
+    assert got[4][1] is False        # in-band point
+    # zero-variance band flags nothing
+    flat = spark.createDataFrame(
+        [("f", t, 5.0) for t in range(5)], "g string, t long, v double"
+    )
+    gf = {
+        r["t"]: r["is_breakout"]
+        for r in rolling_band_outliers(
+            flat, ["g"], "t", "v", window=5, min_n=3, k=3
+        ).collect()
+    }
+    assert gf[4] is False
+
+
+def test_top_session_paths(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        top_session_paths,
+    )
+
+    rows = [
+        # user 1, session 1: a>b ; session 2 (gap > 30 min): a>b
+        (1, "2024-01-01 00:00:00", 1, "a"),
+        (1, "2024-01-01 00:05:00", 2, "b"),
+        (1, "2024-01-01 02:00:00", 3, "a"),
+        (1, "2024-01-01 02:10:00", 4, "b"),
+        # user 2, one session: c
+        (2, "2024-01-01 00:00:00", 5, "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "u long, ts string, id long, e string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = [
+        (r["path"], r["n_sessions"], r["rank"])
+        for r in top_session_paths(
+            df, "u", "ts", "id", "e", gap_minutes=30, max_steps=8, k=10
+        ).collect()
+    ]
+    assert got == [("a>b", 2, 1), ("c", 1, 2)]
