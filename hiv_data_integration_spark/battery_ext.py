@@ -7581,6 +7581,125 @@ FROM r WHERE rank <= 20
 """
 
 
+def q_golden_record_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge per user: latest non-null purchase value,
+    latest event type, latest prop-k — one aggregate, per-field
+    struct-max (present beats absent, then recency), no windows."""
+    from hiv_data_integration_spark.operators.dedup import golden_record
+
+    ev = tbl(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias(
+            "purchase_value"
+        ),
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
+    return golden_record(
+        base, "user_id", ["ts", "event_id"],
+        ["purchase_value", "event_type", "prop_k"],
+    )
+
+
+SQL_GOLDEN_RECORD_USERS = """
+WITH base AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN event_type = 'purchase' THEN value END
+               AS purchase_value,
+           event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events
+),
+n AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_records
+    FROM base GROUP BY 1
+),
+f1 AS (
+    SELECT user_id, purchase_value FROM (
+        SELECT user_id, purchase_value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY (purchase_value IS NOT NULL) DESC,
+                            ts DESC, event_id DESC) AS rn
+        FROM base) WHERE rn = 1
+),
+f2 AS (
+    SELECT user_id, event_type FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY (event_type IS NOT NULL) DESC,
+                            ts DESC, event_id DESC) AS rn
+        FROM base) WHERE rn = 1
+),
+f3 AS (
+    SELECT user_id, prop_k FROM (
+        SELECT user_id, prop_k,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY (prop_k IS NOT NULL) DESC,
+                            ts DESC, event_id DESC) AS rn
+        FROM base) WHERE rn = 1
+)
+SELECT n.user_id, n_records, purchase_value, event_type, prop_k
+FROM n JOIN f1 USING (user_id) JOIN f2 USING (user_id)
+       JOIN f3 USING (user_id)
+"""
+
+
+def q_cohort_ltv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: users vintaged by first-event month (integer
+    year·12+month field arithmetic — no date_trunc tz exposure),
+    purchase revenue in exact cents, cumulative per cohort age, one
+    IEEE division per row for LTV/user."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        cohort_ltv_curve,
+    )
+
+    ev = tbl(spark, sf_dir, "events")
+    return cohort_ltv_curve(
+        ev, "user_id", "ts", "value",
+        revenue_filter=F.col("event_type") == "purchase",
+    )
+
+
+SQL_COHORT_LTV_EVENTS = """
+WITH fe AS (
+    SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1
+),
+cohort AS (
+    SELECT user_id,
+           CAST(year(t0) * 12 + month(t0) - 1 AS BIGINT) AS cohort_month
+    FROM fe
+),
+sizes AS (
+    SELECT cohort_month, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM cohort GROUP BY 1
+),
+rev AS (
+    SELECT cohort_month,
+           CAST(year(e.ts) * 12 + month(e.ts) - 1 AS BIGINT)
+               - cohort_month AS age_months,
+           CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM events e JOIN cohort USING (user_id)
+    WHERE event_type = 'purchase' AND value IS NOT NULL
+    GROUP BY 1, 2
+),
+c AS (
+    SELECT *, CAST(SUM(revenue_cents) OVER (PARTITION BY cohort_month
+                   ORDER BY age_months ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_revenue_cents
+    FROM rev
+)
+SELECT c.cohort_month, age_months, n_users, revenue_cents,
+       cum_revenue_cents,
+       CAST(cum_revenue_cents AS DOUBLE)
+           / CAST(n_users * 100 AS DOUBLE) AS ltv_per_user
+FROM c JOIN sizes USING (cohort_month)
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_median_price": q_weighted_median,
     "user_rfm_features": q_rfm_features,
@@ -7643,6 +7762,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "abc_parts_by_brand": q_abc_parts_by_brand,
     "rolling_band_daily": q_rolling_band_daily,
     "top_session_paths": q_top_session_paths,
+    "golden_record_users": q_golden_record_users,
+    "cohort_ltv_events": q_cohort_ltv_events,
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
     "json_dict_scan": q_json_dict_scan,
@@ -7814,6 +7935,8 @@ EXT_ORACLE: dict[str, str] = {
     "abc_parts_by_brand": SQL_ABC_PARTS_BY_BRAND,
     "rolling_band_daily": SQL_ROLLING_BAND_DAILY,
     "top_session_paths": SQL_TOP_SESSION_PATHS,
+    "golden_record_users": SQL_GOLDEN_RECORD_USERS,
+    "cohort_ltv_events": SQL_COHORT_LTV_EVENTS,
     "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
     "csv_per_period_export": SQL_CSV_PER_PERIOD,
     "json_dict_scan": SQL_JSON_DICT_SCAN,

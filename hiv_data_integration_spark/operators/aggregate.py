@@ -59,6 +59,7 @@ __all__ = [
     "abc_classification",
     "rolling_band_outliers",
     "top_session_paths",
+    "cohort_ltv_curve",
     "interval_union_time",
     "trailing_distinct_users",
     "group_median_impute",
@@ -3130,3 +3131,81 @@ def top_session_paths(
     return top.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).select("path", "n_sessions", "rank")
+
+
+def cohort_ltv_curve(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    revenue_filter: Column | None = None,
+    cent_scale: int = 100,
+) -> DataFrame:
+    """Cohort LTV curve: users cohorted by the calendar month of their
+    FIRST event; per cohort × months-since-cohort age, cumulative
+    revenue and cumulative revenue per cohort user — the growth-
+    analytics complement to :func:`cohort_retention` (does later
+    spending compound or decay per acquisition vintage?).
+
+    Month keys are pure integer ``year·12 + month − 1`` field
+    arithmetic on the NTZ timestamp (no date_trunc, no session-tz
+    exposure); revenue fixed-point-scales once via floor(v·scale+0.5)
+    and accumulates as exact BIGINTs; ``ltv_per_user`` is one IEEE
+    division of exact values. Ages with zero revenue emit no row
+    (LOCF/gap-fill is a separate operator by design).
+
+    Shuffles: per-user first-event aggregate, join back, (cohort, age)
+    aggregate, one cumulative window per cohort.
+
+    Output: ``(cohort_month, age_months, n_users, revenue_cents,
+    cum_revenue_cents, ltv_per_user)``.
+    """
+    from pyspark.sql.window import Window
+
+    month = lambda c: (  # noqa: E731
+        F.year(c).cast("long") * 12 + F.month(c).cast("long") - 1
+    )
+    first = df.groupBy(user_col).agg(F.min(ts_col).alias("_t0"))
+    cohort = first.select(
+        F.col(user_col), month(F.col("_t0")).alias("cohort_month")
+    )
+    sizes = cohort.groupBy("cohort_month").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    rev_rows = df if revenue_filter is None else df.filter(revenue_filter)
+    xc = F.floor(
+        F.col(value_col).cast("double") * cent_scale + F.lit(0.5)
+    ).cast("long")
+    rev = (
+        rev_rows.filter(F.col(value_col).isNotNull())
+        .join(cohort, user_col)
+        .select(
+            "cohort_month",
+            (month(F.col(ts_col)) - F.col("cohort_month")).alias(
+                "age_months"
+            ),
+            xc.alias("_xc"),
+        )
+        .groupBy("cohort_month", "age_months")
+        .agg(F.sum("_xc").alias("revenue_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.withColumn("cum_revenue_cents", F.sum("revenue_cents").over(w))
+        .join(F.broadcast(sizes), "cohort_month")
+        .select(
+            "cohort_month",
+            "age_months",
+            "n_users",
+            "revenue_cents",
+            "cum_revenue_cents",
+            (
+                F.col("cum_revenue_cents").cast("double")
+                / (F.col("n_users") * F.lit(cent_scale)).cast("double")
+            ).alias("ltv_per_user"),
+        )
+    )

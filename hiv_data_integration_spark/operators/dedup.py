@@ -41,6 +41,7 @@ __all__ = [
     "pagerank_fixed_point",
     "triangle_count",
     "link_prediction_scores",
+    "golden_record",
     "cdc_chunk_stats",
     "sorted_neighborhood_pairs",
 ]
@@ -1264,3 +1265,40 @@ def link_prediction_scores(
             F.sum("a._c").alias("ra_score"),
         )
     )
+
+
+def golden_record(
+    df: DataFrame,
+    cluster_col: str,
+    order_cols: list[str],
+    field_cols: list[str],
+) -> DataFrame:
+    """Survivorship merge ("golden record"): collapse each entity
+    cluster to one row by taking, PER FIELD, the value from the most
+    recent record that actually has it (non-null), recency ordered by
+    ``order_cols`` (which must be unique per cluster) — the MDM step
+    after entity resolution, where a customer's latest known email and
+    latest known phone may come from different source records.
+
+    One hash aggregate, one expression per field:
+    ``max(struct(has_value, order…, value)).value`` — the lexicographic
+    struct max prefers present over absent, then latest; no window, no
+    per-field join, no sort. All-null fields survive as NULL.
+
+    Output: ``cluster_col`` + ``n_records`` + one column per field.
+    """
+    order = [F.col(c) for c in order_cols]
+    aggs = [F.count("*").cast("long").alias("n_records")]
+    for f in field_cols:
+        aggs.append(
+            F.max(
+                F.struct(
+                    F.col(f).isNotNull().cast("int").alias("_h"),
+                    *[o.alias(f"_o{i}") for i, o in enumerate(order)],
+                    F.col(f).alias("_v"),
+                )
+            )
+            .getField("_v")
+            .alias(f)
+        )
+    return df.groupBy(cluster_col).agg(*aggs)

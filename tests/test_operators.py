@@ -3100,3 +3100,62 @@ def test_top_session_paths(spark):
         ).collect()
     ]
     assert got == [("a>b", 2, 1), ("c", 1, 2)]
+
+
+def test_golden_record(spark):
+    from hiv_data_integration_spark.operators.dedup import golden_record
+
+    rows = [
+        # cluster 1: email only on the older record, phone on the newer
+        (1, 10, 1, "a@x", None),
+        (1, 20, 2, None, "555"),
+        (1, 30, 3, None, None),
+        # cluster 2: all null email
+        (2, 10, 4, None, "111"),
+        (2, 20, 5, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "c long, ts long, id long, email string, phone string"
+    )
+    got = {
+        r["c"]: (r["n_records"], r["email"], r["phone"])
+        for r in golden_record(
+            df, "c", ["ts", "id"], ["email", "phone"]
+        ).collect()
+    }
+    assert got[1] == (3, "a@x", "555")   # per-field latest NON-NULL
+    assert got[2] == (2, None, "111")    # all-null field survives as NULL
+
+
+def test_cohort_ltv_curve(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        cohort_ltv_curve,
+    )
+
+    rows = [
+        # two users cohorted in 2024-01; revenue in month 0 and month 2
+        (1, "2024-01-05 00:00:00", "purchase", 10.0),
+        (1, "2024-03-01 00:00:00", "purchase", 5.0),
+        (2, "2024-01-20 00:00:00", "view", 99.0),     # filtered out
+        (2, "2024-03-09 00:00:00", "purchase", 5.0),
+        # one user cohorted in 2024-02
+        (3, "2024-02-01 00:00:00", "purchase", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "u long, ts string, t string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = {
+        (r["cohort_month"], r["age_months"]): (
+            r["n_users"], r["revenue_cents"], r["cum_revenue_cents"],
+            r["ltv_per_user"],
+        )
+        for r in cohort_ltv_curve(
+            df, "u", "ts", "v", revenue_filter=F.col("t") == "purchase"
+        ).collect()
+    }
+    jan = 2024 * 12 + 0
+    feb = 2024 * 12 + 1
+    assert got[(jan, 0)] == (2, 1000, 1000, 5.0)
+    assert got[(jan, 2)] == (2, 1000, 2000, 10.0)
+    assert got[(feb, 0)] == (1, 700, 700, 7.0)
+    assert len(got) == 3
