@@ -7700,6 +7700,88 @@ FROM c JOIN sizes USING (cohort_month)
 """
 
 
+def q_seasonal_naive_mdape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week seasonal-naive backtest on daily cents per event
+    type: MdAPE by order-statistic selection (selection-stable, unlike
+    a MAPE mean over near-zero actuals)."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        seasonal_naive_backtest,
+    )
+
+    return seasonal_naive_backtest(
+        _daily_cents(spark, sf_dir), ["event_type"], "day", "cents",
+        season=7,
+    )
+
+
+SQL_SEASONAL_NAIVE_MDAPE = f"""
+WITH daily AS ({_SQL_DAILY_CENTS}),
+scored AS (
+    SELECT a.event_type,
+           CAST(abs(a.cents - b.cents) AS DOUBLE)
+           / CAST(a.cents AS DOUBLE) AS ape
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND a.day = b.day + 7
+    WHERE a.cents > 0
+),
+ranked AS (
+    SELECT event_type, ape,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ape) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS m
+    FROM scored
+),
+med AS (
+    SELECT event_type, (MIN(ape) + MAX(ape)) / 2 AS mdape,
+           CAST(MAX(m) AS BIGINT) AS n_scored
+    FROM ranked WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+    GROUP BY 1
+),
+n AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM daily GROUP BY 1
+)
+SELECT n.event_type, n_points,
+       COALESCE(n_scored, 0) AS n_scored, mdape
+FROM n LEFT JOIN med USING (event_type)
+"""
+
+
+def q_audience_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type audience overlap matrix: exact distinct-user
+    intersections + Jaccard per pair — self-join fan-out bounded by
+    segments-per-user, not users."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        audience_overlap,
+    )
+
+    ev = tbl(spark, sf_dir, "events")
+    return audience_overlap(ev, "user_id", "event_type")
+
+
+SQL_AUDIENCE_OVERLAP_EVENTS = """
+WITH m AS (
+    SELECT DISTINCT user_id AS u, event_type AS s
+    FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+sizes AS (
+    SELECT s, CAST(COUNT(*) AS BIGINT) AS n FROM m GROUP BY 1
+),
+pair_counts AS (
+    SELECT a.s AS segment_a, b.s AS segment_b,
+           CAST(COUNT(*) AS BIGINT) AS n_both
+    FROM m a JOIN m b ON a.u = b.u AND a.s < b.s
+    GROUP BY 1, 2
+)
+SELECT segment_a, segment_b,
+       na.n AS n_a, nb.n AS n_b, n_both,
+       CAST(n_both AS DOUBLE)
+           / CAST(na.n + nb.n - n_both AS DOUBLE) AS jaccard
+FROM pair_counts
+JOIN sizes na ON na.s = segment_a
+JOIN sizes nb ON nb.s = segment_b
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_median_price": q_weighted_median,
     "user_rfm_features": q_rfm_features,
@@ -7764,6 +7846,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "top_session_paths": q_top_session_paths,
     "golden_record_users": q_golden_record_users,
     "cohort_ltv_events": q_cohort_ltv_events,
+    "seasonal_naive_mdape": q_seasonal_naive_mdape,
+    "audience_overlap_events": q_audience_overlap_events,
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
     "json_dict_scan": q_json_dict_scan,
@@ -7937,6 +8021,8 @@ EXT_ORACLE: dict[str, str] = {
     "top_session_paths": SQL_TOP_SESSION_PATHS,
     "golden_record_users": SQL_GOLDEN_RECORD_USERS,
     "cohort_ltv_events": SQL_COHORT_LTV_EVENTS,
+    "seasonal_naive_mdape": SQL_SEASONAL_NAIVE_MDAPE,
+    "audience_overlap_events": SQL_AUDIENCE_OVERLAP_EVENTS,
     "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
     "csv_per_period_export": SQL_CSV_PER_PERIOD,
     "json_dict_scan": SQL_JSON_DICT_SCAN,

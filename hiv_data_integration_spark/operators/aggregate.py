@@ -60,6 +60,8 @@ __all__ = [
     "rolling_band_outliers",
     "top_session_paths",
     "cohort_ltv_curve",
+    "seasonal_naive_backtest",
+    "audience_overlap",
     "interval_union_time",
     "trailing_distinct_users",
     "group_median_impute",
@@ -3207,5 +3209,142 @@ def cohort_ltv_curve(
                 F.col("cum_revenue_cents").cast("double")
                 / (F.col("n_users") * F.lit(cent_scale)).cast("double")
             ).alias("ltv_per_user"),
+        )
+    )
+
+
+def seasonal_naive_backtest(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    season: int = 7,
+) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each point with the
+    value one season earlier (ŷ_t = y_{t−season}) and report the
+    median absolute percentage error — the baseline every fancier
+    forecaster must beat, and the right error summary for it (MAPE
+    means are blown up by near-zero actuals; the MEDIAN is selection-
+    stable).
+
+    Determinism: actuals/forecasts are exact integers (pass cents);
+    each APE is |y−ŷ|/y — one exact subtraction, one IEEE division;
+    the median is an order-statistic SELECTION (positions ⌈m/2⌉ and
+    ⌊m/2⌋+1, midpoint two fixed-order ops) — the same machinery as
+    :func:`theil_sen_slope`, so tie order cannot change the value.
+    Points with y ≤ 0 or no observation one season back are excluded
+    (``n_scored`` reports coverage).
+
+    One equi self-join on (group, order−season) — no window over raw
+    rows; resolution-bounded like the other series diagnostics.
+
+    Output per group: ``(n_points, n_scored, mdape)``.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(order_col).isNotNull()
+    ).select(
+        *group_cols,
+        F.col(order_col).cast("long").alias("_t"),
+        F.col(value_col).cast("long").alias("_y"),
+    )
+    prior = base.select(
+        *group_cols,
+        (F.col("_t") + season).alias("_t"),
+        F.col("_y").alias("_yhat"),
+    )
+    scored = (
+        base.join(prior, [*group_cols, "_t"])
+        .filter(F.col("_y") > 0)
+        .select(
+            *group_cols,
+            "_t",
+            (
+                F.abs(F.col("_y") - F.col("_yhat")).cast("double")
+                / F.col("_y").cast("double")
+            ).alias("_ape"),
+        )
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_ape")
+    ranked = scored.select(
+        *group_cols,
+        "_ape",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(Window.partitionBy(*group_cols)).alias("_m"),
+    )
+    sel = ranked.filter(
+        (F.col("_rn") == F.expr("(_m + 1) div 2"))
+        | (F.col("_rn") == F.expr("_m div 2 + 1"))
+    )
+    med = sel.groupBy(*group_cols).agg(
+        ((F.min("_ape") + F.max("_ape")) / 2).alias("mdape"),
+        F.max("_m").cast("long").alias("n_scored"),
+    )
+    n_df = base.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_points")
+    )
+    return n_df.join(med, group_cols, "left").select(
+        *group_cols,
+        "n_points",
+        F.coalesce(F.col("n_scored"), F.lit(0)).alias("n_scored"),
+        "mdape",
+    )
+
+
+def audience_overlap(
+    df: DataFrame,
+    user_col: str,
+    segment_col: str,
+) -> DataFrame:
+    """Audience-overlap matrix: for every pair of segments, the exact
+    distinct-user intersection and Jaccard similarity — the "do these
+    campaign audiences / event cohorts / corpus sources share people"
+    screen behind targeting and cannibalization questions.
+
+    Exact integers until one final IEEE division per pair: distinct
+    (user, segment) memberships → per-user self-join (segment₁ <
+    segment₂) → pair counts joined with segment sizes. The self-join
+    fan-out is quadratic in SEGMENTS-PER-USER, not users — bounded by
+    the segment vocabulary; for hundreds of segments per user, cap
+    upstream (the same hub discipline as the link-prediction join).
+
+    Output: ``(segment_a, segment_b, n_a, n_b, n_both, jaccard)``.
+    """
+    m = df.filter(
+        F.col(user_col).isNotNull() & F.col(segment_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("_u"), F.col(segment_col).alias("_s")
+    ).distinct()
+    sizes = m.groupBy(F.col("_s")).agg(F.count("*").alias("_n"))
+    a = m.select(F.col("_u"), F.col("_s").alias("segment_a"))
+    b = m.select(F.col("_u"), F.col("_s").alias("segment_b"))
+    both = (
+        a.join(b, "_u")
+        .filter(F.col("segment_a") < F.col("segment_b"))
+        .groupBy("segment_a", "segment_b")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    na = sizes.select(
+        F.col("_s").alias("segment_a"), F.col("_n").alias("n_a")
+    )
+    nb = sizes.select(
+        F.col("_s").alias("segment_b"), F.col("_n").alias("n_b")
+    )
+    return (
+        both.join(F.broadcast(na), "segment_a")
+        .join(F.broadcast(nb), "segment_b")
+        .select(
+            "segment_a",
+            "segment_b",
+            F.col("n_a").cast("long"),
+            F.col("n_b").cast("long"),
+            "n_both",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
         )
     )

@@ -3159,3 +3159,41 @@ def test_cohort_ltv_curve(spark):
     assert got[(jan, 2)] == (2, 1000, 2000, 10.0)
     assert got[(feb, 0)] == (1, 700, 700, 7.0)
     assert len(got) == 3
+
+
+def test_seasonal_naive_backtest(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        seasonal_naive_backtest,
+    )
+
+    # season=2: y = [100, 200, 110, 100, 0] at t=0..4
+    # scored: t=2 (y=110, yhat=100, ape=10/110), t=3 (y=100, yhat=200,
+    # ape=1.0); t=4 excluded (y=0)
+    rows = [("g", t, v) for t, v in
+            [(0, 100), (1, 200), (2, 110), (3, 100), (4, 0)]]
+    df = spark.createDataFrame(rows, "g string, t long, y long")
+    got = seasonal_naive_backtest(df, ["g"], "t", "y", season=2).collect()[0]
+    assert (got["n_points"], got["n_scored"]) == (5, 2)
+    assert got["mdape"] == (10 / 110 + 1.0) / 2  # even m -> midpoint
+
+    # group with no scoreable points
+    solo = spark.createDataFrame([("s", 0, 5)], "g string, t long, y long")
+    g2 = seasonal_naive_backtest(solo, ["g"], "t", "y", season=2).collect()[0]
+    assert (g2["n_scored"], g2["mdape"]) == (0, None)
+
+
+def test_audience_overlap(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        audience_overlap,
+    )
+
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (1, "a")]
+    df = spark.createDataFrame(rows, "u long, s string")
+    got = {
+        (r["segment_a"], r["segment_b"]): (
+            r["n_a"], r["n_b"], r["n_both"], r["jaccard"]
+        )
+        for r in audience_overlap(df, "u", "s").collect()
+    }
+    # a={1,2,3}, b={1,2} -> both=2, union=3
+    assert got[("a", "b")] == (3, 2, 2, 2 / 3)
