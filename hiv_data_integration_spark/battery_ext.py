@@ -7782,6 +7782,106 @@ JOIN sizes nb ON nb.s = segment_b
 """
 
 
+def q_attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped multi-touch attribution (40/20/40, solo→100, pair→
+    50/50) per (touch_type, n_touches, role) cohort — credit_each a
+    fixed CASE over exact integers, at most one IEEE division."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        position_based_attribution,
+    )
+
+    ev = tbl(spark, sf_dir, "events")
+    return position_based_attribution(
+        ev, "purchase", ["click", "view"], attribution_window="72 hours"
+    )
+
+
+SQL_ATTRIBUTION_POSITION_BASED = """
+WITH conv AS (
+    SELECT user_id AS u, ts AS ct, event_id AS cid
+    FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+    SELECT user_id AS u, event_type AS tt, ts AS tts, event_id AS tid
+    FROM events WHERE event_type IN ('click', 'view')
+),
+paired AS (
+    SELECT cid, tt, tts, tid FROM conv JOIN touch USING (u)
+    WHERE tts < ct AND tts >= ct - INTERVAL 72 HOUR
+),
+roled AS (
+    SELECT tt,
+           COUNT(*) OVER (PARTITION BY cid) AS n_touches,
+           ROW_NUMBER() OVER (PARTITION BY cid ORDER BY tts, tid) AS rn
+    FROM paired
+),
+cohort AS (
+    SELECT tt AS touch_type, CAST(n_touches AS BIGINT) AS n_touches,
+           CASE WHEN n_touches = 1 THEN 'solo'
+                WHEN rn = 1 THEN 'first'
+                WHEN rn = n_touches THEN 'last'
+                ELSE 'middle' END AS "role"
+    FROM roled
+)
+SELECT touch_type, n_touches, "role",
+       CAST(COUNT(*) AS BIGINT) AS n_touch_events,
+       CASE WHEN "role" = 'solo' THEN CAST(1.0 AS DOUBLE)
+            WHEN n_touches = 2 AND "role" IN ('first', 'last')
+                THEN CAST(0.5 AS DOUBLE)
+            WHEN "role" IN ('first', 'last') THEN CAST(0.4 AS DOUBLE)
+            ELSE CAST(0.2 AS DOUBLE)
+                 / CAST(n_touches - 2 AS DOUBLE) END AS credit_each
+FROM cohort GROUP BY 1, 2, 3
+"""
+
+
+def q_debounce_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True debounce of click events (60 s chain semantics): each
+    burst collapses to its first event with the suppressed count —
+    floor-of-epoch seconds on both engines (Spark NTZ field arithmetic
+    truncates; DuckDB epoch() carries the fraction)."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        debounce_events,
+    )
+
+    ev = tbl(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    return debounce_events(ev, ["user_id"], "ts", "event_id",
+                           gap_seconds=60)
+
+
+SQL_DEBOUNCE_CLICKS = """
+WITH c AS (
+    SELECT user_id, ts, event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ep
+    FROM events WHERE event_type = 'click'
+),
+g AS (
+    SELECT *, CASE WHEN lag(ep) OVER w IS NULL
+                     OR ep - lag(ep) OVER w > 60 THEN 1 ELSE 0 END AS brk
+    FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+),
+b AS (
+    SELECT user_id, ts, event_id, ep,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY ep, event_id
+                          ROWS UNBOUNDED PRECEDING) AS burst_seq
+    FROM g
+),
+r AS (
+    SELECT user_id, ts, event_id,
+           CAST(burst_seq AS BIGINT) AS burst_seq,
+           ROW_NUMBER() OVER (PARTITION BY user_id, burst_seq
+                              ORDER BY ep, event_id) AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY user_id, burst_seq) - 1
+                AS BIGINT) AS n_suppressed
+    FROM b
+)
+SELECT user_id, ts, event_id, burst_seq, n_suppressed
+FROM r WHERE rn = 1
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_median_price": q_weighted_median,
     "user_rfm_features": q_rfm_features,
@@ -7848,6 +7948,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "cohort_ltv_events": q_cohort_ltv_events,
     "seasonal_naive_mdape": q_seasonal_naive_mdape,
     "audience_overlap_events": q_audience_overlap_events,
+    "attribution_position_based": q_attribution_position_based,
+    "debounce_clicks": q_debounce_clicks,
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
     "json_dict_scan": q_json_dict_scan,
@@ -8023,6 +8125,8 @@ EXT_ORACLE: dict[str, str] = {
     "cohort_ltv_events": SQL_COHORT_LTV_EVENTS,
     "seasonal_naive_mdape": SQL_SEASONAL_NAIVE_MDAPE,
     "audience_overlap_events": SQL_AUDIENCE_OVERLAP_EVENTS,
+    "attribution_position_based": SQL_ATTRIBUTION_POSITION_BASED,
+    "debounce_clicks": SQL_DEBOUNCE_CLICKS,
     "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
     "csv_per_period_export": SQL_CSV_PER_PERIOD,
     "json_dict_scan": SQL_JSON_DICT_SCAN,

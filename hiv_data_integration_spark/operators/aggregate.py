@@ -62,6 +62,8 @@ __all__ = [
     "cohort_ltv_curve",
     "seasonal_naive_backtest",
     "audience_overlap",
+    "position_based_attribution",
+    "debounce_events",
     "interval_union_time",
     "trailing_distinct_users",
     "group_median_impute",
@@ -3348,3 +3350,143 @@ def audience_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def position_based_attribution(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: list[str],
+    attribution_window: str = "72 hours",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: per
+    conversion, the FIRST touch in the window earns 40%, the LAST 40%,
+    and the middle touches split the remaining 20% — marketing's
+    standard emphasis-on-discovery-and-closure model next to
+    :func:`linear_attribution`'s equal split (solo touch → 100%,
+    two touches → 50/50).
+
+    Same exact-arithmetic discipline as the linear variant: output is
+    decomposed per ``(touch_type, n_touches, role)`` cohort with
+    integer event counts, and ``credit_each`` is a fixed CASE
+    expression over exact integers with at most ONE IEEE division
+    (0.2/(n−2) for middles) — never a float summed across an unordered
+    set. Touch order within a conversion is the unique (ts, id) pair.
+
+    Plan: conversions×touches user-keyed join with the window bound as
+    a residual, two window functions over each conversion's touches,
+    one cohort aggregate.
+
+    Output: ``(touch_type, n_touches, role, n_touch_events,
+    credit_each)`` — role ∈ {solo, first, last, middle}.
+    """
+    from pyspark.sql.window import Window
+
+    conv = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ct"),
+        F.col(id_col).alias("_cid"),
+    )
+    touch = events.filter(F.col(type_col).isin(touch_types)).select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_tt"),
+        F.col(ts_col).alias("_tts"),
+        F.col(id_col).alias("_tid"),
+    )
+    paired = conv.join(touch, "_u").filter(
+        (F.col("_tts") < F.col("_ct"))
+        & (
+            F.col("_tts")
+            >= F.col("_ct") - F.expr(f"INTERVAL {attribution_window}")
+        )
+    )
+    w_asc = Window.partitionBy("_cid").orderBy(
+        F.col("_tts").asc(), F.col("_tid").asc()
+    )
+    w_cnt = Window.partitionBy("_cid")
+    roled = paired.select(
+        "_tt",
+        F.count("*").over(w_cnt).alias("n_touches"),
+        F.row_number().over(w_asc).alias("_rn"),
+    ).select(
+        "_tt",
+        "n_touches",
+        F.when(F.col("n_touches") == 1, F.lit("solo"))
+        .when(F.col("_rn") == 1, F.lit("first"))
+        .when(F.col("_rn") == F.col("n_touches"), F.lit("last"))
+        .otherwise(F.lit("middle"))
+        .alias("role"),
+    )
+    out = roled.groupBy(
+        F.col("_tt").alias("touch_type"),
+        F.col("n_touches").cast("long").alias("n_touches"),
+        "role",
+    ).agg(F.count("*").cast("long").alias("n_touch_events"))
+    credit = (
+        F.when(F.col("role") == "solo", F.lit(1.0))
+        .when(
+            (F.col("n_touches") == 2)
+            & F.col("role").isin("first", "last"),
+            F.lit(0.5),
+        )
+        .when(F.col("role").isin("first", "last"), F.lit(0.4))
+        .otherwise(
+            F.lit(0.2) / (F.col("n_touches") - 2).cast("double")
+        )
+    )
+    return out.select("*", credit.alias("credit_each"))
+
+
+def debounce_events(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    id_col: str,
+    gap_seconds: int = 60,
+) -> DataFrame:
+    """True debounce: within each key, collapse every BURST — a maximal
+    chain of events where each consecutive gap is ≤ ``gap_seconds`` —
+    to its first event, reporting how many followers were suppressed.
+    The telemetry-cleanup step before counting "real" actions
+    (double-clicks, retry storms, sensor chatter).
+
+    Chain semantics (a burst extends while each next gap is small, so
+    it can stretch far past one gap width) fall out of the sessionize
+    construction: burst id = running count of gap-breaks over the
+    unique (ts, id) order, keep the first row per burst. Two windows
+    on the same key partitioning; exact integer second gaps
+    (tz-proof epoch arithmetic).
+
+    Output: key cols + ``ts_col`` + ``id_col`` + ``burst_seq`` (long,
+    1-based per key) + ``n_suppressed`` (long).
+    """
+    from pyspark.sql.window import Window
+
+    epoch = _epoch_seconds(df, ts_col)
+    w = Window.partitionBy(*key_cols).orderBy(epoch, F.col(id_col))
+    gap_break = (
+        F.lag(epoch).over(w).isNull()
+        | ((epoch - F.lag(epoch).over(w)) > gap_seconds)
+    ).cast("long")
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_burst = df.select(
+        *key_cols, F.col(ts_col), F.col(id_col),
+        F.sum(gap_break).over(w_cum).alias("burst_seq"),
+        epoch.alias("_ep"),
+    )
+    w_burst = Window.partitionBy(*key_cols, "burst_seq")
+    ranked = with_burst.select(
+        *key_cols, ts_col, id_col, "burst_seq",
+        F.row_number()
+        .over(
+            Window.partitionBy(*key_cols, "burst_seq").orderBy(
+                F.col("_ep"), F.col(id_col)
+            )
+        )
+        .alias("_rn"),
+        (F.count("*").over(w_burst) - 1).cast("long").alias("n_suppressed"),
+    )
+    return ranked.filter(F.col("_rn") == 1).drop("_rn")

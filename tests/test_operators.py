@@ -3197,3 +3197,64 @@ def test_audience_overlap(spark):
     }
     # a={1,2,3}, b={1,2} -> both=2, union=3
     assert got[("a", "b")] == (3, 2, 2, 2 / 3)
+
+
+def test_position_based_attribution(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        position_based_attribution,
+    )
+
+    rows = [
+        # user 1: 3 touches then conversion -> first/middle/last
+        (1, "click", "2024-01-01 00:00:00", 1),
+        (1, "view", "2024-01-01 01:00:00", 2),
+        (1, "click", "2024-01-01 02:00:00", 3),
+        (1, "purchase", "2024-01-01 03:00:00", 4),
+        # user 2: solo touch
+        (2, "view", "2024-01-01 00:00:00", 5),
+        (2, "purchase", "2024-01-01 01:00:00", 6),
+        # user 3: touch outside the 72h window -> excluded
+        (3, "click", "2023-12-01 00:00:00", 7),
+        (3, "purchase", "2024-01-01 00:00:00", 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string, event_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = {
+        (r["touch_type"], r["n_touches"], r["role"]): (
+            r["n_touch_events"], r["credit_each"]
+        )
+        for r in position_based_attribution(
+            df, "purchase", ["click", "view"]
+        ).collect()
+    }
+    assert got[("click", 3, "first")] == (1, 0.4)
+    assert got[("view", 3, "middle")] == (1, 0.2)
+    assert got[("click", 3, "last")] == (1, 0.4)
+    assert got[("view", 1, "solo")] == (1, 1.0)
+    assert len(got) == 4  # user 3's stale touch attributed nothing
+
+
+def test_debounce_events(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        debounce_events,
+    )
+
+    rows = [
+        # burst of 3 chained 40s apart (chain spans 80s > gap), then a
+        # separate event 2 minutes later
+        (1, "2024-01-01 00:00:00", 1),
+        (1, "2024-01-01 00:00:40", 2),
+        (1, "2024-01-01 00:01:20", 3),
+        (1, "2024-01-01 00:03:30", 4),
+        (2, "2024-01-01 00:00:00", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "u long, ts string, id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = {
+        r["id"]: (r["burst_seq"], r["n_suppressed"])
+        for r in debounce_events(df, ["u"], "ts", "id", gap_seconds=60)
+        .collect()
+    }
+    assert got == {1: (1, 2), 4: (2, 0), 5: (1, 0)}
