@@ -7882,6 +7882,108 @@ FROM r WHERE rn = 1
 """
 
 
+def q_gap_fill_interp_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation densification of each event type's daily
+    cents series — exact BIGINT numerator over the exact span, one
+    IEEE division per filled day; observed days pass through exactly."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        gap_fill_interpolate,
+    )
+
+    return gap_fill_interpolate(
+        _daily_cents(spark, sf_dir), ["event_type"], "day", "cents"
+    )
+
+
+SQL_GAP_FILL_INTERP_DAILY = f"""
+WITH daily AS ({_SQL_DAILY_CENTS}),
+bounds AS (
+    SELECT event_type, min(day) AS lo, max(day) AS hi
+    FROM daily GROUP BY 1
+),
+grid AS (
+    SELECT event_type, unnest(range(lo, hi + 1)) AS day FROM bounds
+),
+j AS (
+    SELECT g.event_type, g.day, d.cents
+    FROM grid g LEFT JOIN daily d USING (event_type, day)
+),
+f AS (
+    SELECT *,
+           last_value(cents IGNORE NULLS) OVER wf AS pv,
+           last_value(CASE WHEN cents IS NOT NULL THEN day END
+                      IGNORE NULLS) OVER wf AS pt,
+           first_value(cents IGNORE NULLS) OVER wb AS nv,
+           first_value(CASE WHEN cents IS NOT NULL THEN day END
+                       IGNORE NULLS) OVER wb AS nt
+    FROM j
+    WINDOW wf AS (PARTITION BY event_type ORDER BY day
+                  ROWS UNBOUNDED PRECEDING),
+           wb AS (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, day,
+       CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+            ELSE CAST(pv * (nt - day) + nv * (day - pt) AS DOUBLE)
+                 / CAST(nt - pt AS DOUBLE) END AS value_interp,
+       cents IS NOT NULL AS is_observed
+FROM f
+"""
+
+
+def q_dataset_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksums for three dimension tables
+    (supplier's DOUBLE balance pre-projected to fixed-point cents —
+    the documented recipe for float columns, whose raw string
+    rendering is engine-specific) — the post-migration reconciliation
+    one-number-per-table audit."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        dataset_fingerprint,
+    )
+
+    supplier = tbl(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        F.floor(F.col("s_acctbal").cast("double") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("s_acctbal_cents"),
+    )
+    return dataset_fingerprint(
+        {
+            "region": tbl(spark, sf_dir, "region"),
+            "nation": tbl(spark, sf_dir, "nation"),
+            "supplier": supplier,
+        }
+    )
+
+
+SQL_DATASET_FINGERPRINTS = """
+SELECT 'region' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(CAST(SUM(CAST('0x' || substr(md5(concat_ws('|',
+                CAST(r_regionkey AS VARCHAR), r_name)), 1, 15)
+            AS BIGINT)) AS HUGEINT) % 2305843009213693952 AS BIGINT)
+           AS checksum
+FROM region
+UNION ALL
+SELECT 'nation', CAST(COUNT(*) AS BIGINT),
+       CAST(CAST(SUM(CAST('0x' || substr(md5(concat_ws('|',
+                CAST(n_nationkey AS VARCHAR), n_name,
+                CAST(n_regionkey AS VARCHAR))), 1, 15)
+            AS BIGINT)) AS HUGEINT) % 2305843009213693952 AS BIGINT)
+FROM nation
+UNION ALL
+SELECT 'supplier', CAST(COUNT(*) AS BIGINT),
+       CAST(CAST(SUM(CAST('0x' || substr(md5(concat_ws('|',
+                CAST(s_suppkey AS VARCHAR), s_name,
+                CAST(s_nationkey AS VARCHAR),
+                CAST(CAST(floor(CAST(s_acctbal AS DOUBLE) * 100 + 0.5)
+                     AS BIGINT) AS VARCHAR))), 1, 15)
+            AS BIGINT)) AS HUGEINT) % 2305843009213693952 AS BIGINT)
+FROM supplier
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_median_price": q_weighted_median,
     "user_rfm_features": q_rfm_features,
@@ -7950,6 +8052,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "audience_overlap_events": q_audience_overlap_events,
     "attribution_position_based": q_attribution_position_based,
     "debounce_clicks": q_debounce_clicks,
+    "gap_fill_interp_daily": q_gap_fill_interp_daily,
+    "dataset_fingerprints": q_dataset_fingerprints,
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
     "json_dict_scan": q_json_dict_scan,
@@ -8127,6 +8231,8 @@ EXT_ORACLE: dict[str, str] = {
     "audience_overlap_events": SQL_AUDIENCE_OVERLAP_EVENTS,
     "attribution_position_based": SQL_ATTRIBUTION_POSITION_BASED,
     "debounce_clicks": SQL_DEBOUNCE_CLICKS,
+    "gap_fill_interp_daily": SQL_GAP_FILL_INTERP_DAILY,
+    "dataset_fingerprints": SQL_DATASET_FINGERPRINTS,
     "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
     "csv_per_period_export": SQL_CSV_PER_PERIOD,
     "json_dict_scan": SQL_JSON_DICT_SCAN,

@@ -64,6 +64,8 @@ __all__ = [
     "audience_overlap",
     "position_based_attribution",
     "debounce_events",
+    "gap_fill_interpolate",
+    "dataset_fingerprint",
     "interval_union_time",
     "trailing_distinct_users",
     "group_median_impute",
@@ -3490,3 +3492,129 @@ def debounce_events(
         (F.count("*").over(w_burst) - 1).cast("long").alias("n_suppressed"),
     )
     return ranked.filter(F.col("_rn") == 1).drop("_rn")
+
+
+def gap_fill_interpolate(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Linear-interpolation gap filling over an INTEGER grid (epoch
+    days, minute indexes): per group, densify from first to last
+    observation and fill each hole with the exact straight line
+    between its neighbors — the interpolating complement to
+    :func:`gap_fill_locf` (rates and levels interpolate; states carry
+    forward).
+
+    Bit-exactness: pass integer values (cents); the interpolated value
+    is the exact BIGINT numerator ``v_prev·(d_next−d) + v_next·(d−
+    d_prev)`` over the exact BIGINT span — ONE IEEE division per
+    filled row; observed rows emit their value exactly (cast, not
+    recomputed through the formula). Contract: (group, order) must be
+    unique — pre-aggregate duplicates first (the grid join would
+    otherwise fan out and the neighbor scans become order-dependent).
+
+    Scale: grid explode is buckets-per-group, not corpus size; the
+    neighbor lookups are two IGNORE-NULLS window scans over the same
+    (group, order) clustering the grid join produced.
+
+    Output: group cols + ``order_col`` + ``value_interp`` (double) +
+    ``is_observed`` (boolean).
+    """
+    from pyspark.sql.window import Window
+
+    obs = df.filter(
+        F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        *group_cols,
+        F.col(order_col).cast("long").alias("_t"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    grid = (
+        obs.groupBy(*group_cols)
+        .agg(F.min("_t").alias("_lo"), F.max("_t").alias("_hi"))
+        .select(
+            *group_cols,
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"))
+            ).alias("_t"),
+        )
+    )
+    joined = grid.join(obs, [*group_cols, "_t"], "left")
+    w_fwd = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_bwd = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_t")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_v = F.last("_v", ignorenulls=True).over(w_fwd)
+    prev_t = F.last(
+        F.when(F.col("_v").isNotNull(), F.col("_t")), ignorenulls=True
+    ).over(w_fwd)
+    next_v = F.first("_v", ignorenulls=True).over(w_bwd)
+    next_t = F.first(
+        F.when(F.col("_v").isNotNull(), F.col("_t")), ignorenulls=True
+    ).over(w_bwd)
+    interp = (
+        prev_v * (next_t - F.col("_t")) + next_v * (F.col("_t") - prev_t)
+    ).cast("double") / (next_t - prev_t).cast("double")
+    return joined.select(
+        *group_cols,
+        F.col("_t").alias(order_col),
+        F.when(F.col("_v").isNotNull(), F.col("_v").cast("double"))
+        .otherwise(interp)
+        .alias("value_interp"),
+        F.col("_v").isNotNull().alias("is_observed"),
+    )
+
+
+def dataset_fingerprint(
+    dfs: dict[str, DataFrame],
+    mod: int = 1 << 61,
+) -> DataFrame:
+    """Cross-environment dataset fingerprints: per table, the exact row
+    count and an ORDER-INDEPENDENT content checksum — sum of each
+    row's 60-bit md5 over its '|'-joined stringified columns, reduced
+    mod 2⁶¹ — so two copies of a table reconcile with one number each,
+    regardless of engine, partitioning, or row order (the
+    post-migration / replica-drift audit; :func:`dataset_diff` then
+    localizes any mismatch).
+
+    The checksum sum accumulates as DECIMAL(38,0) (a BIGINT sum of
+    60-bit hashes overflows past ~8k rows) and reduces to BIGINT via
+    one exact pmod. NULL columns hash as the empty string via
+    concat_ws's null-skip — deterministic, mirrored by the oracle.
+
+    One aggregate per table, unioned — each is a single
+    partial+final pass.
+
+    Output: ``(table_name, n_rows, checksum)`` — one row per table.
+    """
+    outs = []
+    for name, d in dfs.items():
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", *[F.col(c).cast("string")
+                                         for c in d.columns])),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+        outs.append(
+            d.agg(
+                F.lit(name).alias("table_name"),
+                F.count("*").cast("long").alias("n_rows"),
+                F.pmod(
+                    F.sum(h.cast("decimal(38,0)")), F.lit(mod)
+                ).cast("long").alias("checksum"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

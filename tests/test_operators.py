@@ -3258,3 +3258,48 @@ def test_debounce_events(spark):
         .collect()
     }
     assert got == {1: (1, 2), 4: (2, 0), 5: (1, 0)}
+
+
+def test_gap_fill_interpolate(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        gap_fill_interpolate,
+    )
+
+    # observations at t=0 (100) and t=4 (300): holes at 1,2,3
+    rows = [("g", 0, 100), ("g", 4, 300), ("h", 7, 50)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    got = {
+        (r["g"], r["t"]): (r["value_interp"], r["is_observed"])
+        for r in gap_fill_interpolate(df, ["g"], "t", "v").collect()
+    }
+    assert got[("g", 0)] == (100.0, True)
+    assert got[("g", 1)] == (150.0, False)
+    assert got[("g", 2)] == (200.0, False)
+    assert got[("g", 3)] == (250.0, False)
+    assert got[("g", 4)] == (300.0, True)
+    assert got[("h", 7)] == (50.0, True)  # single-point group
+    assert len(got) == 6
+
+
+def test_dataset_fingerprint(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        dataset_fingerprint,
+    )
+    import hashlib
+
+    a = spark.createDataFrame([(1, "x"), (2, None)], "id long, s string")
+    # same content, different row order and partitioning -> same checksum
+    b = spark.createDataFrame(
+        [(2, None), (1, "x")], "id long, s string"
+    ).repartition(4)
+    got = {
+        r["table_name"]: (r["n_rows"], r["checksum"])
+        for r in dataset_fingerprint({"a": a, "b": b}).collect()
+    }
+    assert got["a"] == got["b"]
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    expect = (h("1|x") + h("2")) % (1 << 61)  # NULL skipped by concat_ws
+    assert got["a"] == (2, expect)
