@@ -7984,6 +7984,86 @@ FROM supplier
 """
 
 
+def q_ks_value_user_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic on event values, even-user vs
+    odd-user populations — cross-multiplied integer ECDF gaps, max
+    exact, one division; peak location reported."""
+    from hiv_data_integration_spark.operators.aggregate import ks_statistic
+
+    ev = tbl(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    return ks_statistic(
+        ev, F.pmod(F.col("user_id"), F.lit(2)) == 0, "value"
+    )
+
+
+SQL_KS_VALUE_USER_PARITY = """
+WITH base AS (
+    SELECT value AS v,
+           CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a
+    FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+),
+per AS (
+    SELECT v, SUM(a) AS ca, SUM(1 - a) AS cb FROM base GROUP BY 1
+),
+g AS (
+    SELECT v,
+           abs(SUM(ca) OVER wp * SUM(cb) OVER ()
+               - SUM(cb) OVER wp * SUM(ca) OVER ()) AS gg,
+           SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+    FROM per
+    WINDOW wp AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+),
+m AS (SELECT *, MAX(gg) OVER () AS gm FROM g)
+SELECT CAST(MAX(na) AS BIGINT) AS n_a,
+       CAST(MAX(nb) AS BIGINT) AS n_b,
+       CAST(MAX(gg) AS BIGINT) AS d_num,
+       CASE WHEN MAX(na) > 0 AND MAX(nb) > 0 THEN
+            CAST(MAX(gg) AS DOUBLE)
+            / CAST(MAX(na) * MAX(nb) AS DOUBLE) END AS ks,
+       MIN(CASE WHEN gg = gm THEN v END) AS ks_at_value
+FROM m
+"""
+
+
+def q_tv_drift_user_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact total-variation drift of the event-type mix, even-user vs
+    odd-user populations — integer numerator Σ|c₁N₂ − c₂N₁|, one
+    division; NULL categories counted (null-rate shift IS drift)."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        distribution_drift_tv,
+    )
+
+    ev = tbl(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    return distribution_drift_tv(
+        ev, F.pmod(F.col("user_id"), F.lit(2)) == 0, "event_type"
+    )
+
+
+SQL_TV_DRIFT_USER_PARITY = """
+WITH base AS (
+    SELECT event_type AS v,
+           CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a
+    FROM events WHERE user_id IS NOT NULL
+),
+per AS (
+    SELECT v, SUM(a) AS ca, SUM(1 - a) AS cb FROM base GROUP BY 1
+),
+t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM per)
+SELECT CAST(MAX(na) AS BIGINT) AS n_a,
+       CAST(MAX(nb) AS BIGINT) AS n_b,
+       CAST(COUNT(*) AS BIGINT) AS n_categories,
+       CAST(SUM(abs(ca * nb - cb * na)) AS BIGINT) AS tv_num,
+       CASE WHEN MAX(na) > 0 AND MAX(nb) > 0 THEN
+            CAST(SUM(abs(ca * nb - cb * na)) AS DOUBLE)
+            / CAST(2 * MAX(na) * MAX(nb) AS DOUBLE) END AS tv
+FROM per, t
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_median_price": q_weighted_median,
     "user_rfm_features": q_rfm_features,
@@ -8054,6 +8134,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "debounce_clicks": q_debounce_clicks,
     "gap_fill_interp_daily": q_gap_fill_interp_daily,
     "dataset_fingerprints": q_dataset_fingerprints,
+    "ks_value_user_parity": q_ks_value_user_parity,
+    "tv_drift_user_parity": q_tv_drift_user_parity,
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
     "json_dict_scan": q_json_dict_scan,
@@ -8233,6 +8315,8 @@ EXT_ORACLE: dict[str, str] = {
     "debounce_clicks": SQL_DEBOUNCE_CLICKS,
     "gap_fill_interp_daily": SQL_GAP_FILL_INTERP_DAILY,
     "dataset_fingerprints": SQL_DATASET_FINGERPRINTS,
+    "ks_value_user_parity": SQL_KS_VALUE_USER_PARITY,
+    "tv_drift_user_parity": SQL_TV_DRIFT_USER_PARITY,
     "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
     "csv_per_period_export": SQL_CSV_PER_PERIOD,
     "json_dict_scan": SQL_JSON_DICT_SCAN,

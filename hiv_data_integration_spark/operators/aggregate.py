@@ -66,6 +66,8 @@ __all__ = [
     "debounce_events",
     "gap_fill_interpolate",
     "dataset_fingerprint",
+    "ks_statistic",
+    "distribution_drift_tv",
     "interval_union_time",
     "trailing_distinct_users",
     "group_median_impute",
@@ -3618,3 +3620,126 @@ def dataset_fingerprint(
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+def ks_statistic(
+    df: DataFrame,
+    side_col: str | Column,
+    value_col: str,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic: D = max |F₁−F₂|
+    over the merged distinct values — the standard continuous-drift
+    test between two samples (train vs serve, this week vs last),
+    computed with NO floating CDFs: the comparison is the integer
+    ``|cumA·N_B − cumB·N_A|`` (cross-multiplied ECDFs), maxed exactly,
+    with ONE IEEE division at the end. The value where the gap peaks
+    is reported (smallest such value on ties).
+
+    ``side_col`` is a boolean column/expression splitting rows into
+    sample A (true) and B (false); NULL sides or values are excluded.
+
+    Scale shape: one hash aggregate to per-distinct-value counts, one
+    prefix window over DISTINCT values (like :func:`roc_auc_exact` —
+    quantize unbounded continuous scores upstream), one 1-row rollup.
+
+    Output 1 row: ``(n_a, n_b, d_num, ks, ks_at_value)`` — ``d_num``
+    the exact integer numerator, ``ks = d_num/(n_a·n_b)``.
+    """
+    from pyspark.sql.window import Window
+
+    side = (
+        F.col(side_col) if isinstance(side_col, str) else side_col
+    ).cast("boolean")
+    base = df.filter(side.isNotNull() & F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("_v"), side.cast("long").alias("_a")
+    )
+    per_v = base.groupBy("_v").agg(
+        F.sum("_a").alias("_ca"),
+        F.sum(F.lit(1) - F.col("_a")).alias("_cb"),
+    )
+    w = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    gaps = per_v.select(
+        "_v",
+        F.abs(
+            F.sum("_ca").over(w) * F.sum("_cb").over(w_all)
+            - F.sum("_cb").over(w) * F.sum("_ca").over(w_all)
+        ).alias("_g"),
+        F.sum("_ca").over(w_all).alias("_na"),
+        F.sum("_cb").over(w_all).alias("_nb"),
+    )
+    with_max = gaps.select(
+        "*", F.max("_g").over(w_all).alias("_gm")
+    )
+    return with_max.agg(
+        F.max("_na").cast("long").alias("n_a"),
+        F.max("_nb").cast("long").alias("n_b"),
+        F.max("_g").cast("long").alias("d_num"),
+        F.min(F.when(F.col("_g") == F.col("_gm"), F.col("_v"))).alias(
+            "ks_at_value"
+        ),
+    ).select(
+        "n_a",
+        "n_b",
+        "d_num",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.col("d_num").cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double"),
+        ).alias("ks"),
+        "ks_at_value",
+    )
+
+
+def distribution_drift_tv(
+    df: DataFrame,
+    side_col: str | Column,
+    value_col: str,
+) -> DataFrame:
+    """EXACT total-variation distance between two samples' CATEGORICAL
+    distributions: TV = ½ Σ|p₁(v) − p₂(v)| — the drift score for
+    label/segment/source mixes (PSI needs logs and is engine-ULP-
+    dependent; TV is the exact alternative with the same monitoring
+    role). Computed as the integer numerator Σ|c₁·N₂ − c₂·N₁| with ONE
+    final IEEE division by 2·N₁·N₂. A category present in only one
+    sample contributes its full mass; NULL values form a category of
+    their own (a null-rate shift IS drift), NULL sides are excluded.
+
+    One hash aggregate + a 1-row rollup — no window at all.
+
+    Output 1 row: ``(n_a, n_b, n_categories, tv_num, tv)``.
+    """
+    side = (
+        F.col(side_col) if isinstance(side_col, str) else side_col
+    ).cast("boolean")
+    base = df.filter(side.isNotNull()).select(
+        F.col(value_col).alias("_v"), side.cast("long").alias("_a")
+    )
+    per_v = base.groupBy("_v").agg(
+        F.sum("_a").alias("_ca"),
+        F.sum(F.lit(1) - F.col("_a")).alias("_cb"),
+    )
+    totals = per_v.agg(
+        F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
+    )
+    j = per_v.crossJoin(F.broadcast(totals))
+    return j.agg(
+        F.max("_na").cast("long").alias("n_a"),
+        F.max("_nb").cast("long").alias("n_b"),
+        F.count("*").alias("n_categories"),
+        F.sum(
+            F.abs(F.col("_ca") * F.col("_nb") - F.col("_cb") * F.col("_na"))
+        ).cast("long").alias("tv_num"),
+    ).select(
+        "n_a",
+        "n_b",
+        "n_categories",
+        "tv_num",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.col("tv_num").cast("double")
+            / (2 * F.col("n_a") * F.col("n_b")).cast("double"),
+        ).alias("tv"),
+    )

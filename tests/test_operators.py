@@ -3303,3 +3303,34 @@ def test_dataset_fingerprint(spark):
 
     expect = (h("1|x") + h("2")) % (1 << 61)  # NULL skipped by concat_ws
     assert got["a"] == (2, expect)
+
+
+def test_ks_statistic(spark):
+    from hiv_data_integration_spark.operators.aggregate import ks_statistic
+
+    # A = {1, 2, 3}, B = {3, 4, 5}: max ECDF gap at v=2 (or 3):
+    # cumA*3 - cumB*3 at v=1: |3-0|=3; v=2: |6-0|=6; v=3: |9-3|=6;
+    # v=4: |9-6|=3; v=5: 0 -> d_num=6, first at v=2, ks = 6/9
+    rows = [(True, 1.0), (True, 2.0), (True, 3.0),
+            (False, 3.0), (False, 4.0), (False, 5.0), (None, 9.0)]
+    df = spark.createDataFrame(rows, "a boolean, v double")
+    got = ks_statistic(df, "a", "v").collect()[0]
+    assert (got["n_a"], got["n_b"], got["d_num"]) == (3, 3, 6)
+    assert got["ks"] == 6 / 9
+    assert got["ks_at_value"] == 2.0  # smallest value at the max gap
+
+
+def test_distribution_drift_tv(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        distribution_drift_tv,
+    )
+
+    # A: {x:2, y:2}; B: {x:1, z:1, NULL:2}
+    rows = [(True, "x"), (True, "x"), (True, "y"), (True, "y"),
+            (False, "x"), (False, "z"), (False, None), (False, None)]
+    df = spark.createDataFrame(rows, "a boolean, v string")
+    got = distribution_drift_tv(df, "a", "v").collect()[0]
+    # numerators |ca*4 - cb*4|: x:|8-4|=4, y:|8-0|=8, z:|0-4|=4,
+    # NULL:|0-8|=8 -> tv_num=24, tv = 24/(2*16) = 0.75
+    assert (got["n_a"], got["n_b"], got["n_categories"]) == (4, 4, 4)
+    assert (got["tv_num"], got["tv"]) == (24, 0.75)
