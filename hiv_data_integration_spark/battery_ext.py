@@ -8064,6 +8064,108 @@ FROM per, t
 """
 
 
+def q_pvm_brand_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume decomposition of per-brand revenue change, 1996 →
+    1997: exact integer quantities/cents, effect terms fixed-order
+    with one division each; new/churned segments classified."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        price_volume_decomposition,
+    )
+
+    li = tbl(spark, sf_dir, "lineitem")
+    part = tbl(spark, sf_dir, "part")
+    base = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li.l_partkey == part.p_partkey,
+        )
+        .filter(F.year("l_shipdate").isin(1996, 1997))
+        .select(
+            "p_brand",
+            F.year("l_shipdate").cast("string").alias("per"),
+            F.col("l_quantity").cast("long").alias("q"),
+            F.floor(
+                F.col("l_extendedprice")
+                * (F.lit(1.0) - F.col("l_discount"))
+                * 100
+                + F.lit(0.5)
+            ).cast("long").alias("rc"),
+        )
+    )
+    return price_volume_decomposition(
+        base, ["p_brand"], "per", "q", "rc", "1996", "1997"
+    )
+
+
+SQL_PVM_BRAND_YOY = """
+WITH base AS (
+    SELECT p_brand, CAST(year(l_shipdate) AS VARCHAR) AS per,
+           CAST(l_quantity AS BIGINT) AS q,
+           CAST(floor(CAST(l_extendedprice AS DOUBLE)
+                      * (1.0 - CAST(l_discount AS DOUBLE))
+                      * 100 + 0.5) AS BIGINT) AS r
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE year(l_shipdate) IN (1996, 1997)
+),
+agg AS (
+    SELECT p_brand,
+           CAST(SUM(CASE WHEN per = '1996' THEN q ELSE 0 END) AS BIGINT)
+               AS q_base,
+           CAST(SUM(CASE WHEN per = '1997' THEN q ELSE 0 END) AS BIGINT)
+               AS q_comp,
+           CAST(SUM(CASE WHEN per = '1996' THEN r ELSE 0 END) AS BIGINT)
+               AS r_base_cents,
+           CAST(SUM(CASE WHEN per = '1997' THEN r ELSE 0 END) AS BIGINT)
+               AS r_comp_cents,
+           MAX(CASE WHEN per = '1996' THEN 1 ELSE 0 END) AS hb,
+           MAX(CASE WHEN per = '1997' THEN 1 ELSE 0 END) AS hc
+    FROM base GROUP BY 1
+)
+SELECT p_brand, q_base, q_comp, r_base_cents, r_comp_cents,
+       CAST(r_comp_cents - r_base_cents AS BIGINT) AS delta_cents,
+       CASE WHEN hb * hc = 1 THEN
+                CAST(q_comp - q_base AS DOUBLE)
+                * (CAST(r_base_cents AS DOUBLE) / CAST(q_base AS DOUBLE))
+            ELSE CAST(r_comp_cents - r_base_cents AS DOUBLE) END
+           AS volume_effect,
+       CASE WHEN hb * hc = 1 THEN
+                (CAST(r_comp_cents AS DOUBLE) / CAST(q_comp AS DOUBLE)
+                 - CAST(r_base_cents AS DOUBLE) / CAST(q_base AS DOUBLE))
+                * CAST(q_comp AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END AS price_effect,
+       CASE WHEN hb * hc = 1 THEN 'continuing'
+            WHEN hc = 1 THEN 'new' ELSE 'churned' END AS status
+FROM agg
+"""
+
+
+def q_lump_rare_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-category lumping of part types: top-3 by count survive,
+    the tail folds into __OTHER__ — TakeOrdered head set broadcast
+    back, partition-independent cut."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        lump_rare_categories,
+    )
+
+    part = tbl(spark, sf_dir, "part")
+    return lump_rare_categories(part, "p_type", k=3)
+
+
+SQL_LUMP_RARE_PART_TYPES = """
+WITH counts AS (
+    SELECT COALESCE(CAST(p_type AS VARCHAR), '__NULL__') AS c,
+           COUNT(*) AS n
+    FROM part GROUP BY 1
+),
+top AS (SELECT c FROM counts ORDER BY n DESC, c ASC LIMIT 3)
+SELECT CASE WHEN c IN (SELECT c FROM top) THEN c
+            ELSE '__OTHER__' END AS category_out,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_source_categories
+FROM counts GROUP BY 1
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_median_price": q_weighted_median,
     "user_rfm_features": q_rfm_features,
@@ -8136,6 +8238,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "dataset_fingerprints": q_dataset_fingerprints,
     "ks_value_user_parity": q_ks_value_user_parity,
     "tv_drift_user_parity": q_tv_drift_user_parity,
+    "pvm_brand_yoy": q_pvm_brand_yoy,
+    "lump_rare_part_types": q_lump_rare_part_types,
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
     "json_dict_scan": q_json_dict_scan,
@@ -8317,6 +8421,8 @@ EXT_ORACLE: dict[str, str] = {
     "dataset_fingerprints": SQL_DATASET_FINGERPRINTS,
     "ks_value_user_parity": SQL_KS_VALUE_USER_PARITY,
     "tv_drift_user_parity": SQL_TV_DRIFT_USER_PARITY,
+    "pvm_brand_yoy": SQL_PVM_BRAND_YOY,
+    "lump_rare_part_types": SQL_LUMP_RARE_PART_TYPES,
     "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
     "csv_per_period_export": SQL_CSV_PER_PERIOD,
     "json_dict_scan": SQL_JSON_DICT_SCAN,

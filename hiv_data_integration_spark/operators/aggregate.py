@@ -68,6 +68,8 @@ __all__ = [
     "dataset_fingerprint",
     "ks_statistic",
     "distribution_drift_tv",
+    "price_volume_decomposition",
+    "lump_rare_categories",
     "interval_union_time",
     "trailing_distinct_users",
     "group_median_impute",
@@ -3742,4 +3744,134 @@ def distribution_drift_tv(
             F.col("tv_num").cast("double")
             / (2 * F.col("n_a") * F.col("n_b")).cast("double"),
         ).alias("tv"),
+    )
+
+
+def price_volume_decomposition(
+    df: DataFrame,
+    segment_cols: list[str],
+    period_col: str | Column,
+    qty_col: str,
+    revenue_col: str,
+    base_period: str,
+    comp_period: str,
+) -> DataFrame:
+    """Price–volume decomposition of a revenue change between two
+    periods, per segment: Δrevenue = volume effect (q₂−q₁)·p₁ + price
+    effect (p₂−p₁)·q₂ (the standard asymmetric convention; the two
+    terms sum exactly to Δ in real arithmetic) — the FP&A / revenue-
+    ops "why did revenue move" answer.
+
+    Inputs must be exact integers (quantities and revenue cents):
+    ``delta_cents`` is then an exact BIGINT; the effect terms are
+    fixed-order expressions with ONE division each (p = r/q), so they
+    are bit-identical everywhere. Segments present only in the
+    comparison period are ``new`` (volume effect = full Δ, price 0);
+    only in the base period ``churned`` (volume effect = −r₁); both →
+    ``continuing``.
+
+    One conditional aggregate over both periods (no join, no pivot
+    collect) + the effect projection.
+
+    Output: segment cols + ``(q_base, q_comp, r_base_cents,
+    r_comp_cents, delta_cents, volume_effect, price_effect, status)``.
+    """
+    per = (
+        F.col(period_col) if isinstance(period_col, str) else period_col
+    ).cast("string")
+    base = df.filter(per.isin(base_period, comp_period)).select(
+        *segment_cols,
+        per.alias("_p"),
+        F.col(qty_col).cast("long").alias("_q"),
+        F.col(revenue_col).cast("long").alias("_r"),
+    )
+    is_base = F.col("_p") == base_period
+    agg = base.groupBy(*segment_cols).agg(
+        F.sum(F.when(is_base, F.col("_q")).otherwise(0)).alias("q_base"),
+        F.sum(F.when(~is_base, F.col("_q")).otherwise(0)).alias("q_comp"),
+        F.sum(F.when(is_base, F.col("_r")).otherwise(0)).alias(
+            "r_base_cents"
+        ),
+        F.sum(F.when(~is_base, F.col("_r")).otherwise(0)).alias(
+            "r_comp_cents"
+        ),
+        F.max(is_base.cast("int")).alias("_hb"),
+        F.max((~is_base).cast("int")).alias("_hc"),
+    )
+    p1 = F.col("r_base_cents").cast("double") / F.col("q_base").cast(
+        "double"
+    )
+    p2 = F.col("r_comp_cents").cast("double") / F.col("q_comp").cast(
+        "double"
+    )
+    delta = F.col("r_comp_cents") - F.col("r_base_cents")
+    status = (
+        F.when(F.col("_hb") * F.col("_hc") == 1, F.lit("continuing"))
+        .when(F.col("_hc") == 1, F.lit("new"))
+        .otherwise(F.lit("churned"))
+    )
+    ve = (
+        F.when(status == "new", delta.cast("double"))
+        .when(status == "churned", delta.cast("double"))
+        .otherwise(
+            (F.col("q_comp") - F.col("q_base")).cast("double") * p1
+        )
+    )
+    pe = F.when(status == "continuing", (p2 - p1) * F.col("q_comp").cast(
+        "double"
+    )).otherwise(F.lit(0.0))
+    return agg.select(
+        *segment_cols,
+        F.col("q_base").cast("long"),
+        F.col("q_comp").cast("long"),
+        F.col("r_base_cents").cast("long"),
+        F.col("r_comp_cents").cast("long"),
+        delta.cast("long").alias("delta_cents"),
+        ve.alias("volume_effect"),
+        pe.alias("price_effect"),
+        status.alias("status"),
+    )
+
+
+def lump_rare_categories(
+    df: DataFrame,
+    cat_col: str,
+    k: int = 10,
+    other_label: str = "__OTHER__",
+) -> DataFrame:
+    """Rare-category lumping: keep the top-``k`` categories by count,
+    fold everything else (and NULL) into one ``other_label`` bucket —
+    the feature-prep step before one-hot/target encoding that stops
+    million-category tails from exploding a model matrix.
+
+    Total order (count desc, category asc) picks the survivors, so
+    the cut is partition-independent; the k-row head set is decided
+    with ORDER BY + LIMIT (TakeOrdered) and broadcast back — the full
+    category table never funnels through one reducer.
+
+    Output: ``(category_out, n_rows, n_source_categories)`` — at most
+    k+1 rows; ``n_source_categories`` counts how many raw categories
+    folded into each output row.
+    """
+    if k < 1:
+        raise ValueError("lump_rare_categories: k must be >= 1")
+    counts = df.groupBy(
+        F.coalesce(F.col(cat_col).cast("string"), F.lit("__NULL__")).alias(
+            "_c"
+        )
+    ).agg(F.count("*").alias("_n"))
+    top = (
+        counts.orderBy(F.col("_n").desc(), F.col("_c").asc())
+        .limit(k)
+        .select(F.col("_c"), F.lit(1).alias("_keep"))
+    )
+    labeled = counts.join(F.broadcast(top), "_c", "left").select(
+        F.when(F.col("_keep").isNotNull(), F.col("_c"))
+        .otherwise(F.lit(other_label))
+        .alias("category_out"),
+        "_n",
+    )
+    return labeled.groupBy("category_out").agg(
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_source_categories"),
     )

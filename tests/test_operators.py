@@ -3334,3 +3334,52 @@ def test_distribution_drift_tv(spark):
     # NULL:|0-8|=8 -> tv_num=24, tv = 24/(2*16) = 0.75
     assert (got["n_a"], got["n_b"], got["n_categories"]) == (4, 4, 4)
     assert (got["tv_num"], got["tv"]) == (24, 0.75)
+
+
+def test_price_volume_decomposition(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        price_volume_decomposition,
+    )
+
+    rows = [
+        # seg a: q 10->12, r 1000->1440 (p 100 -> 120)
+        ("a", "p1", 10, 1000), ("a", "p2", 12, 1440),
+        ("b", "p1", 5, 500),                 # churned
+        ("c", "p2", 3, 300),                 # new
+        ("a", "p3", 99, 9_999),              # other period ignored
+    ]
+    df = spark.createDataFrame(rows, "seg string, per string, q long, r long")
+    got = {
+        r["seg"]: (
+            r["q_base"], r["q_comp"], r["delta_cents"],
+            r["volume_effect"], r["price_effect"], r["status"],
+        )
+        for r in price_volume_decomposition(
+            df, ["seg"], "per", "q", "r", "p1", "p2"
+        ).collect()
+    }
+    # a: ve = (12-10)*100 = 200; pe = (120-100)*12 = 240; delta 440
+    assert got["a"] == (10, 12, 440, 200.0, 240.0, "continuing")
+    assert got["b"] == (5, 0, -500, -500.0, 0.0, "churned")
+    assert got["c"] == (0, 3, 300, 300.0, 0.0, "new")
+
+
+def test_lump_rare_categories(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        lump_rare_categories,
+    )
+
+    rows = (
+        [("x",)] * 5 + [("y",)] * 3 + [("z",)] * 1 + [("w",)] * 1
+        + [(None,)] * 2
+    )
+    df = spark.createDataFrame(rows, "c string")
+    got = {
+        r["category_out"]: (r["n_rows"], r["n_source_categories"])
+        for r in lump_rare_categories(df, "c", k=2).collect()
+    }
+    assert got["x"] == (5, 1)
+    assert got["y"] == (3, 1)
+    # z, w, NULL fold into OTHER
+    assert got["__OTHER__"] == (4, 3)
+    assert len(got) == 3
