@@ -1643,7 +1643,75 @@ FROM monthly
 """
 
 
+def q_sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark SQL PIVOT clause (the declarative wide-table rotation —
+    complements the DataFrame `.pivot()` entries): per return flag,
+    DECIMAL quantity totals pivoted across the three line statuses.
+    Explicit IN-list keeps the plan deterministic (no distinct-key
+    collect from the fact). Oracle spells it as conditional aggregates
+    — DuckDB's PIVOT names columns differently, values are what's
+    compared."""
+    tbl(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_pv")
+    return spark.sql("""
+        SELECT l_returnflag,
+               CAST(F AS DOUBLE) AS qty_f,
+               CAST(O AS DOUBLE) AS qty_o,
+               CAST(P AS DOUBLE) AS qty_p
+        FROM (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(l_quantity AS DECIMAL(18,2)) AS q
+            FROM lineitem_pv
+        )
+        PIVOT (SUM(q) FOR l_linestatus IN ('F' AS F, 'O' AS O, 'P' AS P))
+    """)
+
+
+SQL_SQL_PIVOT_CLAUSE = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'F'
+                THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+           AS qty_f,
+       CAST(SUM(CASE WHEN l_linestatus = 'O'
+                THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+           AS qty_o,
+       CAST(SUM(CASE WHEN l_linestatus = 'P'
+                THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+           AS qty_p
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_sql_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark SQL UNPIVOT clause (long-form rotation, the R1op stack's
+    declarative twin): part size/retail columns unpivoted to
+    (measure, value) rows; NULL values dropped by UNPIVOT's default,
+    mirrored in the oracle."""
+    tbl(spark, sf_dir, "part").createOrReplaceTempView("part_upv")
+    return spark.sql("""
+        SELECT p_partkey, measure, CAST(value AS DOUBLE) AS value
+        FROM (
+            SELECT p_partkey,
+                   CAST(p_size AS DOUBLE) AS size,
+                   CAST(p_retailprice AS DOUBLE) AS retail
+            FROM part_upv
+        )
+        UNPIVOT (value FOR measure IN (size, retail))
+    """)
+
+
+SQL_SQL_UNPIVOT_CLAUSE = """
+SELECT p_partkey, measure, value FROM (
+    SELECT p_partkey, 'size' AS measure,
+           CAST(p_size AS DOUBLE) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'retail', CAST(p_retailprice AS DOUBLE) FROM part
+) WHERE value IS NOT NULL
+"""
+
+
 SQL2_QUERIES: dict[str, QueryFn] = {
+    "sql_pivot_clause": q_sql_pivot_clause,
+    "sql_unpivot_clause": q_sql_unpivot_clause,
     "rollup_lineitem": q_rollup,
     "cube_orders": q_cube,
     "grouping_sets_orders": q_grouping_sets,
@@ -1685,6 +1753,8 @@ SQL2_QUERIES: dict[str, QueryFn] = {
 }
 
 SQL2_ORACLE: dict[str, str] = {
+    "sql_pivot_clause": SQL_SQL_PIVOT_CLAUSE,
+    "sql_unpivot_clause": SQL_SQL_UNPIVOT_CLAUSE,
     "rollup_lineitem": SQL_ROLLUP,
     "cube_orders": SQL_CUBE,
     "grouping_sets_orders": SQL_GROUPING_SETS,
