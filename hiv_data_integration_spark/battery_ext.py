@@ -8166,6 +8166,96 @@ FROM counts GROUP BY 1
 """
 
 
+def q_embed_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka two-stage ANN: 16-of-64-dim prefix cosine candidates
+    (k·3 survivors) + full-dim exact rerank — both stages mirrored in
+    SQL, same determinism chain as the SQ8 refine twin."""
+    import hiv_data_integration_spark.operators.similarity as sim
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return sim.prefix_dim_rerank_topk(
+        queries, emb, prefix_dims=16, k=5, rerank=3
+    )
+
+
+SQL_EMBED_PREFIX_RERANK = """
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv, v[1:16] AS qp
+      FROM e WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, v AS cv, v[1:16] AS cp FROM e),
+s1 AS (
+    SELECT query_id, neighbor_id, qv, cv,
+           list_dot_product(qp, cp)
+               / (sqrt(list_dot_product(qp, qp))
+                  * sqrt(list_dot_product(cp, cp))) AS pcos
+    FROM c CROSS JOIN q WHERE neighbor_id != query_id
+),
+cand AS (
+    SELECT query_id, neighbor_id, qv, cv FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY pcos DESC, neighbor_id) AS ar
+        FROM s1) WHERE ar <= 15
+),
+ex AS (
+    SELECT query_id, neighbor_id,
+           list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(cv, cv))) AS cos_
+    FROM cand
+)
+SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, cos_ AS cos
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_ DESC, neighbor_id) AS rn FROM ex)
+WHERE rn <= 5
+"""
+
+
+def q_embed_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) label-quality audit: bit-deterministic
+    per-label mean-pool centroids, cosine assignment with total-order
+    tiebreak, exact confusion-matrix counts."""
+    import hiv_data_integration_spark.operators.similarity as sim
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    return sim.nearest_centroid_confusion(emb)
+
+
+SQL_EMBED_CENTROID_CONFUSION = """
+WITH e AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+m AS (
+    SELECT label, pos,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                    list(x ORDER BY vec_id)),
+                       (acc, x) -> acc + x) / count(*) AS m
+    FROM (SELECT label, vec_id, unnest(v) AS x,
+                 generate_subscripts(v, 1) AS pos
+          FROM e)
+    GROUP BY label, pos
+),
+cent AS (SELECT label AS cl, list(m ORDER BY pos) AS cv FROM m GROUP BY 1),
+scored AS (
+    SELECT e.vec_id, e.label AS true_label, cent.cl,
+           list_dot_product(e.v, cent.cv)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(cent.cv, cent.cv))) AS cos_
+    FROM e CROSS JOIN cent
+),
+pred AS (
+    SELECT vec_id, true_label, cl FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos_ DESC, cl ASC) AS rn
+        FROM scored) WHERE rn = 1
+)
+SELECT true_label, cl AS pred_label, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred GROUP BY 1, 2
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_median_price": q_weighted_median,
     "user_rfm_features": q_rfm_features,
@@ -8240,6 +8330,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "tv_drift_user_parity": q_tv_drift_user_parity,
     "pvm_brand_yoy": q_pvm_brand_yoy,
     "lump_rare_part_types": q_lump_rare_part_types,
+    "embed_prefix_rerank_topk": q_embed_prefix_rerank,
+    "embed_centroid_confusion": q_embed_centroid_confusion,
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
     "json_dict_scan": q_json_dict_scan,
@@ -8423,6 +8515,8 @@ EXT_ORACLE: dict[str, str] = {
     "tv_drift_user_parity": SQL_TV_DRIFT_USER_PARITY,
     "pvm_brand_yoy": SQL_PVM_BRAND_YOY,
     "lump_rare_part_types": SQL_LUMP_RARE_PART_TYPES,
+    "embed_prefix_rerank_topk": SQL_EMBED_PREFIX_RERANK,
+    "embed_centroid_confusion": SQL_EMBED_CENTROID_CONFUSION,
     "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
     "csv_per_period_export": SQL_CSV_PER_PERIOD,
     "json_dict_scan": SQL_JSON_DICT_SCAN,

@@ -44,6 +44,8 @@ __all__ = [
     "recall_at_k",
     "quantize_int8",
     "quantized_rerank_topk",
+    "prefix_dim_rerank_topk",
+    "nearest_centroid_confusion",
     "pq_codebooks",
     "pq_adc_topk",
     "rrf_fuse",
@@ -927,3 +929,115 @@ def rrf_fuse(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
+
+
+def prefix_dim_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    prefix_dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    rerank: int = 3,
+) -> DataFrame:
+    """Matryoshka-style two-stage ANN: stage 1 scores cosine over only
+    the FIRST ``prefix_dims`` dimensions (MRL embeddings are trained so
+    prefixes are usable sub-embeddings — Kusupati et al. 2022), keeps
+    ``k·rerank`` candidates per query, stage 2 reranks survivors by
+    full-dimension exact cosine. The adaptive-retrieval pattern: the
+    cheap prefix pass does the corpus-wide work at prefix/full of the
+    flops, the exact pass touches only k·rerank rows per query.
+
+    Same determinism contract as the other ANN stages: every cosine is
+    a fixed fold + one division, candidate and final cuts are total
+    orders (score desc, neighbor id). Queries broadcast; the corpus
+    never shuffles in full.
+
+    Output: ``(query_id, neighbor_id, rank, cos)`` — full-dim scores.
+    """
+    if prefix_dims < 1:
+        raise ValueError("prefix_dim_rerank_topk: prefix_dims must be >= 1")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("qp", F.slice(F.col("qv"), 1, prefix_dims))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("cp", F.slice(F.col("cv"), 1, prefix_dims))
+    stage1 = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "pcos",
+            dot(F.col("qp"), F.col("cp"))
+            / (l2_norm(F.col("qp")) * l2_norm(F.col("cp"))),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("pcos").desc(), F.col("neighbor_id")
+    )
+    cand = stage1.withColumn("_ar", F.row_number().over(w1)).filter(
+        F.col("_ar") <= k * rerank
+    )
+    exact = cand.withColumn(
+        "cos",
+        dot(F.col("qv"), F.col("cv"))
+        / (l2_norm(F.col("qv")) * l2_norm(F.col("cv"))),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            "cos",
+        )
+    )
+
+
+def nearest_centroid_confusion(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification self-evaluation: build
+    one centroid per label with the bit-deterministic mean pool, assign
+    every vector to its most-cosine-similar centroid, and emit the
+    exact confusion matrix — the fastest label-quality / cluster-
+    coherence check on an embedded corpus (noisy labels show up as
+    off-diagonal mass before any model is trained).
+
+    Determinism chain: centroids from :func:`mean_pool_embeddings`
+    (id-ordered folds), each cosine a fixed fold + one division,
+    assignment a total order (cos desc, centroid label asc), confusion
+    counts exact integers. Centroids broadcast — the corpus scans once
+    and never shuffles in full; |labels| bounds the scoring fan-out.
+
+    Output: ``(true_label, pred_label, n)``.
+    """
+    cents = mean_pool_embeddings(df, label_col, vec_col, id_col).select(
+        F.col("group").alias("_cl"), F.col("pooled").alias("_cv")
+    )
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("true_label"),
+        _as_double(F.col(vec_col)).alias("_v"),
+    )
+    scored = v.crossJoin(F.broadcast(cents)).withColumn(
+        "_cos", cosine(F.col("_v"), F.col("_cv"))
+    )
+    w = Window.partitionBy("_id").orderBy(
+        F.col("_cos").desc(), F.col("_cl").asc()
+    )
+    pred = scored.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    return pred.groupBy(
+        "true_label", F.col("_cl").alias("pred_label")
+    ).agg(F.count("*").cast("long").alias("n"))

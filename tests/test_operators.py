@@ -3383,3 +3383,55 @@ def test_lump_rare_categories(spark):
     # z, w, NULL fold into OTHER
     assert got["__OTHER__"] == (4, 3)
     assert len(got) == 3
+
+
+def test_prefix_dim_rerank_topk(spark):
+    from hiv_data_integration_spark.operators.similarity import (
+        prefix_dim_rerank_topk,
+        cosine_topk,
+    )
+
+    # 4-dim vectors where the 2-dim prefix is a decent proxy
+    rows = [
+        (0, [1.0, 0.0, 0.1, 0.0]),
+        (1, [0.9, 0.1, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.1]),
+        (3, [0.1, 0.9, 0.0, 0.1]),
+        (4, [0.8, 0.2, 0.1, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0)
+    got = [
+        (r["neighbor_id"], r["rank"])
+        for r in prefix_dim_rerank_topk(q, df, prefix_dims=2, k=2, rerank=2)
+        .orderBy("rank").collect()
+    ]
+    # full-dim exact top-2 for query 0 is {1, 4}; prefix stage keeps 4
+    exact = [
+        (r["neighbor_id"], r["rank"])
+        for r in cosine_topk(q, df, k=2).orderBy("rank").collect()
+    ]
+    assert got == exact
+
+
+def test_nearest_centroid_confusion(spark):
+    from hiv_data_integration_spark.operators.similarity import (
+        nearest_centroid_confusion,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0),
+        (3, [0.0, 1.0], 1), (4, [0.1, 0.9], 1),
+        (5, [0.95, 0.05], 1),   # mislabeled -> off-diagonal
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = {
+        (r["true_label"], r["pred_label"]): r["n"]
+        for r in nearest_centroid_confusion(df).collect()
+    }
+    assert got[(0, 0)] == 2
+    assert got[(1, 1)] == 2
+    assert got[(1, 0)] == 1  # the mislabeled vector lands on centroid 0
+    assert (0, 1) not in got
