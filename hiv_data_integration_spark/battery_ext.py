@@ -8256,6 +8256,108 @@ FROM pred GROUP BY 1, 2
 """
 
 
+def q_rake_keyphrases_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus RAKE-lite keyphrases over documents (en stopword breaks,
+    2-4-word runs, ratio-of-sums scoring — one division per phrase,
+    documented variant of the paper's sum-of-rationals)."""
+    from hiv_data_integration_spark.operators.textops import rake_keyphrases
+
+    docs = tbl(spark, sf_dir, "documents")
+    return rake_keyphrases(docs, "doc_id", "text", k=20)
+
+
+SQL_RAKE_KEYPHRASES_DOCS = f"""
+WITH toks AS (
+    SELECT d, unnest(t) AS w, generate_subscripts(t, 1) AS pos
+    FROM (SELECT doc_id AS d,
+                 list_filter(string_split_regex(
+                     lower(regexp_replace(text, '{_PUNCT_SQL}', ' . ',
+                                          'g')), '\\s+'),
+                     x -> x != '') AS t
+          FROM documents)
+),
+seg AS (
+    SELECT d, pos, w,
+           w IN ('the', 'and', 'of', 'to', 'is', 'it', 'that', 'this', '.') AS isb,
+           SUM(CASE WHEN w IN ('the', 'and', 'of', 'to', 'is', 'it', 'that', 'this', '.')
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY d ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS sg
+    FROM toks
+),
+runs AS (
+    SELECT d, sg, list(w ORDER BY pos) AS ws
+    FROM seg WHERE NOT isb GROUP BY d, sg
+    HAVING COUNT(*) BETWEEN 2 AND 4
+),
+occ AS (SELECT array_to_string(ws, ' ') AS phrase, ws FROM runs),
+wstats AS (
+    SELECT w, COUNT(*) AS freq, SUM(l) AS deg
+    FROM (SELECT unnest(ws) AS w, len(ws) AS l FROM occ) GROUP BY 1
+),
+phr AS (
+    SELECT phrase, COUNT(*) AS n_occ, any_value(ws) AS ws
+    FROM occ GROUP BY 1
+),
+scored AS (
+    SELECT phrase, n_occ,
+           CAST(SUM(deg) AS BIGINT) AS deg_sum,
+           CAST(SUM(freq) AS BIGINT) AS freq_sum
+    FROM (SELECT phrase, n_occ, unnest(ws) AS w FROM phr)
+    JOIN wstats USING (w)
+    GROUP BY 1, 2
+)
+SELECT phrase, CAST(n_occ AS BIGINT) AS n_occurrences, deg_sum, freq_sum,
+       CAST(deg_sum AS DOUBLE) / CAST(freq_sum AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, phrase ASC LIMIT 20
+"""
+
+
+def q_bigram_next_token_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM top-1 next-token self-accuracy on the documents corpus
+    — the log-free predictability metric; all-integer until one
+    division."""
+    from hiv_data_integration_spark.operators.textops import (
+        bigram_next_token_accuracy,
+    )
+
+    docs = tbl(spark, sf_dir, "documents")
+    return bigram_next_token_accuracy(docs, "doc_id", "text")
+
+
+SQL_BIGRAM_NEXT_TOKEN_ACC = """
+WITH toks AS (
+    SELECT d, unnest(t) AS w1, generate_subscripts(t, 1) AS pos
+    FROM (SELECT doc_id AS d,
+                 list_filter(string_split_regex(lower(text),
+                                                '[^a-z0-9]+'),
+                             x -> x != '') AS t
+          FROM documents)
+),
+pairs AS (
+    SELECT d, w1, lead(w1) OVER (PARTITION BY d ORDER BY pos) AS w2
+    FROM toks
+),
+counts AS (
+    SELECT w1, w2, COUNT(*) AS c FROM pairs
+    WHERE w2 IS NOT NULL GROUP BY 1, 2
+),
+pred AS (
+    SELECT w1, c AS hits FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY w1
+                   ORDER BY c DESC, w2 ASC) AS rn FROM counts)
+    WHERE rn = 1
+),
+tot AS (SELECT w1, SUM(c) AS n FROM counts GROUP BY 1)
+SELECT CAST(SUM(n) AS BIGINT) AS n_bigrams,
+       CAST(COUNT(*) AS BIGINT) AS n_prefix_types,
+       CAST(SUM(hits) AS BIGINT) AS n_hits,
+       CAST(SUM(hits) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+           AS top1_accuracy
+FROM tot JOIN pred USING (w1)
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_median_price": q_weighted_median,
     "user_rfm_features": q_rfm_features,
@@ -8332,6 +8434,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "lump_rare_part_types": q_lump_rare_part_types,
     "embed_prefix_rerank_topk": q_embed_prefix_rerank,
     "embed_centroid_confusion": q_embed_centroid_confusion,
+    "rake_keyphrases_docs": q_rake_keyphrases_docs,
+    "bigram_next_token_acc": q_bigram_next_token_acc,
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
     "json_dict_scan": q_json_dict_scan,
@@ -8517,6 +8621,8 @@ EXT_ORACLE: dict[str, str] = {
     "lump_rare_part_types": SQL_LUMP_RARE_PART_TYPES,
     "embed_prefix_rerank_topk": SQL_EMBED_PREFIX_RERANK,
     "embed_centroid_confusion": SQL_EMBED_CENTROID_CONFUSION,
+    "rake_keyphrases_docs": SQL_RAKE_KEYPHRASES_DOCS,
+    "bigram_next_token_acc": SQL_BIGRAM_NEXT_TOKEN_ACC,
     "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
     "csv_per_period_export": SQL_CSV_PER_PERIOD,
     "json_dict_scan": SQL_JSON_DICT_SCAN,

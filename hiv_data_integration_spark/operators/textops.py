@@ -29,6 +29,8 @@ __all__ = [
     "ngrams",
     "ngram_repetition_features",
     "ngram_containment",
+    "rake_keyphrases",
+    "bigram_next_token_accuracy",
     "sentence_rows_udtf",
     "bpe_pair_counts",
     "contamination_check",
@@ -1248,4 +1250,175 @@ def bpe_pair_counts(
         counts.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("rank", "pair", "n_occurrences")
+    )
+
+
+def rake_keyphrases(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    stopwords: list[str] | None = None,
+    k: int = 20,
+    min_len: int = 2,
+    max_len: int = 4,
+) -> DataFrame:
+    """RAKE-style corpus keyphrases (Rose et al. 2010, simplified):
+    candidate phrases are the maximal stopword/punctuation-free token
+    runs; each phrase scores by its words' degree-to-frequency mass —
+    here the RATIO OF SUMS Σdeg(w)/Σfreq(w) (documented variant: the
+    paper's Σ(deg/freq) is a sum of per-word rationals, which no
+    unordered engine reproduces bit-for-bit; ratio-of-sums keeps ONE
+    IEEE division per phrase and the same long-multiword preference).
+    deg(w) counts w's total co-occurrence slots (Σ phrase length over
+    phrases containing w); freq(w) its candidate occurrences.
+
+    Plan: tokenize → stopword-break phrase segmentation (running break
+    count per doc — gaps-and-islands) → distinct phrase stats → word
+    stats joined back through the phrase's word list → top-k by
+    (score desc, phrase asc) via TakeOrdered.
+
+    Output: ``(phrase, n_occurrences, deg_sum, freq_sum, score)`` —
+    exactly ``k`` rows or fewer.
+    """
+    from pyspark.sql.window import Window
+
+    stops = stopwords if stopwords is not None else STOPWORDS["en"]
+    toks = df.select(
+        F.col(id_col).alias("_d"),
+        F.posexplode(
+            F.filter(
+                F.split(
+                    F.lower(
+                        F.regexp_replace(
+                            F.col(text_col), _PUNCT_CLASS, " . "
+                        )
+                    ),
+                    r"\s+",
+                ),
+                lambda x: x != "",
+            )
+        ).alias("_pos", "_w"),
+    )
+    is_break = F.col("_w").isin(*stops, ".")
+    w_seg = (
+        Window.partitionBy("_d")
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = toks.withColumn("_seg", F.sum(is_break.cast("long")).over(w_seg))
+    words_in_phrase = (
+        seg.filter(~is_break)
+        .groupBy("_d", "_seg")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_w"))),
+                lambda s: s.getField("_w"),
+            ).alias("_ws")
+        )
+        .filter(
+            (F.size("_ws") >= min_len) & (F.size("_ws") <= max_len)
+        )
+    )
+    phrase_occ = words_in_phrase.select(
+        F.array_join("_ws", " ").alias("phrase"), "_ws"
+    )
+    # word stats over ALL candidate occurrences
+    word_stats = (
+        phrase_occ.select(
+            F.explode("_ws").alias("_w"), F.size("_ws").alias("_len")
+        )
+        .groupBy("_w")
+        .agg(
+            F.count("*").alias("_freq"),
+            F.sum("_len").alias("_deg"),
+        )
+    )
+    phrases = phrase_occ.groupBy("phrase").agg(
+        F.count("*").alias("n_occurrences"),
+        F.first("_ws").alias("_ws"),
+    )
+    scored = (
+        phrases.select(
+            "phrase", "n_occurrences", F.explode("_ws").alias("_w")
+        )
+        .join(word_stats, "_w")
+        .groupBy("phrase", "n_occurrences")
+        .agg(
+            F.sum("_deg").cast("long").alias("deg_sum"),
+            F.sum("_freq").cast("long").alias("freq_sum"),
+        )
+        .select(
+            "phrase",
+            "n_occurrences",
+            "deg_sum",
+            "freq_sum",
+            (
+                F.col("deg_sum").cast("double")
+                / F.col("freq_sum").cast("double")
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(
+        F.col("score").desc(), F.col("phrase").asc()
+    ).limit(k)
+
+
+def bigram_next_token_accuracy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Bigram-LM top-1 next-token accuracy, self-evaluated on the
+    corpus: "train" = the argmax next token per preceding token
+    (count desc, token asc — deterministic tie), "eval" = the share of
+    bigram occurrences the argmax predicts. The fully-integer sanity
+    metric for corpus repetitiveness / predictability (a perplexity
+    proxy with no logs anywhere — repo float rules).
+
+    Plan: tokenize → per-doc lead window → bigram hash aggregate →
+    per-prefix rank window over DISTINCT bigram types (not
+    occurrences) → one broadcast-back join and a 1-row rollup; ONE
+    IEEE division for the accuracy.
+
+    Output 1 row: ``(n_bigrams, n_prefix_types, n_hits,
+    top1_accuracy)``.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_d"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda x: x != "",
+            )
+        ).alias("_pos", "_w1"),
+    )
+    w = Window.partitionBy("_d").orderBy("_pos")
+    pairs = toks.withColumn("_w2", F.lead("_w1").over(w)).filter(
+        F.col("_w2").isNotNull()
+    )
+    counts = pairs.groupBy("_w1", "_w2").agg(F.count("*").alias("_c"))
+    w_rank = Window.partitionBy("_w1").orderBy(
+        F.col("_c").desc(), F.col("_w2").asc()
+    )
+    pred = (
+        counts.withColumn("_rn", F.row_number().over(w_rank))
+        .filter(F.col("_rn") == 1)
+        .select("_w1", F.col("_w2").alias("_pred"), F.col("_c").alias("_hits"))
+    )
+    totals = counts.groupBy("_w1").agg(F.sum("_c").alias("_n"))
+    per_prefix = totals.join(pred, "_w1")
+    return per_prefix.agg(
+        F.sum("_n").cast("long").alias("n_bigrams"),
+        F.count("*").alias("n_prefix_types"),
+        F.sum("_hits").cast("long").alias("n_hits"),
+    ).select(
+        "n_bigrams",
+        "n_prefix_types",
+        "n_hits",
+        (
+            F.col("n_hits").cast("double")
+            / F.col("n_bigrams").cast("double")
+        ).alias("top1_accuracy"),
     )

@@ -3435,3 +3435,42 @@ def test_nearest_centroid_confusion(spark):
     assert got[(1, 1)] == 2
     assert got[(1, 0)] == 1  # the mislabeled vector lands on centroid 0
     assert (0, 1) not in got
+
+
+def test_rake_keyphrases(spark):
+    from hiv_data_integration_spark.operators.textops import rake_keyphrases
+
+    docs = [
+        (1, "deep learning of the deep learning, and neural nets"),
+        (2, "the deep learning"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["phrase"]: (
+            r["n_occurrences"], r["deg_sum"], r["freq_sum"], r["score"]
+        )
+        for r in rake_keyphrases(df, "doc_id", "text", k=10).collect()
+    }
+    # candidate phrases (stopwords en + punct breaks):
+    # "deep learning" x3, "neural nets" x1
+    # deg: deep=6, learning=6, neural=2, nets=2; freq: deep=3,
+    # learning=3, neural=1, nets=1
+    assert got["deep learning"] == (3, 12, 6, 2.0)
+    assert got["neural nets"] == (1, 4, 2, 2.0)
+    assert len(got) == 2
+
+
+def test_bigram_next_token_accuracy(spark):
+    from hiv_data_integration_spark.operators.textops import (
+        bigram_next_token_accuracy,
+    )
+
+    # bigrams: (a,b) x2, (a,c) x1, (b,a) x2, (c,a) x1
+    docs = [(1, "a b a b a c a")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = bigram_next_token_accuracy(df, "doc_id", "text").collect()[0]
+    # pred(a)=b (2 of 3 hit), pred(b)=a (2 hit), pred(c)=a (1 hit)
+    assert (got["n_bigrams"], got["n_prefix_types"], got["n_hits"]) == (
+        6, 3, 5,
+    )
+    assert got["top1_accuracy"] == 5 / 6
