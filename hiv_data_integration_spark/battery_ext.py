@@ -8358,6 +8358,104 @@ FROM tot JOIN pred USING (w1)
 """
 
 
+def q_share_of_parent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region→nation order-revenue contribution table: exact cents
+    totals at every ancestor level, one division per share — the BI
+    drill-down staple."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        share_of_parent,
+    )
+
+    cust = tbl(spark, sf_dir, "customer")
+    orders = tbl(spark, sf_dir, "orders")
+    nation = tbl(spark, sf_dir, "nation")
+    region = tbl(spark, sf_dir, "region")
+    leaf = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            "r_name",
+            "n_name",
+            F.floor(
+                F.col("o_totalprice").cast("double") * 100 + F.lit(0.5)
+            ).cast("long").alias("cents"),
+        )
+    )
+    return share_of_parent(leaf, ["r_name", "n_name"], "cents")
+
+
+SQL_SHARE_OF_PARENT_REVENUE = """
+WITH leaf AS (
+    SELECT r_name, n_name,
+           CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS value
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+)
+SELECT r_name, n_name, value,
+       CAST(SUM(value) OVER (PARTITION BY r_name) AS BIGINT)
+           AS total_r_name,
+       CAST(value AS DOUBLE)
+           / CAST(SUM(value) OVER (PARTITION BY r_name) AS DOUBLE)
+           AS share_of_r_name,
+       CAST(SUM(value) OVER () AS BIGINT) AS total_all,
+       CAST(value AS DOUBLE) / CAST(SUM(value) OVER () AS DOUBLE)
+           AS share_of_all
+FROM leaf
+"""
+
+
+def q_price_band_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D tolerance clustering of distinct part retail prices per
+    brand (cents, ε = 100): chain-gap islands on the value axis —
+    near-equal price points collapse without any pairwise join."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        value_band_clusters,
+    )
+
+    part = tbl(spark, sf_dir, "part")
+    cents = part.select(
+        "p_brand",
+        F.floor(
+            F.col("p_retailprice").cast("double") * 100 + F.lit(0.5)
+        ).cast("long").alias("price_cents"),
+    )
+    return value_band_clusters(
+        cents, ["p_brand"], "price_cents", epsilon=100
+    )
+
+
+SQL_PRICE_BAND_CLUSTERS = """
+WITH cents AS (
+    SELECT p_brand,
+           CAST(floor(CAST(p_retailprice AS DOUBLE) * 100 + 0.5)
+                AS BIGINT) AS v
+    FROM part WHERE p_retailprice IS NOT NULL
+),
+per_v AS (
+    SELECT p_brand, v, COUNT(*) AS c FROM cents GROUP BY 1, 2
+),
+seg AS (
+    SELECT p_brand, v, c,
+           SUM(CASE WHEN pv IS NULL OR v - pv > 100 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY p_brand ORDER BY v
+                     ROWS UNBOUNDED PRECEDING) AS cluster_seq
+    FROM (SELECT *, lag(v) OVER (PARTITION BY p_brand ORDER BY v) AS pv
+          FROM per_v)
+)
+SELECT p_brand, CAST(cluster_seq AS BIGINT) AS cluster_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(MIN(v) AS BIGINT) AS lo,
+       CAST(MAX(v) AS BIGINT) AS hi
+FROM seg GROUP BY 1, 2
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_median_price": q_weighted_median,
     "user_rfm_features": q_rfm_features,
@@ -8436,6 +8534,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "embed_centroid_confusion": q_embed_centroid_confusion,
     "rake_keyphrases_docs": q_rake_keyphrases_docs,
     "bigram_next_token_acc": q_bigram_next_token_acc,
+    "share_of_parent_revenue": q_share_of_parent_revenue,
+    "price_band_clusters": q_price_band_clusters,
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
     "json_dict_scan": q_json_dict_scan,
@@ -8623,6 +8723,8 @@ EXT_ORACLE: dict[str, str] = {
     "embed_centroid_confusion": SQL_EMBED_CENTROID_CONFUSION,
     "rake_keyphrases_docs": SQL_RAKE_KEYPHRASES_DOCS,
     "bigram_next_token_acc": SQL_BIGRAM_NEXT_TOKEN_ACC,
+    "share_of_parent_revenue": SQL_SHARE_OF_PARENT_REVENUE,
+    "price_band_clusters": SQL_PRICE_BAND_CLUSTERS,
     "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
     "csv_per_period_export": SQL_CSV_PER_PERIOD,
     "json_dict_scan": SQL_JSON_DICT_SCAN,

@@ -70,6 +70,8 @@ __all__ = [
     "distribution_drift_tv",
     "price_volume_decomposition",
     "lump_rare_categories",
+    "share_of_parent",
+    "value_band_clusters",
     "interval_union_time",
     "trailing_distinct_users",
     "group_median_impute",
@@ -3874,4 +3876,92 @@ def lump_rare_categories(
     return labeled.groupBy("category_out").agg(
         F.sum("_n").cast("long").alias("n_rows"),
         F.count("*").cast("long").alias("n_source_categories"),
+    )
+
+
+def share_of_parent(
+    df: DataFrame,
+    level_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Hierarchical contribution report: aggregate an exact integer
+    measure to the leaf grouping, then attach every ancestor level's
+    total and the leaf's share of each — "nation is X% of its region,
+    Y% of the company" — the drill-down table every BI layer renders.
+
+    ``level_cols`` order is the hierarchy (coarsest first); the last
+    level is the leaf grain, its PROPER ancestors get totals/shares
+    (the leaf's share of itself is trivially 1 and is omitted). Totals
+    are window sums over the already-aggregated leaf table (|leaves|
+    rows, not facts); shares are ONE IEEE division per level. All
+    totals exact BIGINTs.
+
+    Output: level cols + ``value`` + per-ancestor ``total_<col>`` and
+    ``share_of_<col>`` + ``total_all`` and ``share_of_all``.
+    """
+    from pyspark.sql.window import Window
+
+    if not level_cols:
+        raise ValueError("share_of_parent: need level_cols")
+    leaf = df.groupBy(*level_cols).agg(
+        F.sum(F.col(value_col).cast("long")).cast("long").alias("value")
+    )
+    out = leaf
+    for i, c in enumerate(level_cols[:-1]):
+        w = Window.partitionBy(*level_cols[: i + 1])
+        out = out.withColumn(
+            f"total_{c}", F.sum("value").over(w).cast("long")
+        ).withColumn(
+            f"share_of_{c}",
+            F.col("value").cast("double")
+            / F.col(f"total_{c}").cast("double"),
+        )
+    w_all = Window.partitionBy()
+    return out.withColumn(
+        "total_all", F.sum("value").over(w_all).cast("long")
+    ).withColumn(
+        "share_of_all",
+        F.col("value").cast("double") / F.col("total_all").cast("double"),
+    )
+
+
+def value_band_clusters(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    epsilon: int,
+) -> DataFrame:
+    """1-D tolerance clustering: per key, sort the DISTINCT integer
+    values and start a new cluster wherever the gap to the previous
+    value exceeds ``epsilon`` — the reference-data cleanup that
+    collapses near-equal prices/measurements ("these 5 prices within
+    $1 are one price point") without any pairwise join. Chain
+    semantics like :func:`debounce_events`, but on the value axis.
+
+    All-integer: values must be pre-scaled integers (cents); gaps,
+    cluster ids, and stats are exact; the canonical representative is
+    the cluster minimum. One distinct aggregate + two windows on the
+    key partitioning.
+
+    Output: key cols + ``(cluster_seq, n_values, n_rows, lo, hi)`` —
+    ``n_values`` distinct members, ``n_rows`` underlying rows.
+    """
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col).cast("long")
+    per_v = df.filter(v.isNotNull()).groupBy(
+        *key_cols, v.alias("_v")
+    ).agg(F.count("*").alias("_c"))
+    w = Window.partitionBy(*key_cols).orderBy("_v")
+    brk = (
+        F.lag("_v").over(w).isNull()
+        | ((F.col("_v") - F.lag("_v").over(w)) > epsilon)
+    ).cast("long")
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seg = per_v.withColumn("cluster_seq", F.sum(brk).over(w_cum))
+    return seg.groupBy(*key_cols, "cluster_seq").agg(
+        F.count("*").cast("long").alias("n_values"),
+        F.sum("_c").cast("long").alias("n_rows"),
+        F.min("_v").alias("lo"),
+        F.max("_v").alias("hi"),
     )

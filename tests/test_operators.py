@@ -3474,3 +3474,43 @@ def test_bigram_next_token_accuracy(spark):
         6, 3, 5,
     )
     assert got["top1_accuracy"] == 5 / 6
+
+
+def test_share_of_parent(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        share_of_parent,
+    )
+
+    rows = [
+        ("r1", "n1", 60), ("r1", "n1", 0), ("r1", "n2", 40),
+        ("r2", "n3", 100),
+    ]
+    df = spark.createDataFrame(rows, "region string, nation string, v long")
+    res = share_of_parent(df, ["region", "nation"], "v")
+    assert "share_of_nation" not in res.columns  # leaf share omitted
+    got = {
+        (r["region"], r["nation"]): (
+            r["value"], r["total_region"], r["share_of_region"],
+            r["total_all"], r["share_of_all"],
+        )
+        for r in res.collect()
+    }
+    assert got[("r1", "n1")] == (60, 100, 0.6, 200, 0.3)
+    assert got[("r1", "n2")] == (40, 100, 0.4, 200, 0.2)
+    assert got[("r2", "n3")] == (100, 100, 1.0, 200, 0.5)
+
+
+def test_value_band_clusters(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        value_band_clusters,
+    )
+
+    # values 100,101,103 chain (gaps <=2), 110 separate; 101 repeated
+    rows = [("k", 100), ("k", 101), ("k", 101), ("k", 103), ("k", 110)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {
+        r["cluster_seq"]: (r["n_values"], r["n_rows"], r["lo"], r["hi"])
+        for r in value_band_clusters(df, ["k"], "v", epsilon=2).collect()
+    }
+    assert got[1] == (3, 4, 100, 103)
+    assert got[2] == (1, 1, 110, 110)
