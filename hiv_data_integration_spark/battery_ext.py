@@ -8456,6 +8456,86 @@ FROM seg GROUP BY 1, 2
 """
 
 
+def q_fd_audit_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: does l_orderkey determine
+    l_shipdate? (It doesn't — items of one order ship on different
+    days; the violation counts quantify by how much.) All-integer
+    plurality counting."""
+    from hiv_data_integration_spark.operators.validation import (
+        fd_violations,
+    )
+
+    li = tbl(spark, sf_dir, "lineitem")
+    return fd_violations(li, ["l_orderkey"], "l_shipdate")
+
+
+SQL_FD_AUDIT_LINEITEM = """
+WITH pairs AS (
+    SELECT l_orderkey,
+           COALESCE(CAST(l_shipdate AS VARCHAR), '__NULL__') AS dep,
+           COUNT(*) AS c
+    FROM lineitem GROUP BY 1, 2
+),
+per AS (
+    SELECT l_orderkey, SUM(c) AS n, MAX(c) AS m FROM pairs GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN n > m THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating_groups,
+       CAST(SUM(n - m) AS BIGINT) AS n_violation_rows,
+       SUM(n - m) = 0 AS fd_holds
+FROM per
+"""
+
+
+def q_trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed event-type popularity (7-day half-life, exact
+    dyadic decay — powers of two scale doubles exactly; the only
+    rounding is the final DECIMAL→double, VARCHAR-mediated in the
+    oracle)."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        recency_weighted_popularity,
+    )
+
+    ev = tbl(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "ts",
+        F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return recency_weighted_popularity(
+        base, ["event_type"], "ts", "cents", half_life_days=7
+    )
+
+
+SQL_TRENDING_EVENT_TYPES = """
+WITH base AS (
+    SELECT event_type,
+           CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+           CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS w
+    FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+anchor AS (
+    SELECT MAX(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)) AS a
+    FROM events
+),
+k AS (
+    SELECT event_type, w,
+           LEAST(GREATEST((a - day) // 7, 0), 40) AS kk
+    FROM base, anchor
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(CASE WHEN kk < 40 THEN
+                CAST(w AS HUGEINT) * (CAST(1 AS BIGINT) << (40 - kk))
+                ELSE 0 END) AS VARCHAR) AS DOUBLE)
+           / 1099511627776.0 AS score
+FROM k GROUP BY 1
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_median_price": q_weighted_median,
     "user_rfm_features": q_rfm_features,
@@ -8536,6 +8616,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "bigram_next_token_acc": q_bigram_next_token_acc,
     "share_of_parent_revenue": q_share_of_parent_revenue,
     "price_band_clusters": q_price_band_clusters,
+    "fd_audit_lineitem": q_fd_audit_lineitem,
+    "trending_event_types": q_trending_event_types,
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
     "json_dict_scan": q_json_dict_scan,
@@ -8725,6 +8807,8 @@ EXT_ORACLE: dict[str, str] = {
     "bigram_next_token_acc": SQL_BIGRAM_NEXT_TOKEN_ACC,
     "share_of_parent_revenue": SQL_SHARE_OF_PARENT_REVENUE,
     "price_band_clusters": SQL_PRICE_BAND_CLUSTERS,
+    "fd_audit_lineitem": SQL_FD_AUDIT_LINEITEM,
+    "trending_event_types": SQL_TRENDING_EVENT_TYPES,
     "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
     "csv_per_period_export": SQL_CSV_PER_PERIOD,
     "json_dict_scan": SQL_JSON_DICT_SCAN,

@@ -72,6 +72,7 @@ __all__ = [
     "lump_rare_categories",
     "share_of_parent",
     "value_band_clusters",
+    "recency_weighted_popularity",
     "interval_union_time",
     "trailing_distinct_users",
     "group_median_impute",
@@ -3964,4 +3965,71 @@ def value_band_clusters(
         F.sum("_c").cast("long").alias("n_rows"),
         F.min("_v").alias("lo"),
         F.max("_v").alias("hi"),
+    )
+
+
+def recency_weighted_popularity(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    weight_col: str,
+    half_life_days: int = 7,
+    max_age_halflives: int = 40,
+    as_of_day: int | None = None,
+) -> DataFrame:
+    """Recency-decayed popularity ranking with a BIT-EXACT decay:
+    score = Σ w·2^(−age/half_life) where the exponent is the INTEGER
+    age in half-lives — powers of two scale IEEE doubles exactly, so
+    the decay introduces no rounding at all; the only inexactness is
+    the final correctly-rounded DECIMAL→double conversion. The
+    trending-items ranking ("recent activity counts double per
+    half-life ago") that ad-hoc `exp(-λt)` scoring computes
+    irreproducibly.
+
+    Internals: each event contributes the exact BIGINT
+    ``w·2^(max_age − k)`` (k = capped age in half-lives), summed as
+    DECIMAL(38,0), then ONE exact division by 2^max_age. ``as_of_day``
+    (epoch days) anchors the age; default = the corpus max. Events
+    older than ``max_age_halflives`` half-lives contribute weight 0
+    (documented cutoff — their true contribution is below one part in
+    2^40 anyway).
+
+    One stats probe (when as_of_day is None) + one hash aggregate.
+
+    Output: key cols + ``(n_events, score)``.
+    """
+    epoch_day = F.unix_date(F.col(ts_col).cast("date")).cast("long")
+    if as_of_day is None:
+        as_of_day = df.agg(F.max(epoch_day)).collect()[0][0]
+    age_hl = F.least(
+        F.greatest(
+            (F.lit(int(as_of_day)) - epoch_day)
+            / F.lit(half_life_days),
+            F.lit(0),
+        ).cast("long"),
+        F.lit(max_age_halflives),
+    )
+    staged = df.filter(
+        F.col(ts_col).isNotNull() & F.col(weight_col).isNotNull()
+    ).select(
+        *key_cols,
+        F.col(weight_col).cast("long").alias("_w"),
+        age_hl.alias("_k"),
+    )
+    # SQL shiftleft accepts a column bit count; the DataFrame helper
+    # only takes a literal int
+    term = F.when(
+        F.col("_k") < max_age_halflives,
+        F.col("_w")
+        * F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST({max_age_halflives} - _k AS INT))"
+        ),
+    ).otherwise(F.lit(0))
+    return staged.groupBy(*key_cols).agg(
+        F.count("*").cast("long").alias("n_events"),
+        (
+            F.sum(term.cast("decimal(38,0)")).cast("double")
+            / F.lit(float(2 ** max_age_halflives))
+        ).alias("score"),
     )

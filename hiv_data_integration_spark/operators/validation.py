@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "fd_violations",
     "Expectation",
     "not_null",
     "unique",
@@ -197,4 +198,46 @@ def fk_orphan_profile(
             F.col("orphan_rows").cast("double")
             / F.col("child_rows").cast("double")
         ).alias("orphan_frac"),
+    )
+
+
+def fd_violations(
+    df: DataFrame,
+    det_cols: list[str],
+    dep_col: str,
+) -> DataFrame:
+    """Functional-dependency audit: does ``det_cols → dep_col`` hold?
+    Per determinant group the violation count is the rows NOT carrying
+    the group's plurality dependent value (Σ n_rows − max per-value
+    count) — the FD-mining / schema-inference primitive that finds
+    "order id should determine ship mode, 37 rows disagree" before a
+    merge keys on it.
+
+    All exact integers, two hash aggregates ((det, dep) counts → det
+    rollup) + a 1-row summary; NULL dependents count as a value (an
+    FD violated only by NULLs is still violated).
+
+    Output 1 row: ``(n_groups, n_rows, n_violating_groups,
+    n_violation_rows, fd_holds)``.
+    """
+    pairs = df.groupBy(
+        *det_cols,
+        F.coalesce(F.col(dep_col).cast("string"), F.lit("__NULL__")).alias(
+            "_dep"
+        ),
+    ).agg(F.count("*").alias("_c"))
+    per_det = pairs.groupBy(*det_cols).agg(
+        F.sum("_c").alias("_n"), F.max("_c").alias("_m")
+    )
+    return per_det.agg(
+        F.count("*").alias("n_groups"),
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("_n") > F.col("_m"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating_groups"),
+        F.sum(F.col("_n") - F.col("_m")).cast("long").alias(
+            "n_violation_rows"
+        ),
+    ).select(
+        "*", (F.col("n_violation_rows") == 0).alias("fd_holds")
     )

@@ -3514,3 +3514,49 @@ def test_value_band_clusters(spark):
     }
     assert got[1] == (3, 4, 100, 103)
     assert got[2] == (1, 1, 110, 110)
+
+
+def test_fd_violations(spark):
+    from hiv_data_integration_spark.operators.validation import (
+        fd_violations,
+    )
+
+    rows = [
+        (1, "a"), (1, "a"), (1, "b"),   # group 1: 1 violation row
+        (2, "c"), (2, "c"),             # group 2: holds
+        (3, None),                      # NULL dep counts as a value
+    ]
+    df = spark.createDataFrame(rows, "k long, d string")
+    got = fd_violations(df, ["k"], "d").collect()[0]
+    assert (
+        got["n_groups"], got["n_rows"], got["n_violating_groups"],
+        got["n_violation_rows"], got["fd_holds"],
+    ) == (3, 6, 1, 1, False)
+
+    clean = spark.createDataFrame([(1, "a"), (2, "b")], "k long, d string")
+    assert fd_violations(clean, ["k"], "d").collect()[0]["fd_holds"] is True
+
+
+def test_recency_weighted_popularity(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        recency_weighted_popularity,
+    )
+
+    rows = [
+        # as_of = max day = 2024-01-29 (epoch-day anchor)
+        ("p", "2024-01-29 12:00:00", 10),   # age 0 hl -> w*1
+        ("p", "2024-01-22 00:00:00", 10),   # 7 days -> 1 hl -> w/2
+        ("p", "2024-01-08 00:00:00", 12),   # 21 days -> 3 hl -> w/8
+        ("q", "2020-01-01 00:00:00", 99),   # >40 hl -> 0
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts string, w long"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = {
+        r["k"]: (r["n_events"], r["score"])
+        for r in recency_weighted_popularity(
+            df, ["k"], "ts", "w", half_life_days=7
+        ).collect()
+    }
+    assert got["p"] == (3, 10 + 10 / 2 + 12 / 8)
+    assert got["q"] == (1, 0.0)
