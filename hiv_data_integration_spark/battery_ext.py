@@ -8536,6 +8536,94 @@ FROM k GROUP BY 1
 """
 
 
+def q_trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean of event value cents per type — exact trim set
+    via (value, id) rank, DECIMAL middle sum, one division."""
+    from hiv_data_integration_spark.operators.aggregate import trimmed_mean
+
+    ev = tbl(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return trimmed_mean(
+        base, ["event_type"], "cents", "event_id", trim_frac=0.1
+    )
+
+
+SQL_TRIMMED_MEAN_VALUE = """
+WITH base AS (
+    SELECT event_type, event_id,
+           CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS v
+    FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+    SELECT event_type, v,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY v, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n,
+           CAST(floor(COUNT(*) OVER (PARTITION BY event_type) * 0.1)
+                AS BIGINT) AS t
+    FROM base
+),
+kept AS (SELECT * FROM ranked WHERE rn > t AND rn <= n - t)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_rows,
+       CAST(MAX(t) AS BIGINT) AS n_trimmed_each,
+       CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS trimmed_mean
+FROM kept GROUP BY 1
+"""
+
+
+def q_conformal_naive_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal 90% interval half-width for the week-over-week
+    seasonal-naive forecaster, per event type — the ⌈(n+1)·0.9⌉-th
+    smallest |residual|, pure integer index arithmetic, exact
+    selection."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        split_conformal_width,
+    )
+    from pyspark.sql import functions as _F
+
+    daily = _daily_cents(spark, sf_dir)
+    prior = daily.select(
+        "event_type",
+        (F.col("day") + 7).alias("day"),
+        F.col("cents").alias("_prior"),
+    )
+    resid = daily.join(prior, ["event_type", "day"]).select(
+        "event_type", (F.col("cents") - F.col("_prior")).alias("resid")
+    )
+    return split_conformal_width(
+        resid, ["event_type"], "resid", alpha_num=1, alpha_den=10
+    )
+
+
+SQL_CONFORMAL_NAIVE_WIDTH = f"""
+WITH daily AS ({_SQL_DAILY_CENTS}),
+resid AS (
+    SELECT a.event_type, abs(a.cents - b.cents) AS r
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND a.day = b.day + 7
+),
+ranked AS (
+    SELECT event_type, r,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY r) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM resid
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_calib,
+       CAST(LEAST(((n + 1) * 9 + 9) // 10, n) AS BIGINT) AS q_index,
+       CAST(r AS BIGINT) AS width
+FROM ranked WHERE rn = LEAST(((n + 1) * 9 + 9) // 10, n)
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_median_price": q_weighted_median,
     "user_rfm_features": q_rfm_features,
@@ -8618,6 +8706,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "price_band_clusters": q_price_band_clusters,
     "fd_audit_lineitem": q_fd_audit_lineitem,
     "trending_event_types": q_trending_event_types,
+    "trimmed_mean_value": q_trimmed_mean_value,
+    "conformal_naive_width": q_conformal_naive_width,
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
     "json_dict_scan": q_json_dict_scan,
@@ -8809,6 +8899,8 @@ EXT_ORACLE: dict[str, str] = {
     "price_band_clusters": SQL_PRICE_BAND_CLUSTERS,
     "fd_audit_lineitem": SQL_FD_AUDIT_LINEITEM,
     "trending_event_types": SQL_TRENDING_EVENT_TYPES,
+    "trimmed_mean_value": SQL_TRIMMED_MEAN_VALUE,
+    "conformal_naive_width": SQL_CONFORMAL_NAIVE_WIDTH,
     "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
     "csv_per_period_export": SQL_CSV_PER_PERIOD,
     "json_dict_scan": SQL_JSON_DICT_SCAN,

@@ -73,6 +73,8 @@ __all__ = [
     "share_of_parent",
     "value_band_clusters",
     "recency_weighted_popularity",
+    "trimmed_mean",
+    "split_conformal_width",
     "interval_union_time",
     "trailing_distinct_users",
     "group_median_impute",
@@ -4032,4 +4034,116 @@ def recency_weighted_popularity(
             F.sum(term.cast("decimal(38,0)")).cast("double")
             / F.lit(float(2 ** max_age_halflives))
         ).alias("score"),
+    )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    trim_frac: float = 0.1,
+) -> DataFrame:
+    """Exact trimmed mean per group: drop the lowest and highest
+    ⌊trim·n⌋ values (by rank, ties broken by id so the trim set is
+    unique) and average the DECIMAL-accumulated middle — the robust
+    location estimate between mean (outlier-fragile) and median
+    (throws away 98% of the data). No float is summed before the
+    single final division.
+
+    Pass integer values (cents). One rank window per group + one
+    aggregate. ``trim_frac`` must leave at least one row
+    (groups fully trimmed emit NULL mean with counts).
+
+    Output: group cols + ``(n_rows, n_trimmed_each, trimmed_mean)``.
+    """
+    from pyspark.sql.window import Window
+
+    if not 0 <= trim_frac < 0.5:
+        raise ValueError("trimmed_mean: trim_frac must be in [0, 0.5)")
+    v = F.col(value_col).cast("long")
+    base = df.filter(v.isNotNull()).select(
+        *group_cols, v.alias("_v"), F.col(id_col).alias("_id")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_v", "_id")
+    w_all = Window.partitionBy(*group_cols)
+    ranked = base.select(
+        *group_cols,
+        "_v",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(w_all).alias("_n"),
+        F.floor(F.count("*").over(w_all) * trim_frac)
+        .cast("long")
+        .alias("_t"),
+    )
+    kept = ranked.filter(
+        (F.col("_rn") > F.col("_t")) & (F.col("_rn") <= F.col("_n") - F.col("_t"))
+    )
+    agg = kept.groupBy(*group_cols).agg(
+        F.max("_n").cast("long").alias("n_rows"),
+        F.max("_t").cast("long").alias("n_trimmed_each"),
+        (
+            F.sum(F.col("_v").cast("decimal(38,0)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("trimmed_mean"),
+    )
+    return agg
+
+
+def split_conformal_width(
+    df: DataFrame,
+    group_cols: list[str],
+    residual_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+) -> DataFrame:
+    """Split-conformal prediction-interval half-width per group: the
+    ⌈(n+1)(1−α)⌉-th smallest absolute calibration residual — the
+    distribution-free coverage guarantee (Vovk; Lei et al.) that turns
+    ANY point forecaster into an interval forecaster. α is passed as
+    the exact rational ``alpha_num/alpha_den`` so the order-statistic
+    index is pure integer arithmetic: idx = ⌈(n+1)(den−num)/den⌉ =
+    ``((n+1)·(den−num) + den − 1) div den``, capped at n.
+
+    The width is an order-statistic SELECTION (ties by residual value
+    only — equal residuals give equal widths), never an interpolation:
+    exact on any engine. Groups too small for the index (idx > n
+    cannot happen after the cap; n = 0 groups vanish upstream).
+
+    One rank window per group + one aggregate.
+
+    Output: group cols + ``(n_calib, q_index, width)``.
+    """
+    from pyspark.sql.window import Window
+
+    if not (0 < alpha_num < alpha_den):
+        raise ValueError("split_conformal_width: need 0 < num < den")
+    r = F.abs(F.col(residual_col).cast("long"))
+    base = df.filter(F.col(residual_col).isNotNull()).select(
+        *group_cols, r.alias("_r")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_r")
+    w_all = Window.partitionBy(*group_cols)
+    n = F.count("*").over(w_all)
+    idx = F.least(
+        F.expr(
+            f"((_n + 1) * {alpha_den - alpha_num} + {alpha_den} - 1) "
+            f"div {alpha_den}"
+        ),
+        F.col("_n"),
+    )
+    ranked = base.select(
+        *group_cols,
+        "_r",
+        F.row_number().over(w).alias("_rn"),
+        n.alias("_n"),
+    ).withColumn("_idx", idx)
+    return (
+        ranked.filter(F.col("_rn") == F.col("_idx"))
+        .select(
+            *group_cols,
+            F.col("_n").cast("long").alias("n_calib"),
+            F.col("_idx").cast("long").alias("q_index"),
+            F.col("_r").cast("long").alias("width"),
+        )
     )

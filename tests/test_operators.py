@@ -3560,3 +3560,33 @@ def test_recency_weighted_popularity(spark):
     }
     assert got["p"] == (3, 10 + 10 / 2 + 12 / 8)
     assert got["q"] == (1, 0.0)
+
+
+def test_trimmed_mean(spark):
+    from hiv_data_integration_spark.operators.aggregate import trimmed_mean
+
+    # 10 values with two wild outliers; 10% trim drops one each end
+    vals = [1000, -999999, 10, 20, 30, 40, 50, 60, 70, 999999]
+    rows = [("g", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    got = trimmed_mean(df, ["g"], "v", "id", trim_frac=0.1).collect()[0]
+    kept = sorted(vals)[1:-1]
+    assert (got["n_rows"], got["n_trimmed_each"]) == (10, 1)
+    assert got["trimmed_mean"] == sum(kept) / len(kept)
+
+
+def test_split_conformal_width(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        split_conformal_width,
+    )
+
+    # residuals 1..9, alpha=0.1 -> idx = ceil(10*0.9) = 9 -> width 9
+    rows = [("g", r) for r in range(1, 10)] + [("h", -5)]
+    df = spark.createDataFrame(rows, "g string, r long")
+    got = {
+        r["g"]: (r["n_calib"], r["q_index"], r["width"])
+        for r in split_conformal_width(df, ["g"], "r").collect()
+    }
+    assert got["g"] == (9, 9, 9)
+    # |-5| = 5; n=1 -> idx = min(ceil(2*0.9), 1) = 1
+    assert got["h"] == (1, 1, 5)
