@@ -8624,6 +8624,86 @@ FROM ranked WHERE rn = LEAST(((n + 1) * 9 + 9) // 10, n)
 """
 
 
+def q_ma_crossover_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7/28-day moving-average crossover signals on daily cents per
+    event type — regimes and flips decided by cross-multiplied integer
+    sums, never a float mean."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        ma_crossover_signals,
+    )
+
+    return ma_crossover_signals(
+        _daily_cents(spark, sf_dir), ["event_type"], "day", "cents",
+        short_window=7, long_window=28,
+    )
+
+
+SQL_MA_CROSSOVER_DAILY = f"""
+WITH daily AS ({_SQL_DAILY_CENTS}),
+r AS (
+    SELECT event_type, day, cents AS value,
+           CASE WHEN COUNT(cents) OVER wl >= 28 THEN
+                SUM(cents) OVER ws * COUNT(cents) OVER wl
+                > SUM(cents) OVER wl * COUNT(cents) OVER ws
+           END AS regime_up
+    FROM daily
+    WINDOW ws AS (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+           wl AS (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day, value, regime_up,
+       CAST(CASE WHEN regime_up IS NOT NULL
+                  AND lag(regime_up) OVER wo IS NOT NULL THEN
+            CASE WHEN regime_up AND NOT lag(regime_up) OVER wo THEN 1
+                 WHEN NOT regime_up AND lag(regime_up) OVER wo THEN -1
+                 ELSE 0 END
+       END AS INTEGER) AS signal
+FROM r WINDOW wo AS (PARTITION BY event_type ORDER BY day)
+"""
+
+
+def q_weighted_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Jaccard between every pair of document sources' token
+    count distributions — all-integer Σmin / (T₁+T₂−Σmin), one
+    division per pair; only shared tokens ever join."""
+    from hiv_data_integration_spark.operators.textops import (
+        weighted_jaccard_sources,
+    )
+
+    docs = tbl(spark, sf_dir, "documents")
+    return weighted_jaccard_sources(docs, "source", "text")
+
+
+SQL_WEIGHTED_JACCARD_SOURCES = """
+WITH counts AS (
+    SELECT s, w, COUNT(*) AS c FROM (
+        SELECT source AS s,
+               unnest(list_filter(string_split_regex(lower(text),
+                                                     '[^a-z0-9]+'),
+                                  x -> x != '')) AS w
+        FROM documents)
+    GROUP BY 1, 2
+),
+totals AS (SELECT s, SUM(c) AS t FROM counts GROUP BY 1),
+shared AS (
+    SELECT a.s AS source_a, b.s AS source_b,
+           CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS shared_min
+    FROM counts a JOIN counts b ON a.w = b.w AND a.s < b.s
+    GROUP BY 1, 2
+)
+SELECT source_a, source_b, shared_min,
+       CAST(ta.t AS BIGINT) AS total_a,
+       CAST(tb.t AS BIGINT) AS total_b,
+       CAST(shared_min AS DOUBLE)
+           / CAST(ta.t + tb.t - shared_min AS DOUBLE)
+           AS weighted_jaccard
+FROM shared
+JOIN totals ta ON ta.s = source_a
+JOIN totals tb ON tb.s = source_b
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_median_price": q_weighted_median,
     "user_rfm_features": q_rfm_features,
@@ -8708,6 +8788,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "trending_event_types": q_trending_event_types,
     "trimmed_mean_value": q_trimmed_mean_value,
     "conformal_naive_width": q_conformal_naive_width,
+    "ma_crossover_daily": q_ma_crossover_daily,
+    "weighted_jaccard_sources": q_weighted_jaccard_sources,
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
     "json_dict_scan": q_json_dict_scan,
@@ -8901,6 +8983,8 @@ EXT_ORACLE: dict[str, str] = {
     "trending_event_types": SQL_TRENDING_EVENT_TYPES,
     "trimmed_mean_value": SQL_TRIMMED_MEAN_VALUE,
     "conformal_naive_width": SQL_CONFORMAL_NAIVE_WIDTH,
+    "ma_crossover_daily": SQL_MA_CROSSOVER_DAILY,
+    "weighted_jaccard_sources": SQL_WEIGHTED_JACCARD_SOURCES,
     "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
     "csv_per_period_export": SQL_CSV_PER_PERIOD,
     "json_dict_scan": SQL_JSON_DICT_SCAN,

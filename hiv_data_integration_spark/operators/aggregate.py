@@ -75,6 +75,7 @@ __all__ = [
     "recency_weighted_popularity",
     "trimmed_mean",
     "split_conformal_width",
+    "ma_crossover_signals",
     "interval_union_time",
     "trailing_distinct_users",
     "group_median_impute",
@@ -4147,3 +4148,58 @@ def split_conformal_width(
             F.col("_r").cast("long").alias("width"),
         )
     )
+
+
+def ma_crossover_signals(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    short_window: int = 7,
+    long_window: int = 28,
+) -> DataFrame:
+    """Moving-average crossover signals WITHOUT computing a float mean:
+    short-MA > long-MA ⟺ ``sum_s·n_l > sum_l·n_s`` (cross-multiplied
+    exact integers), so the regime flag — and the crossover events
+    where it flips — cannot jitter with summation order. The classic
+    momentum/golden-cross detector for any metric series.
+
+    Trailing ROWS frames include the current point; points with fewer
+    than ``long_window`` trailing rows emit NULL regime (warm-up).
+    Signal: +1 where the regime flips up, −1 where it flips down, 0
+    otherwise (NULL during warm-up or after a NULL-regime predecessor).
+    ``order_col`` must be unique per group; pass integer values.
+
+    One window shuffle (all frames share the (group, order) sort).
+
+    Output: group cols + ``order_col`` + ``value`` + ``regime_up``
+    (boolean|NULL) + ``signal`` (int|NULL).
+    """
+    from pyspark.sql.window import Window
+
+    if not 0 < short_window < long_window:
+        raise ValueError(
+            "ma_crossover_signals: need 0 < short_window < long_window"
+        )
+    v = F.col(value_col).cast("long")
+    base = df.filter(v.isNotNull()).select(
+        *group_cols, F.col(order_col), v.alias("value")
+    )
+    order = Window.partitionBy(*group_cols).orderBy(order_col)
+    w_s = order.rowsBetween(-(short_window - 1), 0)
+    w_l = order.rowsBetween(-(long_window - 1), 0)
+    n_l = F.count("value").over(w_l)
+    regime = F.when(
+        n_l >= long_window,
+        F.sum("value").over(w_s) * n_l
+        > F.sum("value").over(w_l) * F.count("value").over(w_s),
+    )
+    staged = base.withColumn("regime_up", regime)
+    prev = F.lag("regime_up").over(order)
+    signal = F.when(
+        F.col("regime_up").isNotNull() & prev.isNotNull(),
+        F.when(F.col("regime_up") & ~prev, 1)
+        .when(~F.col("regime_up") & prev, -1)
+        .otherwise(0),
+    ).cast("int")
+    return staged.withColumn("signal", signal)

@@ -31,6 +31,7 @@ __all__ = [
     "ngram_containment",
     "rake_keyphrases",
     "bigram_next_token_accuracy",
+    "weighted_jaccard_sources",
     "sentence_rows_udtf",
     "bpe_pair_counts",
     "contamination_check",
@@ -1421,4 +1422,75 @@ def bigram_next_token_accuracy(
             F.col("n_hits").cast("double")
             / F.col("n_bigrams").cast("double")
         ).alias("top1_accuracy"),
+    )
+
+
+def weighted_jaccard_sources(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Weighted Jaccard similarity between every pair of sources'
+    token COUNT distributions: J_W = Σ min(c₁,c₂) / Σ max(c₁,c₂) —
+    the exact corpus-mix comparison (binary Jaccard ignores how often
+    words repeat; cosine needs floats). Computed all-integer via
+    Σmax = T₁ + T₂ − Σ_shared min, so only SHARED tokens ever join;
+    one IEEE division per pair.
+
+    Plan: tokenize → (source, token) counts → token-keyed self-join
+    for shared mins (posting-list shape, fan-out bounded by sources
+    per token) → broadcast totals. |sources| is assumed small
+    (corpus mixes, crawls, snapshots).
+
+    Output: ``(source_a, source_b, shared_min, total_a, total_b,
+    weighted_jaccard)``.
+    """
+    counts = (
+        df.select(
+            F.col(source_col).alias("_s"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                    lambda x: x != "",
+                )
+            ).alias("_w"),
+        )
+        .groupBy("_s", "_w")
+        .agg(F.count("*").alias("_c"))
+    )
+    totals = counts.groupBy("_s").agg(F.sum("_c").alias("_t"))
+    a = counts.select(
+        F.col("_s").alias("source_a"), "_w", F.col("_c").alias("_ca")
+    )
+    b = counts.select(
+        F.col("_s").alias("source_b"), "_w", F.col("_c").alias("_cb")
+    )
+    shared = (
+        a.join(b, "_w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.least("_ca", "_cb")).cast("long").alias("shared_min"))
+    )
+    ta = totals.select(
+        F.col("_s").alias("source_a"), F.col("_t").alias("total_a")
+    )
+    tb = totals.select(
+        F.col("_s").alias("source_b"), F.col("_t").alias("total_b")
+    )
+    return (
+        shared.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_min",
+            F.col("total_a").cast("long"),
+            F.col("total_b").cast("long"),
+            (
+                F.col("shared_min").cast("double")
+                / (
+                    F.col("total_a") + F.col("total_b") - F.col("shared_min")
+                ).cast("double")
+            ).alias("weighted_jaccard"),
+        )
     )

@@ -3590,3 +3590,47 @@ def test_split_conformal_width(spark):
     assert got["g"] == (9, 9, 9)
     # |-5| = 5; n=1 -> idx = min(ceil(2*0.9), 1) = 1
     assert got["h"] == (1, 1, 5)
+
+
+def test_ma_crossover_signals(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        ma_crossover_signals,
+    )
+
+    # long=3, short=2: values dip then spike
+    vals = [10, 10, 10, 1, 1, 50]
+    rows = [("g", t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    got = {
+        r["t"]: (r["regime_up"], r["signal"])
+        for r in ma_crossover_signals(
+            df, ["g"], "t", "v", short_window=2, long_window=3
+        ).collect()
+    }
+    assert got[0] == (None, None) and got[1] == (None, None)  # warm-up
+    # t=2: short=[10,10] mean 10, long mean 10 -> not strictly greater
+    assert got[2] == (False, None)  # prev regime NULL -> no signal
+    # t=3: short=[10,1]=5.5, long=[10,10,1]=7 -> down
+    assert got[3] == (False, 0)
+    # t=4: short=[1,1]=1, long=[10,1,1]=4 -> down
+    assert got[4] == (False, 0)
+    # t=5: short=[1,50]=25.5, long=[1,1,50]=17.33 -> up: +1 crossover
+    assert got[5] == (True, 1)
+
+
+def test_weighted_jaccard_sources(spark):
+    from hiv_data_integration_spark.operators.textops import (
+        weighted_jaccard_sources,
+    )
+
+    rows = [
+        ("s1", "a a b"), ("s2", "a b b c"),
+    ]
+    df = spark.createDataFrame(rows, "src string, text string")
+    got = weighted_jaccard_sources(df, "src", "text").collect()[0]
+    # counts s1: a2 b1 (T=3); s2: a1 b2 c1 (T=4)
+    # shared min: a->1, b->1 = 2; union max = 3+4-2 = 5
+    assert (
+        got["source_a"], got["source_b"], got["shared_min"],
+        got["total_a"], got["total_b"], got["weighted_jaccard"],
+    ) == ("s1", "s2", 2, 3, 4, 0.4)
