@@ -8704,6 +8704,110 @@ JOIN totals tb ON tb.s = source_b
 """
 
 
+def q_corr_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-moment Pearson r² (+ sign) between quantity and revenue
+    cents per return flag — DECIMAL(38) sufficient statistics, r² as
+    (num/dx)·(num/dy) so nothing overflows; no sqrt."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        correlation_rsq,
+    )
+
+    li = tbl(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(
+            F.col("l_extendedprice")
+            * (F.lit(1.0) - F.col("l_discount"))
+            * 100
+            + F.lit(0.5)
+        ).cast("long").alias("rev_cents"),
+    )
+    return correlation_rsq(base, "qty", "rev_cents", ["l_returnflag"])
+
+
+SQL_CORR_QTY_REVENUE = """
+WITH base AS (
+    SELECT l_returnflag,
+           CAST(l_quantity AS BIGINT) AS x,
+           CAST(floor(CAST(l_extendedprice AS DOUBLE)
+                      * (1.0 - CAST(l_discount AS DOUBLE))
+                      * 100 + 0.5) AS BIGINT) AS y
+    FROM lineitem
+),
+agg AS (
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+           CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+           SUM(CAST(x AS HUGEINT) * x) AS sxx,
+           SUM(CAST(y AS HUGEINT) * y) AS syy,
+           SUM(CAST(x AS HUGEINT) * y) AS sxy
+    FROM base GROUP BY 1
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       CAST(sign(CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE))
+            AS INTEGER) AS sign,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+            (CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+            * (CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE))
+       END AS r_squared
+FROM agg
+"""
+
+
+def q_autocorr_lag7_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-7 autocorrelation of each event type's daily cents series —
+    the weekly-seasonality detector, composed as correlation_rsq over
+    the day/day−7 self-join."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        correlation_rsq,
+    )
+
+    daily = _daily_cents(spark, sf_dir)
+    prior = daily.select(
+        "event_type",
+        (F.col("day") + 7).alias("day"),
+        F.col("cents").alias("prior"),
+    )
+    joined = daily.join(prior, ["event_type", "day"])
+    return correlation_rsq(joined, "cents", "prior", ["event_type"])
+
+
+SQL_AUTOCORR_LAG7_DAILY = f"""
+WITH daily AS ({_SQL_DAILY_CENTS}),
+base AS (
+    SELECT a.event_type, a.cents AS x, b.cents AS y
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND a.day = b.day + 7
+),
+agg AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+           CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+           SUM(CAST(x AS HUGEINT) * x) AS sxx,
+           SUM(CAST(y AS HUGEINT) * y) AS syy,
+           SUM(CAST(x AS HUGEINT) * y) AS sxy
+    FROM base GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(sign(CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE))
+            AS INTEGER) AS sign,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+            (CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+            * (CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE))
+       END AS r_squared
+FROM agg
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_median_price": q_weighted_median,
     "user_rfm_features": q_rfm_features,
@@ -8790,6 +8894,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "conformal_naive_width": q_conformal_naive_width,
     "ma_crossover_daily": q_ma_crossover_daily,
     "weighted_jaccard_sources": q_weighted_jaccard_sources,
+    "corr_qty_revenue": q_corr_qty_revenue,
+    "autocorr_lag7_daily": q_autocorr_lag7_daily,
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
     "json_dict_scan": q_json_dict_scan,
@@ -8985,6 +9091,8 @@ EXT_ORACLE: dict[str, str] = {
     "conformal_naive_width": SQL_CONFORMAL_NAIVE_WIDTH,
     "ma_crossover_daily": SQL_MA_CROSSOVER_DAILY,
     "weighted_jaccard_sources": SQL_WEIGHTED_JACCARD_SOURCES,
+    "corr_qty_revenue": SQL_CORR_QTY_REVENUE,
+    "autocorr_lag7_daily": SQL_AUTOCORR_LAG7_DAILY,
     "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
     "csv_per_period_export": SQL_CSV_PER_PERIOD,
     "json_dict_scan": SQL_JSON_DICT_SCAN,

@@ -76,6 +76,7 @@ __all__ = [
     "trimmed_mean",
     "split_conformal_width",
     "ma_crossover_signals",
+    "correlation_rsq",
     "interval_union_time",
     "trailing_distinct_users",
     "group_median_impute",
@@ -4203,3 +4204,53 @@ def ma_crossover_signals(
         .otherwise(0),
     ).cast("int")
     return staged.withColumn("signal", signal)
+
+
+def correlation_rsq(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Pearson correlation per group, reported as EXACT-moment r² and
+    sign rather than r: the five sufficient statistics (n, Σx, Σy,
+    Σx², Σy², Σxy) accumulate as exact DECIMAL(38,0) over integer
+    inputs, and r² = (num/dx)·(num/dy) is three fixed-order IEEE ops
+    on correctly-rounded exact values (num = nΣxy−ΣxΣy, dx = nΣx²−
+    (Σx)², dy likewise — num²/(dx·dy) directly would overflow any
+    fixed-precision type; this split cannot). No sqrt — r itself is
+    ``sign·√r²`` if a caller wants it, with the engine-ULP caveat
+    theirs.
+
+    Zero-variance sides emit NULL r² (undefined, never a divide
+    blow-up). Pass integer columns (cents, counts). One hash
+    aggregate.
+
+    Output: group cols + ``(n, sign, r_squared)`` — sign ∈ {-1,0,1}.
+    """
+    g = list(group_cols or [])
+    x = F.col(x_col).cast("decimal(19,0)")
+    y = F.col(y_col).cast("decimal(19,0)")
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    )
+    agg = base.groupBy(*g).agg(
+        F.count("*").cast("decimal(19,0)").alias("_n"),
+        F.sum(x).cast("decimal(38,0)").alias("_sx"),
+        F.sum(y).cast("decimal(38,0)").alias("_sy"),
+        F.sum(x * x).cast("decimal(38,0)").alias("_sxx"),
+        F.sum(y * y).cast("decimal(38,0)").alias("_syy"),
+        F.sum(x * y).cast("decimal(38,0)").alias("_sxy"),
+    )
+    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    dx = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    dy = F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    rsq = (num.cast("double") / dx.cast("double")) * (
+        num.cast("double") / dy.cast("double")
+    )
+    return agg.select(
+        *g,
+        F.col("_n").cast("long").alias("n"),
+        F.signum(num.cast("double")).cast("int").alias("sign"),
+        F.when((dx > 0) & (dy > 0), rsq).alias("r_squared"),
+    )

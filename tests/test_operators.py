@@ -3634,3 +3634,23 @@ def test_weighted_jaccard_sources(spark):
         got["source_a"], got["source_b"], got["shared_min"],
         got["total_a"], got["total_b"], got["weighted_jaccard"],
     ) == ("s1", "s2", 2, 3, 4, 0.4)
+
+
+def test_correlation_rsq(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        correlation_rsq,
+    )
+
+    rows = (
+        [("lin", x, 2 * x + 1) for x in range(10)]         # r = 1
+        + [("anti", x, -3 * x) for x in range(5)]          # r = -1
+        + [("flat", x, 7) for x in range(4)]               # dy = 0
+    )
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {
+        r["g"]: (r["n"], r["sign"], r["r_squared"])
+        for r in correlation_rsq(df, "x", "y", ["g"]).collect()
+    }
+    assert got["lin"] == (10, 1, 1.0)
+    assert got["anti"] == (5, -1, 1.0)
+    assert got["flat"][2] is None and got["flat"][1] == 0
