@@ -8808,6 +8808,91 @@ FROM agg
 """
 
 
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate-LEAD matrix over documents: the
+    fingerprint is the first 5 tokens (boilerplate/syndicated-lead
+    detection — full-text md5 finds zero cross-source overlap in this
+    corpus, the lead fingerprint finds the shared openings); exact
+    shared counts + per-side shares via a posting-list join."""
+    from hiv_data_integration_spark.operators.dedup import (
+        cross_source_duplicate_matrix,
+    )
+
+    docs = tbl(spark, sf_dir, "documents")
+    lead5 = F.array_join(
+        F.slice(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+                lambda x: x != "",
+            ),
+            1,
+            5,
+        ),
+        " ",
+    )
+    return cross_source_duplicate_matrix(docs, "source", lead5)
+
+
+SQL_CROSS_SOURCE_DUPS = """
+WITH m AS (
+    SELECT DISTINCT source AS s,
+           array_to_string(
+               (list_filter(string_split_regex(lower(text),
+                                               '[^a-z0-9]+'),
+                            x -> x != ''))[1:5], ' ') AS k
+    FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+),
+sizes AS (SELECT s, COUNT(*) AS n FROM m GROUP BY 1),
+shared AS (
+    SELECT a.s AS source_a, b.s AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM m a JOIN m b ON a.k = b.k AND a.s < b.s
+    GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared,
+       CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+       CAST(n_shared AS DOUBLE) / CAST(na.n AS DOUBLE) AS share_of_a,
+       CAST(n_shared AS DOUBLE) / CAST(nb.n AS DOUBLE) AS share_of_b
+FROM shared
+JOIN sizes na ON na.s = source_a
+JOIN sizes nb ON nb.s = source_b
+"""
+
+
+def q_ess_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size of n_chars-weighted documents per
+    language — Σw·(Σw/Σw²) fixed-order on exact DECIMAL sums; the
+    reweighting health check."""
+    from hiv_data_integration_spark.operators.sampling import (
+        effective_sample_size,
+    )
+
+    docs = tbl(spark, sf_dir, "documents")
+    return effective_sample_size(docs, "n_chars", ["lang"])
+
+
+SQL_ESS_DOC_WEIGHTS = """
+WITH base AS (
+    SELECT lang, CAST(n_chars AS HUGEINT) AS w
+    FROM documents WHERE n_chars > 0
+),
+agg AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           SUM(w) AS sw, SUM(w * w) AS sww
+    FROM base GROUP BY 1
+)
+SELECT lang, n_rows, CAST(sw AS BIGINT) AS sum_w,
+       CAST(CAST(sw AS VARCHAR) AS DOUBLE)
+           * (CAST(CAST(sw AS VARCHAR) AS DOUBLE)
+              / CAST(CAST(sww AS VARCHAR) AS DOUBLE)) AS ess,
+       (CAST(CAST(sw AS VARCHAR) AS DOUBLE)
+        * (CAST(CAST(sw AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(sww AS VARCHAR) AS DOUBLE)))
+           / CAST(n_rows AS DOUBLE) AS ess_ratio
+FROM agg
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_median_price": q_weighted_median,
     "user_rfm_features": q_rfm_features,
@@ -8896,6 +8981,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_jaccard_sources": q_weighted_jaccard_sources,
     "corr_qty_revenue": q_corr_qty_revenue,
     "autocorr_lag7_daily": q_autocorr_lag7_daily,
+    "cross_source_dups": q_cross_source_dups,
+    "ess_doc_weights": q_ess_doc_weights,
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
     "json_dict_scan": q_json_dict_scan,
@@ -9093,6 +9180,8 @@ EXT_ORACLE: dict[str, str] = {
     "weighted_jaccard_sources": SQL_WEIGHTED_JACCARD_SOURCES,
     "corr_qty_revenue": SQL_CORR_QTY_REVENUE,
     "autocorr_lag7_daily": SQL_AUTOCORR_LAG7_DAILY,
+    "cross_source_dups": SQL_CROSS_SOURCE_DUPS,
+    "ess_doc_weights": SQL_ESS_DOC_WEIGHTS,
     "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
     "csv_per_period_export": SQL_CSV_PER_PERIOD,
     "json_dict_scan": SQL_JSON_DICT_SCAN,

@@ -42,6 +42,7 @@ __all__ = [
     "triangle_count",
     "link_prediction_scores",
     "golden_record",
+    "cross_source_duplicate_matrix",
     "cdc_chunk_stats",
     "sorted_neighborhood_pairs",
 ]
@@ -1302,3 +1303,53 @@ def golden_record(
             .alias(f)
         )
     return df.groupBy(cluster_col).agg(*aggs)
+
+
+def cross_source_duplicate_matrix(
+    df: DataFrame,
+    source_col: str,
+    key_col: Column,
+) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, how
+    many DISTINCT content fingerprints they share, as counts and as a
+    share of each side's fingerprint set — the crawl-overlap
+    diagnostic that decides which source to drop when corpus mixes
+    double-count the same pages.
+
+    ``key_col`` is the content fingerprint expression (e.g.
+    ``fingerprint(F.col("text"))``). Exact integers + two divisions
+    per pair. Posting-list join on the fingerprint: fan-out is
+    sources-per-fingerprint, never |docs|².
+
+    Output: ``(source_a, source_b, n_shared, n_a, n_b, share_of_a,
+    share_of_b)``.
+    """
+    m = df.select(
+        F.col(source_col).alias("_s"), key_col.alias("_k")
+    ).filter(F.col("_s").isNotNull() & F.col("_k").isNotNull()).distinct()
+    sizes = m.groupBy("_s").agg(F.count("*").alias("_n"))
+    a = m.select(F.col("_s").alias("source_a"), "_k")
+    b = m.select(F.col("_s").alias("source_b"), "_k")
+    shared = (
+        a.join(b, "_k")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    na = sizes.select(F.col("_s").alias("source_a"), F.col("_n").alias("n_a"))
+    nb = sizes.select(F.col("_s").alias("source_b"), F.col("_n").alias("n_b"))
+    return (
+        shared.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.col("n_a").cast("long"),
+            F.col("n_b").cast("long"),
+            (F.col("n_shared").cast("double") / F.col("n_a").cast("double"))
+            .alias("share_of_a"),
+            (F.col("n_shared").cast("double") / F.col("n_b").cast("double"))
+            .alias("share_of_b"),
+        )
+    )

@@ -34,6 +34,7 @@ __all__ = [
     "class_balance_weights",
     "weighted_priority_sample",
     "feature_hash",
+    "effective_sample_size",
 ]
 
 #: Bucket space: 4 hex digits of the md5 → uniform integers in [0, 65536).
@@ -510,4 +511,40 @@ def feature_hash(
         pairs.select(F.col(id_col), idx.alias("feature_idx"))
         .groupBy(id_col, "feature_idx")
         .agg(F.count("*").cast("double").alias("feature_val"))
+    )
+
+
+def effective_sample_size(
+    df: DataFrame,
+    weight_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Kish effective sample size per group: ESS = (Σw)²/Σw² — how
+    many EQUAL-weight samples a weighted set is worth (the health
+    check after importance reweighting or quota sampling: ESS ≪ n
+    means a few heavy rows dominate). Computed as Σw·(Σw/Σw²) — two
+    fixed-order IEEE ops on exact DECIMAL sums, since (Σw)² can
+    overflow fixed precision. Integer weights required; NULL and ≤0
+    weights are excluded (they carry no sample mass).
+
+    One hash aggregate. Output: group cols + ``(n_rows, sum_w,
+    ess, ess_ratio)`` — ``ess_ratio`` = ESS/n.
+    """
+    g = list(group_cols or [])
+    w = F.col(weight_col).cast("decimal(19,0)")
+    base = df.filter(w > 0)
+    agg = base.groupBy(*g).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(w).cast("decimal(38,0)").alias("_sw"),
+        F.sum(w * w).cast("decimal(38,0)").alias("_sww"),
+    )
+    ess = F.col("_sw").cast("double") * (
+        F.col("_sw").cast("double") / F.col("_sww").cast("double")
+    )
+    return agg.select(
+        *g,
+        "n_rows",
+        F.col("_sw").cast("long").alias("sum_w"),
+        ess.alias("ess"),
+        (ess / F.col("n_rows").cast("double")).alias("ess_ratio"),
     )

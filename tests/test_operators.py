@@ -3654,3 +3654,47 @@ def test_correlation_rsq(spark):
     assert got["lin"] == (10, 1, 1.0)
     assert got["anti"] == (5, -1, 1.0)
     assert got["flat"][2] is None and got["flat"][1] == 0
+
+
+def test_cross_source_duplicate_matrix(spark):
+    from hiv_data_integration_spark.operators.dedup import (
+        cross_source_duplicate_matrix,
+    )
+
+    rows = [
+        ("s1", "x"), ("s1", "y"), ("s1", "x"),   # dup fp within source
+        ("s2", "x"), ("s2", "z"),
+        ("s3", "q"),
+    ]
+    df = spark.createDataFrame(rows, "src string, fp string")
+    got = {
+        (r["source_a"], r["source_b"]): (
+            r["n_shared"], r["n_a"], r["n_b"],
+            r["share_of_a"], r["share_of_b"],
+        )
+        for r in cross_source_duplicate_matrix(
+            df, "src", F.col("fp")
+        ).collect()
+    }
+    # s1 fps {x,y}, s2 {x,z}: share x
+    assert got[("s1", "s2")] == (1, 2, 2, 0.5, 0.5)
+    assert ("s1", "s3") not in got  # no overlap -> no row
+    assert len(got) == 1
+
+
+def test_effective_sample_size(spark):
+    from hiv_data_integration_spark.operators.sampling import (
+        effective_sample_size,
+    )
+
+    rows = [("g", 1), ("g", 1), ("g", 1), ("g", 1),   # equal -> ESS = n
+            ("h", 100), ("h", 1), ("h", 0), ("h", None)]
+    df = spark.createDataFrame(rows, "g string, w long")
+    got = {
+        r["g"]: (r["n_rows"], r["sum_w"], r["ess"], r["ess_ratio"])
+        for r in effective_sample_size(df, "w", ["g"]).collect()
+    }
+    assert got["g"] == (4, 4, 4.0 * (4.0 / 4.0), 1.0)
+    # h: w={100,1}: ESS = 101*(101/10001)
+    assert got["h"][0] == 2 and got["h"][1] == 101
+    assert got["h"][2] == 101.0 * (101.0 / 10001.0)
