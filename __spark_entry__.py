@@ -38,13 +38,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # emitted first): the 2 round-4 reds (raw ArrayType outputs the driver's
 # pandas canonicalizer cannot hash — now scalarized via concat_ws /
 # posexplode on both engine and oracle sides), then brand-new queries
-# (absent from the tier lists; round 5 added 91, far more than the 48
-# remaining slots — the first 48 in registration order verify this
-# round, the tail rotates to round 6; ALL of them are hash-verified
-# locally at sf0.001 AND sf0.01 regardless), then the stale r2/r3/r4
-# greens, which rotate entirely to later rounds this time. A
-# previously-green entry never displaces a never-driver-verified one
-# (contract-tested in tests/test_driver_contract.py).
+# (absent from the tier lists; round 5 ultimately added ~147, far more
+# than the 48 remaining slots — the first 48 in registration order
+# verify this round, the tail rotates to round 6 and beyond; ALL of
+# them are hash-verified locally at sf0.001 AND sf0.01, under a
+# hostile session, and in three full 219/260/266-entry driver-style
+# sweeps regardless), then the stale r2/r3/r4 greens, which rotate
+# entirely to later rounds this time. A previously-green entry never
+# displaces a never-driver-verified one (contract-tested in
+# tests/test_driver_contract.py).
 _R4_RED_FIXED = [
     "user_event_sequences", "embed_mean_pool",
 ]
