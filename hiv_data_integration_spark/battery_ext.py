@@ -8893,6 +8893,108 @@ FROM agg
 """
 
 
+def q_behavior_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavior bitmask census over the five event types at USER-DAY
+    grain (lifetime masks all saturate to 31 in this corpus — the
+    daily mask is the discriminative census): per user-day bit_or of
+    explicit-order bits, then exact mask segment sizes with readable
+    labels."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        behavior_bitmask_segments,
+    )
+
+    ev = tbl(spark, sf_dir, "events").withColumn(
+        "user_day",
+        F.col("user_id") * 100000
+        + F.unix_date(F.col("ts").cast("date")).cast("long"),
+    )
+    return behavior_bitmask_segments(
+        ev, "user_day", "event_type",
+        ["click", "error", "purchase", "signup", "view"],
+    )
+
+
+SQL_BEHAVIOR_SEGMENTS = """
+WITH m AS (
+    SELECT user_id * 100000
+           + CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS user_day,
+           bit_or(CASE event_type WHEN 'click' THEN 1
+                                  WHEN 'error' THEN 2
+                                  WHEN 'purchase' THEN 4
+                                  WHEN 'signup' THEN 8
+                                  WHEN 'view' THEN 16
+                                  ELSE 0 END) AS mask
+    FROM events GROUP BY 1
+)
+SELECT CAST(mask AS BIGINT) AS mask,
+       concat_ws('+',
+           CASE WHEN mask & 1 > 0 THEN 'click' END,
+           CASE WHEN mask & 2 > 0 THEN 'error' END,
+           CASE WHEN mask & 4 > 0 THEN 'purchase' END,
+           CASE WHEN mask & 8 > 0 THEN 'signup' END,
+           CASE WHEN mask & 16 > 0 THEN 'view' END) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM m GROUP BY mask
+"""
+
+
+def q_peak_concurrency_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous user sessions (30-min gap sessions → [first,
+    last) half-open intervals → sweep-line): single-event sessions have
+    empty intervals and carry no occupancy by contract; boundary ties
+    close-before-open so back-to-back sessions never double-count."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        max_concurrency,
+        sessionize,
+    )
+
+    ev = tbl(spark, sf_dir, "events")
+    sess = sessionize(ev, "user_id", "ts", gap_minutes=30)
+    intervals = sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    return max_concurrency(intervals, "s", "e")
+
+
+SQL_PEAK_CONCURRENCY_SESSIONS = """
+WITH gaps AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+                ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+    SELECT user_id, ts,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM gaps
+),
+iv AS (
+    SELECT user_id, session_seq,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS s,
+           CAST(floor(epoch(max(ts))) AS BIGINT) AS e
+    FROM sess GROUP BY 1, 2
+),
+iv2 AS (SELECT * FROM iv WHERE e > s),
+ev2 AS (
+    SELECT s AS t, 1 AS d FROM iv2
+    UNION ALL SELECT e, -1 FROM iv2
+),
+r AS (
+    SELECT t, SUM(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS c
+    FROM ev2
+),
+m AS (SELECT *, MAX(c) OVER () AS mm FROM r)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM iv2) AS n_intervals,
+       CAST(MAX(mm) AS BIGINT) AS peak_concurrency,
+       CAST(MIN(CASE WHEN c = mm THEN t END) AS BIGINT) AS t_peak
+FROM m
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_median_price": q_weighted_median,
     "user_rfm_features": q_rfm_features,
@@ -8983,6 +9085,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "autocorr_lag7_daily": q_autocorr_lag7_daily,
     "cross_source_dups": q_cross_source_dups,
     "ess_doc_weights": q_ess_doc_weights,
+    "behavior_segments": q_behavior_segments,
+    "peak_concurrency_sessions": q_peak_concurrency_sessions,
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
     "json_dict_scan": q_json_dict_scan,
@@ -9182,6 +9286,8 @@ EXT_ORACLE: dict[str, str] = {
     "autocorr_lag7_daily": SQL_AUTOCORR_LAG7_DAILY,
     "cross_source_dups": SQL_CROSS_SOURCE_DUPS,
     "ess_doc_weights": SQL_ESS_DOC_WEIGHTS,
+    "behavior_segments": SQL_BEHAVIOR_SEGMENTS,
+    "peak_concurrency_sessions": SQL_PEAK_CONCURRENCY_SESSIONS,
     "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
     "csv_per_period_export": SQL_CSV_PER_PERIOD,
     "json_dict_scan": SQL_JSON_DICT_SCAN,

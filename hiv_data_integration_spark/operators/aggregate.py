@@ -77,6 +77,8 @@ __all__ = [
     "split_conformal_width",
     "ma_crossover_signals",
     "correlation_rsq",
+    "behavior_bitmask_segments",
+    "max_concurrency",
     "interval_union_time",
     "trailing_distinct_users",
     "group_median_impute",
@@ -4253,4 +4255,129 @@ def correlation_rsq(
         F.col("_n").cast("long").alias("n"),
         F.signum(num.cast("double")).cast("int").alias("sign"),
         F.when((dx > 0) & (dy > 0), rsq).alias("r_squared"),
+    )
+
+
+def behavior_bitmask_segments(
+    df: DataFrame,
+    user_col: str,
+    event_col: str,
+    categories: list[str],
+) -> DataFrame:
+    """Behavior segmentation by event-type bitmask: each user gets a
+    bit per category they ever triggered; segment sizes per exact mask
+    — the "did X and Y but never Z" combinatorial census that takes
+    2^k correlated-subquery scans to ask one-at-a-time. ``categories``
+    is an explicit list (bit i = categories[i]) so masks are stable
+    across runs and engines; events outside the list are ignored.
+
+    All integer: per-user ``bit_or`` of single-bit values, then a mask
+    census. Two hash aggregates; the mask decodes back to a label
+    string for readability.
+
+    Output: ``(mask, segment, n_users)`` — segment a '+'-joined label
+    like ``click+purchase``.
+    """
+    if not categories or len(categories) > 62:
+        raise ValueError(
+            "behavior_bitmask_segments: need 1..62 categories"
+        )
+    # single CASE producing the event's bit (0 if uncategorized)
+    expr = F.lit(0).cast("long")
+    for i, c in enumerate(categories):
+        expr = F.when(F.col(event_col) == c, F.lit(1 << i).cast("long")).otherwise(expr)
+    masks = df.groupBy(F.col(user_col).alias("user")).agg(
+        F.bit_or(expr).alias("mask")
+    )
+    label = F.concat_ws(
+        "+",
+        F.filter(
+            F.array(
+                *[
+                    F.when(
+                        (F.col("mask").bitwiseAND(F.lit(1 << i))) > 0,
+                        F.lit(c),
+                    )
+                    for i, c in enumerate(categories)
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    return masks.groupBy("mask").agg(
+        F.count("*").cast("long").alias("n_users")
+    ).select(
+        F.col("mask").cast("long"),
+        label.alias("segment"),
+        "n_users",
+    )
+
+
+def max_concurrency(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Sweep-line maximum concurrency: the high-water mark of
+    simultaneously-open intervals (sessions, calls, jobs) per group —
+    the capacity-planning number. Boundary events (+1 at start, −1 at
+    end) sort by (time, delta) so an interval ENDING at instant t
+    closes before one starting at t opens (half-open [start, end)
+    semantics — back-to-back sessions never double-count), then a
+    running sum and its max.
+
+    Exact integers on floored epoch seconds; NULL or inverted
+    intervals are dropped. One window over the group's boundary
+    events (2 rows per interval).
+
+    Output: group cols + ``(n_intervals, peak_concurrency,
+    t_peak)`` — the earliest floored-epoch second where the peak is
+    reached.
+    """
+    from pyspark.sql.window import Window
+
+    g = list(group_cols or [])
+    s_ep = _epoch_seconds(df, start_col)
+    e_ep = _epoch_seconds(df, end_col)
+    base = df.filter(
+        F.col(start_col).isNotNull()
+        & F.col(end_col).isNotNull()
+        & (e_ep > s_ep)
+    ).select(*g, s_ep.alias("_s"), e_ep.alias("_e"))
+    starts = base.select(*g, F.col("_s").alias("_t"), F.lit(1).alias("_d"))
+    ends = base.select(*g, F.col("_e").alias("_t"), F.lit(-1).alias("_d"))
+    events = starts.unionAll(ends)
+    w = (
+        Window.partitionBy(*g)
+        .orderBy(F.col("_t"), F.col("_d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = events.withColumn("_c", F.sum("_d").over(w))
+    w_all = Window.partitionBy(*g)
+    peaked = running.withColumn("_m", F.max("_c").over(w_all))
+    return (
+        peaked.filter(F.col("_c") == F.col("_m"))
+        .groupBy(*g)
+        .agg(
+            F.max("_m").cast("long").alias("peak_concurrency"),
+            F.min("_t").cast("long").alias("t_peak"),
+        )
+        .join(
+            base.groupBy(*g).agg(
+                F.count("*").cast("long").alias("n_intervals")
+            ),
+            g,
+        )
+        .select(*g, "n_intervals", "peak_concurrency", "t_peak")
+        if g
+        else peaked.filter(F.col("_c") == F.col("_m"))
+        .agg(
+            F.max("_m").cast("long").alias("peak_concurrency"),
+            F.min("_t").cast("long").alias("t_peak"),
+        )
+        .crossJoin(
+            base.agg(F.count("*").cast("long").alias("n_intervals"))
+        )
+        .select("n_intervals", "peak_concurrency", "t_peak")
     )

@@ -3698,3 +3698,55 @@ def test_effective_sample_size(spark):
     # h: w={100,1}: ESS = 101*(101/10001)
     assert got["h"][0] == 2 and got["h"][1] == 101
     assert got["h"][2] == 101.0 * (101.0 / 10001.0)
+
+
+def test_behavior_bitmask_segments(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        behavior_bitmask_segments,
+    )
+
+    rows = [
+        (1, "click"), (1, "purchase"), (1, "click"),
+        (2, "click"),
+        (3, "view"),          # uncategorized -> mask 0
+    ]
+    df = spark.createDataFrame(rows, "u long, e string")
+    got = {
+        r["mask"]: (r["segment"], r["n_users"])
+        for r in behavior_bitmask_segments(
+            df, "u", "e", ["click", "purchase"]
+        ).collect()
+    }
+    assert got[3] == ("click+purchase", 1)
+    assert got[1] == ("click", 1)
+    assert got[0] == ("", 1)
+
+
+def test_max_concurrency(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        max_concurrency,
+    )
+
+    rows = [
+        # three overlapping at 00:01:30; one back-to-back pair
+        ("g", "2024-01-01 00:00:00", "2024-01-01 00:02:00"),
+        ("g", "2024-01-01 00:01:00", "2024-01-01 00:03:00"),
+        ("g", "2024-01-01 00:01:30", "2024-01-01 00:01:45"),
+        ("g", "2024-01-01 00:03:00", "2024-01-01 00:04:00"),  # b2b: no +1
+        ("h", "2024-01-01 00:00:00", "2024-01-01 00:00:00"),  # empty: drop
+        ("h", "2024-01-01 00:00:00", "2024-01-01 00:01:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, s string, e string"
+    ).select(
+        "g",
+        F.col("s").cast("timestamp_ntz").alias("s"),
+        F.col("e").cast("timestamp_ntz").alias("e"),
+    )
+    got = {
+        r["g"]: (r["n_intervals"], r["peak_concurrency"], r["t_peak"])
+        for r in max_concurrency(df, "s", "e", ["g"]).collect()
+    }
+    day = 19723 * 86400  # 2024-01-01 epoch days * sec
+    assert got["g"] == (4, 3, day + 90)
+    assert got["h"] == (1, 1, day)
