@@ -8995,6 +8995,104 @@ FROM m
 """
 
 
+def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory matrix: global revenue tiers (ABC, all-integer
+    boundary math) × monthly-demand variability tiers (XYZ, exact CV²
+    rationals) per part, cross-tabulated — the 9-cell stocking-policy
+    census."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        abc_classification,
+        xyz_classification,
+    )
+
+    li = tbl(spark, sf_dir, "lineitem")
+    rev = (
+        li.select(
+            "l_partkey",
+            F.floor(
+                F.col("l_extendedprice")
+                * (F.lit(1.0) - F.col("l_discount"))
+                * 100
+                + F.lit(0.5)
+            ).cast("long").alias("_rc"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("_rc").alias("rev_cents"))
+        .withColumn("_all", F.lit(1))
+    )
+    abc = abc_classification(
+        rev, ["_all"], ["l_partkey"], "rev_cents"
+    ).select("l_partkey", "abc_class")
+    monthly = li.select(
+        "l_partkey",
+        (
+            F.year("l_shipdate").cast("long") * 12
+            + F.month("l_shipdate").cast("long")
+            - 1
+        ).alias("mon"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    xyz = xyz_classification(
+        monthly, ["l_partkey"], "mon", "qty"
+    ).select("l_partkey", "xyz_class")
+    return (
+        abc.join(xyz, "l_partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(F.count("*").cast("long").alias("n_parts"))
+    )
+
+
+SQL_ABC_XYZ_MATRIX = """
+WITH rev AS (
+    SELECT l_partkey,
+           CAST(SUM(CAST(floor(CAST(l_extendedprice AS DOUBLE)
+                               * (1.0 - CAST(l_discount AS DOUBLE))
+                               * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value
+    FROM lineitem GROUP BY 1
+),
+cum AS (
+    SELECT l_partkey, value,
+           SUM(value) OVER (ORDER BY value DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS c,
+           SUM(value) OVER () AS total
+    FROM rev
+),
+abc AS (
+    SELECT l_partkey,
+           CASE WHEN 100 * (c - value) < 80 * total THEN 'A'
+                WHEN 100 * (c - value) < 95 * total THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM cum
+),
+monthly AS (
+    SELECT l_partkey,
+           CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT)
+               AS mon,
+           SUM(CAST(l_quantity AS BIGINT)) AS x
+    FROM lineitem GROUP BY 1, 2
+),
+mom AS (
+    SELECT l_partkey,
+           CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(x) AS HUGEINT) AS s1,
+           SUM(CAST(x AS HUGEINT) * x) AS s2
+    FROM monthly GROUP BY 1
+),
+xyz AS (
+    SELECT l_partkey,
+           CASE WHEN s1 <= 0 THEN 'Z'
+                WHEN 4 * (n * s2 - s1 * s1) <= 1 * (s1 * s1) THEN 'X'
+                WHEN 1 * (n * s2 - s1 * s1) <= 1 * (s1 * s1) THEN 'Y'
+                ELSE 'Z' END AS xyz_class
+    FROM mom
+)
+SELECT abc_class, xyz_class, CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM abc JOIN xyz USING (l_partkey)
+GROUP BY 1, 2
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_median_price": q_weighted_median,
     "user_rfm_features": q_rfm_features,
@@ -9087,6 +9185,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "ess_doc_weights": q_ess_doc_weights,
     "behavior_segments": q_behavior_segments,
     "peak_concurrency_sessions": q_peak_concurrency_sessions,
+    "abc_xyz_matrix": q_abc_xyz_matrix,
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
     "json_dict_scan": q_json_dict_scan,
@@ -9288,6 +9387,7 @@ EXT_ORACLE: dict[str, str] = {
     "ess_doc_weights": SQL_ESS_DOC_WEIGHTS,
     "behavior_segments": SQL_BEHAVIOR_SEGMENTS,
     "peak_concurrency_sessions": SQL_PEAK_CONCURRENCY_SESSIONS,
+    "abc_xyz_matrix": SQL_ABC_XYZ_MATRIX,
     "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
     "csv_per_period_export": SQL_CSV_PER_PERIOD,
     "json_dict_scan": SQL_JSON_DICT_SCAN,

@@ -79,6 +79,7 @@ __all__ = [
     "correlation_rsq",
     "behavior_bitmask_segments",
     "max_concurrency",
+    "xyz_classification",
     "interval_union_time",
     "trailing_distinct_users",
     "group_median_impute",
@@ -4380,4 +4381,58 @@ def max_concurrency(
             base.agg(F.count("*").cast("long").alias("n_intervals"))
         )
         .select("n_intervals", "peak_concurrency", "t_peak")
+    )
+
+
+def xyz_classification(
+    df: DataFrame,
+    item_cols: list[str],
+    period_col: str,
+    value_col: str,
+    y_cv_sq_num: int = 1,
+    y_cv_sq_den: int = 4,
+    z_cv_sq_num: int = 1,
+    z_cv_sq_den: int = 1,
+) -> DataFrame:
+    """XYZ demand-variability classification (ABC's companion axis):
+    per item, the squared coefficient of variation of per-period
+    demand decides X (steady), Y (variable), Z (erratic). CV² =
+    (nΣx²−(Σx)²)/(Σx)² is an exact rational over integer demands, so
+    the class boundaries are the ALL-INTEGER comparisons
+    ``den·(nΣx²−(Σx)²) ≤ num·(Σx)²`` — default X at CV² ≤ 1/4
+    (CV ≤ 0.5), Y at CV² ≤ 1, Z above; zero total demand → Z (most
+    erratic, not a divide). Missing periods are NOT zero-filled —
+    pre-densify with the gap-fill operators if absent-means-zero.
+
+    Two hash aggregates ((item, period) demand → item moments).
+
+    Output: item cols + ``(n_periods, demand_total, cv_sq, xyz_class)``
+    — ``cv_sq`` one display-only IEEE division.
+    """
+    per = df.groupBy(*item_cols, F.col(period_col).alias("_p")).agg(
+        F.sum(F.col(value_col).cast("long")).alias("_x")
+    )
+    x = F.col("_x").cast("decimal(19,0)")
+    agg = per.groupBy(*item_cols).agg(
+        F.count("*").cast("decimal(19,0)").alias("_n"),
+        F.sum(x).cast("decimal(38,0)").alias("_s1"),
+        F.sum(x * x).cast("decimal(38,0)").alias("_s2"),
+    )
+    num = F.col("_n") * F.col("_s2") - F.col("_s1") * F.col("_s1")
+    s1sq = F.col("_s1") * F.col("_s1")
+    cls = (
+        F.when(F.col("_s1") <= 0, F.lit("Z"))
+        .when(F.lit(y_cv_sq_den) * num <= F.lit(y_cv_sq_num) * s1sq, "X")
+        .when(F.lit(z_cv_sq_den) * num <= F.lit(z_cv_sq_num) * s1sq, "Y")
+        .otherwise(F.lit("Z"))
+    )
+    return agg.select(
+        *item_cols,
+        F.col("_n").cast("long").alias("n_periods"),
+        F.col("_s1").cast("long").alias("demand_total"),
+        F.when(
+            F.col("_s1") > 0,
+            num.cast("double") / s1sq.cast("double"),
+        ).alias("cv_sq"),
+        cls.alias("xyz_class"),
     )

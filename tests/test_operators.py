@@ -3750,3 +3750,27 @@ def test_max_concurrency(spark):
     day = 19723 * 86400  # 2024-01-01 epoch days * sec
     assert got["g"] == (4, 3, day + 90)
     assert got["h"] == (1, 1, day)
+
+
+def test_xyz_classification(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        xyz_classification,
+    )
+
+    rows = (
+        [("steady", p, 10) for p in range(4)]            # CV = 0 -> X
+        + [("var", 0, 10), ("var", 1, 30)]               # CV^2 = 0.25 -> X edge
+        + [("errat", 0, 1), ("errat", 1, 100)]           # CV^2 ~ 0.96 -> Y
+        + [("spike", 0, 0), ("spike", 1, 0), ("spike", 2, 100)]  # > 1 -> Z
+        + [("dead", 0, 0)]                               # zero total -> Z
+    )
+    df = spark.createDataFrame(rows, "item string, p long, q long")
+    got = {
+        r["item"]: (r["n_periods"], r["demand_total"], r["xyz_class"])
+        for r in xyz_classification(df, ["item"], "p", "q").collect()
+    }
+    assert got["steady"] == (4, 40, "X")
+    assert got["var"] == (2, 40, "X")      # boundary inclusive
+    assert got["errat"][2] == "Y"
+    assert got["spike"][2] == "Z"
+    assert got["dead"] == (1, 0, "Z")
