@@ -9093,6 +9093,142 @@ GROUP BY 1, 2
 """
 
 
+def q_sla_p95_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p95 order→ship delay per order priority with an SLA breach flag
+    — the percentile is an ORDER-STATISTIC selection at ⌈0.95·n⌉
+    (exact integer days, rank ties broken by line id so the selection
+    is unique), never an interpolated float."""
+    li = tbl(spark, sf_dir, "lineitem")
+    orders = tbl(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    d = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "o_orderpriority",
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias(
+                "delay_days"
+            ),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("_id"),
+        )
+        .filter(F.col("delay_days").isNotNull())
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("delay_days"), F.col("_id")
+    )
+    w_all = Window.partitionBy("o_orderpriority")
+    ranked = d.select(
+        "o_orderpriority",
+        "delay_days",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(w_all).alias("_n"),
+    )
+    sel = ranked.filter(
+        F.col("_rn") == F.expr("CAST((_n * 95 + 99) div 100 AS BIGINT)")
+    )
+    return sel.select(
+        "o_orderpriority",
+        F.col("_n").cast("long").alias("n_lines"),
+        F.col("delay_days").cast("long").alias("p95_delay_days"),
+        (F.col("delay_days") > 100).alias("sla_breach"),
+    )
+
+
+SQL_SLA_P95_SHIP_DELAY = """
+WITH d AS (
+    SELECT o_orderpriority,
+           CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS BIGINT) AS delay_days,
+           l_orderkey * 10 + l_linenumber AS id
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate IS NOT NULL AND o_orderdate IS NOT NULL
+),
+ranked AS (
+    SELECT o_orderpriority, delay_days,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY delay_days, id) AS rn,
+           COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM d
+)
+SELECT o_orderpriority,
+       CAST(n AS BIGINT) AS n_lines,
+       CAST(delay_days AS BIGINT) AS p95_delay_days,
+       delay_days > 100 AS sla_breach
+FROM ranked WHERE rn = (n * 95 + 99) // 100
+"""
+
+
+def q_top_decile_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: the exact share carried by the top 10%
+    of customers (⌈n/10⌉ by revenue, total order) — integer head
+    selection + exact cents sums, one division."""
+    from pyspark.sql.window import Window
+
+    orders = tbl(spark, sf_dir, "orders")
+    rev = (
+        orders.select(
+            "o_custkey",
+            F.floor(
+                F.col("o_totalprice").cast("double") * 100 + F.lit(0.5)
+            ).cast("long").alias("_rc"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("_rc").alias("rev_cents"))
+    )
+    w = Window.orderBy(F.col("rev_cents").desc(), F.col("o_custkey"))
+    ranked = rev.select(
+        "o_custkey",
+        "rev_cents",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(Window.partitionBy()).alias("_n"),
+    )
+    agg = ranked.agg(
+        F.max("_n").cast("long").alias("n_customers"),
+        F.max(F.expr("CAST((_n + 9) div 10 AS BIGINT)")).alias("_k"),
+        F.sum("rev_cents").cast("long").alias("total_cents"),
+        F.sum(
+            F.when(
+                F.col("_rn") <= F.expr("(_n + 9) div 10"),
+                F.col("rev_cents"),
+            ).otherwise(0)
+        ).cast("long").alias("top_decile_cents"),
+    )
+    return agg.select(
+        "n_customers",
+        F.col("_k").alias("n_top"),
+        "total_cents",
+        "top_decile_cents",
+        (
+            F.col("top_decile_cents").cast("double")
+            / F.col("total_cents").cast("double")
+        ).alias("top_decile_share"),
+    )
+
+
+SQL_TOP_DECILE_REVENUE_SHARE = """
+WITH rev AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM orders GROUP BY 1
+),
+ranked AS (
+    SELECT o_custkey, rev_cents,
+           ROW_NUMBER() OVER (ORDER BY rev_cents DESC, o_custkey) AS rn,
+           COUNT(*) OVER () AS n
+    FROM rev
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+       CAST(MAX((n + 9) // 10) AS BIGINT) AS n_top,
+       CAST(SUM(rev_cents) AS BIGINT) AS total_cents,
+       CAST(SUM(CASE WHEN rn <= (n + 9) // 10 THEN rev_cents
+                     ELSE 0 END) AS BIGINT) AS top_decile_cents,
+       CAST(SUM(CASE WHEN rn <= (n + 9) // 10 THEN rev_cents
+                     ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(rev_cents) AS DOUBLE) AS top_decile_share
+FROM ranked
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "weighted_median_price": q_weighted_median,
     "user_rfm_features": q_rfm_features,
@@ -9186,6 +9322,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "behavior_segments": q_behavior_segments,
     "peak_concurrency_sessions": q_peak_concurrency_sessions,
     "abc_xyz_matrix": q_abc_xyz_matrix,
+    "sla_p95_ship_delay": q_sla_p95_ship_delay,
+    "top_decile_revenue_share": q_top_decile_revenue_share,
     "xlsx_report_roundtrip": q_xlsx_report_roundtrip,
     "csv_per_period_export": q_csv_per_period_export,
     "json_dict_scan": q_json_dict_scan,
@@ -9388,6 +9526,8 @@ EXT_ORACLE: dict[str, str] = {
     "behavior_segments": SQL_BEHAVIOR_SEGMENTS,
     "peak_concurrency_sessions": SQL_PEAK_CONCURRENCY_SESSIONS,
     "abc_xyz_matrix": SQL_ABC_XYZ_MATRIX,
+    "sla_p95_ship_delay": SQL_SLA_P95_SHIP_DELAY,
+    "top_decile_revenue_share": SQL_TOP_DECILE_REVENUE_SHARE,
     "xlsx_report_roundtrip": SQL_XLSX_ROUNDTRIP,
     "csv_per_period_export": SQL_CSV_PER_PERIOD,
     "json_dict_scan": SQL_JSON_DICT_SCAN,
