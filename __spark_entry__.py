@@ -34,21 +34,87 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver hash-verifies only the FIRST 50 ``queries()`` entries per
-# round, so ordering is the verification budget. Round-5 tiers (lowest
-# emitted first): the 2 round-4 reds (raw ArrayType outputs the driver's
-# pandas canonicalizer cannot hash — now scalarized via concat_ws /
-# posexplode on both engine and oracle sides), then brand-new queries
-# (absent from the tier lists; round 5 ultimately added ~147, far more
-# than the 48 remaining slots — the first 48 in registration order
-# verify this round, the tail rotates to round 6 and beyond; ALL of
-# them are hash-verified locally at sf0.001 AND sf0.01, under a
-# hostile session, and in three full 219/260/266-entry driver-style
-# sweeps regardless), then the stale r2/r3/r4 greens, which rotate
-# entirely to later rounds this time. A previously-green entry never
-# displaces a never-driver-verified one (contract-tested in
+# round, so ordering is the verification budget. Round-6 tiers (lowest
+# emitted first): the 104 round-5 additions that have never been inside
+# a driver window (pinned below in their original registration order so
+# the OLDEST unverified entries verify first — 50 land this round, the
+# remaining 54 rotate to round 7), then any brand-new round-6 entries
+# (absent from all tier lists), then the stale greens oldest-signal
+# first (r2 → r3 → r4 → r5). Every pending entry is hash-verified
+# locally at sf0.001 AND sf0.01 and in full driver-style sweeps; the
+# pinned order just converts that local signal into official
+# CORRECTNESS_r{N} rows. A previously-green entry never displaces a
+# never-driver-verified one (contract-tested in
 # tests/test_driver_contract.py).
-_R4_RED_FIXED = [
-    "user_event_sequences", "embed_mean_pool",
+_PENDING_NEVER_VERIFIED = [
+    "l_diversity_customers", "link_prediction_suppliers",
+    "fifo_match_returns", "gini_profile_orders", "roc_auc_value_purchase",
+    "zscore_outliers_dow", "feature_hash_customers", "km_signup_to_purchase",
+    "mann_kendall_daily", "cusum_change_daily", "theil_sen_daily",
+    "abc_parts_by_brand", "rolling_band_daily", "top_session_paths",
+    "golden_record_users", "cohort_ltv_events", "seasonal_naive_mdape",
+    "audience_overlap_events", "attribution_position_based",
+    "debounce_clicks", "gap_fill_interp_daily", "dataset_fingerprints",
+    "ks_value_user_parity", "tv_drift_user_parity", "pvm_brand_yoy",
+    "lump_rare_part_types", "embed_prefix_rerank_topk",
+    "embed_centroid_confusion", "rake_keyphrases_docs",
+    "bigram_next_token_acc", "share_of_parent_revenue",
+    "price_band_clusters", "fd_audit_lineitem", "trending_event_types",
+    "trimmed_mean_value", "conformal_naive_width", "ma_crossover_daily",
+    "weighted_jaccard_sources", "corr_qty_revenue", "autocorr_lag7_daily",
+    "cross_source_dups", "ess_doc_weights", "behavior_segments",
+    "peak_concurrency_sessions", "abc_xyz_matrix", "sla_p95_ship_delay",
+    "top_decile_revenue_share", "corpus_dsir_resample",
+    "windowed_funnel_events", "variant_json_extract",
+    # --- 50-slot boundary: entries below rotate to round 7 ---
+    "graph_pagerank_fixed_point", "group_split_no_leakage",
+    "embed_pq_adc_topk", "dedup_semantic_sampled_trainer",
+    "text_line_dedup", "text_url_canonicalize",
+    "text_duplicate_ngram_spans", "sketch_countmin_tokens",
+    "graph_triangle_count_parts", "data_kfold_assignment", "text_bm25_topk",
+    "sketch_bloom_membership", "profile_winsorized_stats",
+    "profile_robust_outliers", "sliding_window_events",
+    "event_transition_matrix", "text_token_diversity",
+    "xml_source_roundtrip", "binaryfile_blob_ingest",
+    "sql_ddl_managed_table", "streaming_dedup_within_watermark",
+    "streaming_foreach_batch_upsert", "streaming_interval_join",
+    "streaming_session_windows", "streaming_stateful_totals",
+    "streaming_static_enrich", "gap_fill_locf_hourly", "sql_pivot_clause",
+    "sql_unpivot_clause", "recursive_org_rollup",
+    "window_distribution_funcs", "shipping_priority_top10",
+    "region_local_supplier_revenue", "large_order_customers",
+    "waiting_supplier_ranking", "inactive_above_avg_balance",
+    "promo_revenue_share", "lateral_topn_orders", "nation_volume_shipping",
+    "market_share_by_year", "returned_item_revenue",
+    "order_count_distribution", "top_revenue_supplier",
+    "small_quantity_revenue", "disjunctive_part_filter",
+    "min_cost_supplier_part", "order_priority_check",
+    "forecast_revenue_change", "product_type_profit",
+    "important_part_value", "late_shipment_priority",
+    "supplier_count_by_part", "promotion_qty_suppliers",
+    "revenue_mom_growth",
+]
+_R5_GREEN = [
+    "user_event_sequences", "embed_mean_pool", "rules_inconsistent_routing",
+    "weighted_median_price", "user_rfm_features", "event_linear_attribution",
+    "benford_price_profile", "text_ngram_containment",
+    "join_key_skew_profile", "embed_rrf_fusion", "source_quantile_norm",
+    "corpus_curriculum_interleave", "quality_length_rank_corr",
+    "expectations_suite_lineitem", "fk_orphan_profile", "event_pattern_match",
+    "grouped_ols_trend", "contingency_chi2_profile",
+    "conversion_latency_deciles", "event_cooccurrence_lift",
+    "incremental_agg_maintenance", "dynamic_partition_overwrite",
+    "python_udtf_sentences", "pit_join_scd2_orders",
+    "discount_share_wilson_ci", "bpe_pair_topk", "streaming_windowed_topk",
+    "largest_remainder_proration", "k_anonymity_audit",
+    "interval_union_engagement", "rolling_wau_exact", "group_median_impute",
+    "null_safe_join_histograms", "collated_group_counts",
+    "stable_global_row_ids", "user_value_trailing_ema",
+    "churn_label_generation", "loo_target_encoding", "cdc_chunk_dedup",
+    "ab_test_ztest_purchase", "class_balance_weights",
+    "interval_overlap_join", "sequence_bigram_support", "calibration_bins",
+    "dedup_sorted_neighborhood", "ohlc_value_bars", "grouped_mode_event",
+    "twap_user_day", "segmented_running_total", "weighted_priority_sample",
 ]
 _R2_GREEN_STALE = [
     "window_rank_customers", "rules_engine_lineitem",
@@ -110,17 +176,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries with the least cross-round driver signal."""
     merged = {**QUERIES, **EXT_QUERIES, **SQL2_QUERIES}
     tiered = (
-        set(_R4_RED_FIXED) | set(_R2_GREEN_STALE) | set(_R3_GREEN)
-        | set(_R4_GREEN)
+        set(_PENDING_NEVER_VERIFIED) | set(_R2_GREEN_STALE)
+        | set(_R3_GREEN) | set(_R4_GREEN) | set(_R5_GREEN)
     )
     new_this_round = [k for k in merged if k not in tiered]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for tier in (
-        _R4_RED_FIXED,
+        _PENDING_NEVER_VERIFIED,
         new_this_round,
         _R2_GREEN_STALE,
         _R3_GREEN,
         _R4_GREEN,
+        _R5_GREEN,
     ):
         for k in tier:
             if k in merged and k not in ordered:

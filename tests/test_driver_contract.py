@@ -44,33 +44,28 @@ def test_registry_complete_and_oracled():
 def test_window_prioritizes_unverified_entries():
     names = list(contract.queries())
     window = names[:50]
-    # the 2 round-4 reds (ArrayType outputs, now scalarized) must be
-    # re-verified this round, ahead of everything else
-    assert names[:2] == contract._R4_RED_FIXED
-    # brand-new entries (no tier row yet → no driver signal) come next
+    pending = [k for k in contract._PENDING_NEVER_VERIFIED if k in names]
+    # the pinned never-driver-verified backlog (round-5 additions that
+    # have not yet been inside a 50-slot window) verifies FIRST, in its
+    # original registration order — oldest unverified signal first
+    assert names[: len(pending)] == pending
+    assert window == pending[:50]
+    # brand-new round-6 entries (no tier row yet) come directly after the
+    # pending backlog, still ahead of every previously-green entry
     tiered = (
-        set(contract._R4_RED_FIXED) | set(contract._R2_GREEN_STALE)
-        | set(contract._R3_GREEN) | set(contract._R4_GREEN)
+        set(contract._PENDING_NEVER_VERIFIED)
+        | set(contract._R2_GREEN_STALE) | set(contract._R3_GREEN)
+        | set(contract._R4_GREEN) | set(contract._R5_GREEN)
     )
     new_this_round = [k for k in names if k not in tiered]
-    # when new entries overflow the 50-slot budget, the first
-    # (50 - reds) of them verify this round and the tail rotates to the
-    # NEXT round — but no previously-green entry may displace a
-    # never-driver-verified one
-    budget = 50 - len(contract._R4_RED_FIXED)
-    for k in new_this_round[:budget]:
-        assert k in window, k
-    # the window remainder (if any) goes to the stalest standing signal
-    # (latest green = round 2), in tier order — never mid-tier skips
-    remainder = max(0, 50 - 2 - len(new_this_round))
-    expect_r2 = [k for k in contract._R2_GREEN_STALE if k in names][:remainder]
-    for k in expect_r2:
-        assert k in window, k
-    in_window_r2 = [k for k in contract._R2_GREEN_STALE if k in window]
-    assert in_window_r2 == expect_r2
-    # window is exactly reds + new-entry prefix when new entries saturate
-    if len(new_this_round) >= budget:
-        assert window == contract._R4_RED_FIXED + new_this_round[:budget]
+    n_unverified = len(pending) + len(new_this_round)
+    assert names[len(pending): n_unverified] == new_this_round
+    # no previously-green entry may displace a never-driver-verified one
+    greens = (
+        set(contract._R2_GREEN_STALE) | set(contract._R3_GREEN)
+        | set(contract._R4_GREEN) | set(contract._R5_GREEN)
+    )
+    assert not greens & set(names[:n_unverified])
     # nothing is dropped or duplicated by the ordering
     assert len(names) == len(set(names))
     merged = set(contract.QUERIES) | set(contract.EXT_QUERIES) | set(

@@ -869,6 +869,89 @@ def test_incremental_dedup_flags_batch_vs_corpus(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_incremental_dedup_oversized_batch_fails_loudly(spark):
+    """The broadcast guard (VERDICT r5 item 3): an ingest batch whose band
+    entries would exceed ``max_broadcast_rows`` must raise a clear error
+    BEFORE any broadcast is attempted — never an executor OOM — and the
+    documented remedy (``broadcast_new=False``) must work on the same
+    inputs."""
+    from hiv_data_integration_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(i, f"document number {i} with several words") for i in range(40)],
+        "doc_id long, text string",
+    )
+    # bands=4 → cap = 32 // 4 = 8 rows; the 40-row batch must trip it
+    with pytest.raises(ValueError, match="too large to broadcast"):
+        incremental_dedup(
+            new, corpus, "doc_id", "text", max_broadcast_rows=32
+        )
+    # remedy path: shuffled join, same semantics, no row cap
+    out = incremental_dedup(
+        new, corpus, "doc_id", "text",
+        max_broadcast_rows=32, broadcast_new=False,
+    )
+    assert out.count() == 40
+
+
+def test_numeric_histogram_nan_routes_to_null_bin(spark):
+    """NaN has no axis position: it must land in bin -1 with NULL edges
+    (VERDICT r5 item 1), not inflate the top bin via NaN-is-largest
+    ordering — including when NaN is present during auto-bounds."""
+    import math
+
+    from hiv_data_integration_spark.operators.aggregate import numeric_histogram
+
+    df = spark.createDataFrame(
+        [(0.0,), (5.0,), (10.0,), (float("nan"),), (None,)], "v double"
+    )
+    out = {r.bin: r for r in numeric_histogram(df, "v", bins=2).collect()}
+    assert out[-1].n_rows == 2          # NaN + NULL together
+    assert out[-1].bin_lo is None and out[-1].bin_hi is None
+    # auto bounds ignored NaN: hi=10 (finite max), not NaN
+    assert out[1].bin_hi == 10.0
+    assert sum(r.n_rows for r in out.values()) == 5
+    # caller-supplied bounds: NaN still -1, out-of-range clamps to edges
+    out2 = {
+        r.bin: r
+        for r in numeric_histogram(df, "v", bins=2, lo=2.0, hi=4.0).collect()
+    }
+    assert out2[-1].n_rows == 2
+    assert out2[0].n_rows == 1          # 0.0 clamped up into bin 0
+    assert out2[1].n_rows == 2          # 5.0 and 10.0 clamped into top bin
+    assert not any(
+        isinstance(r.bin_lo, float) and math.isnan(r.bin_lo)
+        for r in out2.values()
+    )
+
+
+def test_mixture_quota_sample_quoted_stratum_column(spark):
+    """Stratum columns whose names need backtick quoting (spaces, dashes)
+    must work — the weight frame is built from an explicit StructType,
+    never interpolated into DDL (VERDICT r5 item 5)."""
+    from hiv_data_integration_spark.operators.sampling import (
+        mixture_quota_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "web" if i % 3 else "book-ish source") for i in range(30)],
+        "id long, `source kind` string",
+    )
+    out = mixture_quota_sample(
+        df, "source kind", "id", {"web": 2, "book-ish source": 1}
+    )
+    got = {
+        k: v
+        for k, v in out.groupBy("source kind").count().collect()
+    }
+    # n_web=20, n_book=10 → T = min(20//2, 10//1) = 10 → quotas 20 and 10
+    assert got == {"web": 20, "book-ish source": 10}
+
+
 def test_shuffle_shards_deterministic_contiguous_permutation(spark):
     """Shard-local positions are contiguous 1..n, the union of shards is
     exactly the input, the same salt reproduces the identical permutation,
