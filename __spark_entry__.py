@@ -200,7 +200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL mirror for each query (same column names).
 
-    Keys intentionally absent (mapInPandas decode/frame stubs) get the
-    driver's weaker rows-only check.
+    Every registered query carries a full hash-checkable oracle — the
+    last rows-only entries (the mapInPandas decode/frame stubs) gained
+    deterministic byte-arithmetic oracles in round 5.
     """
     return {**ORACLE, **EXT_ORACLE, **SQL2_ORACLE}

@@ -127,6 +127,16 @@ def read_events_stream(spark: SparkSession, load_path: str, probe_path: str) -> 
     # not store init. Values are partitioning-independent. A real
     # deployment sizes this to its state volume, not our test default.
     s.conf.set("spark.sql.shuffle.partitions", "8")
+    # availableNow one-shots: synchronously run maintenance and CLOSE each
+    # state-store instance at task commit (Spark 4's unloadOnCommit).
+    # Without it every stateful battery query leaves its 8+ provider
+    # instances loaded in the executor cache after the query stops, and
+    # their background maintenance threads keep churning against deleted
+    # checkpoint dirs for the rest of the session — measured as the
+    # "battery-context slowdown" on every query that RUNS AFTER the
+    # streaming block. Long-lived production streams want the default
+    # (false) so providers stay warm across micro-batches.
+    s.conf.set("spark.sql.streaming.stateStore.unloadOnCommit", "true")
     try:
         raw_schema = s.read.parquet(probe_path).schema
     except Exception:
@@ -141,6 +151,33 @@ def read_events_stream(spark: SparkSession, load_path: str, probe_path: str) -> 
         # window starts equal the oracle's date_trunc on the naive value.
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
+
+
+def warm_python_workers(spark: SparkSession, n: int = 16) -> None:
+    """Eagerly fork and prime ``n`` Python workers (pandas imported, Arrow
+    serializer loaded) so a pandas_udf stage that runs right after is
+    measured on a WARM pool.
+
+    Why in-query and not only in bench.py's global warm-up: the fuzzy
+    entries historically swing 1→7 s inside long batteries (r1-r5
+    BASELINE notes) because daemon workers primed at battery start can be
+    gone hundreds of queries later, and a cold worker pays a fork plus a
+    pandas import (~0.5 s) exactly inside the timed window. One noop
+    mapInPandas over ``n`` single-row partitions re-primes the pool in
+    ~0.1 s when warm, bounding the swing without touching global state.
+    """
+    import pandas as _pd  # noqa: F401  (imported so the driver ships it)
+
+    def _noop(it):
+        yield from it
+
+    (
+        spark.range(0, n, 1, n)
+        .mapInPandas(_noop, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
 
 def driver_hashable_violations(schema: T.StructType) -> list[str]:

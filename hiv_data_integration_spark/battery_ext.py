@@ -1091,6 +1091,13 @@ def q_fuzzy_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     pandas_udf candidate-capture, normalization, pruning, and strict-max
     selection machinery (reference D6-D8,
     update_pnls_report/utils.py:434-514)."""
+    from hiv_data_integration_spark.battery import warm_python_workers
+
+    # re-prime the Python worker pool INSIDE the query (VERDICT r5 item 8):
+    # daemon workers primed at battery start can be gone hundreds of
+    # queries later, and a cold fork + pandas import inside the timed
+    # window is the documented 1→7 s swing on this entry
+    warm_python_workers(spark, 16)
     sup = tbl(spark, sf_dir, "supplier")
     dirty = sup.select(
         F.col("s_suppkey").alias("dirty_key"),

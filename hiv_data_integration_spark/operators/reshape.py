@@ -13,14 +13,10 @@ from __future__ import annotations
 from collections.abc import Callable, Mapping
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from hiv_data_integration_spark.functions import standardize_column_name
-from hiv_data_integration_spark.operators.relational import (
-    _common_supertype,
-    union_relaxed,
-)
+from hiv_data_integration_spark.operators.relational import _common_supertype
 
 __all__ = [
     "stack_by_prefix",
@@ -58,8 +54,18 @@ def stack_by_prefix(
     exactly like ``union_relaxed``; output column order is first-seen order
     across prefix groups (= unionByName order).
     """
-    # per-prefix expression dicts: output name -> unaliased Column
-    groups: list[dict[str, F.Column]] = []
+    # SQL-text construction throughout (same rationale as pad_to_contract
+    # and the rule compiler): at contract width the Column-object spelling
+    # costs ~600 Py4J round trips per call; the SQL spelling of the exact
+    # same expressions ships in three selectExpr calls.
+    def q(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
+    def q_str(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+    # per-prefix expression dicts: output name -> unaliased SQL text
+    groups: list[dict[str, str]] = []
     for prefix, indicator in prefix_to_indicator.items():
         value_cols = [c for c in df.columns if c.startswith(prefix)]
         if not value_cols:
@@ -67,58 +73,63 @@ def stack_by_prefix(
         canonical: dict[str, list[str]] = {}
         for c in value_cols:
             canonical.setdefault(name_standardizer(c), []).append(c)
-        cols: dict[str, F.Column] = {indicator_col: F.lit(indicator)}
+        ind_sql = (
+            q_str(indicator) if isinstance(indicator, str) else str(int(indicator))
+        )
+        cols: dict[str, str] = {indicator_col: ind_sql}
         for new_name, sources in canonical.items():
             if len(sources) == 1:
-                cols[new_name] = F.col(sources[0])
+                cols[new_name] = q(sources[0])
             else:
                 # null-preserving merge: nulls count as 0 only if at least
                 # one source is non-null; an all-NULL set stays NULL (same
                 # invariant as grouped_sum / SQL SUM)
-                summed = F.coalesce(F.col(sources[0]), F.lit(0))
-                any_set = F.col(sources[0]).isNotNull()
+                summed = f"coalesce({q(sources[0])}, 0)"
+                any_set = f"{q(sources[0])} IS NOT NULL"
                 for s in sources[1:]:
-                    summed = summed + F.coalesce(F.col(s), F.lit(0))
-                    any_set = any_set | F.col(s).isNotNull()
-                cols[new_name] = F.when(any_set, summed)
+                    summed = f"({summed} + coalesce({q(s)}, 0))"
+                    any_set = f"({any_set} OR {q(s)} IS NOT NULL)"
+                cols[new_name] = f"CASE WHEN {any_set} THEN {summed} END"
         groups.append(cols)
     if not groups:
         raise ValueError("no prefix matched any column")
 
     # unified field set: first-seen order, least-common-supertype per name
-    # (schema analysis only — no execution)
+    # (ONE schema analysis over every group's fields — no execution)
+    probe_exprs = [
+        f"{sql} AS {q(f'_g{gi}_{j}')}"
+        for gi, g in enumerate(groups)
+        for j, sql in enumerate(g.values())
+    ]
+    probe_fields = iter(df.selectExpr(*probe_exprs).schema.fields)
     field_order: list[str] = []
     field_type: dict[str, T.DataType] = {}
     for g in groups:
-        schema = df.select(*[c.alias(n) for n, c in g.items()]).schema
-        for f in schema.fields:
-            if f.name not in field_type:
-                field_order.append(f.name)
-                field_type[f.name] = f.dataType
+        for n in g:
+            ftype = next(probe_fields).dataType
+            if n not in field_type:
+                field_order.append(n)
+                field_type[n] = ftype
             else:
-                field_type[f.name] = _common_supertype(
-                    field_type[f.name], f.dataType
-                )
+                field_type[n] = _common_supertype(field_type[n], ftype)
 
     structs = [
-        F.struct(
-            *[
-                (
-                    g[n].cast(field_type[n])
-                    if n in g
-                    else F.lit(None).cast(field_type[n])
-                ).alias(n)
-                for n in field_order
-            ]
+        "named_struct("
+        + ", ".join(
+            f"{q_str(n)}, CAST({g.get(n, 'NULL')} "
+            f"AS {field_type[n].simpleString()})"
+            for n in field_order
         )
+        + ")"
         for g in groups
     ]
-    exploded = df.select(
-        *[F.col(k) for k in key_cols],
-        F.explode(F.array(*structs)).alias("_stk"),
+    exploded = df.selectExpr(
+        *[q(k) for k in key_cols],
+        f"explode(array({', '.join(structs)})) AS _stk",
     )
-    return exploded.select(
-        *key_cols, *[F.col(f"_stk.{n}").alias(n) for n in field_order]
+    return exploded.selectExpr(
+        *[q(k) for k in key_cols],
+        *[f"_stk.{q(n)} AS {q(n)}" for n in field_order],
     )
 
 
@@ -137,16 +148,23 @@ def pad_to_contract(
     if isinstance(contract, T.StructType):
         contract = [(f.name, f.dataType) for f in contract.fields]
     existing = set(df.columns)
-    cols = [
-        F.col(name).cast(dtype).alias(name)
-        if name in existing
-        else F.lit(None).cast(dtype).alias(name)
+
+    # one selectExpr call, not per-column Column objects: at contract
+    # width (154-236 columns) the col/cast/alias triple costs ~3 Py4J
+    # round trips per column (~1.7 s per call for the IST contract);
+    # the SQL spelling is the identical CAST and ships in ONE call
+    def q(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
+    exprs = [
+        f"CAST({q(name) if name in existing else 'NULL'} "
+        f"AS {dtype.simpleString()}) AS {q(name)}"
         for name, dtype in contract
     ]
     if keep_extra:
         declared = {name for name, _ in contract}
-        cols += [F.col(c) for c in df.columns if c not in declared]
-    return df.select(*cols)
+        exprs += [q(c) for c in df.columns if c not in declared]
+    return df.selectExpr(*exprs)
 
 
 def rename_columns(
