@@ -34,39 +34,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver hash-verifies only the FIRST 50 ``queries()`` entries per
-# round, so ordering is the verification budget. Round-6 tiers (lowest
-# emitted first): the 104 round-5 additions that have never been inside
-# a driver window (pinned below in their original registration order so
-# the OLDEST unverified entries verify first — 50 land this round, the
-# remaining 54 rotate to round 7), then any brand-new round-6 entries
-# (absent from all tier lists), then the stale greens oldest-signal
-# first (r2 → r3 → r4 → r5). Every pending entry is hash-verified
-# locally at sf0.001 AND sf0.01 and in full driver-style sweeps; the
-# pinned order just converts that local signal into official
-# CORRECTNESS_r{N} rows. A previously-green entry never displaces a
-# never-driver-verified one (contract-tested in
+# round, so ordering is the verification budget. Round-7 tiers (lowest
+# emitted first): the 54 entries that have never been inside a driver
+# window (the round-6 overflow, pinned below in their original
+# registration order so the OLDEST unverified entries verify first —
+# 50 land this round, the residual 4 rotate to round 8), then any
+# brand-new round-7 entries (absent from all tier lists), then the
+# stale greens oldest-signal first (r2 → r3 → r4 → r5 → r6). Every
+# pending entry is hash-verified locally at sf0.001 AND sf0.01 and in
+# full driver-style sweeps; the pinned order just converts that local
+# signal into official CORRECTNESS_r{N} rows. A previously-green entry
+# never displaces a never-driver-verified one (contract-tested in
 # tests/test_driver_contract.py).
+#
+# Steady-state policy (round 8+), once the never-verified backlog
+# drains: the window re-verifies greens OLDEST-SIGNAL-FIRST — the tier
+# whose last official green is the most rounds old rotates in first
+# (r2 stale greens before r3, r3 before r4, …), so official signal
+# keeps cycling over the whole battery instead of pinning to one spot.
+# The tier lists below encode exactly that order; rotating a round's
+# window out means appending its names to a new _R{N}_GREEN list and
+# keeping the remaining tiers' relative order unchanged.
 _PENDING_NEVER_VERIFIED = [
-    "l_diversity_customers", "link_prediction_suppliers",
-    "fifo_match_returns", "gini_profile_orders", "roc_auc_value_purchase",
-    "zscore_outliers_dow", "feature_hash_customers", "km_signup_to_purchase",
-    "mann_kendall_daily", "cusum_change_daily", "theil_sen_daily",
-    "abc_parts_by_brand", "rolling_band_daily", "top_session_paths",
-    "golden_record_users", "cohort_ltv_events", "seasonal_naive_mdape",
-    "audience_overlap_events", "attribution_position_based",
-    "debounce_clicks", "gap_fill_interp_daily", "dataset_fingerprints",
-    "ks_value_user_parity", "tv_drift_user_parity", "pvm_brand_yoy",
-    "lump_rare_part_types", "embed_prefix_rerank_topk",
-    "embed_centroid_confusion", "rake_keyphrases_docs",
-    "bigram_next_token_acc", "share_of_parent_revenue",
-    "price_band_clusters", "fd_audit_lineitem", "trending_event_types",
-    "trimmed_mean_value", "conformal_naive_width", "ma_crossover_daily",
-    "weighted_jaccard_sources", "corr_qty_revenue", "autocorr_lag7_daily",
-    "cross_source_dups", "ess_doc_weights", "behavior_segments",
-    "peak_concurrency_sessions", "abc_xyz_matrix", "sla_p95_ship_delay",
-    "top_decile_revenue_share", "corpus_dsir_resample",
-    "windowed_funnel_events", "variant_json_extract",
-    # --- 50-slot boundary: entries below rotate to round 7 ---
     "graph_pagerank_fixed_point", "group_split_no_leakage",
     "embed_pq_adc_topk", "dedup_semantic_sampled_trainer",
     "text_line_dedup", "text_url_canonicalize",
@@ -90,9 +79,32 @@ _PENDING_NEVER_VERIFIED = [
     "small_quantity_revenue", "disjunctive_part_filter",
     "min_cost_supplier_part", "order_priority_check",
     "forecast_revenue_change", "product_type_profit",
-    "important_part_value", "late_shipment_priority",
+    "important_part_value",
+    # --- 50-slot boundary: entries below rotate to round 8 ---
+    "late_shipment_priority",
     "supplier_count_by_part", "promotion_qty_suppliers",
     "revenue_mom_growth",
+]
+_R6_GREEN = [
+    "l_diversity_customers", "link_prediction_suppliers",
+    "fifo_match_returns", "gini_profile_orders", "roc_auc_value_purchase",
+    "zscore_outliers_dow", "feature_hash_customers", "km_signup_to_purchase",
+    "mann_kendall_daily", "cusum_change_daily", "theil_sen_daily",
+    "abc_parts_by_brand", "rolling_band_daily", "top_session_paths",
+    "golden_record_users", "cohort_ltv_events", "seasonal_naive_mdape",
+    "audience_overlap_events", "attribution_position_based",
+    "debounce_clicks", "gap_fill_interp_daily", "dataset_fingerprints",
+    "ks_value_user_parity", "tv_drift_user_parity", "pvm_brand_yoy",
+    "lump_rare_part_types", "embed_prefix_rerank_topk",
+    "embed_centroid_confusion", "rake_keyphrases_docs",
+    "bigram_next_token_acc", "share_of_parent_revenue",
+    "price_band_clusters", "fd_audit_lineitem", "trending_event_types",
+    "trimmed_mean_value", "conformal_naive_width", "ma_crossover_daily",
+    "weighted_jaccard_sources", "corr_qty_revenue", "autocorr_lag7_daily",
+    "cross_source_dups", "ess_doc_weights", "behavior_segments",
+    "peak_concurrency_sessions", "abc_xyz_matrix", "sla_p95_ship_delay",
+    "top_decile_revenue_share", "corpus_dsir_resample",
+    "windowed_funnel_events", "variant_json_extract",
 ]
 _R5_GREEN = [
     "user_event_sequences", "embed_mean_pool", "rules_inconsistent_routing",
@@ -178,6 +190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tiered = (
         set(_PENDING_NEVER_VERIFIED) | set(_R2_GREEN_STALE)
         | set(_R3_GREEN) | set(_R4_GREEN) | set(_R5_GREEN)
+        | set(_R6_GREEN)
     )
     new_this_round = [k for k in merged if k not in tiered]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -188,6 +201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _R3_GREEN,
         _R4_GREEN,
         _R5_GREEN,
+        _R6_GREEN,
     ):
         for k in tier:
             if k in merged and k not in ordered:

@@ -97,9 +97,14 @@ def main() -> None:
         "value": total,
         "unit": "sec",
     }
-    # the complete artifact, always parseable regardless of tail budget
+    # the complete artifact, always parseable regardless of tail budget.
+    # SPARK_GRAFT_BENCH_ONLY runs write a separate focused file so
+    # BENCH_full_latest.json always holds the full battery it promises.
+    artifact = "BENCH_focused_latest.json" if only else "BENCH_full_latest.json"
+    if only:
+        full_payload["only_filter"] = sorted(timings)
     full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_full_latest.json"
+        os.path.dirname(os.path.abspath(__file__)), artifact
     )
     with open(full_path, "w") as f:
         json.dump(full_payload, f, indent=1)
@@ -132,7 +137,7 @@ def main() -> None:
         "queries": {
             q: round(timings[q], 2) for q in headline if q in timings
         },
-        "queries_full": "BENCH_full_latest.json",
+        "queries_full": artifact,
     }
     line = json.dumps(summary, separators=(",", ":"))
     while len(line) > 1800 and summary["queries"]:

@@ -117,7 +117,48 @@ def read_events_stream(spark: SparkSession, load_path: str, probe_path: str) -> 
     collects render the naive-UTC wall-clock the oracle computes.
     Callers must route memory-sink lookups through
     ``df.sparkSession``, not the session they were handed.
+
+    The isolated UTC session is memoized per SparkContext (its pinned
+    conf is identical on every call, and temp views / checkpoints are
+    per-query named, so sharing is safe); the footer-schema probe is
+    memoized per ``probe_path`` (a parquet file's physical schema does
+    not change within a process — re-create the session to re-probe).
+    Before the memo, each of the 9 streaming battery entries paid a
+    fresh SQLConf + a footer-read Spark job per invocation.
     """
+    sc = spark.sparkContext
+    cached = _STREAM_SESSION_CACHE.get("session")
+    if cached is not None and cached[0] is sc:
+        s = cached[1]
+    else:
+        s = _new_utc_stream_session(spark)
+        _STREAM_SESSION_CACHE["session"] = (sc, s)
+        _STREAM_SESSION_CACHE.pop("schemas", None)
+    schemas = _STREAM_SESSION_CACHE.setdefault("schemas", {})
+    raw_schema = schemas.get(probe_path)
+    if raw_schema is None:
+        try:
+            raw_schema = s.read.parquet(probe_path).schema
+        except Exception:
+            # legacy int64-nanos footer: conf lands on the isolated
+            # session only
+            s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            raw_schema = s.read.parquet(probe_path).schema
+        schemas[probe_path] = raw_schema
+    stream = s.readStream.format("parquet").schema(raw_schema).load(load_path)
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(raw_schema["ts"].dataType, T.TimestampNTZType):
+        # NTZ -> LTZ under the pinned-UTC session: epoch == wall-clock, so
+        # window starts equal the oracle's date_trunc on the naive value.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
+_STREAM_SESSION_CACHE: dict = {}
+
+
+def _new_utc_stream_session(spark: SparkSession) -> SparkSession:
     s = spark.newSession()
     s.conf.set("spark.sql.session.timeZone", "UTC")
     # stateful operators create one state-store instance PER shuffle
@@ -137,20 +178,7 @@ def read_events_stream(spark: SparkSession, load_path: str, probe_path: str) -> 
     # streaming block. Long-lived production streams want the default
     # (false) so providers stay warm across micro-batches.
     s.conf.set("spark.sql.streaming.stateStore.unloadOnCommit", "true")
-    try:
-        raw_schema = s.read.parquet(probe_path).schema
-    except Exception:
-        # legacy int64-nanos footer: conf lands on the isolated session only
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw_schema = s.read.parquet(probe_path).schema
-    stream = s.readStream.format("parquet").schema(raw_schema).load(load_path)
-    if isinstance(raw_schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    elif isinstance(raw_schema["ts"].dataType, T.TimestampNTZType):
-        # NTZ -> LTZ under the pinned-UTC session: epoch == wall-clock, so
-        # window starts equal the oracle's date_trunc on the naive value.
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return stream
+    return s
 
 
 def warm_python_workers(spark: SparkSession, n: int = 16) -> None:

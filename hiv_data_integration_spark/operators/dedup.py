@@ -301,6 +301,7 @@ def incremental_dedup(
     partitions: int | None = None,
     broadcast_new: bool = True,
     max_broadcast_rows: int = 2_000_000,
+    skip_probe: bool = False,
 ) -> DataFrame:
     """Dedup an incoming batch AGAINST a reference corpus — the production
     crawl-ingestion shape: each ingest must answer "which new documents
@@ -325,6 +326,12 @@ def incremental_dedup(
     exchange) or split the ingest. The verify join touches only candidate
     pairs (banding keeps those ~linear in batch size for bounded
     duplication).
+
+    The guard probe is one extra (short-circuiting) Spark job per call;
+    callers in tight multi-batch ingest loops that already bound the batch
+    size upstream can pass ``skip_probe=True`` to elide it. The
+    loud-failure probe stays the default — skipping it shifts the OOM
+    responsibility to the caller.
     """
     nb = minhash_band_entries(
         new_df, id_col, text_col, shingle_n, num_hashes, bands, partitions
@@ -338,15 +345,16 @@ def incremental_dedup(
         # Probed on the RAW batch (band entries = rows x bands exactly),
         # so the probe never computes a signature; limit+count
         # short-circuits past the cap.
-        cap = max(1, max_broadcast_rows // bands)
-        probe = new_df.select(F.col(id_col)).limit(cap + 1).count()
-        if probe > cap:
-            raise ValueError(
-                f"incremental_dedup: new batch exceeds {cap} rows "
-                f"(> {max_broadcast_rows} band entries at bands={bands}) — "
-                f"too large to broadcast; pass broadcast_new=False "
-                f"(shuffled join) or split the ingest batch"
-            )
+        if not skip_probe:
+            cap = max(1, max_broadcast_rows // bands)
+            probe = new_df.select(F.col(id_col)).limit(cap + 1).count()
+            if probe > cap:
+                raise ValueError(
+                    f"incremental_dedup: new batch exceeds {cap} rows "
+                    f"(> {max_broadcast_rows} band entries at bands={bands}) "
+                    f"— too large to broadcast; pass broadcast_new=False "
+                    f"(shuffled join) or split the ingest batch"
+                )
         nb = F.broadcast(nb)
     candidates = (
         cb.join(nb, ["band", "band_hash"])

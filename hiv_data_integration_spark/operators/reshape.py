@@ -73,9 +73,17 @@ def stack_by_prefix(
         canonical: dict[str, list[str]] = {}
         for c in value_cols:
             canonical.setdefault(name_standardizer(c), []).append(c)
-        ind_sql = (
-            q_str(indicator) if isinstance(indicator, str) else str(int(indicator))
-        )
+        # only str|int are renderable faithfully as SQL literals here —
+        # str(int(x)) on a float/bool would silently truncate/relabel
+        if isinstance(indicator, str):
+            ind_sql = q_str(indicator)
+        elif isinstance(indicator, int) and not isinstance(indicator, bool):
+            ind_sql = str(indicator)
+        else:
+            raise TypeError(
+                f"indicator for prefix {prefix!r} must be str or int, got "
+                f"{type(indicator).__name__} ({indicator!r})"
+            )
         cols: dict[str, str] = {indicator_col: ind_sql}
         for new_name, sources in canonical.items():
             if len(sources) == 1:

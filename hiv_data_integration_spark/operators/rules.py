@@ -286,8 +286,11 @@ def _q_ident(name: str) -> str:
 # key columns, offset) — pipelines and benches re-apply the SAME 86-rule ×
 # 154-column IST chain on every invocation, so the ~1 s of pure-Python
 # string assembly (86 predicates × 154 candidate lists) is paid once per
-# distinct chain and reused for the session's lifetime. Bounded: one entry
-# per distinct (ruleset, contract) pair — a handful in any real deployment.
+# distinct chain and reused. Bounded at _PROJECTION_CACHE_MAX entries with
+# FIFO eviction (dict preserves insertion order), so a long-lived service
+# compiling many dynamic contracts cannot grow it without limit; any real
+# deployment uses a handful of (ruleset, contract) pairs and never evicts.
+_PROJECTION_CACHE_MAX = 64
 _PROJECTION_CACHE: dict[tuple, tuple[tuple[str, ...], tuple[str, ...], str]] = {}
 
 
@@ -357,6 +360,8 @@ def compile_rule_projection(
     else:
         flag = "TRUE AS is_consistent"
     result = (tuple(out_exprs), tuple(color_cols), flag)
+    if len(_PROJECTION_CACHE) >= _PROJECTION_CACHE_MAX:
+        _PROJECTION_CACHE.pop(next(iter(_PROJECTION_CACHE)))
     _PROJECTION_CACHE[cache_key] = result
     return result
 
@@ -375,7 +380,14 @@ def apply_rules(
     shuffle, no Python — shipped to the JVM as exactly two ``selectExpr``
     calls; the SQL text itself is memoized per (ruleset, contract) via
     :func:`compile_rule_projection`.
+
+    Re-annotation is idempotent on the flag: a pre-existing
+    ``is_consistent`` column (from a previous ``apply_rules`` pass) is
+    dropped before projecting, so the output always carries exactly one
+    freshly computed flag instead of an AMBIGUOUS_REFERENCE duplicate.
     """
+    if "is_consistent" in df.columns:
+        df = df.drop("is_consistent")
     norm: tuple[tuple[str, Rule], ...] = tuple(
         (name, r if isinstance(r, Rule) else Rule(*r))
         for name, r in rules.items()

@@ -3857,3 +3857,58 @@ def test_xyz_classification(spark):
     assert got["errat"][2] == "Y"
     assert got["spike"][2] == "Z"
     assert got["dead"] == (1, 0, "Z")
+
+
+def test_stack_by_prefix_rejects_unrenderable_indicators(spark):
+    """Float/bool indicators would silently truncate (str(int(x))) or
+    relabel (True→1) — they must raise TypeError instead; int and str
+    render faithfully."""
+    df = spark.createDataFrame([("ou1", 1)], "ou string, ind_9_a long")
+    for bad in (9.5, True):
+        with pytest.raises(TypeError, match="must be str or int"):
+            stack_by_prefix(df, ["ou"], {"ind_9": bad})
+    ok = stack_by_prefix(df, ["ou"], {"ind_9": 9})
+    assert [r["indicateur"] for r in ok.collect()] == [9]
+
+
+def test_incremental_dedup_skip_probe(spark):
+    """skip_probe=True elides the broadcast guard's extra Spark job for
+    callers that already bound the batch: same results on a small batch,
+    and an over-cap batch broadcasts anyway (caller's responsibility)
+    instead of raising."""
+    from hiv_data_integration_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta"),
+            (11, "totally different words compose this document body"),
+        ],
+        "doc_id long, text string",
+    )
+    base = {
+        r.doc_id: (r.n_matches, r.is_dup)
+        for r in incremental_dedup(new, corpus, "doc_id", "text").collect()
+    }
+    skipped = {
+        r.doc_id: (r.n_matches, r.is_dup)
+        for r in incremental_dedup(
+            new, corpus, "doc_id", "text", skip_probe=True
+        ).collect()
+    }
+    assert skipped == base
+    # over the cap: default raises, skip_probe proceeds (still broadcasts)
+    big = spark.createDataFrame(
+        [(i, f"document number {i} with several words") for i in range(40)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="too large to broadcast"):
+        incremental_dedup(big, corpus, "doc_id", "text", max_broadcast_rows=32)
+    out = incremental_dedup(
+        big, corpus, "doc_id", "text",
+        max_broadcast_rows=32, skip_probe=True,
+    )
+    assert out.count() == 40

@@ -123,3 +123,48 @@ def test_split_by_consistency_routing(spark):
     assert got_consistent == expect_consistent
     assert got_flagged == {"ou1", "ou2"} - expect_consistent
     assert consistent.columns == COLUMNS  # original shape preserved
+
+
+def test_apply_rules_reannotation_single_flag(spark):
+    """Re-annotating an already-annotated frame must not produce a
+    duplicate ``is_consistent`` column (which would make any later
+    reference AMBIGUOUS_REFERENCE) — the pre-existing flag is dropped and
+    recomputed."""
+    sdf = spark.createDataFrame(
+        [("ou1", "202401", 1, 5, 2, 0)],
+        schema="organisation_unit_id string, period string, "
+        "ind_1 long, ind_2 long, ind_3 long, ind_4 long",
+    )
+    once = apply_rules(sdf, RULES, KEY_COLS)
+    assert once.columns.count("is_consistent") == 1
+    twice = apply_rules(once.select(*COLUMNS, "is_consistent"), RULES, KEY_COLS)
+    assert twice.columns.count("is_consistent") == 1
+    # the recomputed flag is still referenceable (no ambiguity error)
+    assert twice.filter(F.col("is_consistent")).count() in (0, 1)
+
+
+def test_projection_cache_bounded_fifo():
+    """_PROJECTION_CACHE must not grow without bound: compiling more than
+    _PROJECTION_CACHE_MAX distinct contracts evicts the oldest entry."""
+    from hiv_data_integration_spark.operators import rules as rules_mod
+
+    saved = dict(rules_mod._PROJECTION_CACHE)
+    rules_mod._PROJECTION_CACHE.clear()
+    try:
+        norm = (("r1", Rule("E<F", "FF0000", 1)),)
+        n = rules_mod._PROJECTION_CACHE_MAX + 5
+        keys = []
+        for i in range(n):
+            cols = ("organisation_unit_id", "period", f"ind_{i}", "ind_x")
+            rules_mod.compile_rule_projection(cols, norm, ("organisation_unit_id", "period"))
+            keys.append((cols, norm, ("organisation_unit_id", "period"), 3))
+        assert len(rules_mod._PROJECTION_CACHE) == rules_mod._PROJECTION_CACHE_MAX
+        # FIFO: the first 5 compiled contracts were evicted, the rest remain
+        assert keys[0] not in rules_mod._PROJECTION_CACHE
+        assert keys[-1] in rules_mod._PROJECTION_CACHE
+        # a hit does not duplicate or grow the cache
+        rules_mod.compile_rule_projection(keys[-1][0], norm, keys[-1][2])
+        assert len(rules_mod._PROJECTION_CACHE) == rules_mod._PROJECTION_CACHE_MAX
+    finally:
+        rules_mod._PROJECTION_CACHE.clear()
+        rules_mod._PROJECTION_CACHE.update(saved)

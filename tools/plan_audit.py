@@ -21,9 +21,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from hiv_data_integration_spark.battery import QUERIES  # noqa: E402
 from hiv_data_integration_spark.battery_ext import EXT_QUERIES  # noqa: E402
 from hiv_data_integration_spark.battery_sql import SQL2_QUERIES  # noqa: E402
+from hiv_data_integration_spark.benchmarks import (  # noqa: E402
+    pipeline_a_ist_scaled,
+)
 from hiv_data_integration_spark.session import get_spark  # noqa: E402
 
-ALL = {**QUERIES, **EXT_QUERIES, **SQL2_QUERIES}
+ALL = {
+    **QUERIES,
+    **EXT_QUERIES,
+    **SQL2_QUERIES,
+    # bench-only full-width report pipeline (see bench.py): audited here
+    # because it is a recurring top-5 battery cost
+    "pipeline_a_ist_scaled": pipeline_a_ist_scaled,
+}
 
 # Headline set: the spine query plus one representative per operator family.
 HEADLINE = [
@@ -107,6 +117,19 @@ HEADLINE = [
     "rolling_wau_exact",
     "largest_remainder_proration",
     "embed_rrf_fusion",
+    # top-of-the-bench additions (r7): the queries where battery time
+    # actually goes — the dedup family, the IVF trainer, and the two
+    # costliest TPC-H shapes (streaming entries are excluded here: their
+    # returned frame is a post-materialization agg over a memory sink,
+    # so its plan says nothing about the streaming work itself)
+    "dedup_ngram_prefix_filter",
+    "cdc_chunk_dedup",
+    "dedup_connected_components",
+    "dedup_canonical_corpus",
+    "embed_ivf_kmeans_topk",
+    "bucketed_colocated_join",
+    "waiting_supplier_ranking",
+    "pipeline_a_ist_scaled",
 ]
 
 
