@@ -257,6 +257,15 @@ def main() -> None:
     print("- **py == 0** for every JVM-only query: Python appears only in")
     print("  the fuzzy/uuid5/multimodal operators where a library is the")
     print("  point (Arrow-batched, never row-at-a-time).")
+    print("- **0-scan rows are audit artifacts, not missing pushdown**:")
+    print("  `dedup_connected_components` returns a localCheckpointed frame")
+    print("  (the iterative star loops truncate lineage by design), ")
+    print("  `bucketed_colocated_join` reads managed BUCKETED tables (not a")
+    print("  raw `Scan parquet` node; its zero-Exchange colocated plan is")
+    print("  CI-pinned in tests/test_bucketing.py), and")
+    print("  `pipeline_a_ist_scaled` builds its 107,800-row fact in-memory")
+    print("  (bench fixture; its single NLJ is the deliberate replicate")
+    print("  crossJoin that scales the fixture, not an operator fallback).")
 
 
 if __name__ == "__main__":
