@@ -9236,7 +9236,178 @@ FROM ranked
 """
 
 
+def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus curation: rank documents by an integer-quantized
+    quality ratio (unique-token fraction, scaled to [0, 1e6] via exact
+    integer division) and greedily keep the best until 2/5 of the corpus'
+    total whitespace tokens are spent. The engine runs the bucketed
+    two-phase selection in :func:`sp.token_budget_select` (no global sort);
+    the oracle runs the literal global-window greedy — identical output
+    proves the distributed algorithm."""
+    docs = tbl(spark, sf_dir, "documents")
+    toks = tx.whitespace_tokens(F.lower(F.col("text")))
+    d = docs.select(
+        "doc_id", "lang", toks.alias("_t")
+    ).select(
+        "doc_id",
+        "lang",
+        F.size("_t").cast("long").alias("toks"),
+        F.size(F.array_distinct("_t")).cast("long").alias("uniq"),
+    ).filter(F.col("toks") > 0).select(
+        "doc_id", "lang", "toks",
+        F.expr("uniq * 1000000 div toks").alias("ratio_k"),
+    )
+    sel = sp.token_budget_select(d, "doc_id", "toks", "ratio_k", 2, 5)
+    return sel.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("sel_tokens"),
+        F.min("ratio_k").cast("long").alias("min_ratio_k"),
+    )
+
+
+SQL_CORPUS_BUDGET_SELECT = """
+WITH raw AS (
+    SELECT doc_id, lang,
+           list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                       x -> x != '') AS t
+    FROM documents
+),
+d AS (
+    SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS toks,
+           (CAST(len(list_distinct(t)) AS BIGINT) * 1000000)
+               // CAST(len(t) AS BIGINT) AS ratio_k
+    FROM raw WHERE len(t) > 0
+),
+o AS (
+    SELECT *, SUM(toks) OVER (ORDER BY ratio_k DESC, doc_id) AS cum FROM d
+),
+b AS (SELECT (SUM(toks) * 2) // 5 AS budget FROM d)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS sel_tokens,
+       CAST(MIN(ratio_k) AS BIGINT) AS min_ratio_k
+FROM o, b WHERE cum <= budget GROUP BY lang
+"""
+
+
+def q_pii_risk_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quasi-identifier co-occurrence triage: deterministic synthetic PII
+    (email on doc_id%3, phone on doc_id%4, IPv4 on doc_id%5 — so kinds
+    co-occur on the lcm residues) injected per document, then per-row
+    DISTINCT-kind counts on the ORIGINAL text and a none/single/multi
+    tier census per source. Counting kinds on unredacted text means an
+    IPv4 may legitimately also match the phone-shaped digit-run pattern —
+    both engines run the identical pattern set so the tiers agree."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    injected = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" reach user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.org"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" call +225 010203"),
+                    (F.col("doc_id") % 90 + 10).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" node 192.168.1."),
+                    (F.col("doc_id") % 256).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    tiers = tx.pii_risk_tiers(injected)
+    return tiers.groupBy("source", "pii_tier").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_pii_kinds").cast("long").alias("total_kinds"),
+    )
+
+
+_PII_E = tx.PII_PATTERNS["email"]
+_PII_I = tx.PII_PATTERNS["ipv4"]
+_PII_P = tx.PII_PATTERNS["phone"]
+
+SQL_PII_RISK_TRIAGE = f"""
+WITH injected AS (
+    SELECT doc_id, source,
+           text
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' reach user' || CAST(doc_id AS VARCHAR)
+                        || '@example.org' ELSE '' END
+           || CASE WHEN doc_id % 4 = 0
+                   THEN ' call +225 010203'
+                        || CAST(doc_id % 90 + 10 AS VARCHAR) ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                   THEN ' node 192.168.1.'
+                        || CAST(doc_id % 256 AS VARCHAR) ELSE '' END AS text
+    FROM documents
+),
+k AS (
+    SELECT doc_id, source,
+           (CASE WHEN regexp_matches(text, '{_PII_E}') THEN 1 ELSE 0 END
+            + CASE WHEN regexp_matches(text, '{_PII_I}') THEN 1 ELSE 0 END
+            + CASE WHEN regexp_matches(text, '{_PII_P}') THEN 1 ELSE 0 END)
+               AS n_pii_kinds
+    FROM injected
+)
+SELECT source,
+       CASE WHEN n_pii_kinds = 0 THEN 'none'
+            WHEN n_pii_kinds = 1 THEN 'single'
+            ELSE 'multi' END AS pii_tier,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_pii_kinds) AS BIGINT) AS total_kinds
+FROM k GROUP BY 1, 2
+"""
+
+
+def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf coverage audit: top-100 corpus tokens with cumulative share of
+    ALL token occurrences — the concentration curve behind stopword lists
+    and tokenizer-vocabulary sizing. cum_share is one division of two
+    exact integers (bit-portable)."""
+    docs = tbl(spark, sf_dir, "documents").select("text")
+    return tx.vocab_coverage(docs, k=100)
+
+
+SQL_VOCAB_COVERAGE_CURVE = """
+WITH toks AS (
+    SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                  x -> x != '')) AS token
+    FROM documents
+),
+c AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM toks GROUP BY token
+),
+t AS (SELECT CAST(SUM(n_occurrences) AS BIGINT) AS total FROM c),
+r AS (
+    SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, token) AS rank
+    FROM c
+),
+top AS (SELECT * FROM r WHERE rank <= 100),
+cc AS (SELECT *, SUM(n_occurrences) OVER (ORDER BY rank) AS cum FROM top)
+SELECT CAST(rank AS BIGINT) AS rank, token, n_occurrences,
+       CAST(CAST(cum AS BIGINT) AS DOUBLE)
+           / CAST(total AS DOUBLE) AS cum_share
+FROM cc, t
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
+    "corpus_budget_select": q_corpus_budget_select,
+    "pii_risk_triage": q_pii_risk_triage,
+    "vocab_coverage_curve": q_vocab_coverage_curve,
     "weighted_median_price": q_weighted_median,
     "user_rfm_features": q_rfm_features,
     "event_linear_attribution": q_linear_attribution,
@@ -9441,6 +9612,9 @@ EXT_QUERIES: dict[str, QueryFn] = {
 }
 
 EXT_ORACLE: dict[str, str] = {
+    "corpus_budget_select": SQL_CORPUS_BUDGET_SELECT,
+    "pii_risk_triage": SQL_PII_RISK_TRIAGE,
+    "vocab_coverage_curve": SQL_VOCAB_COVERAGE_CURVE,
     "weighted_median_price": SQL_WEIGHTED_MEDIAN,
     "user_rfm_features": SQL_RFM,
     "event_linear_attribution": SQL_LINEAR_ATTRIBUTION,

@@ -48,6 +48,8 @@ __all__ = [
     "token_diversity",
     "PII_PATTERNS",
     "STOPWORDS",
+    "pii_risk_tiers",
+    "vocab_coverage",
 ]
 
 # Tiny discriminative stopword lists per language (public common words).
@@ -1492,5 +1494,83 @@ def weighted_jaccard_sources(
                     F.col("total_a") + F.col("total_b") - F.col("shared_min")
                 ).cast("double")
             ).alias("weighted_jaccard"),
+        )
+    )
+
+
+def pii_risk_tiers(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Quasi-identifier co-occurrence triage: count how many DISTINCT PII
+    kinds appear in each row's text (on the ORIGINAL text — unlike
+    :func:`redact_pii`'s sequential counts) and tier the row
+    ``none`` / ``single`` / ``multi``. Re-identification risk grows
+    super-linearly with co-occurring identifier KINDS, so compliance
+    review queues triage on the kind count, not the raw match count.
+
+    Pure native ``regexp_count`` projections (one codegen'd pass per
+    pattern, zero Python, no shuffle). Adds ``n_pii_kinds`` (long) and
+    ``pii_tier`` (string).
+    """
+    patterns = patterns or PII_PATTERNS
+    flags = [
+        (F.regexp_count(F.col(text_col), F.lit(pat)) > 0).cast("long")
+        for pat in patterns.values()
+    ]
+    n_kinds = flags[0]
+    for fl in flags[1:]:
+        n_kinds = n_kinds + fl
+    tier = (
+        F.when(n_kinds == 0, "none")
+        .when(n_kinds == 1, "single")
+        .otherwise("multi")
+    )
+    return df.select(
+        "*", n_kinds.alias("n_pii_kinds"), tier.alias("pii_tier")
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+) -> DataFrame:
+    """Zipf coverage curve: the top-``k`` tokens by frequency with each
+    rank's CUMULATIVE share of ALL token occurrences — the concentration
+    audit behind stopword lists and tokenizer-vocabulary sizing ("the top
+    100 types cover X% of the corpus").
+
+    Same explode → map-side-combined count → deterministic top-k spine as
+    :func:`vocab_topk`; the additions are one 1-row total aggregate
+    (broadcast back, never collected) and a prefix-sum window over only
+    the ``k`` surviving rows. ``cum_share`` is a single division of two
+    exact integers — bit-portable across engines.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(
+        F.count("*").cast("long").alias("n_occurrences")
+    )
+    total = counts.agg(F.sum("n_occurrences").cast("long").alias("_total"))
+    w_rank = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    top = (
+        counts.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+    w_cum = Window.orderBy("rank")
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("_cum", F.sum("n_occurrences").over(w_cum))
+        .select(
+            "rank",
+            "token",
+            "n_occurrences",
+            (F.col("_cum").cast("double") / F.col("_total").cast("double"))
+            .alias("cum_share"),
         )
     )

@@ -3912,3 +3912,84 @@ def test_incremental_dedup_skip_probe(spark):
         max_broadcast_rows=32, skip_probe=True,
     )
     assert out.count() == 40
+
+
+def test_token_budget_select_matches_global_greedy(spark):
+    """The bucketed two-phase selection must equal the naive global
+    greedy (SUM(cost) OVER (ORDER BY score DESC, id) <= budget) — checked
+    on a fixture that exercises every regime: a fully-included bucket, a
+    boundary bucket split mid-way, ties on score resolved by id, and
+    cost<=0 rows that must never be selected."""
+    from pyspark.sql.window import Window
+
+    from hiv_data_integration_spark.operators.sampling import (
+        token_budget_select,
+    )
+
+    rows = [
+        # (id, cost, score): scores 9 (12 tokens), 7 (3+5+4=12), 5 (20)
+        (1, 7, 9), (2, 5, 9),
+        (3, 3, 7), (4, 5, 7), (5, 4, 7),
+        (6, 20, 5),
+        (7, 0, 9),   # zero-cost: excluded by contract
+        (8, -2, 9),  # negative-cost: excluded by contract
+    ]
+    df = spark.createDataFrame(rows, "id long, cost long, score long")
+    # total positive cost = 44; budget 2/5 -> 17: bucket 9 (12) fully in,
+    # boundary bucket 7 admits id=3 (cum 15) and rejects id=4 (cum 20)
+    # but NOT id=5 either (greedy prefix rule, not knapsack re-fill)
+    got = {
+        r["id"] for r in token_budget_select(
+            df, "id", "cost", "score", 2, 5
+        ).collect()
+    }
+    naive = df.filter("cost > 0").withColumn(
+        "_cum",
+        F.sum("cost").over(
+            Window.orderBy(F.col("score").desc(), F.col("id"))
+        ),
+    ).filter(F.col("_cum") <= 17)
+    expect = {r["id"] for r in naive.collect()}
+    assert got == expect == {1, 2, 3}
+
+    # degenerate budgets
+    assert token_budget_select(df, "id", "cost", "score", 0, 1).count() == 0
+    full = token_budget_select(df, "id", "cost", "score", 1, 1)
+    assert {r["id"] for r in full.collect()} == {1, 2, 3, 4, 5, 6}
+    with pytest.raises(ValueError, match="budget fraction"):
+        token_budget_select(df, "id", "cost", "score", 1, 0)
+
+
+def test_pii_risk_tiers_counts_distinct_kinds(spark):
+    from hiv_data_integration_spark.operators.textops import pii_risk_tiers
+
+    df = spark.createDataFrame(
+        [
+            (1, "clean text with no identifiers"),
+            (2, "mail me at a.b@example.com please"),
+            (3, "a.b@example.com or call +225 0102030405 now"),
+            (4, "host 10.0.0.1 phone +1 (555) 123-4567 mail x@y.io"),
+            (5, "two mails a@b.co and c@d.org still ONE kind"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: (r["n_pii_kinds"], r["pii_tier"]) for r in pii_risk_tiers(df).collect()}
+    assert out[1] == (0, "none")
+    assert out[2] == (1, "single")
+    assert out[3][0] >= 2 and out[3][1] == "multi"
+    assert out[4][0] == 3 and out[4][1] == "multi"
+    assert out[5] == (1, "single")  # kind count, not match count
+
+
+def test_vocab_coverage_cumulative_share(spark):
+    from hiv_data_integration_spark.operators.textops import vocab_coverage
+
+    df = spark.createDataFrame(
+        [("a a a b b c",), ("a b c d",)], "text string"
+    )
+    # occurrences: a=4, b=3, c=2, d=1 (total 10)
+    out = vocab_coverage(df, k=3).collect()
+    assert [(r["rank"], r["token"], r["n_occurrences"]) for r in out] == [
+        (1, "a", 4), (2, "b", 3), (3, "c", 2),
+    ]
+    assert [r["cum_share"] for r in out] == [0.4, 0.7, 0.9]
