@@ -9404,7 +9404,157 @@ FROM cc, t
 """
 
 
+def q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH quality evaluation — "measure, don't guess" for the
+    dedup stack: banding candidate pairs vs the EXACT n-gram-Jaccard
+    ground truth (posting-list join — O(postings), never all-pairs on the
+    engine side), with candidate precision (how selective are the bands)
+    and recall (what fraction of true >=0.6 pairs the bands surface).
+    One summary row of exact counts + two exact-integer divisions."""
+    corpus = _dup_corpus(spark, sf_dir)
+    bands = dd.minhash_band_entries(
+        corpus, "doc_id", "text", 3, 16, 4, 32
+    )
+    a = bands.select(F.col("doc_id_").alias("id_a"), "band", "band_hash")
+    b = bands.select(F.col("doc_id_").alias("id_b"), "band", "band_hash")
+    cand = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    truth = dd.ngram_jaccard_pairs(
+        corpus, "doc_id", "text", shingle_n=3, jaccard_threshold=0.6,
+        partitions=32,
+    ).select("id_a", "id_b")
+    verified = cand.join(truth, ["id_a", "id_b"])
+    counts = (
+        cand.agg(F.count("*").cast("long").alias("n_candidates"))
+        .crossJoin(truth.agg(F.count("*").cast("long").alias("n_truth")))
+        .crossJoin(
+            verified.agg(F.count("*").cast("long").alias("n_verified"))
+        )
+    )
+    return counts.select(
+        "n_candidates",
+        "n_truth",
+        "n_verified",
+        (F.col("n_verified").cast("double")
+         / F.col("n_candidates").cast("double")).alias("precision"),
+        (F.col("n_verified").cast("double")
+         / F.col("n_truth").cast("double")).alias("recall"),
+    )
+
+
+SQL_MINHASH_EVAL = f"""
+WITH {_DUP_CORPUS_SQL},
+{_minhash_sig_ctes("corpus")},
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+truth AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM docs2 a JOIN docs2 b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+      AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+                 AS DOUBLE) >= 0.6
+),
+ver AS (SELECT * FROM cand INTERSECT SELECT * FROM truth),
+n AS (
+    SELECT CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT COUNT(*) FROM ver) AS BIGINT) AS n_verified
+)
+SELECT n_candidates, n_truth, n_verified,
+       CAST(n_verified AS DOUBLE) / CAST(n_candidates AS DOUBLE) AS precision,
+       CAST(n_verified AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
+FROM n
+"""
+
+
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test contamination audit: near-duplicate pairs (verified
+    MinHash, Jaccard >= 0.6) that CROSS split boundaries are leakage — a
+    mutated near-copy of a train doc landing in test inflates eval. The
+    planted dup corpus guarantees nonzero leakage (doc_id and
+    doc_id+100000 hash to independent splits). Output: pair census per
+    unordered split pair with the leak flag."""
+    corpus = _dup_corpus(spark, sf_dir)
+    split = sp.hash_split(corpus, "doc_id", train=0.8, val=0.1).select(
+        "doc_id", "split"
+    )
+    pairs = dd.minhash_candidate_pairs(
+        corpus, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4,
+        jaccard_threshold=0.6, partitions=32,
+    ).select("id_a", "id_b")
+    j = (
+        pairs.join(
+            split.select(
+                F.col("doc_id").alias("id_a"), F.col("split").alias("s_a")
+            ),
+            "id_a",
+        )
+        .join(
+            split.select(
+                F.col("doc_id").alias("id_b"), F.col("split").alias("s_b")
+            ),
+            "id_b",
+        )
+    )
+    return (
+        j.select(
+            F.least("s_a", "s_b").alias("split_lo"),
+            F.greatest("s_a", "s_b").alias("split_hi"),
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .withColumn("is_leak", F.col("split_lo") != F.col("split_hi"))
+    )
+
+
+SQL_SPLIT_LEAKAGE_AUDIT = f"""
+WITH {_DUP_CORPUS_SQL},
+{_minhash_sig_ctes("corpus")},
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.shingles AS sh_a, b.shingles AS sh_b
+    FROM bands a JOIN bands b
+      ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT id_a, id_b FROM cand
+    WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE)
+              >= 0.6
+),
+sp AS (
+    SELECT doc_id,
+           CASE WHEN CAST('0x' || substr(md5('split:'
+                        || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+                     < 52429 THEN 'train'
+                WHEN CAST('0x' || substr(md5('split:'
+                        || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+                     < 58982 THEN 'val'
+                ELSE 'test' END AS split
+    FROM corpus
+)
+SELECT least(a.split, b.split) AS split_lo,
+       greatest(a.split, b.split) AS split_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       least(a.split, b.split) != greatest(a.split, b.split) AS is_leak
+FROM pairs p
+JOIN sp a ON p.id_a = a.doc_id
+JOIN sp b ON p.id_b = b.doc_id
+GROUP BY 1, 2
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
+    "dedup_minhash_eval": q_minhash_eval,
+    "split_leakage_audit": q_split_leakage_audit,
     "corpus_budget_select": q_corpus_budget_select,
     "pii_risk_triage": q_pii_risk_triage,
     "vocab_coverage_curve": q_vocab_coverage_curve,
@@ -9612,6 +9762,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
 }
 
 EXT_ORACLE: dict[str, str] = {
+    "dedup_minhash_eval": SQL_MINHASH_EVAL,
+    "split_leakage_audit": SQL_SPLIT_LEAKAGE_AUDIT,
     "corpus_budget_select": SQL_CORPUS_BUDGET_SELECT,
     "pii_risk_triage": SQL_PII_RISK_TRIAGE,
     "vocab_coverage_curve": SQL_VOCAB_COVERAGE_CURVE,
