@@ -242,3 +242,43 @@ def test_gap_fill_no_sort_merge_no_python(spark):
     a = _audit(spark, "gap_fill_locf_hourly")
     assert a["smj"] == 0 and a["python"] == 0
     assert a["bhj"] >= 1  # grid joins observed broadcast-side
+
+
+def test_budget_select_never_globally_sorts_the_corpus(spark):
+    """token_budget_select's scale claim is "no global sort of the corpus":
+    the only Sort nodes allowed are inside the two WINDOW stages (the
+    bucket-cardinality-bounded boundary placement and the boundary-bucket
+    prefix sum), never a range-partitioned global Sort of the data; the
+    bucket metadata must come back via broadcast joins."""
+    from hiv_data_integration_spark.battery_ext import EXT_QUERIES
+
+    df = EXT_QUERIES["corpus_budget_select"](spark, SF_DIR)
+    df.collect()
+    plan = final_plan_string(spark, df)
+    assert "rangepartitioning" not in plan.lower(), (
+        "a range-partitioned exchange means the corpus was globally sorted"
+    )
+    a = audit(plan)
+    assert a["python"] == 0
+    assert a["bhj"] >= 2, "budget + bucket metadata must broadcast back"
+    assert a["smj"] == 0
+
+
+def test_minhash_eval_truth_is_posting_join_not_cartesian(spark):
+    """The exact ground-truth side of dedup_minhash_eval must be the
+    posting-list equi-join (O(postings)) — a CartesianProduct here would
+    be the all-pairs trap that dies at corpus scale. The only nested
+    loops allowed are the two broadcast 1-row×1-row joins that stitch the
+    three count aggregates into the summary row."""
+    from hiv_data_integration_spark.battery_ext import EXT_QUERIES
+
+    df = EXT_QUERIES["dedup_minhash_eval"](spark, SF_DIR)
+    df.collect()
+    plan = final_plan_string(spark, df)
+    assert "CartesianProduct" not in plan, (
+        "all-pairs fallback in the exact-truth branch"
+    )
+    a = audit(plan)
+    assert a["nlj"] <= 2, "pair branches must join on equi keys"
+    assert a["smj"] == 0 or a["bhj"] >= a["smj"]
+    assert a["python"] == 0
