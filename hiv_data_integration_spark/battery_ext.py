@@ -9552,7 +9552,124 @@ GROUP BY 1, 2
 """
 
 
+def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (first 3 merge rules) over the documents
+    corpus — word-frequency-table formulation, so the per-iteration work
+    is vocabulary-sized regardless of corpus size; greedy non-overlapping
+    merges with deterministic (count desc, pair asc) rule selection. The
+    oracle unrolls all three train steps as CTE stages, including the
+    even-offset parity rule for left==right runs."""
+    docs = tbl(spark, sf_dir, "documents").select("text")
+    return tx.bpe_learn_merges(docs, iterations=3)
+
+
+SQL_BPE_LEARN_MERGES = """
+WITH wd0 AS (
+    SELECT regexp_split_to_array(word, '') AS s,
+           CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (
+        SELECT unnest(list_filter(
+                   string_split_regex(trim(lower(text)), '\\s+'),
+                   x -> x != '')) AS word
+        FROM documents)
+    WHERE regexp_matches(word, '^[a-z]+$') AND len(word) >= 2
+    GROUP BY word
+),
+p1 AS (
+    SELECT s[u.i] AS l, s[u.i + 1] AS r, freq
+    FROM wd0, UNNEST(range(1, len(s))) AS u(i)
+),
+c1 AS (SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt FROM p1 GROUP BY l, r),
+b1 AS (SELECT l, r, cnt FROM c1 ORDER BY cnt DESC, l, r LIMIT 1),
+m1 AS (
+    SELECT s, freq, l, r,
+           CASE WHEN l = r THEN
+               list_filter(
+                   list_filter(range(1, len(s)), i -> s[i] = l AND s[i + 1] = r),
+                   m -> (m - coalesce(list_max(
+                            list_filter(range(1, m), j -> s[j] != l)), 0) - 1)
+                        % 2 = 0)
+           ELSE list_filter(range(1, len(s)), i -> s[i] = l AND s[i + 1] = r)
+           END AS K
+    FROM wd0, b1
+),
+wd1 AS (
+    SELECT list_transform(
+               list_filter(range(1, len(s) + 1),
+                           i -> NOT list_contains(
+                                    list_transform(K, m -> m + 1), i)),
+               i -> CASE WHEN list_contains(K, i)
+                         THEN s[i] || s[i + 1] ELSE s[i] END) AS s,
+           freq
+    FROM m1
+),
+p2 AS (
+    SELECT s[u.i] AS l, s[u.i + 1] AS r, freq
+    FROM wd1, UNNEST(range(1, len(s))) AS u(i)
+),
+c2 AS (SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt FROM p2 GROUP BY l, r),
+b2 AS (SELECT l, r, cnt FROM c2 ORDER BY cnt DESC, l, r LIMIT 1),
+m2 AS (
+    SELECT s, freq, l, r,
+           CASE WHEN l = r THEN
+               list_filter(
+                   list_filter(range(1, len(s)), i -> s[i] = l AND s[i + 1] = r),
+                   m -> (m - coalesce(list_max(
+                            list_filter(range(1, m), j -> s[j] != l)), 0) - 1)
+                        % 2 = 0)
+           ELSE list_filter(range(1, len(s)), i -> s[i] = l AND s[i + 1] = r)
+           END AS K
+    FROM wd1, b2
+),
+wd2 AS (
+    SELECT list_transform(
+               list_filter(range(1, len(s) + 1),
+                           i -> NOT list_contains(
+                                    list_transform(K, m -> m + 1), i)),
+               i -> CASE WHEN list_contains(K, i)
+                         THEN s[i] || s[i + 1] ELSE s[i] END) AS s,
+           freq
+    FROM m2
+),
+p3 AS (
+    SELECT s[u.i] AS l, s[u.i + 1] AS r, freq
+    FROM wd2, UNNEST(range(1, len(s))) AS u(i)
+),
+c3 AS (SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt FROM p3 GROUP BY l, r),
+b3 AS (SELECT l, r, cnt FROM c3 ORDER BY cnt DESC, l, r LIMIT 1),
+m3 AS (
+    SELECT s, freq, l, r,
+           CASE WHEN l = r THEN
+               list_filter(
+                   list_filter(range(1, len(s)), i -> s[i] = l AND s[i + 1] = r),
+                   m -> (m - coalesce(list_max(
+                            list_filter(range(1, m), j -> s[j] != l)), 0) - 1)
+                        % 2 = 0)
+           ELSE list_filter(range(1, len(s)), i -> s[i] = l AND s[i + 1] = r)
+           END AS K
+    FROM wd2, b3
+),
+wd3 AS (
+    SELECT list_transform(
+               list_filter(range(1, len(s) + 1),
+                           i -> NOT list_contains(
+                                    list_transform(K, m -> m + 1), i)),
+               i -> CASE WHEN list_contains(K, i)
+                         THEN s[i] || s[i + 1] ELSE s[i] END) AS s,
+           freq
+    FROM m3
+)
+SELECT CAST(1 AS BIGINT) AS iteration, l AS left_sym, r AS right_sym,
+       l || r AS merged, cnt AS pair_count FROM b1
+UNION ALL
+SELECT CAST(2 AS BIGINT), l, r, l || r, cnt FROM b2
+UNION ALL
+SELECT CAST(3 AS BIGINT), l, r, l || r, cnt FROM b3
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
+    "bpe_learn_merges": q_bpe_learn_merges,
     "dedup_minhash_eval": q_minhash_eval,
     "split_leakage_audit": q_split_leakage_audit,
     "corpus_budget_select": q_corpus_budget_select,
@@ -9762,6 +9879,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
 }
 
 EXT_ORACLE: dict[str, str] = {
+    "bpe_learn_merges": SQL_BPE_LEARN_MERGES,
     "dedup_minhash_eval": SQL_MINHASH_EVAL,
     "split_leakage_audit": SQL_SPLIT_LEAKAGE_AUDIT,
     "corpus_budget_select": SQL_CORPUS_BUDGET_SELECT,

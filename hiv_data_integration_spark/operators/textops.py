@@ -50,6 +50,7 @@ __all__ = [
     "STOPWORDS",
     "pii_risk_tiers",
     "vocab_coverage",
+    "bpe_learn_merges",
 ]
 
 # Tiny discriminative stopword lists per language (public common words).
@@ -1574,3 +1575,101 @@ def vocab_coverage(
             .alias("cum_share"),
         )
     )
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    iterations: int = 3,
+    min_len: int = 2,
+) -> DataFrame:
+    """Learn the first ``iterations`` BPE merge rules from a corpus — the
+    tokenizer-training kernel (Sennrich et al., ACL'16) as a distributed
+    DataFrame program. Classic BPE trains on the WORD-FREQUENCY table,
+    not the raw corpus, so after one explode+count the working set is
+    vocabulary-sized regardless of corpus size; each iteration is then
+    (adjacent-pair count weighted by word frequency) → (global argmax
+    with a deterministic tie-break: max count, then lexicographically
+    smallest pair) → (greedy left-to-right non-overlapping merge of the
+    winning pair inside every word's symbol array).
+
+    The merge is a left fold (``F.aggregate``): append the symbol, or
+    replace the accumulator's tail when it equals ``left`` and the
+    incoming symbol equals ``right``. This IS greedy non-overlapping BPE:
+    a merged symbol is strictly longer than ``left``, so it can never
+    re-match as the left of the same pair within the pass; the only
+    overlap case is ``left == right`` runs ("aaaa"), where the fold
+    merges at even offsets exactly like the reference algorithm.
+
+    Scope: lowercased ASCII-alpha words of length >= ``min_len``
+    (character-level splitting is codepoint-identical across engines
+    only for ASCII; real tokenizers byte-encode first). Output: one row
+    per learned merge — ``(iteration, left_sym, right_sym, merged,
+    pair_count)``; an iteration with no remaining pairs emits no row.
+    """
+    words = (
+        df.select(
+            F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("word")
+        )
+        .filter(F.col("word").rlike("^[a-z]+$") & (F.length("word") >= min_len))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .select(F.split("word", "").alias("s"), "freq")
+    )
+    # vocabulary-sized; every iteration's argmax re-reads it, so one
+    # materialization saves (iterations x corpus-scan) recomputes
+    words = words.cache()
+
+    outs: list[DataFrame] = []
+    cur = words
+    for it in range(1, iterations + 1):
+        idx = F.when(
+            F.size("s") >= 2, F.sequence(F.lit(1), F.size("s") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = cur.select(
+            "freq", F.col("s").alias("_s"), F.explode(idx).alias("i")
+        ).select(
+            F.element_at("_s", F.col("i")).alias("left_sym"),
+            F.element_at("_s", F.col("i") + 1).alias("right_sym"),
+            "freq",
+        )
+        counts = pairs.groupBy("left_sym", "right_sym").agg(
+            F.sum("freq").cast("long").alias("pair_count")
+        )
+        best = counts.orderBy(
+            F.col("pair_count").desc(), "left_sym", "right_sym"
+        ).limit(1)
+        outs.append(
+            best.select(
+                F.lit(it).cast("long").alias("iteration"),
+                "left_sym",
+                "right_sym",
+                F.concat("left_sym", "right_sym").alias("merged"),
+                "pair_count",
+            )
+        )
+        pair = F.broadcast(
+            best.select(
+                F.col("left_sym").alias("_l"), F.col("right_sym").alias("_r")
+            )
+        )
+        cur = cur.crossJoin(pair).select(
+            F.aggregate(
+                "s",
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.col("_l"))
+                    & (x == F.col("_r")),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.concat(F.col("_l"), F.col("_r"))),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("s"),
+            "freq",
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

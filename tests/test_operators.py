@@ -3993,3 +3993,32 @@ def test_vocab_coverage_cumulative_share(spark):
         (1, "a", 4), (2, "b", 3), (3, "c", 2),
     ]
     assert [r["cum_share"] for r in out] == [0.4, 0.7, 0.9]
+
+
+def test_bpe_learn_merges_greedy_and_ranked(spark):
+    """Pin the two subtle BPE semantics: (1) greedy non-overlapping merge
+    inside left==right runs ("aaaa" merges at even offsets -> [aa, aa],
+    then (aa,aa) is the next pair), and (2) deterministic rule selection
+    (max weighted count, lexicographically smallest pair on ties)."""
+    from hiv_data_integration_spark.operators.textops import bpe_learn_merges
+
+    chain = spark.createDataFrame([("aaaa",)], "text string")
+    got = [tuple(r) for r in bpe_learn_merges(chain, iterations=2).collect()]
+    assert sorted(got) == [
+        (1, "a", "a", "aa", 3),   # overlapping pair COUNT is 3...
+        (2, "aa", "aa", "aaaa", 1),  # ...but the greedy merge yields [aa, aa]
+    ]
+
+    # tie: (a,b) and (c,d) both count 2 -> lexicographically smaller wins
+    tie = spark.createDataFrame([("ab cd ab cd",)], "text string")
+    first = [tuple(r) for r in bpe_learn_merges(tie, iterations=1).collect()]
+    assert first == [(1, "a", "b", "ab", 2)]
+
+    # non-alpha and 1-char words never enter the vocabulary
+    noise = spark.createDataFrame([("x y2k a bb bb",)], "text string")
+    got = [tuple(r) for r in bpe_learn_merges(noise, iterations=1).collect()]
+    assert got == [(1, "b", "b", "bb", 2)]
+
+    # iterations past pair exhaustion emit no rows
+    tiny = spark.createDataFrame([("ab",)], "text string")
+    assert bpe_learn_merges(tiny, iterations=3).count() == 1
