@@ -9563,8 +9563,10 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bpe_learn_merges(docs, iterations=3)
 
 
-SQL_BPE_LEARN_MERGES = """
-WITH wd0 AS (
+# Shared 3-stage BPE training CTE chain (words -> pair counts -> argmax
+# -> position-set merge), composed into BOTH the merge-rule oracle and
+# the encoded-symbol census oracle so the two can never drift apart.
+_BPE_TRAIN_CTES = """WITH wd0 AS (
     SELECT regexp_split_to_array(word, '') AS s,
            CAST(COUNT(*) AS BIGINT) AS freq
     FROM (
@@ -9659,6 +9661,9 @@ wd3 AS (
            freq
     FROM m3
 )
+"""
+
+SQL_BPE_LEARN_MERGES = f"""{_BPE_TRAIN_CTES}
 SELECT CAST(1 AS BIGINT) AS iteration, l AS left_sym, r AS right_sym,
        l || r AS merged, cnt AS pair_count FROM b1
 UNION ALL
@@ -9667,8 +9672,34 @@ UNION ALL
 SELECT CAST(3 AS BIGINT), l, r, l || r, cnt FROM b3
 """
 
+SQL_BPE_ENCODED_SYMBOLS = f"""{_BPE_TRAIN_CTES},
+occ AS (
+    SELECT symbol, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+    FROM (SELECT freq, unnest(s) AS symbol FROM wd3)
+    GROUP BY symbol
+),
+rk AS (
+    SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, symbol) AS rank
+    FROM occ
+)
+SELECT CAST(rank AS BIGINT) AS rank, symbol,
+       CAST(len(symbol) AS BIGINT) AS n_chars, n_occurrences
+FROM rk WHERE rank <= 20
+"""
+
+
+def q_bpe_encoded_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY side of BPE training: tokenize the vocabulary with the 3
+    learned merges and census the resulting symbol inventory (top-20 by
+    weighted occurrence, with symbol character lengths) — the compression
+    audit of the learned rules. Shares the trainer (and, on the oracle
+    side, the _BPE_TRAIN_CTES chain) with bpe_learn_merges."""
+    docs = tbl(spark, sf_dir, "documents").select("text")
+    return tx.bpe_encoded_symbol_topk(docs, iterations=3, k=20)
+
 
 EXT_QUERIES: dict[str, QueryFn] = {
+    "bpe_encoded_symbols": q_bpe_encoded_symbols,
     "bpe_learn_merges": q_bpe_learn_merges,
     "dedup_minhash_eval": q_minhash_eval,
     "split_leakage_audit": q_split_leakage_audit,
@@ -9879,6 +9910,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
 }
 
 EXT_ORACLE: dict[str, str] = {
+    "bpe_encoded_symbols": SQL_BPE_ENCODED_SYMBOLS,
     "bpe_learn_merges": SQL_BPE_LEARN_MERGES,
     "dedup_minhash_eval": SQL_MINHASH_EVAL,
     "split_leakage_audit": SQL_SPLIT_LEAKAGE_AUDIT,

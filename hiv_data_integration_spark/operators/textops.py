@@ -51,6 +51,7 @@ __all__ = [
     "pii_risk_tiers",
     "vocab_coverage",
     "bpe_learn_merges",
+    "bpe_encoded_symbol_topk",
 ]
 
 # Tiny discriminative stopword lists per language (public common words).
@@ -1577,36 +1578,15 @@ def vocab_coverage(
     )
 
 
-def bpe_learn_merges(
+def _bpe_train(
     df: DataFrame,
-    text_col: str = "text",
-    iterations: int = 3,
-    min_len: int = 2,
-) -> DataFrame:
-    """Learn the first ``iterations`` BPE merge rules from a corpus — the
-    tokenizer-training kernel (Sennrich et al., ACL'16) as a distributed
-    DataFrame program. Classic BPE trains on the WORD-FREQUENCY table,
-    not the raw corpus, so after one explode+count the working set is
-    vocabulary-sized regardless of corpus size; each iteration is then
-    (adjacent-pair count weighted by word frequency) → (global argmax
-    with a deterministic tie-break: max count, then lexicographically
-    smallest pair) → (greedy left-to-right non-overlapping merge of the
-    winning pair inside every word's symbol array).
-
-    The merge is a left fold (``F.aggregate``): append the symbol, or
-    replace the accumulator's tail when it equals ``left`` and the
-    incoming symbol equals ``right``. This IS greedy non-overlapping BPE:
-    a merged symbol is strictly longer than ``left``, so it can never
-    re-match as the left of the same pair within the pass; the only
-    overlap case is ``left == right`` runs ("aaaa"), where the fold
-    merges at even offsets exactly like the reference algorithm.
-
-    Scope: lowercased ASCII-alpha words of length >= ``min_len``
-    (character-level splitting is codepoint-identical across engines
-    only for ASCII; real tokenizers byte-encode first). Output: one row
-    per learned merge — ``(iteration, left_sym, right_sym, merged,
-    pair_count)``; an iteration with no remaining pairs emits no row.
-    """
+    text_col: str,
+    iterations: int,
+    min_len: int,
+) -> tuple[list[DataFrame], DataFrame]:
+    """Shared BPE training loop: returns (per-iteration merge-rule rows,
+    the final encoded word-frequency table). See :func:`bpe_learn_merges`
+    for the full semantics."""
     words = (
         df.select(
             F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("word")
@@ -1669,7 +1649,77 @@ def bpe_learn_merges(
             ).alias("s"),
             "freq",
         )
+    return outs, cur
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    iterations: int = 3,
+    min_len: int = 2,
+) -> DataFrame:
+    """Learn the first ``iterations`` BPE merge rules from a corpus — the
+    tokenizer-training kernel (Sennrich et al., ACL'16) as a distributed
+    DataFrame program. Classic BPE trains on the WORD-FREQUENCY table,
+    not the raw corpus, so after one explode+count the working set is
+    vocabulary-sized regardless of corpus size; each iteration is then
+    (adjacent-pair count weighted by word frequency) → (global argmax
+    with a deterministic tie-break: max count, then lexicographically
+    smallest pair) → (greedy left-to-right non-overlapping merge of the
+    winning pair inside every word's symbol array).
+
+    The merge is a left fold (``F.aggregate``): append the symbol, or
+    replace the accumulator's tail when it equals ``left`` and the
+    incoming symbol equals ``right``. This IS greedy non-overlapping BPE:
+    a merged symbol is strictly longer than ``left``, so it can never
+    re-match as the left of the same pair within the pass; the only
+    overlap case is ``left == right`` runs ("aaaa"), where the fold
+    merges at even offsets exactly like the reference algorithm.
+
+    Scope: lowercased ASCII-alpha words of length >= ``min_len``
+    (character-level splitting is codepoint-identical across engines
+    only for ASCII; real tokenizers byte-encode first). Output: one row
+    per learned merge — ``(iteration, left_sym, right_sym, merged,
+    pair_count)``; an iteration with no remaining pairs emits no row.
+    """
+    outs, _ = _bpe_train(df, text_col, iterations, min_len)
     result = outs[0]
     for o in outs[1:]:
         result = result.unionByName(o)
     return result
+
+
+def bpe_encoded_symbol_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    iterations: int = 3,
+    k: int = 20,
+    min_len: int = 2,
+) -> DataFrame:
+    """The APPLY side of BPE: tokenize the vocabulary with the first
+    ``iterations`` learned merges and census the resulting symbol
+    inventory — top-``k`` symbols by weighted occurrence with each
+    symbol's character length. The compression story of the learned
+    rules in one table ("which multi-character units now exist, and how
+    much corpus mass do they carry"). Deterministic ranking (weighted
+    count desc, symbol asc); same vocabulary-sized working set as the
+    trainer."""
+    from pyspark.sql.window import Window
+
+    _, encoded = _bpe_train(df, text_col, iterations, min_len)
+    occ = (
+        encoded.select("freq", F.explode("s").alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.sum("freq").cast("long").alias("n_occurrences"))
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("symbol"))
+    return (
+        occ.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "rank",
+            "symbol",
+            F.length("symbol").cast("long").alias("n_chars"),
+            "n_occurrences",
+        )
+    )
