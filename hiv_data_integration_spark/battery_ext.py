@@ -9698,7 +9698,101 @@ def q_bpe_encoded_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bpe_encoded_symbol_topk(docs, iterations=3, k=20)
 
 
+def q_resize_thumbnail_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor thumbnail resize via mapInPandas (the multimodal
+    resize stage): real Arrow batching and output schema, deterministic
+    stub pixels — the resize index arithmetic (sx = tx*w // 8) and the
+    weighted 8x8 checksum are pure integer math the oracle mirrors."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    return mm.resize_thumbnail_checksum(mm.attach_payload(docs))
+
+
+# pixel(x, y) = (31x + 17y + n) % 256 over the fake-decoded (w, h) grid;
+# thumbnail (8x8) pixel (tx, ty) samples (tx*w // 8, ty*h // 8); checksum
+# weights each pixel by its raster position + 1.
+SQL_RESIZE_THUMB = """
+WITH d AS (
+    SELECT doc_id, octet_length(encode(text)) AS n,
+           16 + (octet_length(encode(text)) % 64) AS w,
+           16 + ((octet_length(encode(text)) // 64) % 64) AS h
+    FROM documents
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS src_width,
+       CAST(h AS INTEGER) AS src_height,
+       CAST(SUM(((31 * ((g.i % 8) * w // 8)
+                  + 17 * ((g.i // 8) * h // 8) + n) % 256)
+                * (g.i + 1)) AS BIGINT) AS thumb_checksum
+FROM d CROSS JOIN generate_series(0, 63) AS g(i)
+GROUP BY doc_id, w, h, n
+"""
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual sampling allocation (the
+    XLM-R/mT5 recipe): per-language token mass -> alpha=0.5 temperature
+    weights (sqrt flattens the head so low-resource languages are not
+    drowned) -> EXACT largest-remainder allocation of a 1,000,000-sample
+    budget. sqrt is IEEE-correctly-rounded on both engines and the weight
+    is quantized to integer milli-units before the all-BIGINT Hamilton
+    proration, so every allocated count is bit-portable."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        largest_remainder_allocation,
+    )
+
+    docs = tbl(spark, sf_dir, "documents")
+    t = (
+        docs.select("lang", tx.token_count(F.col("text")).alias("_tok"))
+        .groupBy("lang")
+        .agg(F.sum("_tok").cast("long").alias("tokens"))
+    )
+    w = t.select(
+        "lang",
+        "tokens",
+        F.floor(F.sqrt(F.col("tokens").cast("double")) * 1000)
+        .cast("long")
+        .alias("weight"),
+        F.lit(1000000).cast("long").alias("_total"),
+        F.lit("all").alias("_grp"),
+    )
+    alloc = largest_remainder_allocation(
+        w, "_grp", "weight", "_total", ["lang"]
+    )
+    return alloc.join(t, "lang").select("lang", "tokens", "weight", "allocated")
+
+
+SQL_TEMPERATURE_MIXTURE = """
+WITH t AS (
+    SELECT lang,
+           CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+               AS tokens
+    FROM documents GROUP BY lang
+),
+w AS (
+    SELECT lang, tokens,
+           CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000) AS BIGINT)
+               AS weight
+    FROM t
+),
+tot AS (SELECT SUM(weight) AS total_w FROM w),
+f AS (
+    SELECT lang, tokens, weight,
+           (1000000 * weight) // total_w AS fl,
+           (1000000 * weight) % total_w AS rem
+    FROM w, tot
+),
+d AS (SELECT SUM(fl) AS sfl FROM f),
+r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rk FROM f)
+SELECT lang, tokens, weight,
+       CAST(fl + CASE WHEN rk <= 1000000 - sfl THEN 1 ELSE 0 END AS BIGINT)
+           AS allocated
+FROM r, d
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
+    "temperature_mixture_alloc": q_temperature_mixture,
+    "multimodal_resize_stub": q_resize_thumbnail_stub,
     "bpe_encoded_symbols": q_bpe_encoded_symbols,
     "bpe_learn_merges": q_bpe_learn_merges,
     "dedup_minhash_eval": q_minhash_eval,
@@ -9910,6 +10004,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
 }
 
 EXT_ORACLE: dict[str, str] = {
+    "temperature_mixture_alloc": SQL_TEMPERATURE_MIXTURE,
+    "multimodal_resize_stub": SQL_RESIZE_THUMB,
     "bpe_encoded_symbols": SQL_BPE_ENCODED_SYMBOLS,
     "bpe_learn_merges": SQL_BPE_LEARN_MERGES,
     "dedup_minhash_eval": SQL_MINHASH_EVAL,

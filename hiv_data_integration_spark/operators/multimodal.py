@@ -30,6 +30,7 @@ __all__ = [
     "payload_meta",
     "decode_media",
     "sample_frames",
+    "resize_thumbnail_checksum",
 ]
 
 # Typed metadata contract for decoded media.
@@ -226,3 +227,59 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return df.mapInPandas(frame_batches, out_schema)
+
+
+def resize_thumbnail_checksum(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    size: int = 8,
+) -> DataFrame:
+    """Nearest-neighbor thumbnail resize via Arrow-batched ``mapInPandas``
+    — the image-resize stage of a multimodal pipeline. The Spark-side
+    plumbing (schema, batching, per-row fan-in) is the real thing; with a
+    real decoder the same stage would call ``PIL.Image.resize`` and emit
+    thumbnail bytes. STUB pixels: the source grid is synthesized
+    deterministically from the payload (dims from the fake decode,
+    ``pixel(x, y) = (31x + 17y + n_bytes) % 256``), so the
+    nearest-neighbor INDEX ARITHMETIC (``sx = tx*w // size``) and the
+    weighted thumbnail checksum are pure integer math a SQL oracle can
+    verify bit-for-bit.
+    """
+    in_fields = [f for f in df.schema.fields if f.name == id_col]
+    out_schema = T.StructType(
+        [
+            *in_fields,
+            T.StructField("src_width", T.IntegerType()),
+            T.StructField("src_height", T.IntegerType()),
+            T.StructField("thumb_checksum", T.LongType()),
+        ]
+    )
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure (see decode_media): ships by value, no
+        # package import needed on the Python worker
+        for pdf in batches:
+            ws, hs, cks = [], [], []
+            for payload in pdf[payload_col]:
+                data = bytes(payload) if payload is not None else b""
+                n = len(data)
+                w, h = 16 + (n % 64), 16 + ((n // 64) % 64)
+                ck = 0
+                for ty in range(size):
+                    sy = ty * h // size
+                    for tx in range(size):
+                        sx = tx * w // size
+                        ck += ((31 * sx + 17 * sy + n) % 256) * (
+                            ty * size + tx + 1
+                        )
+                ws.append(w)
+                hs.append(h)
+                cks.append(ck)
+            out = pdf[[id_col]].copy()
+            out["src_width"] = ws
+            out["src_height"] = hs
+            out["thumb_checksum"] = cks
+            yield out
+
+    return df.mapInPandas(resize_batches, out_schema)
