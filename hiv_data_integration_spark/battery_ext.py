@@ -9790,7 +9790,168 @@ FROM r, d
 """
 
 
+def q_padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing audit: assign each document to the
+    smallest power-of-2 length bucket (16..512 tokens; longer docs clamp
+    to the 512 bucket as truncation), then census the padding a
+    fixed-shape training batch would waste per bucket — the
+    length-bucketing decision every trainer makes, quantified. All
+    integer sums + one exact division per bucket."""
+    docs = tbl(spark, sf_dir, "documents")
+    n = tx.token_count(F.col("text"))
+    cap = (
+        F.when(n <= 16, 16).when(n <= 32, 32).when(n <= 64, 64)
+        .when(n <= 128, 128).when(n <= 256, 256).otherwise(512)
+    ).cast("long")
+    d = docs.select(
+        n.alias("_n"),
+        cap.alias("bucket_cap"),
+    ).select(
+        "bucket_cap",
+        F.least(F.col("_n"), F.col("bucket_cap")).alias("_kept"),
+        F.greatest(F.col("_n") - F.col("bucket_cap"), F.lit(0).cast("long"))
+        .alias("_trunc"),
+    )
+    return d.groupBy("bucket_cap").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_kept").cast("long").alias("total_tokens"),
+        F.sum(F.col("bucket_cap") - F.col("_kept")).cast("long")
+        .alias("total_padding"),
+        F.sum("_trunc").cast("long").alias("total_truncated"),
+        (
+            F.sum(F.col("bucket_cap") - F.col("_kept")).cast("double")
+            / (F.count("*") * F.first("bucket_cap")).cast("double")
+        ).alias("waste_frac"),
+    )
+
+
+SQL_PADDING_WASTE = f"""
+WITH d AS (
+    SELECT CAST({_NTOK_SQL} AS BIGINT) AS n FROM documents
+),
+b AS (
+    SELECT n,
+           CAST(CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+                     WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+                     WHEN n <= 256 THEN 256 ELSE 512 END AS BIGINT)
+               AS bucket_cap
+    FROM d
+)
+SELECT bucket_cap,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(least(n, bucket_cap)) AS BIGINT) AS total_tokens,
+       CAST(SUM(bucket_cap - least(n, bucket_cap)) AS BIGINT)
+           AS total_padding,
+       CAST(SUM(greatest(n - bucket_cap, 0)) AS BIGINT) AS total_truncated,
+       CAST(CAST(SUM(bucket_cap - least(n, bucket_cap)) AS BIGINT) AS DOUBLE)
+           / CAST(COUNT(*) * bucket_cap AS DOUBLE) AS waste_frac
+FROM b GROUP BY bucket_cap
+"""
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label-propagation communities (3
+    iterations, count-desc/min-label tie-break) over the same synthetic
+    customer graph as the PageRank entry; output is the community census
+    (label, size, member-id checksum). The oracle unrolls all three
+    synchronous rounds — vote counts, per-node argmax, isolated-node
+    carry-over — as plain SQL stages."""
+    cust = tbl(spark, sf_dir, "customer")
+    n = cust.count()
+    k = F.col("c_custkey").cast("long")
+    nodes = cust.select(k.alias("node"))
+    e1 = cust.select(
+        k.alias("src"), F.expr("c_custkey div 10").cast("long").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    e2 = cust.select(
+        k.alias("src"), ((k * 7 + 3) % F.lit(n)).alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    labels = dd.label_propagation(e1.unionByName(e2), nodes, iters=3)
+    return labels.groupBy(F.col("label")).agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.sum("node").cast("long").alias("member_checksum"),
+    )
+
+
+SQL_LABEL_PROPAGATION = """WITH nn AS (SELECT count(*) AS cnt FROM customer),
+nodes AS (SELECT CAST(c_custkey AS BIGINT) AS n FROM customer),
+edges0 AS (
+    SELECT CAST(c_custkey AS BIGINT) AS src,
+           CAST(c_custkey AS BIGINT) // 10 AS dst
+    FROM customer WHERE CAST(c_custkey AS BIGINT) // 10 <> c_custkey
+    UNION ALL
+    SELECT CAST(c_custkey AS BIGINT),
+           (c_custkey * 7 + 3) % (SELECT cnt FROM nn)
+    FROM customer
+    WHERE (c_custkey * 7 + 3) % (SELECT cnt FROM nn) <> c_custkey
+),
+sedges AS (
+    SELECT DISTINCT u, v FROM (
+        SELECT src AS u, dst AS v FROM edges0
+        UNION ALL
+        SELECT dst AS u, src AS v FROM edges0
+    ) WHERE u <> v
+),
+l0 AS (SELECT n, n AS lab FROM nodes),
+v0 AS (
+    SELECT e.v AS node, l.lab, count(*) AS c
+    FROM sedges e JOIN l0 l ON l.n = e.u GROUP BY 1, 2
+),
+a0 AS (
+    SELECT node, lab FROM (
+        SELECT node, lab,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lab) AS rk
+        FROM v0)
+    WHERE rk = 1
+),
+l1 AS (
+    SELECT l.n, COALESCE(a.lab, l.lab) AS lab
+    FROM l0 l LEFT JOIN a0 a ON a.node = l.n
+),
+v1 AS (
+    SELECT e.v AS node, l.lab, count(*) AS c
+    FROM sedges e JOIN l1 l ON l.n = e.u GROUP BY 1, 2
+),
+a1 AS (
+    SELECT node, lab FROM (
+        SELECT node, lab,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lab) AS rk
+        FROM v1)
+    WHERE rk = 1
+),
+l2 AS (
+    SELECT l.n, COALESCE(a.lab, l.lab) AS lab
+    FROM l1 l LEFT JOIN a1 a ON a.node = l.n
+),
+v2 AS (
+    SELECT e.v AS node, l.lab, count(*) AS c
+    FROM sedges e JOIN l2 l ON l.n = e.u GROUP BY 1, 2
+),
+a2 AS (
+    SELECT node, lab FROM (
+        SELECT node, lab,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lab) AS rk
+        FROM v2)
+    WHERE rk = 1
+),
+l3 AS (
+    SELECT l.n, COALESCE(a.lab, l.lab) AS lab
+    FROM l2 l LEFT JOIN a2 a ON a.node = l.n
+),
+census AS (
+    SELECT lab AS label, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(SUM(n) AS BIGINT) AS member_checksum
+    FROM l3 GROUP BY lab
+)
+SELECT label, n_members, member_checksum FROM census"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
+    "graph_label_propagation": q_label_propagation,
+    "padding_waste_audit": q_padding_waste_audit,
     "temperature_mixture_alloc": q_temperature_mixture,
     "multimodal_resize_stub": q_resize_thumbnail_stub,
     "bpe_encoded_symbols": q_bpe_encoded_symbols,
@@ -10004,6 +10165,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
 }
 
 EXT_ORACLE: dict[str, str] = {
+    "graph_label_propagation": SQL_LABEL_PROPAGATION,
+    "padding_waste_audit": SQL_PADDING_WASTE,
     "temperature_mixture_alloc": SQL_TEMPERATURE_MIXTURE,
     "multimodal_resize_stub": SQL_RESIZE_THUMB,
     "bpe_encoded_symbols": SQL_BPE_ENCODED_SYMBOLS,

@@ -45,6 +45,7 @@ __all__ = [
     "cross_source_duplicate_matrix",
     "cdc_chunk_stats",
     "sorted_neighborhood_pairs",
+    "label_propagation",
 ]
 
 
@@ -1360,4 +1361,68 @@ def cross_source_duplicate_matrix(
             (F.col("n_shared").cast("double") / F.col("n_b").cast("double"))
             .alias("share_of_b"),
         )
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) for community
+    detection, made DETERMINISTIC: every node starts labeled with its own
+    id; each iteration every node adopts the most frequent label among
+    its neighbors, ties broken by the smallest label, isolated nodes keep
+    their current label. Classic LPA breaks ties randomly and is
+    therefore irreproducible; the (count desc, label asc) rule makes the
+    fixed iteration count bit-identical across engines and partitionings
+    — the same determinism contract as :func:`pagerank_fixed_point`.
+
+    The graph is treated as UNDIRECTED with parallel edges collapsed
+    (each neighbor votes once per round) and self-loops dropped.
+
+    Scale shape: one symmetrize+distinct up front (localCheckpointed —
+    every iteration re-joins it), then per iteration one join of the
+    label vector with the edge list, one (dst, label) count aggregate,
+    and one per-dst argmax via ``min(struct(-count, label))`` — the
+    standard distributed LPA step. Returns ``(node, label)``.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("_u"), F.col(dst_col).alias("_v"))
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("_u"), F.col(src_col).alias("_v")
+            )
+        )
+        .filter(F.col("_u") != F.col("_v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.select(F.col(node_col).alias("_n"), F.col(node_col).alias("_lab"))
+    for _ in range(iters):
+        votes = (
+            sym.join(labels, sym["_u"] == labels["_n"])
+            .select(F.col("_v"), F.col("_lab"))
+            .groupBy("_v", "_lab")
+            .agg(F.count("*").alias("_c"))
+        )
+        winner = votes.groupBy("_v").agg(
+            F.min(
+                F.struct(
+                    (-F.col("_c")).alias("nc"), F.col("_lab").alias("lb")
+                )
+            ).alias("_m")
+        ).select(F.col("_v"), F.col("_m.lb").alias("_new"))
+        labels = (
+            labels.join(winner, labels["_n"] == winner["_v"], "left")
+            .select(
+                F.col("_n"),
+                F.coalesce(F.col("_new"), F.col("_lab")).alias("_lab"),
+            )
+        )
+    return labels.select(
+        F.col("_n").alias(node_col), F.col("_lab").alias("label")
     )

@@ -4022,3 +4022,27 @@ def test_bpe_learn_merges_greedy_and_ranked(spark):
     # iterations past pair exhaustion emit no rows
     tiny = spark.createDataFrame([("ab",)], "text string")
     assert bpe_learn_merges(tiny, iterations=3).count() == 1
+
+
+def test_label_propagation_deterministic_communities(spark):
+    """LPA semantics pinned on a hand-checkable graph: a triangle {1,2,3}
+    plus a pendant 4-5 edge. Round 1: each triangle node sees two
+    distinct neighbor labels (tie) -> adopts the SMALLEST; isolated-pair
+    nodes swap labels. Ties and isolated-node carry-over are the two
+    rules classic randomized LPA leaves unspecified."""
+    from hiv_data_integration_spark.operators.dedup import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5)], "node long")
+    one = {r["node"]: r["label"] for r in label_propagation(edges, nodes, iters=1).collect()}
+    # triangle: 1 sees {2,3}->2; 2 sees {1,3}->1; 3 sees {1,2}->1; pair swaps
+    assert one == {1: 2, 2: 1, 3: 1, 4: 5, 5: 4}
+    two = {r["node"]: r["label"] for r in label_propagation(edges, nodes, iters=2).collect()}
+    # round 2: 1 sees {1,1}->1; 2 sees {2,1}(counts 1,1 tie)->1; 3 same ->1
+    assert two == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
+    # isolated node keeps its own label through every round
+    nodes6 = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 6)], "node long")
+    three = {r["node"]: r["label"] for r in label_propagation(edges, nodes6, iters=3).collect()}
+    assert three[6] == 6
