@@ -9949,7 +9949,81 @@ census AS (
 SELECT label, n_members, member_checksum FROM census"""
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog distinct count over orders.o_orderkey: md5
+    registers (mergeable sketch state an engine-agnostic pipeline can
+    store per segment and max-merge), exact-rational harmonic sum, raw
+    estimate, and a 4-sigma accuracy gate the oracle re-derives and must
+    agree is TRUE. Unlike approx_count_distinct (Spark-internal xxhash,
+    not reproducible outside Spark) every step here is engine-portable."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    orders = tbl(spark, sf_dir, "orders")
+    est = hll_estimate(hll_registers(orders, "o_orderkey"))
+    exact = orders.agg(
+        F.count_distinct("o_orderkey").cast("long").alias("n_exact")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "m",
+        "max_register",
+        "harmonic_num",
+        "estimate",
+        "n_exact",
+        (
+            F.abs(
+                F.col("estimate") / F.col("n_exact").cast("double") - 1.0
+            )
+            <= 0.26
+        ).alias("within_4sigma"),
+    )
+
+
+SQL_HLL_DISTINCT = """
+WITH h AS (
+    SELECT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+                AS BIGINT) AS h
+    FROM orders
+),
+r AS (
+    SELECT h % 256 AS bucket,
+           MAX(CASE WHEN h // 256 = 0 THEN 53
+                    ELSE 53 - length(bin(h // 256)) END) AS register
+    FROM h GROUP BY 1
+),
+a AS (
+    SELECT CAST(MAX(register) AS BIGINT) AS max_register,
+           CAST(COUNT(*) AS BIGINT) AS nonempty
+    FROM r
+),
+np AS (
+    SELECT CAST(SUM(CAST(pow(2.0, a.max_register - r.register) AS BIGINT))
+                AS BIGINT) AS s
+    FROM r, a
+),
+est AS (
+    SELECT CAST(256 AS BIGINT) AS m, a.max_register,
+           CAST(np.s + (256 - a.nonempty)
+                * CAST(pow(2.0, a.max_register) AS BIGINT) AS BIGINT)
+               AS harmonic_num
+    FROM a, np
+),
+x AS (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_exact FROM orders)
+SELECT m, max_register, harmonic_num,
+       47072.71267120224 * pow(2.0, max_register)
+           / CAST(harmonic_num AS DOUBLE) AS estimate,
+       n_exact,
+       abs(47072.71267120224 * pow(2.0, max_register)
+           / CAST(harmonic_num AS DOUBLE) / CAST(n_exact AS DOUBLE) - 1.0)
+           <= 0.26 AS within_4sigma
+FROM est, x
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
+    "sketch_hll_distinct": q_hll_distinct,
     "graph_label_propagation": q_label_propagation,
     "padding_waste_audit": q_padding_waste_audit,
     "temperature_mixture_alloc": q_temperature_mixture,
@@ -10165,6 +10239,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
 }
 
 EXT_ORACLE: dict[str, str] = {
+    "sketch_hll_distinct": SQL_HLL_DISTINCT,
     "graph_label_propagation": SQL_LABEL_PROPAGATION,
     "padding_waste_audit": SQL_PADDING_WASTE,
     "temperature_mixture_alloc": SQL_TEMPERATURE_MIXTURE,

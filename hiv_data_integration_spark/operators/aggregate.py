@@ -94,6 +94,8 @@ __all__ = [
     "grouped_mode",
     "time_weighted_average",
     "segmented_running_total",
+    "hll_registers",
+    "hll_estimate",
 ]
 
 
@@ -4435,4 +4437,101 @@ def xyz_classification(
             num.cast("double") / s1sq.cast("double"),
         ).alias("cv_sq"),
         cls.alias("xyz_class"),
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: Column | str,
+    m: int = 256,
+) -> DataFrame:
+    """Portable HyperLogLog register state (Flajolet et al. 2007): md5 the
+    value (engine-portable, unlike Spark's internal xxhash sketches), low
+    ``log2(m)`` bits pick the register, and the register keeps the max
+    rank ``rho`` = leading-zero count of the remaining 52-bit field + 1.
+    One hash aggregate; the register table IS the mergeable sketch state
+    (max-merge across partitions/engines/days), exactly the shape a
+    100 TB incremental distinct-count pipeline stores per segment.
+
+    ``rho`` is computed without floats or logs: the bit length of a
+    positive BIGINT is ``length(bin(w))`` on both Spark and DuckDB (no
+    zero-padding on either engine — parity verified), so
+    ``rho = 53 - bitlen(w)`` with the ``w = 0`` corner pinned to 53.
+    Output: ``(bucket, register)``, one row per NON-EMPTY register.
+    """
+    if m & (m - 1) or m < 16:
+        raise ValueError("m must be a power of two >= 16")
+    from hiv_data_integration_spark.operators.dedup import md5_long
+
+    h = md5_long(F.col(value_col) if isinstance(value_col, str) else value_col)
+    bucket = (h % m).alias("bucket")
+    w = (h / m).cast("long")  # floor division: h >= 0 and m is a power of 2
+    rho = F.when(w == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin(w))
+    ).cast("long")
+    return (
+        df.select(bucket, rho.alias("_rho"))
+        .groupBy("bucket")
+        .agg(F.max("_rho").cast("long").alias("register"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    m: int = 256,
+) -> DataFrame:
+    """Raw HyperLogLog estimate from a register table, with the float
+    path kept bit-portable: the harmonic sum ``Σ 2^-M_j`` is formed as an
+    exact RATIONAL — numerator ``Σ 2^(maxM - M_j)`` in BIGINT over all
+    ``m`` registers (absent registers hold 0 and contribute ``2^maxM``),
+    denominator ``2^maxM`` — so the only floating-point steps are the
+    final constant multiply and one division, identical on any IEEE
+    engine. No small/large-range corrections (they need ln); callers
+    operate in the raw regime ``n > 2.5 m``.
+
+    Output 1 row: ``(m, max_register, harmonic_num, estimate)``.
+    """
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.agg(
+        F.max("register").cast("long").alias("max_register"),
+        F.count("*").cast("long").alias("_nonempty"),
+        F.max("register").alias("_mm"),
+    )
+    # numerator: non-empty registers contribute 2^(maxM - M_j); the
+    # (m - nonempty) absent registers contribute 2^maxM each
+    joined = registers.crossJoin(F.broadcast(agg.select("max_register")))
+    # 2^x via pow: powers of two up to 2^53 are EXACT doubles, so the
+    # long cast is lossless (shiftleft's bit-count arg must be a literal)
+    num_present = joined.agg(
+        F.sum(
+            F.pow(
+                F.lit(2.0),
+                (F.col("max_register") - F.col("register")).cast("double"),
+            ).cast("long")
+        ).alias("_np")
+    )
+    out = (
+        agg.crossJoin(F.broadcast(num_present))
+        .withColumn(
+            "harmonic_num",
+            (
+                F.col("_np")
+                + (F.lit(m) - F.col("_nonempty"))
+                * F.pow(
+                    F.lit(2.0), F.col("max_register").cast("double")
+                ).cast("long")
+            ).cast("long"),
+        )
+        .withColumn(
+            "estimate",
+            F.lit(alpha * m * m)
+            * F.pow(F.lit(2.0), F.col("max_register").cast("double"))
+            / F.col("harmonic_num").cast("double"),
+        )
+    )
+    return out.select(
+        F.lit(m).cast("long").alias("m"),
+        "max_register",
+        "harmonic_num",
+        "estimate",
     )

@@ -4046,3 +4046,40 @@ def test_label_propagation_deterministic_communities(spark):
     nodes6 = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 6)], "node long")
     three = {r["node"]: r["label"] for r in label_propagation(edges, nodes6, iters=3).collect()}
     assert three[6] == 6
+
+
+def test_hll_registers_merge_and_estimate(spark):
+    """The register table is the MERGEABLE sketch state: max-merging the
+    registers of two disjoint halves must equal the registers of the
+    union (the property that lets a 100 TB pipeline sketch per segment
+    and combine), and the raw estimate must sit within 4 sigma
+    (1.04/sqrt(256) * 4 = 26%) of the true distinct count in the raw
+    regime n > 2.5m."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    a = spark.range(0, 3000).selectExpr("id AS v")
+    b = spark.range(3000, 6000).selectExpr("id AS v")
+    union_regs = {
+        (r["bucket"], r["register"])
+        for r in hll_registers(a.unionByName(b), "v").collect()
+    }
+    merged = (
+        hll_registers(a, "v").unionByName(hll_registers(b, "v"))
+        .groupBy("bucket").agg(F.max("register").alias("register"))
+    )
+    assert {(r["bucket"], r["register"]) for r in merged.collect()} == union_regs
+
+    est = hll_estimate(hll_registers(a.unionByName(b), "v")).collect()[0]
+    assert abs(est["estimate"] / 6000.0 - 1.0) <= 0.26
+    # duplicates don't move the sketch: registers are set-semantics
+    dup = a.unionByName(a)
+    assert (
+        hll_estimate(hll_registers(dup, "v")).collect()[0]["harmonic_num"]
+        == hll_estimate(hll_registers(a, "v")).collect()[0]["harmonic_num"]
+    )
+
+    with pytest.raises(ValueError, match="power of two"):
+        hll_registers(a, "v", m=100)
