@@ -10022,7 +10022,103 @@ FROM est, x
 """
 
 
+def q_hist_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram quantile sketch over
+    orders.o_totalprice: the (bin, count) table is sum-mergeable segment
+    state (the quantile analogue of the HLL/count-min register tables);
+    P50/P90/P99 are estimated as the upper edge of the bin where the
+    cumulative count crosses ceil(p*n/100) and checked against the EXACT
+    order statistics with a one-bin-width error gate the oracle
+    re-derives and must agree is TRUE. Every float step (bin width, bin
+    index, edge reconstruction) is the identical IEEE op sequence on
+    both engines; ranks are exact integers."""
+    from pyspark.sql.window import Window
+
+    o = tbl(spark, sf_dir, "orders").select(F.col("o_totalprice").alias("x"))
+    mm = o.agg(
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+        F.count("*").cast("long").alias("n"),
+    ).withColumn("w", (F.col("mx") - F.col("mn")) / F.lit(128.0))
+    b = o.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.floor((F.col("x") - F.col("mn")) / F.col("w")).cast("long"),
+            F.lit(127).cast("long"),
+        ).alias("bin")
+    )
+    hist = b.groupBy("bin").agg(F.count("*").cast("long").alias("cnt"))
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("bin"))
+    )
+    tgt = mm.select(
+        "mn", "w", "n",
+        F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("p"),
+    ).select(
+        "mn", "w",
+        F.col("p").cast("long").alias("p"),
+        F.expr("(n * p + 99) div 100").cast("long").alias("t"),
+    )
+    crossing = (
+        tgt.join(F.broadcast(cum), F.col("cum") >= F.col("t"))
+        .groupBy("p", "mn", "w", "t")
+        .agg(F.min("bin").alias("qbin"))
+    )
+    rn = o.select(
+        "x", F.row_number().over(Window.orderBy("x")).cast("long").alias("r")
+    )
+    exact = crossing.select("p", "t").join(
+        rn, F.col("r") == F.col("t")
+    ).select("p", F.col("x").alias("exact"))
+    est = (
+        F.col("mn") + (F.col("qbin") + 1).cast("double") * F.col("w")
+    )
+    return crossing.join(exact, "p").select(
+        "p",
+        est.alias("est"),
+        "exact",
+        (
+            F.abs(est - F.col("exact"))
+            <= F.col("w") + F.col("w") * F.lit(1e-9)
+        ).alias("within_one_bin"),
+    )
+
+
+SQL_HIST_QUANTILE = """
+WITH o AS (SELECT o_totalprice AS x FROM orders),
+mm AS (SELECT MIN(x) AS mn, MAX(x) AS mx, CAST(COUNT(*) AS BIGINT) AS n
+       FROM o),
+par AS (SELECT mn, mx, n, (mx - mn) / 128.0 AS w FROM mm),
+b AS (
+    SELECT least(CAST(floor((x - mn) / w) AS BIGINT), 127) AS bin
+    FROM o, par
+),
+hist AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY bin),
+cum AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM hist),
+tgt AS (
+    SELECT CAST(v.p AS BIGINT) AS p,
+           CAST((par.n * v.p + 99) // 100 AS BIGINT) AS t, mn, w
+    FROM par, (VALUES (50), (90), (99)) v(p)
+),
+crossing AS (
+    SELECT p, t, mn, w, MIN(bin) AS qbin
+    FROM tgt JOIN cum ON cum.cum >= tgt.t
+    GROUP BY p, t, mn, w
+),
+rn AS (SELECT x, row_number() OVER (ORDER BY x) AS r FROM o),
+exact AS (
+    SELECT c.p, rn.x AS exact FROM crossing c JOIN rn ON rn.r = c.t
+)
+SELECT c.p,
+       c.mn + (c.qbin + 1) * c.w AS est,
+       e.exact,
+       abs(c.mn + (c.qbin + 1) * c.w - e.exact) <= c.w + c.w * 1e-9
+           AS within_one_bin
+FROM crossing c JOIN exact e ON e.p = c.p
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
+    "sketch_histogram_quantiles": q_hist_quantile_sketch,
     "sketch_hll_distinct": q_hll_distinct,
     "graph_label_propagation": q_label_propagation,
     "padding_waste_audit": q_padding_waste_audit,
@@ -10239,6 +10335,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
 }
 
 EXT_ORACLE: dict[str, str] = {
+    "sketch_histogram_quantiles": SQL_HIST_QUANTILE,
     "sketch_hll_distinct": SQL_HLL_DISTINCT,
     "graph_label_propagation": SQL_LABEL_PROPAGATION,
     "padding_waste_audit": SQL_PADDING_WASTE,
