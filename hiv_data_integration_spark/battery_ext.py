@@ -10117,7 +10117,97 @@ FROM crossing c JOIN exact e ON e.p = c.p
 """
 
 
+def q_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sketch maintenance, oracle-checked END TO END: the
+    events file delivered TWICE, each micro-batch's HLL register table
+    max-merged into a parquet register store via foreachBatch. Registers
+    are set-semantics, so the double delivery must change NOTHING — the
+    final estimate equals the single-copy batch HLL bit-for-bit (the
+    oracle computes exactly that), demonstrating that at-least-once
+    delivery already gives the exactly-once answer for max-mergeable
+    sketch state."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from hiv_data_integration_spark.operators.aggregate import hll_estimate
+    from hiv_data_integration_spark.streaming import foreach_batch_hll_merge
+
+    src = tempfile.mkdtemp(prefix="hll_feed_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/delivery1.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/delivery2.parquet")
+    state = tempfile.mkdtemp(prefix="hll_state_") + f"/{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        stream = read_events_stream(spark, src, f"{sf_dir}/events.parquet")
+        regs = foreach_batch_hll_merge(stream, state, ckpt, "event_id")
+        est = hll_estimate(regs)
+        exact = (
+            tbl(spark, sf_dir, "events")
+            .agg(F.count_distinct("event_id").cast("long").alias("n_exact"))
+        )
+        out = _local_result(
+            est.crossJoin(F.broadcast(exact)).select(
+                "m", "max_register", "harmonic_num", "estimate", "n_exact",
+                (
+                    F.abs(
+                        F.col("estimate") / F.col("n_exact").cast("double")
+                        - 1.0
+                    )
+                    <= 0.26
+                ).alias("within_4sigma"),
+            )
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(state.rsplit("/", 1)[0], ignore_errors=True)
+    return out
+
+
+SQL_STREAMING_HLL = """
+WITH h AS (
+    SELECT CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+                AS BIGINT) AS h
+    FROM events
+),
+r AS (
+    SELECT h % 256 AS bucket,
+           MAX(CASE WHEN h // 256 = 0 THEN 53
+                    ELSE 53 - length(bin(h // 256)) END) AS register
+    FROM h GROUP BY 1
+),
+a AS (
+    SELECT CAST(MAX(register) AS BIGINT) AS max_register,
+           CAST(COUNT(*) AS BIGINT) AS nonempty
+    FROM r
+),
+np AS (
+    SELECT CAST(SUM(CAST(pow(2.0, a.max_register - r.register) AS BIGINT))
+                AS BIGINT) AS s
+    FROM r, a
+),
+est AS (
+    SELECT CAST(256 AS BIGINT) AS m, a.max_register,
+           CAST(np.s + (256 - a.nonempty)
+                * CAST(pow(2.0, a.max_register) AS BIGINT) AS BIGINT)
+               AS harmonic_num
+    FROM a, np
+),
+x AS (SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_exact FROM events)
+SELECT m, max_register, harmonic_num,
+       47072.71267120224 * pow(2.0, max_register)
+           / CAST(harmonic_num AS DOUBLE) AS estimate,
+       n_exact,
+       abs(47072.71267120224 * pow(2.0, max_register)
+           / CAST(harmonic_num AS DOUBLE) / CAST(n_exact AS DOUBLE) - 1.0)
+           <= 0.26 AS within_4sigma
+FROM est, x
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
+    "streaming_hll_distinct": q_streaming_hll_distinct,
     "sketch_histogram_quantiles": q_hist_quantile_sketch,
     "sketch_hll_distinct": q_hll_distinct,
     "graph_label_propagation": q_label_propagation,
@@ -10335,6 +10425,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
 }
 
 EXT_ORACLE: dict[str, str] = {
+    "streaming_hll_distinct": SQL_STREAMING_HLL,
     "sketch_histogram_quantiles": SQL_HIST_QUANTILE,
     "sketch_hll_distinct": SQL_HLL_DISTINCT,
     "graph_label_propagation": SQL_LABEL_PROPAGATION,

@@ -443,3 +443,54 @@ def foreach_batch_accumulate(
     )
     q.awaitTermination()
     return stream.sparkSession.read.parquet(state_path)
+
+
+def foreach_batch_hll_merge(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    value_col: str,
+    m: int = 256,
+) -> DataFrame:
+    """Incremental distinct-count maintenance: per micro-batch, build the
+    portable HyperLogLog register table (:func:`operators.aggregate.
+    hll_registers`) and MAX-MERGE it into a parquet register store (the
+    same read→merge→atomic-swap shape as :func:`foreach_batch_accumulate`,
+    but with max instead of sum). Because registers are set-semantics,
+    the merged state is REPLAY- AND DUPLICATE-INSENSITIVE — a re-delivered
+    source file changes nothing, which is the property that makes sketch
+    maintenance the easy case of exactly-once streaming: at-least-once
+    delivery already yields the exactly-once answer. Returns the final
+    register table read back from ``state_path``.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from hiv_data_integration_spark.operators.aggregate import hll_registers
+    from hiv_data_integration_spark.operators.fuzzy import (
+        upsert_parquet_state,
+    )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        part = hll_registers(batch_df, value_col, m)
+        try:
+            cur = sp.read.parquet(state_path)
+        except AnalysisException:
+            cur = None
+        if cur is not None:
+            part = (
+                part.unionByName(cur)
+                .groupBy("bucket")
+                .agg(F.max("register").alias("register"))
+            )
+        upsert_parquet_state(sp, state_path, part, ["bucket"])
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream.sparkSession.read.parquet(state_path)
