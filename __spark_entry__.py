@@ -34,56 +34,39 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver hash-verifies only the FIRST 50 ``queries()`` entries per
-# round, so ordering is the verification budget. Round-7 tiers (lowest
-# emitted first): the 54 entries that have never been inside a driver
-# window (the round-6 overflow, pinned below in their original
-# registration order so the OLDEST unverified entries verify first —
-# 50 land this round, the residual 4 rotate to round 8), then any
-# brand-new round-7 entries (absent from all tier lists), then the
-# stale greens oldest-signal first (r2 → r3 → r4 → r5 → r6). Every
-# pending entry is hash-verified locally at sf0.001 AND sf0.01 and in
-# full driver-style sweeps; the pinned order just converts that local
+# round, so ordering is the verification budget. Round-8 tiers (lowest
+# emitted first): the 18 entries that have never been inside a driver
+# window (the 4 round-7 overflow residuals first — oldest unverified
+# signal — then the 14 round-7 additions in registration order), then
+# any brand-new round-8 entries (absent from all tier lists), then the
+# stale greens oldest-signal first (r2 → r3 → … → r7). Every pending
+# entry is hash-verified locally at sf0.001 AND sf0.01 and in full
+# driver-style sweeps; the pinned order just converts that local
 # signal into official CORRECTNESS_r{N} rows. A previously-green entry
 # never displaces a never-driver-verified one (contract-tested in
 # tests/test_driver_contract.py).
 #
-# Steady-state policy (round 8+), once the never-verified backlog
-# drains: the window re-verifies greens OLDEST-SIGNAL-FIRST — the tier
-# whose last official green is the most rounds old rotates in first
-# (r2 stale greens before r3, r3 before r4, …), so official signal
-# keeps cycling over the whole battery instead of pinning to one spot.
-# The tier lists below encode exactly that order; rotating a round's
-# window out means appending its names to a new _R{N}_GREEN list and
-# keeping the remaining tiers' relative order unchanged.
+# Steady-state policy (round 8+), now that the backlog is < 50: the
+# window re-verifies greens OLDEST-SIGNAL-FIRST — the tier whose last
+# official green is the most rounds old rotates in first (r2 stale
+# greens before r3, r3 before r4, …), so official signal keeps cycling
+# over the whole battery instead of pinning to one spot. The tier
+# lists below encode exactly that order; rotating a round's window out
+# means appending its names to a new _R{N}_GREEN list and keeping the
+# remaining tiers' relative order unchanged. With 18 pending, the
+# round-8 window is: 18 pending + 29 r2-stale + the first 3 r3 greens.
 _PENDING_NEVER_VERIFIED = [
-    "graph_pagerank_fixed_point", "group_split_no_leakage",
-    "embed_pq_adc_topk", "dedup_semantic_sampled_trainer",
-    "text_line_dedup", "text_url_canonicalize",
-    "text_duplicate_ngram_spans", "sketch_countmin_tokens",
-    "graph_triangle_count_parts", "data_kfold_assignment", "text_bm25_topk",
-    "sketch_bloom_membership", "profile_winsorized_stats",
-    "profile_robust_outliers", "sliding_window_events",
-    "event_transition_matrix", "text_token_diversity",
-    "xml_source_roundtrip", "binaryfile_blob_ingest",
-    "sql_ddl_managed_table", "streaming_dedup_within_watermark",
-    "streaming_foreach_batch_upsert", "streaming_interval_join",
-    "streaming_session_windows", "streaming_stateful_totals",
-    "streaming_static_enrich", "gap_fill_locf_hourly", "sql_pivot_clause",
-    "sql_unpivot_clause", "recursive_org_rollup",
-    "window_distribution_funcs", "shipping_priority_top10",
-    "region_local_supplier_revenue", "large_order_customers",
-    "waiting_supplier_ranking", "inactive_above_avg_balance",
-    "promo_revenue_share", "lateral_topn_orders", "nation_volume_shipping",
-    "market_share_by_year", "returned_item_revenue",
-    "order_count_distribution", "top_revenue_supplier",
-    "small_quantity_revenue", "disjunctive_part_filter",
-    "min_cost_supplier_part", "order_priority_check",
-    "forecast_revenue_change", "product_type_profit",
-    "important_part_value",
-    # --- 50-slot boundary: entries below rotate to round 8 ---
-    "late_shipment_priority",
-    "supplier_count_by_part", "promotion_qty_suppliers",
-    "revenue_mom_growth",
+    # round-7 window overflow (registered round 6, never verified)
+    "late_shipment_priority", "supplier_count_by_part",
+    "promotion_qty_suppliers", "revenue_mom_growth",
+    # round-7 additions (locally hash-green at sf0.001+sf0.01; see
+    # COVERAGE.md and BASELINE.md:449-462 for floors)
+    "streaming_hll_distinct", "sketch_histogram_quantiles",
+    "sketch_hll_distinct", "graph_label_propagation",
+    "padding_waste_audit", "temperature_mixture_alloc",
+    "multimodal_resize_stub", "bpe_encoded_symbols", "bpe_learn_merges",
+    "dedup_minhash_eval", "split_leakage_audit", "corpus_budget_select",
+    "pii_risk_triage", "vocab_coverage_curve",
 ]
 _R6_GREEN = [
     "l_diversity_customers", "link_prediction_suppliers",
@@ -179,6 +162,32 @@ _R4_GREEN = [
     "union_relaxed", "distinct_pairs", "pivot_sum_returnflag",
     "pivot_min_status", "semester_rollup", "topk_customers",
 ]
+_R7_GREEN = [
+    "graph_pagerank_fixed_point", "group_split_no_leakage",
+    "embed_pq_adc_topk", "dedup_semantic_sampled_trainer",
+    "text_line_dedup", "text_url_canonicalize",
+    "text_duplicate_ngram_spans", "sketch_countmin_tokens",
+    "graph_triangle_count_parts", "data_kfold_assignment", "text_bm25_topk",
+    "sketch_bloom_membership", "profile_winsorized_stats",
+    "profile_robust_outliers", "sliding_window_events",
+    "event_transition_matrix", "text_token_diversity",
+    "xml_source_roundtrip", "binaryfile_blob_ingest",
+    "sql_ddl_managed_table", "streaming_dedup_within_watermark",
+    "streaming_foreach_batch_upsert", "streaming_interval_join",
+    "streaming_session_windows", "streaming_stateful_totals",
+    "streaming_static_enrich", "gap_fill_locf_hourly", "sql_pivot_clause",
+    "sql_unpivot_clause", "recursive_org_rollup",
+    "window_distribution_funcs", "shipping_priority_top10",
+    "region_local_supplier_revenue", "large_order_customers",
+    "waiting_supplier_ranking", "inactive_above_avg_balance",
+    "promo_revenue_share", "lateral_topn_orders", "nation_volume_shipping",
+    "market_share_by_year", "returned_item_revenue",
+    "order_count_distribution", "top_revenue_supplier",
+    "small_quantity_revenue", "disjunctive_part_filter",
+    "min_cost_supplier_part", "order_priority_check",
+    "forecast_revenue_change", "product_type_profit",
+    "important_part_value",
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -190,7 +199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tiered = (
         set(_PENDING_NEVER_VERIFIED) | set(_R2_GREEN_STALE)
         | set(_R3_GREEN) | set(_R4_GREEN) | set(_R5_GREEN)
-        | set(_R6_GREEN)
+        | set(_R6_GREEN) | set(_R7_GREEN)
     )
     new_this_round = [k for k in merged if k not in tiered]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -202,6 +211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _R4_GREEN,
         _R5_GREEN,
         _R6_GREEN,
+        _R7_GREEN,
     ):
         for k in tier:
             if k in merged and k not in ordered:

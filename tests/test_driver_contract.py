@@ -57,7 +57,7 @@ def test_window_prioritizes_unverified_entries():
         set(contract._PENDING_NEVER_VERIFIED)
         | set(contract._R2_GREEN_STALE) | set(contract._R3_GREEN)
         | set(contract._R4_GREEN) | set(contract._R5_GREEN)
-        | set(contract._R6_GREEN)
+        | set(contract._R6_GREEN) | set(contract._R7_GREEN)
     )
     new_this_round = [k for k in names if k not in tiered]
     n_unverified = len(pending) + len(new_this_round)
@@ -66,7 +66,7 @@ def test_window_prioritizes_unverified_entries():
     greens = (
         set(contract._R2_GREEN_STALE) | set(contract._R3_GREEN)
         | set(contract._R4_GREEN) | set(contract._R5_GREEN)
-        | set(contract._R6_GREEN)
+        | set(contract._R6_GREEN) | set(contract._R7_GREEN)
     )
     assert not greens & set(names[:n_unverified])
     # steady-state re-verification policy: previously-green tiers appear
@@ -74,7 +74,7 @@ def test_window_prioritizes_unverified_entries():
     # drains the window automatically rotates over the stalest greens
     green_tiers = [
         contract._R2_GREEN_STALE, contract._R3_GREEN, contract._R4_GREEN,
-        contract._R5_GREEN, contract._R6_GREEN,
+        contract._R5_GREEN, contract._R6_GREEN, contract._R7_GREEN,
     ]
     pos = {k: i for i, k in enumerate(names)}
     for older, newer in zip(green_tiers, green_tiers[1:]):
