@@ -9410,39 +9410,15 @@ def q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground truth (posting-list join — O(postings), never all-pairs on the
     engine side), with candidate precision (how selective are the bands)
     and recall (what fraction of true >=0.6 pairs the bands surface).
-    One summary row of exact counts + two exact-integer divisions."""
+    One summary row of exact counts + two exact-integer divisions.
+    ``truth_sample_mod=1`` here pins the exact full-truth path the
+    oracle mirrors; the md5 pair-subsample knob (mod > 1, unbiased
+    precision/recall at 1/mod the ground-truth cost) is unit-tested in
+    tests/test_operators.py."""
     corpus = _dup_corpus(spark, sf_dir)
-    bands = dd.minhash_band_entries(
-        corpus, "doc_id", "text", 3, 16, 4, 32
-    )
-    a = bands.select(F.col("doc_id_").alias("id_a"), "band", "band_hash")
-    b = bands.select(F.col("doc_id_").alias("id_b"), "band", "band_hash")
-    cand = (
-        a.join(b, ["band", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates()
-    )
-    truth = dd.ngram_jaccard_pairs(
-        corpus, "doc_id", "text", shingle_n=3, jaccard_threshold=0.6,
-        partitions=32,
-    ).select("id_a", "id_b")
-    verified = cand.join(truth, ["id_a", "id_b"])
-    counts = (
-        cand.agg(F.count("*").cast("long").alias("n_candidates"))
-        .crossJoin(truth.agg(F.count("*").cast("long").alias("n_truth")))
-        .crossJoin(
-            verified.agg(F.count("*").cast("long").alias("n_verified"))
-        )
-    )
-    return counts.select(
-        "n_candidates",
-        "n_truth",
-        "n_verified",
-        (F.col("n_verified").cast("double")
-         / F.col("n_candidates").cast("double")).alias("precision"),
-        (F.col("n_verified").cast("double")
-         / F.col("n_truth").cast("double")).alias("recall"),
+    return dd.minhash_lsh_eval(
+        corpus, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4,
+        jaccard_threshold=0.6, partitions=32, truth_sample_mod=1,
     )
 
 

@@ -4465,7 +4465,12 @@ def hll_registers(
 
     h = md5_long(F.col(value_col) if isinstance(value_col, str) else value_col)
     bucket = (h % m).alias("bucket")
-    w = (h / m).cast("long")  # floor division: h >= 0 and m is a power of 2
+    # exact integer division — NOT `h / m`: that is IEEE double division,
+    # and md5_long's 60-bit values exceed double's 53-bit mantissa, so h
+    # would be rounded before dividing (register off-by-one near bucket
+    # boundaries vs the oracle's exact `h // m`). h >= 0 and m is a power
+    # of two, so a right shift is the exact floor quotient.
+    w = F.shiftright(h, m.bit_length() - 1)
     rho = F.when(w == 0, F.lit(53)).otherwise(
         F.lit(53) - F.length(F.bin(w))
     ).cast("long")
@@ -4495,7 +4500,6 @@ def hll_estimate(
     agg = registers.agg(
         F.max("register").cast("long").alias("max_register"),
         F.count("*").cast("long").alias("_nonempty"),
-        F.max("register").alias("_mm"),
     )
     # numerator: non-empty registers contribute 2^(maxM - M_j); the
     # (m - nonempty) absent registers contribute 2^maxM each

@@ -443,6 +443,20 @@ def _jaccard_verify(
     )
 
 
+def pair_sample_pred(mod: int) -> Column:
+    """Deterministic 1/``mod`` pair-sampling predicate on ``(id_a, id_b)``:
+    keep a pair iff ``md5(id_a|id_b) % mod == 0``. md5 is engine-portable
+    and uniform, so any pair statistic computed on the kept subset is an
+    unbiased estimate of the full-population statistic with a ``mod``-fold
+    cost cut. ``mod=1`` keeps everything (the exact path)."""
+    if mod < 1:
+        raise ValueError("mod must be >= 1")
+    key = F.concat_ws(
+        "|", F.col("id_a").cast("string"), F.col("id_b").cast("string")
+    )
+    return F.pmod(md5_long(key), F.lit(mod)) == 0
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -451,12 +465,19 @@ def ngram_jaccard_pairs(
     jaccard_threshold: float = 0.5,
     block_cols: list[str] | None = None,
     partitions: int | None = None,
+    pair_sample_mod: int = 1,
 ) -> DataFrame:
     """Exact n-gram-Jaccard duplicate pairs via explode + shingle join.
 
     Pairs only materialize for docs sharing at least one shingle (and the
     optional blocking keys), so the shuffle is O(postings), not O(rows²).
     This is the exact method; MinHash+LSH is its sublinear approximation.
+
+    ``pair_sample_mod`` > 1 keeps only the deterministic md5 1/mod pair
+    subsample (:func:`pair_sample_pred`), applied map-side BEFORE the
+    pair-count shuffle so the aggregation volume shrinks by the same
+    factor — the knob quality evals use to price the exact ground truth
+    independently of corpus size. Default 1 = the full exact result.
     """
     block_cols = block_cols or []
     posting, doc_sizes = _ngram_postings(
@@ -472,16 +493,85 @@ def ngram_jaccard_pairs(
         F.col("shingle"),
         F.col("doc_id_").alias("id_b"),
     )
-    common = (
-        a.join(b, [*block_cols, "shingle"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
+    joined = a.join(b, [*block_cols, "shingle"]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    if pair_sample_mod > 1:
+        joined = joined.filter(pair_sample_pred(pair_sample_mod))
+    common = joined.groupBy("id_a", "id_b").agg(
+        F.count("*").alias("n_common")
     )
     # pair-level size attach: the pair table is far smaller than postings,
     # and doc_sizes is doc-count-sized — AQE broadcasts it at small scale,
     # shuffles on id at 100 TB; either way it is off the posting hot path
     return _jaccard_verify(common, doc_sizes, jaccard_threshold)
+
+
+def minhash_lsh_eval(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.6,
+    partitions: int | None = None,
+    truth_sample_mod: int = 1,
+) -> DataFrame:
+    """MinHash+LSH quality evaluation — "measure, don't guess" for the
+    dedup stack: banded candidate pairs vs the EXACT n-gram-Jaccard
+    ground truth (posting-list join — O(postings), never all-pairs),
+    reporting candidate precision (how selective the bands are) and
+    recall (what fraction of true >= threshold pairs the bands surface).
+
+    ``truth_sample_mod`` > 1 evaluates on the deterministic md5 1/mod
+    PAIR subsample (:func:`pair_sample_pred`): the same predicate gates
+    both the exact-truth pair aggregation (map-side, so the ground
+    truth's shuffle shrinks mod-fold) and the candidate set, so
+    precision = verified/candidates and recall = verified/truth remain
+    unbiased estimates of the full-population ratios while the eval's
+    cost scales independently of the dedup stack it measures. The
+    default ``1`` is the exact full-truth path (what the battery entry
+    and its DuckDB oracle pin).
+
+    Output 1 row: ``(n_candidates, n_truth, n_verified, precision,
+    recall)`` — counts exact BIGINTs, ratios single IEEE divisions.
+    """
+    entries = minhash_band_entries(
+        df, id_col, text_col, shingle_n, num_hashes, bands, partitions
+    )
+    a = entries.select(F.col("doc_id_").alias("id_a"), "band", "band_hash")
+    b = entries.select(F.col("doc_id_").alias("id_b"), "band", "band_hash")
+    cand = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    if truth_sample_mod > 1:
+        cand = cand.filter(pair_sample_pred(truth_sample_mod))
+    cand = cand.dropDuplicates()
+    truth = ngram_jaccard_pairs(
+        df, id_col, text_col, shingle_n=shingle_n,
+        jaccard_threshold=jaccard_threshold, partitions=partitions,
+        pair_sample_mod=truth_sample_mod,
+    ).select("id_a", "id_b")
+    verified = cand.join(truth, ["id_a", "id_b"])
+    counts = (
+        cand.agg(F.count("*").cast("long").alias("n_candidates"))
+        .crossJoin(truth.agg(F.count("*").cast("long").alias("n_truth")))
+        .crossJoin(
+            verified.agg(F.count("*").cast("long").alias("n_verified"))
+        )
+    )
+    return counts.select(
+        "n_candidates",
+        "n_truth",
+        "n_verified",
+        (F.col("n_verified").cast("double")
+         / F.col("n_candidates").cast("double")).alias("precision"),
+        (F.col("n_verified").cast("double")
+         / F.col("n_truth").cast("double")).alias("recall"),
+    )
 
 
 def ngram_jaccard_prefix_pairs(

@@ -1597,8 +1597,13 @@ def _bpe_train(
         .select(F.split("word", "").alias("s"), "freq")
     )
     # vocabulary-sized; every iteration's argmax re-reads it, so one
-    # materialization saves (iterations x corpus-scan) recomputes
-    words = words.cache()
+    # materialization saves (iterations x corpus-scan) recomputes.
+    # localCheckpoint, not cache(): a CacheManager entry would outlive
+    # the call (nothing here can safely unpersist a table the returned
+    # lazy DataFrames still reference), while checkpoint blocks are
+    # released by the ContextCleaner once those DataFrames are GC'd —
+    # the same pattern label_propagation uses for its edge set.
+    words = words.localCheckpoint(eager=True)
 
     outs: list[DataFrame] = []
     cur = words

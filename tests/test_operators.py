@@ -4083,3 +4083,64 @@ def test_hll_registers_merge_and_estimate(spark):
 
     with pytest.raises(ValueError, match="power of two"):
         hll_registers(a, "v", m=100)
+
+
+def test_minhash_eval_truth_sample_knob(spark):
+    """``truth_sample_mod`` prices the exact ground truth independently
+    of the dedup stack: mod=1 (the battery/oracle default) is the full
+    exact eval; mod>1 evaluates on the deterministic md5 1/mod pair
+    subsample, where the sampled truth must be a SUBSET of the full
+    truth, both counts/ratios stay internally consistent, and the same
+    predicate gates candidates and truth so precision/recall remain
+    unbiased estimators. With mod=1 the knob is a no-op (bit-identical
+    to the pre-knob construction)."""
+    from hiv_data_integration_spark.operators.dedup import (
+        minhash_lsh_eval,
+        ngram_jaccard_pairs,
+        pair_sample_pred,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    rows = []
+    for i in range(40):
+        # 20 near-dup pairs (one-word suffix tweak) + drifting filler
+        rows.append((2 * i, f"{base} variant {i}"))
+        rows.append((2 * i + 1, f"{base} variant {i} extra"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = minhash_lsh_eval(
+        docs, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4,
+        jaccard_threshold=0.5, truth_sample_mod=1,
+    ).collect()[0]
+    assert full["n_truth"] > 0 and full["n_candidates"] > 0
+    assert 0.0 < full["recall"] <= 1.0
+
+    mod = 2
+    sampled = minhash_lsh_eval(
+        docs, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4,
+        jaccard_threshold=0.5, truth_sample_mod=mod,
+    ).collect()[0]
+    # sampled truth is exactly the full truth restricted to the predicate
+    full_truth = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, jaccard_threshold=0.5
+    ).select("id_a", "id_b")
+    expect = set(
+        map(tuple, full_truth.filter(pair_sample_pred(mod)).collect())
+    )
+    got = set(
+        map(
+            tuple,
+            ngram_jaccard_pairs(
+                docs, "doc_id", "text", shingle_n=3,
+                jaccard_threshold=0.5, pair_sample_mod=mod,
+            ).select("id_a", "id_b").collect(),
+        )
+    )
+    assert got == expect
+    assert got <= set(map(tuple, full_truth.collect()))
+    assert 0 < sampled["n_truth"] < full["n_truth"]
+    assert sampled["n_verified"] <= sampled["n_candidates"]
+    assert sampled["n_verified"] <= sampled["n_truth"]
+
+    with pytest.raises(ValueError, match=">= 1"):
+        pair_sample_pred(0)
