@@ -63,11 +63,15 @@ def main() -> None:
         .save()
     )
 
-    # two passes per query, report the min: pass 1 pays one-off costs
+    # three passes per query, report the min: pass 1 pays one-off costs
     # (codegen compilation, parquet footers, Python worker ramp) that are
-    # amortized away in any long-running deployment; min-of-2 is the
-    # steady-state per-query cost and is far more stable run-to-run
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # amortized away in any long-running deployment; the per-query MIN is
+    # the steady-state cost and the only reading stable under box load
+    # (BASELINE.md documents 1.3-4x total swings on unchanged code; the
+    # round-7 close artifact read 1.23x floors purely from heat). Raised
+    # from 2 to 3 in round 8 so the official close artifact is
+    # min-of-3-grade by default.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     # optional focus list for local profiling: comma-separated query names
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     queries = ALL_QUERIES
@@ -77,9 +81,23 @@ def main() -> None:
     # NB: no forced GC between queries — measured WORSE (a System.gc()
     # wakes ContextCleaner, whose async broadcast/accumulator cleanup then
     # overlaps the next timed query; full-battery A/B at sf0.1 showed the
-    # md5-heavy dedup queries 1.5-2x slower with pre-query GC)
+    # md5-heavy dedup queries 1.5-2x slower with pre-query GC).
+    # Tier-boundary refresh (every N queries, NOT per-query): clear any
+    # leftover cache entries, GC both interpreters, then SLEEP so the
+    # async ContextCleaner drain finishes OUTSIDE the next timed query —
+    # the sleep is what the rejected per-query variant lacked. Off by
+    # default (0); the round-8 A/B at sf0.1 measured it neutral on a
+    # quiet box (see BASELINE.md), so it exists as a lever for hot runs.
+    refresh_every = int(os.environ.get("SPARK_GRAFT_BENCH_REFRESH_EVERY", "0"))
     timings: dict[str, float] = {}
-    for name, fn in queries.items():
+    for qi, (name, fn) in enumerate(queries.items()):
+        if refresh_every and qi and qi % refresh_every == 0:
+            import gc as _gc
+
+            spark.catalog.clearCache()
+            _gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(1.0)
         best = float("inf")
         for _ in range(runs):
             start = time.perf_counter()

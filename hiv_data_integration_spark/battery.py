@@ -93,7 +93,12 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def read_events_stream(spark: SparkSession, load_path: str, probe_path: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    load_path: str,
+    probe_path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """``readStream`` over events parquet with ``ts`` normalized to a
     timestamp, whatever the file's physical type — in an ISOLATED
     UTC-pinned session.
@@ -145,7 +150,10 @@ def read_events_stream(spark: SparkSession, load_path: str, probe_path: str) -> 
             s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             raw_schema = s.read.parquet(probe_path).schema
         schemas[probe_path] = raw_schema
-    stream = s.readStream.format("parquet").schema(raw_schema).load(load_path)
+    reader = s.readStream.format("parquet").schema(raw_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(load_path)
     if isinstance(raw_schema["ts"].dataType, T.LongType):
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     elif isinstance(raw_schema["ts"].dataType, T.TimestampNTZType):

@@ -10182,7 +10182,393 @@ FROM est, x
 """
 
 
+def q_streaming_outer_join_expiry(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join with WATERMARK EXPIRY —
+    the semantics the inner-join entry can't show: a click with no
+    purchase within 4 h is emitted exactly once WITH NULL right columns,
+    but only after the global watermark passes its eligibility window
+    ("no match" is only declarable once late data is impossible). The
+    feed is the events file plus a far-future two-row sentinel file
+    (filtered out of the result) delivered as a second micro-batch
+    (maxFilesPerTrigger=1) whose sole job is to advance the watermark
+    past every real event's expiry, so the availableNow run flushes ALL
+    pending unmatched rows and the result equals the batch LEFT JOIN
+    exactly — matched-pair checksums and null-right counts both hash."""
+    import datetime as _dt
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hiv_data_integration_spark.streaming import stream_interval_join
+
+    src = tempfile.mkdtemp(prefix="soj_feed_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/a_delivery.parquet")
+        # sentinel with the file's OWN physical schema (pyarrow row-slice
+        # rewrite): the stream reader applies the probed footer schema to
+        # every file, so the sentinel must match it bit-for-bit
+        t = pq.read_table(f"{sf_dir}/events.parquet")
+        two = t.slice(0, 2).to_pydict()
+        max_ts = pa.compute.max(t.column("ts")).as_py()
+        far = (
+            max_ts + 90 * 24 * 3600 * 10**9  # legacy int64-nanos footer
+            if isinstance(max_ts, int)
+            else max_ts + _dt.timedelta(days=90)
+        )
+        two["event_id"] = [-1, -2]
+        two["user_id"] = [-1, -1]
+        two["event_type"] = ["click", "purchase"]
+        two["ts"] = [far, far]
+        two["value"] = [0.0, 0.0]
+        if "props" in two:
+            two["props"] = [None, None]
+        pq.write_table(
+            pa.table(two, schema=t.schema), f"{src}/z_sentinel.parquet"
+        )
+        now = _time.time()
+        os.utime(f"{src}/a_delivery.parquet", (now - 3600, now - 3600))
+        os.utime(f"{src}/z_sentinel.parquet", (now, now))
+
+        stream = read_events_stream(
+            spark, src, f"{sf_dir}/events.parquet", max_files_per_trigger=1
+        )
+        clicks = stream.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id"
+        )
+        purchases = stream.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id"
+        )
+        joined = stream_interval_join(
+            clicks, purchases, "user_id", "ts",
+            max_delay="4 hours", watermark="1 hour", how="left_outer",
+        ).select("user_id", "event_id", "r_event_id")
+
+        name = f"stream_soj_{_uuid.uuid4().hex[:12]}"
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        ssession = joined.sparkSession
+        le = F.col("event_id") % 1000003
+        re_ = F.col("r_event_id") % 1000003
+        out = _local_result(
+            ssession.table(name)
+            .filter(F.col("user_id") >= 0)
+            .groupBy((F.col("user_id") % 8).cast("long").alias("bucket"))
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.count("r_event_id").cast("long").alias("n_matched"),
+                F.sum(
+                    F.when(
+                        F.col("r_event_id").isNotNull(), le * 31 + re_
+                    ).otherwise(le * 17)
+                )
+                .cast("long")
+                .alias("pair_checksum"),
+            )
+        )
+        ssession.catalog.dropTempView(name)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+SQL_STREAMING_OUTER_JOIN = """
+WITH l AS (
+    SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+),
+r AS (
+    SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+),
+j AS (
+    SELECT l.user_id, l.event_id AS le, r.event_id AS re
+    FROM l LEFT JOIN r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 4 HOUR
+)
+SELECT CAST(user_id % 8 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(re) AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN re IS NOT NULL
+                     THEN (le % 1000003) * 31 + re % 1000003
+                     ELSE (le % 1000003) * 17 END) AS BIGINT)
+           AS pair_checksum
+FROM j GROUP BY 1
+"""
+
+
+def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / theta-family) sketch with SET EXPRESSIONS —
+    the capability HLL registers lack: sketch the urgent-order and
+    high-priority-order customer sets independently (k=64 smallest md5
+    hashes each — mergeable segment state), merge the two sketches for
+    the UNION estimate, and compare every estimate against the exact
+    distinct counts with a 4-sigma (4/sqrt(k-1) ≈ 0.5) relative-error
+    gate the oracle re-derives. The only float steps are IEEE divisions
+    of exact integers, identical on both engines."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    k = 64
+    orders = tbl(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("v")
+    )
+    b = orders.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        F.col("o_custkey").alias("v")
+    )
+    ska, skb = kmv_sketch(a, "v", k), kmv_sketch(b, "v", k)
+    est_a = kmv_estimate(ska, k).select(
+        F.col("n_kept").alias("kept_a"), F.col("estimate").alias("est_a")
+    )
+    est_b = kmv_estimate(skb, k).select(
+        F.col("n_kept").alias("kept_b"), F.col("estimate").alias("est_b")
+    )
+    est_u = kmv_estimate(kmv_merge(ska, skb, k=k), k).select(
+        F.col("estimate").alias("est_union")
+    )
+    exact = (
+        a.agg(F.countDistinct("v").cast("long").alias("exact_a"))
+        .crossJoin(
+            F.broadcast(
+                b.agg(F.countDistinct("v").cast("long").alias("exact_b"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                a.unionByName(b).agg(
+                    F.countDistinct("v").cast("long").alias("exact_union")
+                )
+            )
+        )
+    )
+    bound = 4.0 / (k - 1) ** 0.5
+    out = (
+        est_a.crossJoin(F.broadcast(est_b))
+        .crossJoin(F.broadcast(est_u))
+        .crossJoin(F.broadcast(exact))
+    )
+    within = (
+        F.abs(F.col("est_union") / F.col("exact_union").cast("double") - 1.0)
+        <= bound
+    )
+    return out.select(
+        F.lit(k).cast("long").alias("k"),
+        "kept_a", "est_a", "exact_a",
+        "kept_b", "est_b", "exact_b",
+        "est_union", "exact_union",
+        within.alias("union_within_4sigma"),
+    )
+
+
+_KMV_EST = (
+    "CASE WHEN n < 64 THEN CAST(n AS DOUBLE) "
+    "ELSE CAST(63 AS DOUBLE) * 1152921504606846976.0 "
+    "/ CAST(kh AS DOUBLE) END"
+)
+
+SQL_KMV_SETOPS = f"""
+WITH ha AS (
+    SELECT DISTINCT CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+                AS BIGINT) AS h
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+hb AS (
+    SELECT DISTINCT CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+                AS BIGINT) AS h
+    FROM orders WHERE o_orderpriority = '2-HIGH'
+),
+ka AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+kb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+ku AS (
+    SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) ORDER BY h LIMIT 64
+),
+sa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(MAX(h) AS BIGINT) AS kh FROM ka),
+sb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(MAX(h) AS BIGINT) AS kh FROM kb),
+su AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(MAX(h) AS BIGINT) AS kh FROM ku),
+xa AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_a
+       FROM orders WHERE o_orderpriority = '1-URGENT'),
+xb AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_b
+       FROM orders WHERE o_orderpriority = '2-HIGH'),
+xu AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_union
+       FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+SELECT CAST(64 AS BIGINT) AS k,
+       sa.n AS kept_a, {_KMV_EST.replace("n ", "sa.n ").replace("kh", "sa.kh")} AS est_a, exact_a,
+       sb.n AS kept_b, {_KMV_EST.replace("n ", "sb.n ").replace("kh", "sb.kh")} AS est_b, exact_b,
+       {_KMV_EST.replace("n ", "su.n ").replace("kh", "su.kh")} AS est_union, exact_union,
+       abs({_KMV_EST.replace("n ", "su.n ").replace("kh", "su.kh")}
+           / CAST(exact_union AS DOUBLE) - 1.0) <= 0.5039526306789696
+           AS union_within_4sigma
+FROM sa, sb, su, xa, xb, xu
+"""
+
+
+def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round k-core peeling (k=3, 3 peel rounds) over the same
+    synthetic customer graph as the PageRank/LPA entries; output is the
+    surviving-core degree census (degree, node count, node-id checksum).
+    The oracle unrolls the three peel rounds — degree census, >= k
+    survivor filter, edge restriction — as plain SQL stages."""
+    cust = tbl(spark, sf_dir, "customer")
+    n = cust.count()
+    ck = F.col("c_custkey").cast("long")
+    e1 = cust.select(
+        ck.alias("src"), F.expr("c_custkey div 10").cast("long").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    e2 = cust.select(
+        ck.alias("src"), ((ck * 7 + 3) % F.lit(n)).alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    core = dd.k_core_peel(e1.unionByName(e2), k=3, iters=3)
+    return core.groupBy(F.col("degree")).agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum("node").cast("long").alias("node_checksum"),
+    )
+
+
+SQL_KCORE_PEEL = """WITH nn AS (SELECT count(*) AS cnt FROM customer),
+edges0 AS (
+    SELECT CAST(c_custkey AS BIGINT) AS src,
+           CAST(c_custkey AS BIGINT) // 10 AS dst
+    FROM customer WHERE CAST(c_custkey AS BIGINT) // 10 <> c_custkey
+    UNION ALL
+    SELECT CAST(c_custkey AS BIGINT),
+           (c_custkey * 7 + 3) % (SELECT cnt FROM nn)
+    FROM customer
+    WHERE (c_custkey * 7 + 3) % (SELECT cnt FROM nn) <> c_custkey
+),
+sedges AS (
+    SELECT DISTINCT u, v FROM (
+        SELECT src AS u, dst AS v FROM edges0
+        UNION ALL
+        SELECT dst AS u, src AS v FROM edges0
+    ) WHERE u <> v
+),
+d1 AS (SELECT u, count(*) AS d FROM sedges GROUP BY u),
+s1 AS (SELECT u FROM d1 WHERE d >= 3),
+e1 AS (SELECT u, v FROM sedges
+       WHERE u IN (SELECT u FROM s1) AND v IN (SELECT u FROM s1)),
+d2 AS (SELECT u, count(*) AS d FROM e1 GROUP BY u),
+s2 AS (SELECT u FROM d2 WHERE d >= 3),
+e2 AS (SELECT u, v FROM e1
+       WHERE u IN (SELECT u FROM s2) AND v IN (SELECT u FROM s2)),
+d3 AS (SELECT u, count(*) AS d FROM e2 GROUP BY u),
+s3 AS (SELECT u FROM d3 WHERE d >= 3),
+e3 AS (SELECT u, v FROM e2
+       WHERE u IN (SELECT u FROM s3) AND v IN (SELECT u FROM s3)),
+core AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+         FROM e3 GROUP BY u)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(node) AS BIGINT) AS node_checksum
+FROM core GROUP BY degree
+"""
+
+
+def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme eval for the fuzzy/entity-resolution stack
+    (reduction ratio / pairs completeness / pairs quality, Christen
+    TKDE'12): customers blocked by MARKET SEGMENT (a deliberately
+    entity-uncorrelated key) against nationkey ground-truth entities —
+    the census quantifies exactly how much recall a bad blocking key
+    costs (completeness ≈ 1/|segments|) next to its comparison-space
+    savings, all from group-size censuses, no pair set ever
+    materialized."""
+    cust = tbl(spark, sf_dir, "customer")
+    return fz.blocking_quality(
+        cust,
+        F.col("c_mktsegment"),
+        F.col("c_nationkey").cast("long"),
+    )
+
+
+SQL_BLOCKING_QUALITY = """
+WITH t AS (
+    SELECT c_mktsegment AS b,
+           CAST(c_nationkey AS BIGINT) AS tt
+    FROM customer
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_records FROM t),
+cand AS (
+    SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT)
+               AS candidate_pairs
+    FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM t GROUP BY b)
+),
+tr AS (
+    SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS truth_pairs
+    FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM t GROUP BY tt)
+),
+cov AS (
+    SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS covered_truth
+    FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM t GROUP BY tt, b)
+)
+SELECT n_records,
+       CAST(n_records * (n_records - 1) // 2 AS BIGINT) AS total_pairs,
+       candidate_pairs, truth_pairs, covered_truth,
+       1.0 - CAST(candidate_pairs AS DOUBLE)
+           / CAST(n_records * (n_records - 1) // 2 AS DOUBLE)
+           AS reduction_ratio,
+       CAST(covered_truth AS DOUBLE) / CAST(truth_pairs AS DOUBLE)
+           AS pairs_completeness,
+       CAST(covered_truth AS DOUBLE) / CAST(candidate_pairs AS DOUBLE)
+           AS pairs_quality
+FROM n, cand, tr, cov
+"""
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility census by language — exact per-lang character
+    / whitespace-word / regex-pre-token sums plus tokens-per-word and
+    chars-per-token ratios, the standard diagnostic for languages a
+    tokenizer under-serves (their training cost per byte inflates by
+    exactly the fertility ratio). One codegen'd regex pass per doc, one
+    hash aggregate."""
+    docs = tbl(spark, sf_dir, "documents")
+    return tx.tokenizer_fertility(docs, "text", ["lang"])
+
+
+SQL_TOKENIZER_FERTILITY = """
+WITH per AS (
+    SELECT lang,
+           CAST(length(text) AS BIGINT) AS ch,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x != '')) AS BIGINT) AS w,
+           CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT)
+               AS tk
+    FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ch) AS BIGINT) AS n_chars,
+       CAST(SUM(w) AS BIGINT) AS n_words,
+       CAST(SUM(tk) AS BIGINT) AS n_tokens,
+       CAST(SUM(tk) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS fertility,
+       CAST(SUM(ch) AS DOUBLE) / CAST(SUM(tk) AS DOUBLE) AS chars_per_token
+FROM per GROUP BY lang
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
+    "streaming_outer_join_expiry": q_streaming_outer_join_expiry,
+    "sketch_kmv_setops": q_kmv_setops,
+    "graph_kcore_peel": q_kcore_peel,
+    "fuzzy_blocking_quality": q_blocking_quality,
+    "text_tokenizer_fertility": q_tokenizer_fertility,
     "streaming_hll_distinct": q_streaming_hll_distinct,
     "sketch_histogram_quantiles": q_hist_quantile_sketch,
     "sketch_hll_distinct": q_hll_distinct,
@@ -10401,6 +10787,11 @@ EXT_QUERIES: dict[str, QueryFn] = {
 }
 
 EXT_ORACLE: dict[str, str] = {
+    "streaming_outer_join_expiry": SQL_STREAMING_OUTER_JOIN,
+    "sketch_kmv_setops": SQL_KMV_SETOPS,
+    "graph_kcore_peel": SQL_KCORE_PEEL,
+    "fuzzy_blocking_quality": SQL_BLOCKING_QUALITY,
+    "text_tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
     "streaming_hll_distinct": SQL_STREAMING_HLL,
     "sketch_histogram_quantiles": SQL_HIST_QUANTILE,
     "sketch_hll_distinct": SQL_HLL_DISTINCT,

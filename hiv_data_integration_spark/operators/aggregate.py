@@ -4539,3 +4539,76 @@ def hll_estimate(
         "harmonic_num",
         "estimate",
     )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: Column | str,
+    k: int = 32,
+) -> DataFrame:
+    """K-Minimum-Values distinct sketch (Bar-Yossef et al., RANDOM'02 /
+    the theta-sketch family): the k smallest DISTINCT md5 hashes of the
+    value. Like the HLL register table, the k-row hash set IS the
+    mergeable state — merging segments is union → k smallest again, and
+    set EXPRESSIONS (union/intersection estimates across sources) fall
+    out of the same state, which registers can't give you. md5 keeps it
+    engine/language-portable.
+
+    Plan shape: ``orderBy(h).limit(k)`` compiles to
+    TakeOrderedAndProject — per-partition top-k heaps merged on the
+    driver, never a global range-partition sort, so it scales to any
+    corpus size at O(k) merge state per partition.
+
+    Output: ``(h,)`` — at most ``k`` rows, ascending ordering not
+    materialized (callers aggregate).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    from hiv_data_integration_spark.operators.dedup import md5_long
+
+    col = F.col(value_col) if isinstance(value_col, str) else value_col
+    return (
+        df.select(md5_long(col).alias("h"))
+        .dropDuplicates()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_merge(*sketches: DataFrame, k: int = 32) -> DataFrame:
+    """Merge KMV sketch states: distinct union of the hash sets, k
+    smallest kept. The merged sketch estimates the distinct count of the
+    UNION of the underlying sets — the mergeable-segment shape a 100 TB
+    incremental pipeline stores (sketch per partition/day, merge on
+    read)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.dropDuplicates().orderBy("h").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 32) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: if the sketch holds
+    fewer than ``k`` hashes the count is EXACT (every distinct value is
+    present); otherwise ``D = (k-1) * 2^60 / h_(k)`` with ``h_(k)`` the
+    k-th smallest hash (md5_long is uniform on [0, 2^60)). The only
+    float step is one IEEE division of exact integers ((k-1)*2^60 is a
+    power of two times a <2^6 integer — an exact double), so the
+    estimate hashes identically on any IEEE engine.
+
+    Output 1 row: ``(n_kept, kth_hash, estimate)``.
+    """
+    agg = sketch.agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.max("h").cast("long").alias("kth_hash"),
+    )
+    full = F.lit(float((k - 1) * (1 << 60))) / F.col("kth_hash").cast(
+        "double"
+    )
+    return agg.select(
+        "n_kept",
+        "kth_hash",
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+        .otherwise(full)
+        .alias("estimate"),
+    )

@@ -1516,3 +1516,54 @@ def label_propagation(
     return labels.select(
         F.col("_n").alias(node_col), F.col("_lab").alias("label")
     )
+
+
+def k_core_peel(
+    edges: DataFrame,
+    k: int = 3,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling (Seidman 1983; the distributed
+    formulation of Montresor et al., "Distributed k-core decomposition"):
+    each round drops every node whose CURRENT degree is below ``k`` and
+    keeps only edges between survivors. A fixed ``iters`` makes the
+    result deterministic and engine-portable (the same contract as
+    :func:`pagerank_fixed_point` / :func:`label_propagation`); with
+    enough rounds the survivor set IS the k-core, and intermediate
+    rounds are the standard peel schedule.
+
+    The graph is treated as UNDIRECTED with parallel edges collapsed and
+    self-loops dropped. Scale shape: one symmetrize+distinct up front,
+    then per round one degree aggregate + two semi-join-shaped inner
+    joins against the (much smaller) survivor set; each round's edge set
+    is localCheckpointed so lineage stays flat and dropped rounds'
+    blocks free on GC.
+
+    Returns the survivor degree table ``(node, degree)`` after the last
+    round's filter (degrees as of the surviving subgraph).
+    """
+    if k < 1 or iters < 1:
+        raise ValueError("k and iters must be >= 1")
+    cur = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        deg = cur.groupBy("u").agg(F.count("*").alias("_d"))
+        keep = deg.filter(F.col("_d") >= k).select("u")
+        cur = (
+            cur.join(keep, "u")
+            .join(keep.withColumnRenamed("u", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    return cur.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("long").alias("degree")
+    )

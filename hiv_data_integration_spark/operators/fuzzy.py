@@ -609,3 +609,88 @@ def upsert_parquet_state(
     merged.write.mode("overwrite").parquet(staging)
     _swap_state_dirs(fs, hpath_cls, path, staging, backup)
     return spark.read.parquet(path)
+
+
+def blocking_quality(
+    df: DataFrame,
+    block_col: Column | str,
+    truth_col: Column | str,
+) -> DataFrame:
+    """Blocking-scheme quality metrics for entity resolution
+    (Christen, "A Survey of Indexing Techniques for Scalable Record
+    Linkage", TKDE'12): given a candidate-generation BLOCKING key and a
+    ground-truth entity key, report
+
+    - ``reduction_ratio``  = 1 − candidate_pairs / total_pairs — how much
+      of the quadratic comparison space the blocking removes;
+    - ``pairs_completeness`` = covered_truth / truth_pairs — recall: the
+      fraction of true-match pairs that share a block (a blocked matcher
+      can never find an uncovered pair);
+    - ``pairs_quality``    = covered_truth / candidate_pairs — precision
+      proxy: the fraction of generated candidates that are true matches.
+
+    Everything is computed from GROUP-SIZE CENSUSES — candidate pairs
+    Σ nb·(nb−1)/2 over blocks, truth pairs over truth groups, covered
+    pairs over (truth, block) cells — so NO pair set is ever
+    materialized: three O(n) hash aggregates and exact BIGINT pair
+    counts, the only way an eval like this runs on a 100 TB corpus.
+    The ratios are single IEEE divisions of exact integers.
+
+    Output 1 row: ``(n_records, total_pairs, candidate_pairs,
+    truth_pairs, covered_truth, reduction_ratio, pairs_completeness,
+    pairs_quality)``.
+    """
+    b = F.col(block_col) if isinstance(block_col, str) else block_col
+    t = F.col(truth_col) if isinstance(truth_col, str) else truth_col
+    tagged = df.select(b.alias("_b"), t.alias("_t"))
+
+    def _pairs(counts: DataFrame, alias: str) -> DataFrame:
+        # n·(n−1) is even, so >>1 is the exact halved BIGINT — `/ 2`
+        # would be IEEE double division and lose bits past 2^53
+        c = F.col("_c").cast("long")
+        return counts.agg(
+            F.coalesce(
+                F.sum(F.shiftright(c * (c - F.lit(1)), 1)).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias(alias)
+        )
+
+    n = tagged.agg(F.count("*").cast("long").alias("n_records"))
+    cand = _pairs(
+        tagged.groupBy("_b").agg(F.count("*").alias("_c")), "candidate_pairs"
+    )
+    truth = _pairs(
+        tagged.groupBy("_t").agg(F.count("*").alias("_c")), "truth_pairs"
+    )
+    covered = _pairs(
+        tagged.groupBy("_t", "_b").agg(F.count("*").alias("_c")),
+        "covered_truth",
+    )
+    out = (
+        n.crossJoin(F.broadcast(cand))
+        .crossJoin(F.broadcast(truth))
+        .crossJoin(F.broadcast(covered))
+        .withColumn(
+            "total_pairs",
+            F.shiftright(
+                F.col("n_records") * (F.col("n_records") - F.lit(1)), 1
+            ),
+        )
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    return out.select(
+        "n_records",
+        "total_pairs",
+        "candidate_pairs",
+        "truth_pairs",
+        "covered_truth",
+        (F.lit(1.0) - dbl("candidate_pairs") / dbl("total_pairs")).alias(
+            "reduction_ratio"
+        ),
+        (dbl("covered_truth") / dbl("truth_pairs")).alias(
+            "pairs_completeness"
+        ),
+        (dbl("covered_truth") / dbl("candidate_pairs")).alias(
+            "pairs_quality"
+        ),
+    )

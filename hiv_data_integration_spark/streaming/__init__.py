@@ -254,10 +254,20 @@ def stream_interval_join(
     ts_col: str = "ts",
     max_delay: str = "4 hours",
     watermark: str = "24 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream INNER interval join — the classic
+    """Watermarked stream-stream interval join — the classic
     click→conversion attribution shape: for each left event, every right
     event of the same key within ``[left.ts, left.ts + max_delay]``.
+
+    ``how="left_outer"`` adds WATERMARK-EXPIRY semantics: a left event
+    with no match is held in state until the global watermark passes its
+    join-eligibility window (``ts + max_delay``), then emitted once with
+    null right columns — the streaming analogue of a batch left join,
+    where "no match" can only be declared once late data is impossible.
+    Outer emission therefore trails the watermark; a one-shot
+    ``availableNow`` run needs a final watermark-advancing batch (or the
+    engine's no-data batch) to flush the tail.
 
     The right side's columns come back ``r_``-prefixed (Spark
     stream-stream joins need distinct attribute names across sides; the
@@ -289,7 +299,7 @@ def stream_interval_join(
             <= F.col(ts_col) + F.expr(f"INTERVAL {max_delay}")
         )
     )
-    return l_side.join(r_side, cond, "inner")
+    return l_side.join(r_side, cond, how)
 
 
 def first_seen_dedup(

@@ -4144,3 +4144,92 @@ def test_minhash_eval_truth_sample_knob(spark):
 
     with pytest.raises(ValueError, match=">= 1"):
         pair_sample_pred(0)
+
+
+def test_kmv_sketch_merge_and_estimate(spark):
+    """KMV state is mergeable (k smallest of the union of two sketches ==
+    sketch of the union), the estimate is exact below k, and within
+    4/sqrt(k-1) of truth above it."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    k = 32
+    small = spark.range(0, 10).selectExpr("id AS v")
+    est = kmv_estimate(kmv_sketch(small, "v", k), k).collect()[0]
+    assert est["n_kept"] == 10 and est["estimate"] == 10.0
+
+    a = spark.range(0, 2000).selectExpr("id AS v")
+    b = spark.range(1000, 3000).selectExpr("id AS v")
+    merged = kmv_merge(kmv_sketch(a, "v", k), kmv_sketch(b, "v", k), k=k)
+    direct = kmv_sketch(a.unionByName(b), "v", k)
+    assert {r["h"] for r in merged.collect()} == {
+        r["h"] for r in direct.collect()
+    }
+    est_u = kmv_estimate(merged, k).collect()[0]
+    assert abs(est_u["estimate"] / 3000.0 - 1.0) <= 4.0 / (k - 1) ** 0.5
+
+    with pytest.raises(ValueError, match=">= 2"):
+        kmv_sketch(a, "v", 1)
+
+
+def test_k_core_peel_known_graph(spark):
+    """Triangle + pendant chain: the 2-core is exactly the triangle
+    (pendants peel off), and a k above the max degree empties the
+    graph."""
+    from hiv_data_integration_spark.operators.dedup import k_core_peel
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    core = k_core_peel(edges, k=2, iters=3).collect()
+    assert {(r["node"], r["degree"]) for r in core} == {
+        (1, 2), (2, 2), (3, 2)
+    }
+    assert k_core_peel(edges, k=3, iters=3).count() == 0
+    with pytest.raises(ValueError, match=">= 1"):
+        k_core_peel(edges, k=0)
+
+
+def test_blocking_quality_census_math(spark):
+    """4 records, 2 entities; blocking splits one entity across blocks:
+    total=6 pairs, candidates=2, truth=2, covered=1 — ratios follow."""
+    from hiv_data_integration_spark.operators.fuzzy import blocking_quality
+
+    df = spark.createDataFrame(
+        [("b1", "e1"), ("b1", "e1"), ("b2", "e2"), ("b1", "e2")],
+        "blk string, ent string",
+    )
+    r = blocking_quality(df, "blk", "ent").collect()[0]
+    assert r["n_records"] == 4 and r["total_pairs"] == 6
+    assert r["candidate_pairs"] == 3  # block b1 has 3 records -> 3 pairs
+    assert r["truth_pairs"] == 2 and r["covered_truth"] == 1
+    assert r["reduction_ratio"] == 1.0 - 3.0 / 6.0
+    assert r["pairs_completeness"] == 0.5
+    assert r["pairs_quality"] == 1.0 / 3.0
+
+
+def test_tokenizer_fertility_exact_counts(spark):
+    from hiv_data_integration_spark.operators.textops import (
+        tokenizer_fertility,
+    )
+
+    df = spark.createDataFrame(
+        [("en", "Hello, world!"), ("en", "a b"), ("fr", "état d'art")],
+        "lang string, text string",
+    )
+    out = {r["lang"]: r for r in tokenizer_fertility(df, "text", ["lang"]).collect()}
+    # "Hello, world!" -> regex tokens: Hello , world ! (4); ws words: 2
+    # "a b" -> 2 tokens, 2 words
+    en = out["en"]
+    assert en["n_docs"] == 2 and en["n_words"] == 4 and en["n_tokens"] == 6
+    assert en["n_chars"] == len("Hello, world!") + len("a b")
+    assert en["fertility"] == 6.0 / 4.0
+    fr = out["fr"]
+    assert fr["n_words"] == 2  # état d'art
+    # \w is ASCII-only in BOTH Java regex and RE2 (the cross-engine
+    # agreement the pattern is chosen for), so é is a symbol token:
+    # é | tat | d | ' | art
+    assert fr["n_tokens"] == 5
