@@ -86,8 +86,10 @@ def main() -> None:
     # leftover cache entries, GC both interpreters, then SLEEP so the
     # async ContextCleaner drain finishes OUTSIDE the next timed query —
     # the sleep is what the rejected per-query variant lacked. Off by
-    # default (0); the round-8 A/B at sf0.1 measured it neutral on a
-    # quiet box (see BASELINE.md), so it exists as a lever for hot runs.
+    # default (0): the round-8 quiet min-of-3 full battery reads MEDIAN
+    # 0.96x floors with zero >1.5x readings WITHOUT it (BASELINE.md
+    # r8-m1), so in-battery accumulation is not the binding factor on a
+    # quiet box; the knob exists as a salvage lever for hot runs.
     refresh_every = int(os.environ.get("SPARK_GRAFT_BENCH_REFRESH_EVERY", "0"))
     timings: dict[str, float] = {}
     for qi, (name, fn) in enumerate(queries.items()):
