@@ -10420,6 +10420,261 @@ FROM sa, sb, su, xa, xb, xu
 """
 
 
+def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch INTERSECTION/Jaccard estimation — the second half of
+    the theta-sketch set algebra: with A/B/merged sketches already in
+    hand (the same mergeable state as sketch_kmv_setops), the Jaccard
+    estimate is the match rate of the merged k-set against both input
+    sets (ρ = |K(A∪B) ∩ A ∩ B| / |K(A∪B)|) and the intersection
+    estimate is ρ · D̂(A∪B) — sub-linear set overlap from O(k) state,
+    checked against the exact distinct-count truth. All counts exact
+    BIGINTs; ratios fixed-order IEEE ops of exact ints."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    k = 64
+    orders = tbl(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("v")
+    )
+    b = orders.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        F.col("o_custkey").alias("v")
+    )
+    ska, skb = kmv_sketch(a, "v", k), kmv_sketch(b, "v", k)
+    sku = kmv_merge(ska, skb, k=k)
+    matched = (
+        sku.join(ska, "h", "left_semi")
+        .join(skb, "h", "left_semi")
+        .agg(F.count("*").cast("long").alias("matched_k"))
+    )
+    stats = (
+        sku.agg(F.count("*").cast("long").alias("n_union_kept"))
+        .crossJoin(F.broadcast(matched))
+        .crossJoin(F.broadcast(kmv_estimate(sku, k).select("estimate")))
+    )
+    exact = (
+        a.join(b, "v", "left_semi")
+        .agg(F.countDistinct("v").cast("long").alias("exact_inter"))
+        .crossJoin(
+            F.broadcast(
+                a.unionByName(b).agg(
+                    F.countDistinct("v").cast("long").alias("exact_union")
+                )
+            )
+        )
+    )
+    jac = F.col("matched_k").cast("double") / F.col("n_union_kept").cast(
+        "double"
+    )
+    return stats.crossJoin(F.broadcast(exact)).select(
+        F.lit(k).cast("long").alias("k"),
+        "n_union_kept",
+        "matched_k",
+        jac.alias("jaccard_est"),
+        (jac * F.col("estimate")).alias("inter_est"),
+        "exact_inter",
+        "exact_union",
+        (
+            F.col("exact_inter").cast("double")
+            / F.col("exact_union").cast("double")
+        ).alias("exact_jaccard"),
+    )
+
+
+SQL_KMV_JACCARD = f"""
+WITH ha AS (
+    SELECT DISTINCT CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+                AS BIGINT) AS h
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+hb AS (
+    SELECT DISTINCT CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+                AS BIGINT) AS h
+    FROM orders WHERE o_orderpriority = '2-HIGH'
+),
+ka AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+kb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+ku AS (
+    SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) ORDER BY h LIMIT 64
+),
+su AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(MAX(h) AS BIGINT) AS kh FROM ku),
+mt AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS matched_k
+    FROM ku WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)
+),
+xi AS (
+    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_inter
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+      AND o_custkey IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '2-HIGH')
+),
+xu AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_union
+       FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+SELECT CAST(64 AS BIGINT) AS k,
+       su.n AS n_union_kept, matched_k,
+       CAST(matched_k AS DOUBLE) / CAST(su.n AS DOUBLE) AS jaccard_est,
+       CAST(matched_k AS DOUBLE) / CAST(su.n AS DOUBLE)
+           * ({_KMV_EST.replace("n ", "su.n ").replace("kh", "su.kh")})
+           AS inter_est,
+       exact_inter, exact_union,
+       CAST(exact_inter AS DOUBLE) / CAST(exact_union AS DOUBLE)
+           AS exact_jaccard
+FROM su, mt, xi, xu
+"""
+
+
+def q_stratified_exact_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-proportion stratified split census: per (lang, split), row
+    count and id checksum — each language's train share is exact to the
+    row (rank·den <= n·num all-integer membership over the deterministic
+    md5 order), unlike hash-threshold splits whose rare-stratum shares
+    wobble. The oracle replays the identical window program."""
+    docs = tbl(spark, sf_dir, "documents")
+    out = sp.stratified_exact_split(docs, "doc_id", "lang", 4, 5)
+    return out.groupBy("lang", "split").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
+
+
+SQL_STRATIFIED_EXACT_SPLIT = """
+WITH r AS (
+    SELECT lang, doc_id,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                        AS BIGINT), doc_id
+           ) AS rk,
+           count(*) OVER (PARTITION BY lang) AS ns
+    FROM documents
+)
+SELECT lang,
+       CASE WHEN rk * 5 <= ns * 4 THEN 'train' ELSE 'holdout' END AS split,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM r GROUP BY 1, 2
+"""
+
+
+def q_seasonal_index_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index table over the events daily revenue
+    series — the decomposition seasonal factor, log/float-mean-free:
+    index = dow_cents·n_days_total / (n_days_dow·total_cents), one IEEE
+    division of exact BIGINT cross-products; weekday via epoch-days
+    mod 7 (tz/week-numbering immune)."""
+    events = tbl(spark, sf_dir, "events")
+    from hiv_data_integration_spark.operators.aggregate import (
+        seasonal_index_dow,
+    )
+
+    return seasonal_index_dow(events, "ts", "value")
+
+
+SQL_SEASONAL_INDEX_DOW = """
+WITH d AS (
+    SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dd,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+    FROM events
+),
+daily AS (SELECT dd, CAST(SUM(c) AS BIGINT) AS dc FROM d GROUP BY dd),
+dow AS (
+    SELECT CAST(dd % 7 AS BIGINT) AS dow,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(SUM(dc) AS BIGINT) AS dow_cents
+    FROM daily GROUP BY 1
+),
+t AS (SELECT CAST(SUM(n_days) AS BIGINT) AS nt,
+             CAST(SUM(dow_cents) AS BIGINT) AS tc FROM dow)
+SELECT dow, n_days, dow_cents,
+       CAST(dow_cents * nt AS DOUBLE) / CAST(n_days * tc AS DOUBLE)
+           AS seasonal_index
+FROM dow, t
+"""
+
+
+def q_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth checkpoints over the documents
+    corpus prefix (doc_id <= checkpoint): distinct vocab, token totals
+    and type-token ratio from ONE corpus pass — first-seen(token) and
+    per-doc counts answer every checkpoint via a broadcast range join
+    against the 5-row checkpoint list."""
+    docs = tbl(spark, sf_dir, "documents")
+    return tx.heaps_vocab_curve(
+        docs, "doc_id", "text", [100, 200, 300, 400, 500]
+    )
+
+
+SQL_HEAPS_LAW_CURVE = f"""
+WITH toks AS (
+    SELECT CAST(doc_id AS BIGINT) AS id, unnest({_TOKS}) AS t
+    FROM documents
+),
+fs AS (SELECT t, MIN(id) AS fid FROM toks GROUP BY t),
+pd AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY id),
+cp AS (SELECT CAST(checkpoint AS BIGINT) AS checkpoint
+       FROM (VALUES (100), (200), (300), (400), (500)) AS v(checkpoint)),
+vc AS (
+    SELECT checkpoint, CAST(count(*) AS BIGINT) AS vocab_size
+    FROM cp JOIN fs ON fs.fid <= cp.checkpoint GROUP BY 1
+),
+nt AS (
+    SELECT checkpoint, CAST(SUM(n) AS BIGINT) AS n_tokens
+    FROM cp JOIN pd ON pd.id <= cp.checkpoint GROUP BY 1
+)
+SELECT cp.checkpoint,
+       CAST(COALESCE(nt.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(vc.vocab_size, 0) AS BIGINT) AS vocab_size,
+       CASE WHEN COALESCE(nt.n_tokens, 0) > 0
+            THEN CAST(vc.vocab_size AS DOUBLE) / CAST(nt.n_tokens AS DOUBLE)
+       END AS type_token_ratio
+FROM cp LEFT JOIN nt USING (checkpoint) LEFT JOIN vc USING (checkpoint)
+"""
+
+
+def q_key_candidate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key uniqueness audit over lineitem: the true composite
+    key (orderkey, linenumber), a deliberately non-unique prefix
+    (orderkey) and a plausible-but-false candidate (partkey, suppkey) —
+    one hash aggregate each, exact group censuses, BIGINT verdicts."""
+    li = tbl(spark, sf_dir, "lineitem")
+    from hiv_data_integration_spark.operators.validation import (
+        key_candidate_audit,
+    )
+
+    return key_candidate_audit(
+        li,
+        {
+            "orderkey_linenumber": ["l_orderkey", "l_linenumber"],
+            "orderkey": ["l_orderkey"],
+            "partkey_suppkey": ["l_partkey", "l_suppkey"],
+        },
+    )
+
+
+_KEY_AUDIT_BLOCK = """
+SELECT '{name}' AS candidate,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(MAX(c) AS BIGINT) AS max_group_rows,
+       CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+           AS dup_rows,
+       count(*) = SUM(c) AS is_unique
+FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY {cols})
+"""
+
+SQL_KEY_CANDIDATE_AUDIT = " UNION ALL ".join(
+    _KEY_AUDIT_BLOCK.format(name=n, cols=c)
+    for n, c in [
+        ("orderkey_linenumber", "l_orderkey, l_linenumber"),
+        ("orderkey", "l_orderkey"),
+        ("partkey_suppkey", "l_partkey, l_suppkey"),
+    ]
+)
+
+
 def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-round k-core peeling (k=3, 3 peel rounds) over the same
     synthetic customer graph as the PageRank/LPA entries; output is the
@@ -10566,6 +10821,11 @@ FROM per GROUP BY lang
 EXT_QUERIES: dict[str, QueryFn] = {
     "streaming_outer_join_expiry": q_streaming_outer_join_expiry,
     "sketch_kmv_setops": q_kmv_setops,
+    "sketch_kmv_jaccard": q_kmv_jaccard,
+    "data_stratified_exact_split": q_stratified_exact_split,
+    "seasonal_index_dow": q_seasonal_index_dow,
+    "text_heaps_law_curve": q_heaps_law_curve,
+    "key_candidate_audit": q_key_candidate_audit,
     "graph_kcore_peel": q_kcore_peel,
     "fuzzy_blocking_quality": q_blocking_quality,
     "text_tokenizer_fertility": q_tokenizer_fertility,
@@ -10789,6 +11049,11 @@ EXT_QUERIES: dict[str, QueryFn] = {
 EXT_ORACLE: dict[str, str] = {
     "streaming_outer_join_expiry": SQL_STREAMING_OUTER_JOIN,
     "sketch_kmv_setops": SQL_KMV_SETOPS,
+    "sketch_kmv_jaccard": SQL_KMV_JACCARD,
+    "data_stratified_exact_split": SQL_STRATIFIED_EXACT_SPLIT,
+    "seasonal_index_dow": SQL_SEASONAL_INDEX_DOW,
+    "text_heaps_law_curve": SQL_HEAPS_LAW_CURVE,
+    "key_candidate_audit": SQL_KEY_CANDIDATE_AUDIT,
     "graph_kcore_peel": SQL_KCORE_PEEL,
     "fuzzy_blocking_quality": SQL_BLOCKING_QUALITY,
     "text_tokenizer_fertility": SQL_TOKENIZER_FERTILITY,

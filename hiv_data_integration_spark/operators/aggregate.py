@@ -4612,3 +4612,49 @@ def kmv_estimate(sketch: DataFrame, k: int = 32) -> DataFrame:
         .otherwise(full)
         .alias("estimate"),
     )
+
+
+def seasonal_index_dow(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Day-of-week seasonal indices — the additive/multiplicative
+    decomposition's seasonal factor table, log-free: per weekday,
+    ``index = (dow daily mean) / (overall daily mean)`` computed as ONE
+    IEEE division of exact BIGINT cross-products,
+    ``(dow_cents * n_days_total) / (n_days_dow * total_cents)`` — no
+    float mean anywhere, so the indices hash identically on any engine.
+    Weekday key is epoch-days mod 7 (0 = Thursday), immune to engine
+    week-numbering and timezone rendering; values accumulate as exact
+    cents (floor(v*100 + 0.5)).
+
+    Two hash aggregates ((day) → (dow)) + one broadcast total row.
+    Cross-product envelope: ``dow_cents * n_days_total`` must fit BIGINT
+    (fine up to ~9e18 — e.g. $10^14 total cents over 10^4 days); past
+    that, swap the products to DECIMAL(38,0) with the VARCHAR-mediated
+    double cast (see twap's oracle note).
+    Output: ``(dow, n_days, dow_cents, seasonal_index)``.
+    """
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    epoch_day = F.unix_date(F.col(ts_col).cast("date")).cast("long")
+    daily = df.select(epoch_day.alias("_d"), cents.alias("_c")).groupBy(
+        "_d"
+    ).agg(F.sum("_c").alias("_dc"))
+    dow = daily.groupBy(F.pmod(F.col("_d"), F.lit(7)).alias("dow")).agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("_dc").cast("long").alias("dow_cents"),
+    )
+    total = dow.agg(
+        F.sum("n_days").cast("long").alias("_nt"),
+        F.sum("dow_cents").cast("long").alias("_tc"),
+    )
+    return dow.crossJoin(F.broadcast(total)).select(
+        "dow",
+        "n_days",
+        "dow_cents",
+        (
+            (F.col("dow_cents") * F.col("_nt")).cast("double")
+            / (F.col("n_days") * F.col("_tc")).cast("double")
+        ).alias("seasonal_index"),
+    )

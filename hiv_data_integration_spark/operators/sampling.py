@@ -606,3 +606,50 @@ def token_budget_select(
         .select(*df.columns)
     )
     return fully_in.unionByName(boundary)
+
+
+def stratified_exact_split(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    train_num: int = 4,
+    train_den: int = 5,
+    out_col: str = "split",
+) -> DataFrame:
+    """EXACT-proportion stratified two-way split: within every stratum
+    the first ``floor(n_s * train_num / train_den)`` rows of the
+    deterministic (md5(id), id) total order go to ``train``, the rest to
+    ``holdout`` — so each stratum's train share is exact to the row, not
+    merely exact in expectation like the hash-threshold
+    :func:`hash_split` / :func:`stratified_sample_flag` (whose per-group
+    realized shares wobble ~1/sqrt(n_s), material for rare strata).
+
+    Membership is decided by the all-integer comparison
+    ``rank * den <= n_s * num`` — no float share can flip a row — and
+    the md5 rank order makes the assignment a pure function of the data,
+    stable across engines and partitionings.
+
+    Scale shape: one window rank + one window count per stratum
+    partition (a single shuffle on the stratum key); skewed strata
+    inherit the engine's window-partition handling, and the md5 key
+    randomizes WITHIN the stratum so the split carries no order bias.
+    """
+    if not (0 < train_num < train_den):
+        raise ValueError("train_num/train_den must be in (0, 1)")
+    from pyspark.sql.window import Window
+
+    from hiv_data_integration_spark.operators.dedup import md5_long
+
+    w = Window.partitionBy(strata_col).orderBy(
+        md5_long(F.col(id_col)), F.col(id_col)
+    )
+    wn = Window.partitionBy(strata_col)
+    rank = F.row_number().over(w).cast("long")
+    n_s = F.count("*").over(wn).cast("long")
+    return df.withColumn(
+        out_col,
+        F.when(
+            rank * F.lit(train_den) <= n_s * F.lit(train_num),
+            F.lit("train"),
+        ).otherwise(F.lit("holdout")),
+    )

@@ -1777,3 +1777,65 @@ def tokenizer_fertility(
         (F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"))
         .alias("chars_per_token"),
     )
+
+
+def heaps_vocab_curve(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoints: list[int] | None = None,
+) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: distinct-vocabulary size and
+    total token count of the corpus PREFIX ``id <= checkpoint``, for a
+    ladder of checkpoints — the corpus-health diagnostic that tells you
+    whether more data still buys new vocabulary (V ~ k·Nᵝ; a flattening
+    curve means diminishing lexical returns).
+
+    The trick that makes it one pass instead of |checkpoints| scans:
+    vocabulary membership at checkpoint c is ``first_seen(token) <= c``,
+    so one (token → min id) aggregate (vocabulary-sized) and one per-doc
+    token count (doc-sized) answer EVERY checkpoint via a broadcast
+    range join against the tiny checkpoint list. Type-token ratio is the
+    only float step (one IEEE division of exact BIGINTs).
+
+    Output: ``(checkpoint, n_tokens, vocab_size, type_token_ratio)``,
+    one row per checkpoint (empty prefixes emit 0/0/NULL).
+    """
+    checkpoints = checkpoints or [100, 200, 300, 400, 500]
+    toks = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("_t"),
+    )
+    first_seen = toks.groupBy("_t").agg(F.min("_id").alias("_first"))
+    per_doc = toks.groupBy("_id").agg(F.count("*").alias("_n"))
+    spark = df.sparkSession
+    cps = spark.createDataFrame(
+        [(int(c),) for c in checkpoints], "checkpoint long"
+    )
+    vocab = (
+        first_seen.join(
+            F.broadcast(cps), F.col("_first") <= F.col("checkpoint")
+        )
+        .groupBy("checkpoint")
+        .agg(F.count("*").cast("long").alias("vocab_size"))
+    )
+    ntok = (
+        per_doc.join(F.broadcast(cps), F.col("_id") <= F.col("checkpoint"))
+        .groupBy("checkpoint")
+        .agg(F.sum("_n").cast("long").alias("n_tokens"))
+    )
+    return (
+        cps.join(ntok, "checkpoint", "left")
+        .join(vocab, "checkpoint", "left")
+        .select(
+            "checkpoint",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("vocab_size", F.lit(0)).cast("long")
+            .alias("vocab_size"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.col("vocab_size").cast("double")
+                / F.col("n_tokens").cast("double"),
+            ).alias("type_token_ratio"),
+        )
+    )

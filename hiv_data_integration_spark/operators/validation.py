@@ -241,3 +241,49 @@ def fd_violations(
     ).select(
         "*", (F.col("n_violation_rows") == 0).alias("fd_holds")
     )
+
+
+def key_candidate_audit(
+    df: DataFrame,
+    candidates: dict[str, list[str]],
+) -> DataFrame:
+    """Candidate-key uniqueness audit — the schema-inference primitive
+    behind "which column set is actually the primary key?": for each
+    named candidate column list, one hash aggregate yields the group
+    census and the verdict. ``dup_rows`` counts every row living in a
+    multi-row group (the rows a MERGE on that key would clobber), and
+    ``is_unique`` is the exact ``n_groups == n_rows`` test. NULL key
+    components group like values (SQL GROUP BY semantics — a candidate
+    with NULLs can still census-audit, though a real PK would also
+    require NOT NULL).
+
+    One aggregate per candidate over the fact (candidates are few; the
+    scans share the parquet cache), all-integer output.
+
+    Output: one row per candidate —
+    ``(candidate, n_rows, n_groups, max_group_rows, dup_rows,
+    is_unique)``.
+    """
+    outs = []
+    for name, cols in candidates.items():
+        g = df.groupBy(*cols).agg(F.count("*").alias("_c"))
+        outs.append(
+            g.agg(
+                F.lit(name).alias("candidate"),
+                F.sum("_c").cast("long").alias("n_rows"),
+                F.count("*").cast("long").alias("n_groups"),
+                F.max("_c").cast("long").alias("max_group_rows"),
+                F.coalesce(
+                    F.sum(F.when(F.col("_c") > 1, F.col("_c"))), F.lit(0)
+                )
+                .cast("long")
+                .alias("dup_rows"),
+            ).select(
+                "*",
+                (F.col("n_groups") == F.col("n_rows")).alias("is_unique"),
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

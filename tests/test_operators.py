@@ -4233,3 +4233,95 @@ def test_tokenizer_fertility_exact_counts(spark):
     # agreement the pattern is chosen for), so é is a symbol token:
     # é | tat | d | ' | art
     assert fr["n_tokens"] == 5
+
+
+def test_stratified_exact_split_proportions(spark):
+    """Every stratum's train count is exactly floor(n_s * 4/5), the
+    assignment is deterministic, and degenerate fractions raise."""
+    from hiv_data_integration_spark.operators.sampling import (
+        stratified_exact_split,
+    )
+
+    rows = [(i, "a") for i in range(10)] + [(i, "b") for i in range(100, 107)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    out = stratified_exact_split(df, "id", "s", 4, 5)
+    counts = {
+        (r["s"], r["split"]): r["n"]
+        for r in out.groupBy("s", "split").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert counts[("a", "train")] == 8      # floor(10*4/5)
+    assert counts[("b", "train")] == 5      # floor(7*4/5) = 5
+    assert counts[("a", "holdout")] == 2 and counts[("b", "holdout")] == 2
+    # determinism: same assignment on re-run
+    a1 = sorted(map(tuple, out.select("id", "split").collect()))
+    a2 = sorted(map(tuple,
+        stratified_exact_split(df, "id", "s", 4, 5)
+        .select("id", "split").collect()))
+    assert a1 == a2
+    with pytest.raises(ValueError, match="in \\(0, 1\\)"):
+        stratified_exact_split(df, "id", "s", 5, 5)
+
+
+def test_seasonal_index_dow_flat_series(spark):
+    """A perfectly flat daily series has index 1.0 on every weekday, and
+    doubling one weekday's value moves only that index."""
+    import datetime as dt
+
+    from hiv_data_integration_spark.operators.aggregate import (
+        seasonal_index_dow,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(base + dt.timedelta(days=i), 10.0) for i in range(28)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = seasonal_index_dow(df, "ts", "value").collect()
+    assert len(out) == 7
+    assert all(r["seasonal_index"] == 1.0 for r in out)
+    assert all(r["n_days"] == 4 for r in out)
+
+    spiked = df.withColumn(
+        "value",
+        F.when(F.pmod(F.unix_date(F.col("ts").cast("date")), 7) == 0,
+               F.lit(20.0)).otherwise(F.col("value")),
+    )
+    out2 = {r["dow"]: r["seasonal_index"]
+            for r in seasonal_index_dow(spiked, "ts", "value").collect()}
+    assert out2[0] > 1.0 and all(v < 1.0 for d, v in out2.items() if d != 0)
+
+
+def test_heaps_vocab_curve_monotone(spark):
+    from hiv_data_integration_spark.operators.textops import (
+        heaps_vocab_curve,
+    )
+
+    rows = [(1, "a b c"), (2, "a b d"), (3, "e f"), (10, "a g")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["checkpoint"]: r
+           for r in heaps_vocab_curve(df, "doc_id", "text", [1, 2, 5, 10])
+           .collect()}
+    assert out[1]["vocab_size"] == 3 and out[1]["n_tokens"] == 3
+    assert out[2]["vocab_size"] == 4 and out[2]["n_tokens"] == 6
+    assert out[5]["vocab_size"] == 6 and out[5]["n_tokens"] == 8
+    assert out[10]["vocab_size"] == 7 and out[10]["n_tokens"] == 10
+    assert out[1]["type_token_ratio"] == 1.0
+
+
+def test_key_candidate_audit_verdicts(spark):
+    from hiv_data_integration_spark.operators.validation import (
+        key_candidate_audit,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, "x"), (1, 2, "x"), (2, 1, "y"), (2, 1, "z")],
+        "a long, b long, c string",
+    )
+    out = {r["candidate"]: r for r in key_candidate_audit(
+        df, {"ab": ["a", "b"], "a": ["a"], "abc": ["a", "b", "c"]}
+    ).collect()}
+    assert not out["ab"]["is_unique"] and out["ab"]["dup_rows"] == 2
+    assert out["ab"]["max_group_rows"] == 2 and out["ab"]["n_groups"] == 3
+    assert not out["a"]["is_unique"] and out["a"]["dup_rows"] == 4
+    assert out["abc"]["is_unique"] and out["abc"]["dup_rows"] == 0
+    assert all(r["n_rows"] == 4 for r in out.values())
