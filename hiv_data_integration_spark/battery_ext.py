@@ -10311,6 +10311,171 @@ FROM j GROUP BY 1
 """
 
 
+def q_streaming_chained_windows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHAINED streaming aggregations (Spark 3.4+ multiple stateful
+    operators): hourly tumbling per-type counts re-aggregated into a
+    per-day PEAK-HOURLY-RATE table inside ONE streaming query — the
+    downsample→rollup cascade a metrics pipeline runs, previously
+    impossible without an intermediate sink. ``window_time()`` gives the
+    hourly window's event time so the daily window chains off it; both
+    stages share the watermark, and a far-future sentinel micro-batch
+    (filtered out of the result) advances it past every real day so the
+    availableNow run flushes both stages and equals the batch twin
+    exactly."""
+    import datetime as _dt
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tempfile.mkdtemp(prefix="chw_feed_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/a_delivery.parquet")
+        t = pq.read_table(f"{sf_dir}/events.parquet")
+        two = t.slice(0, 1).to_pydict()
+        max_ts = pa.compute.max(t.column("ts")).as_py()
+        legacy_nanos = isinstance(max_ts, int)
+        far = (
+            max_ts + 90 * 24 * 3600 * 10**9
+            if legacy_nanos
+            else max_ts + _dt.timedelta(days=90)
+        )
+        two["event_id"] = [-1]
+        two["user_id"] = [-1]
+        two["event_type"] = ["click"]
+        two["ts"] = [far]
+        two["value"] = [0.0]
+        if "props" in two:
+            two["props"] = [None]
+        pq.write_table(
+            pa.table(two, schema=t.schema), f"{src}/z_sentinel.parquet"
+        )
+        now = _time.time()
+        os.utime(f"{src}/a_delivery.parquet", (now - 3600, now - 3600))
+        os.utime(f"{src}/z_sentinel.parquet", (now, now))
+
+        stream = read_events_stream(
+            spark, src, f"{sf_dir}/events.parquet", max_files_per_trigger=1
+        )
+        hourly = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").cast("long").alias("n_hour"))
+        )
+        daily = (
+            hourly.groupBy(
+                F.window(F.window_time("w"), "1 day").alias("d"),
+                "event_type",
+            )
+            .agg(
+                F.max("n_hour").cast("long").alias("peak_hourly"),
+                F.count("*").cast("long").alias("n_hours_active"),
+            )
+            .select(
+                F.col("d.start").alias("day_start"),
+                "event_type",
+                "peak_hourly",
+                "n_hours_active",
+            )
+        )
+        name = f"stream_chw_{_uuid.uuid4().hex[:12]}"
+        q = (
+            daily.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        ssession = daily.sparkSession
+        cutoff = (
+            _dt.datetime(1970, 1, 1)
+            + _dt.timedelta(microseconds=max_ts // 1000)
+            if legacy_nanos
+            else max_ts
+        )
+        out = _local_result(
+            ssession.table(name).filter(F.col("day_start") <= F.lit(cutoff))
+        )
+        ssession.catalog.dropTempView(name)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+SQL_STREAMING_CHAINED_WINDOWS = """
+WITH h AS (
+    SELECT date_trunc('hour', ts) AS hs, event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT CAST(date_trunc('day', hs) AS TIMESTAMP) AS day_start, event_type,
+       CAST(MAX(n) AS BIGINT) AS peak_hourly,
+       CAST(count(*) AS BIGINT) AS n_hours_active
+FROM h GROUP BY 1, 2
+"""
+
+
+def q_business_day_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship business-day latency per priority — weekday counting
+    by closed-form integer arithmetic (``business_days_between``: epoch
+    day aligned to Monday, weeks·5 + clamped remainder), no calendar UDF
+    and no per-day explode, so the latency column costs the same as any
+    arithmetic projection at 100 TB. Census: n lines, total/avg business
+    days (avg = one IEEE division of exact BIGINTs)."""
+    from hiv_data_integration_spark.functions import business_days_between
+
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(
+        F.broadcast(o), li["l_orderkey"] == o["o_orderkey"]
+    ).select(
+        "o_orderpriority",
+        business_days_between(F.col("o_orderdate"), F.col("l_shipdate"))
+        .alias("_bd"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("_bd").cast("long").alias("total_bdays"),
+        (
+            F.sum("_bd").cast("double") / F.count("*").cast("double")
+        ).alias("avg_bdays"),
+    )
+
+
+SQL_BUSINESS_DAY_LATENCY = """
+WITH f AS (
+    SELECT o_orderpriority,
+           ((m2 - m2 % 7) // 7 * 5 + LEAST(m2 % 7, 5))
+         - ((m1 - m1 % 7) // 7 * 5 + LEAST(m1 % 7, 5)) AS bd
+    FROM (
+        SELECT o.o_orderpriority,
+               datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
+                   + 3 AS m1,
+               datediff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE))
+                   + 3 AS m2
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(SUM(bd) AS BIGINT) AS total_bdays,
+       CAST(SUM(bd) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_bdays
+FROM f GROUP BY 1
+"""
+
+
 def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values / theta-family) sketch with SET EXPRESSIONS —
     the capability HLL registers lack: sketch the urgent-order and
@@ -10820,6 +10985,8 @@ FROM per GROUP BY lang
 
 EXT_QUERIES: dict[str, QueryFn] = {
     "streaming_outer_join_expiry": q_streaming_outer_join_expiry,
+    "streaming_chained_windows": q_streaming_chained_windows,
+    "business_day_latency": q_business_day_latency,
     "sketch_kmv_setops": q_kmv_setops,
     "sketch_kmv_jaccard": q_kmv_jaccard,
     "data_stratified_exact_split": q_stratified_exact_split,
@@ -11048,6 +11215,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
 
 EXT_ORACLE: dict[str, str] = {
     "streaming_outer_join_expiry": SQL_STREAMING_OUTER_JOIN,
+    "streaming_chained_windows": SQL_STREAMING_CHAINED_WINDOWS,
+    "business_day_latency": SQL_BUSINESS_DAY_LATENCY,
     "sketch_kmv_setops": SQL_KMV_SETOPS,
     "sketch_kmv_jaccard": SQL_KMV_JACCARD,
     "data_stratified_exact_split": SQL_STRATIFIED_EXACT_SPLIT,

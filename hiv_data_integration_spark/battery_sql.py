@@ -1709,7 +1709,68 @@ SELECT p_partkey, measure, value FROM (
 """
 
 
+def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` (Spark 3.4+ / DuckDB shared syntax): group by
+    every non-aggregate select item — the boilerplate-free aggregation
+    form; the oracle runs the IDENTICAL text."""
+    tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders_gba")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+        FROM orders_gba
+        GROUP BY ALL
+        """
+    )
+
+
+SQL_SQL_GROUP_BY_ALL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY ALL
+"""
+
+
+def q_sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named ``WINDOW`` clause: one window spec shared by several
+    ranking/frame functions (top-3 balances per nation with a running
+    nation total) — the SQL-surface twin of the DataFrame Window object;
+    both engines run the same clause text."""
+    tbl(spark, sf_dir, "customer").createOrReplaceTempView("customer_nw")
+    return spark.sql(
+        """
+        SELECT * FROM (
+            SELECT c_custkey, c_nationkey,
+                   CAST(row_number() OVER w AS BIGINT) AS rn,
+                   CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) OVER w
+                        AS BIGINT) AS running_cents
+            FROM customer_nw
+            WINDOW w AS (PARTITION BY c_nationkey
+                         ORDER BY c_acctbal DESC, c_custkey)
+        ) WHERE rn <= 3
+        """
+    )
+
+
+SQL_SQL_NAMED_WINDOW = """
+SELECT * FROM (
+    SELECT c_custkey, c_nationkey,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) OVER w
+                AS BIGINT) AS running_cents
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey)
+) WHERE rn <= 3
+"""
+
+
 SQL2_QUERIES: dict[str, QueryFn] = {
+    "sql_group_by_all": q_sql_group_by_all,
+    "sql_named_window_clause": q_sql_named_window,
     "sql_pivot_clause": q_sql_pivot_clause,
     "sql_unpivot_clause": q_sql_unpivot_clause,
     "rollup_lineitem": q_rollup,
@@ -1753,6 +1814,8 @@ SQL2_QUERIES: dict[str, QueryFn] = {
 }
 
 SQL2_ORACLE: dict[str, str] = {
+    "sql_group_by_all": SQL_SQL_GROUP_BY_ALL,
+    "sql_named_window_clause": SQL_SQL_NAMED_WINDOW,
     "sql_pivot_clause": SQL_SQL_PIVOT_CLAUSE,
     "sql_unpivot_clause": SQL_SQL_UNPIVOT_CLAUSE,
     "rollup_lineitem": SQL_ROLLUP,

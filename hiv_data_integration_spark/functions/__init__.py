@@ -217,3 +217,26 @@ def rename_fn(df_columns: list[str], fn: Callable[[str], str]) -> dict[str, str]
     """Plan-time helper: build a rename map by applying ``fn`` to each name
     (reference ``.rename(lambda c: ...)``, extract_ist_data.py:101)."""
     return {c: fn(c) for c in df_columns}
+
+
+def business_days_between(start: Column, end: Column) -> Column:
+    """Weekday (Mon–Fri) count in the half-open date interval
+    ``[start, end)`` — closed-form integer arithmetic, no calendar UDF
+    and no per-day explode: with ``m = epoch_day + 3`` (epoch day 0 is a
+    Thursday, so ``m % 7 == 0`` is a Monday),
+    ``f(d) = (m div 7) * 5 + least(m % 7, 5)`` counts the weekdays
+    before ``d``, and the answer is ``f(end) − f(start)``. All integer
+    div/mod/least — exact and identical on any engine; negative spans
+    return negative counts (callers filter). Holidays are out of scope
+    by contract (a holiday table would be a broadcast anti-join on top).
+    """
+
+    def f(d: Column) -> Column:
+        m = F.unix_date(d.cast("date")).cast("long") + F.lit(3)
+        # (m - m%7)/7 is the exact integer week count: the numerator is
+        # divisible by 7 and epoch-day magnitudes (~1e4) are far inside
+        # double's exact-integer range, so the division cannot round
+        weeks = ((m - F.pmod(m, F.lit(7))) / F.lit(7)).cast("long")
+        return weeks * F.lit(5) + F.least(F.pmod(m, F.lit(7)), F.lit(5))
+
+    return (f(end) - f(start)).cast("long")

@@ -4325,3 +4325,29 @@ def test_key_candidate_audit_verdicts(spark):
     assert not out["a"]["is_unique"] and out["a"]["dup_rows"] == 4
     assert out["abc"]["is_unique"] and out["abc"]["dup_rows"] == 0
     assert all(r["n_rows"] == 4 for r in out.values())
+
+
+def test_business_days_between_known_spans(spark):
+    """Hand-checked weekday counts: 1970-01-01 is a Thursday; spans
+    crossing weekends, starting on weekends, zero-length and reversed
+    spans all follow the half-open [start, end) contract."""
+    import datetime as dt
+
+    from hiv_data_integration_spark.functions import business_days_between
+
+    cases = [
+        # (start, end, expected weekdays in [start, end))
+        (dt.date(2024, 1, 1), dt.date(2024, 1, 8), 5),   # Mon -> next Mon
+        (dt.date(2024, 1, 5), dt.date(2024, 1, 8), 1),   # Fri -> Mon
+        (dt.date(2024, 1, 6), dt.date(2024, 1, 8), 0),   # Sat -> Mon
+        (dt.date(2024, 1, 1), dt.date(2024, 1, 1), 0),   # empty span
+        (dt.date(2024, 1, 8), dt.date(2024, 1, 1), -5),  # reversed
+        (dt.date(2024, 1, 1), dt.date(2024, 2, 1), 23),  # full January
+    ]
+    df = spark.createDataFrame(
+        [(a, b, e) for a, b, e in cases], "a date, b date, want long"
+    )
+    out = df.select(
+        "want", business_days_between(F.col("a"), F.col("b")).alias("got")
+    ).collect()
+    assert all(r["got"] == r["want"] for r in out), [tuple(r) for r in out]
