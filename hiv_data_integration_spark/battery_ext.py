@@ -10425,6 +10425,142 @@ FROM h GROUP BY 1, 2
 """
 
 
+def q_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP HLL distinct estimates (m=64 registers per event type)
+    — the grouped form of the portable sketch: one register table keyed
+    by (type, bucket) is the mergeable per-segment state, and every
+    group's raw estimate + the exact truth come out of the same scan.
+    Generalized rho constant (62 − bitlen(m)) exercised at a non-default
+    m; estimate floats are the usual exact-int divisions."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        hll_estimate_grouped,
+        hll_registers_grouped,
+    )
+
+    ev = tbl(spark, sf_dir, "events")
+    est = hll_estimate_grouped(
+        hll_registers_grouped(ev, ["event_type"], "event_id", m=64),
+        ["event_type"],
+        m=64,
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("event_id").cast("long").alias("n_exact")
+    )
+    return est.join(exact, "event_type")
+
+
+SQL_HLL_GROUPED = """
+WITH h AS (
+    SELECT event_type,
+           CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+                AS BIGINT) AS h
+    FROM events
+),
+r AS (
+    SELECT event_type, h % 64 AS bucket,
+           MAX(CASE WHEN h // 64 = 0 THEN 55
+                    ELSE 55 - length(bin(h // 64)) END) AS register
+    FROM h GROUP BY 1, 2
+),
+a AS (
+    SELECT event_type, CAST(MAX(register) AS BIGINT) AS max_register,
+           CAST(COUNT(*) AS BIGINT) AS nonempty
+    FROM r GROUP BY 1
+),
+np AS (
+    SELECT r.event_type,
+           CAST(SUM(CAST(pow(2.0, a.max_register - r.register) AS BIGINT))
+                AS BIGINT) AS s
+    FROM r JOIN a USING (event_type) GROUP BY 1
+),
+est AS (
+    SELECT a.event_type, a.max_register,
+           CAST(np.s + (64 - a.nonempty)
+                * CAST(pow(2.0, a.max_register) AS BIGINT) AS BIGINT)
+               AS harmonic_num
+    FROM a JOIN np USING (event_type)
+),
+x AS (SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY 1)
+SELECT est.event_type, max_register, harmonic_num,
+       2905.460551022604 * pow(2.0, max_register)
+           / CAST(harmonic_num AS DOUBLE) AS estimate,
+       n_exact
+FROM est JOIN x USING (event_type)
+"""
+
+
+def q_range_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact range-partition boundary synthesis over orders under the
+    unique (o_totalprice, o_orderkey) total order, N=8 — reproducible
+    repartitionByRange/sorted-write planning (boundary i = the exact
+    order statistic at ceil(i·n/8), all-integer rank selection) instead
+    of Spark's run-dependent sampled boundaries."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        range_partition_boundaries,
+    )
+
+    o = tbl(spark, sf_dir, "orders")
+    return range_partition_boundaries(o, ["o_totalprice", "o_orderkey"], 8)
+
+
+SQL_RANGE_BOUNDARIES = """
+WITH rk AS (
+    SELECT o_totalprice, o_orderkey,
+           row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rank
+    FROM orders
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+idx AS (
+    SELECT CAST(i AS BIGINT) AS boundary_idx,
+           CAST((i * n + 7) // 8 AS BIGINT) AS rank
+    FROM n, (VALUES (1), (2), (3), (4), (5), (6), (7)) v(i)
+)
+SELECT boundary_idx, idx.rank AS rank, o_totalprice, o_orderkey
+FROM idx JOIN rk ON rk.rank = idx.rank
+"""
+
+
+def q_coverage_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage-set census per order priority: how many distinct
+    customers cover 80% of the priority's orders — the assortment/
+    concentration planning census, decided by the all-integer
+    ``cum·100 >= 80·total`` comparison over the ITEM census (never the
+    fact)."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        coverage_set_census,
+    )
+
+    o = tbl(spark, sf_dir, "orders")
+    return coverage_set_census(o, "o_orderpriority", "o_custkey", 80, 100)
+
+
+SQL_COVERAGE_SET = """
+WITH items AS (
+    SELECT o_orderpriority AS g, o_custkey AS it,
+           CAST(count(*) AS BIGINT) AS c
+    FROM orders GROUP BY 1, 2
+),
+r AS (
+    SELECT g, c,
+           CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS total,
+           CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS ni,
+           CAST(SUM(c) OVER (PARTITION BY g ORDER BY c DESC, it)
+                AS BIGINT) AS cum,
+           CAST(row_number() OVER (PARTITION BY g ORDER BY c DESC, it)
+                AS BIGINT) AS rk
+    FROM items
+)
+SELECT g AS o_orderpriority,
+       CAST(MIN(ni) AS BIGINT) AS n_items,
+       CAST(MIN(total) AS BIGINT) AS total_count,
+       CAST(MIN(rk) AS BIGINT) AS k_for_pct,
+       CAST(MIN(cum) AS BIGINT) AS head_count
+FROM r WHERE cum * 100 >= 80 * total
+GROUP BY 1
+"""
+
+
 def q_business_day_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order→ship business-day latency per priority — weekday counting
     by closed-form integer arithmetic (``business_days_between``: epoch
@@ -10987,6 +11123,9 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "streaming_outer_join_expiry": q_streaming_outer_join_expiry,
     "streaming_chained_windows": q_streaming_chained_windows,
     "business_day_latency": q_business_day_latency,
+    "sketch_hll_grouped": q_hll_grouped,
+    "layout_range_boundaries": q_range_boundaries,
+    "coverage_set_orders": q_coverage_set,
     "sketch_kmv_setops": q_kmv_setops,
     "sketch_kmv_jaccard": q_kmv_jaccard,
     "data_stratified_exact_split": q_stratified_exact_split,
@@ -11217,6 +11356,9 @@ EXT_ORACLE: dict[str, str] = {
     "streaming_outer_join_expiry": SQL_STREAMING_OUTER_JOIN,
     "streaming_chained_windows": SQL_STREAMING_CHAINED_WINDOWS,
     "business_day_latency": SQL_BUSINESS_DAY_LATENCY,
+    "sketch_hll_grouped": SQL_HLL_GROUPED,
+    "layout_range_boundaries": SQL_RANGE_BOUNDARIES,
+    "coverage_set_orders": SQL_COVERAGE_SET,
     "sketch_kmv_setops": SQL_KMV_SETOPS,
     "sketch_kmv_jaccard": SQL_KMV_JACCARD,
     "data_stratified_exact_split": SQL_STRATIFIED_EXACT_SPLIT,

@@ -4471,8 +4471,12 @@ def hll_registers(
     # boundaries vs the oracle's exact `h // m`). h >= 0 and m is a power
     # of two, so a right shift is the exact floor quotient.
     w = F.shiftright(h, m.bit_length() - 1)
-    rho = F.when(w == 0, F.lit(53)).otherwise(
-        F.lit(53) - F.length(F.bin(w))
+    # rho = (60 - log2(m)) - bitlen(w) + 1, saturating at the w == 0
+    # corner: 53 for the default m=256 (the docstring's 52-bit field),
+    # generalized so non-default register counts stay correct
+    rc = 62 - m.bit_length()
+    rho = F.when(w == 0, F.lit(rc)).otherwise(
+        F.lit(rc) - F.length(F.bin(w))
     ).cast("long")
     return (
         df.select(bucket, rho.alias("_rho"))
@@ -4657,4 +4661,197 @@ def seasonal_index_dow(
             (F.col("dow_cents") * F.col("_nt")).cast("double")
             / (F.col("n_days") * F.col("_tc")).cast("double")
         ).alias("seasonal_index"),
+    )
+
+
+def hll_registers_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: Column | str,
+    m: int = 256,
+) -> DataFrame:
+    """Per-GROUP portable HyperLogLog register state: one register table
+    per group key — the shape a 100 TB pipeline stores per (segment,
+    day) so any group's distinct count (or any union of groups, via
+    max-merge on matching buckets) is answerable without rescanning.
+    Same md5/bit-exact construction as :func:`hll_registers`; one hash
+    aggregate keyed by (group, bucket).
+
+    Output: group cols + ``(bucket, register)``, non-empty registers.
+    """
+    if m & (m - 1) or m < 16:
+        raise ValueError("m must be a power of two >= 16")
+    from hiv_data_integration_spark.operators.dedup import md5_long
+
+    h = md5_long(F.col(value_col) if isinstance(value_col, str) else value_col)
+    w = F.shiftright(h, m.bit_length() - 1)
+    # rho = (60 - log2(m)) - bitlen(w) + 1; the w == 0 corner saturates.
+    # With m=256 this is the global hll_registers' constant 53.
+    rc = 62 - m.bit_length()
+    rho = F.when(w == 0, F.lit(rc)).otherwise(
+        F.lit(rc) - F.length(F.bin(w))
+    ).cast("long")
+    return (
+        df.select(*group_cols, (h % m).alias("bucket"), rho.alias("_rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("_rho").cast("long").alias("register"))
+    )
+
+
+def hll_estimate_grouped(
+    registers: DataFrame,
+    group_cols: list[str],
+    m: int = 256,
+) -> DataFrame:
+    """Raw per-group HLL estimates from a grouped register table, with
+    the same exact-rational harmonic numerator as :func:`hll_estimate`
+    (``Σ 2^(maxM−M_j)`` in BIGINT over all m registers, absent registers
+    contributing ``2^maxM``) — per group, so the only float steps are
+    one constant multiply and one division per group row.
+
+    Output: group cols + ``(max_register, harmonic_num, estimate)``.
+    """
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    stats = registers.groupBy(*group_cols).agg(
+        F.max("register").cast("long").alias("max_register"),
+        F.count("*").cast("long").alias("_nonempty"),
+    )
+    joined = registers.join(
+        stats.select(*group_cols, "max_register"), group_cols
+    )
+    num_present = joined.groupBy(*group_cols).agg(
+        F.sum(
+            F.pow(
+                F.lit(2.0),
+                (F.col("max_register") - F.col("register")).cast("double"),
+            ).cast("long")
+        ).alias("_np")
+    )
+    out = stats.join(num_present, group_cols).withColumn(
+        "harmonic_num",
+        (
+            F.col("_np")
+            + (F.lit(m) - F.col("_nonempty"))
+            * F.pow(F.lit(2.0), F.col("max_register").cast("double")).cast(
+                "long"
+            )
+        ).cast("long"),
+    )
+    return out.select(
+        *group_cols,
+        "max_register",
+        "harmonic_num",
+        (
+            F.lit(alpha * m * m)
+            * F.pow(F.lit(2.0), F.col("max_register").cast("double"))
+            / F.col("harmonic_num").cast("double")
+        ).alias("estimate"),
+    )
+
+
+def range_partition_boundaries(
+    df: DataFrame,
+    order_cols: list[str],
+    n_partitions: int,
+) -> DataFrame:
+    """Exact range-partition boundary synthesis — the pre-planning step
+    for ``repartitionByRange``/sorted-write layouts when you want
+    REPRODUCIBLE boundaries instead of Spark's sampled ones: boundary i
+    is the exact order statistic at rank ``ceil(i·n/N)`` under the total
+    order ``order_cols`` (which must be unique as a tuple for the rank
+    to be well-defined). One window rank + an all-integer rank-selection
+    filter ``rank·N == ceil`` form — no sampling, no floats, identical
+    on any engine.
+
+    At scale the full-sort window is the honest cost of EXACT
+    boundaries; use Spark's sampling when approximate is fine. Output:
+    ``(boundary_idx, rank)`` + the order columns at each boundary.
+    """
+    if n_partitions < 2:
+        raise ValueError("n_partitions must be >= 2")
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(*order_cols)
+    ranked = df.select(*order_cols).withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    )
+    total = ranked.agg(F.max("rank").alias("_n"))
+    idx = (
+        total.select(
+            F.explode(
+                F.sequence(F.lit(1), F.lit(n_partitions - 1))
+            ).alias("boundary_idx"),
+            "_n",
+        )
+        # rank = ceil(i*n/N) all-integer: (i*n + N-1) div N
+        .withColumn(
+            "rank",
+            (
+                (F.col("boundary_idx") * F.col("_n") + F.lit(n_partitions - 1))
+                - F.pmod(
+                    F.col("boundary_idx") * F.col("_n")
+                    + F.lit(n_partitions - 1),
+                    F.lit(n_partitions),
+                )
+            )
+            / F.lit(n_partitions),
+        )
+        .select(
+            F.col("boundary_idx").cast("long").alias("boundary_idx"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+    # idx is (N-1) rows — broadcast IT into the ranked table, never the
+    # reverse (ranked is data-sized)
+    return ranked.join(F.broadcast(idx), "rank").select(
+        "boundary_idx", "rank", *order_cols
+    )
+
+
+def coverage_set_census(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    pct_num: int = 80,
+    pct_den: int = 100,
+) -> DataFrame:
+    """Coverage-set census ("how many SKUs cover 80% of each brand's
+    volume?") — per group, the size of the smallest head of items
+    (ordered by count desc, item asc) whose cumulative count reaches
+    ``pct_num/pct_den`` of the group total, decided by the all-integer
+    comparison ``cum·den >= num·total`` so no floated share can flip
+    membership. Two hash aggregates + one window over the ITEM census
+    (never the fact table).
+
+    Output: ``(group, n_items, total_count, k_for_pct, head_count)``.
+    """
+    from pyspark.sql.window import Window
+
+    items = df.groupBy(group_col, item_col).agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_c").desc(), F.col(item_col)
+    )
+    wg = Window.partitionBy(group_col)
+    ranked = items.select(
+        group_col,
+        F.col("_c"),
+        F.sum("_c").over(wg).cast("long").alias("total_count"),
+        F.count("*").over(wg).cast("long").alias("n_items"),
+        F.sum("_c").over(w).cast("long").alias("_cum"),
+        F.row_number().over(w).cast("long").alias("_rk"),
+    )
+    covered = ranked.filter(
+        F.col("_cum") * F.lit(pct_den) >= F.lit(pct_num) * F.col("total_count")
+    )
+    return covered.groupBy(group_col).agg(
+        # constant per group; min() keeps the agg deterministic by
+        # construction (first() is order-dependent in general)
+        F.min("n_items").alias("n_items"),
+        F.min("total_count").alias("total_count"),
+        F.min("_rk").cast("long").alias("k_for_pct"),
+        # _cum is monotone in _rk, so the k_for_pct row's cumulative
+        # count is simply the minimum _cum among covered rows
+        F.min("_cum").cast("long").alias("head_count"),
     )

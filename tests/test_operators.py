@@ -4351,3 +4351,74 @@ def test_business_days_between_known_spans(spark):
         "want", business_days_between(F.col("a"), F.col("b")).alias("got")
     ).collect()
     assert all(r["got"] == r["want"] for r in out), [tuple(r) for r in out]
+
+
+def test_hll_grouped_matches_global_per_group(spark):
+    """The grouped register table restricted to one group equals the
+    global sketch of that group's rows (same md5/rho construction), and
+    per-group estimates stay in the raw-regime envelope."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        hll_estimate_grouped,
+        hll_registers,
+        hll_registers_grouped,
+    )
+
+    df = spark.range(0, 4000).selectExpr(
+        "id AS v", "CAST(id % 2 AS STRING) AS g"
+    )
+    grouped = {
+        (r["g"], r["bucket"], r["register"])
+        for r in hll_registers_grouped(df, ["g"], "v", m=64).collect()
+    }
+    solo = {
+        ("0", r["bucket"], r["register"])
+        for r in hll_registers(df.filter("g = '0'"), "v", m=64).collect()
+    }
+    assert {t for t in grouped if t[0] == "0"} == solo
+    est = {
+        r["g"]: r["estimate"]
+        for r in hll_estimate_grouped(
+            hll_registers_grouped(df, ["g"], "v", m=64), ["g"], m=64
+        ).collect()
+    }
+    for g in ("0", "1"):  # 2000 distinct per group, 4sigma = 52% at m=64
+        assert abs(est[g] / 2000.0 - 1.0) <= 0.52
+
+
+def test_range_partition_boundaries_exact_ranks(spark):
+    from hiv_data_integration_spark.operators.aggregate import (
+        range_partition_boundaries,
+    )
+
+    df = spark.range(1, 101).selectExpr("id AS v")  # ranks 1..100
+    out = {
+        r["boundary_idx"]: (r["rank"], r["v"])
+        for r in range_partition_boundaries(df, ["v"], 4).collect()
+    }
+    assert out == {1: (25, 25), 2: (50, 50), 3: (75, 75)}
+    # non-divisible: n=10, N=4 -> ceil(2.5)=3, ceil(5)=5, ceil(7.5)=8
+    df10 = spark.range(1, 11).selectExpr("id AS v")
+    out10 = {
+        r["boundary_idx"]: r["rank"]
+        for r in range_partition_boundaries(df10, ["v"], 4).collect()
+    }
+    assert out10 == {1: 3, 2: 5, 3: 8}
+    with pytest.raises(ValueError, match=">= 2"):
+        range_partition_boundaries(df, ["v"], 1)
+
+
+def test_coverage_set_census_integer_boundary(spark):
+    """Counts 5/3/1/1: total=10, 80% needs cum>=8 -> exactly the first
+    two items (cum 8) — the all-integer comparison must include the
+    exact-boundary row."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        coverage_set_census,
+    )
+
+    rows = (
+        [("g", "a")] * 5 + [("g", "b")] * 3 + [("g", "c")] + [("g", "d")]
+    )
+    df = spark.createDataFrame(rows, "g string, it string")
+    r = coverage_set_census(df, "g", "it", 80, 100).collect()[0]
+    assert r["n_items"] == 4 and r["total_count"] == 10
+    assert r["k_for_pct"] == 2 and r["head_count"] == 8
