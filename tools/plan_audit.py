@@ -151,6 +151,17 @@ HEADLINE = [
     "graph_kcore_peel",
     "fuzzy_blocking_quality",
     "text_tokenizer_fertility",
+    "sketch_kmv_jaccard",
+    "data_stratified_exact_split",
+    "seasonal_index_dow",
+    "text_heaps_law_curve",
+    "key_candidate_audit",
+    "business_day_latency",
+    "sql_group_by_all",
+    "sql_named_window_clause",
+    "sketch_hll_grouped",
+    "layout_range_boundaries",
+    "coverage_set_orders",
 ]
 
 
