@@ -11119,9 +11119,35 @@ FROM per GROUP BY lang
 """
 
 
+def _retry_stream_once(fn: QueryFn) -> QueryFn:
+    """Retry a streaming battery entry ONCE on a transient state-store
+    commit race. A long single-JVM drive that runs many sequential
+    availableNow queries can hit CANNOT_WRITE_STATE_STORE /
+    RejectedExecutionException: the HDFSBackedStateStore commit's
+    background snapshot future lands on an executor pool a previous
+    query's unloadOnCommit teardown already terminated (observed once
+    in the round-8 302-query drive; the same entry is green in every
+    suite run and driver window). Each entry mkdtemps fresh checkpoint
+    and state dirs per call, so a clean retry is deterministic and
+    idempotent — while a genuine failure still surfaces on the second
+    attempt."""
+    import functools
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    @functools.wraps(fn)
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        try:
+            return fn(spark, sf_dir)
+        except StreamingQueryException:
+            return fn(spark, sf_dir)
+
+    return run
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
-    "streaming_outer_join_expiry": q_streaming_outer_join_expiry,
-    "streaming_chained_windows": q_streaming_chained_windows,
+    "streaming_outer_join_expiry": _retry_stream_once(q_streaming_outer_join_expiry),
+    "streaming_chained_windows": _retry_stream_once(q_streaming_chained_windows),
     "business_day_latency": q_business_day_latency,
     "sketch_hll_grouped": q_hll_grouped,
     "layout_range_boundaries": q_range_boundaries,
@@ -11135,7 +11161,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "graph_kcore_peel": q_kcore_peel,
     "fuzzy_blocking_quality": q_blocking_quality,
     "text_tokenizer_fertility": q_tokenizer_fertility,
-    "streaming_hll_distinct": q_streaming_hll_distinct,
+    "streaming_hll_distinct": _retry_stream_once(q_streaming_hll_distinct),
     "sketch_histogram_quantiles": q_hist_quantile_sketch,
     "sketch_hll_distinct": q_hll_distinct,
     "graph_label_propagation": q_label_propagation,
@@ -11172,7 +11198,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "pit_join_scd2_orders": q_pit_join,
     "discount_share_wilson_ci": q_proportion_ci,
     "bpe_pair_topk": q_bpe_pairs,
-    "streaming_windowed_topk": q_streaming_windowed_topk,
+    "streaming_windowed_topk": _retry_stream_once(q_streaming_windowed_topk),
     "largest_remainder_proration": q_largest_remainder,
     "k_anonymity_audit": q_k_anonymity,
     "interval_union_engagement": q_interval_union,
@@ -11284,7 +11310,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "scd2_customer_history": q_scd2_history,
     "embed_quantize_int8": q_embed_quantize,
     "embed_quantized_rerank_topk": q_quantized_rerank,
-    "streaming_pii_redaction": q_streaming_pii,
+    "streaming_pii_redaction": _retry_stream_once(q_streaming_pii),
     "corpus_dataset_card": q_dataset_card,
     "embed_cosine_topk": q_cosine_topk,
     "embed_ivf_topk_label": q_ivf_topk,
@@ -11340,15 +11366,15 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "profile_numeric_histogram": q_numeric_histogram,
     "profile_completeness": q_completeness_profile,
     "approx_sketches_events": q_approx_sketches,
-    "streaming_tumbling_counts": q_streaming_tumbling,
-    "streaming_exactly_once_dedup": q_streaming_dedup,
-    "streaming_dedup_within_watermark": q_streaming_dedup_within_watermark,
-    "streaming_foreach_batch_upsert": q_streaming_foreach_batch_upsert,
-    "streaming_corpus_chunking": q_streaming_chunking,
-    "streaming_interval_join": q_streaming_interval_join,
-    "streaming_session_windows": q_streaming_session_windows,
-    "streaming_stateful_totals": q_streaming_stateful_totals,
-    "streaming_static_enrich": q_streaming_static_enrich,
+    "streaming_tumbling_counts": _retry_stream_once(q_streaming_tumbling),
+    "streaming_exactly_once_dedup": _retry_stream_once(q_streaming_dedup),
+    "streaming_dedup_within_watermark": _retry_stream_once(q_streaming_dedup_within_watermark),
+    "streaming_foreach_batch_upsert": _retry_stream_once(q_streaming_foreach_batch_upsert),
+    "streaming_corpus_chunking": _retry_stream_once(q_streaming_chunking),
+    "streaming_interval_join": _retry_stream_once(q_streaming_interval_join),
+    "streaming_session_windows": _retry_stream_once(q_streaming_session_windows),
+    "streaming_stateful_totals": _retry_stream_once(q_streaming_stateful_totals),
+    "streaming_static_enrich": _retry_stream_once(q_streaming_static_enrich),
     "gap_fill_locf_hourly": q_gap_fill_locf,
 }
 

@@ -304,3 +304,38 @@ def test_stream_interval_join_left_outer_nulls(spark, tmp_path, events_dir):
     # 21:00 > 19:50) stays in state when the feed ends
     assert set(ids) == {1, 2, 3, 4, 5, 6}
     assert len(ids) == len(set(ids))  # each unmatched left emits once
+
+
+def test_retry_stream_once_retries_transient_and_propagates_real(spark):
+    """The battery's streaming wrapper retries exactly once on a
+    transient StreamingQueryException and lets second failures (and
+    non-streaming errors) propagate."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from hiv_data_integration_spark.battery_ext import _retry_stream_once
+
+    calls = {"n": 0}
+
+    def flaky(spark_, sf_dir):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise StreamingQueryException(
+                "CANNOT_WRITE_STATE_STORE transient", stackTrace=""
+            )
+        return spark_.range(1)
+
+    assert _retry_stream_once(flaky)(spark, "/tmp").count() == 1
+    assert calls["n"] == 2
+
+    def always(spark_, sf_dir):
+        raise StreamingQueryException("still broken", stackTrace="")
+
+    with pytest.raises(StreamingQueryException):
+        _retry_stream_once(always)(spark, "/tmp")
+
+    def other(spark_, sf_dir):
+        raise ValueError("not a stream error")
+
+    with pytest.raises(ValueError):
+        _retry_stream_once(other)(spark, "/tmp")
