@@ -10425,6 +10425,321 @@ FROM h GROUP BY 1, 2
 """
 
 
+def q_nearest_event_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-event temporal join (both directions — not just the
+    backward as-of): for each probe order, the closest event of its
+    customer in absolute time, ties broken (earlier ts, smaller id).
+    Probe-set pattern like the ANN entries: the ~1% sampled probe side
+    broadcasts, the events corpus scans ONCE, and the per-probe argmin
+    is a single ``min(struct(abs_gap, ts, event_id))`` hash aggregate —
+    no window over the corpus, no fan-out materialized. Gap is exact
+    integer microseconds."""
+    from hiv_data_integration_spark.operators.aggregate import (
+        ntz_epoch_micros,
+    )
+
+    o = tbl(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 97 == 0
+    ).select(
+        "o_orderkey",
+        F.col("o_custkey").alias("user_id"),
+        # midnight-of-orderdate in exact epoch micros, tz-proof (no
+        # date->zoned-timestamp cast that a hostile session could shift)
+        # o_orderdate is a midnight NTZ timestamp; the date truncation
+        # is a pure field drop (verified zero non-midnight values)
+        (F.unix_date(F.col("o_orderdate").cast("date")).cast("long")
+         * F.lit(86_400_000_000)).alias("_om"),
+    )
+    ev = tbl(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    j = ev.join(F.broadcast(o), "user_id")
+    gap = F.abs(ntz_epoch_micros("ts") - F.col("_om")).cast("long")
+    best = (
+        j.select(
+            "o_orderkey",
+            F.struct(
+                gap.alias("g"),
+                F.col("ts").alias("t"),
+                F.col("event_id").alias("e"),
+            ).alias("_cand"),
+        )
+        .groupBy("o_orderkey")
+        .agg(F.min("_cand").alias("_b"))
+    )
+    return best.select(
+        "o_orderkey",
+        F.col("_b.e").cast("long").alias("nearest_event_id"),
+        F.col("_b.g").cast("long").alias("gap_micros"),
+    )
+
+
+SQL_NEAREST_EVENT_PROBE = """
+WITH probes AS (
+    SELECT o_orderkey, o_custkey AS user_id,
+           CAST(o_orderdate AS TIMESTAMP) AS ots
+    FROM orders WHERE o_orderkey % 97 = 0
+),
+j AS (
+    SELECT p.o_orderkey, e.event_id, e.ts,
+           CAST(abs(epoch_us(e.ts) - epoch_us(p.ots)) AS BIGINT) AS g
+    FROM probes p JOIN events e ON e.user_id = p.user_id
+),
+r AS (
+    SELECT o_orderkey, event_id, g,
+           row_number() OVER (PARTITION BY o_orderkey
+                              ORDER BY g, ts, event_id) AS rk
+    FROM j
+)
+SELECT o_orderkey, CAST(event_id AS BIGINT) AS nearest_event_id,
+       g AS gap_micros
+FROM r WHERE rk = 1
+"""
+
+
+def q_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness / staleness audit — the data-ops SLA check: per
+    event type, last-seen timestamp, lag behind the globally freshest
+    type in exact integer seconds, and a >24 h staleness flag. Two hash
+    aggregates + a broadcast 1-row global max."""
+    ev = tbl(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.max("ts").alias("last_seen"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    from hiv_data_integration_spark.operators.aggregate import (
+        ntz_epoch_micros,
+    )
+
+    g = per.agg(F.max("last_seen").alias("_g"))
+    # tz-proof NTZ field arithmetic (see ntz_epoch_micros)
+    lag = (
+        ntz_epoch_micros("_g") - ntz_epoch_micros("last_seen")
+    ) / F.lit(1000000)
+    return per.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "last_seen",
+        "n_events",
+        lag.cast("long").alias("lag_seconds"),
+        (lag.cast("long") > 86400).alias("stale_over_1d"),
+    )
+
+
+SQL_FRESHNESS_AUDIT = """
+WITH per AS (
+    SELECT event_type, MAX(ts) AS last_seen,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+),
+g AS (SELECT MAX(last_seen) AS gmax FROM per)
+SELECT event_type, last_seen, n_events,
+       CAST((epoch_us(gmax) - epoch_us(last_seen)) // 1000000 AS BIGINT)
+           AS lag_seconds,
+       (epoch_us(gmax) - epoch_us(last_seen)) // 1000000 > 86400
+           AS stale_over_1d
+FROM per, g
+"""
+
+
+def q_audio_framing_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frame-plan synthesis (the multimodal family's audio leg):
+    given per-clip sample counts at a declared rate, compute the
+    25 ms / 10 ms-hop framing plan — frame size/hop in samples, frame
+    count ``1 + (n − win) div hop`` (0 when the clip is shorter than
+    one window), coverage end. Pure integer arithmetic on metadata —
+    the real decode would be an Arrow-batched mapInPandas like the
+    image stubs; the PLAN is what the distributed scheduler shards on,
+    and it must be exact. Clip lengths are synthesized deterministically
+    from doc_id."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id")
+    sr = F.lit(16000)
+    win = (sr * 25 / 1000).cast("long")   # 400 samples
+    hop = (sr * 10 / 1000).cast("long")   # 160 samples
+    n = (F.lit(300) + F.pmod(F.col("doc_id") * 2654435761, F.lit(64000)))
+    n = n.cast("long")
+    frames = F.when(n >= win, (n - win - F.pmod(n - win, hop)) / hop + 1)\
+        .otherwise(F.lit(0)).cast("long")
+    return docs.select(
+        "doc_id",
+        n.alias("n_samples"),
+        win.alias("frame_len"),
+        hop.alias("hop_len"),
+        frames.alias("n_frames"),
+        F.when(frames > 0, win + (frames - 1) * hop)
+        .otherwise(F.lit(0)).cast("long").alias("covered_samples"),
+    )
+
+
+SQL_AUDIO_FRAMING_STUB = """
+WITH base AS (
+    SELECT doc_id,
+           CAST(300 + (doc_id * 2654435761) % 64000 AS BIGINT) AS n
+    FROM documents
+),
+f AS (
+    SELECT doc_id, n,
+           CASE WHEN n >= 400
+                THEN (n - 400) // 160 + 1 ELSE 0 END AS frames
+    FROM base
+)
+SELECT doc_id, n AS n_samples,
+       CAST(400 AS BIGINT) AS frame_len,
+       CAST(160 AS BIGINT) AS hop_len,
+       CAST(frames AS BIGINT) AS n_frames,
+       CAST(CASE WHEN frames > 0 THEN 400 + (frames - 1) * 160
+                 ELSE 0 END AS BIGINT) AS covered_samples
+FROM f
+"""
+
+
+def q_stopword_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language × stopword-set hit matrix: per document language, total
+    hits of EACH language's stopword list (and the per-word rate) — the
+    cross-diagnostic that catches both mislabeled languages and
+    stopword-list gaps (a lang row whose max column is a different
+    lang's list is a labeling bug). One codegen'd scan; exact BIGINT
+    hits, one IEEE division per rate."""
+    docs = tbl(spark, sf_dir, "documents")
+    t = F.lower(F.col("text"))
+    per = docs.select(
+        "lang",
+        tx.token_count(F.col("text")).alias("_w"),
+        *[
+            tx.stopword_count(t, tx.STOPWORDS[lg]).alias(f"_h_{lg}")
+            for lg in sorted(tx.STOPWORDS)
+        ],
+    )
+    agg = per.groupBy("lang").agg(
+        F.sum("_w").cast("long").alias("n_words"),
+        *[
+            F.sum(f"_h_{lg}").cast("long").alias(f"hits_{lg}")
+            for lg in sorted(tx.STOPWORDS)
+        ],
+    )
+    return agg.select(
+        "lang",
+        "n_words",
+        *[F.col(f"hits_{lg}") for lg in sorted(tx.STOPWORDS)],
+        *[
+            (F.col(f"hits_{lg}").cast("double")
+             / F.col("n_words").cast("double")).alias(f"rate_{lg}")
+            for lg in sorted(tx.STOPWORDS)
+        ],
+    )
+
+
+SQL_STOPWORD_MATRIX = f"""
+WITH per AS (
+    SELECT lang,
+           CAST(len({_TOKS.replace("lower(text)", "text")}) AS BIGINT) AS w,
+           {", ".join(
+               f"CAST({_sw_count_sql(tx.STOPWORDS[lg])} AS BIGINT)"
+               f" AS h_{lg}" for lg in sorted(tx.STOPWORDS))}
+    FROM documents
+)
+SELECT lang, CAST(SUM(w) AS BIGINT) AS n_words,
+       {", ".join(
+           f"CAST(SUM(h_{lg}) AS BIGINT) AS hits_{lg}"
+           for lg in sorted(tx.STOPWORDS))},
+       {", ".join(
+           f"CAST(SUM(h_{lg}) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)"
+           f" AS rate_{lg}" for lg in sorted(tx.STOPWORDS))}
+FROM per GROUP BY lang
+"""
+
+
+def q_streaming_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode semantics (the third sibling of the battery's
+    append and complete entries): a running per-user aggregate emits a
+    NEW ROW PER CHANGED KEY PER MICRO-BATCH, so with the events file
+    delivered twice (maxFilesPerTrigger=1) every user appears exactly
+    twice in the sink — the first row the single-delivery count, the
+    last the doubled one. The census (n_updates, max = final state)
+    hash-checks both the update cadence and the final values."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    src = tempfile.mkdtemp(prefix="upd_feed_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/delivery1.parquet")
+        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/delivery2.parquet")
+        stream = read_events_stream(
+            spark, src, f"{sf_dir}/events.parquet", max_files_per_trigger=1
+        )
+        agg = stream.groupBy("user_id").agg(
+            F.count("*").cast("long").alias("n_events")
+        )
+        name = f"stream_upd_{_uuid.uuid4().hex[:12]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        ssession = agg.sparkSession
+        out = _local_result(
+            ssession.table(name)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").cast("long").alias("n_updates"),
+                F.max("n_events").cast("long").alias("final_count"),
+                F.min("n_events").cast("long").alias("first_count"),
+            )
+        )
+        ssession.catalog.dropTempView(name)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+SQL_STREAMING_UPDATE_MODE = """
+SELECT user_id,
+       CAST(2 AS BIGINT) AS n_updates,
+       CAST(2 * count(*) AS BIGINT) AS final_count,
+       CAST(count(*) AS BIGINT) AS first_count
+FROM events GROUP BY user_id
+"""
+
+
+def q_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per pivot value (sum + count per
+    return flag) — the wide-rotation shape with a compound measure
+    list; explicit pivot values keep the plan collect-free and the
+    column names deterministic."""
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            # count(*) star-expansion is invalid inside a Pivot agg list
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+SQL_PIVOT_MULTI_AGG = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN l_returnflag = 'A'
+                THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+           AS A_sum_qty,
+       count(*) FILTER (WHERE l_returnflag = 'A') AS A_n,
+       CAST(SUM(CASE WHEN l_returnflag = 'N'
+                THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+           AS N_sum_qty,
+       count(*) FILTER (WHERE l_returnflag = 'N') AS N_n,
+       CAST(SUM(CASE WHEN l_returnflag = 'R'
+                THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+           AS R_sum_qty,
+       count(*) FILTER (WHERE l_returnflag = 'R') AS R_n
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
 def q_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-GROUP HLL distinct estimates (m=64 registers per event type)
     — the grouped form of the portable sketch: one register table keyed
@@ -11152,6 +11467,12 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "sketch_hll_grouped": q_hll_grouped,
     "layout_range_boundaries": q_range_boundaries,
     "coverage_set_orders": q_coverage_set,
+    "nearest_event_probe": q_nearest_event_probe,
+    "freshness_audit_events": q_freshness_audit,
+    "multimodal_audio_framing_stub": q_audio_framing_stub,
+    "text_stopword_matrix": q_stopword_matrix,
+    "streaming_update_mode_counts": _retry_stream_once(q_streaming_update_mode),
+    "pivot_multi_agg": q_pivot_multi_agg,
     "sketch_kmv_setops": q_kmv_setops,
     "sketch_kmv_jaccard": q_kmv_jaccard,
     "data_stratified_exact_split": q_stratified_exact_split,
@@ -11385,6 +11706,12 @@ EXT_ORACLE: dict[str, str] = {
     "sketch_hll_grouped": SQL_HLL_GROUPED,
     "layout_range_boundaries": SQL_RANGE_BOUNDARIES,
     "coverage_set_orders": SQL_COVERAGE_SET,
+    "nearest_event_probe": SQL_NEAREST_EVENT_PROBE,
+    "freshness_audit_events": SQL_FRESHNESS_AUDIT,
+    "multimodal_audio_framing_stub": SQL_AUDIO_FRAMING_STUB,
+    "text_stopword_matrix": SQL_STOPWORD_MATRIX,
+    "streaming_update_mode_counts": SQL_STREAMING_UPDATE_MODE,
+    "pivot_multi_agg": SQL_PIVOT_MULTI_AGG,
     "sketch_kmv_setops": SQL_KMV_SETOPS,
     "sketch_kmv_jaccard": SQL_KMV_JACCARD,
     "data_stratified_exact_split": SQL_STRATIFIED_EXACT_SPLIT,
