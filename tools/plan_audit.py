@@ -162,6 +162,11 @@ HEADLINE = [
     "sketch_hll_grouped",
     "layout_range_boundaries",
     "coverage_set_orders",
+    "nearest_event_probe",
+    "freshness_audit_events",
+    "multimodal_audio_framing_stub",
+    "text_stopword_matrix",
+    "pivot_multi_agg",
 ]
 
 
