@@ -54,8 +54,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # lists below encode exactly that order; rotating a round's window out
 # means appending its names to a new _R{N}_GREEN list and keeping the
 # remaining tiers' relative order unchanged. With 18 pending plus the
-# 23 round-8 additions (auto-detected as new_this_round), the round-8
-# window is: 18 pending + 23 r8-new + the first 9 r2-stale greens.
+# 25 round-8 additions (auto-detected as new_this_round), the round-8
+# window is: 18 pending + 25 r8-new + the first 7 r2-stale greens.
 _PENDING_NEVER_VERIFIED = [
     # round-7 window overflow (registered round 6, never verified)
     "late_shipment_priority", "supplier_count_by_part",

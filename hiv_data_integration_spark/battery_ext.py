@@ -10425,6 +10425,41 @@ FROM h GROUP BY 1, 2
 """
 
 
+def q_seasonality_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour activity heatmap — the traffic-shape census every
+    ops dashboard starts from: per (epoch-dow, wall-clock hour) cell,
+    event count and exact cents. Both keys are tz-proof field reads on
+    the NTZ timestamp (hour() is a wall-clock field; dow is epoch-days
+    mod 7), one hash aggregate, at most 168 output rows at any corpus
+    size."""
+    ev = tbl(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return (
+        ev.select(
+            F.pmod(F.unix_date(F.col("ts").cast("date")), F.lit(7))
+            .cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hour"),
+            cents.alias("_c"),
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("_c").cast("long").alias("sum_cents"),
+        )
+    )
+
+
+SQL_SEASONALITY_HEATMAP = """
+SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+            AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_nearest_event_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAREST-event temporal join (both directions — not just the
     backward as-of): for each probe order, the closest event of its
@@ -11467,6 +11502,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "sketch_hll_grouped": q_hll_grouped,
     "layout_range_boundaries": q_range_boundaries,
     "coverage_set_orders": q_coverage_set,
+    "seasonality_heatmap_events": q_seasonality_heatmap,
     "nearest_event_probe": q_nearest_event_probe,
     "freshness_audit_events": q_freshness_audit,
     "multimodal_audio_framing_stub": q_audio_framing_stub,
@@ -11706,6 +11742,7 @@ EXT_ORACLE: dict[str, str] = {
     "sketch_hll_grouped": SQL_HLL_GROUPED,
     "layout_range_boundaries": SQL_RANGE_BOUNDARIES,
     "coverage_set_orders": SQL_COVERAGE_SET,
+    "seasonality_heatmap_events": SQL_SEASONALITY_HEATMAP,
     "nearest_event_probe": SQL_NEAREST_EVENT_PROBE,
     "freshness_audit_events": SQL_FRESHNESS_AUDIT,
     "multimodal_audio_framing_stub": SQL_AUDIO_FRAMING_STUB,

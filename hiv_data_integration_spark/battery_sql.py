@@ -1768,7 +1768,36 @@ SELECT * FROM (
 """
 
 
+_RANGE_VALUE_FRAME_SQL = """
+SELECT * FROM (
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                OVER w AS BIGINT) AS nearby_cents,
+           CAST(COUNT(*) OVER w AS BIGINT) AS nearby_n
+    FROM {table}
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                 RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING)
+) WHERE o_orderkey % 199 = 0
+"""
+
+
+def q_sql_range_value_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-based RANGE window frame (the peers-by-distance frame ROWS
+    can't express): per priority, the exact-cents sum and count of
+    orders within ±1000.0 of the current order's price — nearest-price
+    cohort stats. The frame boundary is a double comparison and the
+    measure an exact BIGINT cents sum, so the IDENTICAL clause text runs
+    on both engines; the window computes over the full partition, the
+    ~0.5% probe filter applies outside it."""
+    tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders_rvf")
+    return spark.sql(_RANGE_VALUE_FRAME_SQL.format(table="orders_rvf"))
+
+
+SQL_SQL_RANGE_VALUE_FRAME = _RANGE_VALUE_FRAME_SQL.format(table="orders")
+
+
 SQL2_QUERIES: dict[str, QueryFn] = {
+    "sql_range_value_frame": q_sql_range_value_frame,
     "sql_group_by_all": q_sql_group_by_all,
     "sql_named_window_clause": q_sql_named_window,
     "sql_pivot_clause": q_sql_pivot_clause,
@@ -1814,6 +1843,7 @@ SQL2_QUERIES: dict[str, QueryFn] = {
 }
 
 SQL2_ORACLE: dict[str, str] = {
+    "sql_range_value_frame": SQL_SQL_RANGE_VALUE_FRAME,
     "sql_group_by_all": SQL_SQL_GROUP_BY_ALL,
     "sql_named_window_clause": SQL_SQL_NAMED_WINDOW,
     "sql_pivot_clause": SQL_SQL_PIVOT_CLAUSE,
