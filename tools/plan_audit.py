@@ -167,6 +167,8 @@ HEADLINE = [
     "multimodal_audio_framing_stub",
     "text_stopword_matrix",
     "pivot_multi_agg",
+    "sql_range_value_frame",
+    "seasonality_heatmap_events",
 ]
 
 
