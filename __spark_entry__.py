@@ -34,40 +34,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver hash-verifies only the FIRST 50 ``queries()`` entries per
-# round, so ordering is the verification budget. Round-8 tiers (lowest
-# emitted first): the 18 entries that have never been inside a driver
-# window (the 4 round-7 overflow residuals first — oldest unverified
-# signal — then the 14 round-7 additions in registration order), then
-# any brand-new round-8 entries (absent from all tier lists), then the
-# stale greens oldest-signal first (r2 → r3 → … → r7). Every pending
-# entry is hash-verified locally at sf0.001 AND sf0.01 and in full
-# driver-style sweeps; the pinned order just converts that local
-# signal into official CORRECTNESS_r{N} rows. A previously-green entry
-# never displaces a never-driver-verified one (contract-tested in
+# round, so ordering is the verification budget. The never-verified
+# backlog drained in round 8 (all 310 entries have been driver-green
+# at least once — CORRECTNESS_r01..r08 union). Steady-state policy:
+# the window re-verifies greens OLDEST-SIGNAL-FIRST — the tier whose
+# last official green is the most rounds old rotates in first (r2
+# stale greens before r3, r3 before r4, …), so official signal keeps
+# cycling over the whole battery instead of pinning to one spot.
+# Brand-new entries (absent from every tier list) still auto-sort
+# ahead of every green tier, and a previously-green entry never
+# displaces a never-driver-verified one (contract-tested in
 # tests/test_driver_contract.py).
 #
-# Steady-state policy (round 8+), now that the backlog is < 50: the
-# window re-verifies greens OLDEST-SIGNAL-FIRST — the tier whose last
-# official green is the most rounds old rotates in first (r2 stale
-# greens before r3, r3 before r4, …), so official signal keeps cycling
-# over the whole battery instead of pinning to one spot. The tier
-# lists below encode exactly that order; rotating a round's window out
-# means appending its names to a new _R{N}_GREEN list and keeping the
-# remaining tiers' relative order unchanged. With 18 pending plus the
-# 25 round-8 additions (auto-detected as new_this_round), the round-8
-# window is: 18 pending + 25 r8-new + the first 7 r2-stale greens.
-_PENDING_NEVER_VERIFIED = [
-    # round-7 window overflow (registered round 6, never verified)
-    "late_shipment_priority", "supplier_count_by_part",
-    "promotion_qty_suppliers", "revenue_mom_growth",
-    # round-7 additions (locally hash-green at sf0.001+sf0.01; see
-    # COVERAGE.md and BASELINE.md:449-462 for floors)
-    "streaming_hll_distinct", "sketch_histogram_quantiles",
-    "sketch_hll_distinct", "graph_label_propagation",
-    "padding_waste_audit", "temperature_mixture_alloc",
-    "multimodal_resize_stub", "bpe_encoded_symbols", "bpe_learn_merges",
-    "dedup_minhash_eval", "split_leakage_audit", "corpus_budget_select",
-    "pii_risk_triage", "vocab_coverage_curve",
+# Rotating a round's window out = append its verified names to a new
+# _R{N}_GREEN list (in CORRECTNESS_r{N} order), delete them from the
+# older tier lists they came from, and keep the remaining tiers'
+# relative order unchanged. Round-9 window: new round-9 entries, then
+# the 22 remaining r2-stale greens, then the head of _R3_GREEN.
+_PENDING_NEVER_VERIFIED: list[str] = [
+    # drained in round 8 — every battery entry has official driver
+    # signal; new rounds' additions flow through new_this_round below
 ]
 _R6_GREEN = [
     "l_diversity_customers", "link_prediction_suppliers",
@@ -113,9 +99,8 @@ _R5_GREEN = [
     "twap_user_day", "segmented_running_total", "weighted_priority_sample",
 ]
 _R2_GREEN_STALE = [
-    "window_rank_customers", "rules_engine_lineitem",
-    "rules_consistent_only", "stack_wide_to_long", "pad_to_contract",
-    "string_path_ops", "period_roundtrip", "lenient_numeric_parse",
+    # (first 7 of this tier re-verified in round 8 → moved to _R8_GREEN)
+    "lenient_numeric_parse",
     "dict_lookup_priority", "fuzzy_levenshtein_match", "text_token_counts",
     "text_quality_scores", "text_lang_id", "doc_fingerprint",
     "dedup_exact_docs", "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard_pairs",
@@ -189,6 +174,34 @@ _R7_GREEN = [
     "forecast_revenue_change", "product_type_profit",
     "important_part_value",
 ]
+_R8_GREEN = [
+    # the full round-8 driver window (CORRECTNESS_r08 order, 50/50
+    # green): the 18 formerly-pending entries, the 25 round-8
+    # additions, and the first 7 r2-stale greens
+    "late_shipment_priority", "supplier_count_by_part",
+    "promotion_qty_suppliers", "revenue_mom_growth",
+    "streaming_hll_distinct", "sketch_histogram_quantiles",
+    "sketch_hll_distinct", "graph_label_propagation",
+    "padding_waste_audit", "temperature_mixture_alloc",
+    "multimodal_resize_stub", "bpe_encoded_symbols", "bpe_learn_merges",
+    "dedup_minhash_eval", "split_leakage_audit", "corpus_budget_select",
+    "pii_risk_triage", "vocab_coverage_curve",
+    "streaming_outer_join_expiry", "streaming_chained_windows",
+    "business_day_latency", "sketch_hll_grouped",
+    "layout_range_boundaries", "coverage_set_orders",
+    "seasonality_heatmap_events", "nearest_event_probe",
+    "freshness_audit_events", "multimodal_audio_framing_stub",
+    "text_stopword_matrix", "streaming_update_mode_counts",
+    "pivot_multi_agg", "sketch_kmv_setops", "sketch_kmv_jaccard",
+    "data_stratified_exact_split", "seasonal_index_dow",
+    "text_heaps_law_curve", "key_candidate_audit", "graph_kcore_peel",
+    "fuzzy_blocking_quality", "text_tokenizer_fertility",
+    "sql_range_value_frame", "sql_group_by_all",
+    "sql_named_window_clause",
+    "window_rank_customers", "rules_engine_lineitem",
+    "rules_consistent_only", "stack_wide_to_long", "pad_to_contract",
+    "string_path_ops", "period_roundtrip",
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -200,7 +213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tiered = (
         set(_PENDING_NEVER_VERIFIED) | set(_R2_GREEN_STALE)
         | set(_R3_GREEN) | set(_R4_GREEN) | set(_R5_GREEN)
-        | set(_R6_GREEN) | set(_R7_GREEN)
+        | set(_R6_GREEN) | set(_R7_GREEN) | set(_R8_GREEN)
     )
     new_this_round = [k for k in merged if k not in tiered]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -213,6 +226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _R5_GREEN,
         _R6_GREEN,
         _R7_GREEN,
+        _R8_GREEN,
     ):
         for k in tier:
             if k in merged and k not in ordered:

@@ -39,6 +39,53 @@ ALL_QUERIES = {
 }
 
 
+def load_floors(baseline_path: str | None = None) -> dict[str, float]:
+    """Parse the per-query floor tables out of BASELINE.md
+    (``| query | floor (s) | notes |`` sections). Floors are min-of-N
+    quiet-box sf0.1 readings — the drift detector's reference points."""
+    if baseline_path is None:
+        baseline_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BASELINE.md"
+        )
+    floors: dict[str, float] = {}
+    try:
+        lines = open(baseline_path, encoding="utf-8").read().splitlines()
+    except OSError:
+        return floors
+    in_tbl = False
+    for line in lines:
+        if line.startswith("| query | floor (s) |"):
+            in_tbl = True
+            continue
+        if in_tbl:
+            if not line.startswith("|"):
+                in_tbl = False
+                continue
+            parts = [p.strip() for p in line.strip().strip("|").split("|")]
+            if not parts or parts[0].startswith("---"):
+                continue
+            try:
+                floors[parts[0]] = float(parts[1])
+            except (IndexError, ValueError):
+                continue
+    return floors
+
+
+def full_sf_is_baseline(sf: str) -> bool:
+    """BASELINE.md floors are sf0.1 readings; floor ratios at any other
+    scale factor would be meaningless."""
+    return sf == "0.1"
+
+
+#: how many floored queries must simultaneously exceed 1.5x their quiet
+#: floors before the artifact flags itself as a hot-box reading. A real
+#: regression is localized (the code that changed); box heat inflates the
+#: whole battery uniformly (BASELINE.md documents p10 1.04x / p90 2.75x
+#: swings on unchanged code) — 10 simultaneous exceedances on a 300-query
+#: battery is far past any plausible single-change blast radius.
+DRIFT_SUSPECT_MIN_EXCEEDANCES = 10
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -91,7 +138,9 @@ def main() -> None:
     # r8-m1), so in-battery accumulation is not the binding factor on a
     # quiet box; the knob exists as a salvage lever for hot runs.
     refresh_every = int(os.environ.get("SPARK_GRAFT_BENCH_REFRESH_EVERY", "0"))
+    load_before = [round(x, 2) for x in os.getloadavg()]
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for qi, (name, fn) in enumerate(queries.items()):
         if refresh_every and qi and qi % refresh_every == 0:
             import gc as _gc
@@ -100,18 +149,54 @@ def main() -> None:
             _gc.collect()
             spark.sparkContext._jvm.System.gc()
             time.sleep(1.0)
-        best = float("inf")
+        samples: list[float] = []
         for _ in range(runs):
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - start)
+        samples.sort()
+        timings[name] = round(samples[0], 3)
+        # within-artifact noise label: median-run / min-run. ~1.0 means
+        # the 3 runs agreed (a trustworthy floor); >>1 means the box was
+        # jittering WHILE this artifact was produced.
+        if samples[0] > 0:
+            spreads[name] = round(samples[len(samples) // 2] / samples[0], 2)
 
+    load_after = [round(x, 2) for x in os.getloadavg()]
     total = round(sum(timings.values()), 3)
+
+    # Self-labeling against box drift: compare each query to its quiet
+    # min-of-N floor (BASELINE.md). Uniform inflation across many
+    # UNRELATED queries is a hot box, not a regression — flag it in the
+    # artifact itself so a reader never has to reverse-engineer the
+    # distinction from raw numbers (the round-8 driver artifact read
+    # 1.31x median on unchanged code with nothing in the JSON saying so).
+    floors = load_floors() if full_sf_is_baseline(sf) else {}
+    drift: dict[str, object] = {}
+    if floors:
+        ratios = sorted(
+            timings[q] / floors[q]
+            for q in timings
+            if q in floors and floors[q] > 0
+        )
+        if ratios:
+            over = sum(1 for r in ratios if r > 1.5)
+            drift = {
+                "floor_ratio_median": round(ratios[len(ratios) // 2], 2),
+                "floor_ratio_p90": round(ratios[int(len(ratios) * 0.9)], 2),
+                "n_over_floor_1_5x": over,
+                "n_floored": len(ratios),
+                "drift_suspect": over >= DRIFT_SUSPECT_MIN_EXCEEDANCES,
+            }
+
     full_payload = {
         "queries": timings,
+        "run_spread": spreads,
         "n_queries": len(timings),
         "runs_per_query": runs,
+        "loadavg_before": load_before,
+        "loadavg_after": load_after,
+        **drift,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "metric": "battery_total_wall",
         "value": total,
@@ -154,6 +239,8 @@ def main() -> None:
         "sf": full_payload["sf"],
         "n_queries": len(timings),
         "runs_per_query": runs,
+        "loadavg": [load_before[0], load_after[0]],
+        **drift,
         "queries": {
             q: round(timings[q], 2) for q in headline if q in timings
         },

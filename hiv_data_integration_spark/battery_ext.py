@@ -10545,16 +10545,19 @@ def q_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     g = per.agg(F.max("last_seen").alias("_g"))
-    # tz-proof NTZ field arithmetic (see ntz_epoch_micros)
-    lag = (
-        ntz_epoch_micros("_g") - ntz_epoch_micros("last_seen")
-    ) / F.lit(1000000)
+    # tz-proof NTZ field arithmetic (see ntz_epoch_micros). Exact
+    # integer FLOOR division (d - pmod(d, 1e6) is a multiple of 1e6,
+    # so the one double division is exact) — matches the oracle's
+    # integer `//` even for negative deltas, instead of relying on
+    # lag >= 0 to make truncation and floor coincide.
+    d = ntz_epoch_micros("_g") - ntz_epoch_micros("last_seen")
+    lag = ((d - F.pmod(d, F.lit(1000000))) / F.lit(1000000)).cast("long")
     return per.crossJoin(F.broadcast(g)).select(
         "event_type",
         "last_seen",
         "n_events",
-        lag.cast("long").alias("lag_seconds"),
-        (lag.cast("long") > 86400).alias("stale_over_1d"),
+        lag.alias("lag_seconds"),
+        (lag > 86400).alias("stale_over_1d"),
     )
 
 
@@ -11480,16 +11483,26 @@ def _retry_stream_once(fn: QueryFn) -> QueryFn:
     suite run and driver window). Each entry mkdtemps fresh checkpoint
     and state dirs per call, so a clean retry is deterministic and
     idempotent — while a genuine failure still surfaces on the second
-    attempt."""
+    attempt. Only the KNOWN transient commit-race signatures retry;
+    any other StreamingQueryException re-raises immediately so a real
+    intermittent bug can't be masked by a lucky second run."""
     import functools
 
     from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    _TRANSIENT_SIGNATURES = (
+        "CANNOT_WRITE_STATE_STORE",
+        "RejectedExecutionException",
+    )
 
     @functools.wraps(fn)
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             return fn(spark, sf_dir)
-        except StreamingQueryException:
+        except StreamingQueryException as exc:
+            msg = str(exc)
+            if not any(sig in msg for sig in _TRANSIENT_SIGNATURES):
+                raise
             return fn(spark, sf_dir)
 
     return run

@@ -4579,19 +4579,25 @@ def kmv_sketch(
     )
 
 
-def kmv_merge(*sketches: DataFrame, k: int = 32) -> DataFrame:
+def kmv_merge(*sketches: DataFrame, k: int) -> DataFrame:
     """Merge KMV sketch states: distinct union of the hash sets, k
     smallest kept. The merged sketch estimates the distinct count of the
     UNION of the underlying sets — the mergeable-segment shape a 100 TB
     incremental pipeline stores (sketch per partition/day, merge on
-    read)."""
+    read).
+
+    ``k`` is required (no default): merging sketches built with a
+    larger k under a smaller merge-k silently truncates the union
+    state and biases the estimate, so the caller must state the k the
+    input sketches were built with.
+    """
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
     return out.dropDuplicates().orderBy("h").limit(k)
 
 
-def kmv_estimate(sketch: DataFrame, k: int = 32) -> DataFrame:
+def kmv_estimate(sketch: DataFrame, k: int) -> DataFrame:
     """Distinct-count estimate from a KMV sketch: if the sketch holds
     fewer than ``k`` hashes the count is EXACT (every distinct value is
     present); otherwise ``D = (k-1) * 2^60 / h_(k)`` with ``h_(k)`` the

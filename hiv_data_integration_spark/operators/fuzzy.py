@@ -142,9 +142,18 @@ def token_set_ratio(a: str, b: str) -> float:
     return max(_ratio(inter, sa), _ratio(inter, sb), _ratio(sa, sb))
 
 
+#: Unblocked scoring is O(rows × ALL candidates) of Python
+#: SequenceMatcher work — fine for the reference's dimension-sized
+#: registries (< 10^4 rows), quadratic poison beyond. Above this many
+#: unblocked candidates, best_match_udf refuses and points at the
+#: dict-blocked shape (the kmeans max_train_rows guard pattern).
+MAX_UNBLOCKED_CANDIDATES = 20_000
+
+
 def best_match_udf(
     candidates: list[tuple[str, str]] | dict[str, list[tuple[str, str]]],
     threshold: float = 90.0,
+    max_unblocked_candidates: int = MAX_UNBLOCKED_CANDIDATES,
 ):
     """Build a pandas_udf scoring each input against a broadcast-style
     captured candidate list ``[(normalized_name, payload), ...]``.
@@ -166,6 +175,18 @@ def best_match_udf(
     any SequenceMatcher work; early exit at 100.
     """
     blocked = isinstance(candidates, dict)
+    if not blocked and len(candidates) > max_unblocked_candidates:
+        raise ValueError(
+            f"best_match_udf: {len(candidates)} unblocked candidates "
+            f"exceeds max_unblocked_candidates="
+            f"{max_unblocked_candidates} — every input row would score "
+            f"against ALL of them (O(rows × candidates) Python work). "
+            f"Pass dict-blocked candidates ({{block_key: [(name, "
+            f"payload), ...]}} via collect_candidates(block_cols=...)) "
+            f"to bound per-row work, or raise "
+            f"max_unblocked_candidates explicitly if the cost is truly "
+            f"intended"
+        )
     # normalize to {block_key or None: [(name, payload), ...]}
     cand_map: dict = (
         {k: list(v) for k, v in candidates.items()}

@@ -58,6 +58,7 @@ def test_window_prioritizes_unverified_entries():
         | set(contract._R2_GREEN_STALE) | set(contract._R3_GREEN)
         | set(contract._R4_GREEN) | set(contract._R5_GREEN)
         | set(contract._R6_GREEN) | set(contract._R7_GREEN)
+        | set(contract._R8_GREEN)
     )
     new_this_round = [k for k in names if k not in tiered]
     n_unverified = len(pending) + len(new_this_round)
@@ -67,6 +68,7 @@ def test_window_prioritizes_unverified_entries():
         set(contract._R2_GREEN_STALE) | set(contract._R3_GREEN)
         | set(contract._R4_GREEN) | set(contract._R5_GREEN)
         | set(contract._R6_GREEN) | set(contract._R7_GREEN)
+        | set(contract._R8_GREEN)
     )
     assert not greens & set(names[:n_unverified])
     # steady-state re-verification policy: previously-green tiers appear
@@ -75,6 +77,7 @@ def test_window_prioritizes_unverified_entries():
     green_tiers = [
         contract._R2_GREEN_STALE, contract._R3_GREEN, contract._R4_GREEN,
         contract._R5_GREEN, contract._R6_GREEN, contract._R7_GREEN,
+        contract._R8_GREEN,
     ]
     pos = {k: i for i, k in enumerate(names)}
     for older, newer in zip(green_tiers, green_tiers[1:]):
@@ -83,6 +86,14 @@ def test_window_prioritizes_unverified_entries():
         assert older_max < newer_min, (
             "green tiers must stay oldest-signal-first in queries() order"
         )
+    # a name may live in exactly ONE tier — duplicates would let an old
+    # tier's position shadow the rotation (the ordering loop dedups, so
+    # this is the only place a double-listing would surface)
+    from collections import Counter
+
+    all_tier_names = contract._PENDING_NEVER_VERIFIED + sum(green_tiers, [])
+    dupes = [k for k, c in Counter(all_tier_names).items() if c > 1]
+    assert dupes == [], f"names listed in more than one tier: {dupes}"
     # nothing is dropped or duplicated by the ordering
     assert len(names) == len(set(names))
     merged = set(contract.QUERIES) | set(contract.EXT_QUERIES) | set(

@@ -288,6 +288,24 @@ def test_collect_candidates_scale_guard(spark):
     assert len(collect_candidates(big, "name", "payload", max_candidates=50)) == 50
 
 
+def test_best_match_udf_unblocked_candidate_guard():
+    """An oversized UNBLOCKED candidate list must fail loudly with
+    dict-blocking advice — every row would otherwise score against all
+    of them in Python. Blocked dicts and explicit overrides still work."""
+    import pytest
+
+    from hiv_data_integration_spark.operators.fuzzy import best_match_udf
+
+    big = [(f"name {i}", f"p{i}") for i in range(50)]
+    with pytest.raises(ValueError, match="dict-blocked"):
+        best_match_udf(big, max_unblocked_candidates=10)
+    # explicit override: caller states the cost is intended
+    assert best_match_udf(big, max_unblocked_candidates=50) is not None
+    # blocked shape is exempt — per-row work is bounded by block size
+    blocked = {"b1": big, "b2": big}
+    assert best_match_udf(blocked, max_unblocked_candidates=10) is not None
+
+
 def test_pruned_scorer_matches_bruteforce_list_scan(spark):
     """The bound-sorted early-terminating scorer must reproduce a full
     list-order scan exactly: winner = lowest-index candidate among

@@ -4195,7 +4195,8 @@ def test_k_core_peel_known_graph(spark):
 
 def test_blocking_quality_census_math(spark):
     """4 records, 2 entities; blocking splits one entity across blocks:
-    total=6 pairs, candidates=2, truth=2, covered=1 — ratios follow."""
+    total=6 pairs, candidates=3 (block b1 holds 3 records -> 3 pairs),
+    truth=2, covered=1 — ratios follow."""
     from hiv_data_integration_spark.operators.fuzzy import blocking_quality
 
     df = spark.createDataFrame(

@@ -329,10 +329,24 @@ def test_retry_stream_once_retries_transient_and_propagates_real(spark):
     assert calls["n"] == 2
 
     def always(spark_, sf_dir):
-        raise StreamingQueryException("still broken", stackTrace="")
+        raise StreamingQueryException(
+            "RejectedExecutionException: pool terminated", stackTrace=""
+        )
 
     with pytest.raises(StreamingQueryException):
         _retry_stream_once(always)(spark, "/tmp")
+
+    # an UNRECOGNIZED streaming failure re-raises immediately — a real
+    # intermittent bug must not be masked by a lucky second attempt
+    unknown_calls = {"n": 0}
+
+    def unknown(spark_, sf_dir):
+        unknown_calls["n"] += 1
+        raise StreamingQueryException("still broken", stackTrace="")
+
+    with pytest.raises(StreamingQueryException):
+        _retry_stream_once(unknown)(spark, "/tmp")
+    assert unknown_calls["n"] == 1
 
     def other(spark_, sf_dir):
         raise ValueError("not a stream error")
