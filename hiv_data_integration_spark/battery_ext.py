@@ -10628,6 +10628,97 @@ FROM f
 """
 
 
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV/RIFF header decode (the audio twin of the image leg's
+    real PNG decoder, ``multimodal.decode_media``): stage 1 synthesizes
+    a genuine canonical-PCM WAV byte stream per document — RIFF header,
+    an odd-length LIST chunk on every 5th doc (exercising the RIFF
+    even-padding rule), ``fmt `` with doc-derived rate/channels, and a
+    ``data`` chunk with real sample bytes; stage 2
+    (``multimodal.decode_audio``) walks the chunks back out with a
+    stdlib struct parser inside Arrow ``mapInPandas``. The synthesis
+    parameters are pure doc_id arithmetic, so the decoded metadata is
+    hash-checkable in SQL — the decoder must invert the container
+    format bit-for-bit to go green. Per-row decode cost is O(header),
+    not O(payload): the scale path for 100 TB audio ingest."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id")
+
+    synth_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth_batches(batches):
+        # self-contained closure (ships by value; see decode_media)
+        import struct as _struct
+
+        import pandas as _pd
+
+        def wav_for(doc_id: int) -> bytes:
+            sr = 8000 + 4000 * (doc_id % 3)
+            ch = 1 + (doc_id % 2)
+            ba = ch * 2  # 16-bit PCM
+            ns = 100 + (doc_id * 2654435761) % 1000
+            data_len = ns * ba
+            body = bytes((i * 7 + doc_id) % 256 for i in range(data_len))
+            chunks = b""
+            if doc_id % 5 == 0:
+                # odd-length metadata chunk: 7-byte body + 1 pad byte
+                chunks += b"LIST" + _struct.pack("<I", 7) + b"INFOxyz" + b"\x00"
+            chunks += b"fmt " + _struct.pack(
+                "<IHHIIHH", 16, 1, ch, sr, sr * ba, ba, 16
+            )
+            chunks += b"data" + _struct.pack("<I", data_len) + body
+            return b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+        for pdf in batches:
+            out = _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": [wav_for(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+            yield out
+
+    wavs = docs.mapInPandas(synth_batches, synth_schema)
+    decoded = mm.decode_audio(wavs)
+    return decoded.select(
+        "doc_id",
+        F.col("audio.sample_rate").alias("sample_rate"),
+        F.col("audio.channels").alias("channels"),
+        F.col("audio.bits_per_sample").alias("bits_per_sample"),
+        F.col("audio.n_samples").alias("n_samples"),
+        F.col("audio.duration_micros").alias("duration_micros"),
+        F.col("audio.n_bytes").alias("n_bytes"),
+        F.col("audio.decoder").alias("decoder"),
+    )
+
+
+# mirrors the synthesis arithmetic: sr/ch/ns from doc_id; total bytes =
+# 12 (RIFF hdr) + [16 when doc_id%5=0: LIST 8+7+1 pad] + 24 (fmt) +
+# 8 + ns*ch*2 (data); duration = exact integer floor micros. The decoder
+# only goes green by actually walking the chunk layout back out.
+SQL_AUDIO_DECODE = """
+WITH p AS (
+    SELECT doc_id,
+           CAST(8000 + 4000 * (doc_id % 3) AS INTEGER) AS sr,
+           CAST(1 + (doc_id % 2) AS INTEGER) AS ch,
+           CAST(100 + (doc_id * 2654435761) % 1000 AS BIGINT) AS ns
+    FROM documents
+)
+SELECT doc_id, sr AS sample_rate, ch AS channels,
+       CAST(16 AS INTEGER) AS bits_per_sample,
+       ns AS n_samples,
+       CAST((ns * 1000000) // sr AS BIGINT) AS duration_micros,
+       CAST(12 + (CASE WHEN doc_id % 5 = 0 THEN 16 ELSE 0 END)
+            + 24 + 8 + ns * ch * 2 AS BIGINT) AS n_bytes,
+       'wav' AS decoder
+FROM p
+"""
+
+
 def q_stopword_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language × stopword-set hit matrix: per document language, total
     hits of EACH language's stopword list (and the per-word rate) — the
@@ -11519,6 +11610,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "nearest_event_probe": q_nearest_event_probe,
     "freshness_audit_events": q_freshness_audit,
     "multimodal_audio_framing_stub": q_audio_framing_stub,
+    "multimodal_audio_decode": q_audio_decode,
     "text_stopword_matrix": q_stopword_matrix,
     "streaming_update_mode_counts": _retry_stream_once(q_streaming_update_mode),
     "pivot_multi_agg": q_pivot_multi_agg,
@@ -11759,6 +11851,7 @@ EXT_ORACLE: dict[str, str] = {
     "nearest_event_probe": SQL_NEAREST_EVENT_PROBE,
     "freshness_audit_events": SQL_FRESHNESS_AUDIT,
     "multimodal_audio_framing_stub": SQL_AUDIO_FRAMING_STUB,
+    "multimodal_audio_decode": SQL_AUDIO_DECODE,
     "text_stopword_matrix": SQL_STOPWORD_MATRIX,
     "streaming_update_mode_counts": SQL_STREAMING_UPDATE_MODE,
     "pivot_multi_agg": SQL_PIVOT_MULTI_AGG,

@@ -26,9 +26,11 @@ from pyspark.sql import types as T
 
 __all__ = [
     "MEDIA_META_SCHEMA",
+    "AUDIO_META_SCHEMA",
     "attach_payload",
     "payload_meta",
     "decode_media",
+    "decode_audio",
     "sample_frames",
     "resize_thumbnail_checksum",
 ]
@@ -185,6 +187,123 @@ def decode_media(
             yield out
 
     return df.mapInPandas(decode_batches, out_schema)
+
+
+# Typed metadata contract for decoded audio. duration_micros is exact
+# integer floor arithmetic (n_samples * 1e6 // sample_rate) so a SQL
+# oracle reproduces it bit-for-bit.
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_micros", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def decode_audio(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL stdlib WAV/RIFF header parse via Arrow-batched ``mapInPandas``
+    — the audio twin of ``decode_media``'s real PNG decoder. The RIFF
+    container format is public: a 12-byte ``RIFF``/size/``WAVE`` header,
+    then chunks (4-byte id, little-endian uint32 size, data, 1 pad byte
+    when the size is odd). The parser walks chunks to the canonical
+    ``fmt `` fields (PCM format tag, channels, sample rate, block align,
+    bits per sample) and the ``data`` chunk, deriving
+    ``n_samples = data_len // block_align`` and an exact integer
+    ``duration_micros``. Anything that is not a well-formed PCM WAV —
+    wrong magic, truncated chunks, zero block align — falls through to
+    the clearly-labeled deterministic stub (dims from byte length), never
+    to bogus half-parsed values.
+
+    Output schema = input columns (minus payload) + ``audio`` struct
+    (AUDIO_META_SCHEMA). Per-row work is O(header chunks), not O(bytes):
+    sample data is never touched, so the stage streams 100 TB of payload
+    at Arrow batch granularity with seek-sized CPU cost.
+    """
+    in_fields = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = T.StructType(
+        [*in_fields, T.StructField("audio", AUDIO_META_SCHEMA)]
+    )
+    passthrough = [f.name for f in in_fields]
+
+    def audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure (see decode_media): ships by value, no
+        # package import needed on the Python worker
+        import struct as _struct
+
+        def parse(data: bytes):
+            n = len(data)
+            if n < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+                return None
+            fmt = None
+            data_len = None
+            off = 12
+            while off + 8 <= n:
+                cid = data[off : off + 4]
+                (clen,) = _struct.unpack("<I", data[off + 4 : off + 8])
+                body = data[off + 8 : off + 8 + clen]
+                if cid == b"fmt " and clen >= 16 and len(body) >= 16:
+                    tag, ch, sr, _br, ba, bps = _struct.unpack(
+                        "<HHIIHH", body[:16]
+                    )
+                    if tag != 1:  # only canonical PCM
+                        return None
+                    fmt = (ch, sr, ba, bps)
+                elif cid == b"data":
+                    data_len = clen
+                # chunks pad to even length (RIFF rule)
+                off += 8 + clen + (clen & 1)
+            if fmt is None or data_len is None:
+                return None
+            ch, sr, ba, bps = fmt
+            if ba == 0 or sr == 0:
+                return None
+            n_samples = data_len // ba
+            return {
+                "sample_rate": int(sr),
+                "channels": int(ch),
+                "bits_per_sample": int(bps),
+                "n_samples": int(n_samples),
+                "duration_micros": int(n_samples * 1_000_000 // sr),
+                "n_bytes": n,
+                "decoder": "wav",
+            }
+
+        for pdf in batches:
+            metas = []
+            for payload in pdf[payload_col]:
+                data = bytes(payload) if payload is not None else b""
+                meta = None
+                try:
+                    meta = parse(data)
+                except Exception:
+                    meta = None
+                if meta is None:
+                    # deterministic fake (mirrors _fake_decode's shape):
+                    # every value a pure function of the byte length
+                    nb = len(data)
+                    sr = 16000
+                    meta = {
+                        "sample_rate": sr,
+                        "channels": 1,
+                        "bits_per_sample": 16,
+                        "n_samples": nb // 2,
+                        "duration_micros": (nb // 2) * 1_000_000 // sr,
+                        "n_bytes": nb,
+                        "decoder": "stub",
+                    }
+                metas.append(meta)
+            out = pdf[passthrough].copy()
+            out["audio"] = metas
+            yield out
+
+    return df.mapInPandas(audio_batches, out_schema)
 
 
 def sample_frames(

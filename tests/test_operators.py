@@ -178,6 +178,66 @@ def test_decode_media_real_png(spark):
     assert rows[1]["n_bytes"] == len(png_rgb)
 
 
+def test_decode_audio_real_wav_via_stdlib_wave(spark, tmp_path):
+    """Cross-validation against an INDEPENDENT writer: Python's stdlib
+    ``wave`` module writes canonical PCM WAVs; our RIFF parser must read
+    back the exact parameters wave was given."""
+    import wave
+
+    cases = [(1, 8000, 1, 321), (2, 44100, 2, 1000), (3, 16000, 1, 1)]
+    payloads = []
+    for doc_id, sr, ch, nframes in cases:
+        p = tmp_path / f"{doc_id}.wav"
+        with wave.open(str(p), "wb") as w:
+            w.setnchannels(ch)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(bytes(2 * ch * nframes))
+        payloads.append((doc_id, bytearray(p.read_bytes())))
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    rows = {r["doc_id"]: r["audio"] for r in mm.decode_audio(df).collect()}
+    for doc_id, sr, ch, nframes in cases:
+        a = rows[doc_id]
+        assert a["decoder"] == "wav"
+        assert a["sample_rate"] == sr
+        assert a["channels"] == ch
+        assert a["bits_per_sample"] == 16
+        assert a["n_samples"] == nframes
+        assert a["duration_micros"] == nframes * 1_000_000 // sr
+
+
+def test_decode_audio_riff_padding_and_fallback(spark):
+    """The RIFF even-padding rule (odd-length chunk bodies pad one byte)
+    must not desync the chunk walk; non-WAV / non-PCM / truncated
+    payloads fall back to the labeled stub, never half-parsed values."""
+    import struct
+
+    def wav(ch=1, sr=8000, ns=10, pre_chunks=b"", fmt_tag=1):
+        ba = ch * 2
+        body = bytes(ns * ba)
+        chunks = pre_chunks
+        chunks += b"fmt " + struct.pack("<IHHIIHH", 16, fmt_tag, ch, sr, sr * ba, ba, 16)
+        chunks += b"data" + struct.pack("<I", len(body)) + body
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    odd_list = b"LIST" + struct.pack("<I", 7) + b"INFOxyz" + b"\x00"
+    rows_in = [
+        (1, bytearray(wav(ch=2, sr=12000, ns=55, pre_chunks=odd_list))),
+        (2, bytearray(b"not audio at all")),
+        (3, bytearray(wav(fmt_tag=3))),          # IEEE-float WAV: not PCM
+        (4, bytearray(wav()[:20])),              # truncated mid-chunk
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows_in, "doc_id long, payload binary")
+    rows = {r["doc_id"]: r["audio"] for r in mm.decode_audio(df).collect()}
+    assert rows[1]["decoder"] == "wav"
+    assert (rows[1]["sample_rate"], rows[1]["channels"]) == (12000, 2)
+    assert rows[1]["n_samples"] == 55
+    for bad in (2, 3, 4, 5):
+        assert rows[bad]["decoder"] == "stub", bad
+    assert rows[5]["n_bytes"] == 0
+
+
 def test_sample_frames_one_to_many(spark):
     df = spark.createDataFrame([(7, "0123456789abcdef")], "doc_id long, text string")
     frames = mm.sample_frames(mm.attach_payload(df, media_type="video")).collect()

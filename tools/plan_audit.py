@@ -165,6 +165,7 @@ HEADLINE = [
     "nearest_event_probe",
     "freshness_audit_events",
     "multimodal_audio_framing_stub",
+    "multimodal_audio_decode",
     "text_stopword_matrix",
     "pivot_multi_agg",
     "sql_range_value_frame",
