@@ -10719,6 +10719,224 @@ FROM p
 """
 
 
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image perceptual hash over REAL decoded pixels: stage 1
+    synthesizes a genuine 8-bit grayscale PNG per document (zlib IDAT,
+    CRC'd chunks, filter-0 scanlines, doc_id-derived dims and pixel
+    pattern); stage 2 (``multimodal.image_ahash``) inflates it back,
+    unfilters the scanlines, and computes the exact-integer 8×8
+    average-hash. The synthesis parameters are pure doc_id arithmetic,
+    so the oracle rebuilds the SAME pixel grid with ``unnest(range(...))``
+    and re-derives every cell sum and hash bit in SQL — the decoder must
+    invert zlib+PNG bit-for-bit to go green. This is the image near-dup
+    primitive (aHash bucket join) of the multimodal dedup family."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id")
+
+    synth_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth_batches(batches):
+        # self-contained closure (ships by value; see decode_media)
+        import struct as _struct
+        import zlib as _zlib
+
+        import pandas as _pd
+
+        def chunk(ctype: bytes, data: bytes) -> bytes:
+            return (
+                _struct.pack(">I", len(data))
+                + ctype
+                + data
+                + _struct.pack(">I", _zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        def png_for(doc_id: int) -> bytes:
+            w = 8 * (1 + doc_id % 5)
+            h = 8 * (1 + (doc_id // 5) % 4)
+            raw = b"".join(
+                b"\x00"
+                + bytes((7 * x + 13 * y + doc_id) % 256 for x in range(w))
+                for y in range(h)
+            )
+            ihdr = _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", _zlib.compress(raw))
+                + chunk(b"IEND", b"")
+            )
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": [png_for(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    pngs = docs.mapInPandas(synth_batches, synth_schema)
+    hashed = mm.image_ahash(pngs)
+    return hashed.select(
+        "doc_id",
+        F.col("ahash.width").alias("width"),
+        F.col("ahash.height").alias("height"),
+        F.col("ahash.phash_hi").alias("phash_hi"),
+        F.col("ahash.phash_lo").alias("phash_lo"),
+        F.col("ahash.decoder").alias("decoder"),
+    )
+
+
+# rebuilds the synthesized pixel grid ((7x+13y+doc_id)%256 over
+# w=8(1+doc_id%5), h=8(1+(doc_id//5)%4)) and re-derives the aHash:
+# cell (i,j) = pixel block [i*h/8,(i+1)*h/8) x [j*w/8,(j+1)*w/8);
+# bit = 64*cell_sum >= total_sum (exact cross-multiplication);
+# hi/lo = MSB-first packed 32-bit halves.
+SQL_IMAGE_PHASH = """
+WITH p AS (
+    SELECT doc_id,
+           CAST(8 * (1 + doc_id % 5) AS BIGINT) AS w,
+           CAST(8 * (1 + (doc_id // 5) % 4) AS BIGINT) AS h
+    FROM documents
+),
+px AS (
+    SELECT doc_id, w, h, x, y,
+           (7 * x + 13 * y + doc_id) % 256 AS v,
+           y // (h // 8) AS ci, x // (w // 8) AS cj
+    FROM p, UNNEST(range(0, w)) AS tx(x), UNNEST(range(0, h)) AS ty(y)
+),
+cells AS (
+    SELECT doc_id, MAX(w) AS w, MAX(h) AS h, ci, cj, SUM(v) AS cs
+    FROM px GROUP BY doc_id, ci, cj
+),
+tot AS (SELECT doc_id, SUM(cs) AS ts FROM cells GROUP BY 1),
+bits AS (
+    SELECT c.doc_id, c.w, c.h, c.ci, c.cj,
+           CASE WHEN 64 * c.cs >= t.ts THEN CAST(1 AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS b
+    FROM cells c JOIN tot t USING (doc_id)
+)
+SELECT doc_id,
+       CAST(MAX(w) AS INTEGER) AS width,
+       CAST(MAX(h) AS INTEGER) AS height,
+       CAST(SUM(CASE WHEN ci < 4 THEN b << (31 - (ci * 8 + cj))
+                     ELSE 0 END) AS BIGINT) AS phash_hi,
+       CAST(SUM(CASE WHEN ci >= 4 THEN b << (31 - ((ci - 4) * 8 + cj))
+                     ELSE 0 END) AS BIGINT) AS phash_lo,
+       'png' AS decoder
+FROM bits GROUP BY doc_id
+"""
+
+
+def q_temporal_split_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged time-based train/test split audit (the leakage-safe split a
+    temporal model needs — hash splits scatter each day across train AND
+    test): orders at or before 1998-06-30 train, a 90-day purge gap is
+    excluded, the rest test. Output = per-split census (row count, date
+    span, exact-decimal revenue) proving the boundaries land exactly.
+    Pure projection + one hash aggregate; with date-partitioned storage
+    the split scans partition-prune at 100 TB."""
+    from hiv_data_integration_spark.operators.sampling import (
+        temporal_split_purged,
+    )
+
+    orders = tbl(spark, sf_dir, "orders").withColumn(
+        "o_date", F.col("o_orderdate").cast("date")
+    )
+    split = temporal_split_purged(orders, "o_date", "1998-06-30", 90)
+    return split.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.min("o_date").alias("first_date"),
+        F.max("o_date").alias("last_date"),
+        dsum("o_totalprice", scale=2, prec=28).alias("sum_total"),
+    )
+
+
+SQL_TEMPORAL_SPLIT = """
+WITH o AS (
+    SELECT CAST(o_orderdate AS DATE) AS d, o_totalprice FROM orders
+),
+s AS (
+    SELECT CASE WHEN d <= DATE '1998-06-30' THEN 'train'
+                WHEN d <= DATE '1998-06-30' + INTERVAL 90 DAY THEN 'purged'
+                ELSE 'test' END AS split,
+           d, o_totalprice
+    FROM o
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_orders,
+       MIN(d) AS first_date, MAX(d) AS last_date,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_total
+FROM s GROUP BY 1
+"""
+
+
+def q_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential quality-gate funnel census per language — the curation
+    accounting every corpus pipeline publishes (how many docs die at
+    which gate, what survives): gate 1 min length (>=200 chars), gate 2
+    min words (>=30, exact space-count words), gate 3 mean word length
+    < 12 (cross-multiplied — no division), gate 4 uppercase ratio < 20%
+    (ditto). Attribution is FIRST-failing-gate, so the counts sum to the
+    total by construction. One codegen'd scan, one hash aggregate; all
+    integer arithmetic."""
+    docs = tbl(spark, sf_dir, "documents")
+    chars = F.length("text")
+    spaces = chars - F.length(F.regexp_replace(F.col("text"), " ", ""))
+    words = spaces + F.lit(1)
+    nonspace = chars - spaces
+    upper = F.length(F.regexp_replace(F.col("text"), "[^A-Z]", ""))
+    g1 = chars >= 200
+    g2 = words >= 30
+    g3 = nonspace < words * 12
+    g4 = upper * 5 < chars
+    lng = F.col("lang")
+    b2l = lambda c: F.when(c, F.lit(1)).otherwise(F.lit(0)).cast("long")  # noqa: E731
+    return docs.groupBy(lng.alias("lang")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(b2l(~g1)).alias("fail_minlen"),
+        F.sum(b2l(g1 & ~g2)).alias("fail_words"),
+        F.sum(b2l(g1 & g2 & ~g3)).alias("fail_wordlen"),
+        F.sum(b2l(g1 & g2 & g3 & ~g4)).alias("fail_upper"),
+        F.sum(b2l(g1 & g2 & g3 & g4)).alias("survivors"),
+    )
+
+
+SQL_GATE_FUNNEL = """
+WITH d AS (
+    SELECT lang,
+           length(text) AS chars,
+           length(text) - length(regexp_replace(text, ' ', '', 'g'))
+               AS spaces,
+           length(regexp_replace(text, '[^A-Z]', '', 'g')) AS upper_n
+    FROM documents
+),
+g AS (
+    SELECT lang,
+           chars >= 200 AS g1,
+           spaces + 1 >= 30 AS g2,
+           chars - spaces < (spaces + 1) * 12 AS g3,
+           upper_n * 5 < chars AS g4
+    FROM d
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS fail_minlen,
+       CAST(SUM(CASE WHEN g1 AND NOT g2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS fail_words,
+       CAST(SUM(CASE WHEN g1 AND g2 AND NOT g3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS fail_wordlen,
+       CAST(SUM(CASE WHEN g1 AND g2 AND g3 AND NOT g4 THEN 1 ELSE 0 END)
+            AS BIGINT) AS fail_upper,
+       CAST(SUM(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END)
+            AS BIGINT) AS survivors
+FROM g GROUP BY lang
+"""
+
+
 def q_stopword_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language × stopword-set hit matrix: per document language, total
     hits of EACH language's stopword list (and the per-word rate) — the
@@ -11611,6 +11829,9 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "freshness_audit_events": q_freshness_audit,
     "multimodal_audio_framing_stub": q_audio_framing_stub,
     "multimodal_audio_decode": q_audio_decode,
+    "multimodal_image_phash": q_image_phash,
+    "data_temporal_split_purged": q_temporal_split_purged,
+    "corpus_gate_funnel": q_gate_funnel,
     "text_stopword_matrix": q_stopword_matrix,
     "streaming_update_mode_counts": _retry_stream_once(q_streaming_update_mode),
     "pivot_multi_agg": q_pivot_multi_agg,
@@ -11852,6 +12073,9 @@ EXT_ORACLE: dict[str, str] = {
     "freshness_audit_events": SQL_FRESHNESS_AUDIT,
     "multimodal_audio_framing_stub": SQL_AUDIO_FRAMING_STUB,
     "multimodal_audio_decode": SQL_AUDIO_DECODE,
+    "multimodal_image_phash": SQL_IMAGE_PHASH,
+    "data_temporal_split_purged": SQL_TEMPORAL_SPLIT,
+    "corpus_gate_funnel": SQL_GATE_FUNNEL,
     "text_stopword_matrix": SQL_STOPWORD_MATRIX,
     "streaming_update_mode_counts": SQL_STREAMING_UPDATE_MODE,
     "pivot_multi_agg": SQL_PIVOT_MULTI_AGG,

@@ -36,6 +36,7 @@ __all__ = [
     "feature_hash",
     "effective_sample_size",
     "token_budget_select",
+    "temporal_split_purged",
 ]
 
 #: Bucket space: 4 hex digits of the md5 → uniform integers in [0, 65536).
@@ -652,4 +653,41 @@ def stratified_exact_split(
             rank * F.lit(train_den) <= n_s * F.lit(train_num),
             F.lit("train"),
         ).otherwise(F.lit("holdout")),
+    )
+
+
+def temporal_split_purged(
+    df: DataFrame,
+    date_col: str,
+    cutoff: str,
+    gap_days: int,
+    out_col: str = "split",
+) -> DataFrame:
+    """Time-based train/test split with a PURGE GAP — the leakage-safe
+    shape for forecasting / ranking training data (finance calls it
+    purged cross-validation): rows at or before ``cutoff`` train, rows
+    inside ``(cutoff, cutoff + gap_days]`` are EXCLUDED (labeled
+    ``purged``), rows after the gap test. The gap absorbs label lookahead
+    — a row whose label window straddles the boundary would otherwise
+    leak test-period information into training.
+
+    Unlike :func:`hash_split` this split is on EVENT TIME, so it is the
+    one a time-ordered corpus must use: hash splits scatter each day
+    across train and test, which is exactly the leak a temporal model
+    cannot tolerate.
+
+    Pure per-row projection (three date comparisons against literals) —
+    no shuffle, and with date-partitioned storage the train/test scans
+    partition-prune to their date ranges at 100 TB.
+    """
+    if gap_days < 0:
+        raise ValueError("gap_days must be >= 0")
+    d = F.col(date_col)
+    lo = F.lit(cutoff).cast("date")
+    hi = F.date_add(F.lit(cutoff).cast("date"), gap_days)
+    return df.withColumn(
+        out_col,
+        F.when(d <= lo, F.lit("train"))
+        .when(d <= hi, F.lit("purged"))
+        .otherwise(F.lit("test")),
     )

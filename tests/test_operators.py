@@ -238,6 +238,136 @@ def test_decode_audio_riff_padding_and_fallback(spark):
     assert rows[5]["n_bytes"] == 0
 
 
+def _build_gray_png(width: int, height: int, pixel) -> bytes:
+    """Hand-build an 8-bit grayscale filter-0 PNG (public format)."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(
+        b"\x00" + bytes(pixel(x, y) % 256 for x in range(width))
+        for y in range(height)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_image_ahash_exact_bits_and_fallbacks(spark):
+    """aHash from real decoded pixels: a brute-force independent
+    reimplementation over the same pixel function must agree bit-for-bit;
+    unsupported surfaces (RGB, non-/8 dims, nonzero filter, junk) fall
+    back to the labeled stub."""
+    import struct
+    import zlib
+
+    w, h = 16, 8
+    px = lambda x, y: (5 * x + 11 * y + 3)  # noqa: E731
+
+    # independent brute force (different code path from the operator)
+    cw, ch = w // 8, h // 8
+    cells = [[0] * 8 for _ in range(8)]
+    total = 0
+    for y in range(h):
+        for x in range(w):
+            v = px(x, y) % 256
+            cells[y // ch][x // cw] += v
+            total += v
+    exp_hi = exp_lo = 0
+    for i in range(8):
+        for j in range(8):
+            bit = 1 if 64 * cells[i][j] >= total else 0
+            if i < 4:
+                exp_hi |= bit << (31 - (i * 8 + j))
+            else:
+                exp_lo |= bit << (31 - ((i - 4) * 8 + j))
+
+    good = _build_gray_png(w, h, px)
+    flat = _build_gray_png(8, 8, lambda x, y: 7)  # constant: every bit 1
+    rgb = _build_png(8, 8, color_type=2)
+    odd_dims = _build_gray_png(9, 8, px)
+    # filter type 1 (Sub) on the first scanline: unsupported -> stub
+    raw = b"\x01" + bytes(8) + (b"\x00" + bytes(8)) * 7
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    filt1 = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(good)),
+            (2, bytearray(flat)),
+            (3, bytearray(rgb)),
+            (4, bytearray(odd_dims)),
+            (5, bytearray(filt1)),
+            (6, bytearray(b"junk")),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r["ahash"] for r in mm.image_ahash(df).collect()}
+    assert rows[1]["decoder"] == "png"
+    assert (rows[1]["phash_hi"], rows[1]["phash_lo"]) == (exp_hi, exp_lo)
+    assert (rows[1]["width"], rows[1]["height"]) == (w, h)
+    assert rows[2]["decoder"] == "png"
+    assert (rows[2]["phash_hi"], rows[2]["phash_lo"]) == (0xFFFFFFFF, 0xFFFFFFFF)
+    for bad in (3, 4, 5, 6):
+        assert rows[bad]["decoder"] == "stub", bad
+        assert (rows[bad]["phash_hi"], rows[bad]["phash_lo"]) == (0, 0)
+
+
+def test_temporal_split_purged_boundaries(spark):
+    """Boundary rows land exactly: cutoff day trains, (cutoff, cutoff+gap]
+    purges, first day past the gap tests; gap=0 means no purged rows."""
+    import datetime
+
+    import pytest
+
+    from hiv_data_integration_spark.operators.sampling import (
+        temporal_split_purged,
+    )
+
+    d = datetime.date
+    df = spark.createDataFrame(
+        [
+            (1, d(2020, 6, 29)), (2, d(2020, 6, 30)),  # train
+            (3, d(2020, 7, 1)), (4, d(2020, 7, 30)),   # purged (gap 30)
+            (5, d(2020, 7, 31)), (6, d(2021, 1, 1)),   # test
+        ],
+        "id long, dt date",
+    )
+    out = {
+        r["id"]: r["split"]
+        for r in temporal_split_purged(df, "dt", "2020-06-30", 30).collect()
+    }
+    assert out == {1: "train", 2: "train", 3: "purged", 4: "purged",
+                   5: "test", 6: "test"}
+    nogap = {
+        r["id"]: r["split"]
+        for r in temporal_split_purged(df, "dt", "2020-06-30", 0).collect()
+    }
+    assert "purged" not in nogap.values()
+    with pytest.raises(ValueError, match=">= 0"):
+        temporal_split_purged(df, "dt", "2020-06-30", -1)
+
+
 def test_sample_frames_one_to_many(spark):
     df = spark.createDataFrame([(7, "0123456789abcdef")], "doc_id long, text string")
     frames = mm.sample_frames(mm.attach_payload(df, media_type="video")).collect()

@@ -166,6 +166,8 @@ HEADLINE = [
     "freshness_audit_events",
     "multimodal_audio_framing_stub",
     "multimodal_audio_decode",
+    "multimodal_image_phash",
+    "corpus_gate_funnel",
     "text_stopword_matrix",
     "pivot_multi_agg",
     "sql_range_value_frame",
