@@ -10719,17 +10719,13 @@ FROM p
 """
 
 
-def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image perceptual hash over REAL decoded pixels: stage 1
-    synthesizes a genuine 8-bit grayscale PNG per document (zlib IDAT,
-    CRC'd chunks, filter-0 scanlines, doc_id-derived dims and pixel
-    pattern); stage 2 (``multimodal.image_ahash``) inflates it back,
-    unfilters the scanlines, and computes the exact-integer 8×8
-    average-hash. The synthesis parameters are pure doc_id arithmetic,
-    so the oracle rebuilds the SAME pixel grid with ``unnest(range(...))``
-    and re-derives every cell sum and hash bit in SQL — the decoder must
-    invert zlib+PNG bit-for-bit to go green. This is the image near-dup
-    primitive (aHash bucket join) of the multimodal dedup family."""
+def _phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared stage pair for the two phash entries: synthesize a genuine
+    8-bit grayscale PNG per document (zlib IDAT, CRC'd chunks, filter-0
+    scanlines, doc_id-derived dims and pixel pattern), then
+    ``multimodal.image_ahash`` inflates it back, unfilters the
+    scanlines, and computes the exact-integer 8×8 average-hash. Returns
+    ``(doc_id, width, height, phash_hi, phash_lo, decoder)``."""
     docs = tbl(spark, sf_dir, "documents").select("doc_id")
 
     synth_schema = T.StructType(
@@ -10790,12 +10786,85 @@ def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image perceptual hash over REAL decoded pixels (see
+    :func:`_phash_hashes`). The synthesis parameters are pure doc_id
+    arithmetic, so the oracle rebuilds the SAME pixel grid with
+    ``unnest(range(...))`` and re-derives every cell sum and hash bit in
+    SQL — the decoder must invert zlib+PNG bit-for-bit to go green. This
+    is the image near-dup primitive of the multimodal dedup family."""
+    return _phash_hashes(spark, sf_dir)
+
+
+def q_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs via banded Hamming LSH over the REAL
+    decoded perceptual hashes (companion to ``multimodal_image_phash``,
+    same two decode stages): each 64-bit aHash splits into 4×16-bit
+    bands; docs sharing any band value become candidates (O(rows·4)
+    shuffled band entries — never all-pairs), then the exact Hamming
+    distance ``bit_count(xor(hi)) + bit_count(xor(lo))`` verifies
+    candidates at threshold 4. Everything after the decode is native
+    (explode, hash self-join, bit ops — Python only in the two decode
+    stages). At sf0.01: 3485 distinct candidates → 481 verified pairs,
+    a real distance distribution (93 exact dups, the rest structural
+    near-misses) — the simhash banding shape applied to images. The
+    plan decodes twice (the self-join's two subtrees re-run the hash
+    stages — PLANS.md py=4); the production corpus shape persists the
+    hash frame once and bands off the persisted copy, exactly like the
+    minhash pipeline's shared band entries."""
+    hashed = _phash_hashes(spark, sf_dir)
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(k).alias("bk"), bv.cast("long").alias("bv"))
+            for k, bv in enumerate(
+                [
+                    F.shiftright("phash_hi", 16),
+                    F.col("phash_hi").bitwiseAND(F.lit(65535)),
+                    F.shiftright("phash_lo", 16),
+                    F.col("phash_lo").bitwiseAND(F.lit(65535)),
+                ]
+            )
+        ]
+    )
+    bands = hashed.select(
+        "doc_id", "phash_hi", "phash_lo", F.explode(band_structs).alias("b")
+    ).select("doc_id", "phash_hi", "phash_lo", "b.bk", "b.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.bk") == F.col("b.bk"),
+                F.col("a.bv") == F.col("b.bv"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.phash_hi").alias("ha"),
+            F.col("a.phash_lo").alias("la"),
+            F.col("b.phash_hi").alias("hb"),
+            F.col("b.phash_lo").alias("lb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = (
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+    ).cast("long")
+    return (
+        cand.select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= 4)
+    )
+
+
 # rebuilds the synthesized pixel grid ((7x+13y+doc_id)%256 over
 # w=8(1+doc_id%5), h=8(1+(doc_id//5)%4)) and re-derives the aHash:
 # cell (i,j) = pixel block [i*h/8,(i+1)*h/8) x [j*w/8,(j+1)*w/8);
 # bit = 64*cell_sum >= total_sum (exact cross-multiplication);
-# hi/lo = MSB-first packed 32-bit halves.
-SQL_IMAGE_PHASH = """
+# hi/lo = MSB-first packed 32-bit halves. Shared by both phash oracles.
+_SQL_PHASH_CTE = """
 WITH p AS (
     SELECT doc_id,
            CAST(8 * (1 + doc_id % 5) AS BIGINT) AS w,
@@ -10818,16 +10887,48 @@ bits AS (
            CASE WHEN 64 * c.cs >= t.ts THEN CAST(1 AS BIGINT)
                 ELSE CAST(0 AS BIGINT) END AS b
     FROM cells c JOIN tot t USING (doc_id)
+),
+hashes AS (
+    SELECT doc_id,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(SUM(CASE WHEN ci < 4 THEN b << (31 - (ci * 8 + cj))
+                         ELSE 0 END) AS BIGINT) AS phash_hi,
+           CAST(SUM(CASE WHEN ci >= 4 THEN b << (31 - ((ci - 4) * 8 + cj))
+                         ELSE 0 END) AS BIGINT) AS phash_lo
+    FROM bits GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(MAX(w) AS INTEGER) AS width,
-       CAST(MAX(h) AS INTEGER) AS height,
-       CAST(SUM(CASE WHEN ci < 4 THEN b << (31 - (ci * 8 + cj))
-                     ELSE 0 END) AS BIGINT) AS phash_hi,
-       CAST(SUM(CASE WHEN ci >= 4 THEN b << (31 - ((ci - 4) * 8 + cj))
-                     ELSE 0 END) AS BIGINT) AS phash_lo,
-       'png' AS decoder
-FROM bits GROUP BY doc_id
+"""
+
+SQL_IMAGE_PHASH = _SQL_PHASH_CTE + """
+SELECT doc_id, width, height, phash_hi, phash_lo, 'png' AS decoder
+FROM hashes
+"""
+
+# band k of the 64-bit hash = 16-bit slice (hi//2^16, hi%2^16, lo//2^16,
+# lo%2^16 — halves are unsigned 32-bit so // and % equal shift and mask);
+# candidates share any band, verified Hamming = popcount of the xors.
+SQL_PHASH_NEAR_PAIRS = _SQL_PHASH_CTE + """,
+bands AS (
+    SELECT doc_id, phash_hi, phash_lo, k AS bk,
+           CASE k WHEN 0 THEN phash_hi // 65536
+                  WHEN 1 THEN phash_hi % 65536
+                  WHEN 2 THEN phash_lo // 65536
+                  ELSE phash_lo % 65536 END AS bv
+    FROM hashes, UNNEST(range(0, 4)) t(k)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.phash_hi AS ha, a.phash_lo AS la,
+           b.phash_hi AS hb, b.phash_lo AS lb
+    FROM bands a JOIN bands b
+      ON a.bk = b.bk AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT)
+           AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 4
 """
 
 
@@ -11830,6 +11931,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "multimodal_audio_framing_stub": q_audio_framing_stub,
     "multimodal_audio_decode": q_audio_decode,
     "multimodal_image_phash": q_image_phash,
+    "multimodal_phash_near_pairs": q_phash_near_pairs,
     "data_temporal_split_purged": q_temporal_split_purged,
     "corpus_gate_funnel": q_gate_funnel,
     "text_stopword_matrix": q_stopword_matrix,
@@ -12074,6 +12176,7 @@ EXT_ORACLE: dict[str, str] = {
     "multimodal_audio_framing_stub": SQL_AUDIO_FRAMING_STUB,
     "multimodal_audio_decode": SQL_AUDIO_DECODE,
     "multimodal_image_phash": SQL_IMAGE_PHASH,
+    "multimodal_phash_near_pairs": SQL_PHASH_NEAR_PAIRS,
     "data_temporal_split_purged": SQL_TEMPORAL_SPLIT,
     "corpus_gate_funnel": SQL_GATE_FUNNEL,
     "text_stopword_matrix": SQL_STOPWORD_MATRIX,

@@ -206,6 +206,45 @@ def test_decode_audio_real_wav_via_stdlib_wave(spark, tmp_path):
         assert a["duration_micros"] == nframes * 1_000_000 // sr
 
 
+def test_decode_audio_roundtrip_property(spark, tmp_path):
+    """Property test: for ANY (rate, channels, frames) the stdlib wave
+    writer produces, decode_audio must read back exactly those params.
+    One Spark job over the whole example batch (hypothesis would re-spin
+    jobs per example, so examples are pre-generated)."""
+    import wave
+
+    from hypothesis import given, settings, strategies as st
+
+    cases = []
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        sr=st.integers(min_value=1000, max_value=192000),
+        ch=st.integers(min_value=1, max_value=8),
+        ns=st.integers(min_value=0, max_value=5000),
+    )
+    def collect(sr, ch, ns):
+        cases.append((sr, ch, ns))
+
+    collect()
+    payloads = []
+    for i, (sr, ch, ns) in enumerate(cases):
+        p = tmp_path / f"prop{i}.wav"
+        with wave.open(str(p), "wb") as w:
+            w.setnchannels(ch)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(bytes(2 * ch * ns))
+        payloads.append((i, bytearray(p.read_bytes())))
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    rows = {r["doc_id"]: r["audio"] for r in mm.decode_audio(df).collect()}
+    for i, (sr, ch, ns) in enumerate(cases):
+        a = rows[i]
+        assert a["decoder"] == "wav", (i, sr, ch, ns)
+        assert (a["sample_rate"], a["channels"], a["n_samples"]) == (sr, ch, ns)
+        assert a["duration_micros"] == ns * 1_000_000 // sr
+
+
 def test_decode_audio_riff_padding_and_fallback(spark):
     """The RIFF even-padding rule (odd-length chunk bodies pad one byte)
     must not desync the chunk walk; non-WAV / non-PCM / truncated

@@ -167,6 +167,7 @@ HEADLINE = [
     "multimodal_audio_framing_stub",
     "multimodal_audio_decode",
     "multimodal_image_phash",
+    "multimodal_phash_near_pairs",
     "corpus_gate_funnel",
     "text_stopword_matrix",
     "pivot_multi_agg",
