@@ -10628,19 +10628,13 @@ FROM f
 """
 
 
-def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL WAV/RIFF header decode (the audio twin of the image leg's
-    real PNG decoder, ``multimodal.decode_media``): stage 1 synthesizes
-    a genuine canonical-PCM WAV byte stream per document — RIFF header,
-    an odd-length LIST chunk on every 5th doc (exercising the RIFF
-    even-padding rule), ``fmt `` with doc-derived rate/channels, and a
-    ``data`` chunk with real sample bytes; stage 2
-    (``multimodal.decode_audio``) walks the chunks back out with a
-    stdlib struct parser inside Arrow ``mapInPandas``. The synthesis
-    parameters are pure doc_id arithmetic, so the decoded metadata is
-    hash-checkable in SQL — the decoder must invert the container
-    format bit-for-bit to go green. Per-row decode cost is O(header),
-    not O(payload): the scale path for 100 TB audio ingest."""
+def _wav_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared synth stage for the audio entries: a genuine canonical-PCM
+    WAV byte stream per document — RIFF header, an odd-length LIST chunk
+    on every 5th doc (exercising the RIFF even-padding rule), ``fmt ``
+    with doc-derived rate/channels, and a ``data`` chunk with real
+    deterministic sample bytes (byte i = (i·7 + doc_id) % 256). Returns
+    ``(doc_id, payload)``."""
     docs = tbl(spark, sf_dir, "documents").select("doc_id")
 
     synth_schema = T.StructType(
@@ -10682,8 +10676,20 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             yield out
 
-    wavs = docs.mapInPandas(synth_batches, synth_schema)
-    decoded = mm.decode_audio(wavs)
+    return docs.mapInPandas(synth_batches, synth_schema)
+
+
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV/RIFF header decode (the audio twin of the image leg's
+    real PNG decoder, ``multimodal.decode_media``): stage 1 is the
+    shared WAV synthesis (:func:`_wav_payloads`); stage 2
+    (``multimodal.decode_audio``) walks the chunks back out with a
+    stdlib struct parser inside Arrow ``mapInPandas``. The synthesis
+    parameters are pure doc_id arithmetic, so the decoded metadata is
+    hash-checkable in SQL — the decoder must invert the container
+    format bit-for-bit to go green. Per-row decode cost is O(header),
+    not O(payload): the scale path for 100 TB audio ingest."""
+    decoded = mm.decode_audio(_wav_payloads(spark, sf_dir))
     return decoded.select(
         "doc_id",
         F.col("audio.sample_rate").alias("sample_rate"),
@@ -10694,6 +10700,95 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("audio.n_bytes").alias("n_bytes"),
         F.col("audio.decoder").alias("decoder"),
     )
+
+
+def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-level audio fingerprint over the same synthesized WAVs
+    (:func:`_wav_payloads`): ``multimodal.audio_frame_energy`` decodes
+    the 16-bit LE PCM ``data`` chunk into real signed samples and
+    computes exact per-frame energies ``Σ s²`` (400-sample window /
+    160-sample hop over the raw interleaved stream, prefix-sum of
+    squares), emitting the stream census and the peak frame (ties →
+    lowest index). Every sample byte is doc_id arithmetic, so the
+    oracle rebuilds the signed samples, the frame lattice, and the
+    argmax in SQL from first principles — the parser must decode the
+    actual PCM payload bit-for-bit to go green. Completes the audio
+    leg: q_audio_decode proves the HEADER path, this proves the
+    SAMPLE path."""
+    energized = mm.audio_frame_energy(_wav_payloads(spark, sf_dir))
+    return energized.select(
+        "doc_id",
+        F.col("energy.n_stream_samples").alias("n_stream_samples"),
+        F.col("energy.n_frames").alias("n_frames"),
+        F.col("energy.total_energy").alias("total_energy"),
+        F.col("energy.peak_frame").alias("peak_frame"),
+        F.col("energy.peak_energy").alias("peak_energy"),
+        F.col("energy.decoder").alias("decoder"),
+    )
+
+
+# rebuilds the PCM stream from the synthesis arithmetic: data byte i =
+# (i*7 + doc_id) % 256; sample k = b(2k) + 256*b(2k+1), signed 16-bit;
+# stream length = ns*ch samples; frames = 400-window/160-hop lattice;
+# energy = exact BIGINT sum of squares; peak tie -> lowest frame index.
+SQL_AUDIO_ENERGY = """
+WITH p AS (
+    SELECT doc_id,
+           CAST(1 + (doc_id % 2) AS BIGINT) AS ch,
+           CAST(100 + (doc_id * 2654435761) % 1000 AS BIGINT) AS ns
+    FROM documents
+),
+s AS (
+    SELECT doc_id, ch * ns AS nss FROM p
+),
+smp AS (
+    SELECT doc_id, nss, k,
+           ((2 * k * 7 + doc_id) % 256)
+           + 256 * (((2 * k + 1) * 7 + doc_id) % 256) AS raw
+    FROM s, UNNEST(range(0, nss)) t(k)
+),
+sq AS (
+    SELECT doc_id, nss, k,
+           CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+    FROM smp
+),
+tot AS (
+    SELECT doc_id, MAX(nss) AS nss, SUM(v * v) AS te
+    FROM sq GROUP BY doc_id
+),
+fr AS (
+    SELECT t.doc_id, f.f AS frame
+    FROM tot t, UNNEST(range(0, CASE WHEN t.nss >= 400
+                                     THEN (t.nss - 400) // 160 + 1
+                                     ELSE 0 END)) f(f)
+),
+fe AS (
+    SELECT fr.doc_id, fr.frame, SUM(sq.v * sq.v) AS e
+    FROM fr JOIN sq
+      ON sq.doc_id = fr.doc_id
+     AND sq.k >= fr.frame * 160 AND sq.k < fr.frame * 160 + 400
+    GROUP BY fr.doc_id, fr.frame
+),
+peak AS (
+    SELECT doc_id, frame, e,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY e DESC, frame ASC) AS rk
+    FROM fe
+),
+nf AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames FROM fe GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(t.nss AS BIGINT) AS n_stream_samples,
+       CAST(COALESCE(nf.n_frames, 0) AS BIGINT) AS n_frames,
+       CAST(t.te AS BIGINT) AS total_energy,
+       CAST(pk.frame AS BIGINT) AS peak_frame,
+       CAST(pk.e AS BIGINT) AS peak_energy,
+       'wav' AS decoder
+FROM tot t
+LEFT JOIN nf ON nf.doc_id = t.doc_id
+LEFT JOIN (SELECT * FROM peak WHERE rk = 1) pk ON pk.doc_id = t.doc_id
+"""
 
 
 # mirrors the synthesis arithmetic: sr/ch/ns from doc_id; total bytes =
@@ -11930,6 +12025,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "freshness_audit_events": q_freshness_audit,
     "multimodal_audio_framing_stub": q_audio_framing_stub,
     "multimodal_audio_decode": q_audio_decode,
+    "multimodal_audio_energy": q_audio_energy,
     "multimodal_image_phash": q_image_phash,
     "multimodal_phash_near_pairs": q_phash_near_pairs,
     "data_temporal_split_purged": q_temporal_split_purged,
@@ -12175,6 +12271,7 @@ EXT_ORACLE: dict[str, str] = {
     "freshness_audit_events": SQL_FRESHNESS_AUDIT,
     "multimodal_audio_framing_stub": SQL_AUDIO_FRAMING_STUB,
     "multimodal_audio_decode": SQL_AUDIO_DECODE,
+    "multimodal_audio_energy": SQL_AUDIO_ENERGY,
     "multimodal_image_phash": SQL_IMAGE_PHASH,
     "multimodal_phash_near_pairs": SQL_PHASH_NEAR_PAIRS,
     "data_temporal_split_purged": SQL_TEMPORAL_SPLIT,

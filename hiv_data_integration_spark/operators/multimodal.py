@@ -31,6 +31,7 @@ __all__ = [
     "payload_meta",
     "decode_media",
     "decode_audio",
+    "audio_frame_energy",
     "image_ahash",
     "sample_frames",
     "resize_thumbnail_checksum",
@@ -328,6 +329,134 @@ def image_ahash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             yield out
 
     return df.mapInPandas(ahash_batches, out_schema)
+
+
+# Frame-energy audio fingerprint contract. Energies are exact BIGINT
+# sums of squared 16-bit samples (max 400·32768² ≈ 4.3e11 per frame —
+# never near overflow), so a SQL oracle reproduces them bit-for-bit.
+AUDIO_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("n_stream_samples", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("total_energy", T.LongType()),
+        T.StructField("peak_frame", T.LongType()),
+        T.StructField("peak_energy", T.LongType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def audio_frame_energy(
+    df: DataFrame,
+    payload_col: str = "payload",
+    frame_samples: int = 400,
+    hop_samples: int = 160,
+) -> DataFrame:
+    """CONTENT-level audio processing over real decoded PCM samples — the
+    energy-profile fingerprint stage of an audio dedup/segmentation
+    pipeline (the integer core of chromaprint-style fingerprints, minus
+    the FFT this container has no DSP library for): parse the WAV
+    container (same stdlib chunk walk as :func:`decode_audio`), decode
+    the ``data`` chunk as 16-bit little-endian signed PCM, and compute
+    per-frame energies ``Σ s²`` over a sliding window (``frame_samples``
+    window / ``hop_samples`` hop, over the RAW INTERLEAVED stream —
+    channel-agnostic by design, documented). Emits the stream census:
+    total energy, frame count, and the peak frame (ties → lowest index).
+
+    Exact integer arithmetic end-to-end — a SQL oracle can rebuild every
+    energy from first principles. Per-row cost is O(bytes + frames) via
+    a prefix-sum of squares, Arrow-batched; non-PCM/non-WAV payloads get
+    the labeled zero stub. Clips shorter than one window report
+    ``n_frames = 0`` and NULL peak fields.
+    """
+    if frame_samples < 1 or hop_samples < 1:
+        raise ValueError("frame_samples and hop_samples must be >= 1")
+    in_fields = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = T.StructType(
+        [*in_fields, T.StructField("energy", AUDIO_ENERGY_SCHEMA)]
+    )
+    passthrough = [f.name for f in in_fields]
+    win, hop = frame_samples, hop_samples
+
+    def energy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure (see decode_media): ships by value
+        import struct as _struct
+
+        def parse_pcm(data: bytes):
+            n = len(data)
+            if n < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+                return None
+            fmt_ok = False
+            body = None
+            off = 12
+            while off + 8 <= n:
+                cid = data[off : off + 4]
+                (clen,) = _struct.unpack("<I", data[off + 4 : off + 8])
+                chunk = data[off + 8 : off + 8 + clen]
+                if cid == b"fmt " and clen >= 16 and len(chunk) >= 16:
+                    tag, _ch, _sr, _br, _ba, bps = _struct.unpack(
+                        "<HHIIHH", chunk[:16]
+                    )
+                    if tag != 1 or bps != 16:
+                        return None
+                    fmt_ok = True
+                elif cid == b"data":
+                    body = chunk
+                off += 8 + clen + (clen & 1)
+            if not fmt_ok or body is None:
+                return None
+            ns = len(body) // 2
+            return _struct.unpack("<%dh" % ns, body[: ns * 2])
+
+        for pdf in batches:
+            metas = []
+            for payload in pdf[payload_col]:
+                data = bytes(payload) if payload is not None else b""
+                samples = None
+                try:
+                    samples = parse_pcm(data)
+                except Exception:
+                    samples = None
+                if samples is None:
+                    metas.append(
+                        {
+                            "n_stream_samples": 0,
+                            "n_frames": 0,
+                            "total_energy": 0,
+                            "peak_frame": None,
+                            "peak_energy": None,
+                            "decoder": "stub",
+                        }
+                    )
+                    continue
+                ns = len(samples)
+                # prefix sums of squares: energy(f) = P[f*hop+win]-P[f*hop]
+                pref = [0] * (ns + 1)
+                acc = 0
+                for i, s in enumerate(samples):
+                    acc += s * s
+                    pref[i + 1] = acc
+                n_frames = (ns - win) // hop + 1 if ns >= win else 0
+                peak_f = peak_e = None
+                for f in range(n_frames):
+                    e = pref[f * hop + win] - pref[f * hop]
+                    if peak_e is None or e > peak_e:
+                        peak_f, peak_e = f, e
+                metas.append(
+                    {
+                        "n_stream_samples": ns,
+                        "n_frames": n_frames,
+                        "total_energy": acc,
+                        "peak_frame": peak_f,
+                        "peak_energy": peak_e,
+                        "decoder": "wav",
+                    }
+                )
+            out = pdf[passthrough].copy()
+            out["energy"] = metas
+            yield out
+
+    return df.mapInPandas(energy_batches, out_schema)
 
 
 # Typed metadata contract for decoded audio. duration_micros is exact

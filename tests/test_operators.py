@@ -245,6 +245,64 @@ def test_decode_audio_roundtrip_property(spark, tmp_path):
         assert a["duration_micros"] == ns * 1_000_000 // sr
 
 
+def test_audio_frame_energy_exact_and_fallbacks(spark, tmp_path):
+    """Frame energies from real decoded PCM: an independent brute-force
+    recomputation over the same samples must agree exactly; short clips
+    report 0 frames with NULL peaks; junk falls back to the stub."""
+    import struct
+    import wave
+
+    import pytest
+
+    sr, n = 8000, 1000
+    samples = [((i * 37) % 3000) - 1500 for i in range(n)]
+    p = tmp_path / "e.wav"
+    with wave.open(str(p), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(struct.pack("<%dh" % n, *samples))
+    short = tmp_path / "short.wav"
+    with wave.open(str(short), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(bytes(2 * 100))  # 100 samples < 400 window
+
+    # independent brute force (no prefix sums)
+    win, hop = 400, 160
+    n_frames = (n - win) // hop + 1
+    energies = [
+        sum(s * s for s in samples[f * hop : f * hop + win])
+        for f in range(n_frames)
+    ]
+    exp_peak_e = max(energies)
+    exp_peak_f = energies.index(exp_peak_e)
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(p.read_bytes())),
+            (2, bytearray(short.read_bytes())),
+            (3, bytearray(b"definitely not audio")),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r["energy"] for r in mm.audio_frame_energy(df).collect()}
+    a = rows[1]
+    assert a["decoder"] == "wav"
+    assert a["n_stream_samples"] == n
+    assert a["n_frames"] == n_frames
+    assert a["total_energy"] == sum(s * s for s in samples)
+    assert (a["peak_frame"], a["peak_energy"]) == (exp_peak_f, exp_peak_e)
+    b = rows[2]
+    assert b["decoder"] == "wav" and b["n_frames"] == 0
+    assert b["peak_frame"] is None and b["peak_energy"] is None
+    assert b["total_energy"] == 0  # silent clip
+    assert rows[3]["decoder"] == "stub"
+    with pytest.raises(ValueError, match=">= 1"):
+        mm.audio_frame_energy(df, hop_samples=0)
+
+
 def test_decode_audio_riff_padding_and_fallback(spark):
     """The RIFF even-padding rule (odd-length chunk bodies pad one byte)
     must not desync the chunk walk; non-WAV / non-PCM / truncated

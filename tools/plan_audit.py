@@ -166,6 +166,7 @@ HEADLINE = [
     "freshness_audit_events",
     "multimodal_audio_framing_stub",
     "multimodal_audio_decode",
+    "multimodal_audio_energy",
     "multimodal_image_phash",
     "multimodal_phash_near_pairs",
     "corpus_gate_funnel",
