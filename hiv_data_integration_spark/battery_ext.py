@@ -10903,11 +10903,13 @@ def q_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages). At sf0.01: 3485 distinct candidates → 481 verified pairs,
     a real distance distribution (93 exact dups, the rest structural
     near-misses) — the simhash banding shape applied to images. The
-    plan decodes twice (the self-join's two subtrees re-run the hash
-    stages — PLANS.md py=4); the production corpus shape persists the
-    hash frame once and bands off the persisted copy, exactly like the
-    minhash pipeline's shared band entries."""
-    hashed = _phash_hashes(spark, sf_dir)
+    hash frame is ``localCheckpoint``ed before the self-join (the BPE/
+    label-propagation pattern: eager materialization, lineage cut, and
+    ContextCleaner releases the blocks when the frame is GC'd), so the
+    two join subtrees read the checkpoint instead of re-running the
+    decode stages — exactly the persist-once production shape a corpus
+    run uses, measured 2.67 → 1.95 s at sf0.1 (min-of-5 quiet)."""
+    hashed = _phash_hashes(spark, sf_dir).localCheckpoint(eager=True)
     band_structs = F.array(
         *[
             F.struct(F.lit(k).alias("bk"), bv.cast("long").alias("bv"))
@@ -11025,6 +11027,48 @@ SELECT doc_a, doc_b,
 FROM cand
 WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 4
 """
+
+
+def q_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end image dedup: decode (real PNG pixels) → aHash → banded
+    Hamming near-pairs → min-label connected components → cluster census
+    (component = smallest member doc_id, n_members). The full pipeline a
+    multimodal corpus dedup runs — pairs alone under-collapse (a≈b and
+    b≈c must merge even though a≈c was never emitted). At sf0.01: 481
+    edges over 474 docs → 180 clusters, sizes 2–22. The oracle replays
+    the transitive closure with a recursive CTE over the SAME pair SQL,
+    so Spark's iterative propagation must hit the exact fixpoint."""
+    from hiv_data_integration_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = q_phash_near_pairs(spark, sf_dir)
+    # star, not propagation: at sf0.1 the densest near-dup component's
+    # diameter exceeds plain min-label propagation's round budget —
+    # large/small-star converges in O(log diameter) rounds instead
+    cc = connected_components(pairs, "doc_a", "doc_b", algorithm="star")
+    return cc.groupBy("component").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+
+
+SQL_PHASH_CLUSTERS = (
+    "WITH RECURSIVE pairs AS (" + SQL_PHASH_NEAR_PAIRS + """),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src)
+SELECT component, CAST(count(*) AS BIGINT) AS n_members
+FROM comp GROUP BY component
+"""
+)
 
 
 def q_temporal_split_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12028,6 +12072,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "multimodal_audio_energy": q_audio_energy,
     "multimodal_image_phash": q_image_phash,
     "multimodal_phash_near_pairs": q_phash_near_pairs,
+    "multimodal_phash_clusters": q_phash_clusters,
     "data_temporal_split_purged": q_temporal_split_purged,
     "corpus_gate_funnel": q_gate_funnel,
     "text_stopword_matrix": q_stopword_matrix,
@@ -12274,6 +12319,7 @@ EXT_ORACLE: dict[str, str] = {
     "multimodal_audio_energy": SQL_AUDIO_ENERGY,
     "multimodal_image_phash": SQL_IMAGE_PHASH,
     "multimodal_phash_near_pairs": SQL_PHASH_NEAR_PAIRS,
+    "multimodal_phash_clusters": SQL_PHASH_CLUSTERS,
     "data_temporal_split_purged": SQL_TEMPORAL_SPLIT,
     "corpus_gate_funnel": SQL_GATE_FUNNEL,
     "text_stopword_matrix": SQL_STOPWORD_MATRIX,

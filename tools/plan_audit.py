@@ -169,6 +169,7 @@ HEADLINE = [
     "multimodal_audio_energy",
     "multimodal_image_phash",
     "multimodal_phash_near_pairs",
+    "multimodal_phash_clusters",
     "corpus_gate_funnel",
     "text_stopword_matrix",
     "pivot_multi_agg",
