@@ -11071,6 +11071,137 @@ FROM comp GROUP BY component
 )
 
 
+def q_media_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-media triage WITHOUT decoding — the first stage of any blob
+    lake ingest: a corpus where every third doc is a real PNG, a real
+    WAV, or junk bytes is routed by MAGIC-BYTE sniffing with NATIVE
+    binary expressions (``substring`` on the binary column against
+    binary literals — pure JVM, codegen'd, no Python worker touches the
+    payloads). At 100 TB the router is a projection over the first 12
+    bytes of each blob; only the routed subsets ever reach the decode
+    stages. Output: per detected type, doc census. The oracle knows the
+    synthesis plan (type = doc_id % 3), so the sniffer must classify
+    every real container byte stream correctly to go green."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id")
+
+    synth_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth_batches(batches):
+        # self-contained closure (ships by value; see decode_media)
+        import struct as _struct
+        import zlib as _zlib
+
+        import pandas as _pd
+
+        def chunk(ctype: bytes, data: bytes) -> bytes:
+            return (
+                _struct.pack(">I", len(data))
+                + ctype
+                + data
+                + _struct.pack(">I", _zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        def payload_for(doc_id: int) -> bytes:
+            kind = doc_id % 3
+            if kind == 0:  # real grayscale PNG (phash synth shape)
+                w = 8 * (1 + doc_id % 5)
+                h = 8 * (1 + (doc_id // 5) % 4)
+                raw = b"".join(
+                    b"\x00"
+                    + bytes((7 * x + 13 * y + doc_id) % 256 for x in range(w))
+                    for y in range(h)
+                )
+                ihdr = _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+                return (
+                    b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", _zlib.compress(raw))
+                    + chunk(b"IEND", b"")
+                )
+            if kind == 1:  # real canonical-PCM WAV (audio synth shape)
+                sr = 8000 + 4000 * (doc_id % 3)
+                ch = 1 + (doc_id % 2)
+                ba = ch * 2
+                ns = 100 + (doc_id * 2654435761) % 1000
+                body = bytes(
+                    (i * 7 + doc_id) % 256 for i in range(ns * ba)
+                )
+                chunks = b"fmt " + _struct.pack(
+                    "<IHHIIHH", 16, 1, ch, sr, sr * ba, ba, 16
+                )
+                chunks += b"data" + _struct.pack("<I", len(body)) + body
+                return (
+                    b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+                )
+            # junk: deterministic bytes that match no container magic
+            return b"JUNK" + bytes(
+                (i * 11 + doc_id) % 256 for i in range(64)
+            )
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": [payload_for(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    payloads = docs.mapInPandas(synth_batches, synth_schema)
+    png_magic = F.lit(bytearray(b"\x89PNG\r\n\x1a\n"))
+    routed = payloads.withColumn(
+        "media_type",
+        F.when(F.substring("payload", 1, 8) == png_magic, F.lit("png"))
+        .when(
+            (F.substring("payload", 1, 4) == F.lit(bytearray(b"RIFF")))
+            & (F.substring("payload", 9, 4) == F.lit(bytearray(b"WAVE"))),
+            F.lit("wav"),
+        )
+        .otherwise(F.lit("unknown")),
+    )
+    return routed.groupBy("media_type").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        # byte totals only where a closed form exists for the oracle:
+        # PNG's zlib-compressed size is not SQL-derivable, so the png
+        # row carries NULL total_bytes on BOTH sides by contract
+        F.sum(
+            F.when(
+                F.col("media_type") != "png", F.octet_length("payload")
+            )
+        ).cast("long").alias("total_bytes"),
+    )
+
+
+# type = doc_id % 3 by synthesis plan; total_bytes is closed-form for wav
+# (44-byte canonical header + ns*ch*2 sample bytes) and junk (4 magic +
+# 64 = 68); the png row's total_bytes is NULL on both sides (zlib size
+# has no closed form — documented contract, not an accident).
+SQL_MEDIA_ROUTER = """
+WITH t AS (
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png'
+                           WHEN 1 THEN 'wav'
+                           ELSE 'unknown' END AS media_type,
+           CASE doc_id % 3
+                WHEN 1 THEN 44 + (100 + (doc_id * 2654435761) % 1000)
+                             * (1 + (doc_id % 2)) * 2
+                WHEN 2 THEN 68
+                ELSE NULL END AS nb
+    FROM documents
+)
+SELECT media_type, CAST(count(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
+       CAST(SUM(nb) AS BIGINT) AS total_bytes
+FROM t GROUP BY media_type
+"""
+
+
 def q_temporal_split_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Purged time-based train/test split audit (the leakage-safe split a
     temporal model needs — hash splits scatter each day across train AND
@@ -12073,6 +12204,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "multimodal_image_phash": q_image_phash,
     "multimodal_phash_near_pairs": q_phash_near_pairs,
     "multimodal_phash_clusters": q_phash_clusters,
+    "multimodal_media_router": q_media_router,
     "data_temporal_split_purged": q_temporal_split_purged,
     "corpus_gate_funnel": q_gate_funnel,
     "text_stopword_matrix": q_stopword_matrix,
@@ -12320,6 +12452,7 @@ EXT_ORACLE: dict[str, str] = {
     "multimodal_image_phash": SQL_IMAGE_PHASH,
     "multimodal_phash_near_pairs": SQL_PHASH_NEAR_PAIRS,
     "multimodal_phash_clusters": SQL_PHASH_CLUSTERS,
+    "multimodal_media_router": SQL_MEDIA_ROUTER,
     "data_temporal_split_purged": SQL_TEMPORAL_SPLIT,
     "corpus_gate_funnel": SQL_GATE_FUNNEL,
     "text_stopword_matrix": SQL_STOPWORD_MATRIX,

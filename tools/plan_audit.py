@@ -170,6 +170,7 @@ HEADLINE = [
     "multimodal_image_phash",
     "multimodal_phash_near_pairs",
     "multimodal_phash_clusters",
+    "multimodal_media_router",
     "corpus_gate_funnel",
     "text_stopword_matrix",
     "pivot_multi_agg",
