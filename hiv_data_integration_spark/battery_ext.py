@@ -11071,17 +11071,10 @@ FROM comp GROUP BY component
 )
 
 
-def q_media_router(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mixed-media triage WITHOUT decoding — the first stage of any blob
-    lake ingest: a corpus where every third doc is a real PNG, a real
-    WAV, or junk bytes is routed by MAGIC-BYTE sniffing with NATIVE
-    binary expressions (``substring`` on the binary column against
-    binary literals — pure JVM, codegen'd, no Python worker touches the
-    payloads). At 100 TB the router is a projection over the first 12
-    bytes of each blob; only the routed subsets ever reach the decode
-    stages. Output: per detected type, doc census. The oracle knows the
-    synthesis plan (type = doc_id % 3), so the sniffer must classify
-    every real container byte stream correctly to go green."""
+def _mixed_media_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared synth for the media-router entries: a corpus where every
+    third doc is a real PNG, a real WAV, or junk bytes (type =
+    doc_id % 3). Returns ``(doc_id, payload)``."""
     docs = tbl(spark, sf_dir, "documents").select("doc_id")
 
     synth_schema = T.StructType(
@@ -11151,18 +11144,25 @@ def q_media_router(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    payloads = docs.mapInPandas(synth_batches, synth_schema)
+    return docs.mapInPandas(synth_batches, synth_schema)
+
+
+def _media_type_col():
+    """Native magic-byte sniff over the binary ``payload`` column — pure
+    JVM substring-vs-binary-literal comparisons, codegen'd, no Python."""
     png_magic = F.lit(bytearray(b"\x89PNG\r\n\x1a\n"))
-    routed = payloads.withColumn(
-        "media_type",
+    return (
         F.when(F.substring("payload", 1, 8) == png_magic, F.lit("png"))
         .when(
             (F.substring("payload", 1, 4) == F.lit(bytearray(b"RIFF")))
             & (F.substring("payload", 9, 4) == F.lit(bytearray(b"WAVE"))),
             F.lit("wav"),
         )
-        .otherwise(F.lit("unknown")),
+        .otherwise(F.lit("unknown"))
     )
+
+
+def _media_census(routed: DataFrame) -> DataFrame:
     return routed.groupBy("media_type").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.min("doc_id").alias("min_doc_id"),
@@ -11176,6 +11176,64 @@ def q_media_router(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("long").alias("total_bytes"),
     )
+
+
+def q_media_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-media triage WITHOUT decoding — the first stage of any blob
+    lake ingest: real PNG / real WAV / junk payloads (type = doc_id % 3,
+    :func:`_mixed_media_payloads`) routed by MAGIC-BYTE sniffing with
+    NATIVE binary expressions (:func:`_media_type_col` — pure JVM,
+    codegen'd, no Python worker touches the payloads). At 100 TB the
+    router is a projection over the first 12 bytes of each blob; only
+    the routed subsets ever reach a decode stage. The oracle knows the
+    synthesis plan, so the sniffer must classify every real container
+    byte stream correctly to go green."""
+    payloads = _mixed_media_payloads(spark, sf_dir)
+    return _media_census(payloads.withColumn("media_type", _media_type_col()))
+
+
+def q_streaming_media_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming blob-lake triage: the synthesized mixed-media corpus is
+    written to a file feed, payloads ARRIVE as a parquet stream, and the
+    SAME native magic-byte routing projection (:func:`_media_type_col`)
+    runs per micro-batch into a complete-mode census — which must equal
+    the batch router bit-for-bit (same oracle). Stateless streaming
+    ingest over binary columns: route on arrival, decode later, no
+    state beyond the running aggregate (bounded by n_media_types)."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    src = tempfile.mkdtemp(prefix="media_feed_")
+    _mixed_media_payloads(spark, sf_dir).write.mode("overwrite").parquet(
+        f"{src}/feed"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    stream = spark.readStream.format("parquet").schema(schema).load(
+        f"{src}/feed"
+    )
+    stats = _media_census(stream.withColumn("media_type", _media_type_col()))
+    name = f"stream_router_{_uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        stats.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = _local_result(spark.table(name))
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(src, ignore_errors=True)
+    return out
 
 
 # type = doc_id % 3 by synthesis plan; total_bytes is closed-form for wav
@@ -12205,6 +12263,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "multimodal_phash_near_pairs": q_phash_near_pairs,
     "multimodal_phash_clusters": q_phash_clusters,
     "multimodal_media_router": q_media_router,
+    "streaming_media_router": _retry_stream_once(q_streaming_media_router),
     "data_temporal_split_purged": q_temporal_split_purged,
     "corpus_gate_funnel": q_gate_funnel,
     "text_stopword_matrix": q_stopword_matrix,
@@ -12453,6 +12512,7 @@ EXT_ORACLE: dict[str, str] = {
     "multimodal_phash_near_pairs": SQL_PHASH_NEAR_PAIRS,
     "multimodal_phash_clusters": SQL_PHASH_CLUSTERS,
     "multimodal_media_router": SQL_MEDIA_ROUTER,
+    "streaming_media_router": SQL_MEDIA_ROUTER,
     "data_temporal_split_purged": SQL_TEMPORAL_SPLIT,
     "corpus_gate_funnel": SQL_GATE_FUNNEL,
     "text_stopword_matrix": SQL_STOPWORD_MATRIX,
