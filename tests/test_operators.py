@@ -465,6 +465,32 @@ def test_temporal_split_purged_boundaries(spark):
         temporal_split_purged(df, "dt", "2020-06-30", -1)
 
 
+def test_media_type_col_edge_payloads(spark):
+    """The native magic sniff must label short, empty, NULL, and
+    magic-prefix-only payloads safely: anything that is not a full magic
+    match routes to 'unknown' (never NULL, never a false positive)."""
+    from hiv_data_integration_spark.battery_ext import _media_type_col
+
+    rows = [
+        (1, bytearray(b"\x89PNG\r\n\x1a\n.....")),   # real png magic
+        (2, bytearray(b"\x89PNG\r\n")),              # truncated magic
+        (3, bytearray(b"RIFF1234WAVEfmt ")),          # wav magic
+        (4, bytearray(b"RIFF1234AVI ")),              # riff but not wave
+        (5, bytearray(b"")),                          # empty
+        (6, None),                                    # null payload
+        (7, bytearray(b"RIF")),                       # shorter than magic
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r["doc_id"]: r["mt"]
+        for r in df.select(
+            "doc_id", _media_type_col().alias("mt")
+        ).collect()
+    }
+    assert out == {1: "png", 2: "unknown", 3: "wav", 4: "unknown",
+                   5: "unknown", 6: "unknown", 7: "unknown"}
+
+
 def test_sample_frames_one_to_many(spark):
     df = spark.createDataFrame([(7, "0123456789abcdef")], "doc_id long, text string")
     frames = mm.sample_frames(mm.attach_payload(df, media_type="video")).collect()
