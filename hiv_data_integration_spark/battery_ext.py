@@ -2496,8 +2496,11 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "user_id",
-            F.col("s.start").alias("session_start"),
-            F.col("s.end").alias("session_end"),
+            # NTZ: the boundary leaves the stream's UTC-pinned session as
+            # a wall-clock value, so a non-UTC PROCESS timezone at collect
+            # time cannot shift it (LTZ collect converts via process tz)
+            F.col("s.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("s.end").cast("timestamp_ntz").alias("session_end"),
             "n_events",
             "sum_value",
         )
@@ -3020,7 +3023,9 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "event_type",
-            F.col("w.start").alias("window_start"),
+            # NTZ boundary: process-timezone-proof at collect (see the
+            # session-window entry)
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
             "n_events",
             "sum_value",
         )
@@ -5948,7 +5953,8 @@ def q_streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value", scale=6, prec=28).alias("sum_value"),
         )
         .select(
-            F.col("w.start").alias("window_start"),
+            # NTZ boundary: process-timezone-proof at collect
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
             "event_type",
             "n_events",
             "sum_value",
@@ -10379,7 +10385,8 @@ def q_streaming_chained_windows(
                 F.count("*").cast("long").alias("n_hours_active"),
             )
             .select(
-                F.col("d.start").alias("day_start"),
+                # NTZ boundary: process-timezone-proof at collect
+                F.col("d.start").cast("timestamp_ntz").alias("day_start"),
                 "event_type",
                 "peak_hourly",
                 "n_hours_active",
