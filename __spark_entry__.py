@@ -49,8 +49,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # Rotating a round's window out = append its verified names to a new
 # _R{N}_GREEN list (in CORRECTNESS_r{N} order), delete them from the
 # older tier lists they came from, and keep the remaining tiers'
-# relative order unchanged. Round-9 window: new round-9 entries, then
-# the 22 remaining r2-stale greens, then the head of _R3_GREEN.
+# relative order unchanged. Round-10 window: new round-10 entries,
+# then the 21 remaining _R3_GREEN, then the head of _R4_GREEN.
 _PENDING_NEVER_VERIFIED: list[str] = [
     # drained in round 8 — every battery entry has official driver
     # signal; new rounds' additions flow through new_this_round below
@@ -98,34 +98,21 @@ _R5_GREEN = [
     "dedup_sorted_neighborhood", "ohlc_value_bars", "grouped_mode_event",
     "twap_user_day", "segmented_running_total", "weighted_priority_sample",
 ]
-_R2_GREEN_STALE = [
-    # (first 7 of this tier re-verified in round 8 → moved to _R8_GREEN)
-    "lenient_numeric_parse",
-    "dict_lookup_priority", "fuzzy_levenshtein_match", "text_token_counts",
-    "text_quality_scores", "text_lang_id", "doc_fingerprint",
-    "dedup_exact_docs", "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard_pairs",
-    "dedup_simhash_fingerprints", "dedup_embedding_cosine_pairs",
-    "dedup_connected_components", "text_rolling_fingerprint", "text_chunking",
-    "text_pii_redaction", "text_vocab_topk", "text_winnow_fingerprints",
-    "text_winnow_overlap_pairs", "text_repetition_filter",
-    "text_contamination_check", "text_tfidf_topk",
+_R2_GREEN_STALE: list[str] = [
+    # fully drained: 7 re-verified in round 8 (→ _R8_GREEN), the
+    # remaining 22 re-verified in round 9 (→ _R9_GREEN)
 ]
 _R3_GREEN = [
-    "scd2_customer_history", "embed_quantize_int8",
-    "embed_quantized_rerank_topk", "embed_ivf_kmeans_topk",
-    "fuzzy_resolve_blocked", "rest_naomi_json_flatten", "salted_skew_join",
-    "bucketed_colocated_join", "spectrum_csv_scan",
-    "partitioned_parquet_pruning", "approx_sketches_events",
-    "streaming_tumbling_counts", "streaming_exactly_once_dedup",
-    "rollup_lineitem", "cube_orders", "grouping_sets_orders",
-    "count_distinct_parts", "grouped_quantiles", "intersect_nations",
+    # (head 19 re-verified in round 9 → moved to _R9_GREEN)
     "except_balance_buckets", "range_join_events", "asof_last_event_per_day",
     "string_agg_nations", "correlated_subquery_balance", "embed_vector_norms",
     "skyline_suppliers", "corpus_token_packing", "quality_decile_stats",
     "source_quota_cap", "funnel_events", "cohort_retention_events",
     "null_preserving_sum", "window_lag_events", "tumbling_window_events",
     "sessionize_events", "org_uuid5_ids", "multimodal_decode_stub",
-    "multimodal_frame_sample_stub", "embed_cosine_topk",
+    # (multimodal_frame_sample_stub retired r10 -> multimodal_frame_sample,
+    # real GIF decode)
+    "embed_cosine_topk",
     "embed_ivf_topk_label",
 ]
 _R4_GREEN = [
@@ -183,7 +170,8 @@ _R8_GREEN = [
     "streaming_hll_distinct", "sketch_histogram_quantiles",
     "sketch_hll_distinct", "graph_label_propagation",
     "padding_waste_audit", "temperature_mixture_alloc",
-    "multimodal_resize_stub", "bpe_encoded_symbols", "bpe_learn_merges",
+    # (multimodal_resize_stub retired r10 -> multimodal_resize_thumb)
+    "bpe_encoded_symbols", "bpe_learn_merges",
     "dedup_minhash_eval", "split_leakage_audit", "corpus_budget_select",
     "pii_risk_triage", "vocab_coverage_curve",
     "streaming_outer_join_expiry", "streaming_chained_windows",
@@ -202,6 +190,32 @@ _R8_GREEN = [
     "rules_consistent_only", "stack_wide_to_long", "pad_to_contract",
     "string_path_ops", "period_roundtrip",
 ]
+_R9_GREEN = [
+    # the full round-9 driver window (CORRECTNESS_r09 order, 50/50
+    # green): the 9 round-9 additions, the 22 remaining r2-stale
+    # greens, and the first 19 of _R3_GREEN
+    "multimodal_audio_decode", "multimodal_audio_energy",
+    "multimodal_image_phash", "multimodal_phash_near_pairs",
+    "multimodal_phash_clusters", "multimodal_media_router",
+    "streaming_media_router", "data_temporal_split_purged",
+    "corpus_gate_funnel", "lenient_numeric_parse",
+    "dict_lookup_priority", "fuzzy_levenshtein_match", "text_token_counts",
+    "text_quality_scores", "text_lang_id", "doc_fingerprint",
+    "dedup_exact_docs", "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard_pairs",
+    "dedup_simhash_fingerprints", "dedup_embedding_cosine_pairs",
+    "dedup_connected_components", "text_rolling_fingerprint", "text_chunking",
+    "text_pii_redaction", "text_vocab_topk", "text_winnow_fingerprints",
+    "text_winnow_overlap_pairs", "text_repetition_filter",
+    "text_contamination_check", "text_tfidf_topk",
+    "scd2_customer_history", "embed_quantize_int8",
+    "embed_quantized_rerank_topk", "embed_ivf_kmeans_topk",
+    "fuzzy_resolve_blocked", "rest_naomi_json_flatten", "salted_skew_join",
+    "bucketed_colocated_join", "spectrum_csv_scan",
+    "partitioned_parquet_pruning", "approx_sketches_events",
+    "streaming_tumbling_counts", "streaming_exactly_once_dedup",
+    "rollup_lineitem", "cube_orders", "grouping_sets_orders",
+    "count_distinct_parts", "grouped_quantiles", "intersect_nations",
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -214,6 +228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         set(_PENDING_NEVER_VERIFIED) | set(_R2_GREEN_STALE)
         | set(_R3_GREEN) | set(_R4_GREEN) | set(_R5_GREEN)
         | set(_R6_GREEN) | set(_R7_GREEN) | set(_R8_GREEN)
+        | set(_R9_GREEN)
     )
     new_this_round = [k for k in merged if k not in tiered]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -227,6 +242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _R6_GREEN,
         _R7_GREEN,
         _R8_GREEN,
+        _R9_GREEN,
     ):
         for k in tier:
             if k in merged and k not in ordered:

@@ -157,10 +157,18 @@ def main() -> None:
         samples.sort()
         timings[name] = round(samples[0], 3)
         # within-artifact noise label: median-run / min-run. ~1.0 means
-        # the 3 runs agreed (a trustworthy floor); >>1 means the box was
-        # jittering WHILE this artifact was produced.
+        # the runs agreed (a trustworthy floor); >>1 means the box was
+        # jittering WHILE this artifact was produced. True median (mean
+        # of the two middle samples for even N) so even run counts don't
+        # overstate spread by picking the upper-middle sample.
         if samples[0] > 0:
-            spreads[name] = round(samples[len(samples) // 2] / samples[0], 2)
+            mid = len(samples) // 2
+            med = (
+                samples[mid]
+                if len(samples) % 2
+                else (samples[mid - 1] + samples[mid]) / 2
+            )
+            spreads[name] = round(med / samples[0], 2)
 
     load_after = [round(x, 2) for x in os.getloadavg()]
     total = round(sum(timings.values()), 3)

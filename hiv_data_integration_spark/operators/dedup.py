@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = [
     "md5_long",
@@ -882,6 +883,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iters: int = 25,
     algorithm: str = "propagation",
+    local_threshold: int = 0,
 ) -> DataFrame:
     """Duplicate-pair edges → cluster assignment: ``(id, component)`` where
     ``component`` is the minimum id reachable through the pair graph.
@@ -900,6 +902,20 @@ def connected_components(
     ``algorithm="star"`` — the alternating large-star/small-star variant
     (O(log diameter) rounds, neighborhood-min keyed shuffles) with the
     identical ``(id, component)`` fixpoint.
+
+    ``local_threshold`` (opt-in, 0 = off) enables the two-level shape
+    every production CC at scale converges on (kernelize → solve the
+    kernel): the edge count is already materialized for the symmetrize
+    barrier, and when it is at or under the threshold the fixpoint is
+    computed by a single-partition union-find inside ``mapInPandas`` —
+    ONE job instead of O(log d) iterative rounds, each of which costs
+    shuffles + an eager checkpoint + a convergence probe. Min-root
+    union + path compression makes the local answer the identical
+    min-label fixpoint. Above the threshold (or for non-integral id
+    columns) the distributed algorithms run unchanged, so callers that
+    contract their graph first (e.g. the phash cluster census) get the
+    fast path exactly when the kernel is small and keep the
+    1000-executor path when it is not.
     """
     if algorithm not in ("propagation", "star"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
@@ -908,7 +924,56 @@ def connected_components(
     # pipeline) pair plan twice, and without this barrier both branches
     # re-execute it
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).persist()
-    fwd.count()
+    n_edges = fwd.count()
+    integral = all(
+        isinstance(f.dataType, (T.LongType, T.IntegerType, T.ShortType))
+        for f in fwd.schema.fields
+    )
+    if local_threshold and integral and n_edges <= local_threshold:
+        out_schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("component", T.LongType()),
+            ]
+        )
+
+        def uf_partition(batches):
+            # self-contained closure (ships by value; see multimodal)
+            import pandas as _pd
+
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for pdf in batches:
+                for a, b in zip(pdf["src"], pdf["dst"]):
+                    a, b = int(a), int(b)
+                    parent.setdefault(a, a)
+                    parent.setdefault(b, b)
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        if rb < ra:
+                            ra, rb = rb, ra
+                        parent[rb] = ra  # min-root union: root == min id
+            yield _pd.DataFrame(
+                sorted((x, find(x)) for x in parent),
+                columns=["id", "component"],
+            )
+
+        try:
+            return (
+                fwd.coalesce(1)
+                .mapInPandas(uf_partition, out_schema)
+                .localCheckpoint()  # materialize before fwd unpersists
+            )
+        finally:
+            fwd.unpersist()
     if algorithm == "star":
         try:
             # _cc_star drops self-edges up front, so a node whose ONLY pair

@@ -679,9 +679,23 @@ def temporal_split_purged(
     Pure per-row projection (three date comparisons against literals) —
     no shuffle, and with date-partitioned storage the train/test scans
     partition-prune to their date ranges at 100 TB.
+
+    Rows with a NULL ``date_col`` land in ``test`` (NULL comparisons
+    fall through every ``when``) — undated rows must never train.
+    ``cutoff`` is validated eagerly: an unparseable string raises here
+    instead of becoming a NULL literal that silently routes every row
+    to ``test`` (matching the eager ``gap_days`` check).
     """
     if gap_days < 0:
         raise ValueError("gap_days must be >= 0")
+    import datetime as _dt
+
+    try:
+        _dt.date.fromisoformat(cutoff)
+    except (TypeError, ValueError) as exc:
+        raise ValueError(
+            f"cutoff must be an ISO date (YYYY-MM-DD), got {cutoff!r}"
+        ) from exc
     d = F.col(date_col)
     lo = F.lit(cutoff).cast("date")
     hi = F.date_add(F.lit(cutoff).cast("date"), gap_days)

@@ -53,34 +53,26 @@ def test_window_prioritizes_unverified_entries():
     assert window[: min(50, len(pending))] == pending[:50]
     # brand-new entries (no tier row yet) come directly after the
     # pending backlog, still ahead of every previously-green entry
-    tiered = (
-        set(contract._PENDING_NEVER_VERIFIED)
-        | set(contract._R2_GREEN_STALE) | set(contract._R3_GREEN)
-        | set(contract._R4_GREEN) | set(contract._R5_GREEN)
-        | set(contract._R6_GREEN) | set(contract._R7_GREEN)
-        | set(contract._R8_GREEN)
-    )
+    green_tiers = [
+        contract._R2_GREEN_STALE, contract._R3_GREEN, contract._R4_GREEN,
+        contract._R5_GREEN, contract._R6_GREEN, contract._R7_GREEN,
+        contract._R8_GREEN, contract._R9_GREEN,
+    ]
+    tiered = set(contract._PENDING_NEVER_VERIFIED).union(*map(set, green_tiers))
     new_this_round = [k for k in names if k not in tiered]
     n_unverified = len(pending) + len(new_this_round)
     assert names[len(pending): n_unverified] == new_this_round
     # no previously-green entry may displace a never-driver-verified one
-    greens = (
-        set(contract._R2_GREEN_STALE) | set(contract._R3_GREEN)
-        | set(contract._R4_GREEN) | set(contract._R5_GREEN)
-        | set(contract._R6_GREEN) | set(contract._R7_GREEN)
-        | set(contract._R8_GREEN)
-    )
+    greens = set().union(*map(set, green_tiers))
     assert not greens & set(names[:n_unverified])
     # steady-state re-verification policy: previously-green tiers appear
     # oldest-signal-first (r2 before r3 before r4 …), so once the backlog
     # drains the window automatically rotates over the stalest greens
-    green_tiers = [
-        contract._R2_GREEN_STALE, contract._R3_GREEN, contract._R4_GREEN,
-        contract._R5_GREEN, contract._R6_GREEN, contract._R7_GREEN,
-        contract._R8_GREEN,
-    ]
+    # (fully-recycled tiers — e.g. _R2_GREEN_STALE after round 9 — are
+    # empty and skipped)
     pos = {k: i for i, k in enumerate(names)}
-    for older, newer in zip(green_tiers, green_tiers[1:]):
+    nonempty = [t for t in green_tiers if any(k in pos for k in t)]
+    for older, newer in zip(nonempty, nonempty[1:]):
         older_max = max(pos[k] for k in older if k in pos)
         newer_min = min(pos[k] for k in newer if k in pos)
         assert older_max < newer_min, (

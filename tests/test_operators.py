@@ -4736,3 +4736,256 @@ def test_coverage_set_census_integer_boundary(spark):
     r = coverage_set_census(df, "g", "it", 80, 100).collect()[0]
     assert r["n_items"] == 4 and r["total_count"] == 10
     assert r["k_for_pct"] == 2 and r["head_count"] == 8
+
+
+def _tiny_gif(w, h, frames, mcs=8, trailer=True):
+    """Hand-build a GIF89a byte stream (identity grayscale GCT) with the
+    same real-LZW encoder convention the battery synthesis uses."""
+    import struct
+
+    def lzw_encode(indices, mcs):
+        clear, eoi = 1 << mcs, (1 << mcs) + 1
+        out, cur, curbits = bytearray(), 0, 0
+        code_size = mcs + 1
+
+        def emit(code):
+            nonlocal cur, curbits
+            cur |= code << curbits
+            curbits += code_size
+            while curbits >= 8:
+                out.append(cur & 0xFF)
+                cur >>= 8
+                curbits -= 8
+
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = eoi + 1
+        emit(clear)
+        prev = b""
+        for b in indices:
+            cand = prev + bytes([b])
+            if cand in table:
+                prev = cand
+                continue
+            emit(table[prev])
+            table[cand] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << code_size) and code_size < 12:
+                code_size += 1
+            prev = bytes([b])
+        if prev:
+            emit(table[prev])
+        emit(eoi)
+        if curbits:
+            out.append(cur & 0xFF)
+        return bytes(out)
+
+    buf = bytearray(b"GIF89a")
+    buf += struct.pack("<HHBBB", w, h, 0x80 | 0x70 | 0x07, 0, 0)
+    for i in range(256):
+        buf += bytes((i, i, i))
+    for delay, indices in frames:
+        buf += b"\x21\xf9" + bytes((4, 0)) + struct.pack("<H", delay) + b"\x00\x00"
+        buf += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        buf.append(mcs)
+        data = lzw_encode(indices, mcs)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            buf.append(len(chunk))
+            buf += chunk
+        buf.append(0)
+    if trailer:
+        buf += b"\x3b"
+    return bytes(buf)
+
+
+def test_gif_decoder_flickinger_sample():
+    """The LZW decoder must match the independently published 10x10
+    code-stream/pixel pair from Matthew Flickinger's "What's In A GIF"
+    walkthrough — spec conformance, not self-consistency."""
+    from hiv_data_integration_spark.operators.multimodal import (
+        _make_gif_decoder,
+    )
+    import struct
+
+    codes = bytes(
+        [0x8C, 0x2D, 0x99, 0x87, 0x2A, 0x1C, 0xDC, 0x33, 0xA0, 0x02,
+         0x75, 0xEC, 0x95, 0xFA, 0xA8, 0xDE, 0x60, 0x8C, 0x04, 0x91,
+         0x4C, 0x01, 0x00]
+    )
+    expected_idx = bytes(
+        [1, 1, 1, 1, 1, 2, 2, 2, 2, 2,
+         1, 1, 1, 1, 1, 2, 2, 2, 2, 2,
+         1, 1, 1, 1, 1, 2, 2, 2, 2, 2,
+         1, 1, 1, 0, 0, 0, 0, 2, 2, 2,
+         1, 1, 1, 0, 0, 0, 0, 2, 2, 2,
+         2, 2, 2, 0, 0, 0, 0, 1, 1, 1,
+         2, 2, 2, 0, 0, 0, 0, 1, 1, 1,
+         2, 2, 2, 2, 2, 1, 1, 1, 1, 1,
+         2, 2, 2, 2, 2, 1, 1, 1, 1, 1,
+         2, 2, 2, 2, 2, 1, 1, 1, 1, 1]
+    )
+    # wrap the published stream in a container with a 4-entry identity
+    # palette (mcs=2) so decode_gif's palette->luma is the identity
+    buf = bytearray(b"GIF89a") + struct.pack("<HHBBB", 10, 10, 0x80 | 0x01, 0, 0)
+    for i in range(4):
+        buf += bytes((i, i, i))
+    buf += b"\x2c" + struct.pack("<HHHHB", 0, 0, 10, 10, 0)
+    buf.append(2)
+    buf.append(len(codes))
+    buf += codes
+    buf.append(0)
+    buf += b"\x3b"
+    dec = _make_gif_decoder()
+    res = dec(bytes(buf))
+    assert res is not None
+    w, h, frames = res
+    assert (w, h) == (10, 10) and len(frames) == 1
+    assert frames[0][3] == expected_idx
+
+
+def test_gif_frame_stats_round_trip(spark):
+    """Multi-frame container round-trip through the Spark operator: per-
+    frame sums/checksums must equal values computed directly from the
+    source index grids (the encoder is exercised with real LZW)."""
+    import pandas as pd
+
+    grids = {}
+    rows = []
+    for doc_id in (0, 5, 11):
+        w = 8 * (1 + doc_id % 3)
+        h = 8 * (1 + (doc_id // 3) % 2)
+        nf = 1 + doc_id % 4
+        frames = []
+        for f in range(nf):
+            idx = bytes(
+                (7 * x + 13 * y + 11 * f + doc_id) % 256
+                for y in range(h)
+                for x in range(w)
+            )
+            frames.append(((doc_id + f) % 100, idx))
+            grids[(doc_id, f)] = (w, h, idx)
+        rows.append((doc_id, bytearray(_tiny_gif(w, h, frames))))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = mm.gif_frame_stats(df).collect()
+    assert len(out) == sum(1 + d % 4 for d in (0, 5, 11))
+    for r in out:
+        w, h, idx = grids[(r["media_id"], r["frame_idx"])]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["decoder"] == "gif"
+        assert r["delay_cs"] == (r["media_id"] + r["frame_idx"]) % 100
+        assert r["pix_sum"] == sum(idx)
+        assert r["pix_checksum"] == sum(v * (i + 1) for i, v in enumerate(idx))
+
+
+def test_gif_malformed_payloads_fall_back_to_stub(spark):
+    rows = [
+        (1, bytearray(b"GIF89a" + b"\x00" * 4)),   # truncated descriptor
+        (2, bytearray(b"NOTGIF" + b"\x00" * 40)),  # wrong signature
+        (3, None),                                  # null payload
+        (4, bytearray(_tiny_gif(8, 8, [(0, bytes(64))])[:-10])),  # cut LZW
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = mm.gif_frame_stats(df).collect()
+    assert len(out) == 4
+    assert all(r["decoder"] == "stub" and r["frame_idx"] == -1 for r in out)
+    thumbs = mm.gif_resize_nearest(df).collect()
+    assert all(r["decoder"] == "stub" for r in thumbs)
+    samples = mm.gif_sample_frames(df).collect()
+    assert all(r["decoder"] == "stub" for r in samples)
+
+
+def test_gif_sample_frames_lattice(spark):
+    """k=3 uniform sampling: nf=4 -> picks {0,1,3}; nf=1 -> {0}."""
+    rows = []
+    for doc_id, nf in ((100, 4), (101, 1)):
+        frames = []
+        for f in range(nf):
+            idx = bytes((x + f) % 256 for x in range(64))
+            frames.append((0, idx))
+        rows.append((doc_id, bytearray(_tiny_gif(8, 8, frames))))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = mm.gif_sample_frames(df, k=3).collect()
+    picks = sorted(
+        (r["media_id"], r["frame_idx"]) for r in out
+    )
+    assert picks == [(100, 0), (100, 1), (100, 3), (101, 0)]
+    for r in out:
+        f = r["frame_idx"]
+        idx = bytes((x + f) % 256 for x in range(64))
+        assert r["pix_sum"] == sum(idx)
+
+
+def test_audio_haar_bands_exact(spark):
+    """Haar cascade vs a direct per-level reference on a hand-built WAV."""
+    import struct
+
+    samples = [((i * 37 + 11) % 4001) - 2000 for i in range(80)]
+    body = struct.pack("<80h", *samples)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 24 + 8 + len(body)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(wav))], "doc_id long, payload binary"
+    )
+    r = mm.audio_haar_bands(df).select("haar.*").collect()[0]
+    a = samples[:64]
+    bands = []
+    for _ in range(6):
+        s, e = [], 0
+        for i in range(0, len(a), 2):
+            s.append(a[i] + a[i + 1])
+            e += (a[i] - a[i + 1]) ** 2
+        bands.append(e)
+        a = s
+    assert r["n_stream_samples"] == 80
+    assert r["decoder"] == "wav"
+    assert [r[f"band_{i}"] for i in range(1, 7)] == bands
+    assert r["approx_sq"] == a[0] * a[0] == sum(samples[:64]) ** 2
+    # short stream -> labeled stub, not silent zero-padding
+    short = (
+        b"RIFF" + struct.pack("<I", 4 + 24 + 8 + 40) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", 40) + b"\x01" * 40
+    )
+    df2 = spark.createDataFrame(
+        [(2, bytearray(short))], "doc_id long, payload binary"
+    )
+    r2 = mm.audio_haar_bands(df2).select("haar.*").collect()[0]
+    assert r2["decoder"] == "stub" and r2["n_stream_samples"] == 20
+
+
+def test_connected_components_local_unionfind_matches(spark):
+    """The opt-in local union-find fast path (kernel-sized graphs) must
+    land on the identical min-label fixpoint as both distributed
+    variants, including self-pair singletons."""
+    from hiv_data_integration_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = [((i * 37) % 83 + (i % 5) * 100, (i * 59) % 83 + (i % 5) * 100)
+             for i in range(120)]
+    pairs = spark.createDataFrame(
+        edges + [(9999, 9999)], "id_a long, id_b long"
+    )
+    star = {
+        r.id: r.component
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    local = {
+        r.id: r.component
+        for r in connected_components(
+            pairs, algorithm="star", local_threshold=10_000
+        ).collect()
+    }
+    assert local == star
+    assert local[9999] == 9999
+    # threshold below the edge count -> distributed path (same answer)
+    dist = {
+        r.id: r.component
+        for r in connected_components(
+            pairs, algorithm="star", local_threshold=5
+        ).collect()
+    }
+    assert dist == star

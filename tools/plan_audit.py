@@ -140,7 +140,7 @@ HEADLINE = [
     "sketch_histogram_quantiles",
     "temperature_mixture_alloc",
     "padding_waste_audit",
-    "multimodal_resize_stub",
+    "multimodal_resize_thumb",
     "pii_risk_triage",
     "vocab_coverage_curve",
     "split_leakage_audit",
@@ -165,6 +165,9 @@ HEADLINE = [
     "nearest_event_probe",
     "freshness_audit_events",
     "multimodal_audio_framing_stub",
+    "multimodal_frame_decode",
+    "multimodal_frame_sample",
+    "multimodal_audio_haar_bands",
     "multimodal_audio_decode",
     "multimodal_audio_energy",
     "multimodal_image_phash",
