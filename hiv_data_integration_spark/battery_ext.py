@@ -398,6 +398,70 @@ def q_ngram_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DF-capped set-similarity join (``dedup.ngram_jaccard_dfcap_pairs``,
+    cap 20): candidates only through shingles in ≤ 20 docs, every
+    candidate exact-verified with full-shingle Jaccard. Shipped after
+    the round-10 scale-slope study (SCALE.md §11) measured the
+    prefix-filtered join going superlinear on a vocabulary-bounded
+    corpus (31× wall for 10× rows — "rare prefix" stops being
+    selective when vocabulary does not grow); the cap restores a
+    candidate bound no df distribution can break. At this
+    corpus's sf0.01 every near-dup pair shares rare shingles, so the
+    capped result equals the uncapped one — the oracle re-derives the
+    capped definition itself (df CTE + rare-candidate join + full
+    verify), so the semantics are hash-pinned, not assumed."""
+    corpus = _dup_corpus(spark, sf_dir)
+    return dd.ngram_jaccard_dfcap_pairs(
+        corpus, "doc_id", "text", shingle_n=3, jaccard_threshold=0.5,
+        df_cap=20, block_cols=["lang"], partitions=32,
+    )
+
+
+SQL_NGRAM_DFCAP = f"""
+WITH {_DUP_CORPUS_SQL},
+sh AS (
+    SELECT doc_id, lang,
+           list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1),
+                                   i -> array_to_string(w[i:i+2], ' '))
+               ELSE [] END) AS shingles
+    FROM (SELECT doc_id, lang, {_TOKS} AS w FROM corpus)
+),
+docs AS (SELECT * FROM sh WHERE len(shingles) > 0),
+posting AS (
+    SELECT doc_id, lang, len(shingles) AS n_sh, unnest(shingles) AS shingle
+    FROM docs
+),
+dfreq AS (
+    SELECT lang, shingle, count(*) AS df_ FROM posting GROUP BY 1, 2
+),
+rare AS (
+    SELECT p.doc_id, p.lang, p.shingle
+    FROM posting p JOIN dfreq d
+      ON p.lang = d.lang AND p.shingle = d.shingle AND d.df_ <= 20
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM rare a JOIN rare b
+      ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+common AS (
+    SELECT c.id_a, c.id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+           count(*) AS n_common
+    FROM cand c
+    JOIN posting a ON a.doc_id = c.id_a
+    JOIN posting b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+    GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, jaccard FROM (
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) AS jaccard
+    FROM common)
+WHERE jaccard >= 0.5
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents")
     return dd.simhash(docs, "doc_id", "text", bits=32, partitions=32)
@@ -12788,6 +12852,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "dedup_minhash_lsh_pairs": q_minhash_pairs,
     "dedup_ngram_jaccard_pairs": q_ngram_jaccard,
     "dedup_ngram_prefix_filter": q_ngram_prefix_filter,
+    "dedup_ngram_dfcap_pairs": q_ngram_dfcap,
     "dedup_simhash_fingerprints": q_simhash,
     "dedup_embedding_cosine_pairs": q_embedding_cosine_dedup,
     "dedup_connected_components": q_connected_components,
@@ -13039,6 +13104,7 @@ EXT_ORACLE: dict[str, str] = {
     "dedup_minhash_lsh_pairs": SQL_MINHASH_PAIRS,
     "dedup_ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "dedup_ngram_prefix_filter": SQL_NGRAM_JACCARD,
+    "dedup_ngram_dfcap_pairs": SQL_NGRAM_DFCAP,
     "dedup_simhash_fingerprints": SQL_SIMHASH,
     "dedup_embedding_cosine_pairs": SQL_EMBED_COSINE_DEDUP,
     "dedup_connected_components": SQL_CONNECTED_COMPONENTS.format(

@@ -508,6 +508,78 @@ def ngram_jaccard_pairs(
     return _jaccard_verify(common, doc_sizes, jaccard_threshold)
 
 
+def ngram_jaccard_dfcap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    df_cap: int = 64,
+    block_cols: list[str] | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Document-frequency-capped set-similarity join — the posting-join
+    variant that SURVIVES a corpus whose vocabulary does not grow with
+    its size (measured in SCALE.md §11: on the fixed-vocab 10× slice
+    the PREFIX-FILTERED variant went 4.3 s → 134.5 s — its "rare
+    prefix" selection is only selective under Heaps-law vocabulary
+    growth, so on vocabulary-bounded/templated data its candidate set
+    collapses toward all-pairs; the plain posting join stayed ~linear
+    (2.2 s → 15.9 s) but its Σ df² shuffle mass is one bad skew away
+    from the same fate).
+
+    The CCNet/BigTable-dedup remedy, exactly: shingles appearing in more
+    than ``df_cap`` documents are non-discriminative and generate NO
+    candidates; every candidate pair (docs sharing ≥1 rare shingle) is
+    then verified with the TRUE full-shingle Jaccard (a second join of
+    the candidate pairs back against the full posting list), so emitted
+    scores are exact. The only recall loss is pairs whose EVERY common
+    shingle is frequent — at ``jaccard_threshold`` ≥ 0.5 such a pair is
+    two documents built almost entirely from stop-shingles, which is
+    the pair a dedup pipeline wants suppressed anyway.
+
+    Scale shape: candidate shuffle is bounded by ``Σ_rare df² ≤
+    df_cap · postings`` — LINEAR in corpus size by construction, the
+    property the uncapped join loses on vocabulary-bounded data.
+    """
+    block_cols = block_cols or []
+    posting, doc_sizes = _ngram_postings(
+        df, id_col, text_col, shingle_n, block_cols, partitions
+    )
+    dfreq = posting.groupBy(*block_cols, "shingle").agg(
+        F.count("*").alias("df_")
+    )
+    rare = posting.join(
+        dfreq.filter(F.col("df_") <= df_cap), [*block_cols, "shingle"]
+    )
+    a = rare.select(
+        *[F.col(c) for c in block_cols],
+        "shingle",
+        F.col("doc_id_").alias("id_a"),
+    )
+    b = rare.select(
+        *[F.col(c) for c in block_cols],
+        "shingle",
+        F.col("doc_id_").alias("id_b"),
+    )
+    cand = (
+        a.join(b, [*block_cols, "shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact verify: count ALL common shingles for candidate pairs only
+    pa = posting.select(F.col("doc_id_").alias("id_a"), "shingle")
+    pb = posting.select(F.col("doc_id_").alias("id_b"), "shingle")
+    common = (
+        cand.join(pa, "id_a")
+        .join(pb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return _jaccard_verify(common, doc_sizes, jaccard_threshold)
+
+
 def minhash_lsh_eval(
     df: DataFrame,
     id_col: str,
@@ -604,6 +676,16 @@ def ngram_jaccard_prefix_pairs(
     Candidates verify by counting FULL common postings (same arithmetic
     as the unfiltered op), so results are bit-identical — the battery
     checks this query against the SAME oracle as the plain join.
+
+    SCALE CAVEAT (measured, SCALE.md §11): the cut's selectivity rests
+    on token-frequency skew under Heaps-law vocabulary growth. On a
+    corpus whose vocabulary does NOT grow with size (templated/
+    synthetic data), "rare-first" prefixes stop being rare — on the
+    fixed-vocab 10× slice this variant went superlinear (4.3 s →
+    134.5 s) while the plain join stayed ~linear. For
+    vocabulary-bounded data use :func:`ngram_jaccard_dfcap_pairs`
+    (hard linear candidate bound, explicit recall trade) or the
+    MinHash bands (probabilistic, distribution-free).
     """
     block_cols = block_cols or []
     posting, doc_sizes = _ngram_postings(

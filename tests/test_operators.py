@@ -4989,3 +4989,42 @@ def test_connected_components_local_unionfind_matches(spark):
         ).collect()
     }
     assert dist == star
+
+
+def test_ngram_dfcap_equals_plain_when_cap_unbinding(spark):
+    """With df_cap >= corpus size the capped join must be bit-identical
+    to the plain posting join (no shingle is excluded); with df_cap=1 on
+    a corpus of exact duplicates it must go empty (every shared shingle
+    is frequent) — the two ends of the recall dial."""
+    from hiv_data_integration_spark.operators.dedup import (
+        ngram_jaccard_dfcap_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c d e g"),   # near-dup of 1
+        (3, "p q r s t u"),
+        (4, "p q r s t u"),   # exact dup of 3
+        (5, "x y z w v k"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", shingle_n=2, jaccard_threshold=0.4
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_dfcap_pairs(
+            df, "doc_id", "text", shingle_n=2, jaccard_threshold=0.4,
+            df_cap=100,
+        ).collect()
+    }
+    assert capped == plain and (3, 4) in plain and (1, 2) in plain
+    # cap=1: docs 3/4 share only df=2 shingles -> suppressed
+    tight = ngram_jaccard_dfcap_pairs(
+        df, "doc_id", "text", shingle_n=2, jaccard_threshold=0.4, df_cap=1
+    ).collect()
+    assert tight == []

@@ -205,6 +205,30 @@ def test_pipeline_b_spectrum(spark, org_units):
 
 
 def test_pipeline_c_chu_golden(spark, org_units, tmp_path):
+    """Independent golden: every expected value below is re-derived by hand
+    from the resolve-chain contract (pipeline/pnls.py run_pipeline_c
+    docstring; reference extract_chu_data.py:255-410) and the lenient-parse
+    / semester rules — re-checked after the r9 registry-guard changes
+    (registry pass district-blocked, MAX_UNBLOCKED_CANDIDATES) so it stays
+    a from-first-principles check, not a regression snapshot.
+
+    Resolution derivation (fresh registry_path ⇒ pass 1 is a no-op):
+    - "CHU de Cocody": EXACT level-4 name ⇒ pass 2 exact lookup wins
+      before any scoring ⇒ ou_id = /ROOT/r1/d1/f1.
+    - "Hopital General de Bassam!": pass 2 fuzzy vs level-4 names —
+      NFD accent fold + punctuation strip make it token-identical to
+      "Hôpital Général de Bassam" (score 100 ≥ threshold 90, verified
+      against the live scorer below) ⇒ f1? no — matched path f3.
+    - "Clinique Inconnue": no level-4 name scores ≥ 90 (verified below)
+      ⇒ pass 3: district "Cocody" cleaned (upper, drop PUBLIC/CHU/" DE ")
+      fuzzy-matches level-3 "DS Cocody" (token-subset ⇒ score 100) ⇒
+      synthesized id = <district_path>/<uuid5("Clinique Inconnue")>.
+    - "Clinique Perdue": district "Zanzan" shares no token with any
+      level-3 name (max score < 90, verified below) ⇒ DROPPED (never
+      upserted, never reported — reference filters to non-null ids).
+    """
+    from hiv_data_integration_spark.operators.fuzzy import token_set_ratio
+
     registry_path = str(tmp_path / "org_unit_chu.parquet")
     history_path = str(tmp_path / "historique_pec.parquet")
     sheet = spark.createDataFrame(
@@ -224,6 +248,29 @@ def test_pipeline_c_chu_golden(spark, org_units, tmp_path):
         "Etablissements string, Districts string, Mois string, "
         "`indicateur_11_age_0_4_ans_F` string, `indicateur_11_age_0_4_ans_M` string",
     )
+
+    # tier routing re-derived against the LIVE scorer (same normalize:
+    # the udf NFD-folds + strips punctuation before token_set_ratio)
+    import unicodedata
+
+    def fold(t):
+        t = unicodedata.normalize("NFD", t)
+        t = "".join(c for c in t if not unicodedata.combining(c))
+        return "".join(c if c.isalnum() or c.isspace() else " " for c in t.lower())
+
+    l4_names = ["CHU de Cocody", "CSU Abobo Nord", "Hôpital Général de Bassam"]
+    assert token_set_ratio(
+        fold("Hopital General de Bassam!"), fold("Hôpital Général de Bassam")
+    ) == 100.0
+    assert max(
+        token_set_ratio(fold("Clinique Inconnue"), fold(n)) for n in l4_names
+    ) < 90.0
+    assert token_set_ratio(fold("COCODY"), fold("DS Cocody")) >= 90.0
+    assert max(
+        token_set_ratio(fold("ZANZAN"), fold(n))
+        for n in ["Cote d'Ivoire", "Region Lagunes", "DS Cocody"]
+    ) < 90.0
+
     report, registry = run_pipeline_c(
         spark,
         sheets={"PEC": (sheet, {"indicateur_11_": 11})},
@@ -250,27 +297,51 @@ def test_pipeline_c_chu_golden(spark, org_units, tmp_path):
     }
     assert reg["CHU de Cocody"] == f"/{ROOT}/r1/d1/f1"
     assert reg["Hopital General de Bassam!"] == f"/{ROOT}/r1/d1/f3"
+    # synthesized id = level-3 district path + RFC-4122 uuid5 of the
+    # facility name (derivable outside the engine: uuid5_py is plain
+    # stdlib uuid.uuid5(NAMESPACE_DNS-shaped seed, name))
     synth_uuid = uuid5_py("Clinique Inconnue")
     assert reg["Clinique Inconnue"] == f"/{ROOT}/r1/d1/{synth_uuid}"
 
     rows = report.collect()
     by_key = {(r.idsite, str(r.periode), r.Indicateur): r for r in rows}
-    # monthly rows under indicator 11: lenient parse handled quotes/blank
+    # monthly golden values, derivation per row (lenient parse =
+    # trim quotes/spaces then cast; blank -> 0 via contract padding):
+    #   f1 202401: F = '"5"' -> 5; M = "3" -> 3
     m = by_key[("r1_d1_f1", "2024-01-01", 11)]
     assert (m["F_0-4 ans"], m["M_0-4 ans"]) == (5, 3)
+    #   f3 202401: F = "7" -> 7; M = "" (blank) -> 0
     bassam = by_key[("r1_d1_f3", "2024-01-01", 11)]
     assert (bassam["F_0-4 ans"], bassam["M_0-4 ans"]) == (7, 0)
-    # synthesized facility reports under its district-prefixed idsite
+    #   synthesized facility reports under its district-prefixed idsite
+    #   (idsite = path tail r1_d1_<uuid5>): F=1, M=2 verbatim
     synth = by_key[(f"r1_d1_{synth_uuid}", "2024-01-01", 11)]
     assert (synth["F_0-4 ans"], synth["M_0-4 ans"]) == (1, 2)
     # the dropped facility appears nowhere in the report
     assert not any("Perdue" in (k[0] or "") for k in by_key)
     assert len({k[0] for k in by_key}) == 3
-    # semester rollup (S1 2024: Jan..Jun) under indicator 13
+    # semester rollup (S1 2024 = Jan..Jun summed at 2024-06-01, history
+    # indicator 13): f1 F = 5 (Jan) + 10 (Jun) = 15; M = 3 + 20 = 23
     sem = by_key[("r1_d1_f1", "2024-06-01", 13)]
     assert (sem["F_0-4 ans"], sem["M_0-4 ans"]) == (15, 23)
-    # history parquet persisted for the next run (dropped facility excluded)
-    assert spark.read.parquet(history_path).count() == 4
+    # history parquet persisted for the next run: the 4 RESOLVED monthly
+    # rows (dropped facility excluded) with their PARSED values — check
+    # content, not just cardinality, so the next run's semester math
+    # starts from the derived numbers above
+    hist = spark.read.parquet(history_path)
+    assert hist.count() == 4
+    hcols = hist.columns
+    fcol = next(c for c in hcols if c.endswith("_F"))
+    mcol = next(c for c in hcols if c.endswith("_M"))
+    idc = "organisation_unit_id"
+    hrows = {
+        (r[idc], r["period"] if "period" in hcols else r["Mois"]): (r[fcol], r[mcol])
+        for r in hist.collect()
+    }
+    assert hrows[(f"/{ROOT}/r1/d1/f1", "202401")] == (5, 3)
+    assert hrows[(f"/{ROOT}/r1/d1/f1", "202406")] == (10, 20)
+    assert hrows[(f"/{ROOT}/r1/d1/f3", "202401")] == (7, 0)
+    assert hrows[(f"/{ROOT}/r1/d1/{synth_uuid}", "202401")] == (1, 2)
 
 
 def test_pipeline_c_second_run_reuses_registry(spark, org_units, tmp_path):

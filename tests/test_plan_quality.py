@@ -282,3 +282,51 @@ def test_minhash_eval_truth_is_posting_join_not_cartesian(spark):
     assert a["nlj"] <= 2, "pair branches must join on equi keys"
     assert a["smj"] == 0 or a["bhj"] >= a["smj"]
     assert a["python"] == 0
+
+
+def test_phash_near_pairs_band_join_no_smj_no_python(spark):
+    """The image near-dup candidate join must stay a band-key hash join
+    (BHJ under AQE at this SF — never a sort-merge fallback, never a
+    cartesian), and everything after the checkpointed decode frame must
+    be JVM-side: the pure-Python PNG decode is fenced behind the
+    session-cached localCheckpoint, so the pair plan itself reads
+    checkpoint blocks with zero Python stages."""
+    a = _audit(spark, "multimodal_phash_near_pairs")
+    assert a["smj"] == 0, "band join fell back to sort-merge"
+    assert a["nlj"] == 0, "near-pairs must never go all-pairs"
+    assert a["bhj"] >= 1
+    assert a["python"] == 0, "decode must stay fenced behind the checkpoint"
+
+
+def test_phash_clusters_final_census_jvm_only(spark):
+    """The kernelized cluster census (contract → local union-find →
+    expand) must keep its final plan free of sort-merge joins; the only
+    Python stage is the single-partition union-find kernel solve (the
+    decode is checkpoint-fenced like the pairs entry)."""
+    a = _audit(spark, "multimodal_phash_clusters")
+    assert a["smj"] == 0
+    assert a["nlj"] == 0
+    assert a["python"] <= 1, "only the union-find kernel may be Python"
+
+
+def test_media_router_routes_without_decoding(spark):
+    """Magic-byte triage must sniff payloads with NATIVE binary
+    expressions: exactly one Python stage (the corpus synthesis — input
+    scaffolding, not the router) and no joins at all; the routing
+    projection + census is a single hash-aggregate pipeline."""
+    a = _audit(spark, "multimodal_media_router")
+    assert a["python"] == 1, "router must not decode payloads in Python"
+    assert a["smj"] == a["bhj"] == a["nlj"] == 0
+    assert a["codegen"] >= 1
+
+
+def test_gif_frame_decode_single_python_fence(spark):
+    """The GIF entries are decode-dominated by design, but the plan must
+    show exactly the irreducible shape: the session-cached synthesis is
+    checkpoint-fenced (scans existing RDD blocks, no Python), one
+    mapInPandas decode stage, no joins, no shuffle beyond none at all —
+    a pure per-split projection that parallelizes by input split."""
+    a = _audit(spark, "multimodal_frame_decode")
+    assert a["python"] == 1, "exactly the decode stage may be Python"
+    assert a["smj"] == a["bhj"] == a["nlj"] == 0
+    assert a["exchanges"] == 0, "frame decode must not shuffle"

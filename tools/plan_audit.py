@@ -51,6 +51,7 @@ HEADLINE = [
     "tumbling_window_events",
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard_pairs",
+    "dedup_ngram_dfcap_pairs",
     "embed_cosine_topk",
     "embed_ivf_topk_label",
     "embed_ann_recall",
@@ -320,6 +321,12 @@ def main() -> None:
     print("  localCheckpointed iteration frame (vocabulary-/edge-sized; the")
     print("  corpus scan happened once, before the first checkpoint), so no")
     print("  parquet scan node survives into the audited tree.")
+    print("- **multimodal 0-scan rows (r10)**: the phash and GIF entries read")
+    print("  their session-cached localCheckpointed synthesis/decode frames")
+    print("  (_PHASH_CACHE/_GIF_CACHE — the persist-once production shape), so no")
+    print("  parquet scan node survives into the audited plan; their `py` column")
+    print("  shows exactly the one irreducible Arrow decode stage (0 for the")
+    print("  phash entries, whose decode is fenced BEHIND the checkpoint).")
     print("- **NLJ on 1-row sides is the scalar-stitch pattern**: the")
     print("  sketch/eval summary queries (`sketch_kmv_setops`,")
     print("  `sketch_hll_distinct`, `dedup_minhash_eval`,")
