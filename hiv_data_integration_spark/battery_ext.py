@@ -10835,19 +10835,14 @@ FROM p
 _PHASH_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-def _phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared stage for the three phash entries: synthesize a genuine
-    8-bit grayscale PNG per document (zlib IDAT, CRC'd chunks, filter-0
-    scanlines, doc_id-derived dims and pixel pattern), then
-    ``multimodal.image_ahash`` inflates it back, unfilters the
-    scanlines, and computes the exact-integer 8×8 average-hash. The
-    result is ``localCheckpoint``ed eagerly and cached per
-    (SparkContext, sf_dir) so pairs/clusters reuse the decoded frame
-    instead of re-paying the pure-Python PNG inflate (measured: the
-    clusters entry dropped from a 7.48 s floor to well under the 5 s
-    round-10 target once the decode stage became shared). Returns
-    ``(doc_id, width, height, phash_hi, phash_lo, decoder)``."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+def _png_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared PNG corpus for the image-hash entries: a genuine 8-bit
+    grayscale PNG per document (zlib IDAT, CRC'd chunks, filter-0
+    scanlines, doc_id-derived dims and pixel pattern). Cached +
+    ``localCheckpoint``ed per (SparkContext, sf_dir) like _GIF_CACHE —
+    payloads are input data, synthesized once per session. Returns
+    ``(doc_id, payload)``."""
+    key = (spark.sparkContext.applicationId, sf_dir, "png")
     cached = _PHASH_CACHE.get(key)
     if cached is not None:
         return cached
@@ -10899,8 +10894,28 @@ def _phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    pngs = docs.mapInPandas(synth_batches, synth_schema)
-    hashed = mm.image_ahash(pngs)
+    out = docs.mapInPandas(synth_batches, synth_schema).localCheckpoint(
+        eager=True
+    )
+    _PHASH_CACHE[key] = out
+    return out
+
+
+def _phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared stage for the three phash entries: the synthesized PNG
+    corpus (:func:`_png_payloads`) decoded by ``multimodal.image_ahash``
+    (zlib inflate + unfilter + exact-integer 8×8 average-hash). The
+    hashed frame is ``localCheckpoint``ed eagerly and cached per
+    (SparkContext, sf_dir) so pairs/clusters reuse the decoded frame
+    instead of re-paying the pure-Python PNG inflate (measured: the
+    clusters entry dropped from a 7.48 s floor to 1.24 s once the
+    decode stage became shared and the CC kernelized). Returns
+    ``(doc_id, width, height, phash_hi, phash_lo, decoder)``."""
+    key = (spark.sparkContext.applicationId, sf_dir, "ahash")
+    cached = _PHASH_CACHE.get(key)
+    if cached is not None:
+        return cached
+    hashed = mm.image_ahash(_png_payloads(spark, sf_dir))
     out = hashed.select(
         "doc_id",
         F.col("ahash.width").alias("width"),
@@ -10911,6 +10926,60 @@ def _phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     _PHASH_CACHE[key] = out
     return out
+
+
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-hash over REAL decoded PNG pixels
+    (``multimodal.image_dhash``): gradient-sign bits over a 9×8
+    nearest-neighbor grid — the brightness-shift-robust companion to
+    the aHash entry, sharing the session-cached PNG corpus. The oracle
+    rebuilds the gathered grid pixels from the synthesis formula and
+    re-derives all 64 comparison bits in SQL."""
+    hashed = mm.image_dhash(_png_payloads(spark, sf_dir))
+    return hashed.select(
+        "doc_id",
+        F.col("dhash.width").alias("width"),
+        F.col("dhash.height").alias("height"),
+        F.col("dhash.phash_hi").alias("dhash_hi"),
+        F.col("dhash.phash_lo").alias("dhash_lo"),
+        F.col("dhash.decoder").alias("decoder"),
+    )
+
+
+# gathered pixel (ty,tx) = raster pixel (tx*w//9, ty*h//8) of the
+# (7x+13y+doc_id)%256 grid; bit = cell[x+1] > cell[x]; MSB-first pack
+# into unsigned 32-bit halves (rows 0-3 -> hi, 4-7 -> lo)
+SQL_IMAGE_DHASH = """
+WITH p AS (
+    SELECT doc_id,
+           CAST(8 * (1 + doc_id % 5) AS BIGINT) AS w,
+           CAST(8 * (1 + (doc_id // 5) % 4) AS BIGINT) AS h
+    FROM documents
+),
+cells AS (
+    SELECT doc_id, w, h, ty.ty AS ty, tx.tx AS tx,
+           (7 * ((tx.tx * w) // 9) + 13 * ((ty.ty * h) // 8) + doc_id)
+               % 256 AS v
+    FROM p, UNNEST(range(0, 8)) ty(ty), UNNEST(range(0, 9)) tx(tx)
+),
+bits AS (
+    SELECT a.doc_id, a.w, a.h, a.ty, a.tx,
+           CASE WHEN b.v > a.v THEN CAST(1 AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS bit
+    FROM cells a JOIN cells b
+      ON b.doc_id = a.doc_id AND b.ty = a.ty AND b.tx = a.tx + 1
+    WHERE a.tx < 8
+)
+SELECT doc_id,
+       CAST(MAX(w) AS INTEGER) AS width,
+       CAST(MAX(h) AS INTEGER) AS height,
+       CAST(SUM(CASE WHEN ty < 4 THEN bit << (31 - (ty * 8 + tx))
+                     ELSE 0 END) AS BIGINT) AS dhash_hi,
+       CAST(SUM(CASE WHEN ty >= 4 THEN bit << (31 - ((ty - 4) * 8 + tx))
+                     ELSE 0 END) AS BIGINT) AS dhash_lo,
+       'png' AS decoder
+FROM bits GROUP BY doc_id
+"""
 
 
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11164,10 +11233,12 @@ FROM comp GROUP BY component
 # them from storage once; only the per-entry DECODE is the operator
 # under measurement — so the three GIF entries share one synthesis per
 # (SparkContext, sf_dir) instead of re-encoding 5k LZW streams each.
-_GIF_CACHE: dict[tuple[str, str], DataFrame] = {}
+_GIF_CACHE: dict[tuple[str, str, bool], DataFrame] = {}
 
 
-def _gif_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _gif_payloads(
+    spark: SparkSession, sf_dir: str, interlaced: bool = False
+) -> DataFrame:
     """Shared synth stage for the animation/video entries: a genuine
     ANIMATED GIF89a byte stream per document — logical screen
     descriptor, 256-entry identity-grayscale global color table, and
@@ -11180,7 +11251,7 @@ def _gif_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(x, y, f) = (7x + 13y + 11f + doc_id) % 256`` — pure doc_id
     arithmetic, so SQL oracles rebuild every pixel. Returns
     ``(doc_id, payload)``."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, interlaced)
     cached = _GIF_CACHE.get(key)
     if cached is not None:
         return cached
@@ -11260,7 +11331,7 @@ def _gif_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
         def gif_for(doc_id: int) -> bytes:
             w = 8 * (1 + doc_id % 3)
             h = 8 * (1 + (doc_id // 3) % 2)
-            nf = 1 + doc_id % 4
+            nf = 1 if interlaced else 1 + doc_id % 4
             buf = bytearray()
             buf += b"GIF89a"
             # GCT present, 8-bit color resolution, 2^(7+1)=256 entries
@@ -11275,12 +11346,25 @@ def _gif_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + _struct.pack("<H", delay)
                     + b"\x00\x00"
                 )
-                buf += b"\x2c" + _struct.pack("<HHHHB", 0, 0, w, h, 0)
-                indices = bytes(
-                    (7 * x + 13 * y + 11 * f + doc_id) % 256
+                fpacked = 0x40 if interlaced else 0
+                buf += b"\x2c" + _struct.pack("<HHHHB", 0, 0, w, h, fpacked)
+                rows = [
+                    bytes(
+                        (7 * x + 13 * y + 11 * f + doc_id) % 256
+                        for x in range(w)
+                    )
                     for y in range(h)
-                    for x in range(w)
-                )
+                ]
+                if interlaced:
+                    # store rows in the 4-pass interlace order the spec
+                    # defines; the decoder must invert this exactly
+                    order = [
+                        y
+                        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                        for y in range(start, h, step)
+                    ]
+                    rows = [rows[y] for y in order]
+                indices = b"".join(rows)
                 buf.append(8)  # LZW min code size
                 buf += sub_blocks(lzw_encode(indices, 8))
             buf += b"\x3b"
@@ -11343,6 +11427,44 @@ SELECT doc_id AS media_id,
        CAST(SUM(v * pos) AS BIGINT) AS pix_checksum,
        'gif' AS decoder
 FROM px GROUP BY doc_id, nf, fi, w, h
+"""
+
+
+def q_gif_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL interlaced-GIF decode: the synthesis writes each frame's rows
+    in the spec's 4-pass interlace order (rows 0,8,.. then 4,12,.. then
+    2,6,.. then odd rows) with the interlace flag set, and the decoder
+    must INVERT the permutation exactly — the oracle computes the stats
+    over the RASTER-order pixel formula, so any off-by-one in the
+    deinterlace row remap (the classic GIF decoder bug) hash-fails.
+    Single interlaced frame per doc; same stats contract as
+    :func:`q_gif_frame_decode`."""
+    return mm.gif_frame_stats(_gif_payloads(spark, sf_dir, interlaced=True))
+
+
+SQL_GIF_INTERLACED = """
+WITH p AS (
+    SELECT doc_id,
+           8 * (1 + doc_id % 3) AS w,
+           8 * (1 + (doc_id // 3) % 2) AS h
+    FROM documents
+),
+px AS (
+    SELECT p.doc_id, p.w, p.h,
+           y.y * p.w + x.x + 1 AS pos,
+           (7 * x.x + 13 * y.y + p.doc_id) % 256 AS v
+    FROM p, UNNEST(range(0, p.h)) y(y), UNNEST(range(0, p.w)) x(x)
+)
+SELECT doc_id AS media_id,
+       CAST(1 AS INTEGER) AS n_frames,
+       CAST(0 AS INTEGER) AS frame_idx,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(doc_id % 100 AS INTEGER) AS delay_cs,
+       CAST(SUM(v) AS BIGINT) AS pix_sum,
+       CAST(SUM(v * pos) AS BIGINT) AS pix_checksum,
+       'gif' AS decoder
+FROM px GROUP BY doc_id, w, h
 """
 
 
@@ -11447,6 +11569,63 @@ def q_audio_haar_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("haar.band_6").alias("band_6"),
         F.col("haar.decoder").alias("decoder"),
     )
+
+
+def q_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer decimation resample (factor 2) over the same synthesized
+    WAVs (``multimodal.audio_decimate_stats``): pair floor-means of the
+    REAL decoded PCM stream with an exact census. The oracle rebuilds
+    the signed samples from the synthesis arithmetic and re-derives the
+    floor-mean fold — floor (not truncate-toward-zero) division is the
+    portability trap this entry pins: DuckDB's integer ``//`` truncates,
+    so the oracle spells ``floor((a+b)/2.0)`` explicitly. Completes the
+    audio leg: header → amplitude → frequency → resample."""
+    decim = mm.audio_decimate_stats(_wav_payloads(spark, sf_dir), factor=2)
+    return decim.select(
+        "doc_id",
+        F.col("decimated.n_stream_samples").alias("n_stream_samples"),
+        F.col("decimated.n_out_samples").alias("n_out_samples"),
+        F.col("decimated.sum_out").alias("sum_out"),
+        F.col("decimated.checksum_out").alias("checksum_out"),
+        F.col("decimated.decoder").alias("decoder"),
+    )
+
+
+# sample k = signed 16-bit of bytes (2k, 2k+1); y_j = floor((s_2j +
+# s_2j+1)/2) — floats are exact here (|a+b| < 2^17 << 2^53), so the
+# floor() spelling is bit-safe; checksum weights y_j by j+1.
+SQL_AUDIO_DECIMATE = """
+WITH p AS (
+    SELECT doc_id,
+           CAST(1 + (doc_id % 2) AS BIGINT) AS ch,
+           CAST(100 + (doc_id * 2654435761) % 1000 AS BIGINT) AS ns
+    FROM documents
+),
+s AS (SELECT doc_id, ch * ns AS nss FROM p),
+smp AS (
+    SELECT doc_id, nss, k,
+           CASE WHEN ((2 * k * 7 + doc_id) % 256)
+                     + 256 * (((2 * k + 1) * 7 + doc_id) % 256) >= 32768
+                THEN ((2 * k * 7 + doc_id) % 256)
+                     + 256 * (((2 * k + 1) * 7 + doc_id) % 256) - 65536
+                ELSE ((2 * k * 7 + doc_id) % 256)
+                     + 256 * (((2 * k + 1) * 7 + doc_id) % 256) END AS v
+    FROM s, UNNEST(range(0, nss)) t(k)
+),
+dec AS (
+    SELECT doc_id, nss, k // 2 AS j,
+           CAST(floor(SUM(v) / 2.0) AS BIGINT) AS y
+    FROM smp WHERE k < (nss // 2) * 2
+    GROUP BY doc_id, nss, k // 2
+)
+SELECT doc_id,
+       CAST(MAX(nss) AS BIGINT) AS n_stream_samples,
+       CAST(count(*) AS BIGINT) AS n_out_samples,
+       CAST(SUM(y) AS BIGINT) AS sum_out,
+       CAST(SUM(y * (j + 1)) AS BIGINT) AS checksum_out,
+       'wav' AS decoder
+FROM dec GROUP BY doc_id
+"""
 
 
 # rebuilds the first 64 interleaved samples from the synthesis
@@ -12705,6 +12884,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "multimodal_audio_decode": q_audio_decode,
     "multimodal_audio_energy": q_audio_energy,
     "multimodal_image_phash": q_image_phash,
+    "multimodal_image_dhash": q_image_dhash,
     "multimodal_phash_near_pairs": q_phash_near_pairs,
     "multimodal_phash_clusters": q_phash_clusters,
     "multimodal_media_router": q_media_router,
@@ -12884,8 +13064,10 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "multimodal_payload_meta": q_payload_meta,
     "multimodal_decode_stub": q_decode_media_stub,
     "multimodal_frame_decode": q_gif_frame_decode,
+    "multimodal_gif_interlaced": q_gif_interlaced,
     "multimodal_frame_sample": q_gif_frame_sample,
     "multimodal_audio_haar_bands": q_audio_haar_bands,
+    "multimodal_audio_decimate": q_audio_decimate,
     "fuzzy_normalize_fold": q_normalize_fold,
     "fuzzy_resolve_suppliers": q_fuzzy_resolve,
     "fuzzy_resolve_blocked": q_fuzzy_resolve_blocked,
@@ -12957,6 +13139,7 @@ EXT_ORACLE: dict[str, str] = {
     "multimodal_audio_decode": SQL_AUDIO_DECODE,
     "multimodal_audio_energy": SQL_AUDIO_ENERGY,
     "multimodal_image_phash": SQL_IMAGE_PHASH,
+    "multimodal_image_dhash": SQL_IMAGE_DHASH,
     "multimodal_phash_near_pairs": SQL_PHASH_NEAR_PAIRS,
     "multimodal_phash_clusters": SQL_PHASH_CLUSTERS,
     "multimodal_media_router": SQL_MEDIA_ROUTER,
@@ -13205,8 +13388,10 @@ FROM events GROUP BY 1, 2
 """,
     "multimodal_decode_stub": SQL_DECODE_STUB,
     "multimodal_frame_decode": SQL_GIF_FRAME_DECODE,
+    "multimodal_gif_interlaced": SQL_GIF_INTERLACED,
     "multimodal_frame_sample": SQL_GIF_FRAME_SAMPLE,
     "multimodal_audio_haar_bands": SQL_AUDIO_HAAR,
+    "multimodal_audio_decimate": SQL_AUDIO_DECIMATE,
     "org_uuid5_ids": SQL_UUID5_IDS,
     # the typo-mangle makes the difflib winner + score provable (see
     # q_fuzzy_resolve docstring) — no rows-only entries remain

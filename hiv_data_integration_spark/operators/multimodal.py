@@ -33,7 +33,9 @@ __all__ = [
     "decode_audio",
     "audio_frame_energy",
     "audio_haar_bands",
+    "audio_decimate_stats",
     "image_ahash",
+    "image_dhash",
     "gif_frame_stats",
     "gif_sample_frames",
     "gif_resize_nearest",
@@ -760,7 +762,8 @@ def _make_gif_decoder():
         """Parse a full GIF byte stream → ``(w, h, frames)`` where each
         frame is ``(fw, fh, delay_cs, luma_bytes)`` with luma =
         ``(299r+587g+114b)//1000`` through the active color table.
-        Returns None for anything unsupported (interlace, missing
+        Interlaced frames are deinterlaced (4-pass row remap) into
+        raster order. Returns None for anything unsupported (missing
         palette, truncated LZW) — never a half-decoded wrong answer.
         ``lzw_limit`` decodes only the first N frames' pixel data
         (frames past it keep their structural metadata with
@@ -807,8 +810,9 @@ def _make_gif_decoder():
                     size = 2 ** ((fpacked & 7) + 1)
                     pal = data[pos : pos + 3 * size]
                     pos += 3 * size
-                if fpacked & 0x40 or pal is None:  # interlace unsupported
+                if pal is None:
                     return None
+                interlaced = bool(fpacked & 0x40)
                 mcs = data[pos]
                 pos += 1
                 stream = bytearray()
@@ -825,6 +829,17 @@ def _make_gif_decoder():
                 idx = lzw_decode(bytes(stream), mcs, fw * fh)
                 if idx is None:
                     return None
+                if interlaced:
+                    # GIF 4-pass interlace (87a spec): stored row order is
+                    # passes (start 0, step 8), (4, 8), (2, 4), (1, 2) —
+                    # map each stored row back to its raster position
+                    out_rows: list[bytes | None] = [None] * fh
+                    stored = 0
+                    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                        for y in range(start, fh, step):
+                            out_rows[y] = idx[stored * fw : (stored + 1) * fw]
+                            stored += 1
+                    idx = b"".join(out_rows)
                 npal = len(pal) // 3
                 luma = bytes(
                     (
@@ -1195,3 +1210,217 @@ def audio_haar_bands(
             yield out
 
     return df.mapInPandas(haar_batches, out_schema)
+
+
+def image_dhash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Difference-hash (dHash) from a REAL stdlib PNG pixel decode — the
+    gradient-based companion to :func:`image_ahash` (aHash thresholds
+    against the global mean; dHash encodes the sign of adjacent-pixel
+    gradients, which survives brightness shifts that flip aHash bits).
+
+    Exact integer contract: the frame is downsampled to a 9×8 grid by
+    nearest-neighbor (``sx = tx·w//9``, ``sy = ty·h//8`` — index
+    arithmetic, no averaging, no floats); bit ``(row, x)`` = 1 iff
+    ``p[sx_{x+1}] > p[sx_x]`` within the row — 8 comparisons × 8 rows =
+    64 bits, packed MSB-first into the same two unsigned 32-bit halves
+    as AHASH_SCHEMA. Decode surface identical to image_ahash (8-bit
+    grayscale, filter-0, dims divisible by 8); anything else → labeled
+    stub row. O(pixels) decode + O(72) gather per row.
+    """
+    in_fields = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = T.StructType(
+        [*in_fields, T.StructField("dhash", AHASH_SCHEMA)]
+    )
+    passthrough = [f.name for f in in_fields]
+
+    def dhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure (see decode_media): ships by value
+        import struct as _struct
+        import zlib as _zlib
+
+        def decode_gray(data: bytes):
+            n = len(data)
+            if n <= 33 or data[:8] != b"\x89PNG\r\n\x1a\n" or data[12:16] != b"IHDR":
+                return None
+            w, h = _struct.unpack(">II", data[16:24])
+            bit_depth, color_type = data[24], data[25]
+            if bit_depth != 8 or color_type != 0:
+                return None
+            if w == 0 or h == 0 or w % 8 or h % 8:
+                return None
+            idat, off = b"", 8
+            while off + 8 <= n:
+                (length,) = _struct.unpack(">I", data[off : off + 4])
+                ctype = data[off + 4 : off + 8]
+                if ctype == b"IDAT":
+                    idat += data[off + 8 : off + 8 + length]
+                if ctype == b"IEND":
+                    break
+                off += 12 + length
+            raw = _zlib.decompress(idat)
+            stride = w + 1
+            if len(raw) != stride * h:
+                return None
+            rows = []
+            for y in range(h):
+                line = raw[y * stride : (y + 1) * stride]
+                if line[0] != 0:
+                    return None
+                rows.append(line[1:])
+            return w, h, rows
+
+        def dhash_of(w: int, h: int, rows) -> tuple[int, int]:
+            hi = lo = 0
+            for ty in range(8):
+                row = rows[ty * h // 8]
+                cells = [row[tx * w // 9] for tx in range(9)]
+                for x in range(8):
+                    bit = 1 if cells[x + 1] > cells[x] else 0
+                    if ty < 4:
+                        hi |= bit << (31 - (ty * 8 + x))
+                    else:
+                        lo |= bit << (31 - ((ty - 4) * 8 + x))
+            return hi, lo
+
+        for pdf in batches:
+            metas = []
+            for payload in pdf[payload_col]:
+                data = bytes(payload) if payload is not None else b""
+                try:
+                    dec = decode_gray(data)
+                except Exception:
+                    dec = None
+                if dec is None:
+                    metas.append(
+                        {
+                            "width": 0,
+                            "height": 0,
+                            "phash_hi": 0,
+                            "phash_lo": 0,
+                            "decoder": "stub",
+                        }
+                    )
+                    continue
+                w, h, rows = dec
+                hi, lo = dhash_of(w, h, rows)
+                metas.append(
+                    {
+                        "width": int(w),
+                        "height": int(h),
+                        "phash_hi": int(hi),
+                        "phash_lo": int(lo),
+                        "decoder": "png",
+                    }
+                )
+            out = pdf[passthrough].copy()
+            out["dhash"] = metas
+            yield out
+
+    return df.mapInPandas(dhash_batches, out_schema)
+
+
+AUDIO_DECIMATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_stream_samples", T.LongType()),
+        T.StructField("n_out_samples", T.LongType()),
+        T.StructField("sum_out", T.LongType()),
+        T.StructField("checksum_out", T.LongType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def audio_decimate_stats(
+    df: DataFrame, payload_col: str = "payload", factor: int = 2
+) -> DataFrame:
+    """Integer decimation resample over REAL decoded PCM — the
+    sample-rate-reduction stage of an audio pipeline, in EXACT
+    arithmetic (a real resampler adds an anti-alias FIR; the
+    floor-mean of each consecutive pair IS the 2-tap boxcar case, and
+    it is bit-portable where a float FIR is not): output sample
+    ``y_k = floor((s_{fk} + … + s_{fk+f-1}) / f)`` over the decoded
+    16-bit LE stream, trailing partial window dropped. Emits the
+    decimated census (count, exact sum, position-weighted checksum) —
+    the downstream fingerprint contract without shipping the samples.
+    O(stream) per blob inside Arrow ``mapInPandas``; numpy reshape does
+    the fold, Python only parses the RIFF container.
+    """
+    in_fields = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = T.StructType(
+        [*in_fields, T.StructField("decimated", AUDIO_DECIMATE_SCHEMA)]
+    )
+    passthrough = [f.name for f in in_fields]
+    ff = int(factor)
+    if ff < 2:
+        raise ValueError("factor must be >= 2")
+
+    def decim_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure (see decode_media): ships by value
+        import struct as _struct
+
+        import numpy as _np
+
+        def parse_stream(data: bytes):
+            n = len(data)
+            if n < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+                return None
+            off = 12
+            bits = None
+            body = None
+            while off + 8 <= n:
+                cid = data[off : off + 4]
+                (clen,) = _struct.unpack("<I", data[off + 4 : off + 8])
+                payload = data[off + 8 : off + 8 + clen]
+                if cid == b"fmt " and clen >= 16:
+                    bits = _struct.unpack("<HHIIHH", payload[:16])[5]
+                elif cid == b"data":
+                    body = payload
+                off += 8 + clen + (clen & 1)  # RIFF even-padding rule
+            if bits != 16 or body is None:
+                return None
+            return body
+
+        for pdf in batches:
+            metas = []
+            for payload in pdf[payload_col]:
+                data = bytes(payload) if payload is not None else b""
+                try:
+                    body = parse_stream(data)
+                except Exception:
+                    body = None
+                if body is None or len(body) < 2 * ff:
+                    metas.append(
+                        {
+                            "n_stream_samples": (
+                                len(body) // 2 if body is not None else 0
+                            ),
+                            "n_out_samples": 0,
+                            "sum_out": 0,
+                            "checksum_out": 0,
+                            "decoder": "stub",
+                        }
+                    )
+                    continue
+                arr = _np.frombuffer(
+                    body[: (len(body) // 2) * 2], dtype="<i2"
+                ).astype(_np.int64)
+                nss = arr.size
+                n_out = nss // ff
+                folded = arr[: n_out * ff].reshape(n_out, ff).sum(axis=1)
+                y = _np.floor_divide(folded, ff)  # floor, not truncation
+                metas.append(
+                    {
+                        "n_stream_samples": int(nss),
+                        "n_out_samples": int(n_out),
+                        "sum_out": int(y.sum()),
+                        "checksum_out": int(
+                            (y * _np.arange(1, n_out + 1)).sum()
+                        ),
+                        "decoder": "wav",
+                    }
+                )
+            out = pdf[passthrough].copy()
+            out["decimated"] = metas
+            yield out
+
+    return df.mapInPandas(decim_batches, out_schema)

@@ -5028,3 +5028,107 @@ def test_ngram_dfcap_equals_plain_when_cap_unbinding(spark):
         df, "doc_id", "text", shingle_n=2, jaccard_threshold=0.4, df_cap=1
     ).collect()
     assert tight == []
+
+
+def test_gif_interlaced_deinterlaces_to_raster(spark):
+    """An interlaced GIF (rows stored in the 4-pass spec order, flag
+    0x40) must decode to the SAME raster stats as its non-interlaced
+    twin — any off-by-one in the row remap shifts the position-weighted
+    checksum."""
+    import struct
+
+    w, h = 8, 16
+    rows_raster = [
+        bytes((7 * x + 13 * y + 42) % 256 for x in range(w))
+        for y in range(h)
+    ]
+    order = [
+        y
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+        for y in range(start, h, step)
+    ]
+    assert sorted(order) == list(range(h)) and order != list(range(h))
+
+    def build(interlaced):
+        src = (
+            [rows_raster[y] for y in order] if interlaced else rows_raster
+        )
+        flat = b"".join(src)
+        # reuse the tested LZW encoder via _tiny_gif's convention
+        g = bytearray(_tiny_gif(w, h, [(0, flat)]))
+        if interlaced:
+            # set the interlace bit in the image descriptor's packed
+            # byte (offset: header 13 + GCT 768 + GCE 8 + 0x2C + 8)
+            i = 13 + 768 + 8 + 9
+            assert g[i - 9] == 0x2C
+            g[i] |= 0x40
+        return bytes(g)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(build(False))), (2, bytearray(build(True)))],
+        "doc_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in mm.gif_frame_stats(df).collect()}
+    assert out[1]["decoder"] == out[2]["decoder"] == "gif"
+    assert out[1]["pix_sum"] == out[2]["pix_sum"]
+    assert out[1]["pix_checksum"] == out[2]["pix_checksum"]
+    flat = b"".join(rows_raster)
+    assert out[1]["pix_checksum"] == sum(
+        v * (i + 1) for i, v in enumerate(flat)
+    )
+    struct  # silence unused in case of refactor
+
+
+def test_image_dhash_gradient_bits(spark):
+    """dHash on a horizontal gradient = all-ones; on a constant image =
+    all-zeros (strict >). Uses real PNG byte streams."""
+    import struct, zlib
+
+    def png_gray(w, h, pix):
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+        raw = b"".join(
+            b"\x00" + bytes(pix(x, y) for x in range(w)) for y in range(h)
+        )
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    rows = [
+        (1, bytearray(png_gray(16, 8, lambda x, y: x * 10))),   # rising
+        (2, bytearray(png_gray(16, 8, lambda x, y: 100))),      # flat
+        (3, None),                                               # stub
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r["dhash"] for r in mm.image_dhash(df).collect()}
+    assert out[1]["phash_hi"] == out[1]["phash_lo"] == 0xFFFFFFFF
+    assert out[2]["phash_hi"] == out[2]["phash_lo"] == 0
+    assert out[3]["decoder"] == "stub"
+
+
+def test_audio_decimate_floor_semantics(spark):
+    """Pair floor-mean must FLOOR (not truncate toward zero) on negative
+    sums — the cross-engine division trap the oracle pins."""
+    import struct
+
+    samples = [-3, -4, 5, 6, -1, 2, 7]  # pairs: (-7)//2=-4, 11//2=5, 1//2=0; trailing 7 dropped
+    body = struct.pack("<%dh" % len(samples), *samples)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 24 + 8 + len(body)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(wav))], "doc_id long, payload binary"
+    )
+    r = mm.audio_decimate_stats(df).select("decimated.*").collect()[0]
+    assert r["decoder"] == "wav"
+    assert r["n_stream_samples"] == 7 and r["n_out_samples"] == 3
+    assert r["sum_out"] == (-4) + 5 + 0
+    assert r["checksum_out"] == (-4) * 1 + 5 * 2 + 0 * 3
