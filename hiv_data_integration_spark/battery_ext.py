@@ -11810,6 +11810,74 @@ def q_media_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _media_census(payloads.withColumn("media_type", _media_type_col()))
 
 
+def q_streaming_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECODE-IN-STREAM blob ingest: the synthesized animated-GIF corpus
+    arrives as a parquet file stream and the REAL codec
+    (``multimodal.gif_frame_stats`` — container walk + LZW + palette,
+    an Arrow ``mapInPandas`` stage INSIDE the stream) runs per
+    micro-batch, feeding a complete-mode per-clip-length census. The
+    oracle aggregates the same closed-form frame stats the batch entry
+    pins, so streaming decode must be bit-identical to batch decode.
+    Stateless decode + one bounded running aggregate (≤4 clip-length
+    groups) — the shape of a production media-lake ingest where decode
+    happens on arrival, not in a later batch sweep."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    src = tempfile.mkdtemp(prefix="gif_feed_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        _gif_payloads(spark, sf_dir).write.mode("overwrite").parquet(
+            f"{src}/feed"
+        )
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        )
+        stream = spark.readStream.format("parquet").schema(schema).load(
+            f"{src}/feed"
+        )
+        frames = mm.gif_frame_stats(stream)
+        census = frames.groupBy("n_frames").agg(
+            F.count("*").cast("long").alias("n_frame_rows"),
+            F.min("media_id").alias("min_doc_id"),
+            F.max("media_id").alias("max_doc_id"),
+            F.sum("pix_sum").cast("long").alias("total_pix"),
+            F.sum("pix_checksum").cast("long").alias("total_checksum"),
+        )
+        name = f"stream_gif_{_uuid.uuid4().hex[:12]}"
+        q = (
+            census.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = _local_result(spark.table(name))
+        spark.catalog.dropTempView(name)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)
+    return out
+
+
+SQL_STREAMING_FRAME_DECODE = f"""
+WITH frame_stats AS ({SQL_GIF_FRAME_DECODE})
+SELECT CAST(n_frames AS INTEGER) AS n_frames,
+       CAST(count(*) AS BIGINT) AS n_frame_rows,
+       MIN(media_id) AS min_doc_id,
+       MAX(media_id) AS max_doc_id,
+       CAST(SUM(pix_sum) AS BIGINT) AS total_pix,
+       CAST(SUM(pix_checksum) AS BIGINT) AS total_checksum
+FROM frame_stats GROUP BY n_frames
+"""
+
+
 def q_streaming_media_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming blob-lake triage: the synthesized mixed-media corpus is
     written to a file feed, payloads ARRIVE as a parquet stream, and the
@@ -12889,6 +12957,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "multimodal_phash_clusters": q_phash_clusters,
     "multimodal_media_router": q_media_router,
     "streaming_media_router": _retry_stream_once(q_streaming_media_router),
+    "streaming_frame_decode": _retry_stream_once(q_streaming_frame_decode),
     "data_temporal_split_purged": q_temporal_split_purged,
     "corpus_gate_funnel": q_gate_funnel,
     "text_stopword_matrix": q_stopword_matrix,
@@ -13389,6 +13458,7 @@ FROM events GROUP BY 1, 2
     "multimodal_decode_stub": SQL_DECODE_STUB,
     "multimodal_frame_decode": SQL_GIF_FRAME_DECODE,
     "multimodal_gif_interlaced": SQL_GIF_INTERLACED,
+    "streaming_frame_decode": SQL_STREAMING_FRAME_DECODE,
     "multimodal_frame_sample": SQL_GIF_FRAME_SAMPLE,
     "multimodal_audio_haar_bands": SQL_AUDIO_HAAR,
     "multimodal_audio_decimate": SQL_AUDIO_DECIMATE,

@@ -701,6 +701,11 @@ def _make_gif_decoder():
     importable; see ``decode_media`` for the convention)."""
     import struct as _struct
 
+    # per-alphabet root-table templates, built once and C-copied on
+    # every clear code (rebuilding 256 one-byte entries per frame was a
+    # third of the decode cost at 17.5k frames/battery-run)
+    _roots: dict[int, dict[int, bytes]] = {}
+
     def lzw_decode(stream: bytes, mcs: int, expect: int):
         clear = 1 << mcs
         eoi = clear + 1
@@ -720,8 +725,13 @@ def _make_gif_decoder():
             bitpos += size
             return val
 
+        base = _roots.get(clear)
+        if base is None:
+            base = {i: bytes([i]) for i in range(clear)}
+            _roots[clear] = base
+
         def fresh():
-            return {i: bytes([i]) for i in range(clear)}
+            return dict(base)
 
         table = fresh()
         next_code = eoi + 1
