@@ -6,13 +6,15 @@ metadata struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` stages so payloads stream through Python in
 columnar batches (never row-at-a-time, never collected to the driver).
 
-Decoding tiers: PIL when importable (not in this container), then a REAL
-stdlib PNG decoder (signature + IHDR dimensions + zlib-inflated IDAT —
-the format is public, no library needed), then a clearly-marked
-deterministic fake derived from the payload bytes for media types the
-container cannot parse (JPEG/audio/video). The Spark-side plumbing —
-schema, partitioning, UDF signature, batch shapes — is real and tested
-end-to-end with hand-built PNG byte streams.
+Decoding tiers: PIL when importable (not in this container), then REAL
+stdlib codecs for the public formats — PNG (signature + IHDR +
+zlib-inflated IDAT + unfilter), WAV/RIFF (chunk walk + 16-bit PCM), and
+GIF87a/89a (logical screen walk, variable-width LZW validated against an
+independently published code/pixel sample, 4-pass deinterlace,
+palette→luma) — then a clearly-marked deterministic fake for media the
+container cannot parse (JPEG). The Spark-side plumbing — schema,
+partitioning, UDF signature, batch shapes — is real and tested
+end-to-end with hand-built byte streams.
 """
 
 from __future__ import annotations
