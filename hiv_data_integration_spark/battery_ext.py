@@ -11385,6 +11385,130 @@ def _gif_payloads(
     return out
 
 
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM PYTHON DATA SOURCE (the Spark 4 `pyspark.sql.datasource`
+    API — the extension point the reference's bespoke REST/file readers
+    would use for sources Spark lacks a connector for): a deterministic
+    partitioned sequence source with SOURCE-SIDE FILTER PUSHDOWN —
+    ``pushFilters`` consumes `id >=` / `id <` bounds by narrowing the
+    partition ranges (returning only the unconsumed filters, per the
+    AND-list contract), so workers never materialize pruned rows. The
+    class tree is defined inside this function (cloudpickle ships it by
+    value — the driver's own session workers don't have this repo on
+    their import path). Results are config-independent: when
+    ``spark.sql.python.filterPushdown.enabled`` is off Spark re-applies
+    the same predicates post-scan; the unit test drives pushFilters
+    directly to prove the partition narrowing. The oracle rebuilds the
+    sequence arithmetic from ``range()``."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        GreaterThanOrEqual,
+        InputPartition,
+        LessThan,
+    )
+
+    class _SeqPartition(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start, self.end = start, end
+
+    class _SeqReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", 200_000))
+            self.nparts = int(options.get("parts", 16))
+            self.lo = 0
+            self.hi = self.n
+
+        def partitions(self):
+            lo, hi = self.lo, max(self.lo, self.hi)
+            span = max(1, (hi - lo + self.nparts - 1) // self.nparts)
+            return [
+                _SeqPartition(s, min(s + span, hi))
+                for s in range(lo, hi, span)
+            ]
+
+        def read(self, partition):
+            for i in range(partition.start, partition.end):
+                yield (i, i % 7, (i * 2654435761) % 1000)
+
+    class _SeqReaderPushdown(_SeqReader):
+        # Spark REFUSES a reader that defines pushFilters while
+        # spark.sql.python.filterPushdown.enabled is false, so the
+        # pushdown tier is a subclass selected per session conf —
+        # results are identical either way (Spark re-applies the
+        # predicates post-scan on the plain tier)
+        def pushFilters(self, filters):
+            for f in filters:
+                # consume only single-column bounds on `id`; everything
+                # else is returned for Spark to evaluate post-scan
+                if (
+                    isinstance(f, GreaterThanOrEqual)
+                    and f.attribute == ("id",)
+                    and isinstance(f.value, int)
+                ):
+                    self.lo = max(self.lo, f.value)
+                elif (
+                    isinstance(f, LessThan)
+                    and f.attribute == ("id",)
+                    and isinstance(f.value, int)
+                ):
+                    self.hi = min(self.hi, f.value)
+                else:
+                    yield f
+
+    class SeqDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "graft_seq"
+
+        def schema(self) -> str:
+            return "id bigint, bucket int, val bigint"
+
+        def reader(self, schema):
+            if self.options.get("pushdown", "false") == "true":
+                return _SeqReaderPushdown(self.options)
+            return _SeqReader(self.options)
+
+    spark.dataSource.register(SeqDataSource)
+    pd_enabled = (
+        spark.conf.get(
+            "spark.sql.python.filterPushdown.enabled", "false"
+        )
+        or "false"
+    ).lower() == "true"
+    df = (
+        spark.read.format("graft_seq")
+        .option("n", 200_000)
+        .option("parts", 16)
+        .option("pushdown", "true" if pd_enabled else "false")
+        .load()
+    )
+    return (
+        df.filter((F.col("id") >= 12_345) & (F.col("id") < 180_000))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+            F.sum("val").cast("long").alias("sum_val"),
+        )
+    )
+
+
+SQL_PYTHON_DATASOURCE = """
+WITH t AS (
+    SELECT i AS id, CAST(i % 7 AS INTEGER) AS bucket,
+           (i * 2654435761) % 1000 AS val
+    FROM range(0, 200000) r(i)
+    WHERE i >= 12345 AND i < 180000
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       MIN(id) AS min_id, MAX(id) AS max_id,
+       CAST(SUM(val) AS BIGINT) AS sum_val
+FROM t GROUP BY bucket
+"""
+
+
 def q_gif_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL animated-GIF frame decode (the video leg's actual codec,
     retiring the last synthetic frame path): stage 1 synthesizes a
@@ -13132,6 +13256,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "embed_ann_recall": q_ann_recall,
     "multimodal_payload_meta": q_payload_meta,
     "multimodal_decode_stub": q_decode_media_stub,
+    "python_datasource_scan": q_python_datasource,
     "multimodal_frame_decode": q_gif_frame_decode,
     "multimodal_gif_interlaced": q_gif_interlaced,
     "multimodal_frame_sample": q_gif_frame_sample,
@@ -13456,6 +13581,7 @@ SELECT event_type, date_trunc('hour', ts) AS window_start,
 FROM events GROUP BY 1, 2
 """,
     "multimodal_decode_stub": SQL_DECODE_STUB,
+    "python_datasource_scan": SQL_PYTHON_DATASOURCE,
     "multimodal_frame_decode": SQL_GIF_FRAME_DECODE,
     "multimodal_gif_interlaced": SQL_GIF_INTERLACED,
     "streaming_frame_decode": SQL_STREAMING_FRAME_DECODE,

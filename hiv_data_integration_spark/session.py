@@ -58,6 +58,10 @@ def get_spark(
         # parquet scans: keep filter pushdown + schema pruning observable
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # let custom Python data sources (pyspark.sql.datasource) consume
+        # pushed filters at the source; readers stay conf-adaptive so
+        # sessions without this flag (e.g. the driver's) still work
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # the report pipelines project 154-236 contract columns plus one
         # __color column each — far past the default maxFields=100, which
         # silently drops the ENTIRE wide path out of whole-stage codegen

@@ -5132,3 +5132,37 @@ def test_audio_decimate_floor_semantics(spark):
     assert r["n_stream_samples"] == 7 and r["n_out_samples"] == 3
     assert r["sum_out"] == (-4) + 5 + 0
     assert r["checksum_out"] == (-4) * 1 + 5 * 2 + 0 * 3
+
+
+def test_python_datasource_plain_and_pushdown_tiers_agree(spark):
+    """The custom Python data source must return identical results on
+    its plain tier (driver-style sessions without
+    spark.sql.python.filterPushdown.enabled — Spark refuses a reader
+    that merely DEFINES pushFilters there) and its pushdown tier
+    (bounds consumed at the source by narrowing partition ranges)."""
+    from hiv_data_integration_spark.battery_ext import q_python_datasource
+
+    df = q_python_datasource(spark, "/root/testdata/sf0.001")
+    rows = {
+        r["bucket"]: (r["n_rows"], r["min_id"], r["max_id"])
+        for r in df.collect()
+    }
+    assert len(rows) == 7
+    assert sum(n for n, _, _ in rows.values()) == 180_000 - 12_345
+    # derivation: ids 12345..179999; bucket b count = #{i : i % 7 == b}
+    assert rows[12_345 % 7][1] == 12_345  # min id lands in its bucket
+
+    # both tiers, same bounded read (the entry registered the source)
+    for tier in ("false", "true"):
+        bounded = (
+            spark.read.format("graft_seq")
+            .option("n", 1000)
+            .option("parts", 4)
+            .option("pushdown", tier)
+            .load()
+            .filter("id >= 900 and id < 950")
+        )
+        assert bounded.count() == 50, tier
+        assert bounded.agg({"val": "sum"}).collect()[0][0] == sum(
+            (i * 2654435761) % 1000 for i in range(900, 950)
+        ), tier
