@@ -5166,3 +5166,100 @@ def test_python_datasource_plain_and_pushdown_tiers_agree(spark):
         assert bounded.agg({"val": "sum"}).collect()[0][0] == sum(
             (i * 2654435761) % 1000 for i in range(900, 950)
         ), tier
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=8).flatmap(
+        lambda mcs: st.tuples(
+            st.just(mcs),
+            st.lists(
+                st.integers(min_value=0, max_value=(1 << mcs) - 1),
+                min_size=1,
+                max_size=800,
+            ),
+        )
+    )
+)
+def test_gif_lzw_round_trip_property(mcs_and_indices):
+    """Property: decode(encode(x)) == x for any alphabet size 2^2..2^8
+    and any index stream — the encoder and decoder share the GIF
+    variable-width convention (validated against the published sample
+    in test_gif_decoder_flickinger_sample, so this is conformance
+    transport, not mutual-delusion insurance alone)."""
+    import struct
+
+    from hiv_data_integration_spark.operators.multimodal import (
+        _make_gif_decoder,
+    )
+
+    mcs, idx_list = mcs_and_indices
+    indices = bytes(idx_list)
+    # wrap in a minimal container with an identity palette sized exactly
+    # to the alphabet (GCT size field: 2^(field+1) = 2^mcs entries),
+    # dims (len, 1) so expect == len(indices)
+    w, h = len(indices), 1
+    pal_bits = mcs - 1
+    n_pal = 1 << mcs
+    buf = bytearray(b"GIF89a")
+    buf += struct.pack("<HHBBB", w, h, 0x80 | pal_bits, 0, 0)
+    for i in range(n_pal):
+        buf += bytes((i, i, i))
+    buf += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    buf.append(mcs)
+    data = _lzw_encode_for_tests(indices, mcs)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        buf.append(len(chunk))
+        buf += chunk
+    buf.append(0)
+    buf += b"\x3b"
+    res = _make_gif_decoder()(bytes(buf))
+    assert res is not None
+    _w, _h, frames = res
+    assert len(frames) == 1
+    # identity palette: decoded luma equals the index stream exactly
+    assert frames[0][3] == indices
+
+
+def _lzw_encode_for_tests(indices: bytes, mcs: int) -> bytes:
+    """The same GIF LZW encoder convention the battery synthesis uses."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out, cur, curbits = bytearray(), 0, 0
+    code_size = mcs + 1
+
+    def emit(code):
+        nonlocal cur, curbits
+        cur |= code << curbits
+        curbits += code_size
+        while curbits >= 8:
+            out.append(cur & 0xFF)
+            cur >>= 8
+            curbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    prev = b""
+    for b in indices:
+        cand = prev + bytes([b])
+        if cand in table:
+            prev = cand
+            continue
+        emit(table[prev])
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code >= 4000:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = mcs + 1
+        prev = bytes([b])
+    if prev:
+        emit(table[prev])
+    emit(eoi)
+    if curbits:
+        out.append(cur & 0xFF)
+    return bytes(out)
