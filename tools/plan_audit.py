@@ -52,6 +52,7 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard_pairs",
     "dedup_ngram_dfcap_pairs",
+    "python_datasource_scan",
     "embed_cosine_topk",
     "embed_ivf_topk_label",
     "embed_ann_recall",
