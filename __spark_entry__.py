@@ -49,8 +49,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # Rotating a round's window out = append its verified names to a new
 # _R{N}_GREEN list (in CORRECTNESS_r{N} order), delete them from the
 # older tier lists they came from, and keep the remaining tiers'
-# relative order unchanged. Round-10 window: new round-10 entries,
-# then the 21 remaining _R3_GREEN, then the head of _R4_GREEN.
+# relative order unchanged. Round-11 window: new round-11 entries,
+# then the 28 remaining _R4_GREEN, then the head of _R5_GREEN.
 _PENDING_NEVER_VERIFIED: list[str] = [
     # drained in round 8 — every battery entry has official driver
     # signal; new rounds' additions flow through new_this_round below
@@ -102,38 +102,22 @@ _R2_GREEN_STALE: list[str] = [
     # fully drained: 7 re-verified in round 8 (→ _R8_GREEN), the
     # remaining 22 re-verified in round 9 (→ _R9_GREEN)
 ]
-_R3_GREEN = [
-    # (head 19 re-verified in round 9 → moved to _R9_GREEN)
-    "except_balance_buckets", "range_join_events", "asof_last_event_per_day",
-    "string_agg_nations", "correlated_subquery_balance", "embed_vector_norms",
-    "skyline_suppliers", "corpus_token_packing", "quality_decile_stats",
-    "source_quota_cap", "funnel_events", "cohort_retention_events",
-    "null_preserving_sum", "window_lag_events", "tumbling_window_events",
-    "sessionize_events", "org_uuid5_ids", "multimodal_decode_stub",
-    # (multimodal_frame_sample_stub retired r10 -> multimodal_frame_sample,
-    # real GIF decode)
-    "embed_cosine_topk",
-    "embed_ivf_topk_label",
+_R3_GREEN: list[str] = [
+    # fully drained: head 19 re-verified in round 9 (→ _R9_GREEN), the
+    # remaining 20 re-verified in round 10 (→ _R10_GREEN)
 ]
 _R4_GREEN = [
-    "data_split_sample", "jsonl_corpus_roundtrip", "streaming_pii_redaction",
-    "corpus_dataset_card", "embed_ann_recall", "llm_corpus_prep",
-    "streaming_corpus_chunking", "corpus_unigram_logprob",
-    "dedup_canonical_corpus", "fuzzy_resolve_suppliers",
-    "xlsx_report_roundtrip", "csv_per_period_export", "json_dict_scan",
-    "registry_upsert_state", "dedup_ngram_prefix_filter",
-    "zorder_clustered_scan", "dedup_semantic_clusters",
-    "dedup_incremental_batch", "corpus_shuffle_shards",
-    "orc_source_roundtrip", "dataset_diff_audit", "compaction_plan_bins",
-    "text_clean_corpus", "trailing_window_features", "corpus_mixture_sample",
-    "asof_join_two_table", "profile_numeric_histogram",
-    "profile_completeness", "embed_lsh_ann_topk", "multimodal_payload_meta",
-    "fuzzy_normalize_fold", "rest_fanout_analytics", "flagship_pnls_chain",
-    "pricing_summary", "filter_membership", "date_range_filter",
-    "conditional_bucket", "join_fact_dim", "multi_hop_join",
-    "semi_join_orders", "anti_join_customers", "cross_join_replicate",
-    "union_relaxed", "distinct_pairs", "pivot_sum_returnflag",
-    "pivot_min_status", "semester_rollup", "topk_customers",
+    # (head 20 re-verified in round 10 → moved to _R10_GREEN)
+    "dataset_diff_audit", "compaction_plan_bins", "text_clean_corpus",
+    "trailing_window_features", "corpus_mixture_sample", "asof_join_two_table",
+    "profile_numeric_histogram", "profile_completeness", "embed_lsh_ann_topk",
+    "multimodal_payload_meta", "fuzzy_normalize_fold", "rest_fanout_analytics",
+    "flagship_pnls_chain", "pricing_summary", "filter_membership",
+    "date_range_filter", "conditional_bucket", "join_fact_dim",
+    "multi_hop_join", "semi_join_orders", "anti_join_customers",
+    "cross_join_replicate", "union_relaxed", "distinct_pairs",
+    "pivot_sum_returnflag", "pivot_min_status", "semester_rollup",
+    "topk_customers",
 ]
 _R7_GREEN = [
     "graph_pagerank_fixed_point", "group_split_no_leakage",
@@ -216,6 +200,31 @@ _R9_GREEN = [
     "rollup_lineitem", "cube_orders", "grouping_sets_orders",
     "count_distinct_parts", "grouped_quantiles", "intersect_nations",
 ]
+_R10_GREEN = [
+    # the full round-10 driver window (CORRECTNESS_r10 order, 50/50
+    # green): the 10 round-10 additions, the 20 remaining _R3_GREEN,
+    # and the first 20 of _R4_GREEN
+    "multimodal_image_dhash", "streaming_frame_decode",
+    "multimodal_resize_thumb", "dedup_ngram_dfcap_pairs",
+    "python_datasource_scan", "multimodal_frame_decode",
+    "multimodal_gif_interlaced", "multimodal_frame_sample",
+    "multimodal_audio_haar_bands", "multimodal_audio_decimate",
+    "except_balance_buckets", "range_join_events", "asof_last_event_per_day",
+    "string_agg_nations", "correlated_subquery_balance", "embed_vector_norms",
+    "skyline_suppliers", "corpus_token_packing", "quality_decile_stats",
+    "source_quota_cap", "funnel_events", "cohort_retention_events",
+    "null_preserving_sum", "window_lag_events", "tumbling_window_events",
+    "sessionize_events", "org_uuid5_ids", "multimodal_decode_stub",
+    "embed_cosine_topk", "embed_ivf_topk_label", "data_split_sample",
+    "jsonl_corpus_roundtrip", "streaming_pii_redaction", "corpus_dataset_card",
+    "embed_ann_recall", "llm_corpus_prep", "streaming_corpus_chunking",
+    "corpus_unigram_logprob", "dedup_canonical_corpus",
+    "fuzzy_resolve_suppliers", "xlsx_report_roundtrip",
+    "csv_per_period_export", "json_dict_scan", "registry_upsert_state",
+    "dedup_ngram_prefix_filter", "zorder_clustered_scan",
+    "dedup_semantic_clusters", "dedup_incremental_batch",
+    "corpus_shuffle_shards", "orc_source_roundtrip",
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -228,7 +237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         set(_PENDING_NEVER_VERIFIED) | set(_R2_GREEN_STALE)
         | set(_R3_GREEN) | set(_R4_GREEN) | set(_R5_GREEN)
         | set(_R6_GREEN) | set(_R7_GREEN) | set(_R8_GREEN)
-        | set(_R9_GREEN)
+        | set(_R9_GREEN) | set(_R10_GREEN)
     )
     new_this_round = [k for k in merged if k not in tiered]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -243,6 +252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _R7_GREEN,
         _R8_GREEN,
         _R9_GREEN,
+        _R10_GREEN,
     ):
         for k in tier:
             if k in merged and k not in ordered:

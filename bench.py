@@ -189,9 +189,17 @@ def main() -> None:
         )
         if ratios:
             over = sum(1 for r in ratios if r > 1.5)
+            n = len(ratios)
+            true_median = (
+                ratios[n // 2]
+                if n % 2
+                else (ratios[n // 2 - 1] + ratios[n // 2]) / 2
+            )
             drift = {
-                "floor_ratio_median": round(ratios[len(ratios) // 2], 2),
-                "floor_ratio_p90": round(ratios[int(len(ratios) * 0.9)], 2),
+                "floor_ratio_median": round(true_median, 2),
+                "floor_ratio_p90": round(
+                    ratios[min(n - 1, int(n * 0.9))], 2
+                ),
                 "n_over_floor_1_5x": over,
                 "n_floored": len(ratios),
                 "drift_suspect": over >= DRIFT_SUSPECT_MIN_EXCEEDANCES,

@@ -10645,7 +10645,9 @@ def _wav_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     with doc-derived rate/channels, and a ``data`` chunk with real
     deterministic sample bytes (byte i = (i·7 + doc_id) % 256). Returns
     ``(doc_id, payload)``."""
-    docs = tbl(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        tbl(spark, sf_dir, "documents").select("doc_id").repartition(32)
+    )
 
     synth_schema = T.StructType(
         [
@@ -10831,8 +10833,18 @@ FROM p
 # all read the hashed frame). Keyed by applicationId so a new session
 # (e.g. the hostile drive) never sees another context's checkpoint
 # blocks; entries are a few thousand 40-byte rows, so the cache is
-# bounded and lives until the context dies.
-_PHASH_CACHE: dict[tuple[str, str], DataFrame] = {}
+# bounded. Writes evict every entry from OTHER applicationIds (a
+# long-lived driver that stops/recreates SparkSessions would otherwise
+# accumulate dead DataFrame refs pinning checkpoint blocks forever).
+_PHASH_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _evict_dead_sessions(cache: dict, app_id: str) -> None:
+    """Drop cache entries from SparkContexts other than the live one —
+    their checkpoint blocks are unreachable (or worse, pinned) once the
+    owning session stops."""
+    for k in [k for k in cache if k[0] != app_id]:
+        del cache[k]
 
 
 def _png_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10846,7 +10858,12 @@ def _png_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _PHASH_CACHE.get(key)
     if cached is not None:
         return cached
-    docs = tbl(spark, sf_dir, "documents").select("doc_id")
+    # the documents table is one small parquet split — without a
+    # repartition the pure-Python encode (and everything the cached
+    # frame feeds) would run on ONE core of local[32]
+    docs = (
+        tbl(spark, sf_dir, "documents").select("doc_id").repartition(32)
+    )
 
     synth_schema = T.StructType(
         [
@@ -10897,6 +10914,7 @@ def _png_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = docs.mapInPandas(synth_batches, synth_schema).localCheckpoint(
         eager=True
     )
+    _evict_dead_sessions(_PHASH_CACHE, key[0])
     _PHASH_CACHE[key] = out
     return out
 
@@ -10924,6 +10942,7 @@ def _phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ahash.phash_lo").alias("phash_lo"),
         F.col("ahash.decoder").alias("decoder"),
     ).localCheckpoint(eager=True)
+    _evict_dead_sessions(_PHASH_CACHE, key[0])
     _PHASH_CACHE[key] = out
     return out
 
@@ -11255,7 +11274,11 @@ def _gif_payloads(
     cached = _GIF_CACHE.get(key)
     if cached is not None:
         return cached
-    docs = tbl(spark, sf_dir, "documents").select("doc_id")
+    # one small parquet split in -> repartition so the per-payload
+    # Python encode parallelizes across the session's cores
+    docs = (
+        tbl(spark, sf_dir, "documents").select("doc_id").repartition(32)
+    )
 
     synth_schema = T.StructType(
         [
@@ -11268,7 +11291,10 @@ def _gif_payloads(
         # self-contained closure (ships by value; see decode_media)
         import struct as _struct
 
+        import numpy as _np
         import pandas as _pd
+
+        _enc_roots: dict[int, dict[bytes, int]] = {}
 
         def lzw_encode(indices: bytes, mcs: int) -> bytes:
             clear = 1 << mcs
@@ -11287,8 +11313,13 @@ def _gif_payloads(
                     cur >>= 8
                     curbits -= 8
 
+            base = _enc_roots.get(clear)
+            if base is None:
+                base = {bytes([i]): i for i in range(clear)}
+                _enc_roots[clear] = base
+
             def fresh():
-                return {bytes([i]): i for i in range(clear)}
+                return dict(base)
 
             table = fresh()
             next_code = eoi + 1
@@ -11348,13 +11379,15 @@ def _gif_payloads(
                 )
                 fpacked = 0x40 if interlaced else 0
                 buf += b"\x2c" + _struct.pack("<HHHHB", 0, 0, w, h, fpacked)
-                rows = [
-                    bytes(
-                        (7 * x + 13 * y + 11 * f + doc_id) % 256
-                        for x in range(w)
-                    )
-                    for y in range(h)
-                ]
+                # pixel(x,y) = (7x + 13y + 11f + doc_id) % 256 — one
+                # vectorized grid instead of w·h Python-level mod ops
+                grid = (
+                    7 * _np.arange(w, dtype=_np.int64)[None, :]
+                    + 13 * _np.arange(h, dtype=_np.int64)[:, None]
+                    + (11 * f + doc_id)
+                ) % 256
+                grid = grid.astype(_np.uint8)
+                rows = [grid[y].tobytes() for y in range(h)]
                 if interlaced:
                     # store rows in the 4-pass interlace order the spec
                     # defines; the decoder must invert this exactly
@@ -11381,6 +11414,7 @@ def _gif_payloads(
     out = docs.mapInPandas(synth_batches, synth_schema).localCheckpoint(
         eager=True
     )
+    _evict_dead_sessions(_GIF_CACHE, key[0])
     _GIF_CACHE[key] = out
     return out
 
@@ -11421,6 +11455,11 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def partitions(self):
             lo, hi = self.lo, max(self.lo, self.hi)
+            if lo >= hi:
+                # a fully-pruning predicate must yield 0 rows, not crash:
+                # PySpark substitutes [None] for an empty partition list
+                # and read(None) would die on partition.start
+                return [_SeqPartition(lo, lo)]
             span = max(1, (hi - lo + self.nparts - 1) // self.nparts)
             return [
                 _SeqPartition(s, min(s + span, hi))
@@ -11509,6 +11548,146 @@ FROM t GROUP BY bucket
 """
 
 
+def _make_seq_stream_source():
+    """Build the streaming sequence DataSource class tree (classes are
+    defined inside a function so cloudpickle ships them by value — the
+    driver's own session workers don't have this repo importable; see
+    ``q_python_datasource``). Returned class is also driven directly by
+    the unit tests to pin the offset/replay contract without a session.
+    """
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    class _SeqStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", 120_000))
+            self.step = int(options.get("step", 30_000))
+
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def read(self, start):
+            pos = int(start["pos"])
+            end = min(pos + self.step, self.n)
+            rows = [
+                (i, i % 7, (i * 2654435761) % 1000)
+                for i in range(pos, end)
+            ]
+            # a list_iterator: the engine requires an iterator here and
+            # its prefetch cache copy.copy()s it, which a generator
+            # can't survive
+            return iter(rows), {"pos": end}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(
+                [
+                    (i, i % 7, (i * 2654435761) % 1000)
+                    for i in range(int(start["pos"]), int(end["pos"]))
+                ]
+            )
+
+    class SeqStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "graft_seq_stream"
+
+        def schema(self) -> str:
+            return "id bigint, bucket int, val bigint"
+
+        def simpleStreamReader(self, schema):
+            return _SeqStreamReader(self.options)
+
+    return SeqStreamSource
+
+
+def q_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CUSTOM PYTHON DATA SOURCE (the `simpleStreamReader`
+    tier of the Spark 4 `pyspark.sql.datasource` API — completing the
+    custom-source story `python_datasource_scan` opened on the batch
+    side): a deterministic offset-ranged sequence source. Offsets are
+    `{"pos": k}` dicts; each `read(start)` returns one materialized
+    micro-batch `[pos, min(pos+step, n))` plus the advanced offset
+    (the engine's prefetch cache copies the returned iterator, so rows
+    must be a list, not a generator), and `readBetweenOffsets` replays
+    any committed range deterministically — the recovery contract. The
+    stream feeds a complete-mode per-bucket census; the entry polls
+    until every row has been consumed (4 offset-ranged micro-batches at
+    n=120k/step=30k — `availableNow` is unsupported for Python stream
+    sources and falls back to a single batch, so a short
+    `processingTime` trigger drives the multi-batch path), then stops.
+    The oracle rebuilds the identical census from `range()` arithmetic.
+    Class tree defined in-function: cloudpickle ships it by value."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    n_rows_total, step = 120_000, 30_000
+    SeqStreamSource = _make_seq_stream_source()
+    spark.dataSource.register(SeqStreamSource)
+    stream = (
+        spark.readStream.format("graft_seq_stream")
+        .option("n", n_rows_total)
+        .option("step", step)
+        .load()
+    )
+    name = f"stream_seq_{_uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        # stateless append-mode ingest (the entry pins the SOURCE
+        # contract — offsets, prefetch, replay — so the sink carries no
+        # state store; a complete-mode variant would pay a
+        # 32-partition state commit per micro-batch for a 7-group agg)
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+        # the source's latestOffset stops advancing once pos reaches n,
+        # so processAllAvailable() blocks until exactly the full row
+        # budget is committed — no sink polling
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+        ingested = spark.table(name)
+        census = ingested.groupBy("bucket").agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+            F.sum("val").cast("long").alias("sum_val"),
+        )
+        out = _local_result(census)
+        consumed = int(
+            out.agg(F.coalesce(F.sum("n_rows"), F.lit(0))).collect()[0][0]
+            or 0
+        )
+        if consumed < n_rows_total:
+            raise RuntimeError(
+                f"stream census incomplete: {consumed}/{n_rows_total}"
+            )
+        spark.catalog.dropTempView(name)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+SQL_PYTHON_DATASOURCE_STREAM = """
+WITH t AS (
+    SELECT i AS id, CAST(i % 7 AS INTEGER) AS bucket,
+           (i * 2654435761) % 1000 AS val
+    FROM range(0, 120000) r(i)
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       MIN(id) AS min_id, MAX(id) AS max_id,
+       CAST(SUM(val) AS BIGINT) AS sum_val
+FROM t GROUP BY bucket
+"""
+
+
 def q_gif_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL animated-GIF frame decode (the video leg's actual codec,
     retiring the last synthetic frame path): stage 1 synthesizes a
@@ -11589,6 +11768,91 @@ SELECT doc_id AS media_id,
        CAST(SUM(v * pos) AS BIGINT) AS pix_checksum,
        'gif' AS decoder
 FROM px GROUP BY doc_id, w, h
+"""
+
+
+def q_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal video analysis over REAL decoded GIF frames: per-frame
+    56-bit block-dHash (``multimodal.gif_frame_dhash`` — decode + hash
+    behind ONE Python fence), then everything temporal is NATIVE Spark:
+    consecutive-frame Hamming delta = lag window + ``bit_count(xor)``,
+    scene cut = delta > 8, per-clip census (n_cuts / max / total
+    delta). The oracle rebuilds every pixel closed-form, re-derives
+    each frame's 8×8 block-sum grid, packs the same 56 gradient-sign
+    bits with integer shifts, and re-runs the lag/xor/bit_count chain —
+    the hash pins the full decode→fingerprint→temporal-delta pipeline
+    end to end. Scale: decode is O(pixels) per blob with no shuffle;
+    the window shuffles once on media_id (clip-sized groups, bounded
+    frames per clip)."""
+    from pyspark.sql.window import Window
+
+    fp = mm.gif_frame_dhash(_gif_payloads(spark, sf_dir))
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    deltas = fp.withColumn(
+        "delta",
+        F.bit_count(
+            F.col("dhash56").bitwiseXOR(F.lag("dhash56").over(w))
+        ),
+    )
+    return deltas.groupBy("media_id").agg(
+        F.max("n_frames").cast("int").alias("n_frames"),
+        F.sum(F.when(F.col("delta") > 8, 1).otherwise(0))
+        .cast("long")
+        .alias("n_cuts"),
+        F.coalesce(F.max("delta"), F.lit(0)).cast("int").alias("max_delta"),
+        F.coalesce(F.sum("delta"), F.lit(0))
+        .cast("long")
+        .alias("sum_delta"),
+        F.min("decoder").alias("decoder"),
+    )
+
+
+SQL_SCENE_CUTS = """
+WITH p AS (
+    SELECT doc_id,
+           8 * (1 + doc_id % 3) AS w,
+           8 * (1 + (doc_id // 3) % 2) AS h,
+           1 + doc_id % 4 AS nf
+    FROM documents
+),
+fr AS (
+    SELECT p.doc_id, p.w, p.h, p.nf, f.f AS fi
+    FROM p, UNNEST(range(0, p.nf)) f(f)
+),
+cell AS (
+    SELECT fr.doc_id, fr.nf, fr.fi,
+           (y.y * 8) // fr.h AS ci, (x.x * 8) // fr.w AS cj,
+           SUM((7 * x.x + 13 * y.y + 11 * fr.fi + fr.doc_id) % 256) AS s
+    FROM fr, UNNEST(range(0, fr.h)) y(y), UNNEST(range(0, fr.w)) x(x)
+    GROUP BY 1, 2, 3, 4, 5
+),
+fp AS (
+    SELECT doc_id, nf, fi,
+           COALESCE(SUM(CASE WHEN nxt > s
+               THEN (CAST(1 AS BIGINT) << CAST(ci * 7 + cj AS INTEGER))
+               ELSE 0 END), 0) AS dhash
+    FROM (
+        SELECT *, LEAD(s) OVER (
+            PARTITION BY doc_id, fi, ci ORDER BY cj) AS nxt
+        FROM cell)
+    WHERE nxt IS NOT NULL
+    GROUP BY doc_id, nf, fi
+),
+delta AS (
+    SELECT doc_id, nf,
+           bit_count(CAST(xor(dhash,
+               LAG(dhash) OVER (PARTITION BY doc_id ORDER BY fi)
+           ) AS BIGINT)) AS d
+    FROM fp
+)
+SELECT doc_id AS media_id,
+       CAST(nf AS INTEGER) AS n_frames,
+       CAST(COALESCE(SUM(CASE WHEN d > 8 THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_cuts,
+       CAST(COALESCE(MAX(d), 0) AS INTEGER) AS max_delta,
+       CAST(COALESCE(SUM(d), 0) AS BIGINT) AS sum_delta,
+       'gif' AS decoder
+FROM delta GROUP BY doc_id, nf
 """
 
 
@@ -11817,7 +12081,9 @@ def _mixed_media_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared synth for the media-router entries: a corpus where every
     third doc is a real PNG, a real WAV, or junk bytes (type =
     doc_id % 3). Returns ``(doc_id, payload)``."""
-    docs = tbl(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        tbl(spark, sf_dir, "documents").select("doc_id").repartition(32)
+    )
 
     synth_schema = T.StructType(
         [
@@ -13257,8 +13523,10 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "multimodal_payload_meta": q_payload_meta,
     "multimodal_decode_stub": q_decode_media_stub,
     "python_datasource_scan": q_python_datasource,
+    "python_datasource_stream": _retry_stream_once(q_python_datasource_stream),
     "multimodal_frame_decode": q_gif_frame_decode,
     "multimodal_gif_interlaced": q_gif_interlaced,
+    "multimodal_scene_cuts": q_scene_cuts,
     "multimodal_frame_sample": q_gif_frame_sample,
     "multimodal_audio_haar_bands": q_audio_haar_bands,
     "multimodal_audio_decimate": q_audio_decimate,
@@ -13582,8 +13850,10 @@ FROM events GROUP BY 1, 2
 """,
     "multimodal_decode_stub": SQL_DECODE_STUB,
     "python_datasource_scan": SQL_PYTHON_DATASOURCE,
+    "python_datasource_stream": SQL_PYTHON_DATASOURCE_STREAM,
     "multimodal_frame_decode": SQL_GIF_FRAME_DECODE,
     "multimodal_gif_interlaced": SQL_GIF_INTERLACED,
+    "multimodal_scene_cuts": SQL_SCENE_CUTS,
     "streaming_frame_decode": SQL_STREAMING_FRAME_DECODE,
     "multimodal_frame_sample": SQL_GIF_FRAME_SAMPLE,
     "multimodal_audio_haar_bands": SQL_AUDIO_HAAR,

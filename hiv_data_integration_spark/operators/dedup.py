@@ -655,6 +655,9 @@ def ngram_jaccard_prefix_pairs(
     jaccard_threshold: float = 0.5,
     block_cols: list[str] | None = None,
     partitions: int | None = None,
+    guard_candidate_factor: float | None = 32.0,
+    guard_df_cap: int = 64,
+    guard_report: dict | None = None,
 ) -> DataFrame:
     """Prefix-filtered exact n-gram-Jaccard pairs (PPJoin-family
     candidate reduction, Xiao et al., WWW'08): IDENTICAL output to
@@ -686,6 +689,26 @@ def ngram_jaccard_prefix_pairs(
     vocabulary-bounded data use :func:`ngram_jaccard_dfcap_pairs`
     (hard linear candidate bound, explicit recall trade) or the
     MinHash bands (probabilistic, distribution-free).
+
+    CANDIDATE-MASS GUARD (the in-plan mitigation for that caveat):
+    before building the candidate join, the operator MEASURES the
+    candidate mass it is about to create and falls back to
+    :func:`ngram_jaccard_dfcap_pairs` (``df_cap=guard_df_cap``) when
+    ``mass > guard_candidate_factor × postings`` — the degenerate
+    corpus shape is detected from its own df profile instead of
+    discovered as a dead executor. Two stages so the common case pays
+    almost nothing: stage 1 bounds prefix mass by the FULL join mass
+    ``Σ_blk,shingle df²`` (one hash-aggregate over the posting
+    profile the operator computes anyway); only if that bound trips
+    does stage 2 compute the EXACT prefix mass ``Σ pdf·df`` (the
+    pre-dedup row count of the a-prefix × b-full join) — on skewed
+    Heaps-law corpora the prefix cut is precisely what keeps the exact
+    mass under the bound, so stage 2 usually re-approves the exact
+    path. ``guard_candidate_factor=None`` disables the guard (the
+    pre-r11 behavior); ``guard_report`` (optional dict) receives the
+    measured numbers + the decision for tests and ops visibility.
+    Both guard probes are O(postings) aggregates — linear in the
+    input, never in the candidate set they protect against.
     """
     block_cols = block_cols or []
     posting, doc_sizes = _ngram_postings(
@@ -709,6 +732,50 @@ def ngram_jaccard_prefix_pairs(
         F.col("_rnk")
         <= F.col("n_sh") - F.ceil(F.lit(jaccard_threshold) * F.col("n_sh")) + 1
     )
+
+    if guard_candidate_factor is not None:
+        bdf = posting.groupBy(*block_cols, "shingle").agg(
+            F.count("*").alias("bdf_")
+        )
+        stage1 = bdf.agg(
+            F.sum("bdf_").cast("long").alias("postings"),
+            F.sum(F.col("bdf_") * F.col("bdf_")).cast("long").alias("full_mass"),
+        ).collect()[0]
+        postings_n = stage1["postings"] or 0
+        budget = guard_candidate_factor * max(postings_n, 1)
+        mass: int = stage1["full_mass"] or 0
+        stage = 1
+        if mass > budget:
+            # full-join mass over budget: measure the EXACT prefix mass
+            pdf = prefix.groupBy(*block_cols, "shingle").agg(
+                F.count("*").alias("pdf_")
+            )
+            stage2 = (
+                bdf.join(pdf, [*block_cols, "shingle"])
+                .agg(
+                    F.sum(F.col("pdf_") * F.col("bdf_"))
+                    .cast("long")
+                    .alias("prefix_mass")
+                )
+                .collect()[0]
+            )
+            mass = stage2["prefix_mass"] or 0
+            stage = 2
+        fallback = mass > budget
+        if guard_report is not None:
+            guard_report.update(
+                postings=postings_n,
+                candidate_mass=mass,
+                budget=int(budget),
+                stage=stage,
+                fallback=fallback,
+            )
+        if fallback:
+            return ngram_jaccard_dfcap_pairs(
+                df, id_col, text_col, shingle_n=shingle_n,
+                jaccard_threshold=jaccard_threshold, df_cap=guard_df_cap,
+                block_cols=block_cols, partitions=partitions,
+            )
 
     a = prefix.select(
         *[F.col(c) for c in block_cols],
@@ -1012,6 +1079,14 @@ def connected_components(
         for f in fwd.schema.fields
     )
     if local_threshold and integral and n_edges <= local_threshold:
+        # the distributed paths preserve the input id dtype; match it here
+        # (widest of the two endpoint columns) so the output schema never
+        # depends on which branch the runtime edge count selected
+        _width = {T.ShortType: 0, T.IntegerType: 1, T.LongType: 2}
+        id_type = max(
+            (f.dataType for f in fwd.schema.fields),
+            key=lambda t: _width[type(t)],
+        )
         out_schema = T.StructType(
             [
                 T.StructField("id", T.LongType()),
@@ -1052,6 +1127,10 @@ def connected_components(
             return (
                 fwd.coalesce(1)
                 .mapInPandas(uf_partition, out_schema)
+                .select(
+                    F.col("id").cast(id_type).alias("id"),
+                    F.col("component").cast(id_type).alias("component"),
+                )
                 .localCheckpoint()  # materialize before fwd unpersists
             )
         finally:

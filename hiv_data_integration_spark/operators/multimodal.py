@@ -703,70 +703,84 @@ def _make_gif_decoder():
     importable; see ``decode_media`` for the convention)."""
     import struct as _struct
 
-    # per-alphabet root-table templates, built once and C-copied on
+    # per-alphabet root-table templates, built once and list-copied on
     # every clear code (rebuilding 256 one-byte entries per frame was a
-    # third of the decode cost at 17.5k frames/battery-run)
-    _roots: dict[int, dict[int, bytes]] = {}
+    # third of the decode cost at 17.5k frames/battery-run). The table
+    # is a LIST — LZW codes are dense integers assigned in order, so
+    # `code < next_code` replaces the dict probe and `table[code]` is a
+    # C array index (r11: the dict table + per-code int.from_bytes
+    # slicing were the two hottest lines in the decode profile).
+    _roots: dict[int, list[bytes]] = {}
+    # palette bytes -> 256-byte luma translate table: palette→luma is
+    # per-pixel work, and bytes.translate runs it in C instead of a
+    # Python generator (the synthetic corpus shares ONE global palette,
+    # so this is build-once; bounded against pathological inputs).
+    _luma_luts: dict[bytes, bytes] = {}
 
     def lzw_decode(stream: bytes, mcs: int, expect: int):
         clear = 1 << mcs
         eoi = clear + 1
-        nbits = len(stream) * 8
-        bitpos = 0
         out = bytearray()
-
-        def read_code(size: int):
-            nonlocal bitpos
-            if bitpos + size > nbits:
-                return None
-            i = bitpos >> 3
-            val = int.from_bytes(
-                stream[i : i + 3].ljust(3, b"\x00"), "little"
-            )
-            val = (val >> (bitpos & 7)) & ((1 << size) - 1)
-            bitpos += size
-            return val
 
         base = _roots.get(clear)
         if base is None:
-            base = {i: bytes([i]) for i in range(clear)}
+            # clear/eoi slots hold placeholders so len(table) == next_code
+            base = [bytes([i]) for i in range(clear)] + [b"", b""]
             _roots[clear] = base
 
-        def fresh():
-            return dict(base)
-
-        table = fresh()
+        table = list(base)
         next_code = eoi + 1
         code_size = mcs + 1
+        mask = (1 << code_size) - 1
         prev = None
+        # LSB-first bit accumulator: each byte enters once, each code is
+        # one AND + one shift — no per-code slicing
+        acc = 0
+        accbits = 0
+        i = 0
+        slen = len(stream)
         while len(out) < expect:
-            code = read_code(code_size)
-            if code is None or code == eoi:
+            while accbits < code_size:
+                if i >= slen:
+                    return (
+                        bytes(out[:expect]) if len(out) >= expect else None
+                    )
+                acc |= stream[i] << accbits
+                i += 1
+                accbits += 8
+            code = acc & mask
+            acc >>= code_size
+            accbits -= code_size
+            if code == eoi:
                 break
             if code == clear:
-                table = fresh()
+                table = list(base)
                 next_code = eoi + 1
                 code_size = mcs + 1
+                mask = (1 << code_size) - 1
                 prev = None
                 continue
             if prev is None:
-                entry = table.get(code)
-                if entry is None:
+                # first code after a clear must be a root (table holds
+                # exactly the roots + clear/eoi placeholders here)
+                if code >= next_code:
                     return None
+                entry = table[code]
                 out += entry
                 prev = entry
                 continue
-            if code in table:
+            if code < next_code:
                 entry = table[code]
             elif code == next_code:
                 entry = prev + prev[:1]  # the KwKwK special case
             else:
                 return None
             out += entry
-            table[next_code] = prev + entry[:1]
+            table.append(prev + entry[:1])
             next_code += 1
             if next_code == (1 << code_size) and code_size < 12:
                 code_size += 1
+                mask = (1 << code_size) - 1
             prev = entry
         return bytes(out[:expect]) if len(out) >= expect else None
 
@@ -852,18 +866,25 @@ def _make_gif_decoder():
                             out_rows[y] = idx[stored * fw : (stored + 1) * fw]
                             stored += 1
                     idx = b"".join(out_rows)
-                npal = len(pal) // 3
-                luma = bytes(
-                    (
-                        299 * pal[3 * i]
-                        + 587 * pal[3 * i + 1]
-                        + 114 * pal[3 * i + 2]
+                pal_key = bytes(pal)
+                lut = _luma_luts.get(pal_key)
+                if lut is None:
+                    npal = len(pal) // 3
+                    lut = bytes(
+                        (
+                            299 * pal[3 * i]
+                            + 587 * pal[3 * i + 1]
+                            + 114 * pal[3 * i + 2]
+                        )
+                        // 1000
+                        if i < npal
+                        else 0
+                        for i in range(256)
                     )
-                    // 1000
-                    if i < npal
-                    else 0
-                    for i in idx
-                )
+                    if len(_luma_luts) >= 64:  # pathological-input bound
+                        _luma_luts.clear()
+                    _luma_luts[pal_key] = lut
+                luma = idx.translate(lut)
                 frames.append((fw, fh, delay, luma))
                 delay = 0
             else:
@@ -916,6 +937,9 @@ def gif_frame_stats(
         import pandas as _pd
 
         cols = [f.name for f in out_schema.fields]
+        # position weights 1..n hoisted once and sliced per frame —
+        # a fresh arange per tiny frame dominated the post-decode cost
+        weights = _np.arange(1, 1, dtype=_np.int64)
         for pdf in batches:
             rows = []
             for media_id, payload in zip(pdf[id_col], pdf[payload_col]):
@@ -937,10 +961,12 @@ def gif_frame_stats(
                     arr = _np.frombuffer(luma, dtype=_np.uint8).astype(
                         _np.int64
                     )
+                    if weights.size < arr.size:
+                        weights = _np.arange(
+                            1, arr.size + 1, dtype=_np.int64
+                        )
                     psum = int(arr.sum())
-                    pck = int(
-                        (arr * _np.arange(1, arr.size + 1)).sum()
-                    )
+                    pck = int(_np.dot(arr, weights[: arr.size]))
                     rows.append(
                         (
                             int(media_id), nf, fi, fw, fh, delay,
@@ -1039,6 +1065,83 @@ def gif_sample_frames(
             yield _pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(sample_batches, out_schema)
+
+
+def gif_frame_dhash(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-frame 56-bit difference hash over REAL decoded GIF frames —
+    the fingerprint leg of temporal video analysis (scene-cut
+    detection, near-dup clip matching): decode every frame
+    (:func:`_make_gif_decoder`), reduce it to the 8×8 block-sum grid
+    (exact integers, dims divisible by 8 — the synthetic corpus shape;
+    anything else yields the labeled stub row), then set bit
+    ``ci·7+cj`` iff ``cell[ci][cj+1] > cell[ci][cj]`` (horizontal
+    gradient sign, 8 rows × 7 comparisons). Everything after the hash
+    is NATIVE Spark — consecutive-frame Hamming deltas are one lag
+    window + ``bit_count(xor)``, so the temporal analysis never
+    re-enters Python.
+
+    One blob → n_frames rows; O(pixels) decode per blob, no shuffle.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("dhash56", T.LongType()),
+            T.StructField("decoder", T.StringType()),
+        ]
+    )
+    dec = _make_gif_decoder()
+
+    def dhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        cols = [f.name for f in out_schema.fields]
+        bit_weights = _np.left_shift(
+            _np.int64(1), _np.arange(56, dtype=_np.int64)
+        )
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                try:
+                    res = dec(data)
+                except Exception:
+                    res = None
+                ok = (
+                    res is not None
+                    and res[2]
+                    and all(
+                        fw % 8 == 0 and fh % 8 == 0 and fw and fh
+                        for fw, fh, _d, _l in res[2]
+                    )
+                )
+                if not ok:
+                    rows.append((int(media_id), 0, -1, 0, 0, 0, "stub"))
+                    continue
+                _w, _h, frames = res
+                nf = len(frames)
+                for fi, (fw, fh, _delay, luma) in enumerate(frames):
+                    cw, ch_ = fw // 8, fh // 8
+                    cells = (
+                        _np.frombuffer(luma, dtype=_np.uint8)
+                        .astype(_np.int64)
+                        .reshape(8, ch_, 8, cw)
+                        .sum(axis=(1, 3))
+                    )
+                    bits = (cells[:, 1:] > cells[:, :-1]).reshape(56)
+                    fp = int(_np.dot(bits.astype(_np.int64), bit_weights))
+                    rows.append(
+                        (int(media_id), nf, fi, fw, fh, fp, "gif")
+                    )
+            yield _pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(dhash_batches, out_schema)
 
 
 def gif_resize_nearest(

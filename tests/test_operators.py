@@ -1502,6 +1502,64 @@ def test_ngram_prefix_filter_equals_full_join(spark):
     assert full == pref and (1, 5, 1.0) in full
 
 
+def test_ngram_prefix_guard_candidate_mass(spark):
+    """The r11 candidate-mass guard: on a bounded-vocabulary corpus
+    (every doc the same template — the shape SCALE.md §11 measured at
+    31× wall) the prefix filter must detect its own degenerate candidate
+    set from the df profile and fall back to the df-cap path; on a
+    healthy skewed corpus the cheap stage-1 bound approves the exact
+    path without ever computing the prefix mass."""
+    from hiv_data_integration_spark.operators.dedup import (
+        ngram_jaccard_dfcap_pairs,
+        ngram_jaccard_pairs,
+        ngram_jaccard_prefix_pairs,
+    )
+
+    # degenerate: 40 identical docs -> every shingle df = 40, prefix
+    # mass ~ n_docs² regardless of the rare-first ordering
+    degen = spark.createDataFrame(
+        [(i, "aaa bbb ccc ddd eee") for i in range(40)],
+        "doc_id long, text string",
+    )
+    rep: dict = {}
+    out = ngram_jaccard_prefix_pairs(
+        degen, "doc_id", "text", 3, 0.5,
+        guard_candidate_factor=4.0, guard_report=rep,
+    )
+    assert rep["fallback"] is True and rep["stage"] == 2
+    assert rep["candidate_mass"] > rep["budget"] >= rep["postings"] * 4
+    capped = ngram_jaccard_dfcap_pairs(
+        degen, "doc_id", "text", 3, 0.5, df_cap=64
+    )
+    key = lambda r: (r.id_a, r.id_b)  # noqa: E731
+    assert sorted(map(key, out.collect())) == sorted(
+        map(key, capped.collect())
+    )
+
+    # healthy: hot boilerplate + rare tails -> stage-1 bound approves,
+    # exact path, bit-identical to the unfiltered join
+    boiler = "terms of service apply to all users"
+    healthy = spark.createDataFrame(
+        [
+            (1, f"{boiler} alpha beta gamma delta"),
+            (2, f"{boiler} alpha beta gamma epsilon"),
+            (3, f"{boiler} zeta eta theta iota"),
+            (4, "completely unrelated text with nothing shared here"),
+            (5, f"{boiler} alpha beta gamma delta"),
+        ],
+        "doc_id long, text string",
+    )
+    rep2: dict = {}
+    pref = ngram_jaccard_prefix_pairs(
+        healthy, "doc_id", "text", 3, 0.3, guard_report=rep2
+    )
+    assert rep2["fallback"] is False and rep2["stage"] == 1
+    full = {(r.id_a, r.id_b, r.jaccard)
+            for r in ngram_jaccard_pairs(
+                healthy, "doc_id", "text", 3, 0.3).collect()}
+    assert {(r.id_a, r.id_b, r.jaccard) for r in pref.collect()} == full
+
+
 def test_asof_join_last_semantics(spark):
     """Union-window as-of join: inclusive <=, latest-right-wins, NULL when
     no prior right row, per-key isolation, column-clash guard."""

@@ -353,3 +353,89 @@ def test_retry_stream_once_retries_transient_and_propagates_real(spark):
 
     with pytest.raises(ValueError):
         _retry_stream_once(other)(spark, "/tmp")
+
+
+def test_python_stream_source_replay_contract(spark):
+    """The simpleStreamReader offset/replay contract, driven directly:
+    offsets advance in step quanta and cap at n; read() returns a
+    copyable list_iterator (the engine's prefetch cache copy.copy()s
+    it); readBetweenOffsets replays EXACTLY the rows the original
+    read() calls produced for any committed range; a drained source
+    returns an empty batch at a stationary offset. Then the end-to-end
+    entry result is run twice — identical rows both times (the battery
+    oracle pins the values; this pins determinism across runs)."""
+    import copy
+
+    from hiv_data_integration_spark.battery_ext import (
+        _make_seq_stream_source,
+        q_python_datasource_stream,
+    )
+
+    reader = _make_seq_stream_source()(
+        options={"n": "100", "step": "30"}
+    ).simpleStreamReader(None)
+    off = reader.initialOffset()
+    assert off == {"pos": 0}
+    seen, offsets = [], [off]
+    for _ in range(5):
+        it, off = reader.read(off)
+        it2 = copy.copy(it)  # the prefetch-cache requirement
+        batch = list(it)
+        assert list(it2) == batch
+        seen.extend(batch)
+        offsets.append(off)
+    assert [o["pos"] for o in offsets] == [0, 30, 60, 90, 100, 100]
+    assert [r[0] for r in seen] == list(range(100))
+    # replay any committed range -> identical rows
+    assert list(
+        reader.readBetweenOffsets({"pos": 30}, {"pos": 90})
+    ) == seen[30:90]
+    # end-to-end determinism across two full runs
+    a = sorted(
+        map(tuple, q_python_datasource_stream(spark, "/tmp").collect())
+    )
+    b = sorted(
+        map(tuple, q_python_datasource_stream(spark, "/tmp").collect())
+    )
+    assert a == b and sum(r[1] for r in a) == 120_000
+
+
+def test_gif_frame_dhash_bits_and_stub(spark):
+    """gif_frame_dhash: bit ci*7+cj set iff cell[ci][cj+1] > cell[ci][cj]
+    on a hand-built single-frame GIF (verified against a NumPy
+    recomputation of the block sums), and non-GIF payloads yield the
+    labeled stub row instead of vanishing."""
+    import numpy as np
+
+    from hiv_data_integration_spark.battery_ext import _gif_payloads
+    from hiv_data_integration_spark.operators.multimodal import (
+        gif_frame_dhash,
+        _make_gif_decoder,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    payloads = _gif_payloads(spark, sf).limit(3)
+    out = gif_frame_dhash(payloads).collect()
+    dec = _make_gif_decoder()
+    by_key = {(r.media_id, r.frame_idx): r.dhash56 for r in out}
+    for row in payloads.collect():
+        _w, _h, frames = dec(bytes(row.payload))
+        for fi, (fw, fh, _d, luma) in enumerate(frames):
+            cells = (
+                np.frombuffer(luma, dtype=np.uint8)
+                .astype(np.int64)
+                .reshape(8, fh // 8, 8, fw // 8)
+                .sum(axis=(1, 3))
+            )
+            expect = 0
+            for ci in range(8):
+                for cj in range(7):
+                    if cells[ci][cj + 1] > cells[ci][cj]:
+                        expect |= 1 << (ci * 7 + cj)
+            assert by_key[(row.doc_id, fi)] == expect
+    junk = spark.createDataFrame(
+        [(99, bytearray(b"not a gif"))], "doc_id long, payload binary"
+    )
+    stub = gif_frame_dhash(junk).collect()
+    assert len(stub) == 1 and stub[0].decoder == "stub"
+    assert stub[0].frame_idx == -1 and stub[0].dhash56 == 0

@@ -52,7 +52,9 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard_pairs",
     "dedup_ngram_dfcap_pairs",
+    "dedup_ngram_prefix_filter",
     "python_datasource_scan",
+    "multimodal_scene_cuts",
     "embed_cosine_topk",
     "embed_ivf_topk_label",
     "embed_ann_recall",

@@ -26,6 +26,33 @@ DST = os.environ.get("SPARK_GRAFT_10X_DIR", "/tmp/spark_graft_sf1x")
 SEED = 20260816
 N_DOCS, N_VECS = 50_000, 20_000
 
+# §12 family: multimodal codecs (pure-Python per-payload cost — the
+# likeliest linear-but-steep family) + stateful/streaming entries. The
+# media entries derive their payload corpora from documents.doc_id, so
+# the same 10x documents slice scales them; the streaming event entries
+# need the 10x events synth below.
+MULTIMODAL_STREAMING_ENTRIES = [
+    "multimodal_frame_decode",
+    "multimodal_frame_sample",
+    "multimodal_gif_interlaced",
+    "multimodal_scene_cuts",
+    "multimodal_image_phash",
+    "multimodal_image_dhash",
+    "multimodal_phash_near_pairs",
+    "multimodal_phash_clusters",
+    "multimodal_audio_decode",
+    "multimodal_audio_haar_bands",
+    "multimodal_media_router",
+    "streaming_frame_decode",
+    "streaming_media_router",
+    "streaming_tumbling_counts",
+    "streaming_session_windows",
+    "streaming_stateful_totals",
+    "streaming_windowed_topk",
+    "streaming_dedup_within_watermark",
+    "python_datasource_stream",
+]
+
 DEFAULT_ENTRIES = [
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard_pairs",
@@ -109,8 +136,43 @@ def gen() -> None:
         ),
         f"{DST}/embeddings.parquet",
     )
+    # 10x events slice for the stateful-streaming family: same schema,
+    # same 30-day window and type/user mix, 10x rows — densifies event
+    # rate rather than stretching time (what a 10x-traffic product does)
+    n_ev = 1_000_000
+    ev_rng = np.random.default_rng(SEED + 1)
+    base_us = np.int64(1_704_067_200_000_000)  # 2024-01-01 UTC in µs
+    span_us = np.int64(30 * 24 * 3600) * 1_000_000
+    ts_us = np.sort(
+        ev_rng.integers(0, span_us, size=n_ev, dtype=np.int64)
+    ) + base_us
+    etypes = np.array(["click", "error", "purchase", "signup", "view"])
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n_ev), pa.int64()),
+                "ts": pa.array(ts_us, pa.timestamp("us")),
+                "user_id": pa.array(
+                    ev_rng.integers(1, 15_001, size=n_ev), pa.int64()
+                ),
+                "event_type": pa.array(
+                    etypes[ev_rng.integers(0, 5, size=n_ev)]
+                ),
+                "value": pa.array(
+                    ev_rng.uniform(0, 100, size=n_ev), pa.float64()
+                ),
+                "props": pa.array(
+                    [
+                        '{"k": %d}' % k
+                        for k in ev_rng.integers(0, 100, size=n_ev)
+                    ]
+                ),
+            }
+        ),
+        f"{DST}/events.parquet",
+    )
     for t in (
-        "region nation customer supplier part orders lineitem events".split()
+        "region nation customer supplier part orders lineitem".split()
     ):
         if not os.path.exists(f"{DST}/{t}.parquet"):
             shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
@@ -151,4 +213,7 @@ if __name__ == "__main__":
     else:
         if not os.path.exists(f"{DST}/documents.parquet"):
             gen()
-        run(sys.argv[2:] or DEFAULT_ENTRIES)
+        args = sys.argv[2:]
+        if args == ["s12"]:
+            args = MULTIMODAL_STREAMING_ENTRIES
+        run(args or DEFAULT_ENTRIES)
