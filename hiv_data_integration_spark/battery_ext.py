@@ -11028,7 +11028,17 @@ def q_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ContextCleaner releases the blocks when the frame is GC'd), so the
     two join subtrees read the checkpoint instead of re-running the
     decode stages — exactly the persist-once production shape a corpus
-    run uses, measured 2.67 → 1.95 s at sf0.1 (min-of-5 quiet)."""
+    run uses, measured 2.67 → 1.95 s at sf0.1 (min-of-5 quiet).
+
+    SCALE CAVEAT (measured, SCALE.md §12): pair EMISSION is Ω(Σ class²)
+    over duplicate classes — on the 10× slice the bounded hash
+    diversity grows class sizes 10× and the OUTPUT 102× (62,122 →
+    6,364,472 pairs; wall only 10.6×, so per-row cost actually fell).
+    No join strategy fixes an output that is itself quadratic: corpora
+    with mass duplication should contract exact-hash classes to one
+    representative first — ``q_phash_clusters`` does exactly that
+    (kernelized CC, 3.2× measured slope) and recovers the full pair
+    set implicitly as within-cluster membership."""
     hashed = _phash_hashes(spark, sf_dir)  # checkpointed + session-cached
     band_structs = F.array(
         *[
