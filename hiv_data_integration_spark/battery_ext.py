@@ -10638,13 +10638,25 @@ FROM f
 """
 
 
+# Session-scoped cache for the synthesized WAV corpus — same pattern
+# and eviction discipline as _PHASH_CACHE/_GIF_CACHE (payloads are
+# INPUT data; synthesize once per (SparkContext, sf_dir), every audio
+# entry reads the checkpointed frame).
+_WAV_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _wav_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared synth stage for the audio entries: a genuine canonical-PCM
     WAV byte stream per document — RIFF header, an odd-length LIST chunk
     on every 5th doc (exercising the RIFF even-padding rule), ``fmt ``
     with doc-derived rate/channels, and a ``data`` chunk with real
     deterministic sample bytes (byte i = (i·7 + doc_id) % 256). Returns
-    ``(doc_id, payload)``."""
+    ``(doc_id, payload)``, session-cached + ``localCheckpoint``ed like
+    the GIF/PNG corpora."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _WAV_CACHE.get(key)
+    if cached is not None:
+        return cached
     docs = (
         tbl(spark, sf_dir, "documents").select("doc_id").repartition(32)
     )
@@ -10688,7 +10700,12 @@ def _wav_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             yield out
 
-    return docs.mapInPandas(synth_batches, synth_schema)
+    out = docs.mapInPandas(synth_batches, synth_schema).localCheckpoint(
+        eager=True
+    )
+    _evict_dead_sessions(_WAV_CACHE, key[0])
+    _WAV_CACHE[key] = out
+    return out
 
 
 def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11863,6 +11880,238 @@ SELECT doc_id AS media_id,
        CAST(COALESCE(SUM(d), 0) AS BIGINT) AS sum_delta,
        'gif' AS decoder
 FROM delta GROUP BY doc_id, nf
+"""
+
+
+def q_shot_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot segmentation over REAL decoded GIF frames — the stage after
+    scene-cut detection in a video training pipeline (sample per SHOT,
+    not per frame): reuse the per-frame dHash fence
+    (``multimodal.gif_frame_dhash``), mark frames whose Hamming delta
+    from the previous frame exceeds 8 as shot starts (frame 0 starts
+    shot 0), assign ``shot_id`` by a cumulative sum window, and emit
+    per-shot stats — all segmentation logic NATIVE window/aggregate
+    arithmetic; Python appears only in the decode+hash fence. The
+    ``shot_hash_sum`` (Σ dhash56 over the shot, ≤4 frames × 2^56 —
+    fits long) gives each shot an exact content signature the oracle
+    re-derives pixel-up."""
+    from pyspark.sql.window import Window
+
+    fp = mm.gif_frame_dhash(_gif_payloads(spark, sf_dir))
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    cuts = fp.withColumn(
+        "delta",
+        F.bit_count(
+            F.col("dhash56").bitwiseXOR(F.lag("dhash56").over(w))
+        ),
+    ).withColumn(
+        "shot_id",
+        F.sum(
+            F.when(F.col("delta") > 8, 1).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return cuts.groupBy("media_id", "shot_id").agg(
+        F.max("n_frames").cast("int").alias("n_frames"),
+        F.count("*").cast("long").alias("n_shot_frames"),
+        F.min("frame_idx").cast("int").alias("first_frame"),
+        F.max("frame_idx").cast("int").alias("last_frame"),
+        F.sum("dhash56").cast("long").alias("shot_hash_sum"),
+    )
+
+
+SQL_SHOT_SEGMENTS = """
+WITH p AS (
+    SELECT doc_id,
+           8 * (1 + doc_id % 3) AS w,
+           8 * (1 + (doc_id // 3) % 2) AS h,
+           1 + doc_id % 4 AS nf
+    FROM documents
+),
+fr AS (
+    SELECT p.doc_id, p.w, p.h, p.nf, f.f AS fi
+    FROM p, UNNEST(range(0, p.nf)) f(f)
+),
+cell AS (
+    SELECT fr.doc_id, fr.nf, fr.fi,
+           (y.y * 8) // fr.h AS ci, (x.x * 8) // fr.w AS cj,
+           SUM((7 * x.x + 13 * y.y + 11 * fr.fi + fr.doc_id) % 256) AS s
+    FROM fr, UNNEST(range(0, fr.h)) y(y), UNNEST(range(0, fr.w)) x(x)
+    GROUP BY 1, 2, 3, 4, 5
+),
+fp AS (
+    SELECT doc_id, nf, fi,
+           COALESCE(SUM(CASE WHEN nxt > s
+               THEN (CAST(1 AS BIGINT) << CAST(ci * 7 + cj AS INTEGER))
+               ELSE 0 END), 0) AS dhash
+    FROM (
+        SELECT *, LEAD(s) OVER (
+            PARTITION BY doc_id, fi, ci ORDER BY cj) AS nxt
+        FROM cell)
+    WHERE nxt IS NOT NULL
+    GROUP BY doc_id, nf, fi
+),
+delta AS (
+    SELECT doc_id, nf, fi, dhash,
+           bit_count(CAST(xor(dhash,
+               LAG(dhash) OVER (PARTITION BY doc_id ORDER BY fi)
+           ) AS BIGINT)) AS d
+    FROM fp
+),
+shots AS (
+    SELECT doc_id, nf, fi, dhash,
+           SUM(CASE WHEN d > 8 THEN 1 ELSE 0 END) OVER (
+               PARTITION BY doc_id ORDER BY fi
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS shot_id
+    FROM delta
+)
+SELECT doc_id AS media_id,
+       CAST(shot_id AS BIGINT) AS shot_id,
+       CAST(nf AS INTEGER) AS n_frames,
+       CAST(count(*) AS BIGINT) AS n_shot_frames,
+       CAST(MIN(fi) AS INTEGER) AS first_frame,
+       CAST(MAX(fi) AS INTEGER) AS last_frame,
+       CAST(SUM(dhash) AS BIGINT) AS shot_hash_sum
+FROM shots GROUP BY doc_id, shot_id, nf
+"""
+
+
+def q_audio_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio activity segmentation over REAL decoded PCM — the
+    silence-trim / voice-activity stage of an audio curation pipeline:
+    per-frame energies as ROWS (``multimodal.audio_frame_rows`` — the
+    one Python fence), then everything NATIVE: a frame is ACTIVE when
+    its energy exceeds the clip's mean frame energy (exact integers —
+    ``energy · n_frames > Σ energy``, cross-multiplied so no division),
+    activity RUNS found by the lag/cumsum run-length idiom, and a
+    per-clip census (active frames, runs, longest run). Clips shorter
+    than one analysis window emit no frame rows and drop out — the
+    oracle mirrors the lattice. The same closed-form byte arithmetic
+    as the energy census means every run boundary is SQL-checkable."""
+    from pyspark.sql.window import Window
+
+    frames = mm.audio_frame_rows(_wav_payloads(spark, sf_dir)).filter(
+        F.col("frame_idx") >= 0
+    )
+    w_doc = Window.partitionBy("doc_id")
+    w_ord = Window.partitionBy("doc_id").orderBy("frame_idx")
+    flagged = frames.withColumn(
+        "active",
+        F.col("energy") * F.col("n_frames") > F.sum("energy").over(w_doc),
+    )
+    runs = flagged.withColumn(
+        "run_start",
+        F.col("active")
+        & ~F.coalesce(F.lag("active").over(w_ord), F.lit(False)),
+    ).withColumn(
+        "run_id",
+        F.sum(F.col("run_start").cast("int")).over(
+            w_ord.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    # materialize the flagged/run-id frame once: census and the run
+    # census both read it, and without the barrier each aggregation
+    # branch would re-run the PCM decode fence (plan-gated below)
+    runs = runs.localCheckpoint(eager=True)
+    run_lengths = (
+        runs.filter(F.col("active"))
+        .groupBy("doc_id", "run_id")
+        .agg(F.count("*").alias("run_len"))
+    )
+    per_run = run_lengths.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_runs"),
+        F.max("run_len").cast("long").alias("longest_run"),
+    )
+    census = runs.groupBy("doc_id").agg(
+        F.max("n_frames").cast("long").alias("n_frames"),
+        F.sum(F.col("active").cast("int")).cast("long").alias("n_active"),
+    )
+    return census.join(per_run, "doc_id", "left").select(
+        "doc_id",
+        "n_frames",
+        "n_active",
+        F.coalesce("n_runs", F.lit(0)).cast("long").alias("n_runs"),
+        F.coalesce("longest_run", F.lit(0))
+        .cast("long")
+        .alias("longest_run"),
+    )
+
+
+SQL_AUDIO_ACTIVITY = """
+WITH p AS (
+    SELECT doc_id,
+           CAST(1 + (doc_id % 2) AS BIGINT) AS ch,
+           CAST(100 + (doc_id * 2654435761) % 1000 AS BIGINT) AS ns
+    FROM documents
+),
+s AS (SELECT doc_id, ch * ns AS nss FROM p),
+smp AS (
+    SELECT doc_id, nss, k,
+           ((2 * k * 7 + doc_id) % 256)
+           + 256 * (((2 * k + 1) * 7 + doc_id) % 256) AS raw
+    FROM s, UNNEST(range(0, nss)) t(k)
+),
+sq AS (
+    SELECT doc_id, nss, k,
+           CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+    FROM smp
+),
+fr AS (
+    SELECT s.doc_id,
+           CASE WHEN s.nss >= 400 THEN (s.nss - 400) // 160 + 1
+                ELSE 0 END AS n_frames,
+           f.f AS frame
+    FROM s, UNNEST(range(0, CASE WHEN s.nss >= 400
+                                 THEN (s.nss - 400) // 160 + 1
+                                 ELSE 0 END)) f(f)
+),
+fe AS (
+    SELECT fr.doc_id, fr.n_frames, fr.frame, SUM(sq.v * sq.v) AS e
+    FROM fr JOIN sq
+      ON sq.doc_id = fr.doc_id
+     AND sq.k >= fr.frame * 160 AND sq.k < fr.frame * 160 + 400
+    GROUP BY 1, 2, 3
+),
+flg AS (
+    SELECT doc_id, n_frames, frame, e,
+           (e * n_frames > SUM(e) OVER (PARTITION BY doc_id)) AS active
+    FROM fe
+),
+starts AS (
+    SELECT doc_id, n_frames, frame, active,
+           CASE WHEN active AND NOT COALESCE(
+                   LAG(active) OVER (PARTITION BY doc_id ORDER BY frame),
+                   FALSE)
+               THEN 1 ELSE 0 END AS run_start
+    FROM flg
+),
+runs AS (
+    SELECT doc_id, n_frames, frame, active,
+           SUM(run_start) OVER (
+               PARTITION BY doc_id ORDER BY frame
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS run_id
+    FROM starts
+),
+run_lengths AS (
+    SELECT doc_id, run_id, count(*) AS run_len
+    FROM runs WHERE active GROUP BY 1, 2
+),
+per_run AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(MAX(run_len) AS BIGINT) AS longest_run
+    FROM run_lengths GROUP BY 1
+),
+census AS (
+    SELECT doc_id, CAST(MAX(n_frames) AS BIGINT) AS n_frames,
+           CAST(SUM(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_active
+    FROM runs GROUP BY 1
+)
+SELECT c.doc_id, c.n_frames, c.n_active,
+       CAST(COALESCE(pr.n_runs, 0) AS BIGINT) AS n_runs,
+       CAST(COALESCE(pr.longest_run, 0) AS BIGINT) AS longest_run
+FROM census c LEFT JOIN per_run pr USING (doc_id)
 """
 
 
@@ -13537,6 +13786,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "multimodal_frame_decode": q_gif_frame_decode,
     "multimodal_gif_interlaced": q_gif_interlaced,
     "multimodal_scene_cuts": q_scene_cuts,
+    "multimodal_shot_segments": q_shot_segments,
+    "multimodal_audio_activity": q_audio_activity,
     "multimodal_frame_sample": q_gif_frame_sample,
     "multimodal_audio_haar_bands": q_audio_haar_bands,
     "multimodal_audio_decimate": q_audio_decimate,
@@ -13864,6 +14115,8 @@ FROM events GROUP BY 1, 2
     "multimodal_frame_decode": SQL_GIF_FRAME_DECODE,
     "multimodal_gif_interlaced": SQL_GIF_INTERLACED,
     "multimodal_scene_cuts": SQL_SCENE_CUTS,
+    "multimodal_shot_segments": SQL_SHOT_SEGMENTS,
+    "multimodal_audio_activity": SQL_AUDIO_ACTIVITY,
     "streaming_frame_decode": SQL_STREAMING_FRAME_DECODE,
     "multimodal_frame_sample": SQL_GIF_FRAME_SAMPLE,
     "multimodal_audio_haar_bands": SQL_AUDIO_HAAR,

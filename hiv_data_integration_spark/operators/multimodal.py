@@ -467,6 +467,102 @@ def audio_frame_energy(
     return df.mapInPandas(energy_batches, out_schema)
 
 
+def audio_frame_rows(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    frame_samples: int = 400,
+    hop_samples: int = 160,
+) -> DataFrame:
+    """Per-frame energy ROWS over real decoded PCM — the row-granular
+    twin of :func:`audio_frame_energy` (which emits a per-clip census
+    struct): one output row per analysis frame ``(doc_id, n_frames,
+    frame_idx, energy)``, the shape segmentation/activity-detection
+    pipelines consume (threshold + run-length grouping stay NATIVE
+    Spark — window functions over the frame rows, no second Python
+    pass). Same WAV chunk walk, 16-bit LE PCM decode, and
+    window/hop lattice as the census op; exact integer energies via a
+    vectorized cumulative sum of squares. Clips shorter than one
+    window emit no rows; undecodable payloads emit one labeled stub
+    row (frame_idx -1). O(bytes + frames) per blob, no shuffle."""
+    if frame_samples < 1 or hop_samples < 1:
+        raise ValueError("frame_samples and hop_samples must be >= 1")
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("energy", T.LongType()),
+            T.StructField("decoder", T.StringType()),
+        ]
+    )
+    win, hop = frame_samples, hop_samples
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure (see decode_media): ships by value
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        def parse_pcm(data: bytes):
+            n = len(data)
+            if n < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+                return None
+            fmt_ok = False
+            body = None
+            off = 12
+            while off + 8 <= n:
+                cid = data[off : off + 4]
+                (clen,) = _struct.unpack("<I", data[off + 4 : off + 8])
+                chunk = data[off + 8 : off + 8 + clen]
+                if cid == b"fmt " and clen >= 16 and len(chunk) >= 16:
+                    tag, _ch, _sr, _br, _ba, bps = _struct.unpack(
+                        "<HHIIHH", chunk[:16]
+                    )
+                    if tag != 1 or bps != 16:
+                        return None
+                    fmt_ok = True
+                elif cid == b"data":
+                    body = chunk
+                off += 8 + clen + (clen & 1)
+            if not fmt_ok or body is None:
+                return None
+            ns = len(body) // 2
+            return _np.frombuffer(
+                body, dtype="<i2", count=ns
+            ).astype(_np.int64)
+
+        cols = [f.name for f in out_schema.fields]
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                try:
+                    samples = parse_pcm(data)
+                except Exception:
+                    samples = None
+                if samples is None:
+                    rows.append((int(doc_id), 0, -1, 0, "stub"))
+                    continue
+                ns = samples.size
+                n_frames = (ns - win) // hop + 1 if ns >= win else 0
+                if n_frames == 0:
+                    continue
+                csq = _np.concatenate(
+                    ([0], _np.cumsum(samples * samples))
+                )
+                starts = _np.arange(n_frames) * hop
+                energies = csq[starts + win] - csq[starts]
+                rows.extend(
+                    (int(doc_id), n_frames, int(f), int(e), "wav")
+                    for f, e in enumerate(energies)
+                )
+            yield _pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(frame_batches, out_schema)
+
+
 # Typed metadata contract for decoded audio. duration_micros is exact
 # integer floor arithmetic (n_samples * 1e6 // sample_rate) so a SQL
 # oracle reproduces it bit-for-bit.

@@ -5321,3 +5321,47 @@ def _lzw_encode_for_tests(indices: bytes, mcs: int) -> bytes:
     if curbits:
         out.append(cur & 0xFF)
     return bytes(out)
+
+
+def test_audio_frame_rows_lattice_and_stub(spark):
+    """audio_frame_rows: energies match a NumPy recomputation of the
+    400/160 window-hop lattice on a hand-built WAV; sub-window clips
+    emit no rows; junk payloads emit the labeled stub row."""
+    import struct
+
+    import numpy as np
+
+    from hiv_data_integration_spark.operators.multimodal import (
+        audio_frame_rows,
+    )
+
+    def wav(samples):
+        body = struct.pack("<%dh" % len(samples), *samples)
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", len(body)) + body
+        if len(body) % 2:
+            chunks += b"\x00"
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    long_s = [((i * 37) % 1201) - 600 for i in range(1000)]  # 4 frames
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(wav(long_s))),
+            (2, bytearray(wav([5] * 399))),  # < one window -> no rows
+            (3, bytearray(b"nonsense")),  # stub
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = audio_frame_rows(df).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    arr = np.array(long_s, dtype=np.int64)
+    expect = [int((arr[f * 160: f * 160 + 400] ** 2).sum()) for f in range(4)]
+    got = sorted(by_doc[1], key=lambda r: r.frame_idx)
+    assert [r.energy for r in got] == expect
+    assert all(r.n_frames == 4 and r.decoder == "wav" for r in got)
+    assert 2 not in by_doc  # sub-window clip emits nothing
+    (stub,) = by_doc[3]
+    assert stub.decoder == "stub" and stub.frame_idx == -1

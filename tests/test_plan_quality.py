@@ -330,3 +330,38 @@ def test_gif_frame_decode_single_python_fence(spark):
     assert a["python"] == 1, "exactly the decode stage may be Python"
     assert a["smj"] == a["bhj"] == a["nlj"] == 0
     assert a["exchanges"] == 0, "frame decode must not shuffle"
+
+
+def test_scene_cuts_one_fence_one_exchange(spark):
+    """The scene-cut pipeline must show its designed shape: exactly one
+    Python stage (the decode+dHash fence), one shuffle (the media_id
+    lag window; the per-clip census reuses the window's partitioning),
+    and no joins — the temporal analysis is pure window/bit arithmetic
+    after the fence."""
+    a = _audit(spark, "multimodal_scene_cuts")
+    assert a["python"] == 1, "decode+dHash must be the only Python stage"
+    assert a["smj"] == a["bhj"] == a["nlj"] == 0
+    assert a["exchanges"] <= 1, "lag window and census must share one shuffle"
+
+
+def test_shot_segments_one_fence_one_exchange(spark):
+    """Shot segmentation must keep the scene-cut plan shape: one Python
+    stage (decode+dHash), one media_id shuffle shared by the lag
+    window, the cumulative-sum window, and the per-shot aggregate, and
+    no joins."""
+    a = _audit(spark, "multimodal_shot_segments")
+    assert a["python"] == 1
+    assert a["smj"] == a["bhj"] == a["nlj"] == 0
+    assert a["exchanges"] <= 1
+
+
+def test_audio_activity_checkpoint_fenced_no_nlj(spark):
+    """Audio activity segmentation: the PCM decode + run-id windows are
+    materialized into a localCheckpoint BEFORE the census branches, so
+    the audited final plan reads checkpoint blocks with ZERO Python
+    stages (the phash convention — without the barrier each aggregation
+    branch re-ran the decode fence, measured as 4 Python stages), and
+    never a nested-loop join."""
+    a = _audit(spark, "multimodal_audio_activity")
+    assert a["python"] == 0, "decode must stay fenced behind the checkpoint"
+    assert a["nlj"] == 0
