@@ -5365,3 +5365,90 @@ def test_audio_frame_rows_lattice_and_stub(spark):
     assert 2 not in by_doc  # sub-window clip emits nothing
     (stub,) = by_doc[3]
     assert stub.decoder == "stub" and stub.frame_idx == -1
+
+
+def test_ngram_prefix_guard_mass_is_exact(spark):
+    """The stage-2 guard probe must equal the EXACT pre-dedup row count
+    of the a-prefix × b-full candidate join it is protecting against —
+    pinned by rebuilding that join by hand on a degenerate corpus that
+    forces stage 2."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from hiv_data_integration_spark.operators.dedup import (
+        _ngram_postings,
+        ngram_jaccard_prefix_pairs,
+    )
+
+    degen = spark.createDataFrame(
+        [(i, "aaa bbb ccc ddd eee") for i in range(30)]
+        + [(100 + i, f"unique{i} token{i} word{i} tail{i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    rep: dict = {}
+    ngram_jaccard_prefix_pairs(
+        degen, "doc_id", "text", 3, 0.5,
+        guard_candidate_factor=2.0, guard_report=rep,
+    )
+    assert rep["stage"] == 2
+    # rebuild the prefix set and the candidate join row count by hand
+    posting, doc_sizes = _ngram_postings(degen, "doc_id", "text", 3, [], None)
+    dfreq = posting.groupBy("shingle").agg(F.count("*").alias("_df"))
+    ranked = (
+        posting.join(dfreq, "shingle")
+        .withColumn(
+            "_rnk",
+            F.row_number().over(
+                Window.partitionBy("doc_id_").orderBy("_df", "shingle")
+            ),
+        )
+        .join(doc_sizes, "doc_id_")
+    )
+    prefix = ranked.filter(
+        F.col("_rnk") <= F.col("n_sh") - F.ceil(0.5 * F.col("n_sh")) + 1
+    )
+    manual = (
+        prefix.select("shingle", F.col("doc_id_").alias("id_a"))
+        .join(posting.select("shingle", F.col("doc_id_").alias("id_b")),
+              "shingle")
+        .count()
+    )
+    assert rep["candidate_mass"] == manual
+
+
+def test_audio_frame_rows_consistent_with_census(spark):
+    """audio_frame_rows and audio_frame_energy must be two views of the
+    SAME lattice: per-doc frame counts match, row energies sum to
+    nothing the census doesn't know (peak row == census peak)."""
+    from pyspark.sql import functions as F
+
+    from hiv_data_integration_spark.battery_ext import _wav_payloads
+    from hiv_data_integration_spark.operators.multimodal import (
+        audio_frame_energy,
+        audio_frame_rows,
+    )
+
+    payloads = _wav_payloads(spark, "/root/testdata/sf0.001").limit(40)
+    census = {
+        r.doc_id: r.energy
+        for r in audio_frame_energy(payloads).collect()
+    }
+    rows = audio_frame_rows(payloads).filter(F.col("frame_idx") >= 0)
+    agg = {
+        r.doc_id: r
+        for r in rows.groupBy("doc_id").agg(
+            F.max("n_frames").alias("nf"),
+            F.count("*").alias("n_rows"),
+            F.max("energy").alias("peak_e"),
+        ).collect()
+    }
+    checked = 0
+    for doc_id, e in census.items():
+        if e.n_frames == 0:
+            assert doc_id not in agg  # sub-window clips emit no rows
+            continue
+        a = agg[doc_id]
+        assert a.nf == e.n_frames == a.n_rows
+        assert a.peak_e == e.peak_energy
+        checked += 1
+    assert checked > 10
