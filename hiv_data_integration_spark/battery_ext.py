@@ -11702,6 +11702,134 @@ def q_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _make_seq_pstream_source():
+    """Build the PARTITIONED streaming sequence DataSource — the
+    executor-parallel `streamReader` tier of the Spark 4 API (the
+    scale path: `simpleStreamReader` reads on the driver; this tier
+    plans offset ranges on the driver and ships `InputPartition`s to
+    executors, the shape a 1000-executor ingest needs). Offsets are
+    `{"pos": k}`; `latestOffset` advances the watermark one `step` per
+    trigger (capped at n, then stationary — which is what lets
+    `processAllAvailable` terminate); `partitions(start, end)` splits
+    the committed range into `parts` executor splits (a fully-pruned
+    empty range yields one empty partition — the same crash guard as
+    the batch source); `read` runs ON EXECUTORS and may be a plain
+    generator (no driver prefetch cache at this tier). Classes are
+    in-function so cloudpickle ships them by value; the factory is
+    also driven directly by the unit tests."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class _RangePart(InputPartition):
+        def __init__(self, s: int, e: int):
+            self.s, self.e = s, e
+
+    class _SeqPartReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", 120_000))
+            self.step = int(options.get("step", 30_000))
+            self.nparts = int(options.get("parts", 8))
+            self.pos = 0
+
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def latestOffset(self):
+            self.pos = min(self.pos + self.step, self.n)
+            return {"pos": self.pos}
+
+        def partitions(self, start, end):
+            lo, hi = int(start["pos"]), int(end["pos"])
+            if lo >= hi:
+                return [_RangePart(lo, lo)]
+            span = max(1, (hi - lo + self.nparts - 1) // self.nparts)
+            return [
+                _RangePart(s, min(s + span, hi))
+                for s in range(lo, hi, span)
+            ]
+
+        def read(self, partition):
+            for i in range(partition.s, partition.e):
+                yield (i, i % 7, (i * 2654435761) % 1000)
+
+        def commit(self, end):
+            pass
+
+    class SeqPartStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "graft_seq_pstream"
+
+        def schema(self) -> str:
+            return "id bigint, bucket int, val bigint"
+
+        def streamReader(self, schema):
+            return _SeqPartReader(self.options)
+
+    return SeqPartStreamSource
+
+
+def q_python_datasource_pstream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTOR-PARALLEL streaming custom Python data source (the full
+    `streamReader` tier — completes the three-tier custom-source story:
+    batch reader with pushdown, driver-side simple stream reader, and
+    this partition-planned stream whose `read` runs on executors).
+    Same deterministic sequence and census as the simple tier, same
+    oracle — the two tiers must agree bit-for-bit; what changes is the
+    physical ingest shape (driver plans offset ranges, executors scan
+    their `InputPartition`s in parallel — the only shape that survives
+    a 1000-executor firehose)."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    n_rows_total = 120_000
+    spark.dataSource.register(_make_seq_pstream_source())
+    stream = (
+        spark.readStream.format("graft_seq_pstream")
+        .option("n", n_rows_total)
+        .option("step", 30_000)
+        .option("parts", 8)
+        .load()
+    )
+    name = f"stream_pseq_{_uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+        census = spark.table(name).groupBy("bucket").agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+            F.sum("val").cast("long").alias("sum_val"),
+        )
+        out = _local_result(census)
+        consumed = int(
+            out.agg(F.coalesce(F.sum("n_rows"), F.lit(0))).collect()[0][0]
+            or 0
+        )
+        if consumed < n_rows_total:
+            raise RuntimeError(
+                f"pstream census incomplete: {consumed}/{n_rows_total}"
+            )
+        spark.catalog.dropTempView(name)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
 SQL_PYTHON_DATASOURCE_STREAM = """
 WITH t AS (
     SELECT i AS id, CAST(i % 7 AS INTEGER) AS bucket,
@@ -13783,6 +13911,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "multimodal_decode_stub": q_decode_media_stub,
     "python_datasource_scan": q_python_datasource,
     "python_datasource_stream": _retry_stream_once(q_python_datasource_stream),
+    "python_datasource_pstream": _retry_stream_once(q_python_datasource_pstream),
     "multimodal_frame_decode": q_gif_frame_decode,
     "multimodal_gif_interlaced": q_gif_interlaced,
     "multimodal_scene_cuts": q_scene_cuts,
@@ -14112,6 +14241,7 @@ FROM events GROUP BY 1, 2
     "multimodal_decode_stub": SQL_DECODE_STUB,
     "python_datasource_scan": SQL_PYTHON_DATASOURCE,
     "python_datasource_stream": SQL_PYTHON_DATASOURCE_STREAM,
+    "python_datasource_pstream": SQL_PYTHON_DATASOURCE_STREAM,
     "multimodal_frame_decode": SQL_GIF_FRAME_DECODE,
     "multimodal_gif_interlaced": SQL_GIF_INTERLACED,
     "multimodal_scene_cuts": SQL_SCENE_CUTS,

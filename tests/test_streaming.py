@@ -439,3 +439,37 @@ def test_gif_frame_dhash_bits_and_stub(spark):
     stub = gif_frame_dhash(junk).collect()
     assert len(stub) == 1 and stub[0].decoder == "stub"
     assert stub[0].frame_idx == -1 and stub[0].dhash56 == 0
+
+
+def test_python_pstream_source_partition_planning(spark):
+    """The executor-parallel stream tier, driven directly: latestOffset
+    advances one step per trigger and goes stationary at n (what lets
+    processAllAvailable terminate); partitions() splits a range into
+    the requested executor splits covering it exactly; a fully-pruned
+    range yields one empty partition (not an empty list); read() is
+    executor-side and generator-friendly. End-to-end, the partitioned
+    tier must agree with the simple tier bit-for-bit."""
+    from hiv_data_integration_spark.battery_ext import (
+        _make_seq_pstream_source,
+        q_python_datasource_pstream,
+        q_python_datasource_stream,
+    )
+
+    reader = _make_seq_pstream_source()(
+        options={"n": "100", "step": "40", "parts": "3"}
+    ).streamReader(None)
+    assert reader.initialOffset() == {"pos": 0}
+    assert [reader.latestOffset()["pos"] for _ in range(4)] == [
+        40, 80, 100, 100
+    ]
+    parts = reader.partitions({"pos": 0}, {"pos": 40})
+    spans = [(p.s, p.e) for p in parts]
+    assert len(spans) == 3 and spans[0][0] == 0 and spans[-1][1] == 40
+    assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+    rows = [r for p in parts for r in reader.read(p)]
+    assert [r[0] for r in rows] == list(range(40))
+    empty = reader.partitions({"pos": 100}, {"pos": 100})
+    assert len(empty) == 1 and list(reader.read(empty[0])) == []
+    a = sorted(map(tuple, q_python_datasource_pstream(spark, "/tmp").collect()))
+    b = sorted(map(tuple, q_python_datasource_stream(spark, "/tmp").collect()))
+    assert a == b
