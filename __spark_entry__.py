@@ -49,8 +49,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # Rotating a round's window out = append its verified names to a new
 # _R{N}_GREEN list (in CORRECTNESS_r{N} order), delete them from the
 # older tier lists they came from, and keep the remaining tiers'
-# relative order unchanged. Round-11 window: new round-11 entries,
-# then the 28 remaining _R4_GREEN, then the head of _R5_GREEN.
+# relative order unchanged. Round-12 window: new round-12 entries,
+# then the 33 remaining _R5_GREEN, then the head of _R6_GREEN.
 _PENDING_NEVER_VERIFIED: list[str] = [
     # drained in round 8 — every battery entry has official driver
     # signal; new rounds' additions flow through new_this_round below
@@ -77,13 +77,8 @@ _R6_GREEN = [
     "windowed_funnel_events", "variant_json_extract",
 ]
 _R5_GREEN = [
-    "user_event_sequences", "embed_mean_pool", "rules_inconsistent_routing",
-    "weighted_median_price", "user_rfm_features", "event_linear_attribution",
-    "benford_price_profile", "text_ngram_containment",
-    "join_key_skew_profile", "embed_rrf_fusion", "source_quantile_norm",
-    "corpus_curriculum_interleave", "quality_length_rank_corr",
-    "expectations_suite_lineitem", "fk_orphan_profile", "event_pattern_match",
-    "grouped_ols_trend", "contingency_chi2_profile",
+    # (head 17 re-verified in round 11 → moved to _R11_GREEN)
+    "contingency_chi2_profile",
     "conversion_latency_deciles", "event_cooccurrence_lift",
     "incremental_agg_maintenance", "dynamic_partition_overwrite",
     "python_udtf_sentences", "pit_join_scd2_orders",
@@ -106,18 +101,9 @@ _R3_GREEN: list[str] = [
     # fully drained: head 19 re-verified in round 9 (→ _R9_GREEN), the
     # remaining 20 re-verified in round 10 (→ _R10_GREEN)
 ]
-_R4_GREEN = [
-    # (head 20 re-verified in round 10 → moved to _R10_GREEN)
-    "dataset_diff_audit", "compaction_plan_bins", "text_clean_corpus",
-    "trailing_window_features", "corpus_mixture_sample", "asof_join_two_table",
-    "profile_numeric_histogram", "profile_completeness", "embed_lsh_ann_topk",
-    "multimodal_payload_meta", "fuzzy_normalize_fold", "rest_fanout_analytics",
-    "flagship_pnls_chain", "pricing_summary", "filter_membership",
-    "date_range_filter", "conditional_bucket", "join_fact_dim",
-    "multi_hop_join", "semi_join_orders", "anti_join_customers",
-    "cross_join_replicate", "union_relaxed", "distinct_pairs",
-    "pivot_sum_returnflag", "pivot_min_status", "semester_rollup",
-    "topk_customers",
+_R4_GREEN: list[str] = [
+    # fully drained: head 20 re-verified in round 10 (→ _R10_GREEN),
+    # the remaining 28 re-verified in round 11 (→ _R11_GREEN)
 ]
 _R7_GREEN = [
     "graph_pagerank_fixed_point", "group_split_no_leakage",
@@ -179,8 +165,10 @@ _R9_GREEN = [
     # green): the 9 round-9 additions, the 22 remaining r2-stale
     # greens, and the first 19 of _R3_GREEN
     "multimodal_audio_decode", "multimodal_audio_energy",
-    "multimodal_image_phash", "multimodal_phash_near_pairs",
-    "multimodal_phash_clusters", "multimodal_media_router",
+    "multimodal_image_phash",
+    # (multimodal_phash_near_pairs / multimodal_phash_clusters were
+    # kernelized in r12 — re-entered the window as new_this_round)
+    "multimodal_media_router",
     "streaming_media_router", "data_temporal_split_purged",
     "corpus_gate_funnel", "lenient_numeric_parse",
     "dict_lookup_priority", "fuzzy_levenshtein_match", "text_token_counts",
@@ -225,6 +213,33 @@ _R10_GREEN = [
     "dedup_semantic_clusters", "dedup_incremental_batch",
     "corpus_shuffle_shards", "orc_source_roundtrip",
 ]
+_R11_GREEN = [
+    # the full round-11 driver window (CORRECTNESS_r11 order, 50/50
+    # green): the 5 round-11 additions, the 28 remaining _R4_GREEN,
+    # and the first 17 of _R5_GREEN
+    "python_datasource_stream", "python_datasource_pstream",
+    "multimodal_scene_cuts", "multimodal_shot_segments",
+    "multimodal_audio_activity", "dataset_diff_audit",
+    "compaction_plan_bins", "text_clean_corpus",
+    "trailing_window_features", "corpus_mixture_sample",
+    "asof_join_two_table", "profile_numeric_histogram",
+    "profile_completeness", "embed_lsh_ann_topk",
+    "multimodal_payload_meta", "fuzzy_normalize_fold",
+    "rest_fanout_analytics", "flagship_pnls_chain", "pricing_summary",
+    "filter_membership", "date_range_filter", "conditional_bucket",
+    "join_fact_dim", "multi_hop_join", "semi_join_orders",
+    "anti_join_customers", "cross_join_replicate", "union_relaxed",
+    "distinct_pairs", "pivot_sum_returnflag", "pivot_min_status",
+    "semester_rollup", "topk_customers", "user_event_sequences",
+    "embed_mean_pool", "rules_inconsistent_routing",
+    "weighted_median_price", "user_rfm_features",
+    "event_linear_attribution", "benford_price_profile",
+    "text_ngram_containment", "join_key_skew_profile",
+    "embed_rrf_fusion", "source_quantile_norm",
+    "corpus_curriculum_interleave", "quality_length_rank_corr",
+    "expectations_suite_lineitem", "fk_orphan_profile",
+    "event_pattern_match", "grouped_ols_trend",
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -237,7 +252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         set(_PENDING_NEVER_VERIFIED) | set(_R2_GREEN_STALE)
         | set(_R3_GREEN) | set(_R4_GREEN) | set(_R5_GREEN)
         | set(_R6_GREEN) | set(_R7_GREEN) | set(_R8_GREEN)
-        | set(_R9_GREEN) | set(_R10_GREEN)
+        | set(_R9_GREEN) | set(_R10_GREEN) | set(_R11_GREEN)
     )
     new_this_round = [k for k in merged if k not in tiered]
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -253,6 +268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _R8_GREEN,
         _R9_GREEN,
         _R10_GREEN,
+        _R11_GREEN,
     ):
         for k in tier:
             if k in merged and k not in ordered:

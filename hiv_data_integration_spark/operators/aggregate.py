@@ -125,6 +125,7 @@ def pivot_agg(
     value_col: str,
     values: list[str] | None = None,
     agg: str = "sum",
+    max_inferred_values: int = 200,
 ) -> DataFrame:
     """Long→wide pivot (A3/A4).
 
@@ -137,9 +138,29 @@ def pivot_agg(
     Scale note: pass ``values`` explicitly (the reference's declared column
     contracts make this possible) — otherwise Spark runs an extra distinct
     job over the fact table and the output schema becomes data-dependent.
+    The omitted-``values`` path is GUARDED, not merely discouraged: the
+    operator probes the pivot column's cardinality (a ``distinct().
+    limit(cap+1)`` job — strictly cheaper than the unbounded distinct
+    Spark would run anyway for inference) and raises with a remedy when
+    it exceeds ``max_inferred_values``, so a high-cardinality pivot at
+    100 TB fails fast with the fix spelled out instead of melting the
+    driver with a 100k-column schema (SURVEY §7.4.2 discipline,
+    SCALE.md §8).
     """
     agg_col = {"sum": F.sum, "min": F.min, "max": F.max, "first": F.min}[agg](value_col)
     gp = df.groupBy(*keys)
+    if values is None:
+        n = df.select(pivot_col).distinct().limit(max_inferred_values + 1).count()
+        if n > max_inferred_values:
+            raise ValueError(
+                f"pivot_agg: pivot column {pivot_col!r} has more than "
+                f"{max_inferred_values} distinct values; an inferred pivot "
+                "would make the output schema data-dependent and "
+                "driver-sized. Pass the declared `values` list (the "
+                "reference's column contracts provide one), or raise "
+                "`max_inferred_values` explicitly if the width is "
+                "genuinely intended."
+            )
     pv = gp.pivot(pivot_col, values) if values is not None else gp.pivot(pivot_col)
     return pv.agg(agg_col)
 

@@ -20,9 +20,13 @@ murmur3, which an external oracle cannot reproduce.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_log = logging.getLogger(__name__)
 
 __all__ = [
     "md5_long",
@@ -661,8 +665,13 @@ def ngram_jaccard_prefix_pairs(
 ) -> DataFrame:
     """Prefix-filtered exact n-gram-Jaccard pairs (PPJoin-family
     candidate reduction, Xiao et al., WWW'08): IDENTICAL output to
-    :func:`ngram_jaccard_pairs`, but only each document's PREFIX tokens
-    enter the left side of the posting join.
+    :func:`ngram_jaccard_pairs` whenever the exact path runs (the
+    default on real skewed corpora), but only each document's PREFIX
+    tokens enter the left side of the posting join. On degenerate
+    corpora the candidate-mass guard below SUBSTITUTES the df-capped
+    approximate join — logged as a warning and reported via
+    ``guard_report`` — so the identity claim is conditional on the
+    guard not tripping.
 
     Why it is exact: under any global token order, a pair with
     ``J(a,b) ≥ τ`` shares ``|a∩b| ≥ τ·|a∪b| ≥ ceil(τ·|a|)`` tokens, so
@@ -734,33 +743,44 @@ def ngram_jaccard_prefix_pairs(
     )
 
     if guard_candidate_factor is not None:
-        bdf = posting.groupBy(*block_cols, "shingle").agg(
-            F.count("*").alias("bdf_")
-        )
-        stage1 = bdf.agg(
-            F.sum("bdf_").cast("long").alias("postings"),
-            F.sum(F.col("bdf_") * F.col("bdf_")).cast("long").alias("full_mass"),
-        ).collect()[0]
-        postings_n = stage1["postings"] or 0
-        budget = guard_candidate_factor * max(postings_n, 1)
-        mass: int = stage1["full_mass"] or 0
-        stage = 1
-        if mass > budget:
-            # full-join mass over budget: measure the EXACT prefix mass
-            pdf = prefix.groupBy(*block_cols, "shingle").agg(
-                F.count("*").alias("pdf_")
+        # the probes are 1-2 eager jobs over the posting plan (which
+        # itself hides a shingle explode + window rank); persist it for
+        # their duration so stage 2 does not recompute stage 1's scan,
+        # and release the blocks as soon as the probes finish — the
+        # final lazy join re-derives posting exactly as the unguarded
+        # operator would, so steady-state memory is unchanged
+        posting.persist()
+        try:
+            bdf = posting.groupBy(*block_cols, "shingle").agg(
+                F.count("*").alias("bdf_")
             )
-            stage2 = (
-                bdf.join(pdf, [*block_cols, "shingle"])
-                .agg(
-                    F.sum(F.col("pdf_") * F.col("bdf_"))
-                    .cast("long")
-                    .alias("prefix_mass")
+            stage1 = bdf.agg(
+                F.sum("bdf_").cast("long").alias("postings"),
+                F.sum(F.col("bdf_") * F.col("bdf_")).cast("long")
+                .alias("full_mass"),
+            ).collect()[0]
+            postings_n = stage1["postings"] or 0
+            budget = guard_candidate_factor * max(postings_n, 1)
+            mass: int = stage1["full_mass"] or 0
+            stage = 1
+            if mass > budget:
+                # full-join mass over budget: measure the EXACT prefix mass
+                pdf = prefix.groupBy(*block_cols, "shingle").agg(
+                    F.count("*").alias("pdf_")
                 )
-                .collect()[0]
-            )
-            mass = stage2["prefix_mass"] or 0
-            stage = 2
+                stage2 = (
+                    bdf.join(pdf, [*block_cols, "shingle"])
+                    .agg(
+                        F.sum(F.col("pdf_") * F.col("bdf_"))
+                        .cast("long")
+                        .alias("prefix_mass")
+                    )
+                    .collect()[0]
+                )
+                mass = stage2["prefix_mass"] or 0
+                stage = 2
+        finally:
+            posting.unpersist()
         fallback = mass > budget
         if guard_report is not None:
             guard_report.update(
@@ -771,6 +791,15 @@ def ngram_jaccard_prefix_pairs(
                 fallback=fallback,
             )
         if fallback:
+            # loud, not silent: the caller asked for the exact prefix
+            # join but is getting the bounded-recall approximation
+            _log.warning(
+                "ngram_jaccard_prefix_pairs: candidate-mass guard "
+                "tripped (stage %d: mass %d > budget %d for %d "
+                "postings) — falling back to ngram_jaccard_dfcap_pairs"
+                "(df_cap=%d); recall is no longer exact",
+                stage, mass, int(budget), postings_n, guard_df_cap,
+            )
             return ngram_jaccard_dfcap_pairs(
                 df, id_col, text_col, shingle_n=shingle_n,
                 jaccard_threshold=jaccard_threshold, df_cap=guard_df_cap,

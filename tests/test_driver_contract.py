@@ -57,6 +57,7 @@ def test_window_prioritizes_unverified_entries():
         contract._R2_GREEN_STALE, contract._R3_GREEN, contract._R4_GREEN,
         contract._R5_GREEN, contract._R6_GREEN, contract._R7_GREEN,
         contract._R8_GREEN, contract._R9_GREEN, contract._R10_GREEN,
+        contract._R11_GREEN,
     ]
     tiered = set(contract._PENDING_NEVER_VERIFIED).union(*map(set, green_tiers))
     new_this_round = [k for k in names if k not in tiered]

@@ -53,6 +53,25 @@ MULTIMODAL_STREAMING_ENTRIES = [
     "python_datasource_stream",
 ]
 
+# §13 family: the relational/rules tier (the last unmeasured one).
+# These drive the REAL TPC-H-shaped facts, so gen() synthesizes 10x
+# lineitem+orders (deterministic replication with orderkey offsets —
+# FK-consistent, dims stay 1x like a real fact-growth year does).
+# pipeline_a_ist_scaled and the PEC-width rule engine are measured by
+# their own fixture knob (n_facilities 10x) in run_s13_fixtures().
+RELATIONAL_RULES_ENTRIES = [
+    "flagship_pnls_chain",
+    "pricing_summary",
+    "product_type_profit",
+    "market_share_by_year",
+    "nation_volume_shipping",
+    "min_cost_supplier_part",
+    "promo_revenue_share",
+    "shipping_priority_top10",
+    "rules_engine_lineitem",
+    "rules_inconsistent_routing",
+]
+
 DEFAULT_ENTRIES = [
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard_pairs",
@@ -171,11 +190,33 @@ def gen() -> None:
         ),
         f"{DST}/events.parquet",
     )
-    for t in (
-        "region nation customer supplier part orders lineitem".split()
-    ):
+    for t in ("region nation customer supplier part".split()):
         if not os.path.exists(f"{DST}/{t}.parquet"):
             shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+    # 10x facts for the relational/rules tier (§13): replicate
+    # lineitem+orders 10x with an orderkey offset per copy — keeps
+    # orders⋈lineitem FK-exact while custkey/partkey/suppkey reuse the
+    # 1x dimensions (fact rows grow, dimensions don't — the real shape
+    # of a 10x-traffic year). Deterministic: offset = next power of 10
+    # above max(o_orderkey).
+    off = con.execute(
+        f"SELECT max(o_orderkey) FROM read_parquet('{SRC}/orders.parquet')"
+    ).fetchone()[0]
+    offset = 10 ** len(str(off))
+    copies = " UNION ALL ".join(
+        f"SELECT * REPLACE (o_orderkey + {i * offset} AS o_orderkey) "
+        f"FROM read_parquet('{SRC}/orders.parquet')"
+        for i in range(10)
+    )
+    con.execute(f"COPY ({copies}) TO '{DST}/orders.parquet' (FORMAT PARQUET)")
+    copies = " UNION ALL ".join(
+        f"SELECT * REPLACE (l_orderkey + {i * offset} AS l_orderkey) "
+        f"FROM read_parquet('{SRC}/lineitem.parquet')"
+        for i in range(10)
+    )
+    con.execute(
+        f"COPY ({copies}) TO '{DST}/lineitem.parquet' (FORMAT PARQUET)"
+    )
     print("wrote", DST)
 
 
@@ -206,14 +247,99 @@ def run(entries: list[str]) -> None:
     print(json.dumps(out))
 
 
+def _dst_is_fresh() -> bool:
+    """True iff the 10x slice is complete AND current-generation.
+
+    A pre-r11 run of this script wrote documents/embeddings but COPIED
+    the 1x events.parquet; skipping gen() on documents alone would then
+    silently benchmark the streaming entries against unscaled events
+    and report flat slopes as if they were sublinear. Validate every
+    generated table — events must exist and hold the expected 10x row
+    count — and regenerate when stale."""
+    for t in ("documents", "embeddings", "events", "lineitem", "orders"):
+        if not os.path.exists(f"{DST}/{t}.parquet"):
+            return False
+    import pyarrow.parquet as pq
+
+    return (
+        pq.read_metadata(f"{DST}/events.parquet").num_rows == 1_000_000
+        and pq.read_metadata(f"{DST}/documents.parquet").num_rows == N_DOCS
+        and pq.read_metadata(f"{DST}/lineitem.parquet").num_rows
+        == 10 * pq.read_metadata(f"{SRC}/lineitem.parquet").num_rows
+    )
+
+
+def run_s13_fixtures() -> None:
+    """The two fixture-knob measurements the parquet dirs can't drive:
+    pipeline A (IST, 154 cols × 86 rules) and the rule engine at PEC
+    width (236 cols × the reference's largest rule set) at n_facilities
+    700 vs 7000 — the reference's worst-case evaluation shapes."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from hiv_data_integration_spark.benchmarks import (
+        ist_scaled_fixture,
+        pipeline_a_ist_scaled,
+    )
+    from hiv_data_integration_spark.operators.rules import apply_rules
+    from hiv_data_integration_spark.pipeline.extract import pathology_extract
+    from hiv_data_integration_spark.pipeline.pnls import (
+        reference_pathology_spec,
+    )
+    from hiv_data_integration_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-slopes-s13")
+    out: dict[str, dict[str, float]] = {}
+
+    def measure(name: str, tag: str, thunk) -> None:
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            thunk().write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        out.setdefault(name, {})[tag] = round(min(samples), 3)
+        print(name, tag, out[name][tag], flush=True)
+
+    def pec_rules_frame(n_facilities: int):
+        # the reference's WORST evaluation case: 175 rules x 236 cols
+        # (R1/constants.py:698-874), extract spine + one compiled
+        # rule projection — measures codegen behavior at PEC width
+        analytics, coc, de_map, _org_units = ist_scaled_fixture(
+            spark, n_facilities=n_facilities, pathology="PEC"
+        )
+        spec = reference_pathology_spec("PEC", analytics, de_map)
+        wide = pathology_extract(
+            analytics, coc, de_map, spec.contract_value_cols
+        )
+        return apply_rules(
+            wide, spec.rules, key_cols=["organisation_unit_id", "period"]
+        )
+
+    for nfac, tag in ((700, "x1"), (7000, "x10")):
+        measure(
+            "pipeline_a_ist_scaled",
+            tag,
+            lambda nf=nfac: pipeline_a_ist_scaled(spark, n_facilities=nf),
+        )
+        measure(
+            "rules_pec_width", tag, lambda nf=nfac: pec_rules_frame(nf)
+        )
+    for name, t in out.items():
+        if t.get("x1"):
+            t["slope"] = round(t["x10"] / t["x1"], 1)
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "run"
     if mode == "gen":
         gen()
+    elif mode == "s13fix":
+        run_s13_fixtures()
     else:
-        if not os.path.exists(f"{DST}/documents.parquet"):
+        if not _dst_is_fresh():
             gen()
         args = sys.argv[2:]
         if args == ["s12"]:
             args = MULTIMODAL_STREAMING_ENTRIES
+        if args == ["s13"]:
+            args = RELATIONAL_RULES_ENTRIES
         run(args or DEFAULT_ENTRIES)
