@@ -8,6 +8,8 @@ engine is md5-derived precisely so an external engine can reproduce it.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -28,6 +30,8 @@ from hiv_data_integration_spark.operators import multimodal as mm
 from hiv_data_integration_spark.operators import sampling as sp
 from hiv_data_integration_spark.operators import similarity as sim
 from hiv_data_integration_spark.operators import textops as tx
+
+_log = logging.getLogger(__name__)
 
 # ---------------------------------------------------------------------------
 # Shared SQL fragments
@@ -10654,6 +10658,7 @@ def _wav_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(doc_id, payload)``, session-cached + ``localCheckpoint``ed like
     the GIF/PNG corpora."""
     key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_dead_sessions(_WAV_CACHE, key[0])
     cached = _WAV_CACHE.get(key)
     if cached is not None:
         return cached
@@ -10703,7 +10708,6 @@ def _wav_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = docs.mapInPandas(synth_batches, synth_schema).localCheckpoint(
         eager=True
     )
-    _evict_dead_sessions(_WAV_CACHE, key[0])
     _WAV_CACHE[key] = out
     return out
 
@@ -10859,7 +10863,10 @@ _PHASH_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 def _evict_dead_sessions(cache: dict, app_id: str) -> None:
     """Drop cache entries from SparkContexts other than the live one —
     their checkpoint blocks are unreachable (or worse, pinned) once the
-    owning session stops."""
+    owning session stops. Called BEFORE every cache lookup (not only on
+    population): a hit path that skipped eviction would let a dead
+    session's entries survive indefinitely in a driver process whose
+    live keys keep hitting."""
     for k in [k for k in cache if k[0] != app_id]:
         del cache[k]
 
@@ -10872,6 +10879,7 @@ def _png_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads are input data, synthesized once per session. Returns
     ``(doc_id, payload)``."""
     key = (spark.sparkContext.applicationId, sf_dir, "png")
+    _evict_dead_sessions(_PHASH_CACHE, key[0])
     cached = _PHASH_CACHE.get(key)
     if cached is not None:
         return cached
@@ -10931,7 +10939,6 @@ def _png_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = docs.mapInPandas(synth_batches, synth_schema).localCheckpoint(
         eager=True
     )
-    _evict_dead_sessions(_PHASH_CACHE, key[0])
     _PHASH_CACHE[key] = out
     return out
 
@@ -10947,6 +10954,7 @@ def _phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode stage became shared and the CC kernelized). Returns
     ``(doc_id, width, height, phash_hi, phash_lo, decoder)``."""
     key = (spark.sparkContext.applicationId, sf_dir, "ahash")
+    _evict_dead_sessions(_PHASH_CACHE, key[0])
     cached = _PHASH_CACHE.get(key)
     if cached is not None:
         return cached
@@ -10959,7 +10967,32 @@ def _phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ahash.phash_lo").alias("phash_lo"),
         F.col("ahash.decoder").alias("decoder"),
     ).localCheckpoint(eager=True)
+    _PHASH_CACHE[key] = out
+    return out
+
+
+def _dhash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached decoded dHash frame (same discipline as
+    :func:`_phash_hashes` — the pure-Python PNG decode is paid once per
+    session, every consumer reads the checkpoint). Returns
+    ``(doc_id, width, height, dhash_hi, dhash_lo, decoder)``."""
+    key = (spark.sparkContext.applicationId, sf_dir, "dhash")
     _evict_dead_sessions(_PHASH_CACHE, key[0])
+    cached = _PHASH_CACHE.get(key)
+    if cached is not None:
+        return cached
+    out = (
+        mm.image_dhash(_png_payloads(spark, sf_dir))
+        .select(
+            "doc_id",
+            F.col("dhash.width").alias("width"),
+            F.col("dhash.height").alias("height"),
+            F.col("dhash.phash_hi").alias("dhash_hi"),
+            F.col("dhash.phash_lo").alias("dhash_lo"),
+            F.col("dhash.decoder").alias("decoder"),
+        )
+        .localCheckpoint(eager=True)
+    )
     _PHASH_CACHE[key] = out
     return out
 
@@ -10971,21 +11004,13 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the aHash entry, sharing the session-cached PNG corpus. The oracle
     rebuilds the gathered grid pixels from the synthesis formula and
     re-derives all 64 comparison bits in SQL."""
-    hashed = mm.image_dhash(_png_payloads(spark, sf_dir))
-    return hashed.select(
-        "doc_id",
-        F.col("dhash.width").alias("width"),
-        F.col("dhash.height").alias("height"),
-        F.col("dhash.phash_hi").alias("dhash_hi"),
-        F.col("dhash.phash_lo").alias("dhash_lo"),
-        F.col("dhash.decoder").alias("decoder"),
-    )
+    return _dhash_hashes(spark, sf_dir)
 
 
 # gathered pixel (ty,tx) = raster pixel (tx*w//9, ty*h//8) of the
 # (7x+13y+doc_id)%256 grid; bit = cell[x+1] > cell[x]; MSB-first pack
 # into unsigned 32-bit halves (rows 0-3 -> hi, 4-7 -> lo)
-SQL_IMAGE_DHASH = """
+_SQL_DHASH_CTE = """
 WITH p AS (
     SELECT doc_id,
            CAST(8 * (1 + doc_id % 5) AS BIGINT) AS w,
@@ -11005,16 +11030,22 @@ bits AS (
     FROM cells a JOIN cells b
       ON b.doc_id = a.doc_id AND b.ty = a.ty AND b.tx = a.tx + 1
     WHERE a.tx < 8
+),
+dhashes AS (
+    SELECT doc_id,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(SUM(CASE WHEN ty < 4 THEN bit << (31 - (ty * 8 + tx))
+                         ELSE 0 END) AS BIGINT) AS dhash_hi,
+           CAST(SUM(CASE WHEN ty >= 4 THEN bit << (31 - ((ty - 4) * 8 + tx))
+                         ELSE 0 END) AS BIGINT) AS dhash_lo
+    FROM bits GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(MAX(w) AS INTEGER) AS width,
-       CAST(MAX(h) AS INTEGER) AS height,
-       CAST(SUM(CASE WHEN ty < 4 THEN bit << (31 - (ty * 8 + tx))
-                     ELSE 0 END) AS BIGINT) AS dhash_hi,
-       CAST(SUM(CASE WHEN ty >= 4 THEN bit << (31 - ((ty - 4) * 8 + tx))
-                     ELSE 0 END) AS BIGINT) AS dhash_lo,
-       'png' AS decoder
-FROM bits GROUP BY doc_id
+"""
+
+SQL_IMAGE_DHASH = _SQL_DHASH_CTE + """
+SELECT doc_id, width, height, dhash_hi, dhash_lo, 'png' AS decoder
+FROM dhashes
 """
 
 
@@ -11028,35 +11059,48 @@ def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _phash_hashes(spark, sf_dir)
 
 
-def q_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-duplicate pairs via banded Hamming LSH over the REAL
-    decoded perceptual hashes (companion to ``multimodal_image_phash``,
-    same two decode stages): each 64-bit aHash splits into 4×16-bit
-    bands; docs sharing any band value become candidates (O(rows·4)
-    shuffled band entries — never all-pairs), then the exact Hamming
-    distance ``bit_count(xor(hi)) + bit_count(xor(lo))`` verifies
-    candidates at threshold 4. Everything after the decode is native
-    (explode, hash self-join, bit ops — Python only in the two decode
-    stages). At sf0.01: 3485 distinct candidates → 481 verified pairs,
-    a real distance distribution (93 exact dups, the rest structural
-    near-misses) — the simhash banding shape applied to images. The
-    hash frame is ``localCheckpoint``ed before the self-join (the BPE/
-    label-propagation pattern: eager materialization, lineage cut, and
-    ContextCleaner releases the blocks when the frame is GC'd), so the
-    two join subtrees read the checkpoint instead of re-running the
-    decode stages — exactly the persist-once production shape a corpus
-    run uses, measured 2.67 → 1.95 s at sf0.1 (min-of-5 quiet).
+def _phash_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-hash CLASSES of the phash corpus: one row per distinct
+    64-bit hash with its min-doc representative and member count —
+    the kernel every phash pair/cluster entry now runs its LSH on.
+    Mass duplication (the thing that explodes near-dup graphs at
+    100 TB) collapses here in ONE hash aggregate, so everything
+    downstream works on distinct-fingerprint cardinality, not corpus
+    cardinality. Session-cached + eagerly ``localCheckpoint``ed like
+    the hash frame it contracts (deterministic derived data; three
+    entries + the mass probe reuse it, and the contraction is
+    distinct-fingerprint-sized so the checkpoint blocks are small —
+    coalesced to a handful of partitions so downstream tiny jobs do
+    not pay 32-task scheduling). Returns ``(phash_hi, phash_lo, rep,
+    n)``."""
+    key = (spark.sparkContext.applicationId, sf_dir, "classes")
+    _evict_dead_sessions(_PHASH_CACHE, key[0])
+    cached = _PHASH_CACHE.get(key)
+    if cached is not None:
+        return cached
+    out = (
+        _phash_hashes(spark, sf_dir)
+        .groupBy("phash_hi", "phash_lo")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .coalesce(4)
+        .localCheckpoint(eager=True)
+    )
+    _PHASH_CACHE[key] = out
+    return out
 
-    SCALE CAVEAT (measured, SCALE.md §12): pair EMISSION is Ω(Σ class²)
-    over duplicate classes — on the 10× slice the bounded hash
-    diversity grows class sizes 10× and the OUTPUT 102× (62,122 →
-    6,364,472 pairs; wall only 10.6×, so per-row cost actually fell).
-    No join strategy fixes an output that is itself quadratic: corpora
-    with mass duplication should contract exact-hash classes to one
-    representative first — ``q_phash_clusters`` does exactly that
-    (kernelized CC, 3.2× measured slope) and recovers the full pair
-    set implicitly as within-cluster membership."""
-    hashed = _phash_hashes(spark, sf_dir)  # checkpointed + session-cached
+
+def _phash_class_band_pairs(classes: DataFrame) -> DataFrame:
+    """Banded Hamming LSH over exact-hash classes: each 64-bit hash
+    splits into 4×16-bit bands; classes sharing any band value become
+    candidates (pigeonhole: hamming ≤ 4 < bands+1 guarantees one equal
+    band... at threshold 4 with 4 bands the banding is a candidate
+    generator verified by the exact distance, identical to the
+    pre-kernel shape because band values are functions of the hash
+    alone). Returns ``(rep_a, rep_b, n_a, n_b, hamming)`` for verified
+    cross-class candidates (rep_a < rep_b)."""
     band_structs = F.array(
         *[
             F.struct(F.lit(k).alias("bk"), bv.cast("long").alias("bv"))
@@ -11070,9 +11114,10 @@ def q_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
     )
-    bands = hashed.select(
-        "doc_id", "phash_hi", "phash_lo", F.explode(band_structs).alias("b")
-    ).select("doc_id", "phash_hi", "phash_lo", "b.bk", "b.bv")
+    bands = classes.select(
+        "rep", "n", "phash_hi", "phash_lo",
+        F.explode(band_structs).alias("b"),
+    ).select("rep", "n", "phash_hi", "phash_lo", "b.bk", "b.bv")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -11080,26 +11125,307 @@ def q_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             on=[
                 F.col("a.bk") == F.col("b.bk"),
                 F.col("a.bv") == F.col("b.bv"),
-                F.col("a.doc_id") < F.col("b.doc_id"),
+                F.col("a.rep") < F.col("b.rep"),
             ],
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.rep").alias("rep_a"),
+            F.col("b.rep").alias("rep_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
             F.col("a.phash_hi").alias("ha"),
             F.col("a.phash_lo").alias("la"),
             F.col("b.phash_hi").alias("hb"),
             F.col("b.phash_lo").alias("lb"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .dropDuplicates(["rep_a", "rep_b"])
     )
     ham = (
         F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
         + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
     ).cast("long")
-    return (
-        cand.select("doc_a", "doc_b", ham.alias("hamming"))
-        .filter(F.col("hamming") <= 4)
+    return cand.select(
+        "rep_a", "rep_b", "n_a", "n_b", ham.alias("hamming")
+    ).filter(F.col("hamming") <= 4)
+
+
+_PHASH_MASS_CACHE: dict[tuple[str, str], tuple[int, int]] = {}
+
+
+def _phash_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, rep)`` membership map of the phash corpus — which
+    exact-hash class each document belongs to. The class side of the
+    join is distinct-fingerprint-sized by construction, so it is
+    BROADCAST: the member table (the corpus, at 100 TB) never shuffles
+    to learn its representative. Session-cached + checkpointed like
+    the frames it derives from."""
+    key = (spark.sparkContext.applicationId, sf_dir, "members")
+    _evict_dead_sessions(_PHASH_CACHE, key[0])
+    cached = _PHASH_CACHE.get(key)
+    if cached is not None:
+        return cached
+    classes = _phash_classes(spark, sf_dir)
+    out = (
+        _phash_hashes(spark, sf_dir)
+        .join(
+            F.broadcast(classes.select("phash_hi", "phash_lo", "rep")),
+            ["phash_hi", "phash_lo"],
+        )
+        .select("doc_id", "rep")
+        .localCheckpoint(eager=True)
+    )
+    _PHASH_CACHE[key] = out
+    return out
+
+
+def q_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs via banded Hamming LSH over the REAL
+    decoded perceptual hashes (companion to ``multimodal_image_phash``,
+    same two decode stages), KERNELIZED since r12: the LSH self-join
+    runs over exact-hash CLASSES (:func:`_phash_classes` — distinct
+    fingerprints, not documents), and member pairs are recovered by
+    expansion joins afterwards. Output is bit-identical to the
+    pre-kernel per-document join (band values are functions of the
+    hash, so two docs share a band iff their classes do; identical
+    hashes share every band and verify at hamming 0), which is why the
+    oracle is unchanged — but the quadratic candidate explosion on
+    mass-duplicate corpora now happens ONLY in the final expansion,
+    which is the output contract itself, never in the join. At sf0.01:
+    481 verified pairs (93 exact dups, the rest structural
+    near-misses). Python only in the two decode stages; the hash frame
+    is checkpointed + session-cached (see :func:`_phash_hashes`).
+
+    SCALE (measured, SCALE.md §12/§13): pair EMISSION is Ω(Σ class²)
+    over duplicate classes — that is the contract of a full pair list,
+    not join waste (on the 10× slice: 102× pairs for 10× docs). The
+    operator PROBES that mass before expanding (one aggregate over the
+    class profile: Σ n·(n−1)/2 within-class pairs vs
+    ``mass_warn_factor ×`` corpus size) and logs a warning naming
+    ``multimodal_phash_class_pairs`` — the class-representative +
+    multiplicity successor whose output stays kernel-sized — when the
+    expansion is quadratic-dominated. ``q_phash_clusters`` consumes the
+    kernel directly and never expands."""
+    classes = _phash_classes(spark, sf_dir)  # session-cached checkpoint
+    mass_key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_dead_sessions(_PHASH_MASS_CACHE, mass_key[0])
+    if mass_key not in _PHASH_MASS_CACHE:
+        _PHASH_MASS_CACHE[mass_key] = tuple(
+            classes.select(
+                F.sum("n").cast("long"),
+                F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long"),
+            ).collect()[0]
+        )
+    n_docs, within_mass = _PHASH_MASS_CACHE[mass_key]
+    mass_warn_factor = 8.0
+    if (within_mass or 0) > mass_warn_factor * max(n_docs or 0, 1):
+        _log.warning(
+            "multimodal_phash_near_pairs: exact-duplicate mass is "
+            "quadratic-dominated (%d within-class pairs for %d docs); "
+            "the full pair expansion is output-bound by contract — "
+            "use multimodal_phash_class_pairs (class representatives + "
+            "multiplicities) or multimodal_phash_clusters for the "
+            "kernel-sized result",
+            within_mass, n_docs,
+        )
+    members = _phash_members(spark, sf_dir)
+    class_pairs = _phash_class_band_pairs(classes)
+    ma, mb = members.alias("ma"), members.alias("mb")
+    cross = (
+        F.broadcast(class_pairs.alias("p"))
+        .join(ma, F.col("p.rep_a") == F.col("ma.rep"))
+        .join(mb, F.col("p.rep_b") == F.col("mb.rep"))
+        .select(
+            F.least("ma.doc_id", "mb.doc_id").alias("doc_a"),
+            F.greatest("ma.doc_id", "mb.doc_id").alias("doc_b"),
+            F.col("p.hamming").alias("hamming"),
+        )
+    )
+    within = (
+        ma.join(
+            mb,
+            on=[
+                F.col("ma.rep") == F.col("mb.rep"),
+                F.col("ma.doc_id") < F.col("mb.doc_id"),
+            ],
+        )
+        .select(
+            F.col("ma.doc_id").alias("doc_a"),
+            F.col("mb.doc_id").alias("doc_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    return cross.unionByName(within)
+
+
+def q_phash_class_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-safe near-dup pair contract: CLASS-REPRESENTATIVE
+    pairs + multiplicities instead of the materialized member-pair
+    list. One row per verified class pair ``(rep_a, rep_b, hamming,
+    n_pairs = n_a·n_b)`` plus one row per exact-duplicate class
+    ``(rep, rep, 0, n·(n−1)/2)`` — ``sum(n_pairs)`` equals exactly the
+    row count of ``multimodal_phash_near_pairs`` (property-tested), so
+    the full pair set is represented losslessly while the OUTPUT stays
+    kernel-sized: on mass-duplicate corpora (bounded hash diversity —
+    the §12 10× shape that made the expansion 102×) this plan's output
+    is flat in corpus size and its cost is one hash aggregate + the
+    distinct-fingerprint LSH join. The oracle replays the class
+    contraction + banding + multiplicity arithmetic in SQL."""
+    classes = _phash_classes(spark, sf_dir)  # session-cached checkpoint
+    cross = _phash_class_band_pairs(classes).select(
+        "rep_a",
+        "rep_b",
+        "hamming",
+        (F.col("n_a") * F.col("n_b")).cast("long").alias("n_pairs"),
+    )
+    within = classes.filter(F.col("n") >= 2).select(
+        F.col("rep").alias("rep_a"),
+        F.col("rep").alias("rep_b"),
+        F.lit(0).cast("long").alias("hamming"),
+        (F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("n_pairs"),
+    )
+    return cross.unionByName(within)
+
+
+def q_crossmodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL near-dup verdicts: the image-hash family joined with
+    the text-fingerprint family into one per-pair verdict — the
+    composition a multimodal corpus dedup actually runs (near-dup web
+    pages share images; near-dup documents share prefixes; a pair
+    flagged by BOTH signals is a far stronger dup than either alone).
+
+    Corpus = the shared duplication corpus (base documents + mutated
+    last-word-dropped copies at ``doc_id + 100000``); each corpus doc
+    carries the PNG of its BASE document (``doc_id % 100000`` — copies
+    reuse their source's image, the real web shape). Signals:
+
+    - **image**: banded Hamming LSH over the decoded dHashes of the
+      distinct base images (the §13 kernel shape — the self-join never
+      sees the duplicated corpus), verified at hamming ≤ 4, then
+      expanded to corpus pairs through the doc→image map (broadcast —
+      the map's image side is distinct-image-sized); same-image pairs
+      (source vs its copies) join at hamming 0.
+    - **text**: exact match on the 8-word normalized prefix fingerprint
+      (md5 of the first 8 whitespace-split lowercased tokens — the
+      last-word mutation preserves it, so injected copies match while
+      unrelated docs collide only by real prefix duplication).
+
+    Verdict per candidate pair (full outer join of the two pair sets):
+    ``both`` / ``image_only`` / ``text_only``, with the exact image
+    Hamming distance where the image signal fired. Everything after
+    the shared decode stage is native (explode/join/bit ops/md5)."""
+    corpus = _dup_corpus(spark, sf_dir).select("doc_id", "text")
+    bmap = corpus.select(
+        "doc_id", (F.col("doc_id") % 100000).alias("img_id")
+    )
+    dh = _dhash_hashes(spark, sf_dir).select(
+        F.col("doc_id").alias("img_id"), "dhash_hi", "dhash_lo"
+    )
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(k).alias("bk"), bv.cast("long").alias("bv"))
+            for k, bv in enumerate(
+                [
+                    F.shiftright("dhash_hi", 16),
+                    F.col("dhash_hi").bitwiseAND(F.lit(65535)),
+                    F.shiftright("dhash_lo", 16),
+                    F.col("dhash_lo").bitwiseAND(F.lit(65535)),
+                ]
+            )
+        ]
+    )
+    bands = dh.select(
+        "img_id", "dhash_hi", "dhash_lo", F.explode(band_structs).alias("b")
+    ).select("img_id", "dhash_hi", "dhash_lo", "b.bk", "b.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = (
+        F.bit_count(F.col("a.dhash_hi").bitwiseXOR(F.col("b.dhash_hi")))
+        + F.bit_count(F.col("a.dhash_lo").bitwiseXOR(F.col("b.dhash_lo")))
+    ).cast("long")
+    ipairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.bk") == F.col("b.bk"),
+                F.col("a.bv") == F.col("b.bv"),
+                F.col("a.img_id") < F.col("b.img_id"),
+            ],
+        )
+        .select(
+            F.col("a.img_id").alias("ia"),
+            F.col("b.img_id").alias("ib"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["ia", "ib"])
+        .filter(F.col("hamming") <= 1)
+    )
+    m1, m2 = bmap.alias("m1"), bmap.alias("m2")
+    img_cross = (
+        F.broadcast(ipairs.alias("p"))
+        .join(m1, F.col("p.ia") == F.col("m1.img_id"))
+        .join(m2, F.col("p.ib") == F.col("m2.img_id"))
+        .select(
+            F.least("m1.doc_id", "m2.doc_id").alias("doc_a"),
+            F.greatest("m1.doc_id", "m2.doc_id").alias("doc_b"),
+            F.col("p.hamming").alias("image_hamming"),
+        )
+    )
+    img_same = (
+        m1.join(
+            m2,
+            on=[
+                F.col("m1.img_id") == F.col("m2.img_id"),
+                F.col("m1.doc_id") < F.col("m2.doc_id"),
+            ],
+        )
+        .select(
+            F.col("m1.doc_id").alias("doc_a"),
+            F.col("m2.doc_id").alias("doc_b"),
+            F.lit(0).cast("long").alias("image_hamming"),
+        )
+    )
+    image_pairs = img_cross.unionByName(img_same)
+    words = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    tfp = corpus.select(
+        "doc_id",
+        F.md5(F.array_join(F.slice(words, 1, 8), " ")).alias("fp"),
+    )
+    t1, t2 = tfp.alias("t1"), tfp.alias("t2")
+    tpairs = (
+        t1.join(
+            t2,
+            on=[
+                F.col("t1.fp") == F.col("t2.fp"),
+                F.col("t1.doc_id") < F.col("t2.doc_id"),
+            ],
+        )
+        .select(
+            F.col("t1.doc_id").alias("doc_a"),
+            F.col("t2.doc_id").alias("doc_b"),
+            F.lit(True).alias("tm"),
+        )
+    )
+    i, t = image_pairs.alias("i"), tpairs.alias("t")
+    return i.join(
+        t,
+        on=[
+            F.col("i.doc_a") == F.col("t.doc_a"),
+            F.col("i.doc_b") == F.col("t.doc_b"),
+        ],
+        how="full_outer",
+    ).select(
+        F.coalesce("i.doc_a", "t.doc_a").alias("doc_a"),
+        F.coalesce("i.doc_b", "t.doc_b").alias("doc_b"),
+        F.col("i.image_hamming").alias("image_hamming"),
+        F.coalesce("t.tm", F.lit(False)).alias("text_match"),
+        F.when(
+            F.col("i.doc_a").isNotNull() & F.col("t.tm").isNotNull(),
+            F.lit("both"),
+        )
+        .when(F.col("i.doc_a").isNotNull(), F.lit("image_only"))
+        .otherwise(F.lit("text_only"))
+        .alias("verdict"),
     )
 
 
@@ -11175,6 +11501,99 @@ FROM cand
 WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 4
 """
 
+# class-aware successor: contract exact-hash classes (rep = min doc_id,
+# n = member count), band the DISTINCT hashes, verify hamming <= 4, and
+# emit multiplicities instead of expanded member pairs — n_a*n_b for a
+# cross-class pair, n*(n-1)/2 for each exact-duplicate class.
+SQL_PHASH_CLASS_PAIRS = _SQL_PHASH_CTE + """,
+classes AS (
+    SELECT phash_hi, phash_lo, MIN(doc_id) AS rep,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM hashes GROUP BY 1, 2
+),
+cbands AS (
+    SELECT rep, n, phash_hi, phash_lo, k AS bk,
+           CASE k WHEN 0 THEN phash_hi // 65536
+                  WHEN 1 THEN phash_hi % 65536
+                  WHEN 2 THEN phash_lo // 65536
+                  ELSE phash_lo % 65536 END AS bv
+    FROM classes, UNNEST(range(0, 4)) t(k)
+),
+ccand AS (
+    SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b,
+           a.n AS n_a, b.n AS n_b,
+           a.phash_hi AS ha, a.phash_lo AS la,
+           b.phash_hi AS hb, b.phash_lo AS lb
+    FROM cbands a JOIN cbands b
+      ON a.bk = b.bk AND a.bv = b.bv AND a.rep < b.rep
+)
+SELECT rep_a, rep_b,
+       CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT)
+           AS hamming,
+       CAST(n_a * n_b AS BIGINT) AS n_pairs
+FROM ccand
+WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 4
+UNION ALL
+SELECT rep, rep, CAST(0 AS BIGINT), CAST(n * (n - 1) // 2 AS BIGINT)
+FROM classes WHERE n >= 2
+"""
+
+# cross-modal verdicts: dHash banded LSH over base images (kernel) +
+# expansion through the doc->image map, full-outer-joined with exact
+# 8-word-prefix fingerprint pairs over the duplication corpus.
+SQL_CROSSMODAL_NEARDUP = _SQL_DHASH_CTE + f""",
+{_DUP_CORPUS_SQL.strip().rstrip()}
+, bmap AS (SELECT doc_id, doc_id % 100000 AS img_id FROM corpus),
+ibands AS (
+    SELECT doc_id AS img_id, dhash_hi, dhash_lo, k AS bk,
+           CASE k WHEN 0 THEN dhash_hi // 65536
+                  WHEN 1 THEN dhash_hi % 65536
+                  WHEN 2 THEN dhash_lo // 65536
+                  ELSE dhash_lo % 65536 END AS bv
+    FROM dhashes, UNNEST(range(0, 4)) t(k)
+),
+ipairs AS (
+    SELECT DISTINCT a.img_id AS ia, b.img_id AS ib,
+           CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+              + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS BIGINT) AS hamming
+    FROM ibands a JOIN ibands b
+      ON a.bk = b.bk AND a.bv = b.bv AND a.img_id < b.img_id
+    WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+        + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 1
+),
+image_pairs AS (
+    SELECT least(m1.doc_id, m2.doc_id) AS doc_a,
+           greatest(m1.doc_id, m2.doc_id) AS doc_b,
+           p.hamming AS image_hamming
+    FROM ipairs p JOIN bmap m1 ON m1.img_id = p.ia
+                  JOIN bmap m2 ON m2.img_id = p.ib
+    UNION ALL
+    SELECT m1.doc_id, m2.doc_id, CAST(0 AS BIGINT)
+    FROM bmap m1 JOIN bmap m2
+      ON m1.img_id = m2.img_id AND m1.doc_id < m2.doc_id
+),
+tfp AS (
+    SELECT doc_id,
+           md5(array_to_string(
+               (list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            x -> x != ''))[1:8], ' ')) AS fp
+    FROM corpus
+),
+tpairs AS (
+    SELECT t1.doc_id AS doc_a, t2.doc_id AS doc_b, TRUE AS tm
+    FROM tfp t1 JOIN tfp t2 ON t1.fp = t2.fp AND t1.doc_id < t2.doc_id
+)
+SELECT coalesce(i.doc_a, t.doc_a) AS doc_a,
+       coalesce(i.doc_b, t.doc_b) AS doc_b,
+       i.image_hamming AS image_hamming,
+       coalesce(t.tm, FALSE) AS text_match,
+       CASE WHEN i.doc_a IS NOT NULL AND t.tm IS NOT NULL THEN 'both'
+            WHEN i.doc_a IS NOT NULL THEN 'image_only'
+            ELSE 'text_only' END AS verdict
+FROM image_pairs i FULL OUTER JOIN tpairs t
+  ON i.doc_a = t.doc_a AND i.doc_b = t.doc_b
+"""
+
 
 def q_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end image dedup: decode (real PNG pixels) → aHash → banded
@@ -11202,28 +11621,15 @@ def q_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    pairs = q_phash_near_pairs(spark, sf_dir)
-    hashed = _phash_hashes(spark, sf_dir)
-    # contract exact-hash groups: rep = min doc_id per 64-bit hash
-    groups = hashed.groupBy("phash_hi", "phash_lo").agg(
-        F.min("doc_id").alias("rep"),
-        F.count("*").cast("long").alias("group_n"),
-    )
-    members = hashed.join(groups, ["phash_hi", "phash_lo"]).select(
-        "doc_id", "rep"
-    )
-    ma = members.alias("ma")
-    mb = members.alias("mb")
-    contracted = (
-        pairs.alias("p")
-        .join(ma, F.col("p.doc_a") == F.col("ma.doc_id"))
-        .join(mb, F.col("p.doc_b") == F.col("mb.doc_id"))
-        .select(
-            F.col("ma.rep").alias("rep_a"), F.col("mb.rep").alias("rep_b")
-        )
-        .filter(F.col("rep_a") != F.col("rep_b"))
-        .distinct()
-    )
+    # since r12 the kernel comes straight from the class helpers — the
+    # expanded member-pair list is never materialized here at all (the
+    # pre-r12 shape expanded q_phash_near_pairs and re-contracted it;
+    # cross-class band pairs ARE the contracted edge set, because two
+    # docs pair iff their classes share a band and verify, and
+    # within-class pairs contract to nothing)
+    groups = _phash_classes(spark, sf_dir)  # session-cached checkpoint
+    contracted = _phash_class_band_pairs(groups).select("rep_a", "rep_b")
+    groups = groups.select("rep", F.col("n").alias("group_n"))
     # two-level CC: the kernel is the distinct-fingerprint graph, so a
     # 2M-edge local union-find bound covers it far past this corpus
     # (4,382 contracted edges at sf0.1); bigger kernels fall back to
@@ -11298,6 +11704,7 @@ def _gif_payloads(
     arithmetic, so SQL oracles rebuild every pixel. Returns
     ``(doc_id, payload)``."""
     key = (spark.sparkContext.applicationId, sf_dir, interlaced)
+    _evict_dead_sessions(_GIF_CACHE, key[0])
     cached = _GIF_CACHE.get(key)
     if cached is not None:
         return cached
@@ -11441,7 +11848,6 @@ def _gif_payloads(
     out = docs.mapInPandas(synth_batches, synth_schema).localCheckpoint(
         eager=True
     )
-    _evict_dead_sessions(_GIF_CACHE, key[0])
     _GIF_CACHE[key] = out
     return out
 
@@ -11639,11 +12045,14 @@ def q_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the engine's prefetch cache copies the returned iterator, so rows
     must be a list, not a generator), and `readBetweenOffsets` replays
     any committed range deterministically — the recovery contract. The
-    stream feeds a complete-mode per-bucket census; the entry polls
-    until every row has been consumed (4 offset-ranged micro-batches at
-    n=120k/step=30k — `availableNow` is unsupported for Python stream
-    sources and falls back to a single batch, so a short
-    `processingTime` trigger drives the multi-batch path), then stops.
+    stream ingests via a stateless APPEND-mode memory sink (4
+    offset-ranged micro-batches at n=120k/step=30k — `availableNow` is
+    unsupported for Python stream sources and falls back to a single
+    batch, so a short `processingTime` trigger drives the multi-batch
+    path; the source's stationary latestOffset lets
+    processAllAvailable() terminate), and the per-bucket census is
+    computed BATCH-side over the ingested table after the stream stops
+    — the entry pins the source contract, not sink state.
     The oracle rebuilds the identical census from `range()` arithmetic.
     Class tree defined in-function: cloudpickle ships it by value."""
     import shutil
@@ -13731,6 +14140,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "multimodal_image_phash": q_image_phash,
     "multimodal_image_dhash": q_image_dhash,
     "multimodal_phash_near_pairs": q_phash_near_pairs,
+    "multimodal_phash_class_pairs": q_phash_class_pairs,
+    "multimodal_crossmodal_neardup": q_crossmodal_neardup,
     "multimodal_phash_clusters": q_phash_clusters,
     "multimodal_media_router": q_media_router,
     "streaming_media_router": _retry_stream_once(q_streaming_media_router),
@@ -13993,6 +14404,8 @@ EXT_ORACLE: dict[str, str] = {
     "multimodal_image_phash": SQL_IMAGE_PHASH,
     "multimodal_image_dhash": SQL_IMAGE_DHASH,
     "multimodal_phash_near_pairs": SQL_PHASH_NEAR_PAIRS,
+    "multimodal_phash_class_pairs": SQL_PHASH_CLASS_PAIRS,
+    "multimodal_crossmodal_neardup": SQL_CROSSMODAL_NEARDUP,
     "multimodal_phash_clusters": SQL_PHASH_CLUSTERS,
     "multimodal_media_router": SQL_MEDIA_ROUTER,
     "streaming_media_router": SQL_MEDIA_ROUTER,

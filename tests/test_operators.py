@@ -1502,7 +1502,7 @@ def test_ngram_prefix_filter_equals_full_join(spark):
     assert full == pref and (1, 5, 1.0) in full
 
 
-def test_ngram_prefix_guard_candidate_mass(spark):
+def test_ngram_prefix_guard_candidate_mass(spark, caplog):
     """The r11 candidate-mass guard: on a bounded-vocabulary corpus
     (every doc the same template — the shape SCALE.md §11 measured at
     31× wall) the prefix filter must detect its own degenerate candidate
@@ -1522,9 +1522,19 @@ def test_ngram_prefix_guard_candidate_mass(spark):
         "doc_id long, text string",
     )
     rep: dict = {}
-    out = ngram_jaccard_prefix_pairs(
-        degen, "doc_id", "text", 3, 0.5,
-        guard_candidate_factor=4.0, guard_report=rep,
+    import logging
+
+    with caplog.at_level(
+        logging.WARNING, logger="hiv_data_integration_spark.operators.dedup"
+    ):
+        out = ngram_jaccard_prefix_pairs(
+            degen, "doc_id", "text", 3, 0.5,
+            guard_candidate_factor=4.0, guard_report=rep,
+        )
+    # the fallback must be LOUD even without guard_report plumbed in
+    assert any(
+        "candidate-mass guard" in r.getMessage()
+        for r in caplog.records if r.levelno == logging.WARNING
     )
     assert rep["fallback"] is True and rep["stage"] == 2
     assert rep["candidate_mass"] > rep["budget"] >= rep["postings"] * 4
@@ -5047,6 +5057,23 @@ def test_connected_components_local_unionfind_matches(spark):
         ).collect()
     }
     assert dist == star
+    # OUTPUT SCHEMA must be runtime-independent: with Integer ids the
+    # local union-find branch must cast back to the input dtype, so the
+    # same graph above and below local_threshold yields identical
+    # schemas (the local path's pandas frame would otherwise widen both
+    # columns to LongType and the schema would depend on edge count)
+    int_pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 7)], "id_a int, id_b int"
+    )
+    lo = connected_components(int_pairs, local_threshold=10_000)
+    hi = connected_components(int_pairs, local_threshold=1)
+    assert lo.schema == hi.schema
+    assert [f.dataType.simpleString() for f in lo.schema.fields] == [
+        "int", "int"
+    ]
+    assert {r.id: r.component for r in lo.collect()} == {
+        r.id: r.component for r in hi.collect()
+    }
 
 
 def test_ngram_dfcap_equals_plain_when_cap_unbinding(spark):
@@ -5224,6 +5251,22 @@ def test_python_datasource_plain_and_pushdown_tiers_agree(spark):
         assert bounded.agg({"val": "sum"}).collect()[0][0] == sum(
             (i * 2654435761) % 1000 for i in range(900, 950)
         ), tier
+
+    # a FULLY-PRUNING predicate must return an empty frame, not crash:
+    # with pushdown on, `id >= n` collapses the range to lo == hi and
+    # partitions() must emit one empty partition (PySpark substitutes
+    # [None] for an empty list and read(None) dies on partition.start)
+    for tier in ("false", "true"):
+        pruned = (
+            spark.read.format("graft_seq")
+            .option("n", 1000)
+            .option("parts", 4)
+            .option("pushdown", tier)
+            .load()
+            .filter("id >= 1000")
+        )
+        assert pruned.count() == 0, tier
+        assert pruned.schema.fieldNames() == ["id", "bucket", "val"], tier
 
 
 @settings(max_examples=40, deadline=None)
@@ -5452,3 +5495,128 @@ def test_audio_frame_rows_consistent_with_census(spark):
         assert a.peak_e == e.peak_energy
         checked += 1
     assert checked > 10
+
+
+def test_payload_caches_evict_dead_sessions(spark):
+    """The per-session payload caches (_PHASH_CACHE/_GIF_CACHE/_WAV_CACHE,
+    keyed by applicationId) must not accumulate entries across session
+    recreation in one driver process: populating under the live appId
+    evicts every key owned by a dead one (its localCheckpoint blocks are
+    unreachable once the owning context stops)."""
+    from hiv_data_integration_spark import battery_ext as bx
+
+    sf = "/root/testdata/sf0.001"
+    live = spark.sparkContext.applicationId
+    # simulate a prior session's leftovers (values never dereferenced
+    # by the eviction path, so a sentinel is fine)
+    bx._PHASH_CACHE[("dead-app-1", sf, "png")] = "stale"
+    bx._GIF_CACHE[("dead-app-2", sf, False)] = "stale"
+    bx._WAV_CACHE[("dead-app-3", sf)] = "stale"
+    bx._png_payloads(spark, sf)
+    bx._gif_payloads(spark, sf)
+    bx._wav_payloads(spark, sf)
+    for cache in (bx._PHASH_CACHE, bx._GIF_CACHE, bx._WAV_CACHE):
+        assert all(k[0] == live for k in cache), cache.keys()
+    # the live entries themselves survive (cache hit, same object)
+    assert bx._png_payloads(spark, sf) is bx._PHASH_CACHE[(live, sf, "png")]
+
+
+def test_pivot_agg_inferred_values_guard(spark):
+    """pivot_agg enforces the declared-values discipline (SCALE.md §8):
+    omitting `values` on a high-cardinality pivot column raises with a
+    remedy instead of inferring a data-dependent driver-sized schema;
+    low-cardinality inference still works and matches declared values."""
+    import pytest as _pytest
+
+    from hiv_data_integration_spark.operators.aggregate import pivot_agg
+
+    wide_col = spark.range(500).select(
+        F.lit(1).alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("p"),
+        F.col("id").alias("x"),
+    )
+    with _pytest.raises(ValueError, match="declared `values` list"):
+        pivot_agg(wide_col, ["k"], "p", "x", max_inferred_values=100)
+    # explicit values bypass the probe entirely (no extra job, any width)
+    ok = pivot_agg(wide_col, ["k"], "p", "x", values=["v1", "v2"])
+    assert ok.columns == ["k", "v1", "v2"]
+    # low-cardinality inference stays allowed and agrees with declared
+    small = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "a", 5)], "k long, p string, x long"
+    )
+    inferred = pivot_agg(small, ["k"], "p", "x")
+    declared = pivot_agg(small, ["k"], "p", "x", values=["a", "b"])
+    assert sorted(map(tuple, inferred.collect())) == sorted(
+        map(tuple, declared.collect())
+    )
+
+
+def test_phash_kernelized_pairs_match_bruteforce(spark, caplog):
+    """The r12 kernelization of multimodal_phash_near_pairs (LSH over
+    exact-hash classes + expansion) must emit exactly the pairs the
+    per-document banded join would: brute-force verification on a
+    synthetic mass-duplicate corpus injected through the session cache.
+    Also pins the mass-duplication warning, the class_pairs lossless
+    multiplicity contract, and the cluster census on the same corpus."""
+    import itertools
+    import logging
+
+    from hiv_data_integration_spark import battery_ext as bx
+
+    H1 = (0x12345678, 0x9ABCDEF0)
+    H2 = (0x12345678, 0x9ABCDEF3)   # flips 2 bits in band 3: hamming 2
+    HC = (0x0001000A, 0x000B000C)   # no band value shared with H1/H2
+    docs = [(i, *H1) for i in range(30)]            # mass-dup class
+    docs += [(100 + i, *H2) for i in range(5)]
+    docs += [(200, *HC), (201, *HC)]
+    hashed = spark.createDataFrame(
+        [(d, 8, 8, hi, lo, "png") for d, hi, lo in docs],
+        "doc_id long, width int, height int, phash_hi long, "
+        "phash_lo long, decoder string",
+    ).localCheckpoint()
+    SD = "/synthetic-phash-test"
+    app = spark.sparkContext.applicationId
+    bx._PHASH_CACHE[(app, SD, "ahash")] = hashed
+    try:
+        with caplog.at_level(
+            logging.WARNING, logger="hiv_data_integration_spark.battery_ext"
+        ):
+            got = {
+                (r.doc_a, r.doc_b, r.hamming)
+                for r in bx.q_phash_near_pairs(spark, SD).collect()
+            }
+        # brute force: pair iff sharing any 16-bit band AND hamming <= 4
+        def bands(hi, lo):
+            return [(0, hi >> 16), (1, hi & 0xFFFF),
+                    (2, lo >> 16), (3, lo & 0xFFFF)]
+        expect = set()
+        for (a, ha, la), (b, hb, lb) in itertools.combinations(docs, 2):
+            if set(bands(ha, la)) & set(bands(hb, lb)):
+                ham = bin(ha ^ hb).count("1") + bin(la ^ lb).count("1")
+                if ham <= 4:
+                    expect.add((min(a, b), max(a, b), ham))
+        assert got == expect and len(got) == 435 + 10 + 150 + 1
+        # 30-member class: 435 within pairs > 8x 37 docs -> loud
+        assert any(
+            "quadratic-dominated" in r.getMessage() for r in caplog.records
+        )
+        # class-pairs successor: kernel-sized output, lossless multiplicity
+        cp = bx.q_phash_class_pairs(spark, SD).collect()
+        assert len(cp) == 4  # (H1,H2) cross + three within rows
+        assert sum(r.n_pairs for r in cp) == len(expect)
+        by_pair = {(r.rep_a, r.rep_b): (r.hamming, r.n_pairs) for r in cp}
+        assert by_pair[(0, 100)] == (2, 150)
+        assert by_pair[(0, 0)] == (0, 435)
+        assert by_pair[(100, 100)] == (0, 10)
+        assert by_pair[(200, 200)] == (0, 1)
+        # cluster census: A∪B one component of 35, C a component of 2
+        cl = {
+            r.component: r.n_members
+            for r in bx.q_phash_clusters(spark, SD).collect()
+        }
+        assert cl == {0: 35, 200: 2}
+    finally:
+        for k in list(bx._PHASH_CACHE):
+            if k[1] == SD:
+                del bx._PHASH_CACHE[k]
+        bx._PHASH_MASS_CACHE.pop((app, SD), None)

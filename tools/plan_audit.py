@@ -176,7 +176,9 @@ HEADLINE = [
     "multimodal_audio_energy",
     "multimodal_image_phash",
     "multimodal_phash_near_pairs",
+    "multimodal_phash_class_pairs",
     "multimodal_phash_clusters",
+    "multimodal_crossmodal_neardup",
     "multimodal_media_router",
     "corpus_gate_funnel",
     "text_stopword_matrix",
