@@ -11286,12 +11286,17 @@ def q_phash_class_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross.unionByName(within)
 
 
-def q_crossmodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CROSS-MODAL near-dup verdicts: the image-hash family joined with
-    the text-fingerprint family into one per-pair verdict — the
-    composition a multimodal corpus dedup actually runs (near-dup web
-    pages share images; near-dup documents share prefixes; a pair
-    flagged by BOTH signals is a far stronger dup than either alone).
+def _crossmodal_pair_sets(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared stage for the cross-modal entries: the two per-pair
+    signal sets — ``image_pairs (doc_a, doc_b, image_hamming)`` from
+    the banded dHash LSH over distinct base images expanded through
+    the broadcast doc→image map, and ``tpairs (doc_a, doc_b, tm)``
+    from exact 8-word-prefix fingerprints — over the duplication
+    corpus. The verdict entry full-outer-joins them; the cluster
+    entry inner-joins (both-signal edges only), skipping the
+    single-signal row materialization entirely.
 
     Corpus = the shared duplication corpus (base documents + mutated
     last-word-dropped copies at ``doc_id + 100000``); each corpus doc
@@ -11300,19 +11305,16 @@ def q_crossmodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - **image**: banded Hamming LSH over the decoded dHashes of the
       distinct base images (the §13 kernel shape — the self-join never
-      sees the duplicated corpus), verified at hamming ≤ 4, then
+      sees the duplicated corpus), verified at hamming ≤ 1 (the
+      synthesized gradient-sign corpus is collision-dense, so a loose
+      threshold would declare most of it near-duplicate), then
       expanded to corpus pairs through the doc→image map (broadcast —
       the map's image side is distinct-image-sized); same-image pairs
       (source vs its copies) join at hamming 0.
     - **text**: exact match on the 8-word normalized prefix fingerprint
       (md5 of the first 8 whitespace-split lowercased tokens — the
       last-word mutation preserves it, so injected copies match while
-      unrelated docs collide only by real prefix duplication).
-
-    Verdict per candidate pair (full outer join of the two pair sets):
-    ``both`` / ``image_only`` / ``text_only``, with the exact image
-    Hamming distance where the image signal fired. Everything after
-    the shared decode stage is native (explode/join/bit ops/md5)."""
+      unrelated docs collide only by real prefix duplication)."""
     corpus = _dup_corpus(spark, sf_dir).select("doc_id", "text")
     bmap = corpus.select(
         "doc_id", (F.col("doc_id") % 100000).alias("img_id")
@@ -11406,6 +11408,21 @@ def q_crossmodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(True).alias("tm"),
         )
     )
+    return image_pairs, tpairs
+
+
+def q_crossmodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL near-dup verdicts: the image-hash family joined
+    with the text-fingerprint family into one per-pair verdict (see
+    :func:`_crossmodal_pair_sets` for the two signal constructions —
+    image: banded dHash LSH over distinct base images at hamming ≤ 1,
+    kernel-shaped, expanded through the broadcast doc→image map; text:
+    exact 8-word normalized prefix fingerprint). Verdict per candidate
+    pair from the full outer join: ``both`` / ``image_only`` /
+    ``text_only``, with the exact image Hamming distance where the
+    image signal fired. Everything after the shared session-cached
+    decode is native (explode/join/bit ops/md5)."""
+    image_pairs, tpairs = _crossmodal_pair_sets(spark, sf_dir)
     i, t = image_pairs.alias("i"), tpairs.alias("t")
     return i.join(
         t,
@@ -11426,6 +11443,38 @@ def q_crossmodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("i.doc_a").isNotNull(), F.lit("image_only"))
         .otherwise(F.lit("text_only"))
         .alias("verdict"),
+    )
+
+
+def q_crossmodal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster census over the STRONG cross-modal edges: only pairs
+    flagged by BOTH modalities (image dHash ≤ 1 AND matching text
+    prefix fingerprint — the high-precision subset of
+    :func:`q_crossmodal_neardup`) enter the connected-components pass,
+    so a corpus dedup acting on these clusters removes only documents
+    corroborated by two independent signals. Two-level CC (the §13
+    kernel discipline: both-signal edge sets are small by construction,
+    so the local union-find path usually takes it in one job; the
+    distributed star rounds remain the fallback). The oracle replays
+    the transitive closure with a recursive CTE over the SAME verdict
+    SQL filtered to 'both'."""
+    from hiv_data_integration_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # inner join of the two signal sets == the verdict entry filtered
+    # to 'both', but the single-signal rows (the bulk of the verdict
+    # list) are never materialized on this path
+    image_pairs, tpairs = _crossmodal_pair_sets(spark, sf_dir)
+    edges = image_pairs.join(tpairs, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b"
+    )
+    cc = connected_components(
+        edges, "doc_a", "doc_b", algorithm="star",
+        local_threshold=2_000_000,
+    )
+    return cc.groupBy("component").agg(
+        F.count("*").cast("long").alias("n_members")
     )
 
 
@@ -11593,6 +11642,24 @@ SELECT coalesce(i.doc_a, t.doc_a) AS doc_a,
 FROM image_pairs i FULL OUTER JOIN tpairs t
   ON i.doc_a = t.doc_a AND i.doc_b = t.doc_b
 """
+
+SQL_CROSSMODAL_CLUSTERS = (
+    "WITH RECURSIVE verdicts AS (" + SQL_CROSSMODAL_NEARDUP + """),
+both_edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM verdicts WHERE verdict = 'both'
+    UNION
+    SELECT doc_b, doc_a FROM verdicts WHERE verdict = 'both'
+),
+reach(src, dst) AS (
+    SELECT a, a FROM both_edges
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN both_edges e ON r.dst = e.a
+),
+comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src)
+SELECT component, CAST(count(*) AS BIGINT) AS n_members
+FROM comp GROUP BY component
+"""
+)
 
 
 def q_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12417,6 +12484,150 @@ SELECT doc_id AS media_id,
        CAST(COALESCE(SUM(d), 0) AS BIGINT) AS sum_delta,
        'gif' AS decoder
 FROM delta GROUP BY doc_id, nf
+"""
+
+
+def q_frame_class_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO-FRAME near-duplicate pairs on the kernel contract (the
+    §13 discipline applied to the temporal family): per-frame 56-bit
+    block-dHashes over REAL decoded GIF frames (same single Python
+    fence as the scene-cut entries, session-cached), contracted to
+    exact-hash classes (rep = min ``media_id·64 + frame_idx`` frame
+    uid), banded 4×14-bit Hamming LSH over the DISTINCT hashes
+    (pigeonhole: hamming ≤ 3 < 4 bands guarantees a shared band),
+    verified exactly, and emitted as class-representative pairs +
+    multiplicities — ``(rep_a, rep_b, hamming, n_pairs)`` cross rows
+    plus ``(rep, rep, 0, n(n−1)/2)`` exact-dup rows. Frame corpora are
+    the most duplicate-dense modality there is (static shots repeat
+    frames within AND across clips), so the kernel-sized output is the
+    only 100 TB-viable pair contract; the expanded member list is
+    recoverable exactly (Σ n_pairs) but never materialized. The oracle
+    rebuilds every frame's hash closed-form and replays contraction,
+    banding and multiplicity arithmetic in SQL."""
+    key = (spark.sparkContext.applicationId, sf_dir, "gifdhash")
+    _evict_dead_sessions(_PHASH_CACHE, key[0])
+    fp = _PHASH_CACHE.get(key)
+    if fp is None:
+        fp = (
+            mm.gif_frame_dhash(_gif_payloads(spark, sf_dir))
+            .select("media_id", "frame_idx", "dhash56")
+            .localCheckpoint(eager=True)
+        )
+        _PHASH_CACHE[key] = fp
+    classes = fp.groupBy("dhash56").agg(
+        F.min(F.col("media_id") * 64 + F.col("frame_idx")).alias("rep"),
+        F.count("*").cast("long").alias("n"),
+    )
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(k).alias("bk"), bv.cast("long").alias("bv"))
+            for k, bv in enumerate(
+                [
+                    F.shiftright("dhash56", 42),
+                    F.shiftright("dhash56", 28).bitwiseAND(F.lit(16383)),
+                    F.shiftright("dhash56", 14).bitwiseAND(F.lit(16383)),
+                    F.col("dhash56").bitwiseAND(F.lit(16383)),
+                ]
+            )
+        ]
+    )
+    bands = classes.select(
+        "rep", "n", "dhash56", F.explode(band_structs).alias("b")
+    ).select("rep", "n", "dhash56", "b.bk", "b.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(
+        F.col("a.dhash56").bitwiseXOR(F.col("b.dhash56"))
+    ).cast("long")
+    cross = (
+        a.join(
+            b,
+            on=[
+                F.col("a.bk") == F.col("b.bk"),
+                F.col("a.bv") == F.col("b.bv"),
+                F.col("a.rep") < F.col("b.rep"),
+            ],
+        )
+        .select(
+            F.col("a.rep").alias("rep_a"),
+            F.col("b.rep").alias("rep_b"),
+            ham.alias("hamming"),
+            (F.col("a.n") * F.col("b.n")).cast("long").alias("n_pairs"),
+        )
+        .dropDuplicates(["rep_a", "rep_b"])
+        .filter(F.col("hamming") <= 3)
+    )
+    within = classes.filter(F.col("n") >= 2).select(
+        F.col("rep").alias("rep_a"),
+        F.col("rep").alias("rep_b"),
+        F.lit(0).cast("long").alias("hamming"),
+        (F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("n_pairs"),
+    )
+    return cross.unionByName(within)
+
+
+# reuses the scene-cut oracle's closed-form frame-hash derivation, then
+# replays the class contraction (rep = min media_id*64 + frame_idx),
+# 4x14-bit banding over distinct hashes, exact Hamming verify at <= 3,
+# and the multiplicity arithmetic.
+SQL_FRAME_CLASS_PAIRS = """
+WITH p AS (
+    SELECT doc_id,
+           8 * (1 + doc_id % 3) AS w,
+           8 * (1 + (doc_id // 3) % 2) AS h,
+           1 + doc_id % 4 AS nf
+    FROM documents
+),
+fr AS (
+    SELECT p.doc_id, p.w, p.h, p.nf, f.f AS fi
+    FROM p, UNNEST(range(0, p.nf)) f(f)
+),
+cell AS (
+    SELECT fr.doc_id, fr.nf, fr.fi,
+           (y.y * 8) // fr.h AS ci, (x.x * 8) // fr.w AS cj,
+           SUM((7 * x.x + 13 * y.y + 11 * fr.fi + fr.doc_id) % 256) AS s
+    FROM fr, UNNEST(range(0, fr.h)) y(y), UNNEST(range(0, fr.w)) x(x)
+    GROUP BY 1, 2, 3, 4, 5
+),
+fp AS (
+    SELECT doc_id, fi,
+           COALESCE(SUM(CASE WHEN nxt > s
+               THEN (CAST(1 AS BIGINT) << CAST(ci * 7 + cj AS INTEGER))
+               ELSE 0 END), 0) AS dhash
+    FROM (
+        SELECT *, LEAD(s) OVER (
+            PARTITION BY doc_id, fi, ci ORDER BY cj) AS nxt
+        FROM cell)
+    WHERE nxt IS NOT NULL
+    GROUP BY doc_id, fi
+),
+classes AS (
+    SELECT dhash, MIN(doc_id * 64 + fi) AS rep,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM fp GROUP BY dhash
+),
+fbands AS (
+    SELECT rep, n, dhash, k AS bk,
+           CASE k WHEN 0 THEN dhash // 4398046511104
+                  WHEN 1 THEN (dhash // 268435456) % 16384
+                  WHEN 2 THEN (dhash // 16384) % 16384
+                  ELSE dhash % 16384 END AS bv
+    FROM classes, UNNEST(range(0, 4)) t(k)
+),
+fcand AS (
+    SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b,
+           a.n AS n_a, b.n AS n_b,
+           a.dhash AS da, b.dhash AS db
+    FROM fbands a JOIN fbands b
+      ON a.bk = b.bk AND a.bv = b.bv AND a.rep < b.rep
+)
+SELECT rep_a, rep_b,
+       CAST(bit_count(xor(da, db)) AS BIGINT) AS hamming,
+       CAST(n_a * n_b AS BIGINT) AS n_pairs
+FROM fcand
+WHERE bit_count(xor(da, db)) <= 3
+UNION ALL
+SELECT rep, rep, CAST(0 AS BIGINT), CAST(n * (n - 1) // 2 AS BIGINT)
+FROM classes WHERE n >= 2
 """
 
 
@@ -14142,6 +14353,8 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "multimodal_phash_near_pairs": q_phash_near_pairs,
     "multimodal_phash_class_pairs": q_phash_class_pairs,
     "multimodal_crossmodal_neardup": q_crossmodal_neardup,
+    "multimodal_crossmodal_clusters": q_crossmodal_clusters,
+    "multimodal_frame_class_pairs": q_frame_class_pairs,
     "multimodal_phash_clusters": q_phash_clusters,
     "multimodal_media_router": q_media_router,
     "streaming_media_router": _retry_stream_once(q_streaming_media_router),
@@ -14406,6 +14619,8 @@ EXT_ORACLE: dict[str, str] = {
     "multimodal_phash_near_pairs": SQL_PHASH_NEAR_PAIRS,
     "multimodal_phash_class_pairs": SQL_PHASH_CLASS_PAIRS,
     "multimodal_crossmodal_neardup": SQL_CROSSMODAL_NEARDUP,
+    "multimodal_crossmodal_clusters": SQL_CROSSMODAL_CLUSTERS,
+    "multimodal_frame_class_pairs": SQL_FRAME_CLASS_PAIRS,
     "multimodal_phash_clusters": SQL_PHASH_CLUSTERS,
     "multimodal_media_router": SQL_MEDIA_ROUTER,
     "streaming_media_router": SQL_MEDIA_ROUTER,
