@@ -11292,11 +11292,14 @@ def _crossmodal_pair_sets(
     """Shared stage for the cross-modal entries: the two per-pair
     signal sets — ``image_pairs (doc_a, doc_b, image_hamming)`` from
     the banded dHash LSH over distinct base images expanded through
-    the broadcast doc→image map, and ``tpairs (doc_a, doc_b, tm)``
-    from exact 8-word-prefix fingerprints — over the duplication
-    corpus. The verdict entry full-outer-joins them; the cluster
-    entry inner-joins (both-signal edges only), skipping the
-    single-signal row materialization entirely.
+    the broadcast doc→image map, and ``tpairs_ham (doc_a, doc_b, tm,
+    t_hamming)`` — the exact 8-word-prefix fingerprint pairs with each
+    pair's image Hamming attached DIRECTLY (two map + two hash
+    lookups, linear in text pairs) — over the duplication corpus. The
+    verdict entry LEFT-joins the small text set onto the expanded
+    image list and derives text_only rows from ``t_hamming``; the
+    cluster entry consumes ``t_hamming ≤ 1`` alone and never touches
+    the expansion.
 
     Corpus = the shared duplication corpus (base documents + mutated
     last-word-dropped copies at ``doc_id + 100000``); each corpus doc
@@ -11335,57 +11338,76 @@ def _crossmodal_pair_sets(
             )
         ]
     )
-    bands = dh.select(
-        "img_id", "dhash_hi", "dhash_lo", F.explode(band_structs).alias("b")
-    ).select("img_id", "dhash_hi", "dhash_lo", "b.bk", "b.bv")
-    a, b = bands.alias("a"), bands.alias("b")
+    # KERNELIZE (the phash-near-pairs lesson, re-learned here by the
+    # first §13 measurement of this entry at 19x for 10x input): band
+    # over the DISTINCT dHash values, never over per-image rows — on a
+    # bounded-diversity corpus the per-image self-join emits
+    # Σ hash-class² candidates (9M at the 10x slice) while the class
+    # join stays kernel-sized. Membership (doc → hash-class rep)
+    # composes the doc→image map with the image→class map, both joined
+    # broadcast so the corpus side never shuffles.
+    dclasses = dh.groupBy("dhash_hi", "dhash_lo").agg(
+        F.min("img_id").alias("crep")
+    )
+    cbands = dclasses.select(
+        "crep", "dhash_hi", "dhash_lo", F.explode(band_structs).alias("b")
+    ).select("crep", "dhash_hi", "dhash_lo", "b.bk", "b.bv")
+    a, b = cbands.alias("a"), cbands.alias("b")
     ham = (
         F.bit_count(F.col("a.dhash_hi").bitwiseXOR(F.col("b.dhash_hi")))
         + F.bit_count(F.col("a.dhash_lo").bitwiseXOR(F.col("b.dhash_lo")))
     ).cast("long")
-    ipairs = (
+    cpairs = (
         a.join(
             b,
             on=[
                 F.col("a.bk") == F.col("b.bk"),
                 F.col("a.bv") == F.col("b.bv"),
-                F.col("a.img_id") < F.col("b.img_id"),
+                F.col("a.crep") < F.col("b.crep"),
             ],
         )
         .select(
-            F.col("a.img_id").alias("ia"),
-            F.col("b.img_id").alias("ib"),
+            F.col("a.crep").alias("ca"),
+            F.col("b.crep").alias("cb"),
             ham.alias("hamming"),
         )
-        .dropDuplicates(["ia", "ib"])
+        .dropDuplicates(["ca", "cb"])
         .filter(F.col("hamming") <= 1)
     )
-    m1, m2 = bmap.alias("m1"), bmap.alias("m2")
+    cmembers = (
+        bmap.join(F.broadcast(dh), "img_id")
+        .join(F.broadcast(dclasses), ["dhash_hi", "dhash_lo"])
+        .select("doc_id", "crep")
+    )
+    cm1, cm2 = cmembers.alias("cm1"), cmembers.alias("cm2")
     img_cross = (
-        F.broadcast(ipairs.alias("p"))
-        .join(m1, F.col("p.ia") == F.col("m1.img_id"))
-        .join(m2, F.col("p.ib") == F.col("m2.img_id"))
+        F.broadcast(cpairs.alias("p"))
+        .join(cm1, F.col("p.ca") == F.col("cm1.crep"))
+        .join(cm2, F.col("p.cb") == F.col("cm2.crep"))
         .select(
-            F.least("m1.doc_id", "m2.doc_id").alias("doc_a"),
-            F.greatest("m1.doc_id", "m2.doc_id").alias("doc_b"),
+            F.least("cm1.doc_id", "cm2.doc_id").alias("doc_a"),
+            F.greatest("cm1.doc_id", "cm2.doc_id").alias("doc_b"),
             F.col("p.hamming").alias("image_hamming"),
         )
     )
-    img_same = (
-        m1.join(
-            m2,
+    # within-hash-class pairs: covers both same-image docs AND distinct
+    # images with identical hashes — exactly the hamming-0 rows the
+    # per-image join produced (identical hashes share every band)
+    img_within = (
+        cm1.join(
+            cm2,
             on=[
-                F.col("m1.img_id") == F.col("m2.img_id"),
-                F.col("m1.doc_id") < F.col("m2.doc_id"),
+                F.col("cm1.crep") == F.col("cm2.crep"),
+                F.col("cm1.doc_id") < F.col("cm2.doc_id"),
             ],
         )
         .select(
-            F.col("m1.doc_id").alias("doc_a"),
-            F.col("m2.doc_id").alias("doc_b"),
+            F.col("cm1.doc_id").alias("doc_a"),
+            F.col("cm2.doc_id").alias("doc_b"),
             F.lit(0).cast("long").alias("image_hamming"),
         )
     )
-    image_pairs = img_cross.unionByName(img_same)
+    image_pairs = img_cross.unionByName(img_within)
     words = F.filter(
         F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
     )
@@ -11408,7 +11430,34 @@ def _crossmodal_pair_sets(
             F.lit(True).alias("tm"),
         )
     )
-    return image_pairs, tpairs
+    # attach each text pair's EXACT image Hamming directly (two map
+    # lookups + two hash lookups — linear in |tpairs|): at hamming <= 1
+    # the 4-band pigeonhole loses nothing, so `t_hamming <= 1` is
+    # EXACTLY membership in image_pairs. This is what keeps the
+    # cluster path (and the text_only verdicts) free of the expanded
+    # image-pair list — the r12 slope study measured the naive
+    # full-outer-over-expansion shape at 19x for 10x input
+    # (SCALE.md §13) because Σ image-class² pairs dominate it.
+    dha, dhb = dh.alias("dha"), dh.alias("dhb")
+    ma2, mb2 = bmap.alias("ma2"), bmap.alias("mb2")
+    t_ham = (
+        F.bit_count(F.col("dha.dhash_hi").bitwiseXOR(F.col("dhb.dhash_hi")))
+        + F.bit_count(F.col("dha.dhash_lo").bitwiseXOR(F.col("dhb.dhash_lo")))
+    ).cast("long")
+    tpairs_ham = (
+        tpairs.alias("tp")
+        .join(ma2, F.col("tp.doc_a") == F.col("ma2.doc_id"))
+        .join(mb2, F.col("tp.doc_b") == F.col("mb2.doc_id"))
+        .join(dha, F.col("ma2.img_id") == F.col("dha.img_id"))
+        .join(dhb, F.col("mb2.img_id") == F.col("dhb.img_id"))
+        .select(
+            F.col("tp.doc_a").alias("doc_a"),
+            F.col("tp.doc_b").alias("doc_b"),
+            F.col("tp.tm").alias("tm"),
+            t_ham.alias("t_hamming"),
+        )
+    )
+    return image_pairs, tpairs_ham
 
 
 def q_crossmodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11418,32 +11467,47 @@ def q_crossmodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     image: banded dHash LSH over distinct base images at hamming ≤ 1,
     kernel-shaped, expanded through the broadcast doc→image map; text:
     exact 8-word normalized prefix fingerprint). Verdict per candidate
-    pair from the full outer join: ``both`` / ``image_only`` /
-    ``text_only``, with the exact image Hamming distance where the
-    image signal fired. Everything after the shared session-cached
-    decode is native (explode/join/bit ops/md5)."""
-    image_pairs, tpairs = _crossmodal_pair_sets(spark, sf_dir)
-    i, t = image_pairs.alias("i"), tpairs.alias("t")
-    return i.join(
+    pair: ``both`` / ``image_only`` / ``text_only``, with the exact
+    image Hamming distance where the image signal fired.
+
+    SCALE SHAPE (re-measured, SCALE.md §13): the verdict list itself is
+    output-bound by the expanded image-pair contract, but nothing else
+    may scale with it — the text verdicts come from ``tpairs_ham``
+    (each text pair's image Hamming computed directly, linear in text
+    pairs; ``t_hamming ≤ 1`` is exactly image-pair membership because
+    the 4-band pigeonhole is lossless at that threshold), so the only
+    join against the expanded list is one LEFT join with the small
+    text-pair set — the naive full-outer-over-expansion shape measured
+    19× at 10× input before this restructure. Everything after the
+    shared session-cached decode is native (explode/join/bit ops/
+    md5)."""
+    image_pairs, tpairs_ham = _crossmodal_pair_sets(spark, sf_dir)
+    i = image_pairs.alias("i")
+    t = tpairs_ham.select("doc_a", "doc_b", "tm").alias("t")
+    img_side = i.join(
         t,
         on=[
             F.col("i.doc_a") == F.col("t.doc_a"),
             F.col("i.doc_b") == F.col("t.doc_b"),
         ],
-        how="full_outer",
+        how="left",
     ).select(
-        F.coalesce("i.doc_a", "t.doc_a").alias("doc_a"),
-        F.coalesce("i.doc_b", "t.doc_b").alias("doc_b"),
+        F.col("i.doc_a").alias("doc_a"),
+        F.col("i.doc_b").alias("doc_b"),
         F.col("i.image_hamming").alias("image_hamming"),
         F.coalesce("t.tm", F.lit(False)).alias("text_match"),
-        F.when(
-            F.col("i.doc_a").isNotNull() & F.col("t.tm").isNotNull(),
-            F.lit("both"),
-        )
-        .when(F.col("i.doc_a").isNotNull(), F.lit("image_only"))
-        .otherwise(F.lit("text_only"))
+        F.when(F.col("t.tm").isNotNull(), F.lit("both"))
+        .otherwise(F.lit("image_only"))
         .alias("verdict"),
     )
+    text_only = tpairs_ham.filter(F.col("t_hamming") > 1).select(
+        "doc_a",
+        "doc_b",
+        F.lit(None).cast("long").alias("image_hamming"),
+        F.lit(True).alias("text_match"),
+        F.lit("text_only").alias("verdict"),
+    )
+    return img_side.unionByName(text_only)
 
 
 def q_crossmodal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11462,11 +11526,14 @@ def q_crossmodal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    # inner join of the two signal sets == the verdict entry filtered
-    # to 'both', but the single-signal rows (the bulk of the verdict
-    # list) are never materialized on this path
-    image_pairs, tpairs = _crossmodal_pair_sets(spark, sf_dir)
-    edges = image_pairs.join(tpairs, ["doc_a", "doc_b"]).select(
+    # 'both' == a text pair whose images verify at hamming <= 1, so the
+    # edge set comes straight from tpairs_ham — LINEAR in text pairs;
+    # neither the expanded image-pair list nor even the banded image
+    # self-join output is materialized on this path (measured: the
+    # inner-join-over-expansion shape was 19x at 10x input, this one
+    # is flat — SCALE.md §13)
+    _image_pairs, tpairs_ham = _crossmodal_pair_sets(spark, sf_dir)
+    edges = tpairs_ham.filter(F.col("t_hamming") <= 1).select(
         "doc_a", "doc_b"
     )
     cc = connected_components(
