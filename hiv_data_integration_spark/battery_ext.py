@@ -14402,6 +14402,459 @@ def _retry_stream_once(fn: QueryFn) -> QueryFn:
     return run
 
 
+# --------------------------------------------------------------------------
+# web-crawl ingest tier (r12): WARC record parsing, HTML text extraction,
+# robots-style longest-prefix policy join. The reference ingests REST/Excel
+# (R1/utils.py:54-96, R1/extract_chu_data.py); a 100 TB LLM corpus ingests
+# crawl archives — same source-tier role, re-expressed as native column
+# expressions so the parse path stays in whole-stage codegen end to end.
+# --------------------------------------------------------------------------
+
+_CRLF = "\r\n"
+_WARC_SEP = _CRLF + _CRLF
+
+
+def q_warc_record_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC (Web ARChive, ISO 28500) record parsing, HASH-checked end to
+    end: deterministic multi-record WARC shards are synthesized (one
+    record per doc — versioned header block, `WARC-Type` /
+    `WARC-Target-URI` / `WARC-Date` / `Content-Length` headers, CRLF
+    framing, ~9% of records carry a deliberately WRONG Content-Length),
+    records are concatenated into 8 shard blobs in doc order (the
+    physical shape of a crawl archive: many records per file), and the
+    OPERATOR under test splits each shard back into records, parses the
+    header block, validates the declared Content-Length against the
+    actual payload, and join-verifies the payload round-trip against the
+    source corpus. Every step — record split (`split` on the version
+    marker), header/payload framing (`split_part` on the blank line),
+    header field extraction (`regexp_extract`), length + round-trip
+    validation — is a native column expression; the only shuffle is the
+    8-group shard build (the fixture, not the operator) and one
+    broadcast join back to `documents`. At 100 TB the shards arrive
+    pre-built (binaryFile/text scan, one blob per record batch) and the
+    parse path is shuffle-free per partition. Oracle: DuckDB rebuilds
+    the identical shards and re-parses them with `string_split` +
+    `split_part` + RE2."""
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    payload = F.substring(F.col("text"), 1, 80)
+    pay_len = F.least(F.col("n_chars"), F.lit(80).cast("bigint"))
+    declared = (
+        pay_len
+        + F.when(F.col("doc_id") % 11 == 0, F.lit(3)).otherwise(F.lit(0))
+    )
+    wtype = F.when(
+        F.col("doc_id") % 7 == 0, F.lit("metadata")
+    ).otherwise(F.lit("response"))
+    uri = F.concat(
+        F.lit("https://host-"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example/page/"),
+        F.col("doc_id").cast("string"),
+    )
+    wdate = F.concat(
+        F.lit("2026-01-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.lit("T00:00:00Z"),
+    )
+    record = F.concat(
+        F.lit("WARC/1.0" + _CRLF),
+        F.lit("WARC-Type: "), wtype, F.lit(_CRLF),
+        F.lit("WARC-Target-URI: "), uri, F.lit(_CRLF),
+        F.lit("WARC-Date: "), wdate, F.lit(_CRLF),
+        F.lit("Content-Length: "), declared.cast("string"),
+        F.lit(_WARC_SEP),
+        payload,
+        F.lit(_WARC_SEP),
+    )
+    shards = (
+        docs.select(
+            (F.col("doc_id") % 8).alias("shard_id"),
+            F.struct("doc_id", record.alias("rec")).alias("sr"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("sr")), lambda s: s["rec"]
+                ),
+                "",
+            ).alias("shard_text")
+        )
+    )
+    pieces = shards.select(
+        "shard_id",
+        F.posexplode(F.split(F.col("shard_text"), "WARC/1\\.0\r\n")).alias(
+            "rec_pos", "piece"
+        ),
+    ).where(F.col("piece") != "")
+    parsed = pieces.select(
+        F.col("shard_id").cast("bigint").alias("shard_id"),
+        F.col("rec_pos").cast("bigint").alias("rec_pos"),
+        F.split_part(F.col("piece"), F.lit(_WARC_SEP), F.lit(1)).alias(
+            "headers"
+        ),
+        F.split_part(F.col("piece"), F.lit(_WARC_SEP), F.lit(2)).alias(
+            "payload"
+        ),
+    ).select(
+        "shard_id",
+        "rec_pos",
+        F.regexp_extract(
+            F.col("headers"), r"WARC-Type: ([^\r]+)", 1
+        ).alias("warc_type"),
+        F.regexp_extract(
+            F.col("headers"), r"WARC-Target-URI: ([^\r]+)", 1
+        ).alias("uri"),
+        F.regexp_extract(F.col("headers"), r"Content-Length: ([0-9]+)", 1)
+        .cast("bigint")
+        .alias("declared_len"),
+        F.length("payload").cast("bigint").alias("payload_len"),
+        F.col("payload"),
+    )
+    back = parsed.withColumn(
+        "parsed_doc_id",
+        F.regexp_extract(F.col("uri"), r"page/([0-9]+)$", 1).cast("bigint"),
+    ).join(
+        F.broadcast(docs.select("doc_id", "text")),
+        F.col("parsed_doc_id") == F.col("doc_id"),
+        "left",
+    )
+    return back.select(
+        "shard_id",
+        "rec_pos",
+        "warc_type",
+        "uri",
+        "declared_len",
+        "payload_len",
+        (F.col("payload_len") == F.col("declared_len")).alias("length_ok"),
+        (
+            F.col("payload") == F.substring(F.col("text"), 1, 80)
+        ).alias("roundtrip_ok"),
+        F.md5(F.col("payload")).alias("payload_md5"),
+    )
+
+
+SQL_WARC_RECORD_PARSE = """
+WITH recs AS (
+    SELECT doc_id,
+           doc_id % 8 AS shard_id,
+           'WARC/1.0' || chr(13) || chr(10)
+           || 'WARC-Type: '
+           || (CASE WHEN doc_id % 7 = 0 THEN 'metadata' ELSE 'response' END)
+           || chr(13) || chr(10)
+           || 'WARC-Target-URI: https://host-' || CAST(doc_id % 5 AS VARCHAR)
+           || '.example/page/' || CAST(doc_id AS VARCHAR)
+           || chr(13) || chr(10)
+           || 'WARC-Date: 2026-01-'
+           || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T00:00:00Z'
+           || chr(13) || chr(10)
+           || 'Content-Length: '
+           || CAST(least(n_chars, 80)
+                   + (CASE WHEN doc_id % 11 = 0 THEN 3 ELSE 0 END)
+                   AS VARCHAR)
+           || chr(13) || chr(10) || chr(13) || chr(10)
+           || substr(text, 1, 80)
+           || chr(13) || chr(10) || chr(13) || chr(10) AS rec
+    FROM documents
+),
+shards AS (
+    SELECT shard_id, string_agg(rec, '' ORDER BY doc_id) AS shard_text
+    FROM recs GROUP BY shard_id
+),
+pieces AS (
+    SELECT shard_id,
+           string_split(shard_text,
+                        'WARC/1.0' || chr(13) || chr(10)) AS ps
+    FROM shards
+),
+exploded AS (
+    SELECT shard_id, CAST(i - 1 AS BIGINT) AS rec_pos, ps[i] AS piece
+    FROM pieces, UNNEST(range(1, len(ps) + 1)) t(i)
+    WHERE ps[i] <> ''
+),
+parsed AS (
+    SELECT CAST(shard_id AS BIGINT) AS shard_id, rec_pos,
+           split_part(piece, chr(13) || chr(10) || chr(13) || chr(10), 1)
+               AS headers,
+           split_part(piece, chr(13) || chr(10) || chr(13) || chr(10), 2)
+               AS payload
+    FROM exploded
+),
+fields AS (
+    SELECT shard_id, rec_pos,
+           regexp_extract(headers, 'WARC-Type: ([^\r]+)', 1) AS warc_type,
+           regexp_extract(headers, 'WARC-Target-URI: ([^\r]+)', 1) AS uri,
+           CAST(regexp_extract(headers, 'Content-Length: ([0-9]+)', 1)
+                AS BIGINT) AS declared_len,
+           CAST(length(payload) AS BIGINT) AS payload_len,
+           payload
+    FROM parsed
+)
+SELECT f.shard_id, f.rec_pos, f.warc_type, f.uri, f.declared_len,
+       f.payload_len,
+       f.payload_len = f.declared_len AS length_ok,
+       f.payload = substr(d.text, 1, 80) AS roundtrip_ok,
+       md5(f.payload) AS payload_md5
+FROM fields f
+LEFT JOIN documents d
+  ON CAST(regexp_extract(f.uri, 'page/([0-9]+)$', 1) AS BIGINT) = d.doc_id
+"""
+
+
+def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML visible-text extraction (the crawl-to-corpus step every web
+    dataset pipeline runs: trafilatura/jusText's job, reduced to its
+    regex-expressible core), HASH-checked: deterministic single-line
+    HTML pages are synthesized per doc (title, a script block and a
+    style block that MUST be dropped with their contents, an HTML
+    comment, headline, body paragraph from the doc text, 1-2 anchor
+    tags), and the operator strips script/style/comment blocks
+    (non-greedy alternation — supported by both Java regex and RE2),
+    counts outbound links (`regexp_extract_all` on href), strips the
+    remaining tags, and collapses whitespace. Output pins title, link
+    count, visible-text length, prefix, and the full-text md5 — so a
+    single mis-stripped character anywhere fails the hash. All native
+    expressions; zero shuffles (per-row map, scan-partitioned at any
+    scale)."""
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    nxt = ((F.col("doc_id") + 1) % 500).cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit('</title><script type="text/javascript">var x = '),
+        F.col("doc_id").cast("string"),
+        F.lit(";</script><style>p {color: red}</style></head><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.substring(F.col("text"), 1, 100),
+        F.lit('</p><a href="https://host-'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example/page/"),
+        nxt,
+        F.lit('">next</a>'),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<a href="https://ref.example/cite/'),
+                (F.col("doc_id") % 17).cast("string"),
+                F.lit('">ref</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("<!-- crawler: "),
+        F.col("source"),
+        F.lit(" --></body></html>"),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    deblocked = F.regexp_replace(
+        F.col("html"),
+        "<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<!--.*?-->",
+        " ",
+    )
+    visible = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(deblocked, "<[^>]+>", " "), " +", " "
+        )
+    )
+    return pages.select(
+        "doc_id",
+        F.regexp_extract(F.col("html"), "<title>([^<]*)</title>", 1).alias(
+            "title"
+        ),
+        F.size(
+            F.regexp_extract_all(F.col("html"), F.lit('href="([^"]+)"'), 1)
+        )
+        .cast("bigint")
+        .alias("n_links"),
+        F.length(visible).cast("bigint").alias("text_len"),
+        F.substring(visible, 1, 60).alias("visible_prefix"),
+        F.md5(visible).alias("visible_md5"),
+    )
+
+
+SQL_HTML_TEXT_EXTRACT = """
+WITH pages AS (
+    SELECT doc_id,
+           '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+           || '</title><script type="text/javascript">var x = '
+           || CAST(doc_id AS VARCHAR)
+           || ';</script><style>p {color: red}</style></head><body><h1>Doc '
+           || CAST(doc_id AS VARCHAR) || '</h1><p>'
+           || substr(text, 1, 100)
+           || '</p><a href="https://host-' || CAST(doc_id % 5 AS VARCHAR)
+           || '.example/page/' || CAST((doc_id + 1) % 500 AS VARCHAR)
+           || '">next</a>'
+           || (CASE WHEN doc_id % 3 = 0
+                    THEN '<a href="https://ref.example/cite/'
+                         || CAST(doc_id % 17 AS VARCHAR) || '">ref</a>'
+                    ELSE '' END)
+           || '<!-- crawler: ' || source || ' --></body></html>' AS html
+    FROM documents
+),
+stripped AS (
+    SELECT doc_id, html,
+           trim(regexp_replace(
+               regexp_replace(
+                   regexp_replace(
+                       html,
+                       '<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<!--.*?-->',
+                       ' ', 'g'),
+                   '<[^>]+>', ' ', 'g'),
+               ' +', ' ', 'g')) AS visible
+    FROM pages
+)
+SELECT doc_id,
+       regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+       CAST(len(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS BIGINT)
+           AS n_links,
+       CAST(length(visible) AS BIGINT) AS text_len,
+       substr(visible, 1, 60) AS visible_prefix,
+       md5(visible) AS visible_md5
+FROM stripped
+"""
+
+
+def q_robots_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt-style longest-prefix policy join (crawl politeness —
+    the allow/deny step between frontier and fetch; same operator shape
+    as IP longest-prefix routing), HASH-checked: deterministic crawl
+    URLs are synthesized per doc over 5 hosts x 6 path families, a
+    6-rule literal policy table mixes wildcard-host and host-specific
+    rules (`/private` blocked but `/private/pub` re-allowed — the
+    nesting that makes naive first-match wrong), each URL joins every
+    applicable rule (host match or wildcard) via a BROADCAST
+    nested-loop join (the rule table is dimension-sized at any corpus
+    scale — robots corpora are ~1e6 rows against 1e12 URLs), keeps
+    prefix matches, and a per-URL window picks the LONGEST matching
+    prefix (allow wins exact ties, per the Google robots.txt spec;
+    rule_id breaks the remaining tie deterministically). Output is the
+    per-host admission census plus min/max blocked paths, so a single
+    URL routed through the wrong rule flips the hash."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id")
+    sel = F.col("doc_id") % 6
+    tail = (F.col("doc_id") % 40).cast("string")
+    path = (
+        F.when(sel == 0, F.concat(F.lit("/articles/"), tail))
+        .when(sel == 1, F.concat(F.lit("/private/data/"), tail))
+        .when(sel == 2, F.concat(F.lit("/private/pub/notes/"), tail))
+        .when(sel == 3, F.concat(F.lit("/tmp/cache/"), tail))
+        .when(sel == 4, F.lit("/"))
+        .otherwise(F.concat(F.lit("/articles/archive/"), tail))
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("host-"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example"),
+        ).alias("host"),
+        path.alias("path"),
+    )
+    rule_rows = [
+        (1, "*", "/", True),
+        (2, "*", "/private", False),
+        (3, "*", "/private/pub", True),
+        (4, "*", "/tmp", False),
+        (5, "host-0.example", "/articles/archive", False),
+        (6, "host-1.example", "/articles", False),
+    ]
+    rules = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(rid).alias("rule_id"),
+                    F.lit(hp).alias("host_pattern"),
+                    F.lit(pre).alias("prefix"),
+                    F.lit(allow).alias("allow"),
+                )
+                for rid, hp, pre, allow in rule_rows
+            ]
+        )
+    )
+    rules_df = spark.range(1).select(rules.alias("r")).select("r.*")
+    from pyspark.sql.window import Window
+
+    cand = urls.join(
+        F.broadcast(rules_df),
+        (
+            (F.col("host_pattern") == F.lit("*"))
+            | (F.col("host_pattern") == F.col("host"))
+        )
+        & F.col("path").startswith(F.col("prefix")),
+        "inner",
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.length("prefix").desc(), F.col("allow").desc(), F.col("rule_id")
+    )
+    best = (
+        cand.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "host", "path", "allow", "rule_id")
+    )
+    return best.groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.sum(F.when(F.col("allow"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_allowed"),
+        F.sum(F.when(~F.col("allow"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_blocked"),
+        F.min(F.when(~F.col("allow"), F.col("path"))).alias(
+            "min_blocked_path"
+        ),
+        F.max(F.when(~F.col("allow"), F.col("path"))).alias(
+            "max_blocked_path"
+        ),
+    )
+
+
+SQL_ROBOTS_PREFIX_FILTER = """
+WITH urls AS (
+    SELECT doc_id,
+           'host-' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host,
+           CASE CAST(doc_id % 6 AS INT)
+             WHEN 0 THEN '/articles/' || CAST(doc_id % 40 AS VARCHAR)
+             WHEN 1 THEN '/private/data/' || CAST(doc_id % 40 AS VARCHAR)
+             WHEN 2 THEN '/private/pub/notes/' || CAST(doc_id % 40 AS VARCHAR)
+             WHEN 3 THEN '/tmp/cache/' || CAST(doc_id % 40 AS VARCHAR)
+             WHEN 4 THEN '/'
+             ELSE '/articles/archive/' || CAST(doc_id % 40 AS VARCHAR)
+           END AS path
+    FROM documents
+),
+rules(rule_id, host_pattern, prefix, allow) AS (
+    VALUES (1, '*', '/', TRUE),
+           (2, '*', '/private', FALSE),
+           (3, '*', '/private/pub', TRUE),
+           (4, '*', '/tmp', FALSE),
+           (5, 'host-0.example', '/articles/archive', FALSE),
+           (6, 'host-1.example', '/articles', FALSE)
+),
+cand AS (
+    SELECT u.doc_id, u.host, u.path, r.allow, r.rule_id, r.prefix,
+           row_number() OVER (
+               PARTITION BY u.doc_id
+               ORDER BY length(r.prefix) DESC, r.allow DESC, r.rule_id
+           ) AS rn
+    FROM urls u
+    JOIN rules r
+      ON (r.host_pattern = '*' OR r.host_pattern = u.host)
+     AND starts_with(u.path, r.prefix)
+)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(CASE WHEN allow THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+       CAST(sum(CASE WHEN allow THEN 0 ELSE 1 END) AS BIGINT) AS n_blocked,
+       min(CASE WHEN NOT allow THEN path END) AS min_blocked_path,
+       max(CASE WHEN NOT allow THEN path END) AS max_blocked_path
+FROM cand
+WHERE rn = 1
+GROUP BY host
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "streaming_outer_join_expiry": _retry_stream_once(q_streaming_outer_join_expiry),
     "streaming_chained_windows": _retry_stream_once(q_streaming_chained_windows),
@@ -14422,6 +14875,9 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "multimodal_crossmodal_neardup": q_crossmodal_neardup,
     "multimodal_crossmodal_clusters": q_crossmodal_clusters,
     "multimodal_frame_class_pairs": q_frame_class_pairs,
+    "warc_record_parse": q_warc_record_parse,
+    "html_text_extract": q_html_text_extract,
+    "robots_prefix_filter": q_robots_prefix_filter,
     "multimodal_phash_clusters": q_phash_clusters,
     "multimodal_media_router": q_media_router,
     "streaming_media_router": _retry_stream_once(q_streaming_media_router),
@@ -14688,6 +15144,9 @@ EXT_ORACLE: dict[str, str] = {
     "multimodal_crossmodal_neardup": SQL_CROSSMODAL_NEARDUP,
     "multimodal_crossmodal_clusters": SQL_CROSSMODAL_CLUSTERS,
     "multimodal_frame_class_pairs": SQL_FRAME_CLASS_PAIRS,
+    "warc_record_parse": SQL_WARC_RECORD_PARSE,
+    "html_text_extract": SQL_HTML_TEXT_EXTRACT,
+    "robots_prefix_filter": SQL_ROBOTS_PREFIX_FILTER,
     "multimodal_phash_clusters": SQL_PHASH_CLUSTERS,
     "multimodal_media_router": SQL_MEDIA_ROUTER,
     "streaming_media_router": SQL_MEDIA_ROUTER,

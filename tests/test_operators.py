@@ -5620,3 +5620,120 @@ def test_phash_kernelized_pairs_match_bruteforce(spark, caplog):
             if k[1] == SD:
                 del bx._PHASH_CACHE[k]
         bx._PHASH_MASS_CACHE.pop((app, SD), None)
+
+
+def test_warc_parse_validates_length_and_roundtrip(spark):
+    """The WARC parser must recover every synthesized record, flag
+    exactly the deliberately corrupted Content-Length rows (doc_id % 11
+    == 0), and payload-roundtrip every record against the corpus."""
+    from hiv_data_integration_spark import battery_ext as bx
+
+    SD = "/root/testdata/sf0.001"
+    out = bx.q_warc_record_parse(spark, SD).collect()
+    n_docs = spark.read.parquet(f"{SD}/documents.parquet").count()
+    assert len(out) == n_docs
+    assert all(r.roundtrip_ok for r in out)
+    bad = {int(r.uri.rsplit("/", 1)[1]) for r in out if not r.length_ok}
+    assert bad == {i for i in range(n_docs) if i % 11 == 0}
+    ok = next(r for r in out if r.length_ok)
+    assert ok.payload_len == ok.declared_len
+    corrupt = next(r for r in out if not r.length_ok)
+    assert corrupt.declared_len == corrupt.payload_len + 3
+    # header fields parsed, not defaulted
+    assert all(r.warc_type in ("response", "metadata") for r in out)
+    assert all(r.uri.startswith("https://host-") for r in out)
+    # record order inside each shard is doc order: positions are 1..k
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r.shard_id, []).append(r.rec_pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_html_extract_strips_blocks_and_counts_links(spark):
+    """Script/style/comment CONTENTS must vanish from the visible text
+    (not just the tags), and the link census must see through to every
+    href including the conditional second anchor."""
+    from hiv_data_integration_spark import battery_ext as bx
+
+    SD = "/root/testdata/sf0.001"
+    rows = bx.q_html_text_extract(spark, SD).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SD}/documents.parquet").collect()
+    }
+    assert len(rows) == len(docs)
+    for r in rows:
+        assert r.title == f"Doc {r.doc_id}"
+        assert r.n_links == (2 if r.doc_id % 3 == 0 else 1)
+        assert "var x" not in r.visible_prefix
+        assert "color" not in r.visible_prefix
+        assert "crawler:" not in r.visible_prefix
+        # visible text is headline + paragraph + anchor labels
+        assert r.visible_prefix.startswith(f"Doc {r.doc_id} ")
+    # full-text check on one row: exact expected visible string
+    r0 = next(r for r in rows if r.doc_id == 1)
+    expect = f"Doc 1 Doc 1 {docs[1][:100].strip()} next"
+    import re as _re
+
+    expect = _re.sub(" +", " ", expect)
+    assert r0.text_len == len(expect)
+    assert expect.startswith(r0.visible_prefix.rstrip())
+
+
+def test_robots_longest_prefix_beats_first_match(spark):
+    """/private/pub/... must be ALLOWED (the longer allow prefix wins
+    over the /private block), host-specific rules must apply only to
+    their host, and the per-host census must match a closed-form
+    recomputation."""
+    from hiv_data_integration_spark import battery_ext as bx
+
+    SD = "/root/testdata/sf0.001"
+    n_docs = spark.read.parquet(f"{SD}/documents.parquet").count()
+
+    def decide(doc_id: int) -> tuple[str, str, bool]:
+        host = f"host-{doc_id % 5}.example"
+        tail = str(doc_id % 40)
+        path = {
+            0: f"/articles/{tail}",
+            1: f"/private/data/{tail}",
+            2: f"/private/pub/notes/{tail}",
+            3: f"/tmp/cache/{tail}",
+            4: "/",
+            5: f"/articles/archive/{tail}",
+        }[doc_id % 6]
+        rules = [
+            (1, "*", "/", True),
+            (2, "*", "/private", False),
+            (3, "*", "/private/pub", True),
+            (4, "*", "/tmp", False),
+            (5, "host-0.example", "/articles/archive", False),
+            (6, "host-1.example", "/articles", False),
+        ]
+        hits = [
+            (len(p), allow, rid)
+            for rid, hp, p, allow in rules
+            if hp in ("*", host) and path.startswith(p)
+        ]
+        hits.sort(key=lambda t: (-t[0], not t[1], t[2]))
+        return host, path, hits[0][1]
+
+    expect: dict[str, list[tuple[str, bool]]] = {}
+    for i in range(n_docs):
+        host, path, allow = decide(i)
+        expect.setdefault(host, []).append((path, allow))
+    out = {r.host: r for r in bx.q_robots_prefix_filter(spark, SD).collect()}
+    assert set(out) == set(expect)
+    for host, pairs in expect.items():
+        blocked = sorted(p for p, a in pairs if not a)
+        r = out[host]
+        assert r.n_urls == len(pairs)
+        assert r.n_allowed == sum(1 for _, a in pairs if a)
+        assert r.n_blocked == len(blocked)
+        assert r.min_blocked_path == (blocked[0] if blocked else None)
+        assert r.max_blocked_path == (blocked[-1] if blocked else None)
+    # the spec-critical routings, asserted explicitly:
+    samples = {decide(i)[1]: decide(i)[2] for i in range(min(n_docs, 120))}
+    assert samples.get("/private/pub/notes/2", True) is True
+    assert any(p.startswith("/private/data/") and not a
+               for p, a in samples.items())
