@@ -14855,6 +14855,267 @@ GROUP BY host
 """
 
 
+def q_quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality classifier, reduced to its
+    integer-exact core (the model-based doc filter CCNet/RefinedWeb run
+    after the heuristic gates): tokens hash into 4,096 buckets via the
+    engine's md5-prefix hashing trick (same idiom as
+    `sampling.feature_hash`), each bucket carries a DETERMINISTIC
+    integer weight in [-500, 500] (a Knuth multiplicative mix of the
+    bucket id — a stand-in for trained weights, which would arrive as a
+    broadcast table in production), and the per-doc margin is the exact
+    integer SUM of token weights. No sigmoid — the margin ordering IS
+    the score ordering, and keeping it integer sidesteps cross-engine
+    libm drift entirely (the BASELINE.md oracle discipline). Plan: one
+    explode + one map-side-combinable (doc, bucket-weight) aggregate;
+    zero Python, no vocabulary state, no broadcast needed at any corpus
+    scale."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ql:"), F.col("tok"))), 1, 13),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(4096),
+    )
+    weight = F.pmod(bucket * F.lit(2654435761), F.lit(1001)) - F.lit(500)
+    per_doc = toks.select("doc_id", weight.alias("w")).groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("w").cast("bigint").alias("margin_sum"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "margin_sum",
+        (F.col("margin_sum") > 0).alias("accept"),
+    )
+
+
+SQL_QUALITY_LINEAR_CLASSIFIER = """
+WITH toks AS (
+    SELECT doc_id, t.tok
+    FROM documents, UNNEST(string_split(text, ' ')) t(tok)
+    WHERE t.tok <> ''
+),
+weighted AS (
+    SELECT doc_id,
+           (CAST('0x' || substr(md5('ql:' || tok), 1, 13) AS BIGINT) % 4096)
+               * 2654435761 % 1001 - 500 AS w
+    FROM toks
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(w) AS BIGINT) AS margin_sum,
+       sum(w) > 0 AS accept
+FROM weighted GROUP BY doc_id
+"""
+
+
+def q_crawl_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier politeness scheduling (the step after the robots
+    gate: one connection per host, a per-host minimum delay, highest-
+    priority URLs first): URLs are synthesized per doc over 5 hosts
+    with a priority class, each host's queue is ordered by (priority
+    DESC, doc_id) with `row_number`, the k-th fetch from a host fires
+    at `k * delay_host` (delays differ per host), and the output is
+    the host x 1-second-window traffic matrix plus per-window priority
+    census — the shape a crawl coordinator monitors for politeness
+    compliance. Pure window arithmetic + one two-key aggregate; the
+    per-host sequential constraint is expressed declaratively
+    (row_number), not simulated."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id")
+    urls = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 5).alias("host_idx"),
+        (F.col("doc_id") % 3).alias("priority"),
+    )
+    from pyspark.sql.window import Window
+
+    delay_ms = F.lit(500) + F.col("host_idx") * F.lit(250)
+    qpos = F.row_number().over(
+        Window.partitionBy("host_idx").orderBy(
+            F.col("priority").desc(), F.col("doc_id")
+        )
+    )
+    sched = urls.select(
+        "host_idx",
+        "priority",
+        ((qpos - 1) * delay_ms).alias("fetch_ms"),
+    )
+    return (
+        sched.select(
+            "host_idx",
+            "priority",
+            # floor, not cast: DuckDB CAST(double AS BIGINT) rounds while
+            # Spark's cast truncates — integer floor agrees on both.
+            F.floor(F.col("fetch_ms") / 1000).cast("bigint").alias(
+                "window_s"
+            ),
+        )
+        .groupBy("host_idx", "window_s")
+        .agg(
+            F.count("*").cast("bigint").alias("n_fetches"),
+            F.sum(F.when(F.col("priority") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_high_priority"),
+        )
+    )
+
+
+SQL_CRAWL_FRONTIER_SCHEDULE = """
+WITH urls AS (
+    SELECT doc_id,
+           doc_id % 5 AS host_idx,
+           doc_id % 3 AS priority
+    FROM documents
+),
+sched AS (
+    SELECT host_idx, priority,
+           (row_number() OVER (
+                PARTITION BY host_idx
+                ORDER BY priority DESC, doc_id
+            ) - 1) * (500 + host_idx * 250) AS fetch_ms
+    FROM urls
+)
+SELECT host_idx,
+       CAST(fetch_ms // 1000 AS BIGINT) AS window_s,
+       CAST(count(*) AS BIGINT) AS n_fetches,
+       CAST(sum(CASE WHEN priority = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_high_priority
+FROM sched
+GROUP BY 1, 2
+"""
+
+
+def q_url_pld_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pay-level-domain (registered domain) extraction + per-domain
+    document caps (the C4/RefinedWeb host-cap step — without it a
+    handful of mega-hosts dominate the corpus): hostnames are
+    synthesized over 7 shapes including multi-part public suffixes
+    (`co.uk`, `com.au`, `gov.uk`) and deep subdomains, the PLD is
+    extracted publicsuffix-style — suffix + one label, where the
+    suffix is 2 labels when the last two are on the (literal,
+    broadcastable) multi-part list and 1 label otherwise — via native
+    array ops over `split(host, '.')` (negative `element_at` indexes,
+    no UDF), and each PLD keeps at most 10 docs by (priority DESC,
+    doc_id) with the quota census reported per PLD. The suffix list is
+    dimension data (~10k rows in production — broadcast); the quota
+    pick is the same WindowGroupLimit shape Spark optimizes for
+    rn<=k."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id")
+    sub = F.concat(F.lit("site"), (F.col("doc_id") % 9).cast("string"))
+    shape = F.col("doc_id") % 7
+    host = (
+        F.when(shape == 0, F.concat(sub, F.lit(".example.com")))
+        .when(shape == 1, F.concat(sub, F.lit(".news.co.uk")))
+        .when(shape == 2, F.concat(sub, F.lit(".blog.com.au")))
+        .when(shape == 3, F.concat(sub, F.lit(".gov.uk")))
+        .when(shape == 4, F.lit("archive.org"))
+        .when(shape == 5, F.concat(sub, F.lit(".cdn.example.com")))
+        .otherwise(F.concat(F.lit("deep."), sub, F.lit(".news.co.uk")))
+    )
+    urls = docs.select(
+        "doc_id",
+        host.alias("host"),
+        (F.col("doc_id") % 13).alias("priority"),
+    )
+    labels = F.split(F.col("host"), "\\.")
+    last2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    multi_suffix = F.array(
+        F.lit("co.uk"), F.lit("com.au"), F.lit("gov.uk")
+    )
+    pld = F.when(
+        F.array_contains(multi_suffix, last2)
+        & (F.size(labels) >= 3),
+        F.concat_ws(".", F.element_at(labels, -3), last2),
+    ).otherwise(last2)
+    from pyspark.sql.window import Window
+
+    ranked = urls.select(
+        "doc_id", "priority", pld.alias("pld")
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("pld").orderBy(
+                F.col("priority").desc(), F.col("doc_id")
+            )
+        ),
+    )
+    return ranked.groupBy("pld").agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.sum(F.when(F.col("rn") <= 10, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("rn") > 10, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.min(F.when(F.col("rn") <= 10, F.col("doc_id")))
+        .cast("bigint")
+        .alias("min_kept_doc"),
+        F.max(F.when(F.col("rn") <= 10, F.col("doc_id")))
+        .cast("bigint")
+        .alias("max_kept_doc"),
+    )
+
+
+SQL_URL_PLD_QUOTA = """
+WITH urls AS (
+    SELECT doc_id,
+           doc_id % 13 AS priority,
+           CASE CAST(doc_id % 7 AS INT)
+             WHEN 0 THEN 'site' || CAST(doc_id % 9 AS VARCHAR)
+                         || '.example.com'
+             WHEN 1 THEN 'site' || CAST(doc_id % 9 AS VARCHAR)
+                         || '.news.co.uk'
+             WHEN 2 THEN 'site' || CAST(doc_id % 9 AS VARCHAR)
+                         || '.blog.com.au'
+             WHEN 3 THEN 'site' || CAST(doc_id % 9 AS VARCHAR) || '.gov.uk'
+             WHEN 4 THEN 'archive.org'
+             WHEN 5 THEN 'site' || CAST(doc_id % 9 AS VARCHAR)
+                         || '.cdn.example.com'
+             ELSE 'deep.site' || CAST(doc_id % 9 AS VARCHAR)
+                  || '.news.co.uk'
+           END AS host
+    FROM documents
+),
+plds AS (
+    SELECT doc_id, priority,
+           CASE WHEN (labels[-2] || '.' || labels[-1])
+                     IN ('co.uk', 'com.au', 'gov.uk')
+                 AND len(labels) >= 3
+                THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+                ELSE labels[-2] || '.' || labels[-1]
+           END AS pld
+    FROM (SELECT doc_id, priority, string_split(host, '.') AS labels
+          FROM urls)
+),
+ranked AS (
+    SELECT doc_id, priority, pld,
+           row_number() OVER (
+               PARTITION BY pld ORDER BY priority DESC, doc_id
+           ) AS rn
+    FROM plds
+)
+SELECT pld,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn > 10 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped,
+       CAST(min(CASE WHEN rn <= 10 THEN doc_id END) AS BIGINT)
+           AS min_kept_doc,
+       CAST(max(CASE WHEN rn <= 10 THEN doc_id END) AS BIGINT)
+           AS max_kept_doc
+FROM ranked GROUP BY pld
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "streaming_outer_join_expiry": _retry_stream_once(q_streaming_outer_join_expiry),
     "streaming_chained_windows": _retry_stream_once(q_streaming_chained_windows),
@@ -14878,6 +15139,9 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "warc_record_parse": q_warc_record_parse,
     "html_text_extract": q_html_text_extract,
     "robots_prefix_filter": q_robots_prefix_filter,
+    "quality_linear_classifier": q_quality_linear_classifier,
+    "crawl_frontier_schedule": q_crawl_frontier_schedule,
+    "url_pld_quota": q_url_pld_quota,
     "multimodal_phash_clusters": q_phash_clusters,
     "multimodal_media_router": q_media_router,
     "streaming_media_router": _retry_stream_once(q_streaming_media_router),
@@ -15147,6 +15411,9 @@ EXT_ORACLE: dict[str, str] = {
     "warc_record_parse": SQL_WARC_RECORD_PARSE,
     "html_text_extract": SQL_HTML_TEXT_EXTRACT,
     "robots_prefix_filter": SQL_ROBOTS_PREFIX_FILTER,
+    "quality_linear_classifier": SQL_QUALITY_LINEAR_CLASSIFIER,
+    "crawl_frontier_schedule": SQL_CRAWL_FRONTIER_SCHEDULE,
+    "url_pld_quota": SQL_URL_PLD_QUOTA,
     "multimodal_phash_clusters": SQL_PHASH_CLUSTERS,
     "multimodal_media_router": SQL_MEDIA_ROUTER,
     "streaming_media_router": SQL_MEDIA_ROUTER,
