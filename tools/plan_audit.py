@@ -55,6 +55,9 @@ HEADLINE = [
     "dedup_ngram_prefix_filter",
     "python_datasource_scan",
     "multimodal_scene_cuts",
+    "warc_record_parse",
+    "html_text_extract",
+    "robots_prefix_filter",
     "embed_cosine_topk",
     "embed_ivf_topk_label",
     "embed_ann_recall",

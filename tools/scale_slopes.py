@@ -72,6 +72,19 @@ RELATIONAL_RULES_ENTRIES = [
     "rules_inconsistent_routing",
 ]
 
+# §14 family (r12): the web-crawl ingest tier. All six are documents-
+# driven fixtures, so the same 10x documents slice scales them; the
+# expected shapes are per-row maps (html/quality), small-group aggs
+# (warc shard fixture), and per-key windows (robots/frontier/pld).
+CRAWL_ENTRIES = [
+    "warc_record_parse",
+    "html_text_extract",
+    "robots_prefix_filter",
+    "quality_linear_classifier",
+    "crawl_frontier_schedule",
+    "url_pld_quota",
+]
+
 DEFAULT_ENTRIES = [
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard_pairs",
@@ -342,4 +355,6 @@ if __name__ == "__main__":
             args = MULTIMODAL_STREAMING_ENTRIES
         if args == ["s13"]:
             args = RELATIONAL_RULES_ENTRIES
+        if args == ["s14"]:
+            args = CRAWL_ENTRIES
         run(args or DEFAULT_ENTRIES)
