@@ -15116,6 +15116,313 @@ FROM ranked GROUP BY pld
 """
 
 
+def q_streaming_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming WARC ingest (the crawl tier's arrival path: archives
+    land as whole files, records are parsed on arrival, the admission
+    census updates per micro-batch): the 8 deterministic WARC shards
+    from `warc_record_parse`'s fixture are written as one `.warc` TEXT
+    FILE each (driver-side fixture write — 8 strings, bounded by shard
+    count, not corpus size), a `text` file stream with `wholetext=true`
+    delivers one shard per row, the SAME native record-split/header-
+    parse expressions as the batch entry run per micro-batch (stateless
+    projection — streaming-safe by construction), and a complete-mode
+    census over (warc_type, length_ok) must equal the closed-form batch
+    truth. This is the streaming twin of `warc_record_parse` the way
+    `streaming_media_router` twins the batch router; the oracle
+    computes the census closed-form from `documents` (no parse), so the
+    stream's parse path is verified against independent arithmetic."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    payload = F.substring(F.col("text"), 1, 80)
+    pay_len = F.least(F.col("n_chars"), F.lit(80).cast("bigint"))
+    declared = (
+        pay_len
+        + F.when(F.col("doc_id") % 11 == 0, F.lit(3)).otherwise(F.lit(0))
+    )
+    wtype = F.when(
+        F.col("doc_id") % 7 == 0, F.lit("metadata")
+    ).otherwise(F.lit("response"))
+    uri = F.concat(
+        F.lit("https://host-"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example/page/"),
+        F.col("doc_id").cast("string"),
+    )
+    record = F.concat(
+        F.lit("WARC/1.0" + _CRLF),
+        F.lit("WARC-Type: "), wtype, F.lit(_CRLF),
+        F.lit("WARC-Target-URI: "), uri, F.lit(_CRLF),
+        F.lit("Content-Length: "), declared.cast("string"),
+        F.lit(_WARC_SEP),
+        payload,
+        F.lit(_WARC_SEP),
+    )
+    shard_rows = (
+        docs.select(
+            (F.col("doc_id") % 8).alias("shard_id"),
+            F.struct("doc_id", record.alias("rec")).alias("sr"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("sr")), lambda s: s["rec"]
+                ),
+                "",
+            ).alias("shard_text")
+        )
+        .collect()
+    )
+    src = tempfile.mkdtemp(prefix="warc_feed_")
+    for r in shard_rows:
+        with open(f"{src}/shard_{r.shard_id}.warc", "w") as f:
+            f.write(r.shard_text)
+    stream = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .load(src)
+    )
+    pieces = stream.select(
+        F.explode(F.split(F.col("value"), "WARC/1\\.0\r\n")).alias("piece")
+    ).where(F.col("piece") != "")
+    parsed = pieces.select(
+        F.regexp_extract(
+            F.split_part(F.col("piece"), F.lit(_WARC_SEP), F.lit(1)),
+            r"WARC-Type: ([^\r]+)",
+            1,
+        ).alias("warc_type"),
+        F.regexp_extract(
+            F.split_part(F.col("piece"), F.lit(_WARC_SEP), F.lit(1)),
+            r"Content-Length: ([0-9]+)",
+            1,
+        )
+        .cast("bigint")
+        .alias("declared_len"),
+        F.length(
+            F.split_part(F.col("piece"), F.lit(_WARC_SEP), F.lit(2))
+        )
+        .cast("bigint")
+        .alias("payload_len"),
+    )
+    census = (
+        parsed.withColumn(
+            "length_ok", F.col("payload_len") == F.col("declared_len")
+        )
+        .groupBy("warc_type", "length_ok")
+        .agg(
+            F.count("*").cast("bigint").alias("n_records"),
+            F.sum("payload_len").cast("bigint").alias("total_payload"),
+        )
+    )
+    name = f"warc_census_{_uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        census.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = _local_result(spark.table(name))
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(src, ignore_errors=True)
+    return out
+
+
+SQL_STREAMING_WARC_INGEST = """
+WITH recs AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN 'metadata' ELSE 'response' END
+               AS warc_type,
+           least(n_chars, 80) AS payload_len,
+           least(n_chars, 80)
+           + (CASE WHEN doc_id % 11 = 0 THEN 3 ELSE 0 END) AS declared_len
+    FROM documents
+)
+SELECT warc_type,
+       payload_len = declared_len AS length_ok,
+       CAST(count(*) AS BIGINT) AS n_records,
+       CAST(sum(payload_len) AS BIGINT) AS total_payload
+FROM recs GROUP BY 1, 2
+"""
+
+
+def q_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (the Splink shape —
+    the statistical upgrade of the reference's fuzzy matching,
+    `R1/utils.py:120-156`): candidate pairs come from a BLOCKED
+    self-join over customers (block key = nation — the standard
+    quadratic-taming move; at any scale the join shuffles once on the
+    block key and each block's pair count is bounded by the block-size
+    cap discipline), each pair is compared on three fields (market
+    segment, account-balance bucket, customer-name suffix), and each
+    agreement contributes its integer log-odds weight (agree:
+    +24/+13/+31, disagree: -8/-5/-11 — deterministic stand-ins for
+    EM-estimated weights, which would arrive as a 6-value broadcast)
+    summed into the pair's match score; pairs at score >= 30 are
+    links. Integer weights keep the oracle bit-exact (no libm). Output
+    is the per-nation linkage census — pair/link counts, score
+    extrema, and total linked mass."""
+    cust = tbl(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    side = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).alias("bal_bucket"),
+        F.expr("right(c_name, 2)").alias("name_sfx"),
+    )
+    a, b = side.alias("a"), side.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.nation") == F.col("b.nation"))
+        & (F.col("a.k") < F.col("b.k")),
+    )
+    w_seg = F.when(
+        F.col("a.seg") == F.col("b.seg"), F.lit(24)
+    ).otherwise(F.lit(-8))
+    w_bal = F.when(
+        F.col("a.bal_bucket") == F.col("b.bal_bucket"), F.lit(13)
+    ).otherwise(F.lit(-5))
+    w_sfx = F.when(
+        F.col("a.name_sfx") == F.col("b.name_sfx"), F.lit(31)
+    ).otherwise(F.lit(-11))
+    scored = pairs.select(
+        F.col("a.nation").alias("nation"),
+        (w_seg + w_bal + w_sfx).alias("score"),
+    )
+    return scored.groupBy("nation").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("score") >= 30, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_links"),
+        F.min("score").cast("bigint").alias("min_score"),
+        F.max("score").cast("bigint").alias("max_score"),
+        F.sum("score").cast("bigint").alias("score_mass"),
+    )
+
+
+SQL_RECORD_LINKAGE_FS = """
+WITH side AS (
+    SELECT c_custkey AS k, c_nationkey AS nation, c_mktsegment AS seg,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+           right(c_name, 2) AS name_sfx
+    FROM customer
+),
+scored AS (
+    SELECT a.nation,
+           (CASE WHEN a.seg = b.seg THEN 24 ELSE -8 END)
+           + (CASE WHEN a.bal_bucket = b.bal_bucket THEN 13 ELSE -5 END)
+           + (CASE WHEN a.name_sfx = b.name_sfx THEN 31 ELSE -11 END)
+               AS score
+    FROM side a JOIN side b
+      ON a.nation = b.nation AND a.k < b.k
+)
+SELECT nation,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN score >= 30 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_links,
+       CAST(min(score) AS BIGINT) AS min_score,
+       CAST(max(score) AS BIGINT) AS max_score,
+       CAST(sum(score) AS BIGINT) AS score_mass
+FROM scored GROUP BY nation
+"""
+
+
+def q_crawl_link_hostgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link-graph construction (the step between HTML
+    extraction and PageRank: hrefs become host->host edges): the same
+    anchor-tag shape as `q_html_text_extract`'s fixture, with the
+    `next` link pointing at the SUCCESSOR host — cross-host ring edges
+    plus a shared citation hub, a graph with real in/out asymmetry —
+    every href pulled with `regexp_extract_all` + explode, target host
+    parsed from the URL, and the (src_host, dst_host) edge census
+    aggregated with in/out-degree style rollups (n_links, n_pages,
+    self-link count).
+    Per-row extract + one map-side-combinable aggregate; the edge list
+    partitions on src_host at scale (the natural crawl key, same as the
+    frontier's)."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "source")
+    nxt = ((F.col("doc_id") + 1) % 500).cast("string")
+    html = F.concat(
+        F.lit('<a href="https://host-'),
+        ((F.col("doc_id") + 1) % 5).cast("string"),
+        F.lit(".example/page/"),
+        nxt,
+        F.lit('">next</a>'),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<a href="https://ref.example/cite/'),
+                (F.col("doc_id") % 17).cast("string"),
+                F.lit('">ref</a>'),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    links = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("host-"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example"),
+        ).alias("src_host"),
+        F.explode(
+            F.regexp_extract_all(html, F.lit('href="([^"]+)"'), 1)
+        ).alias("href"),
+    )
+    edges = links.select(
+        "doc_id",
+        "src_host",
+        F.regexp_extract(F.col("href"), "https://([^/]+)/", 1).alias(
+            "dst_host"
+        ),
+    )
+    return edges.groupBy("src_host", "dst_host").agg(
+        F.count("*").cast("bigint").alias("n_links"),
+        F.count_distinct("doc_id").cast("bigint").alias("n_pages"),
+        F.sum(
+            F.when(F.col("src_host") == F.col("dst_host"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_self"),
+    )
+
+
+SQL_CRAWL_LINK_HOSTGRAPH = """
+WITH links AS (
+    SELECT doc_id,
+           'host-' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS src_host,
+           t.href
+    FROM documents,
+         UNNEST(regexp_extract_all(
+             '<a href="https://host-' || CAST((doc_id + 1) % 5 AS VARCHAR)
+             || '.example/page/' || CAST((doc_id + 1) % 500 AS VARCHAR)
+             || '">next</a>'
+             || (CASE WHEN doc_id % 3 = 0
+                      THEN '<a href="https://ref.example/cite/'
+                           || CAST(doc_id % 17 AS VARCHAR) || '">ref</a>'
+                      ELSE '' END),
+             'href="([^"]+)"', 1)) t(href)
+)
+SELECT src_host,
+       regexp_extract(href, 'https://([^/]+)/', 1) AS dst_host,
+       CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages,
+       CAST(sum(CASE WHEN src_host =
+                          regexp_extract(href, 'https://([^/]+)/', 1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_self
+FROM links GROUP BY 1, 2
+"""
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "streaming_outer_join_expiry": _retry_stream_once(q_streaming_outer_join_expiry),
     "streaming_chained_windows": _retry_stream_once(q_streaming_chained_windows),
@@ -15142,6 +15449,9 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "quality_linear_classifier": q_quality_linear_classifier,
     "crawl_frontier_schedule": q_crawl_frontier_schedule,
     "url_pld_quota": q_url_pld_quota,
+    "streaming_warc_ingest": _retry_stream_once(q_streaming_warc_ingest),
+    "record_linkage_fs": q_record_linkage_fs,
+    "crawl_link_hostgraph": q_crawl_link_hostgraph,
     "multimodal_phash_clusters": q_phash_clusters,
     "multimodal_media_router": q_media_router,
     "streaming_media_router": _retry_stream_once(q_streaming_media_router),
@@ -15414,6 +15724,9 @@ EXT_ORACLE: dict[str, str] = {
     "quality_linear_classifier": SQL_QUALITY_LINEAR_CLASSIFIER,
     "crawl_frontier_schedule": SQL_CRAWL_FRONTIER_SCHEDULE,
     "url_pld_quota": SQL_URL_PLD_QUOTA,
+    "streaming_warc_ingest": SQL_STREAMING_WARC_INGEST,
+    "record_linkage_fs": SQL_RECORD_LINKAGE_FS,
+    "crawl_link_hostgraph": SQL_CRAWL_LINK_HOSTGRAPH,
     "multimodal_phash_clusters": SQL_PHASH_CLUSTERS,
     "multimodal_media_router": SQL_MEDIA_ROUTER,
     "streaming_media_router": SQL_MEDIA_ROUTER,

@@ -5823,3 +5823,85 @@ def test_pld_extraction_publicsuffix_cases(spark):
     for r in rows.values():
         assert r.n_kept == min(r.n_total, 10)
         assert r.n_kept + r.n_dropped == r.n_total
+
+
+def test_streaming_warc_census_equals_closed_form(spark):
+    """The streamed parse census must equal independent arithmetic over
+    the source corpus (never touching the parser)."""
+    from hiv_data_integration_spark import battery_ext as bx
+
+    SD = "/root/testdata/sf0.001"
+    got = {
+        (r.warc_type, r.length_ok): (r.n_records, r.total_payload)
+        for r in bx.q_streaming_warc_ingest(spark, SD).collect()
+    }
+    docs = spark.read.parquet(f"{SD}/documents.parquet").collect()
+    expect: dict[tuple[str, bool], list[int]] = {}
+    for d in docs:
+        wt = "metadata" if d.doc_id % 7 == 0 else "response"
+        plen = min(d.n_chars, 80)
+        ok = d.doc_id % 11 != 0
+        k = (wt, ok)
+        expect.setdefault(k, [0, 0])
+        expect[k][0] += 1
+        expect[k][1] += plen
+    assert got == {k: tuple(v) for k, v in expect.items()}
+
+
+def test_record_linkage_fs_matches_bruteforce(spark):
+    """Per-nation pair and link counts must equal an exact quadratic
+    recomputation of the Fellegi-Sunter scores for one block."""
+    from hiv_data_integration_spark import battery_ext as bx
+
+    SD = "/root/testdata/sf0.001"
+    out = {r.nation: r for r in bx.q_record_linkage_fs(spark, SD).collect()}
+    import math as _m
+
+    cust = spark.read.parquet(f"{SD}/customer.parquet").collect()
+    by_nation: dict[int, list] = {}
+    for c in cust:
+        by_nation.setdefault(c.c_nationkey, []).append(c)
+    for nation in list(by_nation)[:3]:
+        rows = sorted(by_nation[nation], key=lambda c: c.c_custkey)
+        scores = []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                a, b = rows[i], rows[j]
+                s = 24 if a.c_mktsegment == b.c_mktsegment else -8
+                s += (
+                    13
+                    if _m.floor(a.c_acctbal / 1000)
+                    == _m.floor(b.c_acctbal / 1000)
+                    else -5
+                )
+                s += 31 if a.c_name[-2:] == b.c_name[-2:] else -11
+                scores.append(s)
+        r = out[nation]
+        assert r.n_pairs == len(scores)
+        assert r.n_links == sum(1 for s in scores if s >= 30)
+        assert r.min_score == min(scores)
+        assert r.max_score == max(scores)
+        assert r.score_mass == sum(scores)
+
+
+def test_hostgraph_ring_and_hub_structure(spark):
+    """The host graph must be the successor ring (every host links only
+    to the next host plus the citation hub), with page counts equal to
+    link counts (one next-link per page)."""
+    from hiv_data_integration_spark import battery_ext as bx
+
+    SD = "/root/testdata/sf0.001"
+    rows = bx.q_crawl_link_hostgraph(spark, SD).collect()
+    n_docs = spark.read.parquet(f"{SD}/documents.parquet").count()
+    ring = {(r.src_host, r.dst_host): r for r in rows}
+    assert sum(r.n_links for r in rows) == n_docs + sum(
+        1 for i in range(n_docs) if i % 3 == 0
+    )
+    for h in range(5):
+        src = f"host-{h}.example"
+        nxt = f"host-{(h + 1) % 5}.example"
+        r = ring[(src, nxt)]
+        assert r.n_links == r.n_pages  # one next-link per page
+        assert r.n_self == 0
+        dsts = {d for (s, d) in ring if s == src}
+        assert dsts <= {nxt, "ref.example"}
