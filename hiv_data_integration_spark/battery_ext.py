@@ -15338,6 +15338,118 @@ FROM scored GROUP BY nation
 """
 
 
+def q_record_linkage_fs_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Block-size-CAPPED Fellegi-Sunter linkage — the 100 TB path for
+    `q_record_linkage_fs`, whose all-pairs-per-block census is
+    Ω(Σ block²) BY CONTRACT (measured 74x wall at 10x customers,
+    SCALE.md §14). The standard mitigation (Splink's guidance: keep
+    block sizes bounded, account for what the cap drops) applied
+    in-plan: each block keeps its first 50 members by custkey
+    (`row_number` — WindowGroupLimit prunes the rest before the join),
+    pairs are scored ONLY among kept members with the same integer
+    log-odds weights, and the census carries the dropped-row count per
+    nation so the recall loss is visible in the result, not a
+    footnote. Pairs per block are bounded by 50·49/2 at ANY scale —
+    the 10x slice measures FLAT."""
+    cust = tbl(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    from pyspark.sql.window import Window
+
+    ranked = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).alias("bal_bucket"),
+        F.expr("right(c_name, 2)").alias("name_sfx"),
+        F.row_number()
+        .over(
+            Window.partitionBy("c_nationkey").orderBy("c_custkey")
+        )
+        .alias("rn"),
+    )
+    kept = ranked.where(F.col("rn") <= 50).drop("rn")
+    dropped = (
+        ranked.where(F.col("rn") > 50)
+        .groupBy("nation")
+        .agg(F.count("*").cast("bigint").alias("n_dropped"))
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.nation") == F.col("b.nation"))
+        & (F.col("a.k") < F.col("b.k")),
+    )
+    score = (
+        F.when(F.col("a.seg") == F.col("b.seg"), F.lit(24)).otherwise(
+            F.lit(-8)
+        )
+        + F.when(
+            F.col("a.bal_bucket") == F.col("b.bal_bucket"), F.lit(13)
+        ).otherwise(F.lit(-5))
+        + F.when(
+            F.col("a.name_sfx") == F.col("b.name_sfx"), F.lit(31)
+        ).otherwise(F.lit(-11))
+    )
+    census = (
+        pairs.select(F.col("a.nation").alias("nation"), score.alias("s"))
+        .groupBy("nation")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("s") >= 30, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_links"),
+        )
+    )
+    return (
+        census.join(dropped, "nation", "left")
+        .select(
+            "nation",
+            "n_pairs",
+            "n_links",
+            F.coalesce(F.col("n_dropped"), F.lit(0).cast("bigint")).alias(
+                "n_dropped"
+            ),
+        )
+    )
+
+
+SQL_RECORD_LINKAGE_FS_CAPPED = """
+WITH ranked AS (
+    SELECT c_custkey AS k, c_nationkey AS nation, c_mktsegment AS seg,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+           right(c_name, 2) AS name_sfx,
+           row_number() OVER (
+               PARTITION BY c_nationkey ORDER BY c_custkey
+           ) AS rn
+    FROM customer
+),
+kept AS (SELECT * FROM ranked WHERE rn <= 50),
+dropped AS (
+    SELECT nation, CAST(count(*) AS BIGINT) AS n_dropped
+    FROM ranked WHERE rn > 50 GROUP BY nation
+),
+census AS (
+    SELECT a.nation,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN
+               (CASE WHEN a.seg = b.seg THEN 24 ELSE -8 END)
+               + (CASE WHEN a.bal_bucket = b.bal_bucket
+                       THEN 13 ELSE -5 END)
+               + (CASE WHEN a.name_sfx = b.name_sfx
+                       THEN 31 ELSE -11 END) >= 30
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_links
+    FROM kept a JOIN kept b ON a.nation = b.nation AND a.k < b.k
+    GROUP BY a.nation
+)
+SELECT c.nation, c.n_pairs, c.n_links,
+       coalesce(d.n_dropped, 0) AS n_dropped
+FROM census c LEFT JOIN dropped d ON c.nation = d.nation
+"""
+
+
 def q_crawl_link_hostgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level link-graph construction (the step between HTML
     extraction and PageRank: hrefs become host->host edges): the same
@@ -15451,6 +15563,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "url_pld_quota": q_url_pld_quota,
     "streaming_warc_ingest": _retry_stream_once(q_streaming_warc_ingest),
     "record_linkage_fs": q_record_linkage_fs,
+    "record_linkage_fs_capped": q_record_linkage_fs_capped,
     "crawl_link_hostgraph": q_crawl_link_hostgraph,
     "multimodal_phash_clusters": q_phash_clusters,
     "multimodal_media_router": q_media_router,
@@ -15726,6 +15839,7 @@ EXT_ORACLE: dict[str, str] = {
     "url_pld_quota": SQL_URL_PLD_QUOTA,
     "streaming_warc_ingest": SQL_STREAMING_WARC_INGEST,
     "record_linkage_fs": SQL_RECORD_LINKAGE_FS,
+    "record_linkage_fs_capped": SQL_RECORD_LINKAGE_FS_CAPPED,
     "crawl_link_hostgraph": SQL_CRAWL_LINK_HOSTGRAPH,
     "multimodal_phash_clusters": SQL_PHASH_CLUSTERS,
     "multimodal_media_router": SQL_MEDIA_ROUTER,

@@ -5905,3 +5905,36 @@ def test_hostgraph_ring_and_hub_structure(spark):
         assert r.n_self == 0
         dsts = {d for (s, d) in ring if s == src}
         assert dsts <= {nxt, "ref.example"}
+
+
+def test_capped_linkage_bounds_pairs_and_accounts_drops(spark):
+    """Pairs per nation must be bounded by cap*(cap-1)/2, dropped rows
+    must equal block_size - cap, and on blocks under the cap the
+    census must equal the uncapped entry's."""
+    from hiv_data_integration_spark import battery_ext as bx
+
+    SD = "/root/testdata/sf0.001"
+    capped = {r.nation: r for r in
+              bx.q_record_linkage_fs_capped(spark, SD).collect()}
+    full = {r.nation: r for r in
+            bx.q_record_linkage_fs(spark, SD).collect()}
+    cust = spark.read.parquet(f"{SD}/customer.parquet").collect()
+    sizes: dict[int, int] = {}
+    for c in cust:
+        sizes[c.c_nationkey] = sizes.get(c.c_nationkey, 0) + 1
+    assert set(capped) == set(sizes)
+    for nation, n in sizes.items():
+        r = capped[nation]
+        assert r.n_pairs <= 50 * 49 // 2
+        assert r.n_dropped == max(0, n - 50)
+        if n <= 50:
+            assert r.n_pairs == full[nation].n_pairs
+            assert r.n_links == full[nation].n_links
+    # sf0.001 blocks are all under the cap (the equality branch above
+    # ran); prove the cap actually bites at sf0.01, where blocks hold
+    # ~60 customers each
+    c01 = bx.q_record_linkage_fs_capped(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert all(r.n_pairs <= 50 * 49 // 2 for r in c01)
+    assert any(r.n_dropped > 0 for r in c01)

@@ -260,6 +260,76 @@ def run(entries: list[str]) -> None:
     print(json.dumps(out))
 
 
+def run_linkage10x() -> None:
+    """§14 quadratic probe: `record_linkage_fs` at 10x CUSTOMERS.
+
+    The entry's pair count is Ω(Σ block²) BY CONTRACT (every in-block
+    pair is scored), so a 10x customer table with the same 25-nation
+    block structure must show a ~100x pair count — this probe measures
+    whether the WALL cost tracks the contract (codegen'd comparisons,
+    no join blowup beyond the contractual output) rather than hiding
+    an extra superlinear term. Customers replicate with custkey
+    offsets; every other table is the 1x original (the entry reads
+    only customer)."""
+    import duckdb
+    import shutil
+
+    dst = "/tmp/spark_graft_cust10x"
+    os.makedirs(dst, exist_ok=True)
+    need_gen = not os.path.exists(f"{dst}/customer.parquet")
+    if not need_gen:
+        import pyarrow.parquet as pq
+
+        need_gen = (
+            pq.read_metadata(f"{dst}/customer.parquet").num_rows
+            != 10 * pq.read_metadata(f"{SRC}/customer.parquet").num_rows
+        )
+    if need_gen:
+        con = duckdb.connect()
+        maxk = con.execute(
+            f"SELECT max(c_custkey) FROM read_parquet('{SRC}/customer.parquet')"
+        ).fetchone()[0]
+        off = 10 ** len(str(maxk))
+        con.execute(
+            f"""
+            COPY (
+                SELECT c_custkey + k * {off} AS c_custkey, c_name,
+                       c_nationkey, c_acctbal, c_mktsegment
+                FROM read_parquet('{SRC}/customer.parquet'),
+                     UNNEST(range(0, 10)) t(k)
+            ) TO '{dst}/customer.parquet' (FORMAT PARQUET)
+            """
+        )
+        for t in (
+            "region nation supplier part orders lineitem events "
+            "documents embeddings"
+        ).split():
+            shutil.copy(f"{SRC}/{t}.parquet", f"{dst}/{t}.parquet")
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from hiv_data_integration_spark.battery_ext import EXT_QUERIES
+    from hiv_data_integration_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-slopes-linkage")
+    names = ["record_linkage_fs", "record_linkage_fs_capped"]
+    out: dict[str, dict[str, float]] = {n: {} for n in names}
+    for sf_dir, tag in ((SRC, "x1"), (dst, "x10")):
+        for name in names:
+            samples = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                EXT_QUERIES[name](spark, sf_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+            out[name][tag] = round(min(samples), 3)
+            print(name, tag, out[name][tag], flush=True)
+    for t in out.values():
+        t["slope"] = round(t["x10"] / t["x1"], 1)
+    print(json.dumps(out))
+
+
 def _dst_is_fresh() -> bool:
     """True iff the 10x slice is complete AND current-generation.
 
@@ -347,6 +417,8 @@ if __name__ == "__main__":
         gen()
     elif mode == "s13fix":
         run_s13_fixtures()
+    elif mode == "s14link":
+        run_linkage10x()
     else:
         if not _dst_is_fresh():
             gen()
