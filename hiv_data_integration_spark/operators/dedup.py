@@ -413,7 +413,14 @@ def _ngram_postings(
     shingle postings ``(doc_id_, [blocks...], shingle)`` plus per-doc
     sizes counted from postings (shingles are distinct per doc). ONE
     definition — the plain and prefix-filtered joins must stay
-    bit-identical, which they cannot if their posting/size rules drift."""
+    bit-identical, which they cannot if their posting/size rules drift.
+
+    NB (r12, measured): do NOT localCheckpoint the posting here even
+    though consumers reference it up to ~6×. A/B at sf0.1 read dfcap
+    7.07 s materialized vs 5.77 s lazy (same-control runs): the
+    duplicate subtrees are cheap scan+explode pipelines that execute in
+    parallel inside independent broadcast builds, while a checkpoint
+    serializes one block write + N block reads onto the critical path."""
     if partitions:
         df = df.repartition(partitions)
     posting = df.select(
@@ -443,6 +450,50 @@ def _jaccard_verify(
     ).cast("double")
     return (
         sized.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _array_verify(
+    cand: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    jaccard_threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of a candidate PAIR set by shingle-array
+    attach: join each side's full shingle array by doc id and compute
+    ``size(array_intersect)`` / union arithmetic per pair row.
+
+    Numerically identical to the posting-join verify (postings are the
+    exploded distinct-shingle arrays, so ``count(*)`` over common postings
+    == ``size(array_intersect)``, and ``n_sh`` == ``size(sh)``), but the
+    plan shape is O(pairs) instead of O(Σ_pairs |doc|): the old
+    cand ⋈ posting(id_a) ⋈ posting(id_b, shingle) → groupBy chain expanded
+    every pair by every a-side shingle before filtering (measured at sf0.1:
+    351k candidates × ~48 shingles ≈ 17M intermediate rows, 6.0 s of the
+    dfcap entry's 6.7 s), where this verify moves two doc-count-sized
+    array tables through id-keyed joins and finishes pairs in the same
+    stage — guide §2.3/§3.3 (don't explode before a join; shuffle the
+    lightweight proxy, attach the payload once)."""
+    doc_sh = df.select(
+        F.col(id_col).alias("doc_id_"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    attached = cand.join(
+        doc_sh.select(F.col("doc_id_").alias("id_a"), F.col("sh").alias("sh_a")),
+        "id_a",
+    ).join(
+        doc_sh.select(F.col("doc_id_").alias("id_b"), F.col("sh").alias("sh_b")),
+        "id_b",
+    )
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    n_a, n_b = F.size("sh_a"), F.size("sh_b")
+    jac = n_common.cast("double") / (n_a + n_b - n_common).cast("double")
+    return (
+        attached.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -566,22 +617,66 @@ def ngram_jaccard_dfcap_pairs(
         "shingle",
         F.col("doc_id_").alias("id_b"),
     )
-    cand = (
+    # candidate pairs WITH their common-rare-shingle count (same shuffle
+    # as the old .distinct() — a hash aggregate over the identical join
+    # output — but the count feeds a result-preserving prune below)
+    cand_counts = (
         a.join(b, [*block_cols, "shingle"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    # exact verify: count ALL common shingles for candidate pairs only
-    pa = posting.select(F.col("doc_id_").alias("id_a"), "shingle")
-    pb = posting.select(F.col("doc_id_").alias("id_b"), "shingle")
-    common = (
-        cand.join(pa, "id_a")
-        .join(pb, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
+        .agg(F.count("*").alias("n_rare_common"))
     )
-    return _jaccard_verify(common, doc_sizes, jaccard_threshold)
+    # UPPER-BOUND-JACCARD PRUNE (r12, guide §1.2 "fix the algorithm"):
+    # at sf0.1 the cap emits 351k candidate pairs that melt to 57 result
+    # rows — the exact verify was 5-6 s of the entry's 6.7 s. For a pair
+    # (a, b): every common shingle is rare (all counted in
+    # n_rare_common) or frequent (at most min(freq_a, freq_b) of those
+    # can be common), so n_common ≤ n_rare_common + min(freq_a, freq_b)
+    # and J(a,b) = c/(n_a+n_b-c) is increasing in c — a pair whose bound
+    # stays under the threshold can NEVER verify, so dropping it cannot
+    # change the result (the bound expression equals the verify
+    # expression when the bound is tight, so ties survive). Per-doc
+    # stats are one aggregate over the posting×df join the plan already
+    # builds; the exact verify then touches only the survivors.
+    doc_stats = (
+        posting.join(dfreq, [*block_cols, "shingle"])
+        .groupBy("doc_id_")
+        .agg(
+            F.count("*").alias("n_sh_"),
+            F.count(F.when(F.col("df_") <= df_cap, 1)).alias("n_rare_"),
+        )
+        .select(
+            "doc_id_",
+            F.col("n_sh_"),
+            (F.col("n_sh_") - F.col("n_rare_")).alias("n_freq_"),
+        )
+    )
+    annotated = cand_counts.join(
+        doc_stats.select(
+            F.col("doc_id_").alias("id_a"),
+            F.col("n_sh_").alias("n_a"),
+            F.col("n_freq_").alias("freq_a"),
+        ),
+        "id_a",
+    ).join(
+        doc_stats.select(
+            F.col("doc_id_").alias("id_b"),
+            F.col("n_sh_").alias("n_b"),
+            F.col("n_freq_").alias("freq_b"),
+        ),
+        "id_b",
+    )
+    ub = F.col("n_rare_common") + F.least("freq_a", "freq_b")
+    ub_j = ub.cast("double") / (
+        F.col("n_a") + F.col("n_b") - ub
+    ).cast("double")
+    pruned = annotated.filter(ub_j >= jaccard_threshold).select("id_a", "id_b")
+    # exact verify over surviving pairs only: full shingle arrays attached
+    # by doc id (identical arithmetic to the posting-join verify, O(pairs)
+    # instead of O(Σ_pairs |doc|) — see _array_verify)
+    return _array_verify(
+        pruned, df, id_col, text_col, shingle_n, jaccard_threshold
+    )
 
 
 def minhash_lsh_eval(
@@ -817,7 +912,13 @@ def ngram_jaccard_prefix_pairs(
         F.col("doc_id_").alias("id_b"),
     )
     # a-prefix × b-full: every J>=τ pair is caught through the smaller
-    # side's prefix; normalize to unordered (id_a < id_b) candidates
+    # side's prefix; normalize to unordered (id_a < id_b) candidates.
+    # NB (r12, measured): an upper-bound-Jaccard prune + array verify (the
+    # dfcap entry's r12 rewrite) was A/B'd here too and came out neutral-
+    # to-negative (isolated 5-run quiet: 5.72 s vs 5.51 s at HEAD) — the
+    # prefix filter already thins candidates enough that the extra
+    # doc-size joins cost more than the smaller verify saves; kept on the
+    # dfcap path only, where it measured −29%.
     cand = (
         a.join(b, [*block_cols, "shingle"])
         .filter(F.col("id_a") != F.col("id_b"))
