@@ -3420,13 +3420,18 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge). The Spark side iterates to the fixpoint; the oracle computes
     the same fixpoint as a recursive-CTE reachability closure — both
     sides derive the pair graph identically (hash-green standalone as
-    dedup_minhash_lsh_pairs)."""
+    dedup_minhash_lsh_pairs). r12: routes through the operator's
+    kernelized two-level path (``local_threshold`` — single-partition
+    union-find when the materialized edge count fits one task, the same
+    knob the phash cluster census already uses); above the threshold the
+    distributed rounds run unchanged, and the fixpoint is identical
+    either way (tested both sides of the threshold)."""
     corpus = _dup_corpus(spark, sf_dir)
     pairs = dd.minhash_candidate_pairs(
         corpus, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4,
         jaccard_threshold=0.6, partitions=32,
     )
-    return dd.connected_components(pairs)
+    return dd.connected_components(pairs, local_threshold=2_000_000)
 
 
 SQL_CONNECTED_COMPONENTS = f"""
@@ -3450,13 +3455,15 @@ def q_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     components → drop every non-canonical cluster member → per-language
     corpus stats of what survives. Each stage is oracle-green standalone
     (dedup_minhash_lsh_pairs, dedup_connected_components); this entry
-    verifies their composition."""
+    verifies their composition. r12: same kernelized CC routing as
+    dedup_connected_components (identical fixpoint both sides of the
+    threshold)."""
     corpus = _dup_corpus(spark, sf_dir)
     pairs = dd.minhash_candidate_pairs(
         corpus, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4,
         jaccard_threshold=0.6, partitions=32,
     )
-    comps = dd.connected_components(pairs)
+    comps = dd.connected_components(pairs, local_threshold=2_000_000)
     kept = dd.drop_non_canonical(corpus, comps, id_col="doc_id")
     return kept.groupBy("lang").agg(
         F.count("*").alias("n_docs"),

@@ -721,19 +721,37 @@ def minhash_lsh_eval(
     )
     if truth_sample_mod > 1:
         cand = cand.filter(pair_sample_pred(truth_sample_mod))
-    cand = cand.dropDuplicates()
     truth = ngram_jaccard_pairs(
         df, id_col, text_col, shingle_n=shingle_n,
         jaccard_threshold=jaccard_threshold, partitions=partitions,
         pair_sample_mod=truth_sample_mod,
     ).select("id_a", "id_b")
-    verified = cand.join(truth, ["id_a", "id_b"])
-    counts = (
-        cand.agg(F.count("*").cast("long").alias("n_candidates"))
-        .crossJoin(truth.agg(F.count("*").cast("long").alias("n_truth")))
-        .crossJoin(
-            verified.agg(F.count("*").cast("long").alias("n_verified"))
-        )
+    # one-pass census (r12, guide §2.4): the old shape crossJoined three
+    # separate aggregates (count(cand), count(truth), count(cand ⋈ truth)),
+    # so the banding AND posting subtrees were each planned/executed twice
+    # (202-node plan, 72 Exchanges). Union the two pair sets with flags and
+    # reduce per pair instead: max(_c)/max(_t) dedups band-duplicate
+    # candidate pairs (subsuming the old dropDuplicates exchange), truth is
+    # distinct by construction, and the verified count is the pairs where
+    # both flags survive — same three exact integers, every subtree once.
+    cand_flag = cand.select(
+        "id_a", "id_b", F.lit(1).alias("_c"), F.lit(0).alias("_t")
+    )
+    truth_flag = truth.select(
+        "id_a", "id_b", F.lit(0).alias("_c"), F.lit(1).alias("_t")
+    )
+    per_pair = (
+        cand_flag.unionByName(truth_flag)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("_c").alias("_c"), F.max("_t").alias("_t"))
+    )
+    counts = per_pair.agg(
+        # coalesce: empty-corpus sums are NULL where the old count(*) was 0
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_candidates"),
+        F.coalesce(F.sum("_t"), F.lit(0)).cast("long").alias("n_truth"),
+        F.coalesce(F.sum(F.col("_c") * F.col("_t")), F.lit(0))
+        .cast("long")
+        .alias("n_verified"),
     )
     return counts.select(
         "n_candidates",
@@ -1307,21 +1325,32 @@ def connected_components(
             neighbor = edges.join(
                 labels.withColumnRenamed("id", "dst"), "dst"
             ).select(F.col("src").alias("id"), "component")
-            new_labels = (
-                labels.unionByName(neighbor)
+            # fused convergence probe (r12, guide §2.4): tag which union
+            # branch each row came from and recover the OLD label as
+            # min(component WHERE from-labels) inside the SAME aggregate
+            # (labels holds exactly one row per id, and every id reappears
+            # via the labels branch, so _old is total). The old shape
+            # re-joined new_labels against labels after the checkpoint —
+            # one extra label-sized shuffle join per round; the probe is
+            # now a scan of the already-checkpointed blocks.
+            fused = (
+                labels.withColumn("_f", F.lit(1))
+                .unionByName(neighbor.withColumn("_f", F.lit(0)))
                 .groupBy("id")
-                .agg(F.min("component").alias("component"))
+                .agg(
+                    F.min("component").alias("component"),
+                    F.min(
+                        F.when(F.col("_f") == 1, F.col("component"))
+                    ).alias("_old"),
+                )
                 .localCheckpoint()
             )
             changed = (
-                new_labels.join(
-                    labels.withColumnRenamed("component", "_old"), "id"
-                )
-                .filter(F.col("component") != F.col("_old"))
+                fused.filter(F.col("component") != F.col("_old"))
                 .limit(1)
                 .count()
             )
-            labels = new_labels
+            labels = fused.select("id", "component")
             if changed == 0:
                 break
         else:
@@ -1532,46 +1561,54 @@ def cdc_chunk_stats(
 
     Every step is md5-derived integer math (the package's portable-hash
     idiom), so an external engine reproduces chunk boundaries AND
-    fingerprints bit-for-bit. Plan: position explode → cut filter →
-    per-doc lead() window for chunk extents → one doc-keyed join back
-    for the substrings → two hash aggregates for the stats. Average
-    chunk length ≈ ``divisor`` characters; tune it upward at scale so
-    the position explode (L rows per doc) amortizes.
+    fingerprints bit-for-bit. Plan (r12 rewrite, guide §2.4 remove
+    shuffles outright): the per-position cut test runs INSIDE a
+    higher-order ``filter(sequence(1, L-w+1), p -> ...)`` lambda, so
+    the L-rows-per-doc position explode never materializes (the old
+    shape exploded ~33M position rows at sf0.1, broadcast-joined the
+    text back, and ran a per-doc ``lead()`` window — 2 joins + 1
+    window shuffle); chunk extents come from zipping the cuts array
+    with its own tail (next cut, or L+1 for the last chunk), and only
+    the ~L/divisor cut rows per doc explode. One codegen stage from
+    scan to the first aggregate — same md5 count, none of the
+    intermediate movement. Average chunk length ≈ ``divisor``
+    characters; tune it upward at scale so the per-position hash work
+    (L lambda steps per doc) amortizes.
 
     Output 1 row: ``(n_chunks, n_distinct_chunks, bytes_total,
     bytes_stored, dedup_ratio)``.
     """
-    from pyspark.sql.window import Window
-
     base = df.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
     ).withColumn("_len", F.length("_t"))
-    pos = base.select(
-        "_id",
-        "_len",
-        F.explode(
-            F.expr(
-                f"CASE WHEN _len >= {window} THEN "
-                f"sequence(1, _len - {window} + 1) "
-                f"ELSE array(1) END"
-            )
-        ).alias("_p"),
+    # identical cut rule to the exploded form: position 1 always cuts;
+    # p > 1 cuts iff the 60-bit md5 of the w-gram at p ≡ 0 (mod divisor)
+    cuts_arr = F.expr(
+        f"CASE WHEN _len >= {window} THEN "
+        f"filter(sequence(1, _len - {window} + 1), p -> p = 1 OR "
+        f"(cast(conv(substring(md5(cast(substring(_t, p, {window}) "
+        f"as string)), 1, 15), 16, 10) as bigint) % {divisor}) = 0) "
+        f"ELSE array(1) END"
     )
-    is_cut = (F.col("_p") > 1) & (
-        md5_long(F.expr(f"substring(_t, _p, {window})")) % divisor == 0
+    with_cuts = base.withColumn("_cuts", cuts_arr).withColumn(
+        # each chunk runs from its cut to the next cut (or end of doc):
+        # ends = tail(cuts) ++ [len + 1], zipped positionally with cuts
+        "_ends",
+        F.concat(
+            F.slice(F.col("_cuts"), 2, F.size("_cuts") - 1),
+            F.array(F.col("_len") + 1),
+        ),
     )
-    cuts = (
-        pos.join(base.select("_id", "_t"), "_id")
-        .select("_id", "_len", "_p", is_cut.alias("_cut"))
-        .filter((F.col("_p") == 1) | F.col("_cut"))
-        .select("_id", "_len", "_p")
-    )
-    nxt = F.lead("_p").over(Window.partitionBy("_id").orderBy("_p"))
-    extents = cuts.withColumn(
-        "_end", F.coalesce(nxt, F.col("_len") + 1)
-    ).withColumn("_clen", F.col("_end") - F.col("_p"))
     chunks = (
-        extents.join(base.select("_id", "_t"), "_id")
+        with_cuts.select(
+            "_t",
+            F.explode(F.arrays_zip("_cuts", "_ends")).alias("_x"),
+        )
+        .select(
+            "_t",
+            F.col("_x._cuts").alias("_p"),
+            (F.col("_x._ends") - F.col("_x._cuts")).alias("_clen"),
+        )
         .select(
             F.md5(F.expr("substring(_t, _p, _clen)")).alias("_h"),
             F.col("_clen"),
