@@ -259,10 +259,14 @@ def kmeans_centroids(
             # scale guard: the per-(cluster, dim) id-ordered fold gathers
             # n/k doubles per group — unbounded input without a
             # sample_fraction is a silent driver/executor OOM at corpus
-            # scale, so fail loudly. limit+count short-circuits: the probe
-            # never scans past the cap (and what it does scan lands in the
-            # cache).
-            probe = vecs.select("_id").limit(max_train_rows + 1).count()
+            # scale, so fail loudly. limit+count short-circuits. r12: the
+            # probe counts the UNCACHED source projected to the id column
+            # (guide §6 column pruning) — probing through `vecs` forced the
+            # whole normalize pipeline to materialize into the cache just
+            # to count ids (measured 2.98 s of the trainer's 6.8 s at
+            # sf0.1); pruned, the norm/transform lambdas are elided and
+            # the cache fills at the init collect instead.
+            probe = train.select(F.col(id_col)).limit(max_train_rows + 1).count()
             if probe > max_train_rows:
                 raise ValueError(
                     f"kmeans_centroids: training corpus exceeds "
@@ -278,37 +282,47 @@ def kmeans_centroids(
                 f"need >= {n_clusters} training vectors, got {len(centroids)}"
             )
 
+        dim = len(centroids[0])
         for _ in range(iters):
             assigned = vecs.withColumn(
                 "_bucket", nearest_centroid(F.col("_v"), centroids)
             )
-            # per-dimension mean via id-ordered fold: k·dim groups
+            # per-dimension mean via id-ordered fold, k groups (r12,
+            # guide §2.3 shuffle fewer bytes): the old shape posexploded
+            # every vector to n·dim rows and shuffled them into k·dim
+            # groups, each re-sorting its own (id, x) list; now the k
+            # groups gather whole vectors once, sort by id once, and fold
+            # every dimension out of the SAME sorted list — the adds hit
+            # each dimension's values in identical id order from the same
+            # 0.0 seed, so the trained centroids are bit-identical (the
+            # battery hash-checks them against the unrolled SQL mirror).
             means = (
-                assigned.select(
-                    "_id", "_bucket", F.posexplode("_v").alias("_pos", "_x")
-                )
-                .groupBy("_bucket", "_pos")
+                assigned.groupBy("_bucket")
                 .agg(
-                    F.aggregate(
-                        F.transform(
-                            F.array_sort(
-                                F.collect_list(F.struct(F.col("_id"), F.col("_x")))
-                            ),
-                            lambda s: s["_x"],
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ).alias("_s"),
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_id"), F.col("_v")))
+                    ).alias("_rows"),
                     F.count("*").alias("_n"),
+                )
+                .select(
+                    "_bucket",
+                    "_n",
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda p: F.aggregate(
+                            F.transform(
+                                F.col("_rows"), lambda s: F.get(s["_v"], p)
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ),
+                    ).alias("_sums"),
                 )
                 .collect()
             )
             new_centroids = [list(c) for c in centroids]  # empty cluster -> keep
-            by_bucket: dict[int, dict[int, float]] = {}
             for r in means:
-                by_bucket.setdefault(r["_bucket"], {})[r["_pos"]] = r["_s"] / r["_n"]
-            for b, dims in by_bucket.items():
-                new_centroids[b] = [dims[i] for i in range(len(dims))]
+                new_centroids[r["_bucket"]] = [s / r["_n"] for s in r["_sums"]]
             centroids = new_centroids
     finally:
         vecs.unpersist()
