@@ -186,6 +186,19 @@ def _new_utc_stream_session(spark: SparkSession) -> SparkSession:
     # streaming block. Long-lived production streams want the default
     # (false) so providers stay warm across micro-batches.
     s.conf.set("spark.sql.streaming.stateStore.unloadOnCommit", "true")
+    # availableNow one-shots again: after the last data batch the engine
+    # appends a TRAILING NO-DATA micro-batch whenever a stateful operator
+    # wants a watermark-driven eviction/flush pass. For every battery
+    # stream whose result does not depend on that flush — complete-mode
+    # sinks (each batch re-emits the full state), update-mode sinks with
+    # no timeout state, and inner stream-stream joins (matches emit as
+    # they form; the trailing pass only evicts state the query is about
+    # to throw away) — that batch is a full planning + state-commit cycle
+    # (~0.5-1.0 s measured at sf0.1) that emits ZERO rows. Queries that
+    # DO flush results on watermark expiry (append-mode aggregations and
+    # outer joins: streaming_outer_join_expiry, streaming_chained_windows)
+    # re-enable it around their own .start(); see _trailing_flush_batch.
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     return s
 
 

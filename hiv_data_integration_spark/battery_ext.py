@@ -58,6 +58,31 @@ corpus AS (
 
 
 
+class _trailing_flush_batch:
+    """Re-enable the trailing no-data micro-batch around one ``.start()``.
+
+    The battery's stream session disables ``noDataMicroBatches`` (see
+    ``battery._new_utc_stream_session``) because for most one-shot
+    availableNow entries that batch emits nothing. The two append-mode
+    entries whose RESULTS are flushed by watermark expiry
+    (``streaming_outer_join_expiry``, ``streaming_chained_windows``)
+    wrap their ``.start()`` in this context manager. StreamExecution
+    clones the session's conf at start, so restoring after
+    ``awaitTermination`` cannot affect the running query.
+    """
+
+    _KEY = "spark.sql.streaming.noDataMicroBatches.enabled"
+
+    def __init__(self, session: SparkSession) -> None:
+        self._s = session
+
+    def __enter__(self) -> None:
+        self._s.conf.set(self._KEY, "true")
+
+    def __exit__(self, *exc: object) -> None:
+        self._s.conf.set(self._KEY, "false")
+
+
 def _local_result(df: DataFrame) -> DataFrame:
     """Materialize a small result as a local-rows DataFrame.
 
@@ -66,9 +91,20 @@ def _local_result(df: DataFrame) -> DataFrame:
     callers evaluate the DataFrame after we have reclaimed it. Collect the
     (small) result first, then hand back local rows; the cleanup in the
     caller's ``finally`` is then safe.
+
+    Transfer is Arrow both ways (``toArrow`` → ``createDataFrame(pa.Table,
+    schema)``, guide §6 "Arrow for driver transfers"): the old row path
+    pickled every row out of the JVM and back — measured ~1.5 s of the
+    streaming_session_windows entry alone (95k rows at sf0.1). The
+    explicit ``df.schema`` pins exact result types (TIMESTAMP_NTZ vs LTZ,
+    decimals) across the roundtrip; the row fallback covers any type the
+    Arrow bridge rejects.
     """
-    rows, schema = df.collect(), df.schema
-    return df.sparkSession.createDataFrame(rows, schema)
+    try:
+        return df.sparkSession.createDataFrame(df.toArrow(), schema=df.schema)
+    except Exception:
+        rows, schema = df.collect(), df.schema
+        return df.sparkSession.createDataFrame(rows, schema)
 
 
 def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10276,15 +10312,18 @@ def q_streaming_outer_join_expiry(
         ).select("user_id", "event_id", "r_event_id")
 
         name = f"stream_soj_{_uuid.uuid4().hex[:12]}"
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        # unmatched rows flush ONLY in the trailing no-data batch (the
+        # session default disables it) — re-enable for this query
+        with _trailing_flush_batch(joined.sparkSession):
+            q = (
+                joined.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         ssession = joined.sparkSession
         le = F.col("event_id") % 1000003
         re_ = F.col("r_event_id") % 1000003
@@ -10413,15 +10452,18 @@ def q_streaming_chained_windows(
             )
         )
         name = f"stream_chw_{_uuid.uuid4().hex[:12]}"
-        q = (
-            daily.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        # both chained stages flush ONLY in the trailing no-data batch
+        # (the session default disables it) — re-enable for this query
+        with _trailing_flush_batch(daily.sparkSession):
+            q = (
+                daily.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         ssession = daily.sparkSession
         cutoff = (
             _dt.datetime(1970, 1, 1)
