@@ -389,6 +389,14 @@ def incremental_dedup(
             F.max("jaccard").alias("best_jaccard"),
         )
     )
+    if broadcast_new:
+        # matches has at most one row per NEW doc, so the same bound that
+        # makes the batch's band entries broadcastable covers it; without
+        # the hint the post-aggregate size estimate is unknown and the
+        # planner falls back to a sort-merge LEFT join (2 exchanges + sorts
+        # of both sides) for a bounded-small right side (measured −10% at
+        # sf0.1)
+        matches = F.broadcast(matches)
     return (
         new_df.select(F.col(id_col).alias("new_id"))
         .join(matches, "new_id", "left")
