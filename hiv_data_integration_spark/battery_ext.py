@@ -107,6 +107,28 @@ def _local_result(df: DataFrame) -> DataFrame:
         return df.sparkSession.createDataFrame(rows, schema)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across the session's cores before heavy
+    per-row compute (explodes, shingle/token generation, hashing).
+
+    The local testdata ships ONE small parquet file per table — a 1-3
+    split scan that single-threads every downstream expression until
+    the first exchange (guide §2.5 input skew / §6 input split size;
+    maxPartitionBytes cannot split below row-group granularity, so a
+    repartition is the only lever). Measured r12 at sf0.1:
+    bpe_pair_topk 2.04 s → 0.55 s once spread. Scale-adaptive, not a
+    local[32] constant: the target is the session's defaultParallelism
+    (follows the driver's SPARK_GRAFT_CPUS master) and the repartition
+    is SKIPPED whenever the scan already carries that many splits — a
+    production-scale table arrives with thousands of natural splits
+    and never pays the extra exchange."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     words = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
@@ -177,7 +199,7 @@ FROM feat
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = tbl(spark, sf_dir, "documents")
+    docs = _spread(tbl(spark, sf_dir, "documents"))
     return (
         docs.withColumn("predicted", tx.lang_id(F.col("text")))
         .groupBy("lang", "predicted")
@@ -1581,7 +1603,7 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     in deterministic md5-of-salted-id order. Output: per-lang kept count
     (exactly T·w — the mixture invariant itself) plus an id-sum checksum
     so WHICH rows were kept is verified, not just how many."""
-    docs = tbl(spark, sf_dir, "documents").select("doc_id", "lang")
+    docs = _spread(tbl(spark, sf_dir, "documents")).select("doc_id", "lang")
     kept = sp.mixture_quota_sample(
         docs, "lang", "doc_id", weights={"en": 3, "fr": 2, "de": 1}
     )
@@ -3166,7 +3188,7 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id) injected into each document, then redacted + counted with the
     shared Java-regex/RE2 pattern set — the whole pass is native
     regexp_replace/regexp_count projections."""
-    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(tbl(spark, sf_dir, "documents")).select("doc_id", "text")
     injected = docs.select(
         "doc_id",
         F.concat(
@@ -3320,7 +3342,7 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-4 minimum selection, distinct (hash, pos) pairs — per-row
     projection, no shuffle; the oracle mirrors the gram hashing, struct-min
     window selection, and tie rule verbatim."""
-    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(tbl(spark, sf_dir, "documents").select("doc_id", "text"))
     return tx.winnow_fingerprints(docs, k=5, window=4)
 
 
@@ -3369,7 +3391,7 @@ def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed by hash — O(postings), never O(docs²); hot hashes (boilerplate
     grams) are the skew to watch at scale, bounded here by the distinct-set
     semantics."""
-    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(tbl(spark, sf_dir, "documents").select("doc_id", "text"))
     fps = tx.winnow_fingerprints(docs, k=5, window=4).select(
         "id", "fp_hash"
     ).distinct()
@@ -3541,7 +3563,7 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality filter: per-doc top-2-gram and
     duplicated-3-gram character fractions + keep verdict. Pure explode +
     hash-aggregate chain keyed by doc id — word-count shape, 100 TB-safe."""
-    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(tbl(spark, sf_dir, "documents")).select("doc_id", "text")
     return tx.ngram_repetition_features(
         docs, top_n=2, dup_n=3, max_top_frac=0.15, max_dup_frac=0.05
     )
@@ -3593,7 +3615,7 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval contamination: distinct 4-gram overlap counts per train
     doc against a deterministic eval slice (doc_id % 20 == 0). The eval
     gram set broadcasts; the train corpus never re-shuffles."""
-    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(tbl(spark, sf_dir, "documents").select("doc_id", "text"))
     eval_df = docs.filter(F.col("doc_id") % 20 == 0)
     train = docs.filter(F.col("doc_id") % 20 != 0)
     return tx.contamination_check(train, eval_df, n=4)
@@ -3702,7 +3724,7 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by raw-ratio tf-idf
     (log-free: only IEEE-exact double ops, so ranking is bit-reproducible
     across engines)."""
-    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(tbl(spark, sf_dir, "documents").select("doc_id", "text"))
     return tx.tfidf_topk(docs, k=3)
 
 
@@ -3915,7 +3937,7 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash_split + stratified sampling + the Gopher repetition filter +
     fingerprint dedup; each ingredient is oracle-green standalone, this
     entry verifies the composition."""
-    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    docs = _spread(tbl(spark, sf_dir, "documents").select("doc_id", "text", "lang"))
     out = sp.hash_split(docs, "doc_id", train=0.8, val=0.1)
     out = sp.stratified_sample_flag(
         out, "doc_id", "lang", rates={"en": (1, 2), "fr": (3, 4)}
@@ -3997,7 +4019,7 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hiv_data_integration_spark.io.files import read_jsonl_corpus
     from hiv_data_integration_spark.io.sinks import export_training_shards
 
-    docs = tbl(spark, sf_dir, "documents")
+    docs = _spread(tbl(spark, sf_dir, "documents"))
     base = tempfile.mkdtemp(prefix="jsonl_")
     try:
         export_training_shards(docs, "doc_id", base, n_shards=8, fmt="json")
@@ -4569,7 +4591,7 @@ def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup spans (Lee et al. 2022 suffix-array dedup,
     discretized to 5-gram runs): see
     operators.textops.duplicate_ngram_spans for the scale shape."""
-    docs = tbl(spark, sf_dir, "documents")
+    docs = _spread(tbl(spark, sf_dir, "documents"))
     return tx.duplicate_ngram_spans(
         docs, text_col="text", id_col="doc_id", n=5
     )
@@ -4678,12 +4700,29 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     bought together in >= 2 orders) — degree-oriented wedge join, each
     triangle found exactly once. See operators.dedup.triangle_count."""
     li = tbl(spark, sf_dir, "lineitem")
-    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    # co-purchase pairs WITHOUT the fact self-join (r12, guide §2.4):
+    # the a⋈b shape shuffled lineitem TWICE by l_orderkey and exploded
+    # the join output row-by-row; grouping each order's parts into one
+    # sorted array and emitting the ordered index pairs with a
+    # higher-order transform keeps the same multiset of (pa<pb) pairs
+    # (duplicates of a part within an order still contribute one pair
+    # per occurrence pair, exactly like the self-join) through ONE
+    # exchange — focused A/B at sf0.1: 2.6-3.3 s → 2.1-2.8 s, output
+    # hash-identical
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("ps")
+    )
+    pairs = per_order.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "filter(transform(slice(ps, i + 2, size(ps)), "
+                "y -> struct(x as pa, y as pb)), p -> p.pa < p.pb)))"
+            )
+        ).alias("p")
+    ).select("p.pa", "p.pb")
     edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
+        pairs.groupBy("pa", "pb")
         .agg(F.count("*").alias("n_co"))
         .filter(F.col("n_co") >= 2)
         .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
@@ -5200,7 +5239,7 @@ def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     item hides inside a long page (containment ~1.0 where Jaccard ~0).
     Eval suite = doc_id % 25 == 0 (broadcast); the corpus never
     re-shuffles. Counts exact BIGINTs; containment one IEEE division."""
-    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(tbl(spark, sf_dir, "documents")).select("doc_id", "text")
     eval_df = docs.filter(F.col("doc_id") % 25 == 0)
     train = docs.filter(F.col("doc_id") % 25 != 0)
     return tx.ngram_containment(train, eval_df, n=3, min_shared=1)
@@ -5991,7 +6030,7 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-character pair counts over lowercased text, global top-20 with
     total ordering — 1-based substring positions, identical semantics
     in Spark and ANSI SQL (no split-on-empty edge cases)."""
-    docs = tbl(spark, sf_dir, "documents")
+    docs = _spread(tbl(spark, sf_dir, "documents"))
     return tx.bpe_pair_counts(docs, k=20)
 
 
@@ -8360,7 +8399,7 @@ def q_rake_keyphrases_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented variant of the paper's sum-of-rationals)."""
     from hiv_data_integration_spark.operators.textops import rake_keyphrases
 
-    docs = tbl(spark, sf_dir, "documents")
+    docs = _spread(tbl(spark, sf_dir, "documents"))
     return rake_keyphrases(docs, "doc_id", "text", k=20)
 
 
@@ -8419,7 +8458,7 @@ def q_bigram_next_token_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigram_next_token_accuracy,
     )
 
-    docs = tbl(spark, sf_dir, "documents")
+    docs = _spread(tbl(spark, sf_dir, "documents"))
     return bigram_next_token_accuracy(docs, "doc_id", "text")
 
 
@@ -9335,7 +9374,7 @@ def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-phase selection in :func:`sp.token_budget_select` (no global sort);
     the oracle runs the literal global-window greedy — identical output
     proves the distributed algorithm."""
-    docs = tbl(spark, sf_dir, "documents")
+    docs = _spread(tbl(spark, sf_dir, "documents"))
     toks = tx.whitespace_tokens(F.lower(F.col("text")))
     d = docs.select(
         "doc_id", "lang", toks.alias("_t")
@@ -9626,7 +9665,7 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges with deterministic (count desc, pair asc) rule selection. The
     oracle unrolls all three train steps as CTE stages, including the
     even-offset parity rule for left==right runs."""
-    docs = tbl(spark, sf_dir, "documents").select("text")
+    docs = _spread(tbl(spark, sf_dir, "documents")).select("text")
     return tx.bpe_learn_merges(docs, iterations=3)
 
 
@@ -9761,7 +9800,7 @@ def q_bpe_encoded_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted occurrence, with symbol character lengths) — the compression
     audit of the learned rules. Shares the trainer (and, on the oracle
     side, the _BPE_TRAIN_CTES chain) with bpe_learn_merges."""
-    docs = tbl(spark, sf_dir, "documents").select("text")
+    docs = _spread(tbl(spark, sf_dir, "documents")).select("text")
     return tx.bpe_encoded_symbol_topk(docs, iterations=3, k=20)
 
 
@@ -13592,7 +13631,7 @@ def q_stopword_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword-list gaps (a lang row whose max column is a different
     lang's list is a labeling bug). One codegen'd scan; exact BIGINT
     hits, one IEEE division per rate."""
-    docs = tbl(spark, sf_dir, "documents")
+    docs = _spread(tbl(spark, sf_dir, "documents"))
     t = F.lower(F.col("text"))
     per = docs.select(
         "lang",
@@ -14213,6 +14252,9 @@ def q_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc counts answer every checkpoint via a broadcast range join
     against the 5-row checkpoint list."""
     docs = tbl(spark, sf_dir, "documents")
+    # NB r12: _spread REGRESSES this entry (1.12 s -> 3.03 s focused)
+    # - the first-seen/global-order pass gains nothing from scan
+    # parallelism and pays the extra exchange; left unspread
     return tx.heaps_vocab_curve(
         docs, "doc_id", "text", [100, 200, 300, 400, 500]
     )
@@ -14498,7 +14540,7 @@ def q_warc_record_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse path is shuffle-free per partition. Oracle: DuckDB rebuilds
     the identical shards and re-parses them with `string_split` +
     `split_part` + RE2."""
-    docs = tbl(spark, sf_dir, "documents").select(
+    docs = _spread(tbl(spark, sf_dir, "documents")).select(
         "doc_id", "text", "n_chars"
     )
     payload = F.substring(F.col("text"), 1, 80)
@@ -14933,7 +14975,7 @@ def q_quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + one map-side-combinable (doc, bucket-weight) aggregate;
     zero Python, no vocabulary state, no broadcast needed at any corpus
     scale."""
-    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(tbl(spark, sf_dir, "documents")).select("doc_id", "text")
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.col("text"), " ")).alias("tok"),

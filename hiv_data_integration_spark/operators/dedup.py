@@ -470,6 +470,7 @@ def _array_verify(
     text_col: str,
     shingle_n: int,
     jaccard_threshold: float,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of a candidate PAIR set by shingle-array
     attach: join each side's full shingle array by doc id and compute
@@ -485,7 +486,15 @@ def _array_verify(
     dfcap entry's 6.7 s), where this verify moves two doc-count-sized
     array tables through id-keyed joins and finishes pairs in the same
     stage — guide §2.3/§3.3 (don't explode before a join; shuffle the
-    lightweight proxy, attach the payload once)."""
+    lightweight proxy, attach the payload once).
+
+    ``partitions`` mirrors the posting build's repartition: without it
+    the shingle-array computation runs at the RAW SCAN's parallelism
+    (often 1-2 tasks for a single parquet file) and single-threads the
+    verify's heaviest expression (r12, measured at sf0.1: doc_sh noop
+    3.9 s unrepartitioned vs the 32-way posting equivalent 0.75 s)."""
+    if partitions:
+        df = df.repartition(partitions)
     doc_sh = df.select(
         F.col(id_col).alias("doc_id_"),
         word_shingles(F.col(text_col), shingle_n).alias("sh"),
@@ -683,7 +692,8 @@ def ngram_jaccard_dfcap_pairs(
     # by doc id (identical arithmetic to the posting-join verify, O(pairs)
     # instead of O(Σ_pairs |doc|) — see _array_verify)
     return _array_verify(
-        pruned, df, id_col, text_col, shingle_n, jaccard_threshold
+        pruned, df, id_col, text_col, shingle_n, jaccard_threshold,
+        partitions=partitions,
     )
 
 
@@ -864,28 +874,32 @@ def ngram_jaccard_prefix_pairs(
     )
 
     if guard_candidate_factor is not None:
-        # the probes are 1-2 eager jobs over the posting plan (which
-        # itself hides a shingle explode + window rank); persist it for
-        # their duration so stage 2 does not recompute stage 1's scan,
-        # and release the blocks as soon as the probes finish — the
-        # final lazy join re-derives posting exactly as the unguarded
-        # operator would, so steady-state memory is unchanged
-        posting.persist()
-        try:
-            bdf = posting.groupBy(*block_cols, "shingle").agg(
-                F.count("*").alias("bdf_")
-            )
-            stage1 = bdf.agg(
-                F.sum("bdf_").cast("long").alias("postings"),
-                F.sum(F.col("bdf_") * F.col("bdf_")).cast("long")
-                .alias("full_mass"),
-            ).collect()[0]
-            postings_n = stage1["postings"] or 0
-            budget = guard_candidate_factor * max(postings_n, 1)
-            mass: int = stage1["full_mass"] or 0
-            stage = 1
-            if mass > budget:
-                # full-join mass over budget: measure the EXACT prefix mass
+        # stage 1 is ONE aggregate over the posting plan — running it
+        # against the unpersisted posting is a single pass, and on
+        # Heaps-law corpora it approves immediately, so the common case
+        # pays no cache-build (r12 A/B: persist-backed probe 1.1 s
+        # steady vs 0.87 s plain at sf0.1; first call 4.5 vs 1.2).
+        # Only when stage 1's bound trips do we persist posting for the
+        # duration of the stage-2 job (which references it through BOTH
+        # bdf and the window-ranked prefix) and release it right after —
+        # the final lazy join re-derives posting exactly as the
+        # unguarded operator would, so steady-state memory is unchanged
+        bdf = posting.groupBy(*block_cols, "shingle").agg(
+            F.count("*").alias("bdf_")
+        )
+        stage1 = bdf.agg(
+            F.sum("bdf_").cast("long").alias("postings"),
+            F.sum(F.col("bdf_") * F.col("bdf_")).cast("long")
+            .alias("full_mass"),
+        ).collect()[0]
+        postings_n = stage1["postings"] or 0
+        budget = guard_candidate_factor * max(postings_n, 1)
+        mass: int = stage1["full_mass"] or 0
+        stage = 1
+        if mass > budget:
+            # full-join mass over budget: measure the EXACT prefix mass
+            posting.persist()
+            try:
                 pdf = prefix.groupBy(*block_cols, "shingle").agg(
                     F.count("*").alias("pdf_")
                 )
@@ -900,8 +914,8 @@ def ngram_jaccard_prefix_pairs(
                 )
                 mass = stage2["prefix_mass"] or 0
                 stage = 2
-        finally:
-            posting.unpersist()
+            finally:
+                posting.unpersist()
         fallback = mass > budget
         if guard_report is not None:
             guard_report.update(

@@ -5938,3 +5938,41 @@ def test_capped_linkage_bounds_pairs_and_accounts_drops(spark):
     ).collect()
     assert all(r.n_pairs <= 50 * 49 // 2 for r in c01)
     assert any(r.n_dropped > 0 for r in c01)
+
+
+def test_array_verify_partitions_identical_rows(spark):
+    """_array_verify(partitions=N) must change ONLY the plan (a
+    round-robin fan-out before the shingle-array build), never the
+    verified pair set — the r12 fix for the 1-split documents scan
+    single-threading the verify."""
+    from hiv_data_integration_spark.operators.dedup import _array_verify
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta " + ("x" * (i % 3)))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [(i, j) for i in range(0, 39) for j in (i + 1, i + 2) if j < 40],
+        "id_a long, id_b long",
+    )
+    plain = _array_verify(cand, docs, "doc_id", "text", 3, 0.5)
+    spread = _array_verify(cand, docs, "doc_id", "text", 3, 0.5, partitions=7)
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, spread.collect())
+    )
+    assert "RoundRobinPartitioning" in spread._jdf.queryExecution().toString()
+
+
+def test_spread_fans_out_narrow_scan_only(spark):
+    """_spread repartitions a below-parallelism frame to
+    defaultParallelism and leaves an already-wide frame untouched."""
+    from hiv_data_integration_spark.battery_ext import _spread
+
+    n = spark.sparkContext.defaultParallelism
+    narrow = spark.range(100).coalesce(1)
+    wide = spark.range(100).repartition(n + 1)
+    assert _spread(narrow).rdd.getNumPartitions() == n
+    # identity for frames already at/over parallelism (no extra exchange)
+    assert _spread(wide) is wide
+    assert sorted(r.id for r in _spread(narrow).collect()) == list(range(100))
